@@ -1,13 +1,108 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AliveKeys, TopicMetrics}
+import graft.sources.EventsAsRecords
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every implemented operator from SURVEY §2 surfaces here as a named
+  * query over the driver's parquet tables, with a DuckDB oracle in
+  * [[oracleSql]] where the semantics are ANSI-SQL-expressible.
+  */
 object SparkEntry {
+
+  private def records(s: SparkSession, dir: String): DataFrame =
+    EventsAsRecords.records(s, dir)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TopicMetrics.report(records(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.C + §2.E + §2.G1: the 15-column per-partition report
+    "q_partition_stats" -> ((s, dir) => TopicMetrics.report(records(s, dir))),
+    // §2.D: global topic summary re-reduced from per-partition partials
+    "q_topic_summary" -> ((s, dir) =>
+      TopicMetrics.summaryFrame(TopicMetrics.partitionStats(records(s, dir)))),
+    // §2.A2: watermark/offset discovery
+    "q_offsets" -> ((s, dir) => TopicMetrics.offsets(records(s, dir))),
+    // §4.3(c): per-partition + grand-total in one grouping-sets pass
+    "q_rollup_stats" -> ((s, dir) => TopicMetrics.rollupStats(records(s, dir))),
+    // §2.F2: exact last-write-wins alive-key count
+    "q_alive_keys" -> ((s, dir) => AliveKeys.exactFrame(records(s, dir))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = {
+    val cte = EventsAsRecords.oracleCte
+    Map(
+      "q_partition_stats" ->
+        s"""$cte
+           |SELECT "partition", start_offset, end_offset, total, alive,
+           |       tombstones, dirty_ratio, key_null, key_non_null,
+           |       p_bytes, key_bytes, value_bytes,
+           |       CASE WHEN alive > 0 AND key_bytes > 0
+           |            THEN CAST(FLOOR(key_bytes * 1.0 / alive) AS BIGINT) ELSE 0 END AS avg_key_size,
+           |       CASE WHEN alive > 0 AND value_bytes > 0
+           |            THEN CAST(FLOOR(value_bytes * 1.0 / alive) AS BIGINT) ELSE 0 END AS avg_value_size,
+           |       CASE WHEN alive > 0 AND p_bytes > 0
+           |            THEN CAST(FLOOR(p_bytes * 1.0 / alive) AS BIGINT) ELSE 0 END AS avg_msg_size
+           |FROM (
+           |  SELECT "partition",
+           |         MIN("offset") AS start_offset,
+           |         MAX("offset") + 1 AS end_offset,
+           |         COUNT(*) AS total,
+           |         COUNT("value") AS alive,
+           |         COUNT(*) - COUNT("value") AS tombstones,
+           |         COUNT(*) - COUNT("key") AS key_null,
+           |         COUNT("key") AS key_non_null,
+           |         COALESCE(SUM(LENGTH("key")), 0) AS key_bytes,
+           |         COALESCE(SUM(LENGTH("value")), 0) AS value_bytes,
+           |         COALESCE(SUM(LENGTH("key")), 0) + COALESCE(SUM(LENGTH("value")), 0) AS p_bytes,
+           |         CASE WHEN COUNT(*) > 0 AND COUNT(*) - COUNT("value") > 0
+           |              THEN (COUNT(*) - COUNT("value")) * 100.0 / COUNT(*) ELSE 0.0 END AS dirty_ratio
+           |  FROM records GROUP BY 1) ORDER BY "partition"""".stripMargin,
+      "q_topic_summary" ->
+        s"""$cte
+           |SELECT COUNT(*) AS overall_count,
+           |       COALESCE(SUM(COALESCE(LENGTH("key"), 0) + COALESCE(LENGTH("value"), 0)), 0) AS overall_bytes,
+           |       COALESCE(MIN(CASE WHEN "value" IS NOT NULL
+           |         THEN COALESCE(LENGTH("key"), 0) + LENGTH("value") END), 0) AS smallest_msg,
+           |       COALESCE(MAX(CASE WHEN "value" IS NOT NULL
+           |         THEN COALESCE(LENGTH("key"), 0) + LENGTH("value") END), 0) AS largest_msg,
+           |       CAST(epoch_us(MIN("timestamp")) AS BIGINT) AS earliest_us,
+           |       CAST(epoch_us(MAX("timestamp")) AS BIGINT) AS latest_us
+           |FROM records""".stripMargin,
+      "q_offsets" ->
+        s"""$cte
+           |SELECT "partition", MIN("offset") AS start_offset,
+           |       MAX("offset") + 1 AS end_offset
+           |FROM records GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_rollup_stats" ->
+        s"""$cte
+           |SELECT "partition",
+           |       COUNT(*) AS total,
+           |       COUNT("value") AS alive,
+           |       COUNT(*) - COUNT("value") AS tombstones,
+           |       COUNT(*) - COUNT("key") AS key_null,
+           |       COUNT("key") AS key_non_null,
+           |       COALESCE(SUM(LENGTH("key")), 0) AS key_bytes,
+           |       COALESCE(SUM(LENGTH("value")), 0) AS value_bytes
+           |FROM records GROUP BY ROLLUP("partition")
+           |ORDER BY "partition" NULLS FIRST""".stripMargin,
+      "q_alive_keys" ->
+        s"""$cte
+           |SELECT COUNT(*) FILTER (WHERE NOT dead_at_end) AS alive_keys FROM (
+           |  SELECT "key",
+           |         ("value" IS NULL) AS dead_at_end,
+           |         ROW_NUMBER() OVER (PARTITION BY "key"
+           |           ORDER BY "partition" DESC, "offset" DESC) AS rn
+           |  FROM records WHERE "key" IS NOT NULL) WHERE rn = 1""".stripMargin,
+    )
+  }
 }

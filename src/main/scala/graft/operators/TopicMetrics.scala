@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.TopicSummary
+
+/** The reference's entire metric family (SURVEY §2.C/D/E) as ONE
+  * `groupBy(partition).agg(...)` — Catalyst fuses all aggregate
+  * expressions into a single `HashAggregateExec` (partial on the scan
+  * side, final after a tiny shuffle keyed by partition id), which is the
+  * distributed form of the reference's single-pass fold
+  * (`src/kafka.rs:107-109` → `src/metric.rs:206-253`).
+  *
+  * Scale notes: the shuffle moves O(#partitions × #metrics) bytes, not
+  * data; map-side partial aggregation means each of the N scan tasks
+  * emits one row per Kafka partition it read. Global summary metrics
+  * (SURVEY §2.D) are re-reduced from the per-partition frame (§4.3
+  * option b) — no second scan of the data, ever.
+  */
+object TopicMetrics {
+
+  private def keyLen: Column = coalesce(length(col("key")), lit(0)).cast("long")
+  private def valueLen: Column = coalesce(length(col("value")), lit(0)).cast("long")
+  /** key_len + value_len; headers (if any) are NOT counted
+    * (`src/metric.rs:212,222,236`). */
+  private def msgSize: Column = keyLen + valueLen
+
+  /** Per-partition counters (C1-C7) plus the min/max partials that make
+    * every global metric (D1-D6) re-reducible without a second scan.
+    */
+  def partitionStats(records: DataFrame): DataFrame =
+    records.groupBy(col("partition")).agg(
+      min(col("offset")).as("start_offset"),
+      (max(col("offset")) + 1).as("end_offset"),
+      count(lit(1)).as("total"),
+      count_if(col("value").isNotNull).as("alive"),
+      count_if(col("value").isNull).as("tombstones"),
+      count_if(col("key").isNull).as("key_null"),
+      count_if(col("key").isNotNull).as("key_non_null"),
+      sum(keyLen).as("key_bytes"),
+      sum(valueLen).as("value_bytes"),
+      // partials for the global (topic-level) reduce; min/max message
+      // size count non-tombstones only (`src/metric.rs:249-251`)
+      min(when(col("value").isNotNull, msgSize)).as("min_alive_msg"),
+      max(when(col("value").isNotNull, msgSize)).as("max_alive_msg"),
+      min(col("timestamp")).as("min_ts"),
+      max(col("timestamp")).as("max_ts"))
+
+  /** Derived report columns (SURVEY §2.E). Quirk parity:
+    *  - averages divide by `alive`, NOT `key_non_null`
+    *    (`src/metric.rs:132-157`), with integer (floor) division;
+    *  - where the reference div-by-zero-panics (all-tombstone keyed
+    *    partition, §2.E1) we define the result as 0;
+    *  - dirty_ratio is the tombstone percentage, 0.0 when either term
+    *    is 0 (`src/metric.rs:159-167`).
+    */
+  def withDerived(stats: DataFrame): DataFrame =
+    stats
+      .withColumn("p_bytes", col("key_bytes") + col("value_bytes"))
+      .withColumn("dirty_ratio",
+        when(col("total") > 0 && col("tombstones") > 0,
+          col("tombstones") * 100.0 / col("total")).otherwise(0.0))
+      .withColumn("avg_key_size",
+        when(col("alive") > 0 && col("key_bytes") > 0,
+          floor(col("key_bytes") * cast1 / col("alive"))).otherwise(0L).cast("long"))
+      .withColumn("avg_value_size",
+        when(col("alive") > 0 && col("value_bytes") > 0,
+          floor(col("value_bytes") * cast1 / col("alive"))).otherwise(0L).cast("long"))
+      .withColumn("avg_msg_size",
+        when(col("alive") > 0 && col("p_bytes") > 0,
+          floor(col("p_bytes") * cast1 / col("alive"))).otherwise(0L).cast("long"))
+
+  private def cast1: Column = lit(1.0)
+
+  /** The full 15-column report frame, ordered by partition id (G1,
+    * `src/main.rs:103-106`); column set mirrors the reference's table
+    * (`src/main.rs:150-172`).
+    */
+  def report(records: DataFrame): DataFrame =
+    withDerived(partitionStats(records))
+      .select(
+        col("partition"), col("start_offset"), col("end_offset"),
+        col("total"), col("alive"), col("tombstones"), col("dirty_ratio"),
+        col("key_null"), col("key_non_null"),
+        col("p_bytes"), col("key_bytes"), col("value_bytes"),
+        col("avg_key_size"), col("avg_value_size"), col("avg_msg_size"))
+      .orderBy(col("partition"))
+
+  /** Global topic summary (D1-D6), re-reduced from the per-partition
+    * partials — O(#partitions) rows in, 1 row out; every metric is a
+    * commutative monoid so the re-reduction is exact (SURVEY §3.2).
+    * Sentinel parity: all-tombstone topic reports smallest=largest=0
+    * (the reference's u64::MAX sentinel readout, `src/metric.rs:177-183`).
+    */
+  def summaryFrame(stats: DataFrame): DataFrame =
+    stats.agg(
+      sum(col("total")).as("overall_count"),
+      sum(col("key_bytes") + col("value_bytes")).as("overall_bytes"),
+      coalesce(min(col("min_alive_msg")), lit(0L)).as("smallest_msg"),
+      coalesce(max(col("max_alive_msg")), lit(0L)).as("largest_msg"),
+      unix_micros(min(col("min_ts"))).as("earliest_us"),
+      unix_micros(max(col("max_ts"))).as("latest_us"))
+
+  def summarize(stats: DataFrame): TopicSummary = {
+    val r = summaryFrame(stats).collect()(0)
+    TopicSummary(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
+  }
+
+  /** Per-partition rows AND the grand-total row in one pass —
+    * `rollup(partition)` (SURVEY §4.3 option c). The null-partition row
+    * is the whole-topic aggregate. Demonstrates the grouping-sets path;
+    * `report` + `summaryFrame` is the default engine surface.
+    */
+  def rollupStats(records: DataFrame): DataFrame =
+    records.rollup(col("partition")).agg(
+      count(lit(1)).as("total"),
+      count_if(col("value").isNotNull).as("alive"),
+      count_if(col("value").isNull).as("tombstones"),
+      count_if(col("key").isNull).as("key_null"),
+      count_if(col("key").isNotNull).as("key_non_null"),
+      sum(keyLen).as("key_bytes"),
+      sum(valueLen).as("value_bytes"))
+      .orderBy(col("partition").asc_nulls_first)
+
+  /** Watermark/offset discovery report (SURVEY §2.A2): the `< OS` /
+    * `> OS` columns. With a live Kafka source these come from
+    * `AdminClient.listOffsets`; over a bounded record frame they are the
+    * per-partition min/max(offset).
+    */
+  def offsets(records: DataFrame): DataFrame =
+    records.groupBy(col("partition")).agg(
+      min(col("offset")).as("start_offset"),
+      (max(col("offset")) + 1).as("end_offset"))
+      .orderBy(col("partition"))
+
+  /** Empty-topic guard (A4, `src/main.rs:98-101`): cheap limit-1 probe. */
+  def isEmpty(records: DataFrame): Boolean = records.isEmpty
+}

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A source of record-log DataFrames in the [[graft.model.RecordSchema]]
+  * shape. Two impls: Kafka (the reference's only source,
+  * `src/kafka.rs:22-54`) and a deterministic parquet mapping used by the
+  * test/verification tiers.
+  */
+trait RecordSource {
+  def records(spark: SparkSession): DataFrame
+}
+
+/** Batch Kafka source — the Spark-native form of the reference's bounded
+  * scan (`src/kafka.rs:60-72` watermark snapshot + `src/kafka.rs:74-137`
+  * poll loop). Spark's Kafka batch source snapshots end offsets at
+  * planning time and emits exactly one task per Kafka partition covering
+  * `[earliest, latest)` — the reference's A2+A3 for free, parallelized.
+  *
+  * `extraOptions` pass through arbitrary `kafka.*` consumer settings,
+  * mirroring the `--librdkafka` k=v list (`src/main.rs:84-92`).
+  * Not exercised by the verification tiers (no broker in the test env);
+  * the parquet mapping below feeds the same downstream operators.
+  */
+final class KafkaRecordSource(
+    bootstrapServers: String,
+    topic: String,
+    extraOptions: Map[String, String] = Map.empty)
+  extends RecordSource {
+
+  def records(spark: SparkSession): DataFrame = {
+    val base = spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("endingOffsets", "latest")
+    extraOptions.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .select(col("partition"), col("offset"), col("timestamp"),
+        col("key"), col("value"))
+  }
+
+  /** Streaming variant (north star: Structured Streaming). */
+  def recordStream(spark: SparkSession): DataFrame = {
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+    extraOptions.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .select(col("partition"), col("offset"), col("timestamp"),
+        col("key"), col("value"))
+  }
+}
+
+/** Deterministic mapping of the driver's `events` parquet table onto the
+  * record-log shape (FIXTURES.md §1-2): `user_id % NumPartitions` →
+  * partition, per-partition ordinal → offset, `user_id % 19 == 0` →
+  * null key, `event_id % 13 == 0` → tombstone. The same mapping is
+  * expressed in ANSI SQL by [[EventsAsRecords.oracleCte]] so every
+  * downstream operator is DuckDB-oracle-checkable.
+  *
+  * The `row_number` window exists only because parquet rows have no
+  * native offset; the real source (Kafka) provides offsets without any
+  * shuffle. Do not cargo-cult this window into a 100 TB path.
+  */
+object EventsAsRecords {
+  val NumPartitions = 8
+
+  def records(spark: SparkSession, sfDir: String): DataFrame = {
+    // the driver's events.parquet stores ts as TIMESTAMP(NANOS), which
+    // Spark 4 rejects unless read as a raw long (nanos since epoch)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ts =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros((col("ts") / 1000).cast("long"))
+      else col("ts")
+    val part = (col("user_id") % NumPartitions).cast("int")
+    val w = Window.partitionBy(part).orderBy(col("event_id"))
+    ev.select(
+      part.as("partition"),
+      (row_number().over(w) - 1).cast("long").as("offset"),
+      ts.as("timestamp"),
+      when(col("user_id") % 19 === 0, lit(null))
+        .otherwise(col("user_id").cast("string").cast("binary")).as("key"),
+      when(col("event_id") % 13 === 0, lit(null))
+        .otherwise(col("props").cast("binary")).as("value"))
+  }
+
+  /** The identical mapping as a DuckDB CTE named `records` over the
+    * driver-registered `events` view. Key/value stay VARCHAR in the
+    * oracle (pure-ASCII, so octet lengths agree with the engine's
+    * BinaryType lengths).
+    */
+  val oracleCte: String =
+    """WITH records AS (
+      |  SELECT CAST(user_id % 8 AS INTEGER) AS "partition",
+      |         ROW_NUMBER() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS "offset",
+      |         ts AS "timestamp",
+      |         CASE WHEN user_id % 19 = 0 THEN NULL ELSE CAST(user_id AS VARCHAR) END AS "key",
+      |         CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END AS "value"
+      |  FROM events)""".stripMargin
+}

@@ -1,0 +1,229 @@
+package graft
+
+import graft.functions.{Hashing, TextFunctions}
+import graft.operators.{Dedup, Similarity}
+
+/** DuckDB oracle SQL mirroring each operator's exact arithmetic.
+  *
+  * Contract: every formula here is the SAME integer / IEEE-double
+  * computation the Spark operator performs (same fold order, same
+  * literals, same tie-breaks), so results hash-match bit-for-bit. The
+  * shared primitive is the 60-bit md5-prefix base hash
+  * ([[Hashing.baseHash60]] ≡ `('0x' || substr(md5(s),1,15))::BIGINT`).
+  */
+object OracleSql {
+
+  /** Normalized text + token list over the `documents` view. */
+  val docCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |  FROM documents),
+      |tok AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks FROM t)""".stripMargin
+
+  /** Distinct word-3-gram shingles, as in [[Dedup.shingles]]. */
+  val shingleCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 3
+      |              THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |                     i -> array_to_string(toks[i:i+2], ' ')))
+      |              ELSE [array_to_string(toks, ' ')] END AS s
+      |  FROM tok)""".stripMargin
+
+  val baseHash = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
+
+  def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def hitsExpr(lang: String): String =
+    s"len(list_filter(toks, x -> x IN ${inList(TextFunctions.Stopwords(lang))}))"
+
+  val textStats: String =
+    s"""$docCte
+       |SELECT doc_id,
+       |       len(toks) AS n_tokens,
+       |       len(regexp_extract_all(text, '${TextFunctions.BpePattern}')) AS n_bpe_tokens,
+       |       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+       |       length(norm) AS n_chars_norm
+       |FROM tok ORDER BY doc_id""".stripMargin
+
+  val langId: String = {
+    val hits = TextFunctions.Langs.map(l => s"${hitsExpr(l)} AS ${l}_hits")
+    val best = TextFunctions.Langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
+    val cases = TextFunctions.Langs
+      .map(l => s"WHEN ${l}_hits = $best AND ${l}_hits > 0 THEN '$l'")
+      .mkString(" ")
+    s"""$docCte,
+       |h AS (SELECT doc_id, ${hits.mkString(",\n            ")} FROM tok)
+       |SELECT doc_id, ${TextFunctions.Langs.map(l => s"${l}_hits").mkString(", ")},
+       |       CASE $cases ELSE 'und' END AS lang_pred
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  val quality: String =
+    s"""$docCte,
+       |q AS (SELECT doc_id,
+       |        CAST(length(norm) AS DOUBLE) AS chars,
+       |        CAST(len(toks) AS DOUBLE) AS words,
+       |        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct,
+       |        CAST(${hitsExpr("en")} AS DOUBLE) AS stops
+       |      FROM tok)
+       |SELECT doc_id,
+       |       least(words / 100.0, 1.0) * 0.3
+       |       + (1.0 - least(punct / greatest(chars, 1.0) * 5.0, 1.0)) * 0.3
+       |       + least(stops / greatest(words, 1.0) * 3.0, 1.0) * 0.2
+       |       + greatest(0.0, 1.0 - abs(chars / greatest(words, 1.0) - 5.0) / 10.0) * 0.2
+       |       AS quality
+       |FROM q ORDER BY doc_id""".stripMargin
+
+  val fingerprints: String =
+    s"""$docCte
+       |SELECT doc_id, md5(norm) AS fp_md5,
+       |       list_reduce(
+       |         list_transform(generate_series(1, length(norm)),
+       |                        i -> unicode(substr(norm, i, 1))::BIGINT),
+       |         (a, c) -> (a * 31 + c) % 1000000007) AS rolling_hash
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  val dedupExact: String =
+    s"""$docCte
+       |SELECT md5(norm) AS fingerprint, MIN(doc_id) AS canonical_doc_id,
+       |       COUNT(*) AS dup_count
+       |FROM t GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin
+
+  def minhashPairs(numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): String = {
+    val rows = numHashes / bands
+    val p = Hashing.MersennePrime31
+    val sigExprs = (0 until numHashes).map { i =>
+      val (a, b) = Hashing.permCoeffs(i)
+      s"list_min(list_transform(xs, x -> ($a * (x % $p) + $b) % $p))"
+    }.mkString("[\n         ", ",\n         ", "]")
+    s"""$docCte,
+       |$shingleCte,
+       |hx AS (SELECT doc_id, s, list_transform(s, g -> ${baseHash.format("g")}) AS xs FROM sh),
+       |sig AS (SELECT doc_id, s, $sigExprs AS mh FROM hx),
+       |banded AS (
+       |  SELECT doc_id, s, gs.bd AS band,
+       |         array_to_string(mh[gs.bd*$rows+1:gs.bd*$rows+$rows], '_') AS band_sig
+       |  FROM sig, generate_series(0, ${bands - 1}) gs(bd)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |         len(list_filter(x.s, e -> list_contains(y.s, e))) AS inter,
+       |         len(x.s) AS na, len(y.s) AS nb
+       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+       |SELECT doc_a, doc_b, inter,
+       |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+       |FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def ngramJaccardPairs(threshold: Double = 0.5): String =
+    s"""$docCte,
+       |$shingleCte,
+       |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+       |         COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, inter,
+       |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+       |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private def simhashSigSql(xsExpr: String): String =
+    (0 until Dedup.SimhashBits).map { j =>
+      s"""CASE WHEN list_reduce(list_transform($xsExpr,
+         |  x -> CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END),
+         |  (a, b) -> a + b) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString("(", "\n + ", ")")
+
+  val simhash: String =
+    s"""$docCte,
+       |$shingleCte,
+       |hx AS (SELECT doc_id,
+       |         list_transform(s, tk -> ${baseHash.format("tk")}) AS xs
+       |       FROM sh)
+       |SELECT doc_id, ${simhashSigSql("xs")} AS simhash
+       |FROM hx ORDER BY doc_id""".stripMargin
+
+  def simhashPairs(maxHamming: Int = 3, bands: Int = 4): String = {
+    val bandBits = Dedup.SimhashBits / bands
+    val mask = (1L << bandBits) - 1
+    s"""$docCte,
+       |$shingleCte,
+       |hx AS (SELECT doc_id,
+       |         list_transform(s, tk -> ${baseHash.format("tk")}) AS xs
+       |       FROM sh),
+       |sg AS (SELECT doc_id, ${simhashSigSql("xs")} AS sig FROM hx),
+       |banded AS (
+       |  SELECT doc_id, sig, gs.bd AS band, (sig >> (gs.bd * $bandBits)) & $mask AS band_val
+       |  FROM sg, generate_series(0, ${bands - 1}) gs(bd)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Sequential double dot product over 64-dim double-cast lists —
+    * index-order fold, same as [[Similarity.dot]]. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, ${Similarity.LshDims}),
+       |  i -> $a[i] * $b[i]), (acc, v) -> acc + v)""".stripMargin
+
+  private def normSql(a: String): String =
+    s"sqrt(${dotSql(a, a)})"
+
+  private val embCte =
+    "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)"
+
+  def knn(k: Int = 5, maxQueryId: Int = 16): String =
+    s"""WITH $embCte,
+       |q AS (SELECT * FROM e WHERE vec_id < $maxQueryId),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${dotSql("q.v", "c.v")} / (${normSql("q.v")} * ${normSql("c.v")}) AS score
+       |  FROM q, e c WHERE q.vec_id <> c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, score,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id) AS rank
+       |      FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  def lshNearPairs(tables: Int = 4, planes: Int = 4,
+      threshold: Double = 0.35): String = {
+    def planeList(t: Int, j: Int): String =
+      (0 until Similarity.LshDims).map(d => Similarity.planeComponent(t, j, d))
+        .mkString("[", ", ", "]")
+    def sigExpr(t: Int): String =
+      (0 until planes).map { j =>
+        s"CASE WHEN ${dotSql("v", planeList(t, j))} > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val sigsUnion = (0 until tables).map { t =>
+      s"SELECT vec_id, v, $t AS tbl, ${sigExpr(t)} AS sig FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $embCte,
+       |sigs AS (
+       |$sigsUnion),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sigs a JOIN sigs b
+       |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT vec_a, vec_b, ${dotSql("x.v", "y.v")} / (${normSql("x.v")} * ${normSql("y.v")}) AS score
+       |  FROM cand JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b)
+       |SELECT vec_a, vec_b, round(score, 6) AS score
+       |FROM scored WHERE score >= $threshold ORDER BY vec_a, vec_b""".stripMargin
+  }
+}

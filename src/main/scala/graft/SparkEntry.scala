@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AliveKeys, TopicMetrics}
+import graft.operators.{AliveKeys, Dedup, Similarity, TextAnalysis, TopicMetrics}
 import graft.sources.EventsAsRecords
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -33,7 +33,35 @@ object SparkEntry {
     "q_rollup_stats" -> ((s, dir) => TopicMetrics.rollupStats(records(s, dir))),
     // §2.F2: exact last-write-wins alive-key count
     "q_alive_keys" -> ((s, dir) => AliveKeys.exactFrame(records(s, dir))),
+    // LLM-pipeline: text analysis over `documents`
+    "q_text_stats" -> ((s, dir) => TextAnalysis.stats(docs(s, dir))),
+    "q_lang_id" -> ((s, dir) => TextAnalysis.langIdFrame(docs(s, dir))),
+    "q_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
+    "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
+    // LLM-pipeline: dedup family
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir)).orderBy(col("canonical_doc_id"))),
+    "q_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
+    "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
+    "q_simhash" -> ((s, dir) => TextAnalysis.simhashFrame(docs(s, dir))),
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    // LLM-pipeline: embedding similarity search
+    "q_embed_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnBruteForce(e, e.filter(col("vec_id") < 16), 5)
+    }),
+    "q_embed_knn_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnLsh(e, e.filter(col("vec_id") < 16), 5)
+    }),
+    "q_embed_near_pairs" -> ((s, dir) => Similarity.lshNearPairs(emb(s, dir))),
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -103,6 +131,20 @@ object SparkEntry {
            |         ROW_NUMBER() OVER (PARTITION BY "key"
            |           ORDER BY "partition" DESC, "offset" DESC) AS rn
            |  FROM records WHERE "key" IS NOT NULL) WHERE rn = 1""".stripMargin,
+      "q_text_stats" -> OracleSql.textStats,
+      "q_lang_id" -> OracleSql.langId,
+      "q_quality" -> OracleSql.quality,
+      "q_fingerprint" -> OracleSql.fingerprints,
+      "q_dedup_exact" -> OracleSql.dedupExact,
+      "q_dedup_minhash" -> OracleSql.minhashPairs(),
+      "q_ngram_jaccard" -> OracleSql.ngramJaccardPairs(),
+      "q_simhash" -> OracleSql.simhash,
+      "q_simhash_pairs" -> OracleSql.simhashPairs(),
+      "q_embed_knn" -> OracleSql.knn(),
+      "q_embed_near_pairs" -> OracleSql.lshNearPairs(),
+      // q_embed_knn_lsh intentionally has no oracle entry: it is the
+      // approximate variant; its recall is tested against q_embed_knn
+      // in the ScalaTest suite, and the driver records rows-only.
     )
   }
 }

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data
+  * pipelines: normalization, tokenization (whitespace + BPE-ish regex),
+  * language-ID (stopword-hit heuristic), quality scoring, and document
+  * fingerprinting. Everything is pure `org.apache.spark.sql.functions`
+  * composition — whole-stage-codegen'd, no UDFs — and every formula is
+  * restricted to integer/IEEE-double arithmetic so a DuckDB oracle can
+  * reproduce results bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Lowercase, collapse whitespace runs, trim. */
+  def normText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  def tokens(text: Column): Column = split(normText(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word token estimate: letter runs, single digits, and
+    * single punctuation marks each count as one token (the shape of a
+    * byte-pair pre-tokenizer split, without a vocab).
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Tiny public stopword lists per language, for the n-gram/stopword
+    * language-ID heuristic. Order of `Langs` is the deterministic
+    * tie-break (first max wins).
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "a", "it"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ich", "zu", "ein", "den"),
+    "es" -> Seq("el", "los", "de", "que", "y", "en", "un", "se", "por", "con"),
+    "fr" -> Seq("le", "les", "et", "des", "est", "une", "du", "dans", "pour", "sur"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+  val Langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  /** Count of tokens that are members of `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** Predicted language: argmax of per-language stopword hits, ties
+    * broken by `Langs` order; no hits at all → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val hits = Langs.map(l => l -> stopwordHits(text, Stopwords(l)))
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val firstMax = hits.foldRight(lit("und")) { case ((l, h), acc) =>
+      when(h === best && h > 0, lit(l)).otherwise(acc)
+    }
+    firstMax
+  }
+
+  /** Heuristic document quality score in [0,1] — length, punctuation
+    * ratio, stopword ratio, word-length shape. Pure add/sub/mul/div
+    * arithmetic (no transcendentals) so results are deterministic
+    * across engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val chars = length(normText(text)).cast("double")
+    val words = tokenCount(text).cast("double")
+    val punct = punctCount(text).cast("double")
+    val stops = stopwordHits(text, Stopwords("en")).cast("double")
+    val lengthScore = least(words / 100.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punct / greatest(chars, lit(1.0)) * 5.0, lit(1.0))
+    val stopScore = least(stops / greatest(words, lit(1.0)) * 3.0, lit(1.0))
+    val awl = chars / greatest(words, lit(1.0))
+    val wordLenScore = greatest(lit(0.0), lit(1.0) - abs(awl - 5.0) / 10.0)
+    lengthScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordLenScore * 0.2
+  }
+
+  /** Exact document fingerprint: md5 hex of the normalized text. */
+  def fingerprintMd5(text: Column): Column =
+    md5(normText(text).cast("binary"))
+
+  /** Rolling (polynomial) fingerprint over characters:
+    * `acc = (acc * 31 + codepoint(c)) mod 1_000_000_007` — the classic
+    * Rabin-Karp-style rolling hash, as a codegen'd higher-order
+    * `aggregate` over the char array.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      // filter guards against engine-specific empty-string artifacts of
+      // zero-width split, keeping the char sequence identical everywhere
+      filter(split(normText(text), ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, TextFunctions}
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (content-hash groupBy), MinHash+LSH, SimHash, and n-gram
+  * Jaccard. All are expressed as declarative DataFrame plans —
+  * shuffle-by-hash-bucket joins, no driver-side pair enumeration — so
+  * the same code scales from the 500-doc fixture to a 1000-executor
+  * cluster: work is proportional to (docs × shingles) plus the size of
+  * the candidate-pair set, never to docs².
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of the normalized text. Documents
+    * shorter than n tokens contribute their whole text as one shingle.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextFunctions.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Exact dedup: group by content fingerprint (md5 of normalized
+    * text), keep the smallest doc_id as canonical. One shuffle on a
+    * 128-bit hash — the canonical exact-dedup plan at any scale.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** MinHash signature: `numHashes` universal-hash permutations of the
+    * 60-bit shingle base hash, each reduced by array_min — one
+    * projection, fully codegen'd, no UDF, no shuffle.
+    */
+  def withMinhashSignature(docs: DataFrame, numHashes: Int = 16,
+      shingleN: Int = 3): DataFrame =
+    docs
+      .withColumn("shingle_hashes",
+        transform(shingles(col("text"), shingleN), s => Hashing.baseHash60(s)))
+      .withColumn("minhash", array((0 until numHashes).map(i =>
+        array_min(transform(col("shingle_hashes"),
+          x => Hashing.permHash(x, i)))): _*))
+
+  /** MinHash+LSH near-dup pairs. Plan shape (the standard distributed
+    * formulation):
+    *   1. signature projection (narrow);
+    *   2. explode `bands` band-slices of the signature and
+    *      self-join on (band index, band signature) — a shuffle keyed
+    *      by band bucket, linear in docs × bands;
+    *   3. exact Jaccard on the (small) candidate set via
+    *      array_intersect of distinct-shingle arrays;
+    *   4. filter >= `threshold`.
+    * Candidate volume is controlled by the band/row trade-off
+    * (P[candidate] = 1-(1-j^rows)^bands), not by docs².
+    */
+  def minhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sig = withMinhashSignature(docs, numHashes, shingleN)
+      .withColumn("shingle_set", shingles(col("text"), shingleN))
+      .select(col("doc_id"), col("shingle_set"), col("minhash"))
+    val banded = sig.select(col("doc_id"), col("shingle_set"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          concat_ws("_", transform(slice(col("minhash"), b * rows + 1, lit(rows)),
+            x => x.cast("string"))).as("band_sig")))).as("bs"))
+      .select(col("doc_id"), col("shingle_set"),
+        col("bs.band"), col("bs.band_sig"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.shingle_set").as("sa"), col("b.shingle_set").as("sb"))
+      .distinct()
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard >= threshold via an inverted-index
+    * self-join on shingles (explode → join on shingle → count shared
+    * per pair). Exact counterpart of [[minhashPairs]]; work is
+    * Σ_shingle df² — fine when shingle document frequency is bounded,
+    * the documented contract for this operator (use [[minhashPairs]]
+    * when it is not).
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+      shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      shingles(col("text"), shingleN).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash over distinct word-3-gram shingles: bit j of the
+    * fingerprint is the sign of Σ_shingles (bit j of shingle-hash ?
+    * +1 : -1). Shingle-level (not token-level) input keeps fingerprints
+    * diverse on small-vocabulary corpora — token-level SimHash
+    * degenerates into near-identical signatures when documents share
+    * most of their vocabulary, blowing up the pair join. Pure
+    * higher-order-function arithmetic on the 60-bit base hash —
+    * deterministic and oracle-reproducible.
+    */
+  def simhash(text: Column, shingleN: Int = 3): Column =
+    simhashFromHashes(transform(shingles(text, shingleN),
+      t => Hashing.baseHash60(t)))
+
+  /** SimHash from a precomputed token-hash array column — lets a plan
+    * materialize the (md5-based) hashes once instead of 32 times. */
+  def simhashFromHashes(xs: Column): Column =
+    (0 until SimhashBits).map { j =>
+      val bitSum = aggregate(xs, lit(0L),
+        (acc, x) => acc + when(shiftright(x, j).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(bitSum > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** SimHash near-dup pairs: band the fingerprint into `bands` slices
+    * (pigeonhole: hamming <= bands-1 guarantees a shared band), join
+    * per band, verify true hamming distance <= maxHamming via
+    * bit_count(xor). Same LSH-bucket plan shape as [[minhashPairs]].
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    val bandBits = SimhashBits / bands
+    val mask = (1L << bandBits) - 1
+    val withSig = docs
+      .withColumn("xs", transform(shingles(col("text")),
+        t => Hashing.baseHash60(t)))
+      .select(col("doc_id"), simhashFromHashes(col("xs")).as("sig"))
+    val banded = withSig.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map(bi =>
+        struct(lit(bi).as("band"),
+          shiftright(col("sig"), bi * bandBits).bitwiseAND(mask)
+            .as("band_val"))): _*)).as("bs"))
+      .select(col("doc_id"), col("sig"), col("bs.band"), col("bs.band_val"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

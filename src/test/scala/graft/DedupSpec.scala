@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while rain falls on the green hills " +
+      "and a river runs through the quiet valley under a pale morning sky"
+
+  test("exact dedup groups normalized duplicates under smallest doc_id") {
+    val d = docs(
+      1L -> "Hello   World",
+      2L -> "hello world",   // same after normalization
+      3L -> "something else")
+    val r = rowsOf(Dedup.exact(d).orderBy(col("canonical_doc_id")))
+    assert(r.length == 2)
+    assert(r.head("canonical_doc_id") == 1L && r.head("dup_count") == 2L)
+  }
+
+  test("minhash LSH finds planted near-duplicate, skips unrelated") {
+    val d = docs(
+      1L -> base,
+      2L -> (base + " extra trailing words here"), // high jaccard with 1
+      3L -> "completely different text about spark catalyst optimizer rules and physical plans for distributed aggregation at scale")
+    val pairs = rowsOf(Dedup.minhashPairs(d, threshold = 0.3))
+    assert(pairs.exists(p => p("doc_a") == 1L && p("doc_b") == 2L))
+    assert(!pairs.exists(p => p("doc_b") == 3L || p("doc_a") == 3L))
+  }
+
+  test("ngram jaccard pairs match brute-force jaccard") {
+    val d = docs(1L -> base, 2L -> (base + " extra words appended"),
+      3L -> "unrelated words entirely disjoint from the others completely")
+    val got = rowsOf(Dedup.ngramJaccardPairs(d, threshold = 0.1))
+    // brute force for pair (1,2)
+    def sh(t: String) = t.toLowerCase.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val (s1, s2) = (sh(base), sh(base + " extra words appended"))
+    val expected = s1.intersect(s2).size.toDouble / s1.union(s2).size
+    val p12 = got.find(p => p("doc_a") == 1L && p("doc_b") == 2L).get
+    assert(math.abs(p12("jaccard").asInstanceOf[Double] - expected) < 1e-12)
+  }
+
+  test("simhash: identical docs same signature; near-dups within small hamming") {
+    val d = docs(1L -> base, 2L -> base, 3L -> (base + " tail tweak"))
+    val sigs = rowsOf(d.select(col("doc_id"), Dedup.simhash(col("text")).as("sig")))
+      .map(r => r("doc_id") -> r("sig").asInstanceOf[Long]).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 6)
+    val pairs = rowsOf(Dedup.simhashPairs(d, maxHamming = 6))
+    val p12 = pairs.find(p => p("doc_a") == 1L && p("doc_b") == 2L)
+    assert(p12.isDefined && p12.get("hamming").toString.toInt == 0)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSuite {
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def pad(v: Seq[Float]): Seq[Float] =
+    v ++ Seq.fill(Similarity.LshDims - v.size)(0.0f)
+
+  test("brute-force knn ranks by cosine with deterministic tie-break") {
+    val d = vecs(
+      0L -> pad(Seq(1f, 0f)),
+      1L -> pad(Seq(1f, 0.1f)),   // closest to 0
+      2L -> pad(Seq(0f, 1f)),     // orthogonal
+      3L -> pad(Seq(-1f, 0f)))    // opposite
+    val r = rowsOf(Similarity.knnBruteForce(d, d.filter(col("vec_id") === 0), 3))
+    assert(r.map(_("neighbor_id")) == Seq(1L, 2L, 3L))
+    assert(r.head("score").asInstanceOf[Double] > 0.99)
+  }
+
+  test("lsh knn achieves high recall vs brute force on fixture embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    val exact = rowsOf(Similarity.knnBruteForce(e, q, 5))
+      .map(r => (r("query_id"), r("neighbor_id"))).toSet
+    val approx = rowsOf(Similarity.knnLsh(e, q, 5, tables = 8, planes = 4))
+      .map(r => (r("query_id"), r("neighbor_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("lsh near pairs returns only pairs above threshold, ordered") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = rowsOf(Similarity.lshNearPairs(e, threshold = 0.3))
+    assert(pairs.forall(_("score").asInstanceOf[Double] >= 0.3))
+    assert(pairs.forall(p => p("vec_a").asInstanceOf[Long] < p("vec_b").asInstanceOf[Long]))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("token and bpe counts") {
+    val r = rowsOf(TextAnalysis.stats(docs(1L -> "Hello,  world! 42")))
+    val m = r.head
+    assert(m("n_tokens") == 3L)          // hello, world! 42
+    // bpe-ish: [Hello][,][world][!][4][2]
+    assert(m("n_bpe_tokens") == 6L)
+    assert(m("n_punct") == 2L)
+    assert(m("n_chars_norm") == 16L)     // "hello,  world! 42" collapsed
+  }
+
+  test("langId picks the language with most stopword hits, und when none") {
+    val d = docs(
+      1L -> "the cat and the dog is in that house for a while",
+      2L -> "der hund und die katze ist nicht zu haus",
+      3L -> "xyzzy qwerty")
+    val r = rowsOf(TextAnalysis.langIdFrame(d)).map(m => m("doc_id") -> m("lang_pred")).toMap
+    assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "und")
+  }
+
+  test("quality score stays in [0,1]") {
+    val d = docs(
+      1L -> "the project is a good and clear document that it covers for the reader in depth",
+      2L -> "!!! ??? ,,, ... ;;;",
+      3L -> "x")
+    val r = rowsOf(TextAnalysis.quality(d))
+    r.foreach { m =>
+      val q = m("quality").asInstanceOf[Double]
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("rolling hash matches a reference implementation") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val text = "hello world"
+    val got = rowsOf(docs(1L -> text)
+      .select(TextFunctions.rollingHash(col("text")).as("h"))).head("h")
+    assert(got == ref(text))
+  }
+
+  test("md5 fingerprint is normalization-invariant") {
+    val r = rowsOf(TextAnalysis.fingerprints(docs(
+      1L -> "Hello   World", 2L -> "hello world")))
+    assert(r(0)("fp_md5") == r(1)("fp_md5"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{AliveKeys, TopicMetrics}
+
+/** Pins the reference's metric semantics, incl. every quirk in
+  * SURVEY §2 / §5.2(1): tombstone exclusion from min/max size, avg
+  * divisor = alive (not key_non_null), all-tombstone partition defined
+  * as 0 (the reference div-by-zero case), dirty-ratio guards,
+  * null-key records skipped by the alive-key op.
+  */
+class TopicMetricsSpec extends SparkSuite {
+
+  test("per-partition counters and identities") {
+    val df = records(
+      (0, 0L, 1000L, "k1", "v100"),     // alive, keyed
+      (0, 1L, 2000L, null, "v2"),       // alive, null key
+      (0, 2L, 3000L, "k1", null),       // tombstone, keyed
+      (1, 0L, 500L, "key9", "x"))
+    val m = rowsOf(TopicMetrics.report(df)).map(r => r("partition") -> r).toMap
+    val p0 = m(0)
+    assert(p0("total") == 3L && p0("alive") == 2L && p0("tombstones") == 1L)
+    assert(p0("key_null") == 1L && p0("key_non_null") == 2L)
+    assert(p0("start_offset") == 0L && p0("end_offset") == 3L)
+    assert(p0("key_bytes") == 4L)   // k1 twice (tombstone key still counts)
+    assert(p0("value_bytes") == 6L) // v100 + v2
+    assert(p0("p_bytes") == 10L)
+    // avg divisor is alive (2), not key_non_null: floor(4/2)=2
+    assert(p0("avg_key_size") == 2L)
+    assert(p0("avg_value_size") == 3L)
+    assert(p0("avg_msg_size") == 5L)
+    assert(p0("dirty_ratio").asInstanceOf[Double] === 100.0 / 3)
+    val p1 = m(1)
+    assert(p1("total") == 1L && p1("dirty_ratio") == 0.0)
+  }
+
+  test("all-tombstone keyed partition: averages defined as 0, not crash") {
+    val df = records((0, 0L, 1L, "kk", null), (0, 1L, 2L, "kk", null))
+    val p0 = rowsOf(TopicMetrics.report(df)).head
+    assert(p0("alive") == 0L && p0("tombstones") == 2L)
+    assert(p0("key_bytes") == 4L)
+    assert(p0("avg_key_size") == 0L && p0("avg_msg_size") == 0L)
+    assert(p0("dirty_ratio") == 100.0)
+  }
+
+  test("global summary: min/max size over non-tombstones only") {
+    val df = records(
+      (0, 0L, 5000L, "k", "vvvv"),   // size 5
+      (0, 1L, 1000L, "kk", "v"),     // size 3
+      (1, 0L, 9000L, "huge-key", null)) // tombstone: excluded from min/max
+    val s = TopicMetrics.summarize(TopicMetrics.partitionStats(df))
+    assert(s.overall_count == 3L)
+    assert(s.overall_bytes == 5 + 3 + 8)
+    assert(s.smallest_msg == 3L && s.largest_msg == 5L)
+    assert(s.earliest_us == 1000000L && s.latest_us == 9000000L)
+  }
+
+  test("all-tombstone topic: smallest/largest read as 0 (sentinel parity)") {
+    val df = records((0, 0L, 1L, "k", null))
+    val s = TopicMetrics.summarize(TopicMetrics.partitionStats(df))
+    assert(s.smallest_msg == 0L && s.largest_msg == 0L)
+  }
+
+  test("zero-length non-null keys/values are counted non-null with size 0") {
+    val df = records((0, 0L, 1L, "", ""))
+    val p0 = rowsOf(TopicMetrics.report(df)).head
+    assert(p0("key_non_null") == 1L && p0("alive") == 1L)
+    assert(p0("key_bytes") == 0L && p0("value_bytes") == 0L)
+  }
+
+  test("rollup emits per-partition rows plus a grand-total row") {
+    val df = records((0, 0L, 1L, "a", "x"), (1, 0L, 1L, "b", null))
+    val rows = rowsOf(TopicMetrics.rollupStats(df))
+    assert(rows.length == 3)
+    val total = rows.find(_("partition") == null).get
+    assert(total("total") == 2L && total("alive") == 1L && total("tombstones") == 1L)
+  }
+
+  test("alive keys: last-write-wins with retraction, null keys skipped") {
+    val df = records(
+      (0, 0L, 1L, "a", "v"),    // a alive
+      (0, 1L, 2L, "a", null),   // a retracted
+      (0, 2L, 3L, "b", "v"),    // b alive
+      (0, 3L, 4L, "c", null),   // c dead (only ever tombstone)
+      (0, 4L, 5L, "c", "v2"),   // c re-marked alive
+      (1, 0L, 6L, null, "v"),   // null key: skipped entirely
+      (1, 1L, 7L, "d", null))   // d dead
+    assert(AliveKeys.exact(df) == 2L) // b, c
+    assert(AliveKeys.approx(df) == 2L)
+  }
+
+  test("empty topic guard") {
+    val df = records((0, 0L, 1L, "a", "x")).filter("partition = 99")
+    assert(TopicMetrics.isEmpty(df))
+  }
+
+  private implicit class DoubleOps(val d: Double) {
+    def ===(other: Double): Boolean = math.abs(d - other) < 1e-12
+  }
+}

@@ -181,19 +181,20 @@ object OracleSql {
     s"""list_reduce(list_transform(generate_series(1, ${Similarity.LshDims}),
        |  i -> $a[i] * $b[i]), (acc, v) -> acc + v)""".stripMargin
 
-  private def normSql(a: String): String =
-    s"sqrt(${dotSql(a, a)})"
-
-  private val embCte =
-    "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)"
+  /** Unit-normalized double vectors, mirroring [[Similarity.withUnit]]:
+    * norm once per vector, then element-wise division. */
+  private val unitCte: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+       |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS un FROM nn)""".stripMargin
 
   def knn(k: Int = 5, maxQueryId: Int = 16): String =
-    s"""WITH $embCte,
-       |q AS (SELECT * FROM e WHERE vec_id < $maxQueryId),
+    s"""WITH $unitCte,
+       |q AS (SELECT * FROM u WHERE vec_id < $maxQueryId),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |         ${dotSql("q.v", "c.v")} / (${normSql("q.v")} * ${normSql("c.v")}) AS score
-       |  FROM q, e c WHERE q.vec_id <> c.vec_id),
+       |         ${dotSql("q.un", "c.un")} AS score
+       |  FROM q, u c WHERE q.vec_id <> c.vec_id),
        |r AS (SELECT query_id, neighbor_id, score,
        |        ROW_NUMBER() OVER (PARTITION BY query_id
        |          ORDER BY score DESC, neighbor_id) AS rank
@@ -208,12 +209,12 @@ object OracleSql {
         .mkString("[", ", ", "]")
     def sigExpr(t: Int): String =
       (0 until planes).map { j =>
-        s"CASE WHEN ${dotSql("v", planeList(t, j))} > 0 THEN ${1L << j} ELSE 0 END"
+        s"CASE WHEN ${dotSql("un", planeList(t, j))} > 0 THEN ${1L << j} ELSE 0 END"
       }.mkString("(", " + ", ")")
     val sigsUnion = (0 until tables).map { t =>
-      s"SELECT vec_id, v, $t AS tbl, ${sigExpr(t)} AS sig FROM e"
+      s"SELECT vec_id, $t AS tbl, ${sigExpr(t)} AS sig FROM u"
     }.mkString("\nUNION ALL\n")
-    s"""WITH $embCte,
+    s"""WITH $unitCte,
        |sigs AS (
        |$sigsUnion),
        |cand AS (
@@ -221,8 +222,8 @@ object OracleSql {
        |  FROM sigs a JOIN sigs b
        |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
        |scored AS (
-       |  SELECT vec_a, vec_b, ${dotSql("x.v", "y.v")} / (${normSql("x.v")} * ${normSql("y.v")}) AS score
-       |  FROM cand JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b)
+       |  SELECT vec_a, vec_b, ${dotSql("x.un", "y.un")} AS score
+       |  FROM cand JOIN u x ON x.vec_id = vec_a JOIN u y ON y.vec_id = vec_b)
        |SELECT vec_a, vec_b, round(score, 6) AS score
        |FROM scored WHERE score >= $threshold ORDER BY vec_a, vec_b""".stripMargin
   }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Hashing, TextFunctions}
+import graft.functions.{ArrayHashExprs, Hashing, TextFunctions}
 
 /** Deduplication operators for large-scale training-data pipelines:
   * exact (content-hash groupBy), MinHash+LSH, SimHash, and n-gram
@@ -46,9 +46,15 @@ object Dedup {
     docs
       .withColumn("shingle_hashes",
         transform(shingles(col("text"), shingleN), s => Hashing.baseHash60(s)))
-      .withColumn("minhash", array((0 until numHashes).map(i =>
-        array_min(transform(col("shingle_hashes"),
-          x => Hashing.permHash(x, i)))): _*))
+      .withColumn("minhash",
+        ArrayHashExprs.minhash_sig(col("shingle_hashes"), numHashes))
+
+  /** Declarative (HOF-composition) minhash — semantically identical to
+    * the native [[ArrayHashExprs.MinHashSigExpr]]; kept as the parity
+    * oracle for it. */
+  def minhashSigDeclarative(xs: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(xs, x => Hashing.permHash(x, i)))): _*)
 
   /** MinHash+LSH near-dup pairs. Plan shape (the standard distributed
     * formulation):
@@ -65,28 +71,31 @@ object Dedup {
   def minhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sig = withMinhashSignature(docs, numHashes, shingleN)
-      .withColumn("shingle_set", shingles(col("text"), shingleN))
-      .select(col("doc_id"), col("shingle_set"), col("minhash"))
-    val banded = sig.select(col("doc_id"), col("shingle_set"),
+    val sh = docs.select(col("doc_id"), shingles(col("text"), shingleN).as("s"))
+    val sig = sh
+      .withColumn("xs", transform(col("s"), g => Hashing.baseHash60(g)))
+      .select(col("doc_id"),
+        ArrayHashExprs.minhash_sig(col("xs"), numHashes).as("minhash"))
+    val banded = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           concat_ws("_", transform(slice(col("minhash"), b * rows + 1, lit(rows)),
             x => x.cast("string"))).as("band_sig")))).as("bs"))
-      .select(col("doc_id"), col("shingle_set"),
-        col("bs.band"), col("bs.band_sig"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
+      .select(col("doc_id"), col("bs.band"), col("bs.band_sig"))
+    // candidate de-dup on id pairs only — never shuffle shingle arrays
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.shingle_set").as("sa"), col("b.shingle_set").as("sb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+    cand
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("x.s"), col("y.s"))).cast("long"))
       .withColumn("jaccard",
-        col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+        col("inter") / (size(col("x.s")) + size(col("y.s")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -131,9 +140,15 @@ object Dedup {
     simhashFromHashes(transform(shingles(text, shingleN),
       t => Hashing.baseHash60(t)))
 
-  /** SimHash from a precomputed token-hash array column — lets a plan
-    * materialize the (md5-based) hashes once instead of 32 times. */
+  /** SimHash from a precomputed hash array column — native codegen'd
+    * expression: one fused loop per row over the array. */
   def simhashFromHashes(xs: Column): Column =
+    ArrayHashExprs.simhash_bits(xs, SimhashBits)
+
+  /** Declarative (32 aggregate-HOF passes) simhash — semantically
+    * identical to the native [[ArrayHashExprs.SimHashExpr]]; kept as
+    * the parity oracle for it. */
+  def simhashDeclarative(xs: Column): Column =
     (0 until SimhashBits).map { j =>
       val bitSum = aggregate(xs, lit(0L),
         (acc, x) => acc + when(shiftright(x, j).bitwiseAND(1L) === 1L, 1L)

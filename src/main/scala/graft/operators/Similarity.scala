@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   *    is confined to bucket-local candidate sets. This is the
   *    100 TB-scale path.
   *
+  * Plan-shape rules learned from `.explain` at scale:
+  *  - vectors are unit-normalized ONCE per row up front ([[withUnit]]);
+  *    scoring a candidate is then a single dot product — norms are
+  *    never recomputed per pair;
+  *  - candidate de-dup (`distinct`) runs on id pairs only; vectors are
+  *    joined back afterwards — never shuffle or hash-aggregate the
+  *    arrays themselves.
+  *
   * All arithmetic is element-wise double fold in index order
   * (`zip_with` + sequential `aggregate`) — bit-deterministic, so a
   * DuckDB oracle reproduces scores exactly.
@@ -34,18 +42,26 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Adds `unit`: the double-cast, unit-normalized vector. Norm is
+    * evaluated once per row (the aggregate-HOF is non-cheap, so the
+    * optimizer does not inline it into the per-element lambda).
+    */
+  def withUnit(df: DataFrame): DataFrame =
+    df.withColumn("nrm", norm(col("embedding")))
+      .withColumn("unit",
+        transform(col("embedding"), x => x.cast("double") / col("nrm")))
+
   /** Exact top-k neighbors for each query vector. `queries` must be
-    * small (it is broadcast); the corpus side never shuffles — partial
-    * top-k per partition then a final merge via window over
-    * (query, score) would be the 100 TB refinement; at current scale
-    * the window after the broadcast join is already the right plan.
+    * small (it is broadcast); the corpus side never shuffles before
+    * the final (tiny) top-k window.
     */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.as("c")
-      .join(broadcast(queries.as("q")),
-        col("q.vec_id") =!= col("c.vec_id"))
+    val c = withUnit(corpus).select(col("vec_id"), col("unit"))
+    val q = withUnit(queries).select(col("vec_id"), col("unit"))
+    val scored = c.as("c")
+      .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        cosine(col("q.embedding"), col("c.embedding")).as("score"))
+        dot(col("q.unit"), col("c.unit")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -69,30 +85,39 @@ object Similarity {
 
   /** Signature for one LSH table: `planes` sign bits packed into a
     * long. Expression-only (literal plane array + zip_with dot). */
-  def lshSignature(emb: Column, table: Int, planes: Int): Column =
+  def lshSignature(vec: Column, table: Int, planes: Int): Column =
     (0 until planes).map { j =>
       val plane = array((0 until LshDims).map(d =>
         lit(planeComponent(table, j, d))): _*)
-      when(dot(emb, plane) > 0, lit(1L << j)).otherwise(0L)
+      when(dot(vec, plane) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** (vec_id, unit, tbl, sig) — one row per vector per LSH table. */
+  private def withSigs(unitDf: DataFrame, tables: Int, planes: Int): DataFrame =
+    unitDf.select(col("vec_id"), col("unit"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          lshSignature(col("unit"), t, planes).as("sig"))): _*)).as("s"))
+      .select(col("vec_id"), col("unit"), col("s.tbl"), col("s.sig"))
+
   /** Candidate near-pairs via multi-table random-hyperplane LSH, then
-    * exact cosine >= threshold on candidates only.
+    * exact cosine >= threshold on candidates only. Pair de-dup happens
+    * on (vec_a, vec_b) ids; unit vectors join back after.
     */
   def lshNearPairs(corpus: DataFrame, tables: Int = 4, planes: Int = 4,
       threshold: Double = 0.35): DataFrame = {
-    val sigs = corpus.select(col("vec_id"), col("embedding"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"),
-          lshSignature(col("embedding"), t, planes).as("sig"))): _*)).as("s"))
-      .select(col("vec_id"), col("embedding"), col("s.tbl"), col("s.sig"))
-    sigs.as("a").join(sigs.as("b"),
+    val u = withUnit(corpus).select(col("vec_id"), col("unit"))
+    val sigs = withSigs(u, tables, planes)
+      .select(col("vec_id"), col("tbl"), col("sig"))
+    val cand = sigs.as("a").join(sigs.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-      .withColumn("score", cosine(col("ea"), col("eb")))
+    cand
+      .join(u.as("x"), col("vec_a") === col("x.vec_id"))
+      .join(u.as("y"), col("vec_b") === col("y.vec_id"))
+      .withColumn("score", dot(col("x.unit"), col("y.unit")))
       .filter(col("score") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -104,22 +129,22 @@ object Similarity {
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 8, planes: Int = 4): DataFrame = {
-    def sigs(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"),
-          lshSignature(col("embedding"), t, planes).as("sig"))): _*)).as("s"))
-      .select(col("vec_id"), col("embedding"), col("s.tbl"), col("s.sig"))
-    val cand = sigs(corpus).as("c")
-      .join(broadcast(sigs(queries).as("q")),
+    val cu = withUnit(corpus).select(col("vec_id"), col("unit"))
+    val qu = withUnit(queries).select(col("vec_id"), col("unit"))
+    val cand = withSigs(cu, tables, planes).select(col("vec_id"), col("tbl"), col("sig")).as("c")
+      .join(broadcast(withSigs(qu, tables, planes)
+        .select(col("vec_id"), col("tbl"), col("sig")).as("q")),
         col("q.tbl") === col("c.tbl") && col("q.sig") === col("c.sig") &&
           col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        col("q.embedding").as("qe"), col("c.embedding").as("ce"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    cand.withColumn("score", cosine(col("qe"), col("ce")))
+    cand
+      .join(broadcast(qu).as("x"), col("query_id") === col("x.vec_id"))
+      .join(cu.as("y"), col("neighbor_id") === col("y.vec_id"))
+      .withColumn("score", dot(col("x.unit"), col("y.unit")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

@@ -181,6 +181,30 @@ object OracleSql {
     s"""list_reduce(list_transform(generate_series(1, ${Similarity.LshDims}),
        |  i -> $a[i] * $b[i]), (acc, v) -> acc + v)""".stripMargin
 
+  /** Byte statistics of the UTF-8 payload (ASCII corpus: codepoint ==
+    * byte), mirroring [[graft.operators.Multimodal.decodeStub]]. */
+  val multimodalFeatures: String = {
+    def stripeMean(lo: String, hi: String): String =
+      s"""CASE WHEN ($hi) <= ($lo) THEN 0.0 ELSE
+         |  CAST(list_reduce(list_transform(generate_series(($lo) + 1, $hi),
+         |    i -> unicode(substr(text, i, 1))::BIGINT), (a, b) -> a + b) AS DOUBLE)
+         |  / (($hi) - ($lo)) END""".stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio'
+       |              ELSE 'video' END AS kind,
+       |         text, length(text) AS n
+       |  FROM documents)
+       |SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
+       |       ${stripeMean("0", "n")} AS byte_mean,
+       |       ${stripeMean("0", "n // 4")} AS stripe0,
+       |       ${stripeMean("n // 4", "n // 2")} AS stripe1,
+       |       ${stripeMean("n // 2", "3 * n // 4")} AS stripe2,
+       |       ${stripeMean("3 * n // 4", "n")} AS stripe3
+       |FROM m ORDER BY media_id""".stripMargin
+  }
+
   /** Unit-normalized double vectors, mirroring [[Similarity.withUnit]]:
     * norm once per vector, then element-wise division. */
   private val unitCte: String =

@@ -45,6 +45,9 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
     "q_simhash" -> ((s, dir) => TextAnalysis.simhashFrame(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    // LLM-pipeline: multimodal binary-column plumbing (stubbed decode)
+    "q_multimodal_features" -> ((s, dir) =>
+      graft.operators.Multimodal.featuresQuery(docs(s, dir))),
     // LLM-pipeline: embedding similarity search
     "q_embed_knn" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -140,6 +143,7 @@ object SparkEntry {
       "q_ngram_jaccard" -> OracleSql.ngramJaccardPairs(),
       "q_simhash" -> OracleSql.simhash,
       "q_simhash_pairs" -> OracleSql.simhashPairs(),
+      "q_multimodal_features" -> OracleSql.multimodalFeatures,
       "q_embed_knn" -> OracleSql.knn(),
       "q_embed_near_pairs" -> OracleSql.lshNearPairs(),
       // q_embed_knn_lsh intentionally has no oracle entry: it is the

@@ -1,0 +1,84 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.TopicAnalyzer
+import graft.operators.TopicMetrics
+import graft.sources.{EventsAsRecords, KafkaRecordSource}
+
+/** CLI entry — the reference's flag surface (`src/main.rs:32-67`):
+  *
+  *   -t/--topic <name>              topic to analyze (required in kafka mode)
+  *   -b/--bootstrap-server <hosts>  Kafka bootstrap servers
+  *   -c/--count-alive-keys          also count last-write-wins alive keys
+  *   --librdkafka k=v[,k=v...]      pass-through consumer config
+  *                                  (`src/main.rs:84-92`)
+  *   --parquet <sfDir>              read the events fixture mapping
+  *                                  instead of Kafka (test/dev mode)
+  *
+  * Exit codes: -2 (=254) on empty topic (`src/main.rs:98-101`), 1 on
+  * bad usage.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args.toList, Map.empty)
+    val topic = opts.get("topic")
+    val parquetDir = opts.get("parquet")
+    if (topic.isEmpty && parquetDir.isEmpty) {
+      System.err.println(
+        "usage: graft [-t topic -b servers [--librdkafka k=v,...] | --parquet sfDir] [-c]")
+      sys.exit(1)
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-topic-analyzer")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val records = parquetDir match {
+      case Some(dir) => EventsAsRecords.records(spark, dir)
+      case None =>
+        val librdkafka = opts.get("librdkafka")
+          .map(_.split(',').toSeq
+            .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }
+            .toMap).getOrElse(Map.empty)
+        new KafkaRecordSource(
+          opts.getOrElse("bootstrap", "localhost:9092"), topic.get,
+          librdkafka.map { case (k, v) => s"kafka.$k" -> v })
+          .records(spark)
+    }
+    // empty-topic guard (`src/main.rs:98-101`)
+    if (TopicMetrics.isEmpty(records)) {
+      System.err.println("The topic is empty, exiting.")
+      spark.stop()
+      sys.exit(-2)
+    }
+    val result = TopicAnalyzer.analyze(records, opts.contains("alive"))
+    val elapsed = (System.nanoTime() - t0) / 1000000000L
+    println(TopicAnalyzer.report(result,
+      topic.orElse(parquetDir).get, elapsed))
+    spark.stop()
+  }
+
+  @annotation.tailrec
+  private def parse(args: List[String],
+      acc: Map[String, String]): Map[String, String] = args match {
+    case ("-t" | "--topic") :: v :: rest => parse(rest, acc + ("topic" -> v))
+    case ("-b" | "--bootstrap-server") :: v :: rest =>
+      parse(rest, acc + ("bootstrap" -> v))
+    case ("-c" | "--count-alive-keys") :: rest =>
+      parse(rest, acc + ("alive" -> "true"))
+    case "--librdkafka" :: v :: rest => parse(rest, acc + ("librdkafka" -> v))
+    case "--parquet" :: v :: rest => parse(rest, acc + ("parquet" -> v))
+    case Nil => acc
+    case other :: rest =>
+      System.err.println(s"ignoring unknown argument: $other")
+      parse(rest, acc)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, processed partition-locally in
+  * batches.
+  *
+  * The DECODE STEP IS A STUB: real codecs (JPEG/PNG/audio frames) are
+  * not available in this environment, so [[decodeStub]] derives
+  * deterministic fake features (byte statistics standing in for pixel
+  * statistics). Everything around it is real and tested: the schema,
+  * the `binary` payload column, batched partition-local processing
+  * (`mapPartitions` + `grouped(batchSize)` — the Scala shape of an
+  * Arrow-batched decode loop), and the typed output. Swapping
+  * [[decodeStub]] for a real decoder changes no plumbing.
+  *
+  * Scale shape: decode is embarrassingly parallel and partition-local —
+  * no shuffle anywhere; batch size bounds peak decoder memory per task.
+  */
+object Multimodal {
+
+  case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long, byte_mean: Double,
+      stripe0: Double, stripe1: Double, stripe2: Double, stripe3: Double)
+
+  /** Deterministic media frame over `documents`: payload = UTF-8 bytes
+    * of the text (the opaque-blob stand-in), kind cycles
+    * image/audio/video by id.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decoder: byte statistics as stand-in features — overall mean
+    * plus four quarter-stripe means (the shape of a row-striped pixel
+    * statistic). Pure integer/double arithmetic, so the driver oracle
+    * can verify the plumbing end-to-end.
+    */
+  def decodeStub(mediaId: Long, kind: String,
+      payload: Array[Byte]): MediaFeatures = {
+    val n = payload.length
+    def rangeMean(lo: Int, hi: Int): Double =
+      if (hi <= lo) 0.0
+      else {
+        var s = 0L
+        var i = lo
+        while (i < hi) { s += (payload(i) & 0xff); i += 1 }
+        s.toDouble / (hi - lo)
+      }
+    MediaFeatures(mediaId, kind, n.toLong, rangeMean(0, n),
+      rangeMean(0, n / 4), rangeMean(n / 4, n / 2),
+      rangeMean(n / 2, 3 * n / 4), rangeMean(3 * n / 4, n))
+  }
+
+  /** Batched partition-local feature extraction. `batchSize` bounds
+    * per-task decoder working set (a real decoder would decode the
+    * whole batch at once, e.g. via an Arrow batch or a GPU call).
+    */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(batch =>
+        batch.map { case (id, kind, payload) => decodeStub(id, kind, payload) }))
+  }
+
+  /** The driver-facing query: features over the documents-derived
+    * media frame, ordered. */
+  def featuresQuery(docs: DataFrame): DataFrame =
+    extractFeatures(mediaFromDocuments(docs)).toDF().orderBy(col("media_id"))
+}

@@ -1,0 +1,63 @@
+package graft.report
+
+import graft.model.{PartitionStats, TopicSummary}
+
+/** Console report renderer — reproduces the reference's output contract
+  * (`src/main.rs:123-179`): global summary lines, the 15-column
+  * per-partition table (headers at `src/main.rs:150,153-172`), legend,
+  * and `%.4f`-formatted dirty ratio. Pure string formatting over the
+  * already-collected O(#partitions) result — no query logic here.
+  */
+object Report {
+
+  val Headers: Seq[String] = Seq(
+    "P", "< OS", "> OS", "Total", "Alive", "Tmb", "DR",
+    "K Null", "K !Null", "P-Bytes", "K-Bytes", "V-Bytes",
+    "A K-Sz", "A V-Sz", "A M-Sz")
+
+  def render(stats: Seq[PartitionStats], summary: TopicSummary,
+      topic: String, elapsedSecs: Long,
+      aliveKeys: Option[Long] = None): String = {
+    val sb = new StringBuilder
+    val rule = "=" * 120
+    sb.append(rule).append('\n')
+    sb.append(s"Topic: $topic\n")
+    sb.append(s"Scanned messages: ${summary.overall_count}\n")
+    sb.append(s"Overall size: ${summary.overall_bytes} bytes\n")
+    sb.append(s"Smallest message: ${summary.smallest_msg} bytes\n")
+    sb.append(s"Largest message: ${summary.largest_msg} bytes\n")
+    sb.append(s"Earliest message: ${fmtTs(summary.earliest_us)}\n")
+    sb.append(s"Latest message: ${fmtTs(summary.latest_us)}\n")
+    val msgsPerSec = summary.overall_count / math.max(elapsedSecs, 1L)
+    sb.append(s"Estimated Msg/s: $msgsPerSec\n")
+    aliveKeys.foreach(n => sb.append(s"Alive keys: $n\n"))
+    sb.append(rule).append('\n')
+    sb.append(table(stats)).append('\n')
+    sb.append("Legend: P=Partition, OS=Offset, Tmb=Tombstones, ")
+      .append("DR=Dirty Ratio (tombstone %), K=Key, V=Value, ")
+      .append("A=Average, Sz=Size, Bytes are key+value payload bytes\n")
+    sb.toString
+  }
+
+  private def fmtTs(us: Long): String =
+    java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+      .toString
+
+  private def table(stats: Seq[PartitionStats]): String = {
+    val rows = stats.map(s => Seq(
+      s.partition.toString, s.start_offset.toString, s.end_offset.toString,
+      s.total.toString, s.alive.toString, s.tombstones.toString,
+      f"${s.dirty_ratio}%.4f",
+      s.key_null.toString, s.key_non_null.toString,
+      s.p_bytes.toString, s.key_bytes.toString, s.value_bytes.toString,
+      s.avg_key_size.toString, s.avg_value_size.toString,
+      s.avg_msg_size.toString))
+    val widths = Headers.indices.map(i =>
+      (Headers(i).length +: rows.map(_(i).length)).max)
+    def line(cells: Seq[String]): String =
+      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }
+        .mkString("| ", " | ", " |")
+    val sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
+    (Seq(sep, line(Headers), sep) ++ rows.map(line) :+ sep).mkString("\n")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.KafkaRecord
+
+/** Structured Streaming surface of the engine (north star: "Structured
+  * Streaming + aggregations"). The reference side-steps streaming by
+  * bounding its scan (SURVEY §1.1); here the same operators run
+  * unbounded:
+  *
+  *  - [[partitionStats]]: the C-family counters as a streaming
+  *    `groupBy(partition).agg(...)` — valid in update/complete mode;
+  *    every metric is a commutative monoid fold so incremental state is
+  *    exact.
+  *  - [[aliveKeyUpdates]]: the F2 last-write-wins alive-key op as
+  *    `flatMapGroupsWithState` keyed by key bytes, holding
+  *    `(partition, offset, alive)` — emits the key's aliveness whenever
+  *    it changes. Retraction works because state keeps the max
+  *    (partition, offset) seen, not arrival order.
+  *
+  * State sizing at scale: alive-key state is O(distinct keys) ×
+  * ~30 bytes; for unbounded key spaces configure watermark-based state
+  * TTL (`GroupStateTimeout.EventTimeTimeout`) upstream — parity itself
+  * needs none (the reference's bitset also grows unboundedly,
+  * `src/metric.rs:262-270`).
+  */
+object StreamingTopicMetrics {
+
+  /** Streaming per-partition counters (run with output mode update or
+    * complete). Same expressions as the batch operator — Catalyst
+    * maintains the partial-aggregate state between micro-batches.
+    */
+  def partitionStats(stream: DataFrame): DataFrame =
+    stream.groupBy(col("partition")).agg(
+      count(lit(1)).as("total"),
+      count_if(col("value").isNotNull).as("alive"),
+      count_if(col("value").isNull).as("tombstones"),
+      count_if(col("key").isNull).as("key_null"),
+      count_if(col("key").isNotNull).as("key_non_null"),
+      sum(coalesce(length(col("key")), lit(0)).cast("long")).as("key_bytes"),
+      sum(coalesce(length(col("value")), lit(0)).cast("long")).as("value_bytes"))
+
+  case class KeyState(partition: Int, offset: Long, alive: Boolean)
+  case class KeyUpdate(key: String, alive: Boolean)
+
+  /** Per-key last-write-wins state updates. Key bytes are base64-coded
+    * for value-equality grouping. Emits one row per key per micro-batch
+    * in which the key appeared.
+    */
+  def aliveKeyUpdates(stream: Dataset[KafkaRecord]): Dataset[KeyUpdate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .filter((r: KafkaRecord) => r.key != null)
+      .groupByKey(r => java.util.Base64.getEncoder.encodeToString(r.key))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KafkaRecord], state: GroupState[KeyState]) =>
+          var cur = state.getOption
+          rows.foreach { r =>
+            val newer = cur.forall(s =>
+              r.partition > s.partition ||
+                (r.partition == s.partition && r.offset > s.offset))
+            if (newer) cur = Some(KeyState(r.partition, r.offset, r.value != null))
+          }
+          cur.foreach(state.update)
+          cur.map(s => KeyUpdate(key, s.alive)).iterator
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.KafkaRecord
+import graft.streaming.StreamingTopicMetrics
+
+class StreamingSpec extends SparkSuite {
+
+  private def rec(p: Int, o: Long, k: String, v: String): KafkaRecord =
+    KafkaRecord(p, o, ts(1000L * (o + 1)), b(k), b(v))
+
+  test("streaming partition stats equal batch stats on same data") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KafkaRecord]
+    val q = StreamingTopicMetrics.partitionStats(mem.toDF())
+      .writeStream.format("memory").queryName("pstats")
+      .outputMode("complete").start()
+    mem.addData(rec(0, 0, "a", "x"), rec(0, 1, "a", null), rec(1, 0, null, "y"))
+    q.processAllAvailable()
+    mem.addData(rec(1, 1, "b", "zz"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rowsOf(spark.table("pstats").orderBy("partition"))
+    val batch = rowsOf(StreamingTopicMetrics.partitionStats(records(
+      (0, 0L, 1000L, "a", "x"), (0, 1L, 2000L, "a", null),
+      (1, 0L, 1000L, null, "y"), (1, 1L, 2000L, "b", "zz")))
+      .orderBy("partition"))
+    assert(streamed == batch)
+  }
+
+  test("streaming alive-key state handles retraction across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KafkaRecord]
+    val q = StreamingTopicMetrics.aliveKeyUpdates(mem.toDS())
+      .writeStream.format("memory").queryName("alive")
+      .outputMode("update").start()
+    val keyA = java.util.Base64.getEncoder.encodeToString(b("a"))
+    mem.addData(rec(0, 0, "a", "v1"), rec(0, 1, "b", "v2"))
+    q.processAllAvailable()
+    assert(rowsOf(spark.table("alive").filter(col("key") === keyA))
+      .last("alive") == true)
+    mem.addData(rec(0, 2, "a", null)) // tombstone retracts a
+    q.processAllAvailable()
+    // stale update arriving later must NOT resurrect the key
+    mem.addData(rec(0, 1, "a", "stale"))
+    q.processAllAvailable()
+    q.stop()
+    val aRows = rowsOf(spark.table("alive").filter(col("key") === keyA))
+    assert(aRows.last("alive") == false)
+  }
+}

@@ -181,6 +181,37 @@ object OracleSql {
     s"""list_reduce(list_transform(generate_series(1, ${Similarity.LshDims}),
        |  i -> $a[i] * $b[i]), (acc, v) -> acc + v)""".stripMargin
 
+  /** The reference's FNV-1a-variant over ASCII key bytes
+    * (codepoint == byte), init via list_concat since DuckDB's
+    * list_reduce has no initial-value parameter. */
+  val fnvBucket: String =
+    """list_reduce(
+      |  list_concat([2166136261::BIGINT],
+      |    list_transform(generate_series(1, length("key")),
+      |                   i -> unicode(substr("key", i, 1))::BIGINT)),
+      |  (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 2166136261) % 4294967296 AS BIGINT))""".stripMargin
+
+  def aliveKeysFnv32(recordsCte: String): String =
+    s"""$recordsCte
+       |SELECT COUNT(*) FILTER (WHERE NOT dead_at_end) AS alive_keys_fnv32 FROM (
+       |  SELECT bucket, ("value" IS NULL) AS dead_at_end,
+       |         ROW_NUMBER() OVER (PARTITION BY bucket
+       |           ORDER BY "partition" DESC, "offset" DESC) AS rn
+       |  FROM (SELECT $fnvBucket AS bucket, "partition", "offset", "value"
+       |        FROM records WHERE "key" IS NOT NULL)) WHERE rn = 1""".stripMargin
+
+  val eventWindows: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val eventTypeStats: String =
+    """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+      |       CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |       CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
+      |       CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Byte statistics of the UTF-8 payload (ASCII corpus: codepoint ==
     * byte), mirroring [[graft.operators.Multimodal.decodeStub]]. */
   val multimodalFeatures: String = {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AliveKeys, Dedup, Similarity, TextAnalysis, TopicMetrics}
+import graft.operators.{AliveKeys, Dedup, EventAnalytics, Similarity, TextAnalysis, TopicMetrics}
 import graft.sources.EventsAsRecords
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -33,6 +33,14 @@ object SparkEntry {
     "q_rollup_stats" -> ((s, dir) => TopicMetrics.rollupStats(records(s, dir))),
     // §2.F2: exact last-write-wins alive-key count
     "q_alive_keys" -> ((s, dir) => AliveKeys.exactFrame(records(s, dir))),
+    // §2.F1 fidelity: alive keys bucketed by the reference's FNV-variant
+    "q_alive_keys_fnv32" -> ((s, dir) =>
+      AliveKeys.approxFnv32Frame(records(s, dir))),
+    // event-time analytics (streaming-ready windowed aggregations)
+    "q_event_windows" -> ((s, dir) =>
+      EventAnalytics.dailyWindows(EventsAsRecords.readEvents(s, dir))),
+    "q_event_type_stats" -> ((s, dir) =>
+      EventAnalytics.typeStats(EventsAsRecords.readEvents(s, dir))),
     // LLM-pipeline: text analysis over `documents`
     "q_text_stats" -> ((s, dir) => TextAnalysis.stats(docs(s, dir))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langIdFrame(docs(s, dir))),
@@ -134,6 +142,9 @@ object SparkEntry {
            |         ROW_NUMBER() OVER (PARTITION BY "key"
            |           ORDER BY "partition" DESC, "offset" DESC) AS rn
            |  FROM records WHERE "key" IS NOT NULL) WHERE rn = 1""".stripMargin,
+      "q_alive_keys_fnv32" -> OracleSql.aliveKeysFnv32(cte),
+      "q_event_windows" -> OracleSql.eventWindows,
+      "q_event_type_stats" -> OracleSql.eventTypeStats,
       "q_text_stats" -> OracleSql.textStats,
       "q_lang_id" -> OracleSql.langId,
       "q_quality" -> OracleSql.quality,

@@ -59,4 +59,21 @@ object AliveKeys {
         .as("dead_at_end"))
       .agg(count_if(!col("dead_at_end")))
       .collect()(0).getLong(0)
+
+  /** Reference-fidelity approximate count: buckets keys by the
+    * reference's own 32-bit FNV-variant hash (`src/fnv32.rs`), applies
+    * last-write-wins PER BUCKET — reproducing the reference's bitset
+    * semantics exactly (hash collisions merge keys; a colliding
+    * tombstone erases the bucket), but deterministically ordered by
+    * (partition, offset) instead of arrival order (SURVEY §7.4).
+    */
+  def approxFnv32Frame(records: DataFrame): DataFrame =
+    records
+      .filter(col("key").isNotNull)
+      .select(graft.functions.Fnv32.fnv32(col("key")).as("bucket"),
+        col("partition"), col("offset"), col("value").isNull.as("tomb"))
+      .groupBy(col("bucket"))
+      .agg(max_by(col("tomb"), struct(col("partition"), col("offset")))
+        .as("dead_at_end"))
+      .agg(count_if(!col("dead_at_end")).as("alive_keys_fnv32"))
 }

@@ -69,21 +69,29 @@ final class KafkaRecordSource(
 object EventsAsRecords {
   val NumPartitions = 8
 
-  def records(spark: SparkSession, sfDir: String): DataFrame = {
-    // the driver's events.parquet stores ts as TIMESTAMP(NANOS), which
-    // Spark 4 rejects unless read as a raw long (nanos since epoch)
+  /** The raw events table with `ts` as a proper micros TimestampType.
+    * The driver's events.parquet stores ts as TIMESTAMP(NANOS), which
+    * Spark 4 rejects unless read as a raw long (nanos since epoch) —
+    * so every reader must come through here.
+    */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    val ts =
-      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        timestamp_micros((col("ts") / 1000).cast("long"))
-      else col("ts")
+    if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // integer division: double division loses microseconds at
+      // 2^60-magnitude nano timestamps (53-bit mantissa)
+      ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else ev
+  }
+
+  def records(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = readEvents(spark, sfDir)
     val part = (col("user_id") % NumPartitions).cast("int")
     val w = Window.partitionBy(part).orderBy(col("event_id"))
     ev.select(
       part.as("partition"),
       (row_number().over(w) - 1).cast("long").as("offset"),
-      ts.as("timestamp"),
+      col("ts").as("timestamp"),
       when(col("user_id") % 19 === 0, lit(null))
         .otherwise(col("user_id").cast("string").cast("binary")).as("key"),
       when(col("event_id") % 13 === 0, lit(null))

@@ -1,0 +1,71 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.{AliveKeys, TopicMetrics}
+
+/** Randomized invariant tests (SURVEY §5.2(2)): metric identities and
+  * the alive-key brute-force oracle over seeded random record streams,
+  * including cross-partition permutation invariance.
+  */
+class InvariantsSpec extends SparkSuite {
+
+  private def randomRecords(seed: Long, n: Int): Seq[(Int, Long, Long, String, String)] = {
+    val rnd = new Random(seed)
+    val offsets = collection.mutable.Map.empty[Int, Long]
+    (0 until n).map { _ =>
+      val p = rnd.nextInt(4)
+      val o = offsets.getOrElse(p, 0L)
+      offsets(p) = o + 1
+      val key = if (rnd.nextInt(10) == 0) null
+        else s"k${rnd.nextInt(20)}"                   // duplicate keys likely
+      val value = if (rnd.nextInt(5) == 0) null       // 20% tombstones
+        else "v" * (1 + rnd.nextInt(8))
+      (p, o, 1000L + rnd.nextInt(100000), key, value)
+    }
+  }
+
+  test("metric identities hold over random streams") {
+    for (seed <- 1L to 8L) {
+      val rows = randomRecords(seed, 200)
+      val stats = rowsOf(TopicMetrics.report(records(rows: _*)))
+      stats.foreach { p =>
+        assert(p("total") == p("alive").asInstanceOf[Long] + p("tombstones").asInstanceOf[Long])
+        assert(p("total") == p("key_null").asInstanceOf[Long] + p("key_non_null").asInstanceOf[Long])
+        assert(p("p_bytes") == p("key_bytes").asInstanceOf[Long] + p("value_bytes").asInstanceOf[Long])
+        val dr = p("dirty_ratio").asInstanceOf[Double]
+        assert(dr >= 0.0 && dr <= 100.0)
+      }
+      val summary = TopicMetrics.summarize(
+        TopicMetrics.partitionStats(records(rows: _*)))
+      assert(summary.overall_count == rows.length.toLong)
+      assert(summary.overall_count == stats.map(_("total").asInstanceOf[Long]).sum)
+      assert(summary.overall_bytes == stats.map(_("p_bytes").asInstanceOf[Long]).sum)
+      if (stats.exists(_("alive").asInstanceOf[Long] > 0))
+        assert(summary.smallest_msg <= summary.largest_msg)
+    }
+  }
+
+  test("alive keys match the brute-force last-write-per-key oracle") {
+    for (seed <- 1L to 8L) {
+      val rows = randomRecords(seed, 300)
+      val expected = rows
+        .filter(_._4 != null)
+        .groupBy(_._4)
+        .count { case (_, rs) =>
+          val last = rs.maxBy(r => (r._1, r._2)) // (partition, offset)
+          last._5 != null
+        }
+      assert(AliveKeys.exact(records(rows: _*)) == expected.toLong)
+    }
+  }
+
+  test("metrics invariant under cross-partition record permutation") {
+    val rows = randomRecords(42L, 300)
+    val shuffled = new Random(7).shuffle(rows)
+    assert(rowsOf(TopicMetrics.report(records(rows: _*))) ==
+      rowsOf(TopicMetrics.report(records(shuffled: _*))))
+    assert(AliveKeys.exact(records(rows: _*)) ==
+      AliveKeys.exact(records(shuffled: _*)))
+  }
+}

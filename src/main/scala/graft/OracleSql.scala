@@ -31,7 +31,17 @@ object OracleSql {
       |              ELSE [array_to_string(toks, ' ')] END AS s
       |  FROM tok)""".stripMargin
 
-  val baseHash = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
+  /** 31-bit polynomial hash over codepoints (== UTF-8 bytes on this
+    * ASCII corpus), mirroring [[graft.functions.ArrayHashExprs.PolyHash31Expr]].
+    * Init value is carried as the list head since DuckDB's list_reduce
+    * has no initial-accumulator parameter.
+    */
+  val baseHash: String =
+    """list_reduce(
+      |  list_concat([0::BIGINT],
+      |    list_transform(generate_series(1, length(%1$s)),
+      |                   i -> unicode(substr(%1$s, i, 1))::BIGINT)),
+      |  (h, b) -> (h * 1000003 + b) %% 2147483647)""".stripMargin
 
   def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")

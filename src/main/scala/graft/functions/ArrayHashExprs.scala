@@ -157,6 +157,50 @@ object ArrayHashExprs {
       copy(child = newChild)
   }
 
+  /** 31-bit polynomial string hash:
+    * `h = (h * 1000003 + byte) mod (2^31-1)` over UTF-8 bytes, h₀ = 0.
+    * The cross-engine-reproducible base hash for minhash/simhash
+    * shingles — DuckDB mirror:
+    * `list_reduce(list_concat([0], codes), (h,b) -> (h*1000003+b) % 2147483647)`.
+    * Replaces an md5-prefix+hex-parse formulation whose string churn
+    * dominated sketch runtime; products stay < 2^51 (no overflow).
+    */
+  case class PolyHash31Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) {
+        h = (h * 1000003L + (bytes(i) & 0xff)) % 2147483647L
+        i += 1
+      }
+      h
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val bytes = ctx.freshName("bytes")
+        val h = ctx.freshName("h")
+        val i = ctx.freshName("i")
+        s"""
+           |final byte[] $bytes = $c.getBytes();
+           |long $h = 0L;
+           |for (int $i = 0; $i < $bytes.length; $i++) {
+           |  $h = ($h * 1000003L + ($bytes[$i] & 0xff)) % 2147483647L;
+           |}
+           |${ev.value} = $h;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): PolyHash31Expr =
+      copy(child = newChild)
+  }
+
+  def poly_hash31(s: Column): Column =
+    ColumnBridge.column(PolyHash31Expr(ColumnBridge.expression(s)))
+
   def simhash_bits(hashes: Column, bits: Int): Column =
     ColumnBridge.column(
       SimHashExpr(ColumnBridge.expression(hashes), bits))

@@ -18,14 +18,26 @@ object Dedup {
   /** Distinct word n-gram shingles of the normalized text. Documents
     * shorter than n tokens contribute their whole text as one shingle.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextFunctions.tokens(text)
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(TextFunctions.tokens(text), n)
+
+  /** Shingles from an already-materialized token-array column —
+    * reference `toks` as an attribute so the (regexp+split)
+    * normalization pipeline runs once per document, not once per use
+    * inside this 4-reference expression.
+    */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
         .otherwise(array(concat_ws(" ", toks))))
-  }
+
+  /** (doc_id, s): distinct-shingle arrays with single-evaluation token
+    * materialization. */
+  def shingleFrame(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("s"))
 
   /** Exact dedup: group by content fingerprint (md5 of normalized
     * text), keep the smallest doc_id as canonical. One shuffle on a
@@ -71,9 +83,9 @@ object Dedup {
   def minhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sh = docs.select(col("doc_id"), shingles(col("text"), shingleN).as("s"))
+    val sh = shingleFrame(docs, shingleN)
     val sig = sh
-      .withColumn("xs", transform(col("s"), g => Hashing.baseHash60(g)))
+      .withColumn("xs", transform(col("s"), g => ArrayHashExprs.poly_hash31(g)))
       .select(col("doc_id"),
         ArrayHashExprs.minhash_sig(col("xs"), numHashes).as("minhash"))
     val banded = sig.select(col("doc_id"),
@@ -82,6 +94,9 @@ object Dedup {
           concat_ws("_", transform(slice(col("minhash"), b * rows + 1, lit(rows)),
             x => x.cast("string"))).as("band_sig")))).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.band_sig"))
+      // pre-shuffle on the join keys: both self-join sides then share
+      // ONE reused exchange, so signatures are computed once, not twice
+      .repartition(col("band"), col("band_sig"))
     // candidate de-dup on id pairs only — never shuffle shingle arrays
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -110,10 +125,12 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
       shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      shingles(col("text"), shingleN).as("sh"))
+    val sh = shingleFrame(docs, shingleN)
+      .withColumnRenamed("s", "sh")
       .withColumn("n", size(col("sh")))
     val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+      // shared exchange for both sides of the self-join (see minhashPairs)
+      .repartition(col("s"))
     ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -138,7 +155,7 @@ object Dedup {
     */
   def simhash(text: Column, shingleN: Int = 3): Column =
     simhashFromHashes(transform(shingles(text, shingleN),
-      t => Hashing.baseHash60(t)))
+      t => ArrayHashExprs.poly_hash31(t)))
 
   /** SimHash from a precomputed hash array column — native codegen'd
     * expression: one fused loop per row over the array. */
@@ -165,9 +182,9 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     val bandBits = SimhashBits / bands
     val mask = (1L << bandBits) - 1
-    val withSig = docs
-      .withColumn("xs", transform(shingles(col("text")),
-        t => Hashing.baseHash60(t)))
+    val withSig = shingleFrame(docs)
+      .withColumn("xs", transform(col("s"),
+        t => ArrayHashExprs.poly_hash31(t)))
       .select(col("doc_id"), simhashFromHashes(col("xs")).as("sig"))
     val banded = withSig.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map(bi =>
@@ -175,6 +192,8 @@ object Dedup {
           shiftright(col("sig"), bi * bandBits).bitwiseAND(mask)
             .as("band_val"))): _*)).as("bs"))
       .select(col("doc_id"), col("sig"), col("bs.band"), col("bs.band_val"))
+      // shared exchange for both sides of the self-join (see minhashPairs)
+      .repartition(col("band"), col("band_val"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&

@@ -109,6 +109,9 @@ object Similarity {
     val u = withUnit(corpus).select(col("vec_id"), col("unit"))
     val sigs = withSigs(u, tables, planes)
       .select(col("vec_id"), col("tbl"), col("sig"))
+      // shared exchange: both self-join sides reuse one shuffle, so the
+      // 16 hyperplane dot products per vector are computed once
+      .repartition(col("tbl"), col("sig"))
     val cand = sigs.as("a").join(sigs.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))

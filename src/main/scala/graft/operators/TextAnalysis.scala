@@ -40,9 +40,9 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   def simhashFrame(docs: DataFrame): DataFrame =
-    docs.withColumn("xs",
-      transform(Dedup.shingles(col("text")),
-        t => graft.functions.Hashing.baseHash60(t)))
+    Dedup.shingleFrame(docs)
+      .withColumn("xs", transform(col("s"),
+        t => graft.functions.ArrayHashExprs.poly_hash31(t)))
       .select(col("doc_id"), Dedup.simhashFromHashes(col("xs")).as("simhash"))
       .orderBy(col("doc_id"))
 }

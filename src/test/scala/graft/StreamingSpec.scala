@@ -32,6 +32,29 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("event-time windows run as a streaming query over the parquet fixture") {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source wants a directory; link the fixture in
+    val dir = java.nio.file.Files.createTempDirectory("ev_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"))
+    val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = graft.operators.EventAnalytics.dailyWindows(stream)
+      .writeStream.format("memory").queryName("ev_windows")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rowsOf(spark.table("ev_windows"))
+    val batch = rowsOf(graft.operators.EventAnalytics.dailyWindows(
+      graft.sources.EventsAsRecords.readEvents(spark, "/root/testdata/sf0.001")))
+    assert(streamed.toSet == batch.toSet && streamed.nonEmpty)
+  }
+
   test("streaming alive-key state handles retraction across batches") {
     val s = spark
     import s.implicits._

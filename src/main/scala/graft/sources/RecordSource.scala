@@ -38,7 +38,10 @@ final class KafkaRecordSource(
       .option("endingOffsets", "latest")
     extraOptions.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
       .load()
-      .select(col("partition"), col("offset"), col("timestamp"),
+      // records without a timestamp read as epoch 0, matching the
+      // reference's unwrap_or(0) (`src/metric.rs:209`, SURVEY §2.B5)
+      .select(col("partition"), col("offset"),
+        coalesce(col("timestamp"), to_timestamp(lit(0))).as("timestamp"),
         col("key"), col("value"))
   }
 

@@ -267,8 +267,7 @@ object OracleSql {
        |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  def lshNearPairs(tables: Int = 4, planes: Int = 4,
-      threshold: Double = 0.35): String = {
+  private def sigsUnionSql(tables: Int, planes: Int): String = {
     def planeList(t: Int, j: Int): String =
       (0 until Similarity.LshDims).map(d => Similarity.planeComponent(t, j, d))
         .mkString("[", ", ", "]")
@@ -276,9 +275,34 @@ object OracleSql {
       (0 until planes).map { j =>
         s"CASE WHEN ${dotSql("un", planeList(t, j))} > 0 THEN ${1L << j} ELSE 0 END"
       }.mkString("(", " + ", ")")
-    val sigsUnion = (0 until tables).map { t =>
+    (0 until tables).map { t =>
       s"SELECT vec_id, $t AS tbl, ${sigExpr(t)} AS sig FROM u"
     }.mkString("\nUNION ALL\n")
+  }
+
+  def knnLsh(k: Int = 5, maxQueryId: Int = 16, tables: Int = 8,
+      planes: Int = 4): String =
+    s"""WITH $unitCte,
+       |sigs AS (
+       |${sigsUnionSql(tables, planes)}),
+       |qsigs AS (SELECT * FROM sigs WHERE vec_id < $maxQueryId),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qsigs q JOIN sigs c
+       |    ON q.tbl = c.tbl AND q.sig = c.sig AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${dotSql("x.un", "y.un")} AS score
+       |  FROM cand JOIN u x ON x.vec_id = query_id JOIN u y ON y.vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, score,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id) AS rank
+       |      FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  def lshNearPairs(tables: Int = 4, planes: Int = 4,
+      threshold: Double = 0.35): String = {
+    val sigsUnion = sigsUnionSql(tables, planes)
     s"""WITH $unitCte,
        |sigs AS (
        |$sigsUnion),

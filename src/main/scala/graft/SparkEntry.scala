@@ -156,10 +156,8 @@ object SparkEntry {
       "q_simhash_pairs" -> OracleSql.simhashPairs(),
       "q_multimodal_features" -> OracleSql.multimodalFeatures,
       "q_embed_knn" -> OracleSql.knn(),
+      "q_embed_knn_lsh" -> OracleSql.knnLsh(),
       "q_embed_near_pairs" -> OracleSql.lshNearPairs(),
-      // q_embed_knn_lsh intentionally has no oracle entry: it is the
-      // approximate variant; its recall is tested against q_embed_knn
-      // in the ScalaTest suite, and the driver records rows-only.
     )
   }
 }

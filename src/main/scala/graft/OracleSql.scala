@@ -21,15 +21,24 @@ object OracleSql {
       |  FROM documents),
       |tok AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks FROM t)""".stripMargin
 
-  /** Distinct word-3-gram shingles, as in [[Dedup.shingles]]. */
+  /** Raw (non-distinct) word-3-gram shingles; [[shingleHashCte]] then
+    * hashes and dedups BY HASH, mirroring
+    * [[graft.functions.ArrayHashExprs.ShingleHashExpr]]'s fused
+    * tokenize→n-gram→hash→distinct loop. */
   val shingleCte: String =
     """sh AS (
       |  SELECT doc_id,
       |         CASE WHEN len(toks) >= 3
-      |              THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
-      |                     i -> array_to_string(toks[i:i+2], ' ')))
-      |              ELSE [array_to_string(toks, ' ')] END AS s
+      |              THEN list_transform(generate_series(1, len(toks) - 2),
+      |                     i -> array_to_string(toks[i:i+2], ' '))
+      |              ELSE [array_to_string(toks, ' ')] END AS raw
       |  FROM tok)""".stripMargin
+
+  /** hx: (doc_id, xs) distinct shingle-hash lists. */
+  def shingleHashCte: String =
+    s"""hx AS (SELECT doc_id,
+       |         list_distinct(list_transform(raw, g -> ${baseHash.format("g")})) AS xs
+       |       FROM sh)""".stripMargin
 
   /** 31-bit polynomial hash over codepoints (== UTF-8 bytes on this
     * ASCII corpus), mirroring [[graft.functions.ArrayHashExprs.PolyHash31Expr]].
@@ -112,10 +121,10 @@ object OracleSql {
     }.mkString("[\n         ", ",\n         ", "]")
     s"""$docCte,
        |$shingleCte,
-       |hx AS (SELECT doc_id, s, list_transform(s, g -> ${baseHash.format("g")}) AS xs FROM sh),
-       |sig AS (SELECT doc_id, s, $sigExprs AS mh FROM hx),
+       |$shingleHashCte,
+       |sig AS (SELECT doc_id, $sigExprs AS mh FROM hx),
        |banded AS (
-       |  SELECT doc_id, s, gs.bd AS band,
+       |  SELECT doc_id, gs.bd AS band,
        |         array_to_string(mh[gs.bd*$rows+1:gs.bd*$rows+$rows], '_') AS band_sig
        |  FROM sig, generate_series(0, ${bands - 1}) gs(bd)),
        |cand AS (
@@ -124,9 +133,9 @@ object OracleSql {
        |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
        |j AS (
        |  SELECT doc_a, doc_b,
-       |         len(list_filter(x.s, e -> list_contains(y.s, e))) AS inter,
-       |         len(x.s) AS na, len(y.s) AS nb
-       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+       |         len(list_filter(x.xs, e -> list_contains(y.xs, e))) AS inter,
+       |         len(x.xs) AS na, len(y.xs) AS nb
+       |  FROM cand JOIN hx x ON x.doc_id = doc_a JOIN hx y ON y.doc_id = doc_b)
        |SELECT doc_a, doc_b, inter,
        |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
        |FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold
@@ -136,7 +145,8 @@ object OracleSql {
   def ngramJaccardPairs(threshold: Double = 0.5): String =
     s"""$docCte,
        |$shingleCte,
-       |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+       |$shingleHashCte,
+       |ex AS (SELECT doc_id, len(xs) AS n, unnest(xs) AS g FROM hx),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
        |         COUNT(*) AS inter
@@ -157,9 +167,7 @@ object OracleSql {
   val simhash: String =
     s"""$docCte,
        |$shingleCte,
-       |hx AS (SELECT doc_id,
-       |         list_transform(s, tk -> ${baseHash.format("tk")}) AS xs
-       |       FROM sh)
+       |$shingleHashCte
        |SELECT doc_id, ${simhashSigSql("xs")} AS simhash
        |FROM hx ORDER BY doc_id""".stripMargin
 
@@ -168,9 +176,7 @@ object OracleSql {
     val mask = (1L << bandBits) - 1
     s"""$docCte,
        |$shingleCte,
-       |hx AS (SELECT doc_id,
-       |         list_transform(s, tk -> ${baseHash.format("tk")}) AS xs
-       |       FROM sh),
+       |$shingleHashCte,
        |sg AS (SELECT doc_id, ${simhashSigSql("xs")} AS sig FROM hx),
        |banded AS (
        |  SELECT doc_id, sig, gs.bd AS band, (sig >> (gs.bd * $bandBits)) & $mask AS band_val

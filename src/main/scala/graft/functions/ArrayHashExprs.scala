@@ -201,6 +201,120 @@ object ArrayHashExprs {
   def poly_hash31(s: Column): Column =
     ColumnBridge.column(PolyHash31Expr(ColumnBridge.expression(s)))
 
+  /** Fused shingle hasher: single-space-separated normalized text →
+    * distinct 31-bit polynomial hashes of its word n-gram shingles,
+    * in first-occurrence order. One generated loop replaces the
+    * interpreted `transform(shingles(...), poly_hash31)` HOF chain
+    * (tokenize + slice + concat_ws + array_distinct + hash), which is
+    * the sketch operators' hot path. Texts with fewer than n tokens
+    * hash the whole text as one shingle. Hash values are identical to
+    * `PolyHash31Expr` over the shingle strings ("tok1 tok2 tok3" —
+    * the 0x20 separator bytes are folded in), so oracles mirror via
+    * `list_distinct(list_transform(<raw shingles>, polyhash))`.
+    */
+  case class ShingleHashExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      // token start offsets (single-space-separated normalized input)
+      val starts = scala.collection.mutable.ArrayBuffer(0)
+      var i = 0
+      while (i < bytes.length) {
+        if (bytes(i) == ' '.toByte) starts += i + 1
+        i += 1
+      }
+      val nTokens = starts.length
+      val out = new java.util.LinkedHashSet[java.lang.Long]()
+      if (nTokens < n) {
+        var h = 0L
+        var j = 0
+        while (j < bytes.length) { h = (h * 1000003L + (bytes(j) & 0xff)) % 2147483647L; j += 1 }
+        out.add(h)
+      } else {
+        var s = 0
+        while (s + n <= nTokens) {
+          val from = starts(s)
+          val until = if (s + n < nTokens) starts(s + n) - 1 else bytes.length
+          var h = 0L
+          var j = from
+          while (j < until) { h = (h * 1000003L + (bytes(j) & 0xff)) % 2147483647L; j += 1 }
+          out.add(h)
+          s += 1
+        }
+      }
+      val arr = new Array[Long](out.size)
+      val it = out.iterator()
+      var k = 0
+      while (it.hasNext) { arr(k) = it.next(); k += 1 }
+      new GenericArrayData(arr)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val bytes = ctx.freshName("bytes")
+        val starts = ctx.freshName("starts")
+        val nTok = ctx.freshName("nTok")
+        val set = ctx.freshName("set")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val j = ctx.freshName("j")
+        val h = ctx.freshName("h")
+        val from = ctx.freshName("from")
+        val until = ctx.freshName("until")
+        val arr = ctx.freshName("arr")
+        val k = ctx.freshName("k")
+        val itv = ctx.freshName("it")
+        s"""
+           |final byte[] $bytes = $c.getBytes();
+           |int $nTok = 1;
+           |for (int $i = 0; $i < $bytes.length; $i++) {
+           |  if ($bytes[$i] == (byte) ' ') $nTok++;
+           |}
+           |final int[] $starts = new int[$nTok + 1];
+           |{
+           |  int p = 1;
+           |  for (int $i = 0; $i < $bytes.length; $i++) {
+           |    if ($bytes[$i] == (byte) ' ') $starts[p++] = $i + 1;
+           |  }
+           |  $starts[$nTok] = $bytes.length + 1;
+           |}
+           |final java.util.LinkedHashSet<Long> $set = new java.util.LinkedHashSet<Long>();
+           |if ($nTok < $n) {
+           |  long $h = 0L;
+           |  for (int $j = 0; $j < $bytes.length; $j++) {
+           |    $h = ($h * 1000003L + ($bytes[$j] & 0xff)) % 2147483647L;
+           |  }
+           |  $set.add($h);
+           |} else {
+           |  for (int $s = 0; $s + $n <= $nTok; $s++) {
+           |    final int $from = $starts[$s];
+           |    final int $until = $starts[$s + $n] - 1;
+           |    long $h = 0L;
+           |    for (int $j = $from; $j < $until; $j++) {
+           |      $h = ($h * 1000003L + ($bytes[$j] & 0xff)) % 2147483647L;
+           |    }
+           |    $set.add($h);
+           |  }
+           |}
+           |final long[] $arr = new long[$set.size()];
+           |int $k = 0;
+           |for (java.util.Iterator<Long> $itv = $set.iterator(); $itv.hasNext(); ) {
+           |  $arr[$k++] = $itv.next().longValue();
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
+      copy(child = newChild)
+  }
+
+  def shingle_hashes(normText: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(normText), n))
+
   def simhash_bits(hashes: Column, bits: Int): Column =
     ColumnBridge.column(
       SimHashExpr(ColumnBridge.expression(hashes), bits))

@@ -33,11 +33,17 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i, lit(n)))))
         .otherwise(array(concat_ws(" ", toks))))
 
-  /** (doc_id, s): distinct-shingle arrays with single-evaluation token
-    * materialization. */
-  def shingleFrame(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("s"))
+  /** (doc_id, xs): distinct shingle-hash arrays via the fused native
+    * [[ArrayHashExprs.ShingleHashExpr]] — the sketch operators' input.
+    * All set arithmetic downstream (jaccard, minhash, simhash) runs on
+    * 31-bit hashes instead of shingle strings: identical results
+    * modulo ~2^-31 hash-collision probability, mirrored exactly by the
+    * oracles.
+    */
+  def shingleHashFrame(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      ArrayHashExprs.shingle_hashes(
+        TextFunctions.normText(col("text")), n).as("xs"))
 
   /** Exact dedup: group by content fingerprint (md5 of normalized
     * text), keep the smallest doc_id as canonical. One shuffle on a
@@ -83,11 +89,9 @@ object Dedup {
   def minhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sh = shingleFrame(docs, shingleN)
-    val sig = sh
-      .withColumn("xs", transform(col("s"), g => ArrayHashExprs.poly_hash31(g)))
-      .select(col("doc_id"),
-        ArrayHashExprs.minhash_sig(col("xs"), numHashes).as("minhash"))
+    val sh = shingleHashFrame(docs, shingleN)
+    val sig = sh.select(col("doc_id"),
+      ArrayHashExprs.minhash_sig(col("xs"), numHashes).as("minhash"))
     val banded = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
@@ -108,9 +112,9 @@ object Dedup {
       .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
       .withColumn("inter",
-        size(array_intersect(col("x.s"), col("y.s"))).cast("long"))
+        size(array_intersect(col("x.xs"), col("y.xs"))).cast("long"))
       .withColumn("jaccard",
-        col("inter") / (size(col("x.s")) + size(col("y.s")) - col("inter")))
+        col("inter") / (size(col("x.xs")) + size(col("y.xs")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -125,10 +129,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
       shingleN: Int = 3): DataFrame = {
-    val sh = shingleFrame(docs, shingleN)
-      .withColumnRenamed("s", "sh")
-      .withColumn("n", size(col("sh")))
-    val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val sh = shingleHashFrame(docs, shingleN)
+      .withColumn("n", size(col("xs")))
+    val ex = sh.select(col("doc_id"), col("n"), explode(col("xs")).as("s"))
       // shared exchange for both sides of the self-join (see minhashPairs)
       .repartition(col("s"))
     ex.as("a").join(ex.as("b"),
@@ -154,8 +157,8 @@ object Dedup {
     * deterministic and oracle-reproducible.
     */
   def simhash(text: Column, shingleN: Int = 3): Column =
-    simhashFromHashes(transform(shingles(text, shingleN),
-      t => ArrayHashExprs.poly_hash31(t)))
+    simhashFromHashes(ArrayHashExprs.shingle_hashes(
+      TextFunctions.normText(text), shingleN))
 
   /** SimHash from a precomputed hash array column — native codegen'd
     * expression: one fused loop per row over the array. */
@@ -182,9 +185,7 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     val bandBits = SimhashBits / bands
     val mask = (1L << bandBits) - 1
-    val withSig = shingleFrame(docs)
-      .withColumn("xs", transform(col("s"),
-        t => ArrayHashExprs.poly_hash31(t)))
+    val withSig = shingleHashFrame(docs)
       .select(col("doc_id"), simhashFromHashes(col("xs")).as("sig"))
     val banded = withSig.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map(bi =>

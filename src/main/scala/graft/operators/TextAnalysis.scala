@@ -40,9 +40,7 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   def simhashFrame(docs: DataFrame): DataFrame =
-    Dedup.shingleFrame(docs)
-      .withColumn("xs", transform(col("s"),
-        t => graft.functions.ArrayHashExprs.poly_hash31(t)))
+    Dedup.shingleHashFrame(docs)
       .select(col("doc_id"), Dedup.simhashFromHashes(col("xs")).as("simhash"))
       .orderBy(col("doc_id"))
 }

@@ -32,6 +32,31 @@ class ArrayHashExprsSpec extends SparkSuite {
     assert(diff == 0L)
   }
 
+  test("fused shingle hasher == declarative shingles + poly hash on fixture docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+      ArrayHashExprs.shingle_hashes(
+        graft.functions.TextFunctions.normText(col("text")), 3).as("fused"),
+      array_distinct(transform(Dedup.shingles(col("text"), 3),
+        g => ArrayHashExprs.poly_hash31(g))).as("decl"))
+      .filter(to_json(array_sort(col("fused"))) =!= to_json(array_sort(col("decl"))))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("fused shingle hasher handles short and empty texts") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("one two", "").toDF("t")
+    val rows = df.select(ArrayHashExprs.shingle_hashes(col("t"), 3).as("xs"))
+      .collect()
+    // short text: whole string as one shingle
+    def ph(str: String) = str.getBytes("UTF-8")
+      .foldLeft(0L)((h, b) => (h * 1000003L + (b & 0xff)) % 2147483647L)
+    assert(rows(0).getSeq[Long](0) == Seq(ph("one two")))
+    assert(rows(1).getSeq[Long](0) == Seq(0L))
+  }
+
   test("minhash of empty array is null; simhash of empty array is 0") {
     val s = spark
     import s.implicits._

@@ -315,6 +315,51 @@ object ArrayHashExprs {
   def shingle_hashes(normText: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(normText), n))
 
+  /** Sequential-fold dot product over two `array<double>` columns:
+    * `acc = 0.0; acc += a[i]*b[i]` in index order — the same IEEE
+    * operation sequence as the declarative
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` it replaces (which
+    * evaluated its lambdas interpreted, outside codegen), and the same
+    * as the oracle's `list_reduce` fold. */
+  case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
+        s"""
+           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProductExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def simhash_bits(hashes: Column, bits: Int): Column =
     ColumnBridge.column(
       SimHashExpr(ColumnBridge.expression(hashes), bits))

@@ -29,16 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential left-to-right sum — NOT a tree reduction — so oracle
-    * engines computing the same fold get bit-identical doubles. */
-  private def seqSum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
-
+  /** Sequential index-order fold (acc starts 0.0) — NOT a tree
+    * reduction — so oracle engines computing the same fold get
+    * bit-identical doubles. Native codegen'd expression; the
+    * declarative `aggregate(zip_with(...))` form evaluated its lambdas
+    * interpreted and dominated kNN runtime.
+    */
   def dot(a: Column, b: Column): Column =
-    seqSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    graft.functions.ArrayHashExprs.dot_product(
+      a.cast("array<double>"), b.cast("array<double>"))
 
-  def norm(a: Column): Column =
-    sqrt(seqSum(transform(a, x => x.cast("double") * x.cast("double"))))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

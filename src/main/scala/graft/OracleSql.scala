@@ -142,6 +142,29 @@ object OracleSql {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Transitive closure over the minhash near-dup pair graph via a
+    * recursive CTE: cluster = min reachable doc_id. Mirrors
+    * [[Dedup.nearDupClusters]] (label propagation run to fixpoint).
+    */
+  def nearDupClusters(numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): String = {
+    val pairsSql = minhashPairs(numHashes, bands, threshold)
+    // the pair query nests verbatim as a CTE body (a CTE may contain
+    // its own WITH clause)
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsSql
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, t) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
+       |SELECT s AS doc_id, MIN(t) AS cluster
+       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
+  }
+
   def ngramJaccardPairs(threshold: Double = 0.5): String =
     s"""$docCte,
        |$shingleCte,

@@ -50,6 +50,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy(col("canonical_doc_id"))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
+    "q_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(docs(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
     "q_simhash" -> ((s, dir) => TextAnalysis.simhashFrame(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
@@ -151,6 +152,7 @@ object SparkEntry {
       "q_fingerprint" -> OracleSql.fingerprints,
       "q_dedup_exact" -> OracleSql.dedupExact,
       "q_dedup_minhash" -> OracleSql.minhashPairs(),
+      "q_dedup_clusters" -> OracleSql.nearDupClusters(),
       "q_ngram_jaccard" -> OracleSql.ngramJaccardPairs(),
       "q_simhash" -> OracleSql.simhash,
       "q_simhash_pairs" -> OracleSql.simhashPairs(),

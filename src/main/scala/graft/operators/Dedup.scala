@@ -145,6 +145,39 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Transitive near-duplicate clusters over the MinHash pair graph:
+    * every document is labeled with the smallest doc_id reachable
+    * through near-dup pairs (singletons label themselves). Min-label
+    * propagation — `maxIters` rounds of join + min-aggregate — is the
+    * standard distributed connected-components formulation; it
+    * converges once `maxIters` ≥ the largest cluster diameter (near-dup
+    * clusters are shallow in practice; the companion spec asserts an
+    * extra round is a fixpoint). Edge/label frames are
+    * locally checkpointed each round to cut lineage — at cluster scale
+    * use `checkpoint` on a reliable store instead.
+    */
+  def nearDupClusters(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 5): DataFrame = {
+    val pairs = minhashPairs(docs, numHashes, bands, threshold, shingleN)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").as("cluster")).localCheckpoint(true)
+    for (_ <- 1 to maxIters) {
+      val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("nbr_doc"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      labels = labels.join(prop, labels("doc_id") === prop("nbr_doc"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
+    }
+    labels.orderBy(col("doc_id"))
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash over distinct word-3-gram shingles: bit j of the

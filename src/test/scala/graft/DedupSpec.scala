@@ -49,6 +49,23 @@ class DedupSpec extends SparkSuite {
     assert(math.abs(p12("jaccard").asInstanceOf[Double] - expected) < 1e-12)
   }
 
+  test("near-dup clusters: transitive closure, singletons label themselves") {
+    // 1-2 near-dup chain (transitively one cluster), 3 unrelated
+    val d = docs(
+      1L -> base,
+      2L -> (base + " tail one"),
+      3L -> (base + " tail one tail two"),
+      4L -> "entirely different content about query planners and shuffles and joins at massive scale everywhere")
+    val clusters = rowsOf(Dedup.nearDupClusters(d, threshold = 0.3))
+      .map(r => r("doc_id") -> r("cluster")).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(4L) == 4L)
+    // one extra propagation round is a fixpoint
+    val more = rowsOf(Dedup.nearDupClusters(d, threshold = 0.3, maxIters = 6))
+      .map(r => r("doc_id") -> r("cluster")).toMap
+    assert(more == clusters)
+  }
+
   test("simhash: identical docs same signature; near-dups within small hamming") {
     val d = docs(1L -> base, 2L -> base, 3L -> (base + " tail tweak"))
     val sigs = rowsOf(d.select(col("doc_id"), Dedup.simhash(col("text")).as("sig")))

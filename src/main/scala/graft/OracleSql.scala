@@ -244,6 +244,55 @@ object OracleSql {
       |       CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  def sessions(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, ts, "value",
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS prev_us
+       |  FROM events),
+       |y AS (SELECT *, CASE WHEN prev_us IS NULL
+       |        OR epoch_us(ts) - prev_us > $gapUs THEN 1 ELSE 0 END AS new_session
+       |      FROM x),
+       |z AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+       |      FROM y)
+       |SELECT user_id, session_idx,
+       |       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+       |       CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us,
+       |       COUNT(*) AS n_events,
+       |       CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM z GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  val topEventTypePerUser: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY cnt DESC, event_type) AS rn FROM c)
+      |SELECT user_id, event_type AS top_type, cnt
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Mirrors [[TextFunctions.cleanText]] — note DuckDB backreferences
+    * are `\1` where Java's are `$1`; the semantics match. */
+  val textClean: String =
+    """SELECT doc_id,
+      |       md5(clean) AS clean_md5,
+      |       length(clean) AS clean_len
+      |FROM (
+      |  SELECT doc_id, lower(trim(regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(text, 'https?://[^ \t\n\r]+', ' ', 'g'),
+      |          '[^ \t\n\r]+@[^ \t\n\r]+', ' ', 'g'),
+      |        '[\x00-\x1f]', ' ', 'g'),
+      |      '([!?.,;:])\1+', '\1', 'g'),
+      |    '\s+', ' ', 'g'))) AS clean
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val eventTypeStats: String =
     """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
       |       CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

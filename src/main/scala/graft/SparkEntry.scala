@@ -41,6 +41,17 @@ object SparkEntry {
       EventAnalytics.dailyWindows(EventsAsRecords.readEvents(s, dir))),
     "q_event_type_stats" -> ((s, dir) =>
       EventAnalytics.typeStats(EventsAsRecords.readEvents(s, dir))),
+    "q_sessions" -> ((s, dir) =>
+      EventAnalytics.sessionize(EventsAsRecords.readEvents(s, dir))),
+    "q_user_top_type" -> ((s, dir) =>
+      EventAnalytics.topEventTypePerUser(EventsAsRecords.readEvents(s, dir))),
+    "q_text_clean" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      docs(s, dir).select(col("doc_id"),
+        md5(TextFunctions.cleanText(col("text")).cast("binary")).as("clean_md5"),
+        length(TextFunctions.cleanText(col("text"))).cast("long").as("clean_len"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM-pipeline: text analysis over `documents`
     "q_text_stats" -> ((s, dir) => TextAnalysis.stats(docs(s, dir))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langIdFrame(docs(s, dir))),
@@ -146,6 +157,9 @@ object SparkEntry {
       "q_alive_keys_fnv32" -> OracleSql.aliveKeysFnv32(cte),
       "q_event_windows" -> OracleSql.eventWindows,
       "q_event_type_stats" -> OracleSql.eventTypeStats,
+      "q_sessions" -> OracleSql.sessions(),
+      "q_user_top_type" -> OracleSql.topEventTypePerUser,
+      "q_text_clean" -> OracleSql.textClean,
       "q_text_stats" -> OracleSql.textStats,
       "q_lang_id" -> OracleSql.langId,
       "q_quality" -> OracleSql.quality,

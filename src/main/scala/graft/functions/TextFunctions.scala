@@ -78,6 +78,19 @@ object TextFunctions {
     lengthScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordLenScore * 0.2
   }
 
+  /** Training-data text cleaning: strip URLs and email-like tokens,
+    * drop control characters, collapse runs of repeated punctuation to
+    * one, then normalize whitespace. Simple RE2-compatible patterns so
+    * any engine's regex implementation agrees.
+    */
+  def cleanText(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://[^ \\t\\n\\r]+", " ")
+    val noEmail = regexp_replace(noUrl, "[^ \\t\\n\\r]+@[^ \\t\\n\\r]+", " ")
+    val noCtrl = regexp_replace(noEmail, "[\\x00-\\x1f]", " ")
+    val onePunct = regexp_replace(noCtrl, "([!?.,;:])\\1+", "$1")
+    lower(trim(regexp_replace(onePunct, "\\s+", " ")))
+  }
+
   /** Exact document fingerprint: md5 hex of the normalized text. */
   def fingerprintMd5(text: Column): Column =
     md5(normText(text).cast("binary"))

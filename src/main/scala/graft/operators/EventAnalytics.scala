@@ -26,6 +26,46 @@ object EventAnalytics {
         col("n"), col("sum_value"))
       .orderBy(col("day"), col("event_type"))
 
+  /** Gap-based sessionization: a new session starts when a user's
+    * inter-event gap exceeds `gapMinutes`. Classic two-window plan —
+    * lag to flag session starts, running sum to number sessions, then
+    * a grouped aggregate — one shuffle on user_id shared by both
+    * windows and the final aggregation. Deterministic ordering via
+    * (ts, event_id).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(w))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        unix_micros(min(col("ts"))).as("session_start_us"),
+        unix_micros(max(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** Each user's most frequent event type (ties broken
+    * lexicographically) — grouped count + one top-1 window. */
+  def topEventTypePerUser(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"), col("cnt"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-event-type stats: exact distinct users, decimal-exact value
     * sum, first/last event time. */
   def typeStats(events: DataFrame): DataFrame =

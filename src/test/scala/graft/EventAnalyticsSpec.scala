@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends SparkSuite {
+
+  private def events(rows: (Long, Long, Long, String, Double)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, tsMs, user, typ, v) =>
+      (id, new java.sql.Timestamp(tsMs), user, typ, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("sessionize splits on gaps greater than the threshold") {
+    val min = 60L * 1000
+    val df = events(
+      (0L, 0 * min, 1L, "a", 1.0),
+      (1L, 10 * min, 1L, "a", 1.0),   // same session (10 min gap)
+      (2L, 50 * min, 1L, "a", 1.0),   // 40 min gap -> new session
+      (3L, 55 * min, 1L, "a", 1.0),
+      (4L, 0 * min, 2L, "b", 1.0))    // other user: own session
+    val r = rowsOf(EventAnalytics.sessionize(df, gapMinutes = 30))
+    assert(r.length == 3)
+    val u1 = r.filter(_("user_id") == 1L)
+    assert(u1.map(_("n_events")) == Seq(2L, 2L))
+    assert(u1.head("session_start_us") == 0L)
+    assert(u1(1)("session_start_us") == 50 * min * 1000L)
+  }
+
+  test("top event type per user breaks ties lexicographically") {
+    val df = events(
+      (0L, 1000L, 1L, "view", 1.0),
+      (1L, 2000L, 1L, "view", 1.0),
+      (2L, 3000L, 1L, "click", 1.0),
+      (3L, 1000L, 2L, "zz", 1.0),
+      (4L, 2000L, 2L, "aa", 1.0))     // tie 1-1 -> aa wins
+    val r = rowsOf(EventAnalytics.topEventTypePerUser(df))
+      .map(m => m("user_id") -> m("top_type")).toMap
+    assert(r(1L) == "view" && r(2L) == "aa")
+  }
+
+  test("cleanText strips urls/emails, collapses punctuation and whitespace") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("See https://example.com/x?q=1 and mail bob@example.com !!!  Wow...  ")
+      .toDF("text")
+      .select(TextFunctions.cleanText(col("text")).as("c"))
+      .collect()(0).getString(0)
+    assert(got == "see and mail ! wow.")
+  }
+}

@@ -165,6 +165,49 @@ object OracleSql {
        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
   }
 
+  /** End-to-end training-corpus filter: canonical-of-near-dup-cluster
+    * AND quality >= minQuality AND predicted language = lang. */
+  def corpusFilter(minQuality: Double = 0.65, lang: String = "en"): String = {
+    val best = TextFunctions.Langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
+    val cases = TextFunctions.Langs
+      .map(l => s"WHEN ${l}_hits = $best AND ${l}_hits > 0 THEN '$l'")
+      .mkString(" ")
+    val hits = TextFunctions.Langs.map(l => s"${hitsExpr(l)} AS ${l}_hits")
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashPairs()}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, t2) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t2 = e.a),
+       |clusters AS (SELECT s AS doc_id, MIN(t2) AS cluster FROM reach GROUP BY s),
+       |t AS (SELECT doc_id, text,
+       |        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |      FROM documents),
+       |tok AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks FROM t),
+       |qv AS (SELECT doc_id,
+       |        least(words / 100.0, 1.0) * 0.3
+       |        + (1.0 - least(punct / greatest(chars, 1.0) * 5.0, 1.0)) * 0.3
+       |        + least(stops / greatest(words, 1.0) * 3.0, 1.0) * 0.2
+       |        + greatest(0.0, 1.0 - abs(chars / greatest(words, 1.0) - 5.0) / 10.0) * 0.2
+       |        AS quality
+       |      FROM (SELECT doc_id,
+       |              CAST(length(norm) AS DOUBLE) AS chars,
+       |              CAST(len(toks) AS DOUBLE) AS words,
+       |              CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct,
+       |              CAST(${hitsExpr("en")} AS DOUBLE) AS stops
+       |            FROM tok)),
+       |lh AS (SELECT doc_id, ${hits.mkString(",\n             ")} FROM tok),
+       |lp AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM lh)
+       |SELECT qv.doc_id
+       |FROM qv JOIN lp USING (doc_id) JOIN clusters USING (doc_id)
+       |WHERE cluster = doc_id AND quality >= $minQuality AND lang_pred = '$lang'
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def ngramJaccardPairs(threshold: Double = 0.5): String =
     s"""$docCte,
        |$shingleCte,
@@ -371,6 +414,34 @@ object OracleSql {
        |scored AS (
        |  SELECT query_id, neighbor_id, ${dotSql("x.un", "y.un")} AS score
        |  FROM cand JOIN u x ON x.vec_id = query_id JOIN u y ON y.vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, score,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id) AS rank
+       |      FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  def knnIvf(k: Int = 5, maxQueryId: Int = 16, nCentroids: Int = 16,
+      nProbes: Int = 4): String =
+    s"""WITH $unitCte,
+       |cent AS (SELECT vec_id AS cid, un AS cu FROM u WHERE vec_id < $nCentroids),
+       |assigned AS (
+       |  SELECT vec_id, un, cid FROM (
+       |    SELECT e.vec_id, e.un, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dotSql("e.un", "c.cu")} DESC, c.cid) AS crn
+       |    FROM u e, cent c) WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, un AS qun, cid FROM (
+       |    SELECT q.vec_id, q.un, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${dotSql("q.un", "c.cu")} DESC, c.cid) AS crn
+       |    FROM u q, cent c WHERE q.vec_id < $maxQueryId) WHERE crn <= $nProbes),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         ${dotSql("p.qun", "a.un")} AS score
+       |  FROM assigned a JOIN probes p ON a.cid = p.cid
+       |  WHERE p.query_id <> a.vec_id),
        |r AS (SELECT query_id, neighbor_id, score,
        |        ROW_NUMBER() OVER (PARTITION BY query_id
        |          ORDER BY score DESC, neighbor_id) AS rank

@@ -78,6 +78,22 @@ object SparkEntry {
       Similarity.knnLsh(e, e.filter(col("vec_id") < 16), 5)
     }),
     "q_embed_near_pairs" -> ((s, dir) => Similarity.lshNearPairs(emb(s, dir))),
+    "q_embed_knn_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnIvf(e, e.filter(col("vec_id") < 16), 5)
+    }),
+    // end-to-end corpus filter: quality + language + canonical-of-cluster
+    "q_corpus_filter" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val d = docs(s, dir)
+      val clusters = Dedup.nearDupClusters(d)
+      d.join(clusters, Seq("doc_id"))
+        .filter(col("cluster") === col("doc_id") &&
+          TextFunctions.qualityScore(col("text")) >= 0.65 &&
+          TextFunctions.langId(col("text")) === "en")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -172,6 +188,8 @@ object SparkEntry {
       "q_simhash_pairs" -> OracleSql.simhashPairs(),
       "q_multimodal_features" -> OracleSql.multimodalFeatures,
       "q_embed_knn" -> OracleSql.knn(),
+      "q_embed_knn_ivf" -> OracleSql.knnIvf(),
+      "q_corpus_filter" -> OracleSql.corpusFilter(),
       "q_embed_knn_lsh" -> OracleSql.knnLsh(),
       "q_embed_near_pairs" -> OracleSql.lshNearPairs(),
     )

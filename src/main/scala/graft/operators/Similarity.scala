@@ -127,6 +127,49 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** IVF-style ANN top-k: corpus vectors are assigned to their nearest
+    * coarse centroid; a query probes its `nProbes` nearest centroids
+    * and scores only the vectors in those cells. The inverted-file
+    * plan: assignment is a broadcast of centroids + one top-1 window
+    * (no corpus shuffle beyond the window), candidate generation is a
+    * centroid-id equi-join. Centroids here are a deterministic
+    * stand-in (the first `nCentroids` vectors) so the oracle can
+    * reproduce them — a production IVF trains them with k-means; the
+    * assignment/probe/score plan is identical either way.
+    */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbes: Int = 4): DataFrame = {
+    val cu = withUnit(corpus).select(col("vec_id"), col("unit"))
+    val cent = cu.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("unit").as("cunit"))
+    def nearestCentroids(df: DataFrame, keep: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("cscore").desc, col("cid"))
+      df.join(broadcast(cent))
+        .withColumn("cscore", dot(col("unit"), col("cunit")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .select(col("vec_id"), col("unit"), col("cid"))
+    }
+    val assigned = nearestCentroids(cu, 1)
+    val probes = nearestCentroids(
+      withUnit(queries).select(col("vec_id"), col("unit")), nProbes)
+      .select(col("vec_id").as("query_id"), col("unit").as("qunit"), col("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qunit"), col("unit")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ANN top-k: LSH candidates (union over tables), exact cosine and
     * per-query top-k on candidates only — the scale path of
     * [[knnBruteForce]]. Recall depends on tables × planes.

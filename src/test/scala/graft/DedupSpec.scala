@@ -66,6 +66,17 @@ class DedupSpec extends SparkSuite {
     assert(more == clusters)
   }
 
+  test("corpus filter keeps only canonical, high-quality, target-language docs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = rowsOf(graft.SparkEntry.queries("q_corpus_filter")(
+      spark, "/root/testdata/sf0.001")).map(_("doc_id").asInstanceOf[Long]).toSet
+    assert(kept.nonEmpty && kept.size < d.count())
+    // every kept doc is its own cluster canonical
+    val clusters = rowsOf(Dedup.nearDupClusters(d))
+      .map(r => r("doc_id") -> r("cluster")).toMap
+    assert(kept.forall(id => clusters(id) == id))
+  }
+
   test("simhash: identical docs same signature; near-dups within small hamming") {
     val d = docs(1L -> base, 2L -> base, 3L -> (base + " tail tweak"))
     val sigs = rowsOf(d.select(col("doc_id"), Dedup.simhash(col("text")).as("sig")))

@@ -38,6 +38,18 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("ivf knn: candidates come from probed cells, reasonable recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    val exact = rowsOf(Similarity.knnBruteForce(e, q, 5))
+      .map(r => (r("query_id"), r("neighbor_id"))).toSet
+    val ivf = rowsOf(Similarity.knnIvf(e, q, 5, nCentroids = 16, nProbes = 8))
+    assert(ivf.nonEmpty && ivf.forall(_("rank").asInstanceOf[Int] <= 5))
+    val recall = exact.intersect(
+      ivf.map(r => (r("query_id"), r("neighbor_id"))).toSet).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("lsh near pairs returns only pairs above threshold, ordered") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = rowsOf(Similarity.lshNearPairs(e, threshold = 0.3))

@@ -55,17 +55,17 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("dup_count"))
 
-  /** MinHash signature: `numHashes` universal-hash permutations of the
-    * 60-bit shingle base hash, each reduced by array_min — one
-    * projection, fully codegen'd, no UDF, no shuffle.
+  /** MinHash signature column: `numHashes` universal-hash permutations
+    * of the shingle hashes, each reduced to its min — one fused
+    * projection ([[ArrayHashExprs.ShingleHashExpr]] +
+    * [[ArrayHashExprs.MinHashSigExpr]]), no UDF, no shuffle.
     */
   def withMinhashSignature(docs: DataFrame, numHashes: Int = 16,
       shingleN: Int = 3): DataFrame =
-    docs
-      .withColumn("shingle_hashes",
-        transform(shingles(col("text"), shingleN), s => Hashing.baseHash60(s)))
-      .withColumn("minhash",
-        ArrayHashExprs.minhash_sig(col("shingle_hashes"), numHashes))
+    docs.withColumn("minhash",
+      ArrayHashExprs.minhash_sig(
+        ArrayHashExprs.shingle_hashes(
+          TextFunctions.normText(col("text")), shingleN), numHashes))
 
   /** Declarative (HOF-composition) minhash — semantically identical to
     * the native [[ArrayHashExprs.MinHashSigExpr]]; kept as the parity

@@ -128,10 +128,20 @@ object Dedup {
     * when it is not).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, maxDf: Option[Int] = None): DataFrame = {
     val sh = shingleHashFrame(docs, shingleN)
       .withColumn("n", size(col("xs")))
-    val ex = sh.select(col("doc_id"), col("n"), explode(col("xs")).as("s"))
+    val exRaw = sh.select(col("doc_id"), col("n"), explode(col("xs")).as("s"))
+    // optional scale guard: drop shingles whose document frequency
+    // exceeds maxDf — join work is Σ df², so stop-shingle-like n-grams
+    // on skewed corpora otherwise dominate. Dropping them UNDERCOUNTS
+    // `inter` (jaccard becomes a lower bound); the exact default keeps
+    // every shingle.
+    val ex = maxDf.fold(exRaw) { cap =>
+      val df = exRaw.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select(col("s"))
+      exRaw.join(df, Seq("s"))
+    }
       // shared exchange for both sides of the self-join (see minhashPairs)
       .repartition(col("s"))
     ex.as("a").join(ex.as("b"),
@@ -165,15 +175,24 @@ object Dedup {
       .localCheckpoint(true)
     var labels = docs.select(col("doc_id"),
       col("doc_id").as("cluster")).localCheckpoint(true)
-    for (_ <- 1 to maxIters) {
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
       val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("nbr_doc"))
         .agg(min(col("cluster")).as("nbr_min"))
-      labels = labels.join(prop, labels("doc_id") === prop("nbr_doc"), "left")
+      val next = labels.join(prop, labels("doc_id") === prop("nbr_doc"), "left")
         .select(labels("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
         .localCheckpoint(true)
+      // convergence check: one cheap anti-join count per round beats
+      // running fixed extra rounds of join+aggregate
+      converged = next.join(labels,
+        next("doc_id") === labels("doc_id") &&
+          next("cluster") =!= labels("cluster"), "left_semi").isEmpty
+      labels = next
+      iter += 1
     }
     labels.orderBy(col("doc_id"))
   }

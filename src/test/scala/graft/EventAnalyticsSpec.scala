@@ -32,6 +32,26 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(u1(1)("session_start_us") == 50 * min * 1000L)
   }
 
+  test("sessionize invariants on random streams: events partition into sessions") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(3 * 24 * 60) * 60000L, (i % 7).toLong, "t", 1.0)
+    }
+    val df = events(rows: _*)
+    val sessions = rowsOf(EventAnalytics.sessionize(df, gapMinutes = 45))
+    assert(sessions.map(_("n_events").asInstanceOf[Long]).sum == 300L)
+    // sessions of one user are disjoint and ordered
+    sessions.groupBy(_("user_id")).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_("session_idx").asInstanceOf[Long])
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a("session_end_us").asInstanceOf[Long] <
+            b("session_start_us").asInstanceOf[Long])
+        case _ =>
+      }
+    }
+  }
+
   test("top event type per user breaks ties lexicographically") {
     val df = events(
       (0L, 1000L, 1L, "view", 1.0),

@@ -317,6 +317,17 @@ object OracleSql {
       |SELECT user_id, event_type AS top_type, cnt
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  def vocabulary(k: Int = 100): String =
+    s"""$docCte
+       |SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+       |FROM (SELECT doc_id, unnest(toks) AS token FROM tok)
+       |GROUP BY token ORDER BY tf DESC, token LIMIT $k""".stripMargin
+
+  def lengthHistogram(bucket: Int = 50): String =
+    s"""SELECT CAST(FLOOR(length(text) * 1.0 / $bucket) * $bucket AS BIGINT) AS len_bucket,
+       |       COUNT(*) AS n_docs
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Mirrors [[TextFunctions.cleanText]] — note DuckDB backreferences
     * are `\1` where Java's are `$1`; the semantics match. */
   val textClean: String =

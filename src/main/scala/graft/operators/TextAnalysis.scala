@@ -39,6 +39,26 @@ object TextAnalysis {
       rollingHash(col("text")).as("rolling_hash"))
       .orderBy(col("doc_id"))
 
+  /** Corpus vocabulary stats: per-token total occurrences and document
+    * frequency, top `k` by (tf desc, token) — explode + two-level
+    * aggregate, the canonical distributed word-count shape.
+    */
+  def vocabulary(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+
+  /** Document length histogram: n_chars bucketed by `bucket`. */
+  def lengthHistogram(docs: DataFrame, bucket: Int = 50): DataFrame =
+    docs.select((floor(length(col("text")) / bucket) * bucket)
+        .cast("long").as("len_bucket"))
+      .groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("len_bucket"))
+
   def simhashFrame(docs: DataFrame): DataFrame =
     Dedup.shingleHashFrame(docs)
       .select(col("doc_id"), Dedup.simhashFromHashes(col("xs")).as("simhash"))

@@ -317,6 +317,20 @@ object OracleSql {
       |SELECT user_id, event_type AS top_type, cnt
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  def valuePercentiles(ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): String = {
+    val picks = ps.map { p =>
+      s"""MAX(CASE WHEN rn = CEIL(n * $p) THEN "value" END) AS p${(p * 100).toInt}"""
+    }.mkString(",\n       ")
+    s"""WITH r AS (
+       |  SELECT event_type, "value",
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY "value") AS rn,
+       |         COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events)
+       |SELECT event_type,
+       |       $picks
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def vocabulary(k: Int = 100): String =
     s"""$docCte
        |SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df

@@ -45,6 +45,8 @@ object SparkEntry {
       EventAnalytics.sessionize(EventsAsRecords.readEvents(s, dir))),
     "q_user_top_type" -> ((s, dir) =>
       EventAnalytics.topEventTypePerUser(EventsAsRecords.readEvents(s, dir))),
+    "q_value_percentiles" -> ((s, dir) =>
+      EventAnalytics.valuePercentiles(EventsAsRecords.readEvents(s, dir))),
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
     "q_length_hist" -> ((s, dir) => TextAnalysis.lengthHistogram(docs(s, dir))),
     "q_text_clean" -> ((s, dir) => {
@@ -177,6 +179,7 @@ object SparkEntry {
       "q_event_type_stats" -> OracleSql.eventTypeStats,
       "q_sessions" -> OracleSql.sessions(),
       "q_user_top_type" -> OracleSql.topEventTypePerUser,
+      "q_value_percentiles" -> OracleSql.valuePercentiles(),
       "q_vocabulary" -> OracleSql.vocabulary(),
       "q_length_hist" -> OracleSql.lengthHistogram(),
       "q_text_clean" -> OracleSql.textClean,

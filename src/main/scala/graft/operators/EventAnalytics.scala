@@ -66,8 +66,30 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
-  /** Per-event-type stats: exact distinct users, decimal-exact value
-    * sum, first/last event time. */
+  /** Discrete (order-statistic) percentiles of `value` per event type:
+    * the value at ordered position ceil(p·n) — `percentile_disc`
+    * semantics spelled out as a window + positional pick, so every
+    * engine computes the identical picked value (no interpolation
+    * arithmetic to diverge on). Duplicate boundary values are safe:
+    * any row of a tie run carries the same value.
+    */
+  def valuePercentiles(events: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val ranked = events.select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val aggs = ps.map { p =>
+      max(when(col("rn") === ceil(col("n") * p), col("value")))
+        .as(s"p${(p * 100).toInt}")
+    }
+    ranked.groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("event_type"))
+  }
   def typeStats(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),

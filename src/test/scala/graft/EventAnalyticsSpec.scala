@@ -64,6 +64,14 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(r(1L) == "view" && r(2L) == "aa")
   }
 
+  test("value percentiles pick exact order statistics") {
+    val df = events((0 until 10).map(i =>
+      (i.toLong, 1000L * i, 1L, "t", (i + 1).toDouble)): _*)
+    val r = rowsOf(EventAnalytics.valuePercentiles(df)).head
+    // n=10: p50 -> ceil(5)=5th value = 5.0; p90 -> 9th = 9.0; p99 -> 10th = 10.0
+    assert(r("p50") == 5.0 && r("p90") == 9.0 && r("p99") == 10.0)
+  }
+
   test("cleanText strips urls/emails, collapses punctuation and whitespace") {
     val s = spark
     import s.implicits._

@@ -29,7 +29,11 @@ object Bench {
       // noop sink: forces full materialization of every output column
       // (a bare count() lets Catalyst prune projection-only plans away)
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // a failed query must be loud: a silent near-zero timing would
+        // flatter the bench total while the engine is actually broken
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -67,32 +67,50 @@ object OracleSql {
        |       length(norm) AS n_chars_norm
        |FROM tok ORDER BY doc_id""".stripMargin
 
-  val langId: String = {
-    val hits = TextFunctions.Langs.map(l => s"${hitsExpr(l)} AS ${l}_hits")
-    val best = TextFunctions.Langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
+  /** Per-language hit columns over `tok` — shared by langId and
+    * corpusFilter. */
+  private def langHitsSelect: String =
+    TextFunctions.Langs.map(l => s"${hitsExpr(l)} AS ${l}_hits")
+      .mkString(",\n            ")
+
+  /** The first-max language CASE — ONE definition so the tie-break
+    * cannot drift between langId and corpusFilter. */
+  private def langCaseSql: String = {
+    val best = TextFunctions.Langs.map(l => s"${l}_hits")
+      .mkString("greatest(", ", ", ")")
     val cases = TextFunctions.Langs
       .map(l => s"WHEN ${l}_hits = $best AND ${l}_hits > 0 THEN '$l'")
       .mkString(" ")
-    s"""$docCte,
-       |h AS (SELECT doc_id, ${hits.mkString(",\n            ")} FROM tok)
-       |SELECT doc_id, ${TextFunctions.Langs.map(l => s"${l}_hits").mkString(", ")},
-       |       CASE $cases ELSE 'und' END AS lang_pred
-       |FROM h ORDER BY doc_id""".stripMargin
+    s"CASE $cases ELSE 'und' END"
   }
 
-  val quality: String =
-    s"""$docCte,
-       |q AS (SELECT doc_id,
+  /** quality-score inputs subquery over `tok` + the weighted formula —
+    * ONE definition shared by quality and corpusFilter. */
+  private val qualityInputsSql: String =
+    s"""SELECT doc_id,
        |        CAST(length(norm) AS DOUBLE) AS chars,
        |        CAST(len(toks) AS DOUBLE) AS words,
        |        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct,
        |        CAST(${hitsExpr("en")} AS DOUBLE) AS stops
-       |      FROM tok)
+       |      FROM tok""".stripMargin
+  private val qualityFormulaSql: String =
+    """least(words / 100.0, 1.0) * 0.3
+      |       + (1.0 - least(punct / greatest(chars, 1.0) * 5.0, 1.0)) * 0.3
+      |       + least(stops / greatest(words, 1.0) * 3.0, 1.0) * 0.2
+      |       + greatest(0.0, 1.0 - abs(chars / greatest(words, 1.0) - 5.0) / 10.0) * 0.2""".stripMargin
+
+  val langId: String =
+    s"""$docCte,
+       |h AS (SELECT doc_id, $langHitsSelect FROM tok)
+       |SELECT doc_id, ${TextFunctions.Langs.map(l => s"${l}_hits").mkString(", ")},
+       |       $langCaseSql AS lang_pred
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  val quality: String =
+    s"""$docCte,
+       |q AS ($qualityInputsSql)
        |SELECT doc_id,
-       |       least(words / 100.0, 1.0) * 0.3
-       |       + (1.0 - least(punct / greatest(chars, 1.0) * 5.0, 1.0)) * 0.3
-       |       + least(stops / greatest(words, 1.0) * 3.0, 1.0) * 0.2
-       |       + greatest(0.0, 1.0 - abs(chars / greatest(words, 1.0) - 5.0) / 10.0) * 0.2
+       |       $qualityFormulaSql
        |       AS quality
        |FROM q ORDER BY doc_id""".stripMargin
 
@@ -168,11 +186,6 @@ object OracleSql {
   /** End-to-end training-corpus filter: canonical-of-near-dup-cluster
     * AND quality >= minQuality AND predicted language = lang. */
   def corpusFilter(minQuality: Double = 0.65, lang: String = "en"): String = {
-    val best = TextFunctions.Langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
-    val cases = TextFunctions.Langs
-      .map(l => s"WHEN ${l}_hits = $best AND ${l}_hits > 0 THEN '$l'")
-      .mkString(" ")
-    val hits = TextFunctions.Langs.map(l => s"${hitsExpr(l)} AS ${l}_hits")
     s"""WITH RECURSIVE pairs AS (
        |${minhashPairs()}
        |),
@@ -189,19 +202,11 @@ object OracleSql {
        |      FROM documents),
        |tok AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks FROM t),
        |qv AS (SELECT doc_id,
-       |        least(words / 100.0, 1.0) * 0.3
-       |        + (1.0 - least(punct / greatest(chars, 1.0) * 5.0, 1.0)) * 0.3
-       |        + least(stops / greatest(words, 1.0) * 3.0, 1.0) * 0.2
-       |        + greatest(0.0, 1.0 - abs(chars / greatest(words, 1.0) - 5.0) / 10.0) * 0.2
+       |       $qualityFormulaSql
        |        AS quality
-       |      FROM (SELECT doc_id,
-       |              CAST(length(norm) AS DOUBLE) AS chars,
-       |              CAST(len(toks) AS DOUBLE) AS words,
-       |              CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct,
-       |              CAST(${hitsExpr("en")} AS DOUBLE) AS stops
-       |            FROM tok)),
-       |lh AS (SELECT doc_id, ${hits.mkString(",\n             ")} FROM tok),
-       |lp AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM lh)
+       |      FROM ($qualityInputsSql)),
+       |lh AS (SELECT doc_id, $langHitsSelect FROM tok),
+       |lp AS (SELECT doc_id, $langCaseSql AS lang_pred FROM lh)
        |SELECT qv.doc_id
        |FROM qv JOIN lp USING (doc_id) JOIN clusters USING (doc_id)
        |WHERE cluster = doc_id AND quality >= $minQuality AND lang_pred = '$lang'
@@ -397,7 +402,9 @@ object OracleSql {
   private val unitCte: String =
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
        |nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
-       |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS un FROM nn)""".stripMargin
+       |u AS (SELECT vec_id,
+       |        list_transform(v, x -> CASE WHEN nrm = 0.0 THEN 0.0 ELSE x / nrm END) AS un
+       |      FROM nn)""".stripMargin
 
   def knn(k: Int = 5, maxQueryId: Int = 16): String =
     s"""WITH $unitCte,

@@ -25,24 +25,43 @@ object TopicAnalyzer {
     * optional `-c` handler registration, `src/main.rs:77-80`).
     */
   def analyze(records: DataFrame, countAliveKeys: Boolean = false): Result = {
-    val statsRaw = TopicMetrics.partitionStats(records)
-    val stats = typedStats(TopicMetrics.withDerived(statsRaw))
-    val summary = TopicMetrics.summarize(statsRaw)
+    // ONE collect of the per-partition frame (stats + the min/max
+    // partials); both the report rows and the global summary derive
+    // from it driver-side — the data is scanned exactly once, as the
+    // design doc promises. A second, key-partitioned aggregation runs
+    // only for -c alive keys.
+    val derived = TopicMetrics.withDerived(
+      TopicMetrics.partitionStats(records))
+    val rows = derived.collect()
+    val idx = derived.columns.zipWithIndex.toMap
+    def l(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getLong(idx(c))
+    val stats = rows.toSeq.map { r =>
+      PartitionStats(r.getInt(idx("partition")), l(r, "start_offset"),
+        l(r, "end_offset"), l(r, "total"), l(r, "alive"), l(r, "tombstones"),
+        r.getDouble(idx("dirty_ratio")), l(r, "key_null"), l(r, "key_non_null"),
+        l(r, "p_bytes"), l(r, "key_bytes"), l(r, "value_bytes"),
+        l(r, "avg_key_size"), l(r, "avg_value_size"), l(r, "avg_msg_size"))
+    }.sortBy(_.partition)
+    def tsUs(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+      Option(r.get(idx(c))).map { case t: java.sql.Timestamp =>
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      }
+    val minAlive = rows.flatMap(r =>
+      if (r.isNullAt(idx("min_alive_msg"))) None else Some(l(r, "min_alive_msg")))
+    val maxAlive = rows.flatMap(r =>
+      if (r.isNullAt(idx("max_alive_msg"))) None else Some(l(r, "max_alive_msg")))
+    val minTs = rows.flatMap(tsUs(_, "min_ts"))
+    val maxTs = rows.flatMap(tsUs(_, "max_ts"))
+    val summary = TopicSummary(
+      overall_count = stats.map(_.total).sum,
+      overall_bytes = stats.map(_.p_bytes).sum,
+      smallest_msg = if (minAlive.isEmpty) 0L else minAlive.min,
+      largest_msg = if (maxAlive.isEmpty) 0L else maxAlive.max,
+      earliest_us = if (minTs.isEmpty) 0L else minTs.min,
+      latest_us = if (maxTs.isEmpty) 0L else maxTs.max)
     val alive = if (countAliveKeys) Some(AliveKeys.exact(records)) else None
     Result(stats, summary, alive)
-  }
-
-  private def typedStats(derived: DataFrame): Seq[PartitionStats] = {
-    val spark = derived.sparkSession
-    import spark.implicits._
-    val ds: Dataset[PartitionStats] = derived
-      .select(col("partition"), col("start_offset"), col("end_offset"),
-        col("total"), col("alive"), col("tombstones"), col("dirty_ratio"),
-        col("key_null"), col("key_non_null"), col("p_bytes"),
-        col("key_bytes"), col("value_bytes"), col("avg_key_size"),
-        col("avg_value_size"), col("avg_msg_size"))
-      .as[PartitionStats]
-    ds.collect().toSeq.sortBy(_.partition)
   }
 
   def report(result: Result, topic: String, elapsedSecs: Long): String =

@@ -25,15 +25,12 @@ object ArrayHashExprs {
     * result is set iff Σ_elements (bit j set ? +1 : -1) > 0.
     */
   case class SimHashExpr(child: Expression, bits: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftInputTypes {
 
+    override def graftInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+      Seq(ArrayType(LongType))
     override def dataType: DataType = LongType
-    override def checkInputDataTypes() = {
-      require(child.dataType == ArrayType(LongType, containsNull = false) ||
-        child.dataType == ArrayType(LongType, containsNull = true),
-        s"SimHashExpr needs array<long>, got ${child.dataType}")
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    }
 
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
@@ -94,8 +91,11 @@ object ArrayHashExprs {
     * empty→null).
     */
   case class MinHashSigExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftInputTypes {
 
+    override def graftInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+      Seq(ArrayType(LongType))
     private val p = Hashing.MersennePrime31
     private val coeffA: Array[Long] =
       (0 until numHashes).map(i => Hashing.permCoeffs(i)._1).toArray
@@ -165,7 +165,10 @@ object ArrayHashExprs {
     * Replaces an md5-prefix+hex-parse formulation whose string churn
     * dominated sketch runtime; products stay < 2^51 (no overflow).
     */
-  case class PolyHash31Expr(child: Expression) extends UnaryExpression {
+  case class PolyHash31Expr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftInputTypes {
+    override def graftInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+      Seq(org.apache.spark.sql.types.StringType)
     override def dataType: DataType = LongType
 
     override def nullSafeEval(v: Any): Any = {
@@ -213,8 +216,11 @@ object ArrayHashExprs {
     * `list_distinct(list_transform(<raw shingles>, polyhash))`.
     */
   case class ShingleHashExpr(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftInputTypes {
 
+    override def graftInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+      Seq(org.apache.spark.sql.types.StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
     override def nullSafeEval(v: Any): Any = {
@@ -322,8 +328,12 @@ object ArrayHashExprs {
     * evaluated its lambdas interpreted, outside codegen), and the same
     * as the oracle's `list_reduce` fold. */
   case class DotProductExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.graftbridge.GraftInputTypes {
 
+    override def graftInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+      Seq(ArrayType(org.apache.spark.sql.types.DoubleType),
+        ArrayType(org.apache.spark.sql.types.DoubleType))
     override def dataType: DataType = org.apache.spark.sql.types.DoubleType
 
     override def nullSafeEval(l: Any, r: Any): Any = {

@@ -30,7 +30,10 @@ object Fnv32 {
     h.toLong & 0xffffffffL
   }
 
-  case class Fnv32Expr(child: Expression) extends UnaryExpression {
+  case class Fnv32Expr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftInputTypes {
+    override def graftInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+      Seq(org.apache.spark.sql.types.BinaryType)
     override def dataType: DataType = LongType
 
     override def nullSafeEval(v: Any): Any =

@@ -167,7 +167,7 @@ object Dedup {
     * use `checkpoint` on a reliable store instead.
     */
   def nearDupClusters(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 5): DataFrame = {
+      threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50): DataFrame = {
     val pairs = minhashPairs(docs, numHashes, bands, threshold, shingleN)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs
@@ -194,6 +194,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[nearDupClusters] NOT converged after $maxIters rounds — " +
+          "labels may be non-minimal; raise maxIters for deeper chains")
     labels.orderBy(col("doc_id"))
   }
 

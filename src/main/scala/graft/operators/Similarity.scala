@@ -44,13 +44,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Adds `unit`: the double-cast, unit-normalized vector. Norm is
-    * evaluated once per row (the aggregate-HOF is non-cheap, so the
-    * optimizer does not inline it into the per-element lambda).
+    * evaluated once per row; an all-zero vector (common for failed
+    * encodes in real embedding dumps) maps to a zero unit vector
+    * instead of NaNs — NaN scores would otherwise sort FIRST under
+    * descending order and poison every top-k.
     */
   def withUnit(df: DataFrame): DataFrame =
     df.withColumn("nrm", norm(col("embedding")))
       .withColumn("unit",
-        transform(col("embedding"), x => x.cast("double") / col("nrm")))
+        transform(col("embedding"),
+          x => when(col("nrm") === 0.0, lit(0.0))
+            .otherwise(x.cast("double") / col("nrm"))))
 
   /** Exact top-k neighbors for each query vector. `queries` must be
     * small (it is broadcast); the corpus side never shuffles before

@@ -20,32 +20,40 @@ import graft.model.TopicSummary
   */
 object TopicMetrics {
 
-  private def keyLen: Column = coalesce(length(col("key")), lit(0)).cast("long")
-  private def valueLen: Column = coalesce(length(col("value")), lit(0)).cast("long")
+  private[graft] def keyLen: Column = coalesce(length(col("key")), lit(0)).cast("long")
+  private[graft] def valueLen: Column = coalesce(length(col("value")), lit(0)).cast("long")
   /** key_len + value_len; headers (if any) are NOT counted
     * (`src/metric.rs:212,222,236`). */
   private def msgSize: Column = keyLen + valueLen
 
+  /** C1-C7: the per-group counter expressions — ONE definition shared
+    * by the batch, rollup, and streaming aggregations so the
+    * nullability guards cannot drift between them.
+    */
+  def counterAggs: Seq[Column] = Seq(
+    count(lit(1)).as("total"),
+    count_if(col("value").isNotNull).as("alive"),
+    count_if(col("value").isNull).as("tombstones"),
+    count_if(col("key").isNull).as("key_null"),
+    count_if(col("key").isNotNull).as("key_non_null"),
+    sum(keyLen).as("key_bytes"),
+    sum(valueLen).as("value_bytes"))
+
   /** Per-partition counters (C1-C7) plus the min/max partials that make
     * every global metric (D1-D6) re-reducible without a second scan.
     */
-  def partitionStats(records: DataFrame): DataFrame =
-    records.groupBy(col("partition")).agg(
+  def partitionStats(records: DataFrame): DataFrame = {
+    val aggs = Seq(
       min(col("offset")).as("start_offset"),
-      (max(col("offset")) + 1).as("end_offset"),
-      count(lit(1)).as("total"),
-      count_if(col("value").isNotNull).as("alive"),
-      count_if(col("value").isNull).as("tombstones"),
-      count_if(col("key").isNull).as("key_null"),
-      count_if(col("key").isNotNull).as("key_non_null"),
-      sum(keyLen).as("key_bytes"),
-      sum(valueLen).as("value_bytes"),
+      (max(col("offset")) + 1).as("end_offset")) ++ counterAggs ++ Seq(
       // partials for the global (topic-level) reduce; min/max message
       // size count non-tombstones only (`src/metric.rs:249-251`)
       min(when(col("value").isNotNull, msgSize)).as("min_alive_msg"),
       max(when(col("value").isNotNull, msgSize)).as("max_alive_msg"),
       min(col("timestamp")).as("min_ts"),
       max(col("timestamp")).as("max_ts"))
+    records.groupBy(col("partition")).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Derived report columns (SURVEY §2.E). Quirk parity:
     *  - averages divide by `alive`, NOT `key_non_null`
@@ -114,14 +122,8 @@ object TopicMetrics {
     * `report` + `summaryFrame` is the default engine surface.
     */
   def rollupStats(records: DataFrame): DataFrame =
-    records.rollup(col("partition")).agg(
-      count(lit(1)).as("total"),
-      count_if(col("value").isNotNull).as("alive"),
-      count_if(col("value").isNull).as("tombstones"),
-      count_if(col("key").isNull).as("key_null"),
-      count_if(col("key").isNotNull).as("key_non_null"),
-      sum(keyLen).as("key_bytes"),
-      sum(valueLen).as("value_bytes"))
+    records.rollup(col("partition"))
+      .agg(counterAggs.head, counterAggs.tail: _*)
       .orderBy(col("partition").asc_nulls_first)
 
   /** Watermark/offset discovery report (SURVEY §2.A2): the `< OS` /

@@ -38,10 +38,8 @@ final class KafkaRecordSource(
       .option("endingOffsets", "latest")
     extraOptions.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
       .load()
-      // records without a timestamp read as epoch 0, matching the
-      // reference's unwrap_or(0) (`src/metric.rs:209`, SURVEY §2.B5)
       .select(col("partition"), col("offset"),
-        coalesce(col("timestamp"), to_timestamp(lit(0))).as("timestamp"),
+        KafkaRecordSource.normalizeTimestamp(col("timestamp")),
         col("key"), col("value"))
   }
 
@@ -53,9 +51,22 @@ final class KafkaRecordSource(
       .option("startingOffsets", "earliest")
     extraOptions.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
       .load()
-      .select(col("partition"), col("offset"), col("timestamp"),
+      .select(col("partition"), col("offset"),
+        KafkaRecordSource.normalizeTimestamp(col("timestamp")),
         col("key"), col("value"))
   }
+}
+
+object KafkaRecordSource {
+  /** Records without a timestamp read as epoch 0, matching the
+    * reference's unwrap_or(0) (`src/metric.rs:209`, SURVEY §2.B5).
+    * Kafka encodes "no timestamp" as -1 MILLISECONDS (not NULL), which
+    * Spark materializes as a pre-epoch instant — so anything before
+    * epoch 0 (or NULL, defensively) maps to epoch 0.
+    */
+  def normalizeTimestamp(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(ts.isNull || unix_millis(ts) < 0, to_timestamp(lit(0)))
+      .otherwise(ts).as("timestamp")
 }
 
 /** Deterministic mapping of the driver's `events` parquet table onto the

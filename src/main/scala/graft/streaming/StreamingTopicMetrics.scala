@@ -33,15 +33,10 @@ object StreamingTopicMetrics {
     * complete). Same expressions as the batch operator — Catalyst
     * maintains the partial-aggregate state between micro-batches.
     */
-  def partitionStats(stream: DataFrame): DataFrame =
-    stream.groupBy(col("partition")).agg(
-      count(lit(1)).as("total"),
-      count_if(col("value").isNotNull).as("alive"),
-      count_if(col("value").isNull).as("tombstones"),
-      count_if(col("key").isNull).as("key_null"),
-      count_if(col("key").isNotNull).as("key_non_null"),
-      sum(coalesce(length(col("key")), lit(0)).cast("long")).as("key_bytes"),
-      sum(coalesce(length(col("value")), lit(0)).cast("long")).as("value_bytes"))
+  def partitionStats(stream: DataFrame): DataFrame = {
+    val aggs = graft.operators.TopicMetrics.counterAggs
+    stream.groupBy(col("partition")).agg(aggs.head, aggs.tail: _*)
+  }
 
   case class KeyState(partition: Int, offset: Long, alive: Boolean)
   case class KeyUpdate(key: String, alive: Boolean)

@@ -13,3 +13,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge for `ImplicitCastInputTypes`: its `inputTypes` signature
+  * names the `private[sql]` `AbstractDataType`, so expressions outside
+  * this namespace implement `graftInputTypes` with public `DataType`s
+  * instead.
+  */
+trait GraftInputTypes
+  extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  def graftInputTypes: Seq[org.apache.spark.sql.types.DataType]
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    graftInputTypes
+}

@@ -38,6 +38,18 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("zero vectors score 0 instead of NaN-poisoning top-k") {
+    val d = vecs(
+      0L -> pad(Seq(1f, 0f)),
+      1L -> pad(Seq(0.9f, 0.1f)),
+      2L -> Seq.fill(Similarity.LshDims)(0.0f)) // failed-encode stand-in
+    val r = rowsOf(Similarity.knnBruteForce(d, d.filter(col("vec_id") === 0), 2))
+    // the real neighbor ranks first; the zero vector scores 0.0, not NaN
+    assert(r.head("neighbor_id") == 1L)
+    val zeroRow = r.find(_("neighbor_id") == 2L).get
+    assert(zeroRow("score").asInstanceOf[Double] == 0.0)
+  }
+
   test("ivf knn: candidates come from probed cells, reasonable recall") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 8)

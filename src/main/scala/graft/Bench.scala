@@ -28,13 +28,15 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column
       // (a bare count() lets Catalyst prune projection-only plans away)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        // a failed query must be loud: a silent near-zero timing would
-        // flatter the bench total while the engine is actually broken
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      // a failed query must be loud IN THE JSON too: -1 is unmistakably
+      // not a timing, so consumers cannot mistake a crash for speed
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,7 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
 
 import graft.model.{PartitionStats, TopicSummary}
 import graft.operators.{AliveKeys, TopicMetrics}
@@ -43,23 +42,7 @@ object TopicAnalyzer {
         l(r, "p_bytes"), l(r, "key_bytes"), l(r, "value_bytes"),
         l(r, "avg_key_size"), l(r, "avg_value_size"), l(r, "avg_msg_size"))
     }.sortBy(_.partition)
-    def tsUs(r: org.apache.spark.sql.Row, c: String): Option[Long] =
-      Option(r.get(idx(c))).map { case t: java.sql.Timestamp =>
-        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-      }
-    val minAlive = rows.flatMap(r =>
-      if (r.isNullAt(idx("min_alive_msg"))) None else Some(l(r, "min_alive_msg")))
-    val maxAlive = rows.flatMap(r =>
-      if (r.isNullAt(idx("max_alive_msg"))) None else Some(l(r, "max_alive_msg")))
-    val minTs = rows.flatMap(tsUs(_, "min_ts"))
-    val maxTs = rows.flatMap(tsUs(_, "max_ts"))
-    val summary = TopicSummary(
-      overall_count = stats.map(_.total).sum,
-      overall_bytes = stats.map(_.p_bytes).sum,
-      smallest_msg = if (minAlive.isEmpty) 0L else minAlive.min,
-      largest_msg = if (maxAlive.isEmpty) 0L else maxAlive.max,
-      earliest_us = if (minTs.isEmpty) 0L else minTs.min,
-      latest_us = if (maxTs.isEmpty) 0L else maxTs.max)
+    val summary = TopicMetrics.summaryFromPartials(rows.toSeq, idx)
     val alive = if (countAliveKeys) Some(AliveKeys.exact(records)) else None
     Result(stats, summary, alive)
   }

@@ -35,7 +35,7 @@ object MetricAggregators {
         val size = kLen + vLen
         val tsUs =
           if (r.timestamp == null) 0L
-          else r.timestamp.getTime * 1000L + (r.timestamp.getNanos / 1000L) % 1000L
+          else graft.model.Timestamps.toMicros(r.timestamp)
         SummaryBuf(
           b.count + 1, b.bytes + size,
           if (r.value != null) math.min(b.minAliveSize, size) else b.minAliveSize,

@@ -107,13 +107,40 @@ object TopicMetrics {
       sum(col("key_bytes") + col("value_bytes")).as("overall_bytes"),
       coalesce(min(col("min_alive_msg")), lit(0L)).as("smallest_msg"),
       coalesce(max(col("max_alive_msg")), lit(0L)).as("largest_msg"),
-      unix_micros(min(col("min_ts"))).as("earliest_us"),
-      unix_micros(max(col("max_ts"))).as("latest_us"))
+      // all-null timestamps read out as 0, like the size sentinels
+      coalesce(unix_micros(min(col("min_ts"))), lit(0L)).as("earliest_us"),
+      coalesce(unix_micros(max(col("max_ts"))), lit(0L)).as("latest_us"))
 
   def summarize(stats: DataFrame): TopicSummary = {
     val r = summaryFrame(stats).collect()(0)
     TopicSummary(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4), r.getLong(5))
+  }
+
+  /** The D1-D6 reduction over ALREADY-COLLECTED per-partition rows
+    * (the output of [[withDerived]]([[partitionStats]])) — the
+    * single-scan path used by the report facade. ONE definition of the
+    * driver-side re-reduce; must agree with [[summaryFrame]] (pinned
+    * by AnalyzerSpec).
+    */
+  def summaryFromPartials(rows: Seq[org.apache.spark.sql.Row],
+      idx: Map[String, Int]): TopicSummary = {
+    def longs(c: String): Seq[Long] =
+      rows.filterNot(_.isNullAt(idx(c))).map(_.getLong(idx(c)))
+    def tsUs(c: String): Seq[Long] =
+      rows.filterNot(_.isNullAt(idx(c)))
+        .map(r => graft.model.Timestamps.toMicros(r.get(idx(c))))
+    val minAlive = longs("min_alive_msg")
+    val maxAlive = longs("max_alive_msg")
+    val minTs = tsUs("min_ts")
+    val maxTs = tsUs("max_ts")
+    TopicSummary(
+      overall_count = longs("total").sum,
+      overall_bytes = longs("p_bytes").sum,
+      smallest_msg = if (minAlive.isEmpty) 0L else minAlive.min,
+      largest_msg = if (maxAlive.isEmpty) 0L else maxAlive.max,
+      earliest_us = if (minTs.isEmpty) 0L else minTs.min,
+      latest_us = if (maxTs.isEmpty) 0L else maxTs.max)
   }
 
   /** Per-partition rows AND the grand-total row in one pass —

@@ -17,6 +17,24 @@ class AnalyzerSpec extends SparkSuite {
     assert(result.partitionStats.map(_.total).sum == result.summary.overall_count)
   }
 
+  test("all three summary reductions agree (SQL, driver-side, typed Aggregator)") {
+    val s = spark
+    import s.implicits._
+    val data = Seq(
+      KafkaRecord(0, 0L, ts(5000), b("k"), b("vvvv")),
+      KafkaRecord(0, 1L, ts(1000), b("kk"), b("v")),
+      KafkaRecord(1, 0L, ts(9000), b("huge-key"), null))
+    val raw = operators.TopicMetrics.partitionStats(data.toDS().toDF())
+    val viaSql = operators.TopicMetrics.summarize(raw)
+    val derived = operators.TopicMetrics.withDerived(raw)
+    val rows = derived.collect().toSeq
+    val idx = derived.columns.zipWithIndex.toMap
+    val viaPartials = operators.TopicMetrics.summaryFromPartials(rows, idx)
+    val viaAgg = data.toDS()
+      .select(MetricAggregators.topicSummary.toColumn).collect()(0)
+    assert(viaSql == viaPartials && viaPartials == viaAgg)
+  }
+
   test("typed Aggregator (MetricHandler equivalent) matches SQL summary") {
     val s = spark
     import s.implicits._

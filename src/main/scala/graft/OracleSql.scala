@@ -336,6 +336,18 @@ object OracleSql {
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  def repetition(shingleN: Int = 3): String =
+    s"""$docCte,
+       |$shingleCte,
+       |$shingleHashCte
+       |SELECT tok.doc_id,
+       |       GREATEST(len(tok.toks) - ${shingleN - 1}, 1) AS total_shingles,
+       |       len(hx.xs) AS distinct_shingles,
+       |       1.0 - CAST(len(hx.xs) AS DOUBLE)
+       |             / GREATEST(len(tok.toks) - ${shingleN - 1}, 1) AS dup_ratio
+       |FROM tok JOIN hx USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def vocabulary(k: Int = 100): String =
     s"""$docCte
        |SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df

@@ -47,6 +47,7 @@ object SparkEntry {
       EventAnalytics.topEventTypePerUser(EventsAsRecords.readEvents(s, dir))),
     "q_value_percentiles" -> ((s, dir) =>
       EventAnalytics.valuePercentiles(EventsAsRecords.readEvents(s, dir))),
+    "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
     "q_length_hist" -> ((s, dir) => TextAnalysis.lengthHistogram(docs(s, dir))),
     "q_text_clean" -> ((s, dir) => {
@@ -180,6 +181,7 @@ object SparkEntry {
       "q_sessions" -> OracleSql.sessions(),
       "q_user_top_type" -> OracleSql.topEventTypePerUser,
       "q_value_percentiles" -> OracleSql.valuePercentiles(),
+      "q_repetition" -> OracleSql.repetition(),
       "q_vocabulary" -> OracleSql.vocabulary(),
       "q_length_hist" -> OracleSql.lengthHistogram(),
       "q_text_clean" -> OracleSql.textClean,

@@ -39,6 +39,25 @@ object TextAnalysis {
       rollingHash(col("text")).as("rolling_hash"))
       .orderBy(col("doc_id"))
 
+  /** Repetition ratio — the classic within-document repetition quality
+    * signal: 1 − distinct-shingles / total-shingles. 0 for fully
+    * novel text, → 1 for text that loops the same phrases. Distinctness
+    * is by shingle hash (the fused [[Dedup.shingleHashFrame]] output);
+    * total shingle count derives from the token count.
+    */
+  def repetition(docs: DataFrame, shingleN: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      graft.functions.ArrayHashExprs.shingle_hashes(
+        normText(col("text")), shingleN).as("xs"))
+      .select(col("doc_id"),
+        greatest(col("n_tokens") - (shingleN - 1), lit(1)).cast("long")
+          .as("total_shingles"),
+        size(col("xs")).cast("long").as("distinct_shingles"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("distinct_shingles").cast("double") / col("total_shingles"))
+      .orderBy(col("doc_id"))
+
   /** Corpus vocabulary stats: per-token total occurrences and document
     * frequency, top `k` by (tf desc, token) — explode + two-level
     * aggregate, the canonical distributed word-count shape.

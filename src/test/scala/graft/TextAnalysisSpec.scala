@@ -54,6 +54,14 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got == ref(text))
   }
 
+  test("repetition ratio: looping text scores high, novel text scores 0") {
+    val loop = Seq.fill(10)("the cat sat on the mat").mkString(" ")
+    val novel = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val r = rowsOf(TextAnalysis.repetition(docs(1L -> loop, 2L -> novel)))
+      .map(m => m("doc_id") -> m("dup_ratio").asInstanceOf[Double]).toMap
+    assert(r(1L) > 0.8 && r(2L) == 0.0)
+  }
+
   test("md5 fingerprint is normalization-invariant") {
     val r = rowsOf(TextAnalysis.fingerprints(docs(
       1L -> "Hello   World", 2L -> "hello world")))

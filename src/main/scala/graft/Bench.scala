@@ -40,7 +40,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total covers successful queries only — summing the -1 failure
+    // sentinels would make a crashed query IMPROVE the headline number
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -8,8 +8,10 @@ import graft.operators.{Dedup, Similarity}
   * Contract: every formula here is the SAME integer / IEEE-double
   * computation the Spark operator performs (same fold order, same
   * literals, same tie-breaks), so results hash-match bit-for-bit. The
-  * shared primitive is the 60-bit md5-prefix base hash
-  * ([[Hashing.baseHash60]] ≡ `('0x' || substr(md5(s),1,15))::BIGINT`).
+  * shared sketch primitive is the 31-bit polynomial hash
+  * ([[graft.functions.ArrayHashExprs.PolyHash31Expr]] ≡ [[baseHash]];
+  * init values ride as the list head because DuckDB's list_reduce has
+  * no initial-accumulator parameter).
   */
 object OracleSql {
 
@@ -118,8 +120,9 @@ object OracleSql {
     s"""$docCte
        |SELECT doc_id, md5(norm) AS fp_md5,
        |       list_reduce(
-       |         list_transform(generate_series(1, length(norm)),
-       |                        i -> unicode(substr(norm, i, 1))::BIGINT),
+       |         list_concat([0::BIGINT],
+       |           list_transform(generate_series(1, length(norm)),
+       |                          i -> unicode(substr(norm, i, 1))::BIGINT)),
        |         (a, c) -> (a * 31 + c) % 1000000007) AS rolling_hash
        |FROM t ORDER BY doc_id""".stripMargin
 
@@ -330,7 +333,7 @@ object OracleSql {
        |  SELECT event_type, "value",
        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY "value") AS rn,
        |         COUNT(*) OVER (PARTITION BY event_type) AS n
-       |  FROM events)
+       |  FROM events WHERE "value" IS NOT NULL)
        |SELECT event_type,
        |       $picks
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -147,8 +147,8 @@ object SparkEntry {
            |         THEN COALESCE(LENGTH("key"), 0) + LENGTH("value") END), 0) AS smallest_msg,
            |       COALESCE(MAX(CASE WHEN "value" IS NOT NULL
            |         THEN COALESCE(LENGTH("key"), 0) + LENGTH("value") END), 0) AS largest_msg,
-           |       CAST(epoch_us(MIN("timestamp")) AS BIGINT) AS earliest_us,
-           |       CAST(epoch_us(MAX("timestamp")) AS BIGINT) AS latest_us
+           |       COALESCE(CAST(epoch_us(MIN("timestamp")) AS BIGINT), 0) AS earliest_us,
+           |       COALESCE(CAST(epoch_us(MAX("timestamp")) AS BIGINT), 0) AS latest_us
            |FROM records""".stripMargin,
       "q_offsets" ->
         s"""$cte

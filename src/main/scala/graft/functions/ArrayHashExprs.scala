@@ -37,11 +37,15 @@ object ArrayHashExprs {
       val counts = new Array[Int](bits)
       var i = 0
       while (i < arr.numElements()) {
-        val x = arr.getLong(i)
-        var j = 0
-        while (j < bits) {
-          counts(j) += (if (((x >> j) & 1L) == 1L) 1 else -1)
-          j += 1
+        // null elements (possible via SQL array literals) are skipped —
+        // identical behavior interpreted and codegen'd
+        if (!arr.isNullAt(i)) {
+          val x = arr.getLong(i)
+          var j = 0
+          while (j < bits) {
+            counts(j) += (if (((x >> j) & 1L) == 1L) 1 else -1)
+            j += 1
+          }
         }
         i += 1
       }
@@ -66,6 +70,7 @@ object ArrayHashExprs {
            |final int $n = $c.numElements();
            |final int[] $counts = new int[$bits];
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($c.isNullAt($i)) continue;
            |  final long $x = $c.getLong($i);
            |  for (int $j = 0; $j < $bits; $j++) {
            |    $counts[$j] += ((($x >> $j) & 1L) == 1L) ? 1 : -1;
@@ -111,12 +116,14 @@ object ArrayHashExprs {
       val mins = Array.fill(numHashes)(Long.MaxValue)
       var i = 0
       while (i < arr.numElements()) {
-        val y = arr.getLong(i) % p
-        var q = 0
-        while (q < numHashes) {
-          val h = (coeffA(q) * y + coeffB(q)) % p
-          if (h < mins(q)) mins(q) = h
-          q += 1
+        if (!arr.isNullAt(i)) {
+          val y = arr.getLong(i) % p
+          var q = 0
+          while (q < numHashes) {
+            val h = (coeffA(q) * y + coeffB(q)) % p
+            if (h < mins(q)) mins(q) = h
+            q += 1
+          }
         }
         i += 1
       }
@@ -141,6 +148,7 @@ object ArrayHashExprs {
            |  final long[] $mins = new long[$numHashes];
            |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
            |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($c.isNullAt($i)) continue;
            |    final long $y = $c.getLong($i) % ${p}L;
            |    for (int $q = 0; $q < $numHashes; $q++) {
            |      final long $h = ($aRef[$q] * $y + $bRef[$q]) % ${p}L;
@@ -342,7 +350,11 @@ object ArrayHashExprs {
       val n = math.min(a.numElements(), b.numElements())
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+      while (i < n) {
+        if (!a.isNullAt(i) && !b.isNullAt(i))
+          acc += a.getDouble(i) * b.getDouble(i)
+        i += 1
+      }
       acc
     }
 
@@ -355,6 +367,7 @@ object ArrayHashExprs {
            |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) continue;
            |  $acc += $a.getDouble($i) * $b.getDouble($i);
            |}
            |${ev.value} = $acc;

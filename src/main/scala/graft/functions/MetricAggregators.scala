@@ -33,14 +33,18 @@ object MetricAggregators {
         val kLen = if (r.key == null) 0L else r.key.length.toLong
         val vLen = if (r.value == null) 0L else r.value.length.toLong
         val size = kLen + vLen
-        val tsUs =
-          if (r.timestamp == null) 0L
-          else graft.model.Timestamps.toMicros(r.timestamp)
+        // null timestamps are SKIPPED (like SQL min/max), keeping this
+        // reduction in lockstep with summaryFrame/summaryFromPartials;
+        // the missing-ts -> epoch-0 mapping is the SOURCE's job
+        // (KafkaRecordSource.normalizeTimestamp), not the reduction's
+        val hasTs = r.timestamp != null
+        val tsUs = if (hasTs) graft.model.Timestamps.toMicros(r.timestamp) else 0L
         SummaryBuf(
           b.count + 1, b.bytes + size,
           if (r.value != null) math.min(b.minAliveSize, size) else b.minAliveSize,
           if (r.value != null) math.max(b.maxAliveSize, size) else b.maxAliveSize,
-          math.min(b.minTsUs, tsUs), math.max(b.maxTsUs, tsUs))
+          if (hasTs) math.min(b.minTsUs, tsUs) else b.minTsUs,
+          if (hasTs) math.max(b.maxTsUs, tsUs) else b.maxTsUs)
       }
 
       def merge(a: SummaryBuf, b: SummaryBuf): SummaryBuf =

@@ -88,6 +88,9 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands); " +
+        "leftover signature positions would silently never band")
     val rows = numHashes / bands
     val sh = shingleHashFrame(docs, shingleN)
     val sig = sh.select(col("doc_id"),
@@ -239,6 +242,13 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       bands: Int = 4): DataFrame = {
+    require(SimhashBits % bands == 0,
+      s"bands ($bands) must divide $SimhashBits bits; unbanded top bits " +
+        "would silently void the pigeonhole guarantee")
+    if (bands < maxHamming + 1)
+      System.err.println(
+        s"[simhashPairs] bands ($bands) < maxHamming+1 (${maxHamming + 1}): " +
+          "candidate recall is approximate, not pigeonhole-guaranteed")
     val bandBits = SimhashBits / bands
     val mask = (1L << bandBits) - 1
     val withSig = shingleHashFrame(docs)

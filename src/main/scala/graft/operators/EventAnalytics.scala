@@ -79,7 +79,11 @@ object EventAnalytics {
       .partitionBy(col("event_type")).orderBy(col("value"))
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type"))
+    // null values are excluded outright: engines disagree on null sort
+    // position (Spark NULLS FIRST vs others' NULLS LAST), and a
+    // percentile of nulls is meaningless anyway
     val ranked = events.select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wAll))
     val aggs = ps.map { p =>

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.functions.{Fnv32, Hashing}
+import graft.operators.Similarity
+
+/** ScalaCheck properties (SURVEY §5.2(2)) for the pure (driver-side)
+  * hash/geometry functions — no SparkSession needed, so these run as
+  * plain generative properties.
+  */
+object HashProperties extends Properties("graft.hashing") {
+
+  property("fnv32 stays in u32 range and is deterministic") =
+    Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val arr = bs.toArray
+      val h = Fnv32.hashBytes(arr)
+      h >= 0L && h <= 0xffffffffL && h == Fnv32.hashBytes(arr)
+    }
+
+  property("fnv32 of empty input is the offset basis") =
+    Prop(Fnv32.hashBytes(Array.emptyByteArray) == (Fnv32.Basis.toLong & 0xffffffffL))
+
+  property("fnv32 reference fold equivalence") =
+    Prop.forAll(Gen.alphaNumStr) { s =>
+      val expected = s.getBytes("UTF-8").foldLeft(Fnv32.Basis) {
+        (h, b) => (h ^ (b & 0xff)) * Fnv32.Basis
+      }.toLong & 0xffffffffL
+      Fnv32.hashBytes(s.getBytes("UTF-8")) == expected
+    }
+
+  property("permCoeffs produce valid universal-hash parameters") =
+    Prop.forAll(Gen.choose(0, 1024)) { i =>
+      val (a, b) = Hashing.permCoeffs(i)
+      a > 0 && a < Hashing.MersennePrime31 && (a % 2 == 1) &&
+        b >= 0 && b < Hashing.MersennePrime31
+    }
+
+  property("perm hash output stays in [0, p)") =
+    Prop.forAll(Gen.choose(0, 63), Gen.choose(0L, Long.MaxValue)) { (i, x) =>
+      val (a, b) = Hashing.permCoeffs(i)
+      val h = (a * (x % Hashing.MersennePrime31) + b) % Hashing.MersennePrime31
+      h >= 0 && h < Hashing.MersennePrime31
+    }
+
+  property("LSH plane components stay in [-1, 1] and are deterministic") =
+    Prop.forAll(Gen.choose(0, 15), Gen.choose(0, 15),
+      Gen.choose(0, Similarity.LshDims - 1)) { (t, j, d) =>
+      val v = Similarity.planeComponent(t, j, d)
+      v >= -1.0 && v <= 1.0 && v == Similarity.planeComponent(t, j, d)
+    }
+
+  property("poly hash 31 reference fold stays in [0, 2^31-1)") =
+    Prop.forAll(Gen.alphaNumStr) { s =>
+      val h = s.getBytes("UTF-8").foldLeft(0L)(
+        (acc, b) => (acc * 1000003L + (b & 0xff)) % 2147483647L)
+      h >= 0 && h < 2147483647L
+    }
+}

@@ -412,6 +412,23 @@ object OracleSql {
        |FROM m ORDER BY media_id""".stripMargin
   }
 
+  /** Frame-count / stride sampling over the ASCII payload, mirroring
+    * [[graft.operators.Multimodal.sampleStub]]. */
+  def multimodalSample(frameBytes: Int = 256, everyK: Int = 3,
+      strideK: Int = 4): String =
+    s"""SELECT doc_id AS media_id,
+       |       (length(text) + ${frameBytes - 1}) // $frameBytes AS n_frames,
+       |       (((length(text) + ${frameBytes - 1}) // $frameBytes) + ${everyK - 1}) // $everyK AS kept_frames,
+       |       length(strided) AS strided_len,
+       |       md5(strided) AS strided_md5
+       |FROM (
+       |  SELECT doc_id, text,
+       |         array_to_string(list_transform(
+       |           generate_series(1, length(text), $strideK),
+       |           i -> substr(text, i, 1)), '') AS strided
+       |  FROM documents)
+       |ORDER BY media_id""".stripMargin
+
   /** Unit-normalized double vectors, mirroring [[Similarity.withUnit]]:
     * norm once per vector, then element-wise division. */
   private val unitCte: String =

@@ -73,6 +73,8 @@ object SparkEntry {
     // LLM-pipeline: multimodal binary-column plumbing (stubbed decode)
     "q_multimodal_features" -> ((s, dir) =>
       graft.operators.Multimodal.featuresQuery(docs(s, dir))),
+    "q_multimodal_sample" -> ((s, dir) =>
+      graft.operators.Multimodal.sampleQuery(docs(s, dir))),
     // LLM-pipeline: embedding similarity search
     "q_embed_knn" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -196,6 +198,7 @@ object SparkEntry {
       "q_simhash" -> OracleSql.simhash,
       "q_simhash_pairs" -> OracleSql.simhashPairs(),
       "q_multimodal_features" -> OracleSql.multimodalFeatures,
+      "q_multimodal_sample" -> OracleSql.multimodalSample(),
       "q_embed_knn" -> OracleSql.knn(),
       "q_embed_knn_ivf" -> OracleSql.knnIvf(),
       "q_corpus_filter" -> OracleSql.corpusFilter(),

@@ -44,13 +44,9 @@ object Main {
     val records = parquetDir match {
       case Some(dir) => EventsAsRecords.records(spark, dir)
       case None =>
-        val librdkafka = opts.get("librdkafka")
-          .map(_.split(',').toSeq
-            .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }
-            .toMap).getOrElse(Map.empty)
         new KafkaRecordSource(
           opts.getOrElse("bootstrap", "localhost:9092"), topic.get,
-          librdkafka.map { case (k, v) => s"kafka.$k" -> v })
+          Main.parseLibrdkafka(opts.get("librdkafka")))
           .records(spark)
     }
     // empty-topic guard (`src/main.rs:98-101`)
@@ -66,8 +62,18 @@ object Main {
     spark.stop()
   }
 
+  /** The `--librdkafka k=v[,k=v...]` list as Spark Kafka-source
+    * options (`kafka.` prefix, like the reference passes raw consumer
+    * config through, `src/main.rs:84-92`). Malformed entries (no '=')
+    * are dropped.
+    */
+  private[cli] def parseLibrdkafka(arg: Option[String]): Map[String, String] =
+    arg.map(_.split(',').toSeq
+      .map(_.split("=", 2)).collect { case Array(k, v) => s"kafka.$k" -> v }
+      .toMap).getOrElse(Map.empty)
+
   @annotation.tailrec
-  private def parse(args: List[String],
+  private[cli] def parse(args: List[String],
       acc: Map[String, String]): Map[String, String] = args match {
     case ("-t" | "--topic") :: v :: rest => parse(rest, acc + ("topic" -> v))
     case ("-b" | "--bootstrap-server") :: v :: rest =>

@@ -75,4 +75,39 @@ object Multimodal {
     * media frame, ordered. */
   def featuresQuery(docs: DataFrame): DataFrame =
     extractFeatures(mediaFromDocuments(docs)).toDF().orderBy(col("media_id"))
+
+  case class MediaSample(
+      media_id: Long, n_frames: Long, kept_frames: Long,
+      strided_len: Long, strided_md5: String)
+
+  /** STUB resize + frame-sample: a "frame" is a fixed `frameBytes`
+    * chunk of the payload; sampling keeps every `everyK`-th frame;
+    * "resize" is a byte stride (every `strideK`-th byte). Real codecs
+    * replace the byte arithmetic with pixel/frame ops — the chunking,
+    * striding, and batched partition-local shape is what carries over.
+    */
+  def sampleStub(mediaId: Long, payload: Array[Byte],
+      frameBytes: Int, everyK: Int, strideK: Int): MediaSample = {
+    val n = payload.length
+    val nFrames = (n + frameBytes - 1) / frameBytes
+    val kept = (nFrames + everyK - 1) / everyK
+    val strided = Iterator.range(0, n, strideK).map(payload(_)).toArray
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(strided).map("%02x".format(_)).mkString
+    MediaSample(mediaId, nFrames.toLong, kept.toLong, strided.length.toLong, md5)
+  }
+
+  def sampleFeatures(media: DataFrame, frameBytes: Int = 256,
+      everyK: Int = 3, strideK: Int = 4): Dataset[MediaSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, p) =>
+        sampleStub(id, p, frameBytes, everyK, strideK)
+      }))
+  }
+
+  def sampleQuery(docs: DataFrame): DataFrame =
+    sampleFeatures(mediaFromDocuments(docs)).toDF().orderBy(col("media_id"))
 }

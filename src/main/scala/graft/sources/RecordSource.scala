@@ -31,13 +31,10 @@ final class KafkaRecordSource(
   extends RecordSource {
 
   def records(spark: SparkSession): DataFrame = {
-    val base = spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .option("endingOffsets", "latest")
-    extraOptions.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
-      .load()
+    val opts = KafkaRecordSource.batchOptions(bootstrapServers, topic, extraOptions)
+    opts.foldLeft(spark.read.format("kafka")) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
       .select(col("partition"), col("offset"),
         KafkaRecordSource.normalizeTimestamp(col("timestamp")),
         col("key"), col("value"))
@@ -45,12 +42,10 @@ final class KafkaRecordSource(
 
   /** Streaming variant (north star: Structured Streaming). */
   def recordStream(spark: SparkSession): DataFrame = {
-    val base = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-    extraOptions.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
-      .load()
+    val opts = KafkaRecordSource.streamOptions(bootstrapServers, topic, extraOptions)
+    opts.foldLeft(spark.readStream.format("kafka")) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
       .select(col("partition"), col("offset"),
         KafkaRecordSource.normalizeTimestamp(col("timestamp")),
         col("key"), col("value"))
@@ -58,6 +53,26 @@ final class KafkaRecordSource(
 }
 
 object KafkaRecordSource {
+  /** Reader options for the bounded batch scan (earliest → snapshot of
+    * latest, like `src/kafka.rs:60-72`); user options come LAST so a
+    * `--librdkafka`-style override wins, mirroring the reference's
+    * pass-through config behavior (`src/main.rs:84-92`).
+    */
+  def batchOptions(bootstrapServers: String, topic: String,
+      extra: Map[String, String]): Seq[(String, String)] =
+    Seq(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> "earliest",
+      "endingOffsets" -> "latest") ++ extra.toSeq
+
+  def streamOptions(bootstrapServers: String, topic: String,
+      extra: Map[String, String]): Seq[(String, String)] =
+    Seq(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> "earliest") ++ extra.toSeq
+
   /** Records without a timestamp read as epoch 0, matching the
     * reference's unwrap_or(0) (`src/metric.rs:209`, SURVEY §2.B5).
     * Kafka encodes "no timestamp" as -1 MILLISECONDS (not NULL), which

@@ -1,0 +1,39 @@
+package graft.cli
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.KafkaRecordSource
+
+/** Pure-function coverage of the CLI/Kafka plumbing that cannot run
+  * against a live broker in this environment.
+  */
+class CliSpec extends AnyFunSuite {
+
+  test("arg parsing covers the reference's flag surface") {
+    val opts = Main.parse(List("-t", "events", "-b", "k1:9092,k2:9092",
+      "-c", "--librdkafka", "fetch.min.bytes=1,queue.buffering.max.ms=1000"),
+      Map.empty)
+    assert(opts("topic") == "events")
+    assert(opts("bootstrap") == "k1:9092,k2:9092")
+    assert(opts.contains("alive"))
+    assert(opts("librdkafka") == "fetch.min.bytes=1,queue.buffering.max.ms=1000")
+  }
+
+  test("librdkafka pass-through gets the kafka. option prefix; junk dropped") {
+    val m = Main.parseLibrdkafka(Some("fetch.min.bytes=1,junk,isolation.level=read_committed"))
+    assert(m == Map("kafka.fetch.min.bytes" -> "1",
+      "kafka.isolation.level" -> "read_committed"))
+    assert(Main.parseLibrdkafka(None).isEmpty)
+  }
+
+  test("kafka batch options: bounded scan defaults, user overrides win") {
+    val opts = KafkaRecordSource.batchOptions("b:9092", "t",
+      Map("startingOffsets" -> "latest", "kafka.fetch.min.bytes" -> "1")).toMap
+    assert(opts("subscribe") == "t")
+    assert(opts("endingOffsets") == "latest")
+    assert(opts("startingOffsets") == "latest") // user override last wins
+    assert(opts("kafka.fetch.min.bytes") == "1")
+    val stream = KafkaRecordSource.streamOptions("b:9092", "t", Map.empty).toMap
+    assert(!stream.contains("endingOffsets")) // unbounded
+  }
+}

@@ -40,8 +40,10 @@ fails = 0
 for name, sql in sorted(oracle.items()):
     try:
         got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        got_types = dict(zip(got_rel.columns, map(str, got_rel.types)))
         got_cols, got = norm(got_rel.fetchall(), got_rel.columns)
         exp_rel = con.sql(sql)
+        exp_types = dict(zip(exp_rel.columns, map(str, exp_rel.types)))
         exp_cols, exp = norm(exp_rel.fetchall(), exp_rel.columns)
     except Exception as e:
         print(f"FAIL  {name}: {e}")
@@ -49,6 +51,14 @@ for name, sql in sorted(oracle.items()):
         continue
     if got_cols != exp_cols:
         print(f"FAIL  {name}: columns {got_cols} != {exp_cols}")
+        fails += 1
+    # the driver's hash is TYPE-sensitive (round 1: DuckDB HUGEINT vs
+    # Spark BIGINT hashed differently despite bit-exact values) — so
+    # an un-cast oracle SUM must fail HERE, not at the driver
+    elif got_types != exp_types:
+        d = {c: (got_types[c], exp_types[c]) for c in got_types
+             if got_types.get(c) != exp_types.get(c)}
+        print(f"FAIL  {name}: column types spark!=oracle: {d}")
         fails += 1
     elif got != exp:
         diff = [(g, e) for g, e in zip(got, exp) if g != e][:3]

@@ -43,7 +43,14 @@ object Bench {
     // total covers successful queries only — summing the -1 failure
     // sentinels would make a crashed query IMPROVE the headline number
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also persist to a file: stdout can get interleaved with stray
+    // [error] log lines under sbt, which breaks line-oriented parsers
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

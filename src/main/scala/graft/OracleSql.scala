@@ -260,7 +260,7 @@ object OracleSql {
        |         a.sig AS sig_a, b.sig AS sig_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
@@ -305,8 +305,8 @@ object OracleSql {
        |y AS (SELECT *, CASE WHEN prev_us IS NULL
        |        OR epoch_us(ts) - prev_us > $gapUs THEN 1 ELSE 0 END AS new_session
        |      FROM x),
-       |z AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
-       |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+       |z AS (SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
        |      FROM y)
        |SELECT user_id, session_idx,
        |       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
@@ -449,7 +449,7 @@ object OracleSql {
        |        ROW_NUMBER() OVER (PARTITION BY query_id
        |          ORDER BY score DESC, neighbor_id) AS rank
        |      FROM scored)
-       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   private def sigsUnionSql(tables: Int, planes: Int): String = {
@@ -482,7 +482,7 @@ object OracleSql {
        |        ROW_NUMBER() OVER (PARTITION BY query_id
        |          ORDER BY score DESC, neighbor_id) AS rank
        |      FROM scored)
-       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   def knnIvf(k: Int = 5, maxQueryId: Int = 16, nCentroids: Int = 16,
@@ -510,7 +510,7 @@ object OracleSql {
        |        ROW_NUMBER() OVER (PARTITION BY query_id
        |          ORDER BY score DESC, neighbor_id) AS rank
        |      FROM scored)
-       |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   def lshNearPairs(tables: Int = 4, planes: Int = 4,

@@ -135,16 +135,16 @@ object SparkEntry {
            |         COUNT(*) - COUNT("value") AS tombstones,
            |         COUNT(*) - COUNT("key") AS key_null,
            |         COUNT("key") AS key_non_null,
-           |         COALESCE(SUM(LENGTH("key")), 0) AS key_bytes,
-           |         COALESCE(SUM(LENGTH("value")), 0) AS value_bytes,
-           |         COALESCE(SUM(LENGTH("key")), 0) + COALESCE(SUM(LENGTH("value")), 0) AS p_bytes,
+           |         CAST(COALESCE(SUM(LENGTH("key")), 0) AS BIGINT) AS key_bytes,
+           |         CAST(COALESCE(SUM(LENGTH("value")), 0) AS BIGINT) AS value_bytes,
+           |         CAST(COALESCE(SUM(LENGTH("key")), 0) + COALESCE(SUM(LENGTH("value")), 0) AS BIGINT) AS p_bytes,
            |         CASE WHEN COUNT(*) > 0 AND COUNT(*) - COUNT("value") > 0
            |              THEN (COUNT(*) - COUNT("value")) * 100.0 / COUNT(*) ELSE 0.0 END AS dirty_ratio
            |  FROM records GROUP BY 1) ORDER BY "partition"""".stripMargin,
       "q_topic_summary" ->
         s"""$cte
            |SELECT COUNT(*) AS overall_count,
-           |       COALESCE(SUM(COALESCE(LENGTH("key"), 0) + COALESCE(LENGTH("value"), 0)), 0) AS overall_bytes,
+           |       CAST(COALESCE(SUM(COALESCE(LENGTH("key"), 0) + COALESCE(LENGTH("value"), 0)), 0) AS BIGINT) AS overall_bytes,
            |       COALESCE(MIN(CASE WHEN "value" IS NOT NULL
            |         THEN COALESCE(LENGTH("key"), 0) + LENGTH("value") END), 0) AS smallest_msg,
            |       COALESCE(MAX(CASE WHEN "value" IS NOT NULL
@@ -165,8 +165,8 @@ object SparkEntry {
            |       COUNT(*) - COUNT("value") AS tombstones,
            |       COUNT(*) - COUNT("key") AS key_null,
            |       COUNT("key") AS key_non_null,
-           |       COALESCE(SUM(LENGTH("key")), 0) AS key_bytes,
-           |       COALESCE(SUM(LENGTH("value")), 0) AS value_bytes
+           |       CAST(COALESCE(SUM(LENGTH("key")), 0) AS BIGINT) AS key_bytes,
+           |       CAST(COALESCE(SUM(LENGTH("value")), 0) AS BIGINT) AS value_bytes
            |FROM records GROUP BY ROLLUP("partition")
            |ORDER BY "partition" NULLS FIRST""".stripMargin,
       "q_alive_keys" ->

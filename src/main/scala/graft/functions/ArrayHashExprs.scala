@@ -295,13 +295,13 @@ object ArrayHashExprs {
            |  }
            |  $starts[$nTok] = $bytes.length + 1;
            |}
-           |final java.util.LinkedHashSet<Long> $set = new java.util.LinkedHashSet<Long>();
+           |final java.util.LinkedHashSet $set = new java.util.LinkedHashSet();
            |if ($nTok < $n) {
            |  long $h = 0L;
            |  for (int $j = 0; $j < $bytes.length; $j++) {
            |    $h = ($h * 1000003L + ($bytes[$j] & 0xff)) % 2147483647L;
            |  }
-           |  $set.add($h);
+           |  $set.add(java.lang.Long.valueOf($h));
            |} else {
            |  for (int $s = 0; $s + $n <= $nTok; $s++) {
            |    final int $from = $starts[$s];
@@ -310,13 +310,13 @@ object ArrayHashExprs {
            |    for (int $j = $from; $j < $until; $j++) {
            |      $h = ($h * 1000003L + ($bytes[$j] & 0xff)) % 2147483647L;
            |    }
-           |    $set.add($h);
+           |    $set.add(java.lang.Long.valueOf($h));
            |  }
            |}
            |final long[] $arr = new long[$set.size()];
            |int $k = 0;
-           |for (java.util.Iterator<Long> $itv = $set.iterator(); $itv.hasNext(); ) {
-           |  $arr[$k++] = $itv.next().longValue();
+           |for (java.util.Iterator $itv = $set.iterator(); $itv.hasNext(); ) {
+           |  $arr[$k++] = ((java.lang.Long) $itv.next()).longValue();
            |}
            |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
            |""".stripMargin

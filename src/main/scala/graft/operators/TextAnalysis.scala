@@ -46,10 +46,14 @@ object TextAnalysis {
     * total shingle count derives from the token count.
     */
   def repetition(docs: DataFrame, shingleN: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
-      tokenCount(col("text")).as("n_tokens"),
-      graft.functions.ArrayHashExprs.shingle_hashes(
-        normText(col("text")), shingleN).as("xs"))
+    // normalize ONCE: the regex chain in normText is the expensive part,
+    // and CollapseProject keeps this projection boundary because the
+    // norm column is referenced twice below (non-cheap, multi-ref).
+    docs.select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"),
+        size(split(col("norm"), " ")).as("n_tokens"),
+        graft.functions.ArrayHashExprs.shingle_hashes(
+          col("norm"), shingleN).as("xs"))
       .select(col("doc_id"),
         greatest(col("n_tokens") - (shingleN - 1), lit(1)).cast("long")
           .as("total_shingles"),

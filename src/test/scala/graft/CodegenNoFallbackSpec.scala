@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ArrayHashExprs, Fnv32, TextFunctions}
+
+/** Every custom Catalyst expression must actually COMPILE under
+  * whole-stage codegen. With the default configs a Janino failure
+  * silently drops the whole stage to interpreted execution (round-1:
+  * ShingleHashExpr emitted an erased-generic iterator and all 7 shingle
+  * queries degraded without failing a single test). Here we force
+  * CODEGEN_ONLY + no fallback so a codegen break fails `sbt test`
+  * loudly, and we pin codegen output == interpreted output.
+  */
+class CodegenNoFallbackSpec extends SparkSuite {
+
+  private val Keys = Seq(
+    "spark.sql.codegen.fallback" -> "false",
+    "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY",
+    "spark.sql.codegen.wholeStage" -> "true")
+
+  private def withNoFallback[A](f: => A): A = {
+    val prev = Keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    Keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def emb: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  /** Collect `df` twice — interpreted-tolerant (default confs) and
+    * CODEGEN_ONLY — and require bit-identical results.
+    */
+  private def assertCodegenParity(df: => DataFrame): Unit = {
+    val loose = df.collect().map(_.toString).sorted
+    val strict = withNoFallback(df.collect().map(_.toString).sorted)
+    assert(loose.sameElements(strict))
+    assert(strict.nonEmpty)
+  }
+
+  test("shingle_hashes compiles and matches under CODEGEN_ONLY") {
+    assertCodegenParity(docs.select(col("doc_id"),
+      ArrayHashExprs.shingle_hashes(
+        TextFunctions.normText(col("text")), 3).as("xs")))
+  }
+
+  test("poly_hash31 compiles and matches under CODEGEN_ONLY") {
+    assertCodegenParity(docs.select(col("doc_id"),
+      ArrayHashExprs.poly_hash31(TextFunctions.normText(col("text"))).as("h")))
+  }
+
+  test("simhash_bits + minhash_sig compile and match under CODEGEN_ONLY") {
+    assertCodegenParity(docs
+      .select(col("doc_id"),
+        ArrayHashExprs.shingle_hashes(
+          TextFunctions.normText(col("text")), 3).as("xs"))
+      .select(col("doc_id"),
+        ArrayHashExprs.simhash_bits(col("xs"), 64).as("sh"),
+        ArrayHashExprs.minhash_sig(col("xs"), 16).as("mh")))
+  }
+
+  test("dot_product compiles and matches under CODEGEN_ONLY") {
+    assertCodegenParity(emb.limit(50).select(col("vec_id"),
+      graft.operators.Similarity.dot(col("embedding"), col("embedding")).as("d")))
+  }
+
+  test("fnv32 compiles and matches under CODEGEN_ONLY") {
+    assertCodegenParity(docs.select(col("doc_id"),
+      Fnv32.fnv32(col("text").cast("binary")).as("h")))
+  }
+}

@@ -52,9 +52,13 @@ object SparkEntry {
     "q_length_hist" -> ((s, dir) => TextAnalysis.lengthHistogram(docs(s, dir))),
     "q_text_clean" -> ((s, dir) => {
       import graft.functions.TextFunctions
-      docs(s, dir).select(col("doc_id"),
-        md5(TextFunctions.cleanText(col("text")).cast("binary")).as("clean_md5"),
-        length(TextFunctions.cleanText(col("text"))).cast("long").as("clean_len"))
+      // clean ONCE: the 5-regex chain is the expensive part, and
+      // CollapseProject keeps the boundary (non-cheap, referenced twice)
+      docs(s, dir)
+        .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("clean"))
+        .select(col("doc_id"),
+          md5(col("clean").cast("binary")).as("clean_md5"),
+          length(col("clean")).cast("long").as("clean_len"))
         .orderBy(col("doc_id"))
     }),
     // LLM-pipeline: text analysis over `documents`
@@ -94,10 +98,16 @@ object SparkEntry {
       import graft.functions.TextFunctions
       val d = docs(s, dir)
       val clusters = Dedup.nearDupClusters(d)
-      d.join(clusters, Seq("doc_id"))
-        .filter(col("cluster") === col("doc_id") &&
-          TextFunctions.qualityScore(col("text")) >= 0.65 &&
-          TextFunctions.langId(col("text")) === "en")
+      // score in a PROJECTION (subexpression elimination dedupes the
+      // shared normText/tokens chains there; filter predicates get no
+      // such pass), filter on the materialized columns, THEN join the
+      // tiny surviving side against the cluster labels
+      d.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langId(col("text")).as("lang"))
+        .filter(col("quality") >= 0.65 && col("lang") === "en")
+        .join(clusters, Seq("doc_id"))
+        .filter(col("cluster") === col("doc_id"))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),

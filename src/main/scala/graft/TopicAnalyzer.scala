@@ -47,7 +47,12 @@ object TopicAnalyzer {
     Result(stats, summary, alive)
   }
 
-  def report(result: Result, topic: String, elapsedSecs: Long): String =
-    Report.render(result.partitionStats, result.summary, topic,
-      elapsedSecs, result.aliveKeys)
+  def report(result: Result, topic: String, elapsedSecs: Long,
+      compat: Boolean = false): String =
+    if (compat)
+      Report.renderCompat(result.partitionStats, result.summary, topic,
+        elapsedSecs, result.aliveKeys)
+    else
+      Report.render(result.partitionStats, result.summary, topic,
+        elapsedSecs, result.aliveKeys)
 }

@@ -15,14 +15,23 @@ import graft.sources.{EventsAsRecords, KafkaRecordSource}
   *                                  (`src/main.rs:84-92`)
   *   --parquet <sfDir>              read the events fixture mapping
   *                                  instead of Kafka (test/dev mode)
+  *   --compat                       reference-fidelity report layout
+  *                                  (second-truncated timestamps,
+  *                                  `src/metric.rs:210-211`)
   *
-  * Exit codes: -2 (=254) on empty topic (`src/main.rs:98-101`), 1 on
-  * bad usage.
+  * Unknown arguments are rejected with exit 1, like the reference's
+  * clap parser (`src/main.rs:32-67`). Exit codes: -2 (=254) on empty
+  * topic (`src/main.rs:98-101`), 1 on bad usage.
   */
 object Main {
 
   def main(args: Array[String]): Unit = {
     val opts = parse(args.toList, Map.empty)
+    // strict unknown-arg rejection, like the reference's clap parser
+    opts.get("unknown").foreach { u =>
+      System.err.println(s"error: Found argument '$u' which wasn't expected, or isn't valid in this context")
+      sys.exit(1)
+    }
     val topic = opts.get("topic")
     val parquetDir = opts.get("parquet")
     if (topic.isEmpty && parquetDir.isEmpty) {
@@ -58,7 +67,7 @@ object Main {
     val result = TopicAnalyzer.analyze(records, opts.contains("alive"))
     val elapsed = (System.nanoTime() - t0) / 1000000000L
     println(TopicAnalyzer.report(result,
-      topic.orElse(parquetDir).get, elapsed))
+      topic.orElse(parquetDir).get, elapsed, opts.contains("compat")))
     spark.stop()
   }
 
@@ -82,9 +91,13 @@ object Main {
       parse(rest, acc + ("alive" -> "true"))
     case "--librdkafka" :: v :: rest => parse(rest, acc + ("librdkafka" -> v))
     case "--parquet" :: v :: rest => parse(rest, acc + ("parquet" -> v))
+    case "--compat" :: rest => parse(rest, acc + ("compat" -> "true"))
     case Nil => acc
+    // record the FIRST unknown argument; main rejects it (exit 1) the
+    // way the reference's clap parser does — parse stays sys.exit-free
+    // so specs can exercise it
     case other :: rest =>
-      System.err.println(s"ignoring unknown argument: $other")
-      parse(rest, acc)
+      parse(rest, if (acc.contains("unknown")) acc
+        else acc + ("unknown" -> other))
   }
 }

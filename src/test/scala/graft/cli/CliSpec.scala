@@ -17,6 +17,14 @@ class CliSpec extends AnyFunSuite {
     assert(opts("bootstrap") == "k1:9092,k2:9092")
     assert(opts.contains("alive"))
     assert(opts("librdkafka") == "fetch.min.bytes=1,queue.buffering.max.ms=1000")
+    assert(!opts.contains("unknown"))
+  }
+
+  test("unknown arguments are captured for strict clap-style rejection") {
+    val opts = Main.parse(List("-t", "events", "--bogus", "-x"), Map.empty)
+    assert(opts("topic") == "events")
+    assert(opts("unknown") == "--bogus") // first unknown wins
+    assert(Main.parse(List("--compat"), Map.empty).contains("compat"))
   }
 
   test("librdkafka pass-through gets the kafka. option prefix; junk dropped") {

@@ -22,17 +22,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: parquet reader + shuffle machinery, then one untimed run
-    // of EVERY query at the smallest fixture. Janino compilation of the
+    // of EVERY query at the SAME scale factor. Janino compilation of
     // generated code dominates first-run cost (7.5s cold vs 0.8s warm
     // observed on q_quality) and is a per-JVM one-off: on a long-lived
     // cluster app it amortizes to zero, so timing it per-query would
-    // measure the compiler, not the plan. The generated-class cache is
-    // keyed on plan structure, not data, so the tiny dir warms the
-    // exact classes the timed run uses.
+    // measure the compiler, not the plan. The warmup must run at the
+    // measured SF — AQE picks different join strategies at different
+    // sizes (broadcast vs sort-merge), and a different physical plan
+    // compiles different generated classes, missing the cache.
     spark.read.parquet(s"$sfDir/events.parquet")
       .groupBy("event_type").count().count()
-    val warmDir0 = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
-    val warmDir = if (new java.io.File(warmDir0).isDirectory) warmDir0 else sfDir
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
@@ -58,8 +58,11 @@ object Bench {
     // total covers successful queries only — summing the -1 failure
     // sentinels would make a crashed query IMPROVE the headline number
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // escape env-provided paths — a quote or backslash in the dir name
+    // must not produce unparseable JSON
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup":"$warmDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}"}"""
     println(line)
     // also persist to a file: stdout can get interleaved with stray
     // [error] log lines under sbt, which breaks line-oriented parsers

@@ -48,11 +48,9 @@ object TopicAnalyzer {
   }
 
   def report(result: Result, topic: String, elapsedSecs: Long,
-      compat: Boolean = false): String =
-    if (compat)
-      Report.renderCompat(result.partitionStats, result.summary, topic,
-        elapsedSecs, result.aliveKeys)
-    else
-      Report.render(result.partitionStats, result.summary, topic,
-        elapsedSecs, result.aliveKeys)
+      compat: Boolean = false): String = {
+    val render = if (compat) Report.renderCompat _ else Report.render _
+    render(result.partitionStats, result.summary, topic,
+      elapsedSecs, result.aliveKeys)
+  }
 }

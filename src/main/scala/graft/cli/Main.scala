@@ -32,6 +32,10 @@ object Main {
       System.err.println(s"error: Found argument '$u' which wasn't expected, or isn't valid in this context")
       sys.exit(1)
     }
+    opts.get("missing-value").foreach { f =>
+      System.err.println(s"error: The argument '$f' requires a value but none was supplied")
+      sys.exit(1)
+    }
     val topic = opts.get("topic")
     val parquetDir = opts.get("parquet")
     if (topic.isEmpty && parquetDir.isEmpty) {
@@ -92,6 +96,11 @@ object Main {
     case "--librdkafka" :: v :: rest => parse(rest, acc + ("librdkafka" -> v))
     case "--parquet" :: v :: rest => parse(rest, acc + ("parquet" -> v))
     case "--compat" :: rest => parse(rest, acc + ("compat" -> "true"))
+    // a value-taking flag with no value is a distinct usage error —
+    // misreporting it as "unknown" would be a wrong diagnostic
+    case (f @ ("-t" | "--topic" | "-b" | "--bootstrap-server" |
+               "--librdkafka" | "--parquet")) :: Nil =>
+      acc + ("missing-value" -> f)
     case Nil => acc
     // record the FIRST unknown argument; main rejects it (exit 1) the
     // way the reference's clap parser does — parse stays sys.exit-free

@@ -92,18 +92,25 @@ object Report {
   private def fmtTsCompat(us: Long): String =
     CompatTsFmt.format(java.time.Instant.ofEpochSecond(us / 1000000L))
 
+  /** The 15 table cells for one partition row. Locale.ROOT on the
+    * dirty-ratio format: the reference always prints '.', so a
+    * locale-sensitive interpolator would break byte fidelity on
+    * non-English-locale JVMs. */
+  private def cells(s: PartitionStats): Seq[String] = Seq(
+    s.partition.toString, s.start_offset.toString, s.end_offset.toString,
+    s.total.toString, s.alive.toString, s.tombstones.toString,
+    String.format(java.util.Locale.ROOT, "%.4f",
+      Double.box(s.dirty_ratio)),
+    s.key_null.toString, s.key_non_null.toString,
+    s.p_bytes.toString, s.key_bytes.toString, s.value_bytes.toString,
+    s.avg_key_size.toString, s.avg_value_size.toString,
+    s.avg_msg_size.toString)
+
   /** prettytable-rs FORMAT_DEFAULT: '+' junctions, '-' fills, a
     * separator line around every row, one-space cell padding,
     * left-aligned; the header is just the first row. */
   private def compatTable(stats: Seq[PartitionStats]): String = {
-    val rows = Headers +: stats.map(s => Seq(
-      s.partition.toString, s.start_offset.toString, s.end_offset.toString,
-      s.total.toString, s.alive.toString, s.tombstones.toString,
-      f"${s.dirty_ratio}%.4f",
-      s.key_null.toString, s.key_non_null.toString,
-      s.p_bytes.toString, s.key_bytes.toString, s.value_bytes.toString,
-      s.avg_key_size.toString, s.avg_value_size.toString,
-      s.avg_msg_size.toString))
+    val rows = Headers +: stats.map(cells)
     val widths = Headers.indices.map(i => rows.map(_(i).length).max)
     val sep = widths.map(w => "-" * (w + 2)).mkString("+", "+", "+")
     def line(cells: Seq[String]): String =
@@ -113,14 +120,7 @@ object Report {
   }
 
   private def table(stats: Seq[PartitionStats]): String = {
-    val rows = stats.map(s => Seq(
-      s.partition.toString, s.start_offset.toString, s.end_offset.toString,
-      s.total.toString, s.alive.toString, s.tombstones.toString,
-      f"${s.dirty_ratio}%.4f",
-      s.key_null.toString, s.key_non_null.toString,
-      s.p_bytes.toString, s.key_bytes.toString, s.value_bytes.toString,
-      s.avg_key_size.toString, s.avg_value_size.toString,
-      s.avg_msg_size.toString))
+    val rows = stats.map(cells)
     val widths = Headers.indices.map(i =>
       (Headers(i).length +: rows.map(_(i).length)).max)
     def line(cells: Seq[String]): String =

@@ -27,6 +27,13 @@ class CliSpec extends AnyFunSuite {
     assert(Main.parse(List("--compat"), Map.empty).contains("compat"))
   }
 
+  test("a trailing value-taking flag reports missing-value, not unknown") {
+    val opts = Main.parse(List("-t"), Map.empty)
+    assert(opts("missing-value") == "-t")
+    assert(!opts.contains("unknown"))
+    assert(Main.parse(List("--parquet"), Map.empty)("missing-value") == "--parquet")
+  }
+
   test("librdkafka pass-through gets the kafka. option prefix; junk dropped") {
     val m = Main.parseLibrdkafka(Some("fetch.min.bytes=1,junk,isolation.level=read_committed"))
     assert(m == Map("kafka.fetch.min.bytes" -> "1",

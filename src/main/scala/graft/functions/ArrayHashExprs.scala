@@ -383,6 +383,85 @@ object ArrayHashExprs {
     ColumnBridge.column(DotProductExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Unit-normalize an `array<double>` in one fused loop: norm is the
+    * sqrt of the [[DotProductExpr]]-identical sequential self-dot fold,
+    * then each element divides by it — the same IEEE op sequence as the
+    * `sqrt(dot(v,v))` + per-element `transform` composition it replaces
+    * (whose lambda evaluated interpreted, once per element, outside
+    * codegen). Zero-norm vectors map to all-zero output (NOT NaN —
+    * NaN sorts first under desc and would poison every top-k); null
+    * elements stay null except in that zero-norm case, mirroring the
+    * replaced `when(nrm === 0, 0.0).otherwise(x / nrm)`. */
+  case class UnitVectorExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftInputTypes {
+
+    override def graftInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+      Seq(ArrayType(org.apache.spark.sql.types.DoubleType))
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.DoubleType)
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) { val x = a.getDouble(i); acc += x * x }
+        i += 1
+      }
+      val nrm = math.sqrt(acc)
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) =
+          if (nrm == 0.0) java.lang.Double.valueOf(0.0)
+          else if (a.isNullAt(i)) null
+          else java.lang.Double.valueOf(a.getDouble(i) / nrm)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val nrm = ctx.freshName("nrm")
+        val arr = ctx.freshName("arr")
+        val i = ctx.freshName("i")
+        val x = ctx.freshName("x")
+        s"""
+           |final int $n = $a.numElements();
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i)) {
+           |    final double $x = $a.getDouble($i);
+           |    $acc += $x * $x;
+           |  }
+           |}
+           |final double $nrm = java.lang.Math.sqrt($acc);
+           |final Object[] $arr = new Object[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($nrm == 0.0) {
+           |    $arr[$i] = java.lang.Double.valueOf(0.0);
+           |  } else if ($a.isNullAt($i)) {
+           |    $arr[$i] = null;
+           |  } else {
+           |    $arr[$i] = java.lang.Double.valueOf($a.getDouble($i) / $nrm);
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): UnitVectorExpr =
+      copy(child = newChild)
+  }
+
+  def unit_vector(v: Column): Column =
+    ColumnBridge.column(UnitVectorExpr(ColumnBridge.expression(v)))
+
   def simhash_bits(hashes: Column, bits: Int): Column =
     ColumnBridge.column(
       SimHashExpr(ColumnBridge.expression(hashes), bits))

@@ -173,28 +173,34 @@ object Dedup {
       threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50): DataFrame = {
     val pairs = minhashPairs(docs, numHashes, bands, threshold, shingleN)
       .select(col("doc_a"), col("doc_b"))
+    // pre-partition each iterating frame on ITS join key: localCheckpoint
+    // preserves outputPartitioning (LogicalRDD keeps it), so the
+    // edges⋈labels join below runs exchange-free every round — the only
+    // per-iteration shuffle left is the groupBy that reverses direction
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(col("doc_b"))
       .localCheckpoint(true)
     var labels = docs.select(col("doc_id"),
-      col("doc_id").as("cluster")).localCheckpoint(true)
+      col("doc_id").as("cluster"))
+      .repartition(col("doc_id"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("nbr_doc"))
         .agg(min(col("cluster")).as("nbr_min"))
+      // carry the previous label through so convergence is a narrow
+      // filter on the (already-materialized) checkpoint — no extra
+      // join+shuffle per round just to detect the fixpoint
       val next = labels.join(prop, labels("doc_id") === prop("nbr_doc"), "left")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
         .localCheckpoint(true)
-      // convergence check: one cheap anti-join count per round beats
-      // running fixed extra rounds of join+aggregate
-      converged = next.join(labels,
-        next("doc_id") === labels("doc_id") &&
-          next("cluster") =!= labels("cluster"), "left_semi").isEmpty
-      labels = next
+      converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+      labels = next.select(col("doc_id"), col("cluster"))
       iter += 1
     }
     if (!converged)

@@ -43,18 +43,28 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Adds `unit`: the double-cast, unit-normalized vector. Norm is
-    * evaluated once per row; an all-zero vector (common for failed
-    * encodes in real embedding dumps) maps to a zero unit vector
-    * instead of NaNs — NaN scores would otherwise sort FIRST under
-    * descending order and poison every top-k.
+  /** Adds `unit`: the double-cast, unit-normalized vector, via the
+    * fused codegen'd [[graft.functions.ArrayHashExprs.UnitVectorExpr]]
+    * (one loop per row; the earlier `sqrt(dot)` + per-element
+    * `transform` lambda evaluated interpreted). An all-zero vector
+    * (common for failed encodes in real embedding dumps) maps to a
+    * zero unit vector instead of NaNs — NaN scores would otherwise
+    * sort FIRST under descending order and poison every top-k.
     */
   def withUnit(df: DataFrame): DataFrame =
+    df.withColumn("unit",
+      graft.functions.ArrayHashExprs.unit_vector(
+        col("embedding").cast("array<double>")))
+
+  /** The declarative composition [[withUnit]] replaced — kept as the
+    * parity oracle for [[graft.functions.ArrayHashExprs.UnitVectorExpr]]. */
+  def withUnitDeclarative(df: DataFrame): DataFrame =
     df.withColumn("nrm", norm(col("embedding")))
       .withColumn("unit",
         transform(col("embedding"),
           x => when(col("nrm") === 0.0, lit(0.0))
             .otherwise(x.cast("double") / col("nrm"))))
+      .drop("nrm")
 
   /** Exact top-k neighbors for each query vector. `queries` must be
     * small (it is broadcast); the corpus side never shuffles before

@@ -57,6 +57,26 @@ class ArrayHashExprsSpec extends SparkSuite {
     assert(rows(1).getSeq[Long](0) == Seq(0L))
   }
 
+  test("native unit_vector == declarative sqrt(dot)+transform on fixture vecs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val native = graft.operators.Similarity.withUnit(emb)
+      .select(col("vec_id"), col("unit"))
+    val decl = graft.operators.Similarity.withUnitDeclarative(emb)
+      .select(col("vec_id"), col("unit").cast("array<double>").as("unit"))
+    val diff = native.as("n").join(decl.as("d"), Seq("vec_id"))
+      .filter(to_json(col("n.unit")) =!= to_json(col("d.unit"))).count()
+    assert(diff == 0L)
+  }
+
+  test("unit_vector: zero vector maps to zeros, not NaN") {
+    val s = spark
+    import s.implicits._
+    val r = Seq(Seq(0.0, 0.0, 0.0), Seq(3.0, 4.0, 0.0)).toDF("v")
+      .select(ArrayHashExprs.unit_vector(col("v")).as("u")).collect()
+    assert(r(0).getSeq[Double](0) == Seq(0.0, 0.0, 0.0))
+    assert(r(1).getSeq[Double](0) == Seq(0.6, 0.8, 0.0))
+  }
+
   test("minhash of empty array is null; simhash of empty array is 0") {
     val s = spark
     import s.implicits._

@@ -72,6 +72,12 @@ class CodegenNoFallbackSpec extends SparkSuite {
       graft.operators.Similarity.dot(col("embedding"), col("embedding")).as("d")))
   }
 
+  test("unit_vector compiles and matches under CODEGEN_ONLY") {
+    assertCodegenParity(emb.limit(50).select(col("vec_id"),
+      ArrayHashExprs.unit_vector(
+        col("embedding").cast("array<double>")).as("u")))
+  }
+
   test("fnv32 compiles and matches under CODEGEN_ONLY") {
     assertCodegenParity(docs.select(col("doc_id"),
       Fnv32.fnv32(col("text").cast("binary")).as("h")))

@@ -173,17 +173,18 @@ object Dedup {
       threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50): DataFrame = {
     val pairs = minhashPairs(docs, numHashes, bands, threshold, shingleN)
       .select(col("doc_a"), col("doc_b"))
-    // pre-partition each iterating frame on ITS join key: localCheckpoint
-    // preserves outputPartitioning (LogicalRDD keeps it), so the
-    // edges⋈labels join below runs exchange-free every round — the only
-    // per-iteration shuffle left is the groupBy that reverses direction
+    // NOTE on partitioning: under AQE a localCheckpoint records
+    // UnknownPartitioning (verified via explain — the unexecuted
+    // AdaptiveSparkPlan has no final partitioning to preserve), so
+    // pre-partitioning on the join key buys the NEXT round nothing;
+    // each round AQE re-plans the join and broadcasts the label side
+    // when it is small. At cluster scale, persist edges to a bucketed
+    // table (bucket by doc_b) to make iterations exchange-free.
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .repartition(col("doc_b"))
       .localCheckpoint(true)
     var labels = docs.select(col("doc_id"),
       col("doc_id").as("cluster"))
-      .repartition(col("doc_id"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0

@@ -151,11 +151,68 @@ object Similarity {
     * reproduce them — a production IVF trains them with k-means; the
     * assignment/probe/score plan is identical either way.
     */
-  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbes: Int = 4): DataFrame = {
+  /** Spherical k-means (Lloyd's) for IVF coarse centroids — the
+    * production swap for [[knnIvf]]'s deterministic stand-in.
+    * Per iteration:
+    *  - ASSIGN is a pure projection: centroids live on the driver
+    *    (IVF coarse books are small — k ≤ ~64k), scores are k fused
+    *    dot products per row, argmax via `array_position(array_max)`.
+    *    No shuffle, no window — the corpus is scanned, never moved.
+    *  - UPDATE is one `posexplode` + (cid, dim) aggregate: map-side
+    *    partial means bound the shuffle at partitions × k × dims rows.
+    *  - means re-normalize to unit length (cosine geometry); an empty
+    *    cell keeps its previous centroid.
+    * Seeding is the k lowest vec_ids — deterministic, so runs are
+    * reproducible given the same corpus. This mirrors the classic
+    * MLlib KMeans driver loop re-expressed on DataFrames.
+    */
+  def trainCentroids(corpus: DataFrame, k: Int = 16, iters: Int = 5): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0 ($k) and iters >= 0 ($iters)")
+    val spark = corpus.sparkSession
     val cu = withUnit(corpus).select(col("vec_id"), col("unit"))
-    val cent = cu.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("unit").as("cunit"))
+    var cent: Array[Seq[Double]] = cu.orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Double](1))
+    for (_ <- 0 until iters) {
+      val scores = array(cent.map(v =>
+        dot(col("unit"), typedLit(v))): _*)
+      val assigned = cu
+        .withColumn("scores", scores)
+        // 0-based cell id; first max wins (array_position is 1-based)
+        .withColumn("cid",
+          (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("unit")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cent = cent.indices.map { i =>
+        means.get(i).fold(cent(i)) { m =>
+          val nrm = math.sqrt(m.map(x => x * x).sum)
+          if (nrm == 0.0) cent(i) else m.map(_ / nrm)
+        }
+      }.toArray
+    }
+    import spark.implicits._
+    cent.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("cid", "cunit")
+  }
+
+  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbes: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cu = withUnit(corpus).select(col("vec_id"), col("unit"))
+    // default: deterministic stand-in centroids (first nCentroids
+    // vectors) so the DuckDB oracle can reproduce cell assignment;
+    // production passes trainCentroids(corpus) — the plan is identical
+    val cent = centroids.getOrElse(
+      cu.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("unit").as("cunit")))
     def nearestCentroids(df: DataFrame, keep: Int): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id"))

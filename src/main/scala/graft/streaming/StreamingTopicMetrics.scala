@@ -53,15 +53,63 @@ object StreamingTopicMetrics {
       .groupByKey(r => java.util.Base64.getEncoder.encodeToString(r.key))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[KafkaRecord], state: GroupState[KeyState]) =>
-          var cur = state.getOption
-          rows.foreach { r =>
-            val newer = cur.forall(s =>
-              r.partition > s.partition ||
-                (r.partition == s.partition && r.offset > s.offset))
-            if (newer) cur = Some(KeyState(r.partition, r.offset, r.value != null))
-          }
-          cur.foreach(state.update)
-          cur.map(s => KeyUpdate(key, s.alive)).iterator
+          lastWriteWins(key, rows, state)
       }
+  }
+
+  /** [[aliveKeyUpdates]] with bounded state for unbounded key spaces:
+    * a key whose last record's event time falls `ttl` behind the
+    * watermark is evicted (the memory-safety knob the batch operator
+    * doesn't need — and the reference's on-disk bitset lacks entirely,
+    * `src/metric.rs:262-270`). Semantics of eviction match compacted-
+    * topic retention: a key idle past the horizon is forgotten, so a
+    * later (even lower-offset) record for it starts fresh state.
+    * `watermarkDelay` bounds out-of-orderness the same way the
+    * event-time window operators do.
+    */
+  def aliveKeyUpdatesWithTtl(stream: Dataset[KafkaRecord],
+      ttl: java.time.Duration,
+      watermarkDelay: String = "10 seconds"): Dataset[KeyUpdate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .filter((r: KafkaRecord) => r.key != null)
+      .withWatermark("timestamp", watermarkDelay)
+      .groupByKey(r => java.util.Base64.getEncoder.encodeToString(r.key))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[KafkaRecord], state: GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var maxEventMs = Long.MinValue
+            val out = lastWriteWins(key,
+              rows.map { r =>
+                if (r.timestamp != null)
+                  maxEventMs = math.max(maxEventMs, r.timestamp.getTime)
+                r
+              }, state)
+            // the timeout must sit strictly beyond the current watermark
+            val base = math.max(state.getCurrentWatermarkMs(),
+              if (maxEventMs == Long.MinValue) 0L else maxEventMs)
+            state.setTimeoutTimestamp(base + ttl.toMillis)
+            out
+          }
+      }
+  }
+
+  /** The shared LWW fold: newer = larger (partition, offset); a stale
+    * replay can never overwrite newer state. */
+  private def lastWriteWins(key: String, rows: Iterator[KafkaRecord],
+      state: GroupState[KeyState]): Iterator[KeyUpdate] = {
+    var cur = state.getOption
+    rows.foreach { r =>
+      val newer = cur.forall(s =>
+        r.partition > s.partition ||
+          (r.partition == s.partition && r.offset > s.offset))
+      if (newer) cur = Some(KeyState(r.partition, r.offset, r.value != null))
+    }
+    cur.foreach(state.update)
+    cur.map(s => KeyUpdate(key, s.alive)).iterator
   }
 }

@@ -62,6 +62,24 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("k-means-trained centroids keep IVF recall and partition every vector") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    val trained = Similarity.trainCentroids(e, k = 16, iters = 3)
+    assert(trained.count() == 16)
+    // unit-length centroids (cosine geometry)
+    val norms = rowsOf(trained.select(
+      Similarity.dot(col("cunit"), col("cunit")).as("n2")))
+    assert(norms.forall(r => math.abs(r("n2").asInstanceOf[Double] - 1.0) < 1e-9))
+    val exact = rowsOf(Similarity.knnBruteForce(e, q, 5))
+      .map(r => (r("query_id"), r("neighbor_id"))).toSet
+    val ivf = rowsOf(Similarity.knnIvf(e, q, 5, nProbes = 8,
+      centroids = Some(trained)))
+    val recall = exact.intersect(
+      ivf.map(r => (r("query_id"), r("neighbor_id"))).toSet).size.toDouble / exact.size
+    assert(recall >= 0.3, s"trained-IVF recall too low: $recall")
+  }
+
   test("lsh near pairs returns only pairs above threshold, ordered") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = rowsOf(Similarity.lshNearPairs(e, threshold = 0.3))

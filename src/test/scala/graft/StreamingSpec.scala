@@ -55,6 +55,36 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSet == batch.toSet && streamed.nonEmpty)
   }
 
+  test("alive-key TTL evicts idle state past the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KafkaRecord]
+    val q = StreamingTopicMetrics.aliveKeyUpdatesWithTtl(
+        mem.toDS(), java.time.Duration.ofSeconds(5), "0 seconds")
+      .writeStream.format("memory").queryName("alive_ttl")
+      .outputMode("update").start()
+    val keyA = java.util.Base64.getEncoder.encodeToString(b("a"))
+    // batch 1: key a dies at offset 1 (t=2s); LWW state pins (0,1,dead)
+    mem.addData(rec(0, 0, "a", "v1"), rec(0, 1, "a", null))
+    q.processAllAvailable()
+    // batch 2: unrelated key at t=100s advances the watermark far past
+    // a's timeout (2s + 5s TTL); batch 3 fires the timeout → eviction
+    mem.addData(rec(1, 98, "b", "x"))
+    q.processAllAvailable()
+    mem.addData(rec(1, 99, "b", "y"))
+    q.processAllAvailable()
+    // after eviction, a STALE lower-offset record for a starts fresh
+    // state (retention semantics); with NoTimeout it could never win
+    mem.addData(KafkaRecord(0, 0, ts(101000L), b("a"), b("resurrect")))
+    q.processAllAvailable()
+    q.stop()
+    val aRows = rowsOf(spark.table("alive_ttl").filter(col("key") === keyA))
+    assert(aRows.head("alive") == false) // batch 1 emitted the death
+    assert(aRows.last("alive") == true,  // post-eviction fresh state
+      s"expected eviction then fresh alive state, got: $aRows")
+  }
+
   test("streaming alive-key state handles retraction across batches") {
     val s = spark
     import s.implicits._

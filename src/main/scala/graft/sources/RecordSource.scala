@@ -32,23 +32,19 @@ final class KafkaRecordSource(
 
   def records(spark: SparkSession): DataFrame = {
     val opts = KafkaRecordSource.batchOptions(bootstrapServers, topic, extraOptions)
-    opts.foldLeft(spark.read.format("kafka")) {
-      case (r, (k, v)) => r.option(k, v)
-    }.load()
-      .select(col("partition"), col("offset"),
-        KafkaRecordSource.normalizeTimestamp(col("timestamp")),
-        col("key"), col("value"))
+    KafkaRecordSource.project(
+      opts.foldLeft(spark.read.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load())
   }
 
   /** Streaming variant (north star: Structured Streaming). */
   def recordStream(spark: SparkSession): DataFrame = {
     val opts = KafkaRecordSource.streamOptions(bootstrapServers, topic, extraOptions)
-    opts.foldLeft(spark.readStream.format("kafka")) {
-      case (r, (k, v)) => r.option(k, v)
-    }.load()
-      .select(col("partition"), col("offset"),
-        KafkaRecordSource.normalizeTimestamp(col("timestamp")),
-        col("key"), col("value"))
+    KafkaRecordSource.project(
+      opts.foldLeft(spark.readStream.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load())
   }
 }
 
@@ -82,6 +78,16 @@ object KafkaRecordSource {
   def normalizeTimestamp(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(ts.isNull || unix_millis(ts) < 0, to_timestamp(lit(0)))
       .otherwise(ts).as("timestamp")
+
+  /** The Kafka-source-frame → record-log projection, factored out so
+    * the no-broker test tier can drive it with a synthetic frame in the
+    * documented Kafka source schema (key/value binary, topic string,
+    * partition int, offset long, timestamp, timestampType int).
+    */
+  def project(kafkaFrame: DataFrame): DataFrame =
+    kafkaFrame.select(col("partition"), col("offset"),
+      normalizeTimestamp(col("timestamp")),
+      col("key"), col("value"))
 }
 
 /** Deterministic mapping of the driver's `events` parquet table onto the

@@ -62,9 +62,13 @@ object Main {
           Main.parseLibrdkafka(opts.get("librdkafka")))
           .records(spark)
     }
-    // empty-topic guard (`src/main.rs:98-101`)
+    // empty-topic guard (`src/main.rs:98-101`); compat mode echoes the
+    // reference's error! text verbatim
     if (TopicMetrics.isEmpty(records)) {
-      System.err.println("The topic is empty, exiting.")
+      System.err.println(
+        if (opts.contains("compat"))
+          "Given topic has no content, no analysis possible. Exiting."
+        else "The topic is empty, exiting.")
       spark.stop()
       sys.exit(-2)
     }

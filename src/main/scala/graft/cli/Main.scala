@@ -89,22 +89,32 @@ object Main {
       .map(_.split("=", 2)).collect { case Array(k, v) => s"kafka.$k" -> v }
       .toMap).getOrElse(Map.empty)
 
+  /** A token in flag position (clap never accepts `-x` as a value). */
+  private def flagLike(v: String): Boolean = v.startsWith("-")
+
   @annotation.tailrec
   private[cli] def parse(args: List[String],
       acc: Map[String, String]): Map[String, String] = args match {
-    case ("-t" | "--topic") :: v :: rest => parse(rest, acc + ("topic" -> v))
-    case ("-b" | "--bootstrap-server") :: v :: rest =>
+    case ("-t" | "--topic") :: v :: rest if !flagLike(v) =>
+      parse(rest, acc + ("topic" -> v))
+    case ("-b" | "--bootstrap-server") :: v :: rest if !flagLike(v) =>
       parse(rest, acc + ("bootstrap" -> v))
     case ("-c" | "--count-alive-keys") :: rest =>
       parse(rest, acc + ("alive" -> "true"))
-    case "--librdkafka" :: v :: rest => parse(rest, acc + ("librdkafka" -> v))
-    case "--parquet" :: v :: rest => parse(rest, acc + ("parquet" -> v))
+    case "--librdkafka" :: v :: rest if !flagLike(v) =>
+      parse(rest, acc + ("librdkafka" -> v))
+    case "--parquet" :: v :: rest if !flagLike(v) =>
+      parse(rest, acc + ("parquet" -> v))
     case "--compat" :: rest => parse(rest, acc + ("compat" -> "true"))
-    // a value-taking flag with no value is a distinct usage error —
-    // misreporting it as "unknown" would be a wrong diagnostic
+    // a value-taking flag with no value — trailing, or followed by
+    // another flag (which clap refuses to consume as a value) — is a
+    // distinct usage error; misreporting it as "unknown" (or silently
+    // swallowing the next flag as its value) would be wrong. The
+    // flag-looking token stays in the stream for normal parsing.
     case (f @ ("-t" | "--topic" | "-b" | "--bootstrap-server" |
-               "--librdkafka" | "--parquet")) :: Nil =>
-      acc + ("missing-value" -> f)
+               "--librdkafka" | "--parquet")) :: rest =>
+      parse(rest, if (acc.contains("missing-value")) acc
+        else acc + ("missing-value" -> f))
     case Nil => acc
     // record the FIRST unknown argument; main rejects it (exit 1) the
     // way the reference's clap parser does — parse stays sys.exit-free

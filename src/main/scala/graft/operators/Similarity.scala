@@ -169,7 +169,10 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, k: Int = 16, iters: Int = 5): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0 ($k) and iters >= 0 ($iters)")
     val spark = corpus.sparkSession
+    // normalize ONCE and materialize: the seed collect plus every
+    // iteration's update job re-reads this frame (iters+1 scans)
     val cu = withUnit(corpus).select(col("vec_id"), col("unit"))
+      .localCheckpoint(true)
     var cent: Array[Seq[Double]] = cu.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Double](1))
     for (_ <- 0 until iters) {

@@ -64,12 +64,25 @@ object StreamingTopicMetrics {
     * `src/metric.rs:262-270`). Semantics of eviction match compacted-
     * topic retention: a key idle past the horizon is forgotten, so a
     * later (even lower-offset) record for it starts fresh state.
-    * `watermarkDelay` bounds out-of-orderness the same way the
-    * event-time window operators do.
+    *
+    * CONTRACT — the price of bounded state: records later than
+    * `watermarkDelay` behind the stream's max event time are dropped by
+    * the watermark BEFORE the last-write-wins fold, so a late tombstone
+    * past that horizon will NOT retract its key. That bound is inherent
+    * to event-time TTL (state cannot be both evictable and open to
+    * arbitrarily late input). In particular do NOT feed this variant a
+    * topic whose producers omit timestamps — Kafka's -1 ms encoding
+    * normalizes to epoch 0 ([[graft.sources.KafkaRecordSource
+    * .normalizeTimestamp]]) and every such record is late once the
+    * watermark moves. Use [[aliveKeyUpdates]] (unbounded state, exact
+    * LWW) for those streams.
     */
   def aliveKeyUpdatesWithTtl(stream: Dataset[KafkaRecord],
       ttl: java.time.Duration,
       watermarkDelay: String = "10 seconds"): Dataset[KeyUpdate] = {
+    require(!ttl.isNegative && !ttl.isZero,
+      s"ttl must be positive, got $ttl (a zero timeout timestamp aborts " +
+        "the streaming query inside the state function)")
     val spark = stream.sparkSession
     import spark.implicits._
     stream
@@ -90,9 +103,13 @@ object StreamingTopicMetrics {
                 r
               }, state)
             // the timeout must sit strictly beyond the current watermark
+            // (and stay positive: saturate instead of overflowing on
+            // effectively-infinite TTLs)
             val base = math.max(state.getCurrentWatermarkMs(),
               if (maxEventMs == Long.MinValue) 0L else maxEventMs)
-            state.setTimeoutTimestamp(base + ttl.toMillis)
+            val at = base + ttl.toMillis
+            state.setTimeoutTimestamp(
+              if (at <= base) Long.MaxValue else math.max(at, 1L))
             out
           }
       }

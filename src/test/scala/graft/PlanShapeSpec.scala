@@ -57,9 +57,19 @@ class PlanShapeSpec extends SparkSuite {
       emb, emb.filter(col("vec_id") < 4), 3))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side should broadcast:\n$p")
-    // the corpus must not be exchanged before scoring: the only
-    // exchange allowed is the hash partitioning for the top-k window
-    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges <= 2, s"too many exchanges ($exchanges):\n$p")
+    // the corpus must not be shuffled before scoring: the only shuffles
+    // allowed are (a) the top-k window's hash partitioning — which sits
+    // ABOVE a map-side WindowGroupLimit, so it carries at most
+    // k x queries x partitions pruned rows, never the scored cross
+    // product — and (b) the final orderBy over k x queries rows.
+    // Formatted explain names shuffle nodes "(n) Exchange" in the
+    // detail section (tree lines carry '+-' prefixes, so a
+    // startsWith("Exchange") count is vacuously 0).
+    val shuffles = raw"\(\d+\) Exchange\b".r.findAllIn(p).length
+    assert(shuffles <= 2, s"too many shuffle exchanges ($shuffles):\n$p")
+    // rank-limit pushdown must prune BELOW the window exchange: two
+    // WindowGroupLimit nodes (partial map-side + final) bracket it
+    val wgl = raw"\(\d+\) WindowGroupLimit\b".r.findAllIn(p).length
+    assert(wgl >= 2, s"expected map-side + final WindowGroupLimit:\n$p")
   }
 }

@@ -34,6 +34,17 @@ class CliSpec extends AnyFunSuite {
     assert(Main.parse(List("--parquet"), Map.empty)("missing-value") == "--parquet")
   }
 
+  test("a value-taking flag never swallows the next flag as its value") {
+    // clap rejects `-t --compat`; the flag-looking token must survive
+    val opts = Main.parse(List("-t", "--compat", "--parquet", "/data"), Map.empty)
+    assert(opts("missing-value") == "-t")
+    assert(!opts.contains("topic"))
+    assert(opts.contains("compat")) // still parsed, not consumed as a value
+    assert(opts("parquet") == "/data")
+    val o2 = Main.parse(List("--parquet", "-c"), Map.empty)
+    assert(o2("missing-value") == "--parquet" && o2.contains("alive"))
+  }
+
   test("librdkafka pass-through gets the kafka. option prefix; junk dropped") {
     val m = Main.parseLibrdkafka(Some("fetch.min.bytes=1,junk,isolation.level=read_committed"))
     assert(m == Map("kafka.fetch.min.bytes" -> "1",

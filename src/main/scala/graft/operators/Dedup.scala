@@ -111,9 +111,19 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // verify-side hashes are recomputed ONLY for docs that appear in a
+    // candidate pair (semi-join before the shingle projection): the
+    // full-corpus hash pass happens once — inside the signature
+    // exchange above — not three times. Candidates are the small set by
+    // LSH design, so these probes are broadcast-scale.
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val shCand = shingleHashFrame(
+      docs.join(candIds, Seq("doc_id"), "left_semi"), shingleN)
     cand
-      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
+      .join(shCand.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(shCand.as("y"), col("doc_b") === col("y.doc_id"))
       .withColumn("inter",
         size(array_intersect(col("x.xs"), col("y.xs"))).cast("long"))
       .withColumn("jaccard",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.ArrayHashExprs.{MinHashSigExpr, PolyHash31Expr, SimHashExpr}
+import graft.functions.ArrayHashExprs.{DotProductExpr, MinHashSigExpr, PolyHash31Expr, ShingleHashExpr, SimHashExpr, UnitVectorExpr}
 import graft.functions.Fnv32.Fnv32Expr
 
 /** SQL surface for graft's custom Catalyst expressions. Two ways in:
@@ -18,6 +18,9 @@ import graft.functions.Fnv32.Fnv32Expr
   *   graft_fnv32(bin)            reference-compat FNV-1a-variant
   *   graft_simhash(arr<long>)    32-bit SimHash of element hashes
   *   graft_minhash(arr<long>)    16-permutation MinHash signature
+  *   graft_shingle_hashes(str)   fused word-3-gram shingle hash set
+  *   graft_dot(a, b)             sequential-fold dot product
+  *   graft_unit_vector(arr)      unit normalization (0-vector → zeros)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit =
@@ -40,7 +43,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHashExpr(args.head, 32)),
     ("graft_minhash",
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
-      (args: Seq[Expression]) => MinHashSigExpr(args.head, 16)))
+      (args: Seq[Expression]) => MinHashSigExpr(args.head, 16)),
+    ("graft_shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashExpr].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashExpr(args.head, 3)),
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProductExpr(args.head, args(1))),
+    ("graft_unit_vector",
+      new ExpressionInfo(classOf[UnitVectorExpr].getName, "graft_unit_vector"),
+      (args: Seq[Expression]) => UnitVectorExpr(args.head)))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

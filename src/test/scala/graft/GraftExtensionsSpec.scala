@@ -21,4 +21,18 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(r.getLong(2) == 3L)          // bits 0,1 majority-set from 1,3,7
     assert(r.getInt(3) == 16)
   }
+
+  test("shingle/dot/unit-vector expressions are callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT size(graft_shingle_hashes('a b c d')) AS n_shingles,
+        |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        |       graft_unit_vector(array(3.0d, 4.0d)) AS unit,
+        |       graft_unit_vector(array(0.0d, 0.0d)) AS zero_unit
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 2)            // "a b c", "b c d"
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getSeq[Double](2) == Seq(0.6, 0.8))
+    assert(r.getSeq[Double](3) == Seq(0.0, 0.0))
+  }
 }

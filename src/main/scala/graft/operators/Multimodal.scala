@@ -98,12 +98,13 @@ object Multimodal {
   }
 
   def sampleFeatures(media: DataFrame, frameBytes: Int = 256,
-      everyK: Int = 3, strideK: Int = 4): Dataset[MediaSample] = {
+      everyK: Int = 3, strideK: Int = 4,
+      batchSize: Int = 64): Dataset[MediaSample] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, p) =>
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, p) =>
         sampleStub(id, p, frameBytes, everyK, strideK)
       }))
   }

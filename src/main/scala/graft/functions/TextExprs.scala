@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-analysis hot loops.
+  *
+  * The declarative forms — a per-character `aggregate(filter(split))`
+  * fold for the rolling hash, five `filter(tokens, isInCollection)`
+  * passes for stopword counting — evaluate their lambdas interpreted,
+  * outside whole-stage codegen (the same pattern whose fusion bought
+  * 8–12× on the sketch ops, see [[ArrayHashExprs]]). These fuse each
+  * into one generated loop per row. Semantics are bit-identical to the
+  * declarative forms (same codepoint sequence, same mod arithmetic,
+  * same token-membership test), so the DuckDB oracles in
+  * [[graft.OracleSql]] are unchanged; the declarative originals are
+  * kept in [[TextFunctions]] as parity oracles.
+  */
+object TextExprs {
+
+  /** Rabin–Karp-style rolling hash over the CODEPOINTS of a string:
+    * `acc = (acc * 31 + cp) mod 1_000_000_007`, acc₀ = 0, in order.
+    * Identical to the replaced
+    * `aggregate(filter(split(s, ""), _ =!= ""), 0L, (acc, c) => (acc*31 + ascii(c)) % p)`
+    * chain: Spark's `split(s, "")` yields one element per codepoint
+    * (Java regex never splits a surrogate pair) and `ascii` returns the
+    * first codepoint, so both fold the codepoint sequence. DuckDB
+    * mirror: `list_reduce` over `unicode(substr(s, i, 1))`.
+    */
+  case class RollingHashExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftInputTypes {
+
+    override def graftInputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31L + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val s = ctx.freshName("s")
+        val h = ctx.freshName("h")
+        val i = ctx.freshName("i")
+        val cp = ctx.freshName("cp")
+        s"""
+           |final String $s = $c.toString();
+           |long $h = 0L;
+           |int $i = 0;
+           |while ($i < $s.length()) {
+           |  final int $cp = $s.codePointAt($i);
+           |  $h = ($h * 31L + $cp) % 1000000007L;
+           |  $i += java.lang.Character.charCount($cp);
+           |}
+           |${ev.value} = $h;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+      copy(child = newChild)
+  }
+
+  /** `rolling_hash(normText)` — see [[RollingHashExpr]]. */
+  def rolling_hash(normText: Column): Column =
+    ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(normText)))
+
+  /** Fused multi-list stopword counter: tokenize a single-space-
+    * separated normalized string ONCE and count, per word list, how
+    * many tokens are members — `array<int>` in `lists` order. Replaces
+    * `lists.size` independent interpreted
+    * `size(filter(split(norm, " "), _.isInCollection(words)))` passes
+    * with one generated loop (token membership via a prebuilt
+    * token → list-bitmask hash map; UTF-8 bytes never contain 0x20
+    * inside a multi-byte sequence, so byte-level space scanning is
+    * exact for any script). An empty string yields one empty token —
+    * in no list — matching `split`'s `[""]`.
+    */
+  case class StopwordHitsExpr(child: Expression, lists: Seq[Seq[String]])
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftInputTypes {
+
+    require(lists.nonEmpty && lists.size <= 64,
+      s"need 1..64 word lists, got ${lists.size}")
+
+    override def graftInputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    /** token → bitmask of the lists containing it. UTF8String keys give
+      * the same byte-equality `In`/`isInCollection` compares with. */
+    private lazy val maskMap: java.util.HashMap[UTF8String, java.lang.Long] = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Long]()
+      for ((words, li) <- lists.zipWithIndex; w <- words) {
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, java.lang.Long.valueOf(
+          (if (prev == null) 0L else prev.longValue()) | (1L << li)))
+      }
+      m
+    }
+
+    private def countHits(s: UTF8String): Array[Int] = {
+      val bytes = s.getBytes
+      val counts = new Array[Int](lists.size)
+      var start = 0
+      var i = 0
+      while (i <= bytes.length) {
+        if (i == bytes.length || bytes(i) == ' '.toByte) {
+          val mask = maskMap.get(UTF8String.fromBytes(bytes, start, i - start))
+          if (mask != null) {
+            var l = 0
+            val mv = mask.longValue()
+            while (l < counts.length) {
+              if (((mv >> l) & 1L) == 1L) counts(l) += 1
+              l += 1
+            }
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+      counts
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(countHits(v.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mapRef = ctx.addReferenceObj("stopwordMask", maskMap, "java.util.HashMap")
+      val nLists = lists.size
+      nullSafeCodeGen(ctx, ev, c => {
+        val bytes = ctx.freshName("bytes")
+        val counts = ctx.freshName("counts")
+        val start = ctx.freshName("start")
+        val i = ctx.freshName("i")
+        val l = ctx.freshName("l")
+        val mask = ctx.freshName("mask")
+        val mv = ctx.freshName("mv")
+        s"""
+           |final byte[] $bytes = $c.getBytes();
+           |final int[] $counts = new int[$nLists];
+           |int $start = 0;
+           |for (int $i = 0; $i <= $bytes.length; $i++) {
+           |  if ($i == $bytes.length || $bytes[$i] == (byte) ' ') {
+           |    final Object $mask = $mapRef.get(
+           |      org.apache.spark.unsafe.types.UTF8String.fromBytes($bytes, $start, $i - $start));
+           |    if ($mask != null) {
+           |      final long $mv = ((java.lang.Long) $mask).longValue();
+           |      for (int $l = 0; $l < $nLists; $l++) {
+           |        if ((($mv >> $l) & 1L) == 1L) $counts[$l]++;
+           |      }
+           |    }
+           |    $start = $i + 1;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($counts);
+           |""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): StopwordHitsExpr =
+      copy(child = newChild)
+  }
+
+  /** `stopword_hits(normText, lists)` — see [[StopwordHitsExpr]]. */
+  def stopword_hits(normText: Column, lists: Seq[Seq[String]]): Column =
+    ColumnBridge.column(StopwordHitsExpr(ColumnBridge.expression(normText), lists))
+}

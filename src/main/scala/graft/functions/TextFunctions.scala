@@ -44,21 +44,37 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
   val Langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")
 
-  /** Count of tokens that are members of `words`. */
-  def stopwordHits(text: Column, words: Seq[String]): Column =
+  /** Count of tokens that are members of `words` — declarative form,
+    * kept as the parity oracle for [[TextExprs.StopwordHitsExpr]]. */
+  def stopwordHitsDeclarative(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(words)))
 
-  /** Predicted language: argmax of per-language stopword hits, ties
-    * broken by `Langs` order; no hits at all → "und" (undetermined).
+  /** Per-language stopword hit counts (`array<int>` in [[Langs]]
+    * order), fused into one tokenize-and-count pass
+    * ([[TextExprs.StopwordHitsExpr]]) — the replaced 5× interpreted
+    * `filter(tokens, isInCollection)` passes dominated every query
+    * touching language ID or quality.
     */
-  def langId(text: Column): Column = {
-    val hits = Langs.map(l => l -> stopwordHits(text, Stopwords(l)))
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    val firstMax = hits.foldRight(lit("und")) { case ((l, h), acc) =>
+  def langHits(text: Column): Column =
+    TextExprs.stopword_hits(normText(text), Langs.map(Stopwords))
+
+  /** Count of tokens that are members of `words` (fused). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    element_at(TextExprs.stopword_hits(normText(text), Seq(words)), 1)
+
+  /** Predicted language from a materialized [[langHits]] array: argmax
+    * of per-language hits, ties broken by `Langs` order; no hits at
+    * all → "und" (undetermined).
+    */
+  def langIdFromHits(hits: Column): Column = {
+    val hs = Langs.indices.map(i => element_at(hits, i + 1))
+    val best = hs.reduce((a, b) => greatest(a, b))
+    Langs.zip(hs).foldRight(lit("und")) { case ((l, h), acc) =>
       when(h === best && h > 0, lit(l)).otherwise(acc)
     }
-    firstMax
   }
+
+  def langId(text: Column): Column = langIdFromHits(langHits(text))
 
   /** Heuristic document quality score in [0,1] — length, punctuation
     * ratio, stopword ratio, word-length shape. Pure add/sub/mul/div
@@ -69,7 +85,10 @@ object TextFunctions {
     val chars = length(normText(text)).cast("double")
     val words = tokenCount(text).cast("double")
     val punct = punctCount(text).cast("double")
-    val stops = stopwordHits(text, Stopwords("en")).cast("double")
+    // en hits via the SAME 5-list fused expression langId uses, so a
+    // projection computing both (corpus filter) tokenizes once —
+    // subexpression elimination dedupes the structurally-equal expr
+    val stops = element_at(langHits(text), Langs.indexOf("en") + 1).cast("double")
     val lengthScore = least(words / 100.0, lit(1.0))
     val punctScore = lit(1.0) - least(punct / greatest(chars, lit(1.0)) * 5.0, lit(1.0))
     val stopScore = least(stops / greatest(words, lit(1.0)) * 3.0, lit(1.0))
@@ -95,12 +114,17 @@ object TextFunctions {
   def fingerprintMd5(text: Column): Column =
     md5(normText(text).cast("binary"))
 
-  /** Rolling (polynomial) fingerprint over characters:
-    * `acc = (acc * 31 + codepoint(c)) mod 1_000_000_007` — the classic
-    * Rabin-Karp-style rolling hash, as a codegen'd higher-order
-    * `aggregate` over the char array.
+  /** Rolling (polynomial) fingerprint over codepoints:
+    * `acc = (acc * 31 + cp) mod 1_000_000_007` — the classic
+    * Rabin-Karp-style rolling hash, fused into one generated loop
+    * ([[TextExprs.RollingHashExpr]]).
     */
   def rollingHash(text: Column): Column =
+    TextExprs.rolling_hash(normText(text))
+
+  /** The per-character `aggregate` HOF chain [[rollingHash]] replaced —
+    * kept as the parity oracle for [[TextExprs.RollingHashExpr]]. */
+  def rollingHashDeclarative(text: Column): Column =
     aggregate(
       // filter guards against engine-specific empty-string artifacts of
       // zero-width split, keeping the char sequence identical everywhere

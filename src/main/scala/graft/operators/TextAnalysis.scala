@@ -23,10 +23,13 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   def langIdFrame(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id") +:
-      Langs.map(l => stopwordHits(col("text"), Stopwords(l))
-        .cast("long").as(s"${l}_hits")) :+
-      langId(col("text")).as("lang_pred"): _*)
+    // materialize the fused 5-list hit array once; the per-language
+    // columns and the argmax are then cheap element_at projections
+    docs.select(col("doc_id"), langHits(col("text")).as("hits"))
+      .select(col("doc_id") +:
+        Langs.zipWithIndex.map { case (l, i) =>
+          element_at(col("hits"), i + 1).cast("long").as(s"${l}_hits") } :+
+        langIdFromHits(col("hits")).as("lang_pred"): _*)
       .orderBy(col("doc_id"))
 
   def quality(docs: DataFrame): DataFrame =

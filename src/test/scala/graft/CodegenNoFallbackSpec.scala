@@ -78,6 +78,19 @@ class CodegenNoFallbackSpec extends SparkSuite {
         col("embedding").cast("array<double>")).as("u")))
   }
 
+  test("rolling_hash compiles and matches under CODEGEN_ONLY") {
+    assertCodegenParity(docs.select(col("doc_id"),
+      graft.functions.TextExprs.rolling_hash(
+        TextFunctions.normText(col("text"))).as("h")))
+  }
+
+  test("stopword_hits compiles and matches under CODEGEN_ONLY") {
+    assertCodegenParity(docs.select(col("doc_id"),
+      graft.functions.TextExprs.stopword_hits(
+        TextFunctions.normText(col("text")),
+        TextFunctions.Langs.map(TextFunctions.Stopwords)).as("hits")))
+  }
+
   test("fnv32 compiles and matches under CODEGEN_ONLY") {
     assertCodegenParity(docs.select(col("doc_id"),
       Fnv32.fnv32(col("text").cast("binary")).as("h")))

@@ -54,6 +54,42 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got == ref(text))
   }
 
+  test("fused rolling hash matches the declarative aggregate chain") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = rowsOf(d.select(
+      TextFunctions.rollingHash(col("text")).as("fused"),
+      TextFunctions.rollingHashDeclarative(col("text")).as("decl")))
+    assert(pairs.nonEmpty)
+    pairs.foreach(m => assert(m("fused") == m("decl")))
+    // non-ASCII codepoints fold identically too
+    val zh = rowsOf(docs(1L -> "这 是 中文 テスト é ü").select(
+      TextFunctions.rollingHash(col("text")).as("fused"),
+      TextFunctions.rollingHashDeclarative(col("text")).as("decl"))).head
+    assert(zh("fused") == zh("decl"))
+  }
+
+  test("fused stopword hits match the declarative filter passes") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union(docs(
+        100001L -> "der hund 的 und die 是 katze for the of é mixed",
+        100002L -> "",
+        100003L -> "   "))
+    val fused = d.select(col("doc_id") +:
+      TextFunctions.Langs.zipWithIndex.map { case (l, i) =>
+        element_at(TextFunctions.langHits(col("text")), i + 1).as(s"${l}_hits")
+      }: _*)
+    val decl = d.select(col("doc_id") +:
+      TextFunctions.Langs.map { l =>
+        TextFunctions.stopwordHitsDeclarative(
+          col("text"), TextFunctions.Stopwords(l)).as(s"${l}_hits")
+      }: _*)
+    val f = rowsOf(fused.orderBy(col("doc_id")))
+    val g = rowsOf(decl.orderBy(col("doc_id")))
+    assert(f.nonEmpty && f.size == g.size)
+    f.zip(g).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("repetition ratio: looping text scores high, novel text scores 0") {
     val loop = Seq.fill(10)("the cat sat on the mat").mkString(" ")
     val novel = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -211,9 +211,16 @@ object Dedup {
             .as("cluster"))
         .localCheckpoint(true)
       converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+      // `next` is eagerly materialized, so the previous round's
+      // checkpoint blocks are now unreachable — release them instead of
+      // leaking one persisted frame per round for the session lifetime
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(labels)
       labels = next.select(col("doc_id"), col("cluster"))
       iter += 1
     }
+    // the final labels checkpoint stays persisted (the caller executes
+    // it), but the edge table is no longer reachable from it
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(edges)
     if (!converged)
       System.err.println(
         s"[nearDupClusters] NOT converged after $maxIters rounds — " +

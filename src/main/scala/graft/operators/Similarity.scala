@@ -170,8 +170,13 @@ object Similarity {
     require(k > 0 && iters >= 0, s"need k > 0 ($k) and iters >= 0 ($iters)")
     val spark = corpus.sparkSession
     // normalize ONCE and materialize: the seed collect plus every
-    // iteration's update job re-reads this frame (iters+1 scans)
+    // iteration's update job re-reads this frame (iters+1 scans).
+    // Null embeddings (or null elements — possible in real embedding
+    // dumps) are excluded up front: a null unit would NPE the collected
+    // mean's unboxing and silently skew assignment.
     val cu = withUnit(corpus).select(col("vec_id"), col("unit"))
+      .filter(col("unit").isNotNull &&
+        !exists(col("unit"), x => x.isNull))
       .localCheckpoint(true)
     var cent: Array[Seq[Double]] = cu.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Double](1))
@@ -200,6 +205,11 @@ object Similarity {
         }
       }.toArray
     }
+    // the centroids now live on the driver — release the checkpointed
+    // corpus blocks (a long-lived session would otherwise leak block-
+    // manager storage on every call; Dataset.unpersist would be a
+    // CacheManager no-op for a local checkpoint)
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(cu)
     import spark.implicits._
     cent.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toSeq
@@ -209,6 +219,7 @@ object Similarity {
   def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbes: Int = 4,
       centroids: Option[DataFrame] = None): DataFrame = {
+    val spark = corpus.sparkSession
     val cu = withUnit(corpus).select(col("vec_id"), col("unit"))
     // default: deterministic stand-in centroids (first nCentroids
     // vectors) so the DuckDB oracle can reproduce cell assignment;
@@ -216,19 +227,41 @@ object Similarity {
     val cent = centroids.getOrElse(
       cu.filter(col("vec_id") < nCentroids)
         .select(col("vec_id").as("cid"), col("unit").as("cunit")))
-    def nearestCentroids(df: DataFrame, keep: Int): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("cscore").desc, col("cid"))
-      df.join(broadcast(cent))
-        .withColumn("cscore", dot(col("unit"), col("cunit")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .select(col("vec_id"), col("unit"), col("cid"))
+    // the coarse codebook is tiny by construction (k ≤ ~64k cells), so
+    // hold it on the driver: corpus cell ASSIGNMENT is then a pure
+    // shuffle-free projection — k fused dots + array_position argmax
+    // per row, the same ASSIGN shape as [[trainCentroids]]. (The
+    // previous formulation broadcast-joined corpus × nCentroids rows
+    // and ranked with a row_number window — a shuffle of k× the corpus
+    // just to pick each row's top-1.)
+    val book = cent.select(col("cid"), col("cunit")).orderBy(col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    require(book.nonEmpty, "knnIvf needs a non-empty centroid set")
+    val scores = array(book.map { case (_, v) =>
+      dot(col("unit"), typedLit(v)) }: _*)
+    val assigned = cu
+      .withColumn("scores", scores)
+      // first max wins (array_position is 1-based) = lowest cid, since
+      // the book is cid-ascending — the same tie-break as the probe
+      // window's ORDER BY cscore DESC, cid
+      .withColumn("cid", element_at(typedLit(book.map(_._1).toSeq),
+        expr("array_position(scores, array_max(scores))").cast("int")))
+      .select(col("vec_id"), col("unit"), col("cid"))
+    // probe side keeps the top-nProbes window: the query set is tiny,
+    // and the broadcast codebook frame is built from driver-held rows
+    // (no second corpus scan for the stand-in centroids)
+    val centDf = {
+      import spark.implicits._
+      book.toSeq.toDF("cid", "cunit")
     }
-    val assigned = nearestCentroids(cu, 1)
-    val probes = nearestCentroids(
-      withUnit(queries).select(col("vec_id"), col("unit")), nProbes)
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cid"))
+    val probes = withUnit(queries).select(col("vec_id"), col("unit"))
+      .join(broadcast(centDf))
+      .withColumn("cscore", dot(col("unit"), col("cunit")))
+      .withColumn("crn", row_number().over(pw))
+      .filter(col("crn") <= nProbes)
       .select(col("vec_id").as("query_id"), col("unit").as("qunit"), col("cid"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

@@ -12,6 +12,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * frame (or any frame derived from one). `Dataset.unpersist` only
+    * clears CacheManager entries — a local checkpoint is an RDD-level
+    * persist the CacheManager never sees — so iterative operators that
+    * checkpoint per round would otherwise leak blocks for the session
+    * lifetime. Only call on frames that are never executed again: the
+    * checkpoint truncated their lineage, so dropped blocks cannot be
+    * recomputed.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
 
 /** Bridge for `ImplicitCastInputTypes`: its `inputTypes` signature

@@ -28,6 +28,36 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("UnknownPartitioning"), s"partitioning metadata:\n$p")
   }
 
+  test("unpersistCheckpoint releases local-checkpoint blocks (unpersist cannot)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L, 2L).toDF("x").localCheckpoint(true)
+    // track the checkpoint's own RDD id — the global persistent-RDD map
+    // can shrink concurrently (ContextCleaner collects stale entries)
+    val ids = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(ids.nonEmpty)
+    def persisted = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.forall(persisted.contains))
+    // Dataset.unpersist only clears CacheManager entries — pins WHY the
+    // bridge helper exists; if Spark ever makes this work, simplify
+    df.unpersist()
+    assert(ids.forall(persisted.contains))
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(df)
+    assert(ids.forall(id => !persisted.contains(id)))
+  }
+
+  test("iterative clustering does not accumulate persisted frames") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    graft.operators.Dedup.nearDupClusters(docs).collect()
+    // only the final label checkpoint may remain, however many
+    // propagation rounds ran
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1, s"leaked checkpoints: $before -> $after")
+  }
+
   test("clustering convergence check is a narrow filter, not a join") {
     val s = spark
     import s.implicits._
@@ -49,6 +79,22 @@ class PlanShapeSpec extends SparkSuite {
       s"expected doc_id,text in ReadSchema: $readSchema")
     assert(!readSchema.contains("lang") || readSchema.count(_ == ',') <= 1,
       s"scan reads more than the projected columns: $readSchema")
+  }
+
+  test("ivf kNN corpus assignment is a shuffle-free argmax projection") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(graft.operators.Similarity.knnIvf(
+      emb, emb.filter(col("vec_id") < 4), 3))
+    // cell assignment must NOT shuffle or window the corpus: the only
+    // Window nodes allowed are the probe-side top-nProbes (tiny query
+    // set) and the final per-query top-k; the only shuffle Exchanges
+    // are those two windows' partitionings plus the final orderBy.
+    // The previous formulation added a third window (corpus × centroids
+    // row_number) whose exchange shuffled k× the corpus.
+    val windows = raw"\(\d+\) Window\b".r.findAllIn(p).length
+    assert(windows <= 2, s"corpus assignment regressed to a window ($windows):\n$p")
+    val shuffles = raw"\(\d+\) Exchange\b".r.findAllIn(p).length
+    assert(shuffles <= 3, s"too many shuffle exchanges ($shuffles):\n$p")
   }
 
   test("brute-force kNN broadcasts the query side, never the corpus") {

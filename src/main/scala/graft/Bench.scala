@@ -33,7 +33,18 @@ object Bench {
     spark.read.parquet(s"$sfDir/events.parquet")
       .groupBy("event_type").count().count()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", sfDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    if (warmDir != sfDir)
+      // a different-SF warmup misses the codegen cache (AQE picks
+      // different join strategies per size → different generated
+      // classes), silently skewing the first timed pass
+      System.err.println(
+        s"[bench] WARNING: warmup dir $warmDir != measured dir $sfDir — " +
+          "first timed pass will include codegen compilation")
+    // optional comma-separated query filter for targeted iteration
+    val queries = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet)
+      .fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    queries.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
@@ -43,7 +54,7 @@ object Bench {
     // GC pauses and scheduler jitter only ever ADD time, so the min is
     // the least-noisy view of the plan's cost
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces full materialization of every output column

@@ -21,6 +21,8 @@ import graft.functions.Fnv32.Fnv32Expr
   *   graft_shingle_hashes(str)   fused word-3-gram shingle hash set
   *   graft_dot(a, b)             sequential-fold dot product
   *   graft_unit_vector(arr)      unit normalization (0-vector → zeros)
+  *   graft_rolling_hash(str)     codepoint rolling hash mod 1e9+7
+  *   graft_lang_hits(str)        per-language stopword hits (array<int>)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit =
@@ -31,28 +33,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Wrap a builder with strict arity validation: a wrong argument
+    * count raises the same wrong-number-of-arguments AnalysisException
+    * Spark's built-in function builders throw, instead of an
+    * IndexOutOfBounds (too few) or silent truncation (too many). */
+  private def checked(name: String, arity: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != arity)
+        throw org.apache.spark.sql.graftbridge.ColumnBridge
+          .wrongNumArgsError(name, arity, args.length)
+      build(args)
+    }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_poly_hash31",
       new ExpressionInfo(classOf[PolyHash31Expr].getName, "graft_poly_hash31"),
-      (args: Seq[Expression]) => PolyHash31Expr(args.head)),
+      checked("graft_poly_hash31", 1)(args => PolyHash31Expr(args.head))),
     ("graft_fnv32",
       new ExpressionInfo(classOf[Fnv32Expr].getName, "graft_fnv32"),
-      (args: Seq[Expression]) => Fnv32Expr(args.head)),
+      checked("graft_fnv32", 1)(args => Fnv32Expr(args.head))),
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
-      (args: Seq[Expression]) => SimHashExpr(args.head, 32)),
+      checked("graft_simhash", 1)(args => SimHashExpr(args.head, 32))),
     ("graft_minhash",
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
-      (args: Seq[Expression]) => MinHashSigExpr(args.head, 16)),
+      checked("graft_minhash", 1)(args => MinHashSigExpr(args.head, 16))),
     ("graft_shingle_hashes",
       new ExpressionInfo(classOf[ShingleHashExpr].getName, "graft_shingle_hashes"),
-      (args: Seq[Expression]) => ShingleHashExpr(args.head, 3)),
+      checked("graft_shingle_hashes", 1)(args => ShingleHashExpr(args.head, 3))),
     ("graft_dot",
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProductExpr(args.head, args(1))),
+      checked("graft_dot", 2)(args => DotProductExpr(args.head, args(1)))),
     ("graft_unit_vector",
       new ExpressionInfo(classOf[UnitVectorExpr].getName, "graft_unit_vector"),
-      (args: Seq[Expression]) => UnitVectorExpr(args.head)))
+      checked("graft_unit_vector", 1)(args => UnitVectorExpr(args.head))),
+    ("graft_rolling_hash",
+      new ExpressionInfo(
+        classOf[graft.functions.TextExprs.RollingHashExpr].getName,
+        "graft_rolling_hash"),
+      checked("graft_rolling_hash", 1)(args =>
+        graft.functions.TextExprs.RollingHashExpr(args.head))),
+    ("graft_lang_hits",
+      new ExpressionInfo(
+        classOf[graft.functions.TextExprs.StopwordHitsExpr].getName,
+        "graft_lang_hits"),
+      checked("graft_lang_hits", 1)(args =>
+        graft.functions.TextExprs.StopwordHitsExpr(args.head,
+          graft.functions.TextFunctions.Langs
+            .map(graft.functions.TextFunctions.Stopwords)))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

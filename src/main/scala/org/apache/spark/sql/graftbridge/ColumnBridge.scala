@@ -13,6 +13,13 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The standard wrong-number-of-arguments AnalysisException Spark's
+    * own function builders throw — `QueryCompilationErrors` is
+    * `private[sql]`, hence bridged here. */
+  def wrongNumArgsError(name: String, expected: Int, actual: Int): Throwable =
+    org.apache.spark.sql.errors.QueryCompilationErrors.wrongNumArgsError(
+      name, scala.collection.immutable.Seq(expected), actual)
+
   /** Release the block-manager storage behind a `localCheckpoint`ed
     * frame (or any frame derived from one). `Dataset.unpersist` only
     * clears CacheManager entries — a local checkpoint is an RDD-level

@@ -22,6 +22,32 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(r.getInt(3) == 16)
   }
 
+  test("text expressions are callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_rolling_hash('hello world') AS rh,
+        |       graft_lang_hits('the cat and der hund') AS hits
+        |""".stripMargin).collect()(0)
+    val expectedRh = "hello world"
+      .foldLeft(0L)((h, c) => (h * 31L + c.toInt) % 1000000007L)
+    assert(r.getLong(0) == expectedRh)
+    assert(r.getSeq[Int](1) == Seq(2, 1, 0, 0, 0)) // en: the,and; de: der
+  }
+
+  test("wrong argument counts raise a clean AnalysisException") {
+    GraftExtensions.register(spark)
+    for (sql <- Seq(
+        "SELECT graft_dot(array(1.0d))",                       // too few
+        "SELECT graft_poly_hash31('a', 'b')",                  // too many
+        "SELECT graft_unit_vector()")) {                       // none
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("parameter"),
+        s"$sql: ${e.getMessage}")
+    }
+  }
+
   test("shingle/dot/unit-vector expressions are callable from SQL") {
     GraftExtensions.register(spark)
     val r = spark.sql(

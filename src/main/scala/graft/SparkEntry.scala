@@ -93,6 +93,15 @@ object SparkEntry {
       val e = emb(s, dir)
       Similarity.knnIvf(e, e.filter(col("vec_id") < 16), 5)
     }),
+    // the PRODUCTION IVF path: k-means-trained codebook instead of the
+    // oracle's deterministic stand-in. No oracleSql on purpose — float
+    // avg fold order differs across engines, so the driver records the
+    // rows-only check; the pinned recall gate lives in SimilaritySpec.
+    "q_embed_knn_ivf_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnIvf(e, e.filter(col("vec_id") < 16), 5,
+        centroids = Some(Similarity.trainCentroids(e, k = 16, iters = 3)))
+    }),
     // end-to-end corpus filter: quality + language + canonical-of-cluster
     "q_corpus_filter" -> ((s, dir) => {
       import graft.functions.TextFunctions

@@ -80,6 +80,26 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"trained-IVF recall too low: $recall")
   }
 
+  test("trained-centroid IVF holds pinned recall at sf0.1 (production path gate)") {
+    // the production path: k-means-trained codebook, not the
+    // deterministic stand-in the oracle uses. The oracle cannot cover
+    // it (float avg fold order differs across engines), so this pinned
+    // recall-vs-brute-force gate at the driver's bench SF is the
+    // CI-visible check that the trained path answers correctly.
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 16)
+    val trained = Similarity.trainCentroids(e, k = 16, iters = 3)
+    val exact = rowsOf(Similarity.knnBruteForce(e, q, 5))
+      .map(r => (r("query_id"), r("neighbor_id"))).toSet
+    val ivf = rowsOf(Similarity.knnIvf(e, q, 5, nProbes = 8,
+      centroids = Some(trained)))
+    // every vector lands in exactly one of the 16 cells
+    assert(ivf.nonEmpty && ivf.forall(_("rank").asInstanceOf[Int] <= 5))
+    val recall = exact.intersect(
+      ivf.map(r => (r("query_id"), r("neighbor_id"))).toSet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"trained-IVF sf0.1 recall regressed: $recall")
+  }
+
   test("lsh near pairs returns only pairs above threshold, ordered") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = rowsOf(Similarity.lshNearPairs(e, threshold = 0.3))

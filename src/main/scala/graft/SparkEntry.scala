@@ -47,6 +47,12 @@ object SparkEntry {
       EventAnalytics.topEventTypePerUser(EventsAsRecords.readEvents(s, dir))),
     "q_value_percentiles" -> ((s, dir) =>
       EventAnalytics.valuePercentiles(EventsAsRecords.readEvents(s, dir))),
+    // scale variant: mergeable-sketch percentiles (no per-type global
+    // sort). No oracleSql on purpose — sketch merge order is not
+    // hash-stable across engines; the exact variant above is the
+    // oracle, and EventAnalyticsSpec brackets this one against it.
+    "q_value_percentiles_approx" -> ((s, dir) =>
+      EventAnalytics.valuePercentilesApprox(EventsAsRecords.readEvents(s, dir))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
     "q_length_hist" -> ((s, dir) => TextAnalysis.lengthHistogram(docs(s, dir))),

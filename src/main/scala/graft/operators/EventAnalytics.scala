@@ -72,6 +72,13 @@ object EventAnalytics {
     * engine computes the identical picked value (no interpolation
     * arithmetic to diverge on). Duplicate boundary values are safe:
     * any row of a tie run carries the same value.
+    *
+    * SCALE BOUND: the rank window sorts each event type's values on
+    * ONE reducer — exact order statistics require a total order per
+    * type. Fine for any realistic #event_types × per-type volume, but
+    * a 100 TB corpus with one hot type pins that type's sort on a
+    * single task: use [[valuePercentilesApprox]] there (mergeable
+    * sketch, no global sort; this exact variant stays the oracle).
     */
   def valuePercentiles(events: DataFrame,
       ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
@@ -94,6 +101,29 @@ object EventAnalytics {
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("event_type"))
   }
+  /** Approximate companion of [[valuePercentiles]] for skew-prone
+    * corpora: `percentile_approx` is a mergeable sketch aggregate —
+    * map-side partials then one shuffle of fixed-size sketches per
+    * type, no per-type global sort — so a hot event type cannot pin a
+    * single reducer. Rank error is bounded at n/`accuracy`. Same
+    * output schema as the exact variant, which remains the oracle
+    * query (sketch merge order makes approx results hash-unstable
+    * across engines).
+    */
+  def valuePercentilesApprox(events: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      accuracy: Int = 10000): DataFrame = {
+    val qs = percentile_approx(
+      col("value"), typedLit(ps), lit(accuracy)).as("qs")
+    events.select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(qs)
+      .select(col("event_type") +: ps.zipWithIndex.map { case (p, i) =>
+        element_at(col("qs"), i + 1).as(s"p${(p * 100).toInt}") }: _*)
+      .orderBy(col("event_type"))
+  }
+
   def typeStats(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),

@@ -32,6 +32,39 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(u1(1)("session_start_us") == 50 * min * 1000L)
   }
 
+  test("approx percentiles bracket the exact order statistics") {
+    // the scale variant must agree with the exact (oracle) variant up
+    // to its rank-error bound: each approx pNN lies within the exact
+    // [p-2%, p+2%] order-statistic bracket per event type
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val ev = graft.sources.EventsAsRecords
+        .readEvents(spark, "/root/testdata/sf0.01")
+      val ps = Seq(0.5, 0.9, 0.99)
+      val lo = EventAnalytics.valuePercentiles(ev, ps.map(p => (p - 0.02).max(0.01)))
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      val hi = EventAnalytics.valuePercentiles(ev, ps.map(p => (p + 0.02).min(1.0)))
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      val approx = EventAnalytics.valuePercentilesApprox(ev, ps).collect()
+      assert(approx.nonEmpty)
+      approx.foreach { r =>
+        val t = r.getString(0)
+        ps.indices.foreach { i =>
+          val a = r.getDouble(i + 1)
+          val l = lo(t)(i).asInstanceOf[Double]
+          val h = hi(t)(i).asInstanceOf[Double]
+          assert(a >= l && a <= h,
+            s"$t p${(ps(i) * 100).toInt}: approx $a outside exact bracket [$l, $h]")
+        }
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("sessionize invariants on random streams: events partition into sessions") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 300).map { i =>

@@ -112,17 +112,33 @@ object SparkEntry {
     "q_corpus_filter" -> ((s, dir) => {
       import graft.functions.TextFunctions
       val d = docs(s, dir)
-      val clusters = Dedup.nearDupClusters(d)
-      // score in a PROJECTION (subexpression elimination dedupes the
-      // shared normText/tokens chains there; filter predicates get no
-      // such pass), filter on the materialized columns, THEN join the
-      // tiny surviving side against the cluster labels
-      d.select(col("doc_id"),
-          TextFunctions.qualityScore(col("text")).as("quality"),
-          TextFunctions.langId(col("text")).as("lang"))
-        .filter(col("quality") >= 0.65 && col("lang") === "en")
-        .join(clusters, Seq("doc_id"))
+      // canonical docs: a narrow filter directly on the checkpointed
+      // label frame — filtering BEFORE the join keeps the join inputs
+      // at (survivors × canonicals) instead of (survivors × corpus)
+      val canon = Dedup.nearDupClusters(d)
         .filter(col("cluster") === col("doc_id"))
+        .select(col("doc_id"))
+      // materialize the fused stopword-hit array FIRST: subexpression
+      // elimination never hoists expressions out of lazily-evaluated
+      // CaseWhen branches, so composing quality+langId directly would
+      // re-tokenize per language branch. With `hits` a real column,
+      // every downstream reference is a cheap element_at (CollapseProject
+      // keeps the boundary: non-cheap, multi-referenced).
+      // The rand() column is a deliberate pushdown barrier:
+      // PushPredicateThroughNonJoin only rewrites a filter through a
+      // projection whose fields are ALL deterministic, and without it
+      // the predicate is inlined below — re-deriving the scoring trees
+      // per row inside the filter, where no subexpression elimination
+      // exists (verified in the formatted plan: 8× stopwordhitsexpr +
+      // regex chains in the Filter condition).
+      d.select(col("doc_id"), col("text"),
+          TextFunctions.langHits(col("text")).as("hits"))
+        .select(col("doc_id"),
+          TextFunctions.qualityScoreFromHits(col("text"), col("hits")).as("quality"),
+          TextFunctions.langIdFromHits(col("hits")).as("lang"),
+          rand(7).as("_pushdown_barrier"))
+        .filter(col("quality") >= 0.65 && col("lang") === "en")
+        .join(canon, Seq("doc_id"))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),

@@ -81,14 +81,22 @@ object TextFunctions {
     * arithmetic (no transcendentals) so results are deterministic
     * across engines.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreFromHits(text, langHits(text))
+
+  /** [[qualityScore]] with the stopword-hit array already materialized
+    * as a column. Use this (with [[langIdFromHits]]) when one
+    * projection derives BOTH quality and language: subexpression
+    * elimination never hoists expressions out of lazily-evaluated
+    * CaseWhen branches, so the composed forms re-tokenize per branch —
+    * materializing `hits` in a first select makes every downstream
+    * reference a cheap element_at.
+    */
+  def qualityScoreFromHits(text: Column, hits: Column): Column = {
     val chars = length(normText(text)).cast("double")
     val words = tokenCount(text).cast("double")
     val punct = punctCount(text).cast("double")
-    // en hits via the SAME 5-list fused expression langId uses, so a
-    // projection computing both (corpus filter) tokenizes once —
-    // subexpression elimination dedupes the structurally-equal expr
-    val stops = element_at(langHits(text), Langs.indexOf("en") + 1).cast("double")
+    val stops = element_at(hits, Langs.indexOf("en") + 1).cast("double")
     val lengthScore = least(words / 100.0, lit(1.0))
     val punctScore = lit(1.0) - least(punct / greatest(chars, lit(1.0)) * 5.0, lit(1.0))
     val stopScore = least(stops / greatest(words, lit(1.0)) * 3.0, lit(1.0))

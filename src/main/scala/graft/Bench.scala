@@ -41,8 +41,11 @@ object Bench {
         s"[bench] WARNING: warmup dir $warmDir != measured dir $sfDir — " +
           "first timed pass will include codegen compilation")
     // optional comma-separated query filter for targeted iteration
-    val queries = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(k =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY names unknown query '$k'")))
+    val queries = only
       .fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
     queries.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
@@ -84,9 +87,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes}"""
     println(line)
     // also persist to a file: stdout can get interleaved with stray
-    // [error] log lines under sbt, which breaks line-oriented parsers
+    // [error] log lines under sbt, which breaks line-oriented parsers.
+    // A filtered (SPARK_GRAFT_ONLY) run must NOT clobber the canonical
+    // full-suite artifact with a partial total — it gets its own file.
+    val outFile = if (only.isEmpty) "bench.json" else "bench_partial.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench.json"),
+      java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -23,6 +23,12 @@ import graft.functions.Fnv32.Fnv32Expr
   *   graft_unit_vector(arr)      unit normalization (0-vector → zeros)
   *   graft_rolling_hash(str)     codepoint rolling hash mod 1e9+7
   *   graft_lang_hits(str)        per-language stopword hits (array<int>)
+  *
+  * Contract: these are the RAW expressions. Like graft_shingle_hashes,
+  * the text functions expect already-normalized input (the Scala
+  * wrappers `TextFunctions.rollingHash`/`langHits` apply `normText`
+  * first) — SQL callers compose e.g.
+  * `graft_lang_hits(lower(trim(regexp_replace(text, '\\s+', ' '))))`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit =

@@ -198,29 +198,40 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
-      val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
-        .groupBy(edges("doc_a").as("nbr_doc"))
-        .agg(min(col("cluster")).as("nbr_min"))
-      // carry the previous label through so convergence is a narrow
-      // filter on the (already-materialized) checkpoint — no extra
-      // join+shuffle per round just to detect the fixpoint
-      val next = labels.join(prop, labels("doc_id") === prop("nbr_doc"), "left")
-        .select(labels("doc_id"), col("cluster").as("prev"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint(true)
-      converged = next.filter(col("cluster") =!= col("prev")).isEmpty
-      // `next` is eagerly materialized, so the previous round's
-      // checkpoint blocks are now unreachable — release them instead of
-      // leaking one persisted frame per round for the session lifetime
-      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(labels)
-      labels = next.select(col("doc_id"), col("cluster"))
-      iter += 1
-    }
-    // the final labels checkpoint stays persisted (the caller executes
-    // it), but the edge table is no longer reachable from it
-    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(edges)
+    try {
+      while (!converged && iter < maxIters) {
+        val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
+          .groupBy(edges("doc_a").as("nbr_doc"))
+          .agg(min(col("cluster")).as("nbr_min"))
+        // carry the previous label through so convergence is a narrow
+        // filter on the (already-materialized) checkpoint — no extra
+        // join+shuffle per round just to detect the fixpoint
+        val next = labels.join(prop, labels("doc_id") === prop("nbr_doc"), "left")
+          .select(labels("doc_id"), col("cluster").as("prev"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+              .as("cluster"))
+          .localCheckpoint(true)
+        converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+        // `next` is eagerly materialized, so the previous round's
+        // checkpoint blocks are now unreachable — release them instead
+        // of leaking one persisted frame per round for the session
+        // lifetime
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(labels)
+        labels = next.select(col("doc_id"), col("cluster"))
+        iter += 1
+      }
+    } catch {
+      case t: Throwable =>
+        // a failed round must not orphan the live label checkpoint —
+        // the caller never sees the frame, so nothing can release it
+        // later (the session-lifetime leak this cleanup exists to stop)
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(labels)
+        throw t
+    } finally
+      // the final labels checkpoint stays persisted on success (the
+      // caller executes it), but the edge table is no longer reachable
+      // from it — release it on every path
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(edges)
     if (!converged)
       System.err.println(
         s"[nearDupClusters] NOT converged after $maxIters rounds — " +

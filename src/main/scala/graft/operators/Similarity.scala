@@ -178,6 +178,7 @@ object Similarity {
       .filter(col("unit").isNotNull &&
         !exists(col("unit"), x => x.isNull))
       .localCheckpoint(true)
+    try {
     var cent: Array[Seq[Double]] = cu.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Double](1))
     for (_ <- 0 until iters) {
@@ -205,15 +206,17 @@ object Similarity {
         }
       }.toArray
     }
-    // the centroids now live on the driver — release the checkpointed
-    // corpus blocks (a long-lived session would otherwise leak block-
-    // manager storage on every call; Dataset.unpersist would be a
-    // CacheManager no-op for a local checkpoint)
-    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(cu)
     import spark.implicits._
     cent.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toSeq
       .toDF("cid", "cunit")
+    } finally
+      // the centroids live on the driver once trained — release the
+      // checkpointed corpus blocks even when an iteration job fails
+      // (a long-lived session would otherwise leak block-manager
+      // storage on every call; Dataset.unpersist would be a
+      // CacheManager no-op for a local checkpoint)
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(cu)
   }
 
   def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -233,13 +236,26 @@ object Similarity {
     // per row, the same ASSIGN shape as [[trainCentroids]]. (The
     // previous formulation broadcast-joined corpus × nCentroids rows
     // and ranked with a row_number window — a shuffle of k× the corpus
-    // just to pick each row's top-1.)
+    // just to pick each row's top-1.) The trade: building the plan now
+    // runs one tiny collect job for the codebook (a pushed-down filter
+    // scan for the stand-in, the k-means result for the trained path).
     val book = cent.select(col("cid"), col("cunit")).orderBy(col("cid"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
-    require(book.nonEmpty, "knnIvf needs a non-empty centroid set")
+    if (book.isEmpty) {
+      // empty corpus (or no vec_id below nCentroids): no cells exist —
+      // return the empty result instead of failing plan construction
+      import spark.implicits._
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "score")
+    }
     val scores = array(book.map { case (_, v) =>
       dot(col("unit"), typedLit(v)) }: _*)
+    // null-embedding corpus rows are EXCLUDED from the index (argmax
+    // over all-null scores has no cell; the same policy trainCentroids
+    // applies). Null-embedding queries score null against every
+    // candidate and rank last, as before.
     val assigned = cu
+      .filter(col("unit").isNotNull)
       .withColumn("scores", scores)
       // first max wins (array_position is 1-based) = lowest cid, since
       // the book is cid-ascending — the same tie-break as the probe

@@ -100,6 +100,13 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"trained-IVF sf0.1 recall regressed: $recall")
   }
 
+  test("ivf knn on an empty corpus returns an empty result, not an error") {
+    val e = vecs()
+    val r = Similarity.knnIvf(e, e, 5)
+    assert(r.count() == 0)
+    assert(r.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "score"))
+  }
+
   test("lsh near pairs returns only pairs above threshold, ordered") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = rowsOf(Similarity.lshNearPairs(e, threshold = 0.3))

@@ -56,4 +56,44 @@ object HashProperties extends Properties("graft.hashing") {
         (acc, b) => (acc * 1000003L + (b & 0xff)) % 2147483647L)
       h >= 0 && h < 2147483647L
     }
+
+  // --- fused text expressions: interpreted-path parity vs a direct
+  // reference fold, over arbitrary unicode (incl. astral codepoints).
+  // The codegen path is pinned separately by CodegenNoFallbackSpec.
+
+  private def lit(s: String) =
+    org.apache.spark.sql.catalyst.expressions.Literal.create(
+      s, org.apache.spark.sql.types.StringType)
+
+  private val codepointGen: Gen[Int] = Gen.oneOf(
+    Gen.choose(0x20, 0x7e),       // ASCII
+    Gen.choose(0xa0, 0x2fff),     // Latin supplements .. CJK symbols
+    Gen.choose(0x4e00, 0x9fff),   // CJK unified
+    Gen.const(0x1f600))           // astral (surrogate pair in UTF-16)
+
+  property("RollingHashExpr == codepoint fold for arbitrary unicode") =
+    Prop.forAll(Gen.listOf(codepointGen)) { cps =>
+      val s = new String(cps.toArray, 0, cps.length)
+      val expected = cps.foldLeft(0L)((h, cp) => (h * 31L + cp) % 1000000007L)
+      graft.functions.TextExprs.RollingHashExpr(lit(s)).eval() == expected
+    }
+
+  private val tokenGen: Gen[String] = Gen.oneOf(
+    "the", "and", "of", "der", "die", "das", "el", "de", "le", "les",
+    "的", "是", "xyz", "qq", "a", "it", "42", "étoile")
+
+  property("StopwordHitsExpr == per-list membership counts") = {
+    import graft.functions.TextFunctions.{Langs, Stopwords}
+    val lists = Langs.map(Stopwords)
+    Prop.forAll(Gen.listOf(tokenGen)) { toks =>
+      val s = toks.mkString(" ")
+      // split(s, " ") semantics: the empty string yields one empty token
+      val splitToks = if (toks.isEmpty) Seq("") else toks
+      val expected = lists.map(ws => splitToks.count(ws.toSet))
+      val got = graft.functions.TextExprs.StopwordHitsExpr(lit(s), lists)
+        .eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+      got == expected
+    }
+  }
 }

@@ -102,7 +102,12 @@ object Dedup {
             x => x.cast("string"))).as("band_sig")))).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.band_sig"))
       // pre-shuffle on the join keys: both self-join sides then share
-      // ONE reused exchange, so signatures are computed once, not twice
+      // ONE stage-reused exchange, so signatures are computed once, not
+      // twice; AQE's broadcast conversion reads the reused shuffle
+      // output for the build side (measured faster here than forcing
+      // SMJ — the banded frame is small; contrast ngramJaccardPairs,
+      // where the exploded posting list is large and SMJ + coalescible
+      // ENSURE_REQUIREMENTS exchanges win)
       .repartition(col("band"), col("band_sig"))
     // candidate de-dup on id pairs only — never shuffle shingle arrays
     val cand = banded.as("a").join(banded.as("b"),
@@ -155,9 +160,11 @@ object Dedup {
         .filter(col("df") <= cap).select(col("s"))
       exRaw.join(df, Seq("s"))
     }
-      // shared exchange for both sides of the self-join (see minhashPairs)
-      .repartition(col("s"))
-    ex.as("a").join(ex.as("b"),
+    // merge hint: AQE would otherwise convert the build side to a
+    // broadcast AFTER its repartition exchange — computing the explode
+    // pipeline and a shuffle per side and reusing nothing. Forcing SMJ
+    // keeps both sides on the ONE repartition exchange (ReusedExchange)
+    ex.as("a").join(ex.as("b").hint("shuffle_merge"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
@@ -294,9 +301,8 @@ object Dedup {
           shiftright(col("sig"), bi * bandBits).bitwiseAND(mask)
             .as("band_val"))): _*)).as("bs"))
       .select(col("doc_id"), col("sig"), col("bs.band"), col("bs.band_val"))
-      // shared exchange for both sides of the self-join (see minhashPairs)
-      .repartition(col("band"), col("band_val"))
-    banded.as("a").join(banded.as("b"),
+    // shared (AQE stage-reused) exchange via forced SMJ — see minhashPairs
+    banded.as("a").join(banded.as("b").hint("shuffle_merge"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -124,10 +124,12 @@ object Similarity {
     val u = withUnit(corpus).select(col("vec_id"), col("unit"))
     val sigs = withSigs(u, tables, planes)
       .select(col("vec_id"), col("tbl"), col("sig"))
-      // shared exchange: both self-join sides reuse one shuffle, so the
-      // 16 hyperplane dot products per vector are computed once
-      .repartition(col("tbl"), col("sig"))
-    val cand = sigs.as("a").join(sigs.as("b"),
+    // shared exchange via forced SMJ: both self-join sides demand the
+    // same ENSURE_REQUIREMENTS shuffle over identical subplans, which
+    // AQE stage-reuses — the 16 hyperplane dot products per vector are
+    // computed once (an AQE broadcast conversion would bypass the
+    // shared shuffle and recompute them per side; see Dedup)
+    val cand = sigs.as("a").join(sigs.as("b").hint("shuffle_merge"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))

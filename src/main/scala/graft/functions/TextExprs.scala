@@ -178,4 +178,86 @@ object TextExprs {
   /** `stopword_hits(normText, lists)` — see [[StopwordHitsExpr]]. */
   def stopword_hits(normText: Column, lists: Seq[Seq[String]]): Column =
     ColumnBridge.column(StopwordHitsExpr(ColumnBridge.expression(normText), lists))
+
+  /** Fused BPE-ish-token and punctuation counter over RAW text:
+    * `array<int>` of
+    *   [0] = matches of `[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]` (letter runs
+    *         count 1 each; every digit and every other non-space
+    *         codepoint counts 1), and
+    *   [1] = matches of `[^A-Za-z0-9\s]`,
+    * in one codepoint loop. Replaces two `regexp_extract_all` calls
+    * that materialized full match-string arrays just to `size()` them.
+    * Counting semantics are exactly the regexes' (greedy leftmost
+    * alternation; `\s` is the ASCII class `[ \t\n\x0B\f\r]` in both
+    * Java and RE2), so the DuckDB oracles are unchanged.
+    */
+  case class BpePunctCountsExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftInputTypes {
+
+    override def graftInputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      var bpe = 0
+      var punct = 0
+      var inLetterRun = false
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) {
+          if (!inLetterRun) { bpe += 1; inLetterRun = true }
+        } else {
+          inLetterRun = false
+          if (cp >= '0' && cp <= '9') bpe += 1
+          else if (cp != ' ' && cp != '\t' && cp != '\n' && cp != 0x0b &&
+              cp != '\f' && cp != '\r') { bpe += 1; punct += 1 }
+        }
+        i += Character.charCount(cp)
+      }
+      new GenericArrayData(Array(bpe, punct))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val s = ctx.freshName("s")
+        val bpe = ctx.freshName("bpe")
+        val punct = ctx.freshName("punct")
+        val run = ctx.freshName("inLetterRun")
+        val i = ctx.freshName("i")
+        val cp = ctx.freshName("cp")
+        s"""
+           |final String $s = $c.toString();
+           |int $bpe = 0;
+           |int $punct = 0;
+           |boolean $run = false;
+           |int $i = 0;
+           |while ($i < $s.length()) {
+           |  final int $cp = $s.codePointAt($i);
+           |  if (($cp >= 'A' && $cp <= 'Z') || ($cp >= 'a' && $cp <= 'z')) {
+           |    if (!$run) { $bpe++; $run = true; }
+           |  } else {
+           |    $run = false;
+           |    if ($cp >= '0' && $cp <= '9') {
+           |      $bpe++;
+           |    } else if ($cp != ' ' && $cp != '\\t' && $cp != '\\n' &&
+           |        $cp != 0x0b && $cp != '\\f' && $cp != '\\r') {
+           |      $bpe++; $punct++;
+           |    }
+           |  }
+           |  $i += java.lang.Character.charCount($cp);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  new int[] { $bpe, $punct });
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): BpePunctCountsExpr =
+      copy(child = newChild)
+  }
+
+  /** `bpe_punct_counts(text)` — see [[BpePunctCountsExpr]]. */
+  def bpe_punct_counts(text: Column): Column =
+    ColumnBridge.column(BpePunctCountsExpr(ColumnBridge.expression(text)))
 }

@@ -23,13 +23,24 @@ object TextFunctions {
 
   /** BPE-ish sub-word token estimate: letter runs, single digits, and
     * single punctuation marks each count as one token (the shape of a
-    * byte-pair pre-tokenizer split, without a vocab).
+    * byte-pair pre-tokenizer split, without a vocab). Fused with
+    * [[punctCount]] into one codepoint loop
+    * ([[TextExprs.BpePunctCountsExpr]]) — both used in one projection
+    * share the expression via subexpression elimination.
     */
   val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+    element_at(TextExprs.bpe_punct_counts(text), 1)
 
   def punctCount(text: Column): Column =
+    element_at(TextExprs.bpe_punct_counts(text), 2)
+
+  /** The regexp_extract_all forms the fused counts replaced — kept as
+    * parity oracles for [[TextExprs.BpePunctCountsExpr]]. */
+  def bpeTokenCountDeclarative(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  def punctCountDeclarative(text: Column): Column =
     size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Tiny public stopword lists per language, for the n-gram/stopword

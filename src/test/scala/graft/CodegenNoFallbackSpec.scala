@@ -91,6 +91,11 @@ class CodegenNoFallbackSpec extends SparkSuite {
         TextFunctions.Langs.map(TextFunctions.Stopwords)).as("hits")))
   }
 
+  test("bpe_punct_counts compiles and matches under CODEGEN_ONLY") {
+    assertCodegenParity(docs.select(col("doc_id"),
+      graft.functions.TextExprs.bpe_punct_counts(col("text")).as("c")))
+  }
+
   test("fnv32 compiles and matches under CODEGEN_ONLY") {
     assertCodegenParity(docs.select(col("doc_id"),
       Fnv32.fnv32(col("text").cast("binary")).as("h")))

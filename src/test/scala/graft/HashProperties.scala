@@ -82,6 +82,24 @@ object HashProperties extends Properties("graft.hashing") {
     "the", "and", "of", "der", "die", "das", "el", "de", "le", "les",
     "的", "是", "xyz", "qq", "a", "it", "42", "étoile")
 
+  property("BpePunctCountsExpr == java.util.regex reference counts") = {
+    // the independent reference is the ACTUAL regex engine Spark's
+    // regexp_extract_all uses, not a reimplementation of the loop
+    val bpeRe = java.util.regex.Pattern.compile(
+      graft.functions.TextFunctions.BpePattern)
+    val punctRe = java.util.regex.Pattern.compile("[^A-Za-z0-9\\s]")
+    def count(p: java.util.regex.Pattern, s: String): Int = {
+      val m = p.matcher(s); var n = 0; while (m.find()) n += 1; n
+    }
+    Prop.forAll(Gen.listOf(codepointGen)) { cps =>
+      val s = new String(cps.toArray, 0, cps.length)
+      val got = graft.functions.TextExprs.BpePunctCountsExpr(lit(s))
+        .eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+      got == Seq(count(bpeRe, s), count(punctRe, s))
+    }
+  }
+
   property("StopwordHitsExpr == per-list membership counts") = {
     import graft.functions.TextFunctions.{Langs, Stopwords}
     val lists = Langs.map(Stopwords)

@@ -90,6 +90,26 @@ class TextAnalysisSpec extends SparkSuite {
     f.zip(g).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("fused bpe/punct counts match the regexp_extract_all forms") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union(docs(
+        100001L -> "Hello,  world! 42 ... é中文\t\nmixed-case_X99",
+        100002L -> "",
+        100003L -> "   \t\n  ",
+        100004L -> "!!!abc123def!!!"))
+    val pairs = rowsOf(d.select(
+      TextFunctions.bpeTokenCount(col("text")).as("bpe_f"),
+      TextFunctions.bpeTokenCountDeclarative(col("text")).as("bpe_d"),
+      TextFunctions.punctCount(col("text")).as("p_f"),
+      TextFunctions.punctCountDeclarative(col("text")).as("p_d")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { m =>
+      assert(m("bpe_f") == m("bpe_d"), m.toString)
+      assert(m("p_f") == m("p_d"), m.toString)
+    }
+  }
+
   test("repetition ratio: looping text scores high, novel text scores 0") {
     val loop = Seq.fill(10)("the cat sat on the mat").mkString(" ")
     val novel = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -23,6 +23,7 @@ import graft.functions.Fnv32.Fnv32Expr
   *   graft_unit_vector(arr)      unit normalization (0-vector → zeros)
   *   graft_rolling_hash(str)     codepoint rolling hash mod 1e9+7
   *   graft_lang_hits(str)        per-language stopword hits (array<int>)
+  *   graft_bpe_punct_counts(str) [bpe_tokens, punct] counts (array<int>)
   *
   * Contract: these are the RAW expressions. Like graft_shingle_hashes,
   * the text functions expect already-normalized input (the Scala
@@ -87,7 +88,13 @@ object GraftExtensions {
       checked("graft_lang_hits", 1)(args =>
         graft.functions.TextExprs.StopwordHitsExpr(args.head,
           graft.functions.TextFunctions.Langs
-            .map(graft.functions.TextFunctions.Stopwords)))))
+            .map(graft.functions.TextFunctions.Stopwords)))),
+    ("graft_bpe_punct_counts",
+      new ExpressionInfo(
+        classOf[graft.functions.TextExprs.BpePunctCountsExpr].getName,
+        "graft_bpe_punct_counts"),
+      checked("graft_bpe_punct_counts", 1)(args =>
+        graft.functions.TextExprs.BpePunctCountsExpr(args.head))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -26,12 +26,14 @@ class GraftExtensionsSpec extends SparkSuite {
     GraftExtensions.register(spark)
     val r = spark.sql(
       """SELECT graft_rolling_hash('hello world') AS rh,
-        |       graft_lang_hits('the cat and der hund') AS hits
+        |       graft_lang_hits('the cat and der hund') AS hits,
+        |       graft_bpe_punct_counts('Hi, 42!') AS bp
         |""".stripMargin).collect()(0)
     val expectedRh = "hello world"
       .foldLeft(0L)((h, c) => (h * 31L + c.toInt) % 1000000007L)
     assert(r.getLong(0) == expectedRh)
     assert(r.getSeq[Int](1) == Seq(2, 1, 0, 0, 0)) // en: the,and; de: der
+    assert(r.getSeq[Int](2) == Seq(5, 2))          // Hi , 4 2 ! / , !
   }
 
   test("wrong argument counts raise a clean AnalysisException") {

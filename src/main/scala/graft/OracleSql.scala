@@ -65,7 +65,7 @@ object OracleSql {
        |SELECT doc_id,
        |       len(toks) AS n_tokens,
        |       len(regexp_extract_all(text, '${TextFunctions.BpePattern}')) AS n_bpe_tokens,
-       |       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+       |       len(regexp_extract_all(text, '${TextFunctions.PunctPattern}')) AS n_punct,
        |       length(norm) AS n_chars_norm
        |FROM tok ORDER BY doc_id""".stripMargin
 
@@ -92,7 +92,7 @@ object OracleSql {
     s"""SELECT doc_id,
        |        CAST(length(norm) AS DOUBLE) AS chars,
        |        CAST(len(toks) AS DOUBLE) AS words,
-       |        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct,
+       |        CAST(len(regexp_extract_all(text, '${TextFunctions.PunctPattern}')) AS DOUBLE) AS punct,
        |        CAST(${hitsExpr("en")} AS DOUBLE) AS stops
        |      FROM tok""".stripMargin
   private val qualityFormulaSql: String =

@@ -187,9 +187,14 @@ object TextExprs {
     *   [1] = matches of `[^A-Za-z0-9\s]`,
     * in one codepoint loop. Replaces two `regexp_extract_all` calls
     * that materialized full match-string arrays just to `size()` them.
-    * Counting semantics are exactly the regexes' (greedy leftmost
-    * alternation; `\s` is the ASCII class `[ \t\n\x0B\f\r]` in both
-    * Java and RE2), so the DuckDB oracles are unchanged.
+    * Counting semantics are exactly JAVA's regexes (greedy leftmost
+    * alternation; `\s` = `[ \t\n\x0B\f\r]`) — i.e. what Spark's
+    * `regexp_extract_all` computed before the fusion, pinned by a
+    * ScalaCheck property against `java.util.regex` itself. Caveat
+    * carried over unchanged from the regex forms: RE2's `\s` (DuckDB)
+    * omits `\x0B`, so a document containing a vertical tab would
+    * diverge from the DuckDB oracle — as it already would in every
+    * `\s+` normalization. The driver corpus contains none.
     */
   case class BpePunctCountsExpr(child: Expression)
     extends UnaryExpression

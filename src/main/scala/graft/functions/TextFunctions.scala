@@ -28,7 +28,8 @@ object TextFunctions {
     * ([[TextExprs.BpePunctCountsExpr]]) — both used in one projection
     * share the expression via subexpression elimination.
     */
-  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  val PunctPattern = "[^A-Za-z0-9\\s]"
+  val BpePattern = s"[A-Za-z]+|[0-9]|$PunctPattern"
   def bpeTokenCount(text: Column): Column =
     element_at(TextExprs.bpe_punct_counts(text), 1)
 
@@ -41,7 +42,7 @@ object TextFunctions {
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
   def punctCountDeclarative(text: Column): Column =
-    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text, lit(PunctPattern), lit(0)))
 
   /** Tiny public stopword lists per language, for the n-gram/stopword
     * language-ID heuristic. Order of `Langs` is the deterministic

@@ -160,10 +160,13 @@ object Dedup {
         .filter(col("df") <= cap).select(col("s"))
       exRaw.join(df, Seq("s"))
     }
-    // merge hint: AQE would otherwise convert the build side to a
-    // broadcast AFTER its repartition exchange — computing the explode
-    // pipeline and a shuffle per side and reusing nothing. Forcing SMJ
-    // keeps both sides on the ONE repartition exchange (ReusedExchange)
+    // merge hint: forcing SMJ makes both self-join sides demand the
+    // SAME ENSURE_REQUIREMENTS exchange over identical subplans, which
+    // AQE stage-reuses (the explode pipeline and its shuffle run once)
+    // and coalesces freely. Without it, AQE converts the build side to
+    // a broadcast fed by a SECOND identical exchange — computing the
+    // posting list twice; an explicit repartition would instead pin a
+    // partition count AQE won't coalesce (near-empty reducers).
     ex.as("a").join(ex.as("b").hint("shuffle_merge"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

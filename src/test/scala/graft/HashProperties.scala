@@ -87,7 +87,8 @@ object HashProperties extends Properties("graft.hashing") {
     // regexp_extract_all uses, not a reimplementation of the loop
     val bpeRe = java.util.regex.Pattern.compile(
       graft.functions.TextFunctions.BpePattern)
-    val punctRe = java.util.regex.Pattern.compile("[^A-Za-z0-9\\s]")
+    val punctRe = java.util.regex.Pattern.compile(
+      graft.functions.TextFunctions.PunctPattern)
     def count(p: java.util.regex.Pattern, s: String): Int = {
       val m = p.matcher(s); var n = 0; while (m.find()) n += 1; n
     }

@@ -97,6 +97,28 @@ class PlanShapeSpec extends SparkSuite {
     assert(shuffles <= 3, s"too many shuffle exchanges ($shuffles):\n$p")
   }
 
+  test("sketch self-joins reuse one exchange per input at runtime") {
+    // the forced-SMJ claim (Dedup.ngramJaccardPairs, simhashPairs,
+    // Similarity.lshNearPairs): both self-join sides demand identical
+    // ENSURE_REQUIREMENTS exchanges, and AQE stage-reuses them — the
+    // posting-list/signature pipeline and its shuffle run ONCE. The
+    // static plan shows two exchanges; only the EXECUTED adaptive plan
+    // proves the reuse, so execute and inspect the final plan. If a
+    // Spark/AQE change (e.g. broadcast conversion overriding the merge
+    // hint) breaks this, the pipeline silently computes twice — fail
+    // here instead.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (df <- Seq(
+        graft.operators.Dedup.ngramJaccardPairs(docs),
+        graft.operators.Dedup.simhashPairs(docs))) {
+      df.collect()
+      val executed = df.queryExecution.executedPlan.toString
+      assert(executed.contains("isFinalPlan=true"), executed.take(500))
+      assert(executed.contains("ReusedExchange"),
+        s"self-join sides no longer share an exchange:\n${executed.take(3000)}")
+    }
+  }
+
   test("brute-force kNN broadcasts the query side, never the corpus") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = plan(graft.operators.Similarity.knnBruteForce(

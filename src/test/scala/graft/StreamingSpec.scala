@@ -55,6 +55,59 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSet == batch.toSet && streamed.nonEmpty)
   }
 
+  test("streaming exact dedup keeps the first-seen doc per fingerprint") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamingDedup.deduped(docs)
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    // duplicates arrive in LATER micro-batches: cross-batch dedup is
+    // exactly what the state guarantees (within one batch, which of
+    // two equal-fingerprint rows survives is partition-order-defined)
+    mem.addData((1L, "Hello   World"), (3L, "unique one"))
+    q.processAllAvailable()
+    mem.addData((4L, "HELLO WORLD"), (2L, "hello world"), (5L, "another text"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = rowsOf(spark.table("sdedup").orderBy("doc_id"))
+      .map(_("doc_id")).toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // matches the batch operator's canonical set (the first-seen docs
+    // here also carry the smallest doc_ids)
+    val batch = rowsOf(graft.operators.Dedup.exact(
+      Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "unique one"),
+        (4L, "HELLO WORLD"), (5L, "another text")).toDF("doc_id", "text")))
+      .map(_("canonical_doc_id")).toSet
+    assert(kept == batch)
+  }
+
+  test("watermark-bounded streaming dedup suppresses dupes within the horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "event_ts", "text")
+    val q = graft.streaming.StreamingDedup
+      .dedupedWithinWatermark(docs, "event_ts", "10 minutes")
+      .writeStream.format("memory").queryName("sdedup_wm")
+      .outputMode("append").start()
+    // base the event times well above the epoch: rows at/below the
+    // initial watermark (epoch 0) are dropped as late arrivals
+    val base = 1700000000000L
+    val min = 60L * 1000
+    mem.addData((1L, ts(base + 0 * min), "same text"))
+    q.processAllAvailable()
+    // in-horizon duplicate in a LATER batch: suppressed by state
+    mem.addData((2L, ts(base + 1 * min), "same  text"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = rowsOf(spark.table("sdedup_wm")).map(_("doc_id")).toSet
+    assert(kept == Set(1L))
+  }
+
   test("alive-key TTL evicts idle state past the watermark") {
     val s = spark
     import s.implicits._

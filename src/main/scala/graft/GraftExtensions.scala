@@ -24,6 +24,7 @@ import graft.functions.Fnv32.Fnv32Expr
   *   graft_rolling_hash(str)     codepoint rolling hash mod 1e9+7
   *   graft_lang_hits(str)        per-language stopword hits (array<int>)
   *   graft_bpe_punct_counts(str) [bpe_tokens, punct] counts (array<int>)
+  *   graft_clean_text(str)       fused URL/email/ctrl/punct/ws cleaner
   *
   * Contract: these are the RAW expressions. Like graft_shingle_hashes,
   * the text functions expect already-normalized input (the Scala
@@ -94,7 +95,13 @@ object GraftExtensions {
         classOf[graft.functions.TextExprs.BpePunctCountsExpr].getName,
         "graft_bpe_punct_counts"),
       checked("graft_bpe_punct_counts", 1)(args =>
-        graft.functions.TextExprs.BpePunctCountsExpr(args.head))))
+        graft.functions.TextExprs.BpePunctCountsExpr(args.head))),
+    ("graft_clean_text",
+      new ExpressionInfo(
+        classOf[graft.functions.TextExprs.CleanTextExpr].getName,
+        "graft_clean_text"),
+      checked("graft_clean_text", 1)(args =>
+        graft.functions.TextExprs.CleanTextExpr(args.head))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

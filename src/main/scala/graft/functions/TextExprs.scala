@@ -265,4 +265,139 @@ object TextExprs {
   /** `bpe_punct_counts(text)` — see [[BpePunctCountsExpr]]. */
   def bpe_punct_counts(text: Column): Column =
     ColumnBridge.column(BpePunctCountsExpr(ColumnBridge.expression(text)))
+
+  /** Fused training-data text cleaner: one byte scan emulating the
+    * 5-pass regex chain of [[TextFunctions.cleanTextDeclarative]]
+    * exactly —
+    *   1. `https?://[^ \t\n\r]+` → " "   (URL strip)
+    *   2. `[^ \t\n\r]+@[^ \t\n\r]+` → " " (email-like strip, on 1's output)
+    *   3. `[\x00-\x1f]` → " "            (control chars)
+    *   4. `([!?.,;:])\1+` → `$1`          (same-char punct runs)
+    *   5. `lower(trim(regexp_replace(·, "\s+", " ")))`.
+    *
+    * Pass 5 collapses ALL whitespace runs and trims, so only the
+    * SEQUENCE of non-whitespace segments matters — exact interim space
+    * counts are irrelevant. That reduces passes 1–2 to per-token rules
+    * over tokens split on `[ \t\n\r]` (the classes those regexes use):
+    *   - a token containing `http://` or `https://` loses everything
+    *     from the FIRST such occurrence to the token's end (the URL
+    *     regex consumes greedily to the next hard space; a second URL
+    *     in the same token is inside the first match);
+    *   - the remainder is dropped entirely iff it has an '@' at an
+    *     interior position i ∈ [1, len-2] (the email regex needs ≥1
+    *     non-space byte on each side; leftmost-greedy then spans the
+    *     whole token);
+    *   - control bytes split the remainder (pass 3 turns them into
+    *     spaces); each piece gets the same-char punct-run collapse.
+    * Byte-level scanning is exact: every class byte is ASCII and UTF-8
+    * continuation bytes are ≥ 0x80. Lowercasing calls
+    * `UTF8String.toLowerCase` — the identical routine Spark's `lower`
+    * uses under the default collation.
+    */
+  case class CleanTextExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftInputTypes {
+
+    override def graftInputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      UTF8String.fromBytes(CleanTextExpr.clean(bytes)).toLowerCase
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val helper = CleanTextExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+           |  $helper.clean($c.getBytes())).toLowerCase();
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): CleanTextExpr =
+      copy(child = newChild)
+  }
+
+  object CleanTextExpr {
+    private def isHardSpace(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    private def isCtrl(b: Byte): Boolean = (b & 0xff) < 0x20
+    private def isRunPunct(b: Byte): Boolean =
+      b == '!' || b == '?' || b == '.' || b == ',' || b == ';' || b == ':'
+
+    /** First index in [from, until) where `http://` or `https://`
+      * begins, or -1. */
+    private def urlStart(bs: Array[Byte], from: Int, until: Int): Int = {
+      var i = from
+      while (i < until) {
+        if (bs(i) == 'h' && i + 7 <= until &&
+            bs(i + 1) == 't' && bs(i + 2) == 't' && bs(i + 3) == 'p') {
+          var j = i + 4
+          if (j < until && bs(j) == 's') j += 1
+          // the regex's [^ \t\n\r]+ needs ≥1 byte after "://" — a bare
+          // trailing "http://" is NOT a match and the token is kept
+          if (j + 3 < until && bs(j) == ':' && bs(j + 1) == '/' && bs(j + 2) == '/')
+            return i
+        }
+        i += 1
+      }
+      -1
+    }
+
+    /** The shared scan (interpreted eval AND generated code call this;
+      * the logic is branch-heavy enough that inlining it into Janino
+      * buys nothing). Output bytes still need lowercasing. */
+    def clean(bytes: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(bytes.length)
+      var needSep = false
+      var t = 0
+      while (t < bytes.length) {
+        if (isHardSpace(bytes(t))) t += 1
+        else {
+          var end = t
+          while (end < bytes.length && !isHardSpace(bytes(end))) end += 1
+          // pass 1: truncate the token at the first URL occurrence
+          val u = urlStart(bytes, t, end)
+          val tokEnd = if (u >= 0) u else end
+          // pass 2: drop the remainder iff '@' sits at an interior index
+          var hasInteriorAt = false
+          var i = t + 1
+          while (i < tokEnd - 1 && !hasInteriorAt) {
+            if (bytes(i) == '@') hasInteriorAt = true
+            i += 1
+          }
+          if (!hasInteriorAt) {
+            // pass 3 splits on control bytes; pass 4 collapses runs
+            var segStart = t
+            var j = t
+            while (j <= tokEnd) {
+              if (j == tokEnd || isCtrl(bytes(j))) {
+                if (j > segStart) {
+                  if (needSep) out.write(' ')
+                  var prev: Int = -1
+                  var k = segStart
+                  while (k < j) {
+                    val b = bytes(k)
+                    if (!(b == prev && isRunPunct(b))) out.write(b)
+                    prev = b
+                    k += 1
+                  }
+                  needSep = true
+                }
+                segStart = j + 1
+              }
+              j += 1
+            }
+          }
+          t = end
+        }
+      }
+      out.toByteArray
+    }
+  }
+
+  /** `clean_text(text)` — see [[CleanTextExpr]]. */
+  def clean_text(text: Column): Column =
+    ColumnBridge.column(CleanTextExpr(ColumnBridge.expression(text)))
 }

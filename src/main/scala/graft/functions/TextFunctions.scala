@@ -119,10 +119,17 @@ object TextFunctions {
 
   /** Training-data text cleaning: strip URLs and email-like tokens,
     * drop control characters, collapse runs of repeated punctuation to
-    * one, then normalize whitespace. Simple RE2-compatible patterns so
-    * any engine's regex implementation agrees.
+    * one, then normalize whitespace. Fused into one byte scan
+    * ([[TextExprs.CleanTextExpr]]); the regex chain it replaced stays
+    * below as its parity oracle.
     */
-  def cleanText(text: Column): Column = {
+  def cleanText(text: Column): Column = TextExprs.clean_text(text)
+
+  /** The 5-pass regex chain [[cleanText]] replaced — kept as the parity
+    * oracle for [[TextExprs.CleanTextExpr]]. Simple RE2-compatible
+    * patterns so any engine's regex implementation agrees.
+    */
+  def cleanTextDeclarative(text: Column): Column = {
     val noUrl = regexp_replace(text, "https?://[^ \\t\\n\\r]+", " ")
     val noEmail = regexp_replace(noUrl, "[^ \\t\\n\\r]+@[^ \\t\\n\\r]+", " ")
     val noCtrl = regexp_replace(noEmail, "[\\x00-\\x1f]", " ")

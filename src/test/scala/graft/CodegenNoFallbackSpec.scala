@@ -91,6 +91,11 @@ class CodegenNoFallbackSpec extends SparkSuite {
         TextFunctions.Langs.map(TextFunctions.Stopwords)).as("hits")))
   }
 
+  test("clean_text compiles and matches under CODEGEN_ONLY") {
+    assertCodegenParity(docs.select(col("doc_id"),
+      graft.functions.TextExprs.clean_text(col("text")).as("c")))
+  }
+
   test("bpe_punct_counts compiles and matches under CODEGEN_ONLY") {
     assertCodegenParity(docs.select(col("doc_id"),
       graft.functions.TextExprs.bpe_punct_counts(col("text")).as("c")))

@@ -6,6 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.ArrayHashExprs.{DotProductExpr, MinHashSigExpr, PolyHash31Expr, ShingleHashExpr, SimHashExpr, UnitVectorExpr}
 import graft.functions.Fnv32.Fnv32Expr
+import graft.functions.TextExprs.{BpePunctCountsExpr, CleanTextExpr, RollingHashExpr, StopwordHitsExpr}
+import graft.functions.TextFunctions
 
 /** SQL surface for graft's custom Catalyst expressions. Two ways in:
   *
@@ -78,30 +80,30 @@ object GraftExtensions {
       checked("graft_unit_vector", 1)(args => UnitVectorExpr(args.head))),
     ("graft_rolling_hash",
       new ExpressionInfo(
-        classOf[graft.functions.TextExprs.RollingHashExpr].getName,
+        classOf[RollingHashExpr].getName,
         "graft_rolling_hash"),
       checked("graft_rolling_hash", 1)(args =>
-        graft.functions.TextExprs.RollingHashExpr(args.head))),
+        RollingHashExpr(args.head))),
     ("graft_lang_hits",
       new ExpressionInfo(
-        classOf[graft.functions.TextExprs.StopwordHitsExpr].getName,
+        classOf[StopwordHitsExpr].getName,
         "graft_lang_hits"),
       checked("graft_lang_hits", 1)(args =>
-        graft.functions.TextExprs.StopwordHitsExpr(args.head,
-          graft.functions.TextFunctions.Langs
-            .map(graft.functions.TextFunctions.Stopwords)))),
+        StopwordHitsExpr(args.head,
+          TextFunctions.Langs
+            .map(TextFunctions.Stopwords)))),
     ("graft_bpe_punct_counts",
       new ExpressionInfo(
-        classOf[graft.functions.TextExprs.BpePunctCountsExpr].getName,
+        classOf[BpePunctCountsExpr].getName,
         "graft_bpe_punct_counts"),
       checked("graft_bpe_punct_counts", 1)(args =>
-        graft.functions.TextExprs.BpePunctCountsExpr(args.head))),
+        BpePunctCountsExpr(args.head))),
     ("graft_clean_text",
       new ExpressionInfo(
-        classOf[graft.functions.TextExprs.CleanTextExpr].getName,
+        classOf[CleanTextExpr].getName,
         "graft_clean_text"),
       checked("graft_clean_text", 1)(args =>
-        graft.functions.TextExprs.CleanTextExpr(args.head))))
+        CleanTextExpr(args.head))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

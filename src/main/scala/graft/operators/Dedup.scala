@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 import graft.functions.{ArrayHashExprs, Hashing, TextFunctions}
 
@@ -226,7 +227,7 @@ object Dedup {
         // checkpoint blocks are now unreachable — release them instead
         // of leaking one persisted frame per round for the session
         // lifetime
-        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(labels)
+        ColumnBridge.unpersistCheckpoint(labels)
         labels = next.select(col("doc_id"), col("cluster"))
         iter += 1
       }
@@ -235,13 +236,13 @@ object Dedup {
         // a failed round must not orphan the live label checkpoint —
         // the caller never sees the frame, so nothing can release it
         // later (the session-lifetime leak this cleanup exists to stop)
-        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(labels)
+        ColumnBridge.unpersistCheckpoint(labels)
         throw t
     } finally
       // the final labels checkpoint stays persisted on success (the
       // caller executes it), but the edge table is no longer reachable
       // from it — release it on every path
-      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(edges)
+      ColumnBridge.unpersistCheckpoint(edges)
     if (!converged)
       System.err.println(
         s"[nearDupClusters] NOT converged after $maxIters rounds — " +

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -143,16 +144,6 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** IVF-style ANN top-k: corpus vectors are assigned to their nearest
-    * coarse centroid; a query probes its `nProbes` nearest centroids
-    * and scores only the vectors in those cells. The inverted-file
-    * plan: assignment is a broadcast of centroids + one top-1 window
-    * (no corpus shuffle beyond the window), candidate generation is a
-    * centroid-id equi-join. Centroids here are a deterministic
-    * stand-in (the first `nCentroids` vectors) so the oracle can
-    * reproduce them — a production IVF trains them with k-means; the
-    * assignment/probe/score plan is identical either way.
-    */
   /** Spherical k-means (Lloyd's) for IVF coarse centroids — the
     * production swap for [[knnIvf]]'s deterministic stand-in.
     * Per iteration:
@@ -218,9 +209,20 @@ object Similarity {
       // (a long-lived session would otherwise leak block-manager
       // storage on every call; Dataset.unpersist would be a
       // CacheManager no-op for a local checkpoint)
-      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(cu)
+      ColumnBridge.unpersistCheckpoint(cu)
   }
 
+  /** IVF-style ANN top-k: corpus vectors are assigned to their nearest
+    * coarse centroid; a query probes its `nProbes` nearest centroids
+    * and scores only the vectors in those cells. The inverted-file
+    * plan: corpus cell assignment is a shuffle-free argmax projection
+    * over the driver-held codebook, candidate generation is a
+    * centroid-id equi-join, and only the (tiny) probe side keeps a
+    * top-nProbes window. Centroids default to a deterministic
+    * stand-in (the first `nCentroids` vectors) so the oracle can
+    * reproduce cell assignment — production passes
+    * [[trainCentroids]]; the plan is identical either way.
+    */
   def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbes: Int = 4,
       centroids: Option[DataFrame] = None): DataFrame = {

@@ -400,4 +400,5 @@ object TextExprs {
   /** `clean_text(text)` — see [[CleanTextExpr]]. */
   def clean_text(text: Column): Column =
     ColumnBridge.column(CleanTextExpr(ColumnBridge.expression(text)))
+
 }

@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercase, collapse whitespace runs, trim. */
+  /** Lowercase, collapse whitespace runs, trim. (A fused byte-scan
+    * expression was prototyped and A/B-benched at parity — this trivial
+    * compiled pattern is not a bottleneck, unlike the match-array
+    * materializations and interpreted lambdas that were — so the
+    * simpler regex form stays.) */
   def normText(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 

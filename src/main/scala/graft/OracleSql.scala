@@ -429,6 +429,46 @@ object OracleSql {
        |  FROM documents)
        |ORDER BY media_id""".stripMargin
 
+  /** TPC-H-style relational mirrors. Money doubles are 2-dp values, so
+    * the DECIMAL(18,2) casts are exact and decimal sums are
+    * order-free; both engines' decimal type widening keeps the 6
+    * fractional digits of the triple product exactly. Averages are
+    * spelled as sum/count double divisions so the operation sequence
+    * is identical (DuckDB's avg(decimal) returns double directly,
+    * Spark's returns a rescaled decimal — neither matches the other).
+    */
+  private val dec1 = "CAST(1.0 AS DECIMAL(18,2))"
+  private def decCol(c: String) = s"CAST($c AS DECIMAL(18,2))"
+  private val discPriceSql =
+    s"${decCol("l_extendedprice")} * ($dec1 - ${decCol("l_discount")})"
+
+  def tpchQ1(shipBefore: String = "1998-09-02 00:00:00"): String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       CAST(SUM(${decCol("l_quantity")}) AS DOUBLE) AS sum_qty,
+       |       CAST(SUM(${decCol("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+       |       CAST(SUM($discPriceSql) AS DOUBLE) AS sum_disc_price,
+       |       CAST(SUM($discPriceSql * ($dec1 + ${decCol("l_tax")})) AS DOUBLE) AS sum_charge,
+       |       CAST(SUM(${decCol("l_quantity")}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       |       CAST(SUM(${decCol("l_extendedprice")}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       |       COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '$shipBefore'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def tpchQ3(segment: String = "BUILDING",
+      cutoff: String = "1995-03-15 00:00:00"): String =
+    s"""SELECT l_orderkey,
+       |       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+       |       CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = '$segment'
+       |  AND o_orderdate < TIMESTAMP '$cutoff'
+       |  AND l_shipdate > TIMESTAMP '$cutoff'
+       |GROUP BY 1, 2
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   /** Unit-normalized double vectors, mirroring [[Similarity.withUnit]]:
     * norm once per vector, then element-wise division. */
   private val unitCte: String =

@@ -53,6 +53,15 @@ object SparkEntry {
     // oracle, and EventAnalyticsSpec brackets this one against it.
     "q_value_percentiles_approx" -> ((s, dir) =>
       EventAnalytics.valuePercentilesApprox(EventsAsRecords.readEvents(s, dir))),
+    // relational side: classic TPC-H shapes over the warehouse tables
+    "q_tpch_q1" -> ((s, dir) =>
+      graft.operators.Relational.pricingSummary(
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_tpch_q3" -> ((s, dir) =>
+      graft.operators.Relational.shippingPriority(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
     "q_length_hist" -> ((s, dir) => TextAnalysis.lengthHistogram(docs(s, dir))),
@@ -224,6 +233,8 @@ object SparkEntry {
       "q_sessions" -> OracleSql.sessions(),
       "q_user_top_type" -> OracleSql.topEventTypePerUser,
       "q_value_percentiles" -> OracleSql.valuePercentiles(),
+      "q_tpch_q1" -> OracleSql.tpchQ1(),
+      "q_tpch_q3" -> OracleSql.tpchQ3(),
       "q_repetition" -> OracleSql.repetition(),
       "q_vocabulary" -> OracleSql.vocabulary(),
       "q_length_hist" -> OracleSql.lengthHistogram(),

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classic relational analytics over the TPC-H-style tables — the
+  * multi-table side of the engine: grouped aggregation with pushed-down
+  * predicates (Q1) and the broadcast-dimension join chain (Q3). These
+  * demonstrate the plan shapes a 100 TB relational workload needs:
+  * filters reach the parquet scans (`PushedFilters`), dimension tables
+  * broadcast (customer is ~1/40 of lineitem here and shrinks further
+  * after its segment filter — never shuffle the fact table for a dim),
+  * and top-k is `TakeOrderedAndProject`, not a global sort.
+  *
+  * Money arithmetic routes through DECIMAL(18,2): the source doubles
+  * are 2-dp money values, so the cast is EXACT, and decimal addition
+  * is associative — distributed summation order cannot perturb the
+  * result (the same trick the events oracles use). Outputs cast back
+  * to double identically in the DuckDB mirrors.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1: pricing summary report. One scan, one shuffle keyed by
+    * the 4-value (returnflag, linestatus) pair, map-side partials do
+    * almost all the work. Averages are sum/count double divisions (not
+    * `avg`) so both engines compute the identical operation.
+    */
+  def pricingSummary(lineitem: DataFrame,
+      shipBefore: String = "1998-09-02 00:00:00"): DataFrame = {
+    val discPrice = dec(col("l_extendedprice")) * (lit(1.0).cast("decimal(18,2)") - dec(col("l_discount")))
+    val charge = discPrice * (lit(1.0).cast("decimal(18,2)") + dec(col("l_tax")))
+    lineitem
+      .filter(col("l_shipdate") <= lit(shipBefore).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3: shipping-priority top-10. The dimension chain
+    * (filtered customer → filtered orders) broadcasts against the
+    * lineitem fact scan; revenue ties break on l_orderkey so the
+    * top-10 is deterministic.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, segment: String = "BUILDING",
+      cutoff: String = "1995-03-15 00:00:00"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val cust = customer.filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val ord = orders.filter(col("o_orderdate") < cut)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    lineitem.filter(col("l_shipdate") > cut)
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1.0).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        // parquet naive timestamps surface as TIMESTAMP_NTZ; the cast
+        // pins them to the (UTC) session zone, matching the oracle's
+        // naive epoch_us
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+}

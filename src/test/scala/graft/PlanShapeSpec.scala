@@ -119,6 +119,27 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("tpch q3 broadcasts the dimension chain and top-ks without a global sort") {
+    val q3 = graft.operators.Relational.shippingPriority(
+      spark.read.parquet("/root/testdata/sf0.001/customer.parquet"),
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
+    val p = plan(q3)
+    // the fact table must never shuffle for the dims, the date/segment
+    // predicates must reach the scans, and the top-10 must be
+    // TakeOrderedAndProject, not Sort+Limit over a full sort
+    val bhj = raw"\(\d+\) BroadcastHashJoin\b".r.findAllIn(p).length
+    assert(bhj >= 2, s"dimension chain no longer broadcasts ($bhj):\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k regressed to a sort:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("l_shipdate")) &&
+      pushed.exists(_.contains("o_orderdate")) &&
+      pushed.exists(_.contains("c_mktsegment")),
+      s"predicates not pushed to scans:\n${pushed.mkString("\n")}")
+    val shuffles = raw"\(\d+\) Exchange\b".r.findAllIn(p).length
+    assert(shuffles <= 1, s"too many shuffle exchanges ($shuffles):\n$p")
+  }
+
   test("brute-force kNN broadcasts the query side, never the corpus") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = plan(graft.operators.Similarity.knnBruteForce(

@@ -469,6 +469,30 @@ object OracleSql {
        |GROUP BY 1, 2
        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  def tpchQ5(regionName: String = "ASIA",
+      from: String = "1996-01-01 00:00:00",
+      until: String = "1997-01-01 00:00:00"): String =
+    s"""SELECT n_name, CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = '$regionName'
+       |  AND o_orderdate >= TIMESTAMP '$from'
+       |  AND o_orderdate < TIMESTAMP '$until'
+       |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+
+  def tpchQ14(from: String = "1996-01-01 00:00:00",
+      until: String = "1996-02-01 00:00:00"): String =
+    s"""SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+       |                             THEN $discPriceSql END) AS DOUBLE)
+       |       / CAST(SUM($discPriceSql) AS DOUBLE) AS promo_revenue_pct
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '$from'
+       |  AND l_shipdate < TIMESTAMP '$until'""".stripMargin
+
   /** Unit-normalized double vectors, mirroring [[Similarity.withUnit]]:
     * norm once per vector, then element-wise division. */
   private val unitCte: String =

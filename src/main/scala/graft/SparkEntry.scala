@@ -62,6 +62,18 @@ object SparkEntry {
         s.read.parquet(s"$dir/customer.parquet"),
         s.read.parquet(s"$dir/orders.parquet"),
         s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_tpch_q5" -> ((s, dir) =>
+      graft.operators.Relational.localSupplierRevenue(
+        s.read.parquet(s"$dir/region.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_tpch_q14" -> ((s, dir) =>
+      graft.operators.Relational.promoRevenue(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
     "q_length_hist" -> ((s, dir) => TextAnalysis.lengthHistogram(docs(s, dir))),
@@ -235,6 +247,8 @@ object SparkEntry {
       "q_value_percentiles" -> OracleSql.valuePercentiles(),
       "q_tpch_q1" -> OracleSql.tpchQ1(),
       "q_tpch_q3" -> OracleSql.tpchQ3(),
+      "q_tpch_q5" -> OracleSql.tpchQ5(),
+      "q_tpch_q14" -> OracleSql.tpchQ14(),
       "q_repetition" -> OracleSql.repetition(),
       "q_vocabulary" -> OracleSql.vocabulary(),
       "q_length_hist" -> OracleSql.lengthHistogram(),

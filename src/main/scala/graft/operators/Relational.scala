@@ -47,6 +47,63 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** TPC-H Q5: local-supplier revenue per nation — the full
+    * six-table join. Every dimension (region → nation → supplier;
+    * customer) broadcasts; the lineitem fact never shuffles until the
+    * final tiny (≤25-nation) aggregate. The c_nationkey = s_nationkey
+    * "local supplier" constraint rides on the orders-side join.
+    */
+  def localSupplierRevenue(region: DataFrame, nation: DataFrame,
+      supplier: DataFrame, customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, regionName: String = "ASIA",
+      from: String = "1996-01-01 00:00:00",
+      until: String = "1997-01-01 00:00:00"): DataFrame = {
+    val nations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = supplier
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ordCust = orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    lineitem
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ordCust),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1.0).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q14: promo revenue share over a ship-date month — fact ⋈
+    * broadcast(part) with a conditional aggregate; the percentage is a
+    * double division of two exact decimal sums.
+    */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame,
+      from: String = "1996-01-01 00:00:00",
+      until: String = "1996-02-01 00:00:00"): DataFrame = {
+    val discPrice = dec(col("l_extendedprice")) *
+      (lit(1.0).cast("decimal(18,2)") - dec(col("l_discount")))
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", discPrice)).as("promo"),
+        sum(discPrice).as("total"))
+      .select((lit(100.0) * col("promo").cast("double") /
+        col("total").cast("double")).as("promo_revenue_pct"))
+  }
+
   /** TPC-H Q3: shipping-priority top-10. The dimension chain
     * (filtered customer → filtered orders) broadcasts against the
     * lineitem fact scan; revenue ties break on l_orderkey so the

@@ -23,18 +23,20 @@ object OracleSql {
       |  FROM documents),
       |tok AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks FROM t)""".stripMargin
 
-  /** Raw (non-distinct) word-3-gram shingles; [[shingleHashCte]] then
+  /** Raw (non-distinct) word-n-gram shingles; [[shingleHashCte]] then
     * hashes and dedups BY HASH, mirroring
     * [[graft.functions.ArrayHashExprs.ShingleHashExpr]]'s fused
     * tokenize→n-gram→hash→distinct loop. */
-  val shingleCte: String =
-    """sh AS (
-      |  SELECT doc_id,
-      |         CASE WHEN len(toks) >= 3
-      |              THEN list_transform(generate_series(1, len(toks) - 2),
-      |                     i -> array_to_string(toks[i:i+2], ' '))
-      |              ELSE [array_to_string(toks, ' ')] END AS raw
-      |  FROM tok)""".stripMargin
+  def shingleCteN(n: Int): String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= $n
+       |              THEN list_transform(generate_series(1, len(toks) - ${n - 1}),
+       |                     i -> array_to_string(toks[i:i+${n - 1}], ' '))
+       |              ELSE [array_to_string(toks, ' ')] END AS raw
+       |  FROM tok)""".stripMargin
+
+  val shingleCte: String = shingleCteN(3)
 
   /** hx: (doc_id, xs) distinct shingle-hash lists. */
   def shingleHashCte: String =
@@ -271,15 +273,17 @@ object OracleSql {
     s"""list_reduce(list_transform(generate_series(1, ${Similarity.LshDims}),
        |  i -> $a[i] * $b[i]), (acc, v) -> acc + v)""".stripMargin
 
-  /** The reference's FNV-1a-variant over ASCII key bytes
+  /** The reference's FNV-1a-variant over the ASCII bytes of `e`
     * (codepoint == byte), init via list_concat since DuckDB's
     * list_reduce has no initial-value parameter. */
-  val fnvBucket: String =
-    """list_reduce(
-      |  list_concat([2166136261::BIGINT],
-      |    list_transform(generate_series(1, length("key")),
-      |                   i -> unicode(substr("key", i, 1))::BIGINT)),
-      |  (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 2166136261) % 4294967296 AS BIGINT))""".stripMargin
+  def fnvOf(e: String): String =
+    s"""list_reduce(
+       |  list_concat([2166136261::BIGINT],
+       |    list_transform(generate_series(1, length($e)),
+       |                   i -> unicode(substr($e, i, 1))::BIGINT)),
+       |  (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 2166136261) % 4294967296 AS BIGINT))""".stripMargin
+
+  val fnvBucket: String = fnvOf("\"key\"")
 
   def aliveKeysFnv32(recordsCte: String): String =
     s"""$recordsCte
@@ -593,4 +597,97 @@ object OracleSql {
        |SELECT vec_a, vec_b, round(score, 6) AS score
        |FROM scored WHERE score >= $threshold ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  // ── corpus-curation ops ([[graft.operators.CorpusOps]]) ──────────────
+
+  /** FNV-1a-variant bucket of the ASCII doc-id string — mirrors
+    * [[graft.operators.CorpusOps.hashBucket]] (fnv32 is non-negative,
+    * so plain % == Spark's pmod). */
+  private def docIdBucket(buckets: Int): String =
+    s"(${fnvOf("CAST(doc_id AS VARCHAR)")}) % $buckets"
+
+  def splitStats(trainPct: Int = 80, valPct: Int = 10): String =
+    s"""WITH b AS (SELECT ${docIdBucket(100)} AS bucket, n_chars FROM documents),
+       |s AS (SELECT CASE WHEN bucket < $trainPct THEN 'train'
+       |                  WHEN bucket < ${trainPct + valPct} THEN 'val'
+       |                  ELSE 'test' END AS split, n_chars FROM b)
+       |SELECT split, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def stratifiedSampleStats(enPermille: Int = 250): String =
+    s"""WITH k AS (
+       |  SELECT lang, n_chars,
+       |         ${docIdBucket(1000)} <
+       |           CASE WHEN lang = 'en' THEN $enPermille ELSE 1000 END AS kept
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_total,
+       |       COUNT(*) FILTER (WHERE kept) AS n_kept,
+       |       CAST(COALESCE(SUM(n_chars) FILTER (WHERE kept), 0) AS BIGINT) AS chars_kept
+       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def decontaminate(evalMaxId: Long = 100, shingleN: Int = 5,
+      minShared: Long = 1): String =
+    s"""$docCte,
+       |${shingleCteN(shingleN)},
+       |$shingleHashCte,
+       |ex AS (SELECT doc_id, unnest(xs) AS g FROM hx),
+       |p AS (
+       |  SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+       |         COUNT(*) AS shared
+       |  FROM (SELECT * FROM ex WHERE doc_id >= $evalMaxId) tr
+       |  JOIN (SELECT * FROM ex WHERE doc_id < $evalMaxId) ev ON tr.g = ev.g
+       |  GROUP BY 1, 2)
+       |SELECT train_doc, eval_doc, shared FROM p
+       |WHERE shared >= $minShared ORDER BY train_doc, eval_doc""".stripMargin
+
+  /** Best-of-near-dup-cluster by quality (ties → smallest doc_id) —
+    * mirrors [[graft.operators.CorpusOps.bestOfCluster]]: the same
+    * recursive-closure clusters as [[nearDupClusters]] joined to the
+    * same quality formula as [[quality]], argmax via a window. */
+  def clusterBest(numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashPairs(numHashes, bands, threshold)}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, t2) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t2 = e.a),
+       |clusters AS (SELECT s AS doc_id, MIN(t2) AS cluster FROM reach GROUP BY s),
+       |t AS (SELECT doc_id, text,
+       |        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |      FROM documents),
+       |tok AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks FROM t),
+       |qv AS (SELECT doc_id,
+       |       $qualityFormulaSql
+       |        AS quality
+       |      FROM ($qualityInputsSql)),
+       |j AS (SELECT c.cluster, q.doc_id, q.quality
+       |      FROM clusters c JOIN qv q USING (doc_id)),
+       |b AS (SELECT cluster, doc_id, quality,
+       |             ROW_NUMBER() OVER (PARTITION BY cluster
+       |               ORDER BY quality DESC, doc_id) AS rn,
+       |             COUNT(*) OVER (PARTITION BY cluster) AS n_docs
+       |      FROM j)
+       |SELECT cluster, n_docs, doc_id AS best_doc_id, quality AS best_quality
+       |FROM b WHERE rn = 1 ORDER BY cluster""".stripMargin
+
+  val sourceStats: String =
+    """SELECT source, lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val langConfusion: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |  FROM documents),
+       |tok AS (SELECT doc_id, lang, string_split(norm, ' ') AS toks FROM t),
+       |h AS (SELECT lang AS lang_label, $langHitsSelect FROM tok)
+       |SELECT lang_label, $langCaseSql AS lang_pred, COUNT(*) AS n_docs
+       |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AliveKeys, Dedup, EventAnalytics, Similarity, TextAnalysis, TopicMetrics}
+import graft.operators.{AliveKeys, CorpusOps, Dedup, EventAnalytics, Similarity, TextAnalysis, TopicMetrics}
 import graft.sources.EventsAsRecords
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -129,6 +129,15 @@ object SparkEntry {
       Similarity.knnIvf(e, e.filter(col("vec_id") < 16), 5,
         centroids = Some(Similarity.trainCentroids(e, k = 16, iters = 3)))
     }),
+    // corpus-curation ops: deterministic split / sampling /
+    // decontamination / canonical selection / dataset accounting
+    "q_split_stats" -> ((s, dir) => CorpusOps.splitStats(docs(s, dir))),
+    "q_sample_stratified" -> ((s, dir) =>
+      CorpusOps.stratifiedSampleStats(docs(s, dir))),
+    "q_decontaminate" -> ((s, dir) => CorpusOps.decontaminate(docs(s, dir))),
+    "q_cluster_best" -> ((s, dir) => CorpusOps.bestOfCluster(docs(s, dir))),
+    "q_source_stats" -> ((s, dir) => CorpusOps.sourceStats(docs(s, dir))),
+    "q_lang_confusion" -> ((s, dir) => CorpusOps.langConfusion(docs(s, dir))),
     // end-to-end corpus filter: quality + language + canonical-of-cluster
     "q_corpus_filter" -> ((s, dir) => {
       import graft.functions.TextFunctions
@@ -268,6 +277,12 @@ object SparkEntry {
       "q_embed_knn" -> OracleSql.knn(),
       "q_embed_knn_ivf" -> OracleSql.knnIvf(),
       "q_corpus_filter" -> OracleSql.corpusFilter(),
+      "q_split_stats" -> OracleSql.splitStats(),
+      "q_sample_stratified" -> OracleSql.stratifiedSampleStats(),
+      "q_decontaminate" -> OracleSql.decontaminate(),
+      "q_cluster_best" -> OracleSql.clusterBest(),
+      "q_source_stats" -> OracleSql.sourceStats,
+      "q_lang_confusion" -> OracleSql.langConfusion,
       "q_embed_knn_lsh" -> OracleSql.knnLsh(),
       "q_embed_near_pairs" -> OracleSql.lshNearPairs(),
     )

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Fnv32, TextFunctions}
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * deterministic train/val/test splitting, hash-Bernoulli (stratified)
+  * sampling, eval-set decontamination, per-cluster canonical selection,
+  * and dataset accounting (per-source stats, language-ID confusion).
+  *
+  * Everything here is reproducible by construction — membership
+  * decisions hash the stable document id rather than drawing RNG
+  * state, so a re-run (or a different cluster size / partitioning)
+  * assigns every document to the same split/sample. That property is
+  * what makes these usable as *pipeline* stages: downstream jobs can
+  * recompute membership instead of materializing it.
+  */
+object CorpusOps {
+
+  /** Deterministic bucket in [0, buckets) from the document id: the
+    * engine's reference-compat FNV-1a-variant hash
+    * ([[graft.functions.Fnv32]], cited there to the reference's
+    * `src/fnv32.rs:74-102`) over the ASCII id string. Hashing the id —
+    * not the row position or an RNG — makes assignment stable across
+    * runs, partitionings, and engines (the DuckDB oracle mirrors it
+    * byte-for-byte). A narrow projection: no shuffle, scales linearly.
+    */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(Fnv32.fnv32(id.cast("string").cast("binary")), lit(buckets))
+
+  /** Split name for a document id: buckets 0..79 → train, 80..89 →
+    * val, 90..99 → test (by default). */
+  def splitName(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(id, 100)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Per-split accounting over `documents`: doc count and total chars.
+    * One narrow projection + a 3-group aggregate — scan-bound at any
+    * scale.
+    */
+  def splitStats(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs
+      // materialize the bucket once: `when` branches past the first are
+      // lazily evaluated, so subexpression elimination would NOT merge
+      // the three hash references inside splitName's CASE
+      .select(hashBucket(col("doc_id"), 100).as("bucket"), col("n_chars"))
+      .select(when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")).as("split"),
+        col("n_chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"))
+
+  /** Shuffle-free deterministic Bernoulli sample: keep rows whose id
+    * hashes under `permille`/1000. The scale-correct sampling shape —
+    * a pushable filter, no repartition, no global pass — unlike
+    * sort-by-random or reservoir variants that need a shuffle or a
+    * driver merge.
+    */
+  def sampleByHash(df: DataFrame, idCol: Column, permille: Int): DataFrame =
+    df.filter(hashBucket(idCol, 1000) < permille)
+
+  /** Stratified sampling rates per language — downsampling the
+    * dominant strata is the standard corpus-balancing move. Returns
+    * per-language (n_total, n_kept, chars_kept) in ONE scan: the keep
+    * decision is a projected boolean, so total and kept counts come
+    * from the same aggregate rather than two passes.
+    */
+  def stratifiedSampleStats(docs: DataFrame,
+      permilleByLang: Map[String, Int] = Map("en" -> 250),
+      defaultPermille: Int = 1000): DataFrame = {
+    val rate = permilleByLang.foldLeft(lit(defaultPermille)) {
+      case (acc, (l, p)) => when(col("lang") === l, lit(p)).otherwise(acc)
+    }
+    docs
+      .select(col("lang"), col("n_chars"),
+        (hashBucket(col("doc_id"), 1000) < rate).as("kept"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count_if(col("kept")).as("n_kept"),
+        coalesce(sum(when(col("kept"), col("n_chars"))), lit(0L))
+          .as("chars_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** Eval-set decontamination: for every training document, count the
+    * distinct `shingleN`-gram shingles it shares with each eval
+    * document; report pairs sharing at least `minShared`. The standard
+    * pre-training hygiene pass (drop or flag training docs that leak
+    * benchmark content).
+    *
+    * Plan shape for 100 TB: the eval set is small by construction
+    * (benchmark suites are ≪ the corpus), so its exploded shingle
+    * postings BROADCAST — the train side streams through a
+    * broadcast-hash join with no shuffle; only the matched pairs (a
+    * tiny set) shuffle into the count aggregate. Work is linear in
+    * train-corpus shingles, never train × eval.
+    *
+    * Shingles are the fused 31-bit hashes of
+    * [[Dedup.shingleHashFrame]] — identical to the dedup family's
+    * arithmetic, mirrored exactly by the oracle.
+    */
+  def decontaminate(docs: DataFrame, evalMaxId: Long = 100,
+      shingleN: Int = 5, minShared: Long = 1): DataFrame = {
+    // explode_outer: stops InferFiltersFromGenerate from inlining the
+    // fused shingle-hash into the scan filter (3× per-row evaluation —
+    // see the twin comment in Dedup.ngramJaccardPairs); the null rows
+    // it can emit are dropped by the inner join on `g` below.
+    val ex = Dedup.shingleHashFrame(docs, shingleN)
+      .select(col("doc_id"), explode_outer(col("xs")).as("g"))
+    val evalSide = ex.filter(col("doc_id") < evalMaxId)
+      .withColumnRenamed("doc_id", "eval_doc")
+    val trainSide = ex.filter(col("doc_id") >= evalMaxId)
+      .withColumnRenamed("doc_id", "train_doc")
+    trainSide.join(broadcast(evalSide), Seq("g"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
+  /** Canonical selection by QUALITY: within each near-dup cluster
+    * (transitive MinHash closure, [[Dedup.nearDupClusters]]), keep the
+    * highest-quality document, ties broken toward the smallest id.
+    * The production alternative to min-id canonicalization — dedup
+    * should keep the *best* copy, not an arbitrary one.
+    *
+    * `max_by` over a (quality, -doc_id) ordering struct is a partial-
+    * aggregable one-shuffle plan — no per-cluster window sort. The
+    * quality arithmetic is [[TextFunctions.qualityScore]], already
+    * bit-matched by its oracle, so the argmax is engine-stable.
+    */
+  def bestOfCluster(docs: DataFrame): DataFrame =
+    Dedup.nearDupClusters(docs)
+      .join(docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality")), Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
+          .as("best_doc_id"),
+        max(col("quality")).as("best_quality"))
+      .orderBy(col("cluster"))
+
+  /** Per-source × language accounting: doc count and total chars per
+    * (source, lang) cell. The first report any corpus audit asks for;
+    * a single straight aggregate.
+    */
+  def sourceStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"), col("lang"))
+
+  /** Language-ID confusion matrix: the labeled `lang` column vs the
+    * engine's n-gram language prediction ([[TextFunctions.langId]]) —
+    * the standard eval for a heuristic classifier when gold labels
+    * exist. Narrow projection + small aggregate.
+    */
+  def langConfusion(docs: DataFrame): DataFrame =
+    docs.select(col("lang").as("lang_label"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang_label"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_label"), col("lang_pred"))
+}

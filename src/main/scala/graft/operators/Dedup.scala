@@ -148,9 +148,21 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
       shingleN: Int = 3, maxDf: Option[Int] = None): DataFrame = {
+    // coalesce makes `n` non-nullable, so the final jaccard filter's
+    // constraints don't infer an `isnotnull(size(xs))` predicate that
+    // pushdown would inline into the scan as one more full hash pass
     val sh = shingleHashFrame(docs, shingleN)
-      .withColumn("n", size(col("xs")))
-    val exRaw = sh.select(col("doc_id"), col("n"), explode(col("xs")).as("s"))
+      .withColumn("n", coalesce(size(col("xs")), lit(0)))
+    // explode_OUTER, deliberately: for an inner explode,
+    // InferFiltersFromGenerate adds `size(xs) > 0 AND isnotnull(xs)`,
+    // and predicate pushdown then inlines the whole fused shingle-hash
+    // expression into the scan Filter — where no subexpression
+    // elimination exists — so every row pays the hash THREE times
+    // (twice in the filter, once in the projection). The rule skips
+    // outer generates; the null row an outer explode emits for a
+    // null/empty array is dropped by the inner equi-join below, so
+    // results are identical.
+    val exRaw = sh.select(col("doc_id"), col("n"), explode_outer(col("xs")).as("s"))
     // optional scale guard: drop shingles whose document frequency
     // exceeds maxDf — join work is Σ df², so stop-shingle-like n-grams
     // on skewed corpora otherwise dominate. Dropping them UNDERCOUNTS

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fnv32
+import graft.operators.CorpusOps
+
+class CorpusOpsSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String, String, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, text, lang, source) =>
+      (id, text, lang, source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** English fixture docs: (id, text) with lang=en, source=s0. */
+  private def enDocs(rows: (Long, String)*): DataFrame =
+    docs(rows.map { case (id, t) => (id, t, "en", "s0") }: _*)
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while rain falls on the green hills " +
+      "and a river runs through the quiet valley under a pale morning sky"
+
+  test("hashBucket matches the reference FNV-1a-variant over the id string") {
+    val d = enDocs((0L until 20L).map(i => i -> s"doc $i"): _*)
+    val got = rowsOf(d.select(col("doc_id"),
+        CorpusOps.hashBucket(col("doc_id"), 100).as("b")))
+      .map(r => r("doc_id").asInstanceOf[Long] -> r("b").asInstanceOf[Long])
+      .toMap
+    (0L until 20L).foreach { i =>
+      val expected = Fnv32.hashBytes(i.toString.getBytes("UTF-8")) % 100
+      assert(got(i) == expected, s"doc $i")
+    }
+  }
+
+  test("splitStats partitions every doc into exactly one split") {
+    val d = enDocs((0L until 200L).map(i => i -> s"text $i"): _*)
+    val r = rowsOf(CorpusOps.splitStats(d))
+    assert(r.map(_("split")).toSet.subsetOf(Set[Any]("train", "val", "test")))
+    assert(r.map(_("n_docs").asInstanceOf[Long]).sum == 200L)
+    assert(r.map(_("total_chars").asInstanceOf[Long]).sum ==
+      (0L until 200L).map(i => s"text $i".length.toLong).sum)
+    // hash-based assignment is stable under repartitioning
+    val r2 = rowsOf(CorpusOps.splitStats(d.repartition(7)))
+    assert(r.toSet == r2.toSet)
+  }
+
+  test("sampleByHash agrees with stratifiedSampleStats kept counts") {
+    val d = docs((0L until 300L).map(i =>
+      (i, s"text $i", if (i % 3 == 0) "en" else "de", s"s${i % 4}")): _*)
+    val stats = rowsOf(CorpusOps.stratifiedSampleStats(d,
+      permilleByLang = Map("en" -> 250), defaultPermille = 1000))
+    val keptEn = stats.find(_("lang") == "en").get("n_kept").asInstanceOf[Long]
+    val keptDe = stats.find(_("lang") == "de").get("n_kept").asInstanceOf[Long]
+    // default rate 1000 keeps everything
+    assert(keptDe == 200L)
+    val sampledEn = CorpusOps
+      .sampleByHash(d.filter(col("lang") === "en"), col("doc_id"), 250)
+      .count()
+    assert(sampledEn == keptEn)
+    // a 250‰ rate should actually downsample (not keep all / none)
+    assert(keptEn > 0L && keptEn < 100L)
+  }
+
+  test("decontaminate flags planted eval leakage, skips clean docs") {
+    // doc 1000 contains an exact 10-token run from eval doc 1;
+    // doc 1001 shares no 5-gram with any eval doc
+    val leak = "rain falls on the green hills and a river runs"
+    val d = enDocs(
+      1L -> base,
+      2L -> "completely different evaluation prompt about catalyst optimizer rules",
+      1000L -> s"unrelated training prose first then $leak then more words after",
+      1001L -> "entirely disjoint training document with no overlapping runs at all")
+    val r = rowsOf(CorpusOps.decontaminate(d, evalMaxId = 100, shingleN = 5))
+    assert(r.exists(p => p("train_doc") == 1000L && p("eval_doc") == 1L))
+    assert(!r.exists(p => p("train_doc") == 1001L))
+    // shared counts the distinct common 5-gram hashes — a planted run
+    // of 10 tokens contains exactly 6 distinct 5-grams
+    val shared = r.find(p => p("train_doc") == 1000L && p("eval_doc") == 1L)
+      .get("shared").asInstanceOf[Long]
+    assert(shared == 6L)
+  }
+
+  test("bestOfCluster keeps the highest-quality doc per near-dup cluster") {
+    // 1-2 form a near-dup cluster (different lengths → different
+    // quality); 10 is a singleton
+    val d = enDocs(
+      1L -> base,
+      2L -> (base + " extra trailing words here"),
+      10L -> "short standalone document")
+    val r = rowsOf(CorpusOps.bestOfCluster(d))
+    assert(r.map(_("n_docs").asInstanceOf[Long]).sum == 3L)
+    val c1 = r.find(_("cluster") == 1L).get
+    assert(c1("n_docs") == 2L)
+    // the argmax must agree with recomputing quality directly
+    val q = rowsOf(d.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q")))
+      .map(x => x("doc_id").asInstanceOf[Long] -> x("q").asInstanceOf[Double])
+      .toMap
+    val expectBest = Seq(1L, 2L).maxBy(id => (q(id), -id))
+    assert(c1("best_doc_id") == expectBest)
+    assert(c1("best_quality") == q(expectBest))
+    assert(r.find(_("cluster") == 10L).get("best_doc_id") == 10L)
+  }
+
+  test("langConfusion and sourceStats partition the corpus") {
+    val d = docs(
+      (1L, "the and is in it you that he was for " * 3, "en", "s1"),
+      (2L, "der die und in den von zu das mit sich " * 3, "de", "s2"),
+      (3L, "zz qq ww ee rr", "de", "s3")) // no stopword hits → und
+    val conf = rowsOf(CorpusOps.langConfusion(d))
+    assert(conf.map(_("n_docs").asInstanceOf[Long]).sum == 3L)
+    assert(conf.exists(r => r("lang_label") == "en" && r("lang_pred") == "en"))
+    assert(conf.exists(r => r("lang_label") == "de" && r("lang_pred") == "de"))
+    assert(conf.exists(r => r("lang_pred") == "und"))
+    val src = rowsOf(CorpusOps.sourceStats(d))
+    assert(src.length == 3)
+    assert(src.map(_("n_docs").asInstanceOf[Long]).sum == 3L)
+  }
+}

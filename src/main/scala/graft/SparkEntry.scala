@@ -145,7 +145,7 @@ object SparkEntry {
       // canonical docs: a narrow filter directly on the checkpointed
       // label frame — filtering BEFORE the join keeps the join inputs
       // at (survivors × canonicals) instead of (survivors × corpus)
-      val canon = Dedup.nearDupClusters(d)
+      val canon = Dedup.nearDupLabels(d)
         .filter(col("cluster") === col("doc_id"))
         .select(col("doc_id"))
       // materialize the fused stopword-hit array FIRST: subexpression

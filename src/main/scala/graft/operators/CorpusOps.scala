@@ -138,7 +138,7 @@ object CorpusOps {
     * bit-matched by its oracle, so the argmax is engine-stable.
     */
   def bestOfCluster(docs: DataFrame): DataFrame =
-    Dedup.nearDupClusters(docs)
+    Dedup.nearDupLabels(docs)
       .join(docs.select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("quality")), Seq("doc_id"))
       .groupBy(col("cluster"))

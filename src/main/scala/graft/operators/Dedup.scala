@@ -203,6 +203,14 @@ object Dedup {
     * use `checkpoint` on a reliable store instead.
     */
   def nearDupClusters(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50): DataFrame =
+    nearDupLabels(docs, numHashes, bands, threshold, shingleN, maxIters)
+      .orderBy(col("doc_id"))
+
+  /** [[nearDupClusters]] without the presentation sort — for consumers
+    * that immediately join or aggregate the labels (the sort's range
+    * exchange would be thrown away one operator later). */
+  def nearDupLabels(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50): DataFrame = {
     val pairs = minhashPairs(docs, numHashes, bands, threshold, shingleN)
       .select(col("doc_a"), col("doc_b"))
@@ -216,8 +224,16 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"),
-      col("doc_id").as("cluster"))
+    // iterate over the PAIR GRAPH's vertices only, never the corpus:
+    // a doc in no near-dup pair keeps label = self forever, so it has
+    // no business inside the propagation loop. The graph is orders of
+    // magnitude smaller than the corpus (that is the point of LSH), so
+    // every round's join, checkpoint, and convergence check run on the
+    // tiny active set; singletons rejoin in ONE corpus-wide left join
+    // at the end. At 100 TB this is the difference between iterating
+    // over ~10^8 graph vertices and re-shuffling 10^11 docs per round.
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
@@ -259,7 +275,14 @@ object Dedup {
       System.err.println(
         s"[nearDupClusters] NOT converged after $maxIters rounds — " +
           "labels may be non-minimal; raise maxIters for deeper chains")
-    labels.orderBy(col("doc_id"))
+    // singletons rejoin: docs outside the pair graph label themselves.
+    // The label side is the (small) graph-vertex set → AQE broadcasts
+    // it; the corpus side streams through untouched.
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "graph_doc"),
+        col("doc_id") === col("graph_doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
   val SimhashBits = 32

@@ -140,6 +140,35 @@ class PlanShapeSpec extends SparkSuite {
     assert(shuffles <= 1, s"too many shuffle exchanges ($shuffles):\n$p")
   }
 
+  test("shingle-hash runs once per row: no hash in scan filters, no sort before join") {
+    // explode_outer + non-nullable count (Dedup.ngramJaccardPairs,
+    // CorpusOps.decontaminate) keep InferFiltersFromGenerate from
+    // inlining the fused shingle hash into the pushed scan Filter —
+    // where predicates get no subexpression elimination, so each
+    // inferred conjunct would re-run the whole hash per row.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (df <- Seq(
+        graft.operators.Dedup.ngramJaccardPairs(docs),
+        graft.operators.CorpusOps.decontaminate(docs))) {
+      val p = plan(df)
+      val inFilter = p.linesIterator
+        .filter(_.contains("Condition"))
+        .count(_.contains("shinglehashexpr"))
+      assert(inFilter == 0,
+        s"shingle hash leaked back into a Filter condition:\n$p")
+    }
+    // decontaminate must broadcast the (small) eval side, and the label
+    // consumers must not inherit nearDupClusters' presentation sort
+    val pd = plan(graft.operators.CorpusOps.decontaminate(docs))
+    assert(pd.contains("BroadcastHashJoin"), s"eval side should broadcast:\n$pd")
+    val pb = plan(graft.operators.CorpusOps.bestOfCluster(docs))
+    val sorts = raw"\(\d+\) Sort\b".r.findAllIn(pb).length
+    // one final presentation sort (orderBy cluster) and possibly an
+    // SMJ sort pair — but never a doc_id range sort under the join
+    assert(!pb.contains("rangepartitioning(doc_id"),
+      s"bestOfCluster inherited the labels presentation sort ($sorts sorts):\n$pb")
+  }
+
   test("brute-force kNN broadcasts the query side, never the corpus") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = plan(graft.operators.Similarity.knnBruteForce(

@@ -676,6 +676,40 @@ object OracleSql {
        |SELECT cluster, n_docs, doc_id AS best_doc_id, quality AS best_quality
        |FROM b WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  /** PII redaction chain — same patterns, same order as
+    * [[graft.functions.TextFunctions.redactPii]] (the patterns avoid
+    * backrefs/lookaround so Java regex and RE2 agree; 'g' because
+    * DuckDB replaces only the first match by default). */
+  val piiRedact: String = {
+    val email = TextFunctions.EmailPiiPattern
+    val ssn = TextFunctions.SsnPiiPattern
+    val phone = TextFunctions.PhonePiiPattern
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |         regexp_replace(regexp_replace(regexp_replace(text,
+       |           '$email', '<email>', 'g'),
+       |           '$ssn', '<ssn>', 'g'),
+       |           '$phone', '<phone>', 'g') AS red
+       |  FROM documents)
+       |SELECT doc_id, md5(red) AS redacted_md5,
+       |       length(red) AS redacted_len
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  def sourceOverlap(numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): String =
+    s"""WITH pairs AS (
+       |${minhashPairs(numHashes, bands, threshold)}
+       |),
+       |j AS (
+       |  SELECT least(a.source, b.source) AS source_lo,
+       |         greatest(a.source, b.source) AS source_hi
+       |  FROM pairs p
+       |  JOIN documents a ON a.doc_id = p.doc_a
+       |  JOIN documents b ON b.doc_id = p.doc_b)
+       |SELECT source_lo, source_hi, COUNT(*) AS n_pairs
+       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val sourceStats: String =
     """SELECT source, lang, COUNT(*) AS n_docs,
       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars

@@ -137,6 +137,18 @@ object SparkEntry {
     "q_decontaminate" -> ((s, dir) => CorpusOps.decontaminate(docs(s, dir))),
     "q_cluster_best" -> ((s, dir) => CorpusOps.bestOfCluster(docs(s, dir))),
     "q_source_stats" -> ((s, dir) => CorpusOps.sourceStats(docs(s, dir))),
+    "q_source_overlap" -> ((s, dir) => CorpusOps.sourceOverlap(docs(s, dir))),
+    "q_pii_redact" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      // redact ONCE: the 3-regex chain is the expensive part, and
+      // CollapseProject keeps the boundary (non-cheap, referenced twice)
+      docs(s, dir)
+        .select(col("doc_id"), TextFunctions.redactPii(col("text")).as("red"))
+        .select(col("doc_id"),
+          md5(col("red").cast("binary")).as("redacted_md5"),
+          length(col("red")).cast("long").as("redacted_len"))
+        .orderBy(col("doc_id"))
+    }),
     "q_lang_confusion" -> ((s, dir) => CorpusOps.langConfusion(docs(s, dir))),
     // end-to-end corpus filter: quality + language + canonical-of-cluster
     "q_corpus_filter" -> ((s, dir) => {
@@ -282,6 +294,8 @@ object SparkEntry {
       "q_decontaminate" -> OracleSql.decontaminate(),
       "q_cluster_best" -> OracleSql.clusterBest(),
       "q_source_stats" -> OracleSql.sourceStats,
+      "q_source_overlap" -> OracleSql.sourceOverlap(),
+      "q_pii_redact" -> OracleSql.piiRedact,
       "q_lang_confusion" -> OracleSql.langConfusion,
       "q_embed_knn_lsh" -> OracleSql.knnLsh(),
       "q_embed_near_pairs" -> OracleSql.lshNearPairs(),

@@ -141,6 +141,27 @@ object TextFunctions {
     lower(trim(regexp_replace(onePunct, "\\s+", " ")))
   }
 
+  /** PII scrubbing patterns — RE2-compatible (no backrefs, no
+    * lookaround) so Spark's Java regex and any RE2-based oracle engine
+    * match identically. */
+  val EmailPiiPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnPiiPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhonePiiPattern = "\\+?\\d[\\d\\s().-]{7,}\\d"
+
+  /** Redact common PII shapes (emails, SSN-style ids, phone-like digit
+    * runs) to typed placeholders — the standard compliance scrub before
+    * a corpus ships to training. A chained regexp_replace projection:
+    * narrow, shuffle-free, parquet-scan-bound at any scale. Order
+    * matters (SSNs would otherwise half-match the phone pattern), so
+    * SSN runs before phone.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPiiPattern, "<email>"),
+        SsnPiiPattern, "<ssn>"),
+      PhonePiiPattern, "<phone>")
+
   /** Exact document fingerprint: md5 hex of the normalized text. */
   def fingerprintMd5(text: Column): Column =
     md5(normText(text).cast("binary"))

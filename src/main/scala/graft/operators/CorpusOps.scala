@@ -148,6 +148,28 @@ object CorpusOps {
         max(col("quality")).as("best_quality"))
       .orderBy(col("cluster"))
 
+  /** Cross-source near-duplicate overlap: for every near-dup pair
+    * (MinHash+LSH, [[Dedup.minhashPairs]]), attribute the pair to its
+    * two sources and count pairs per unordered source pair — the
+    * "which sources copy each other" corpus audit. Source labels join
+    * onto the (tiny) pair set, never the other way round, so the
+    * corpus-side cost is exactly one minhash pass; `least/greatest`
+    * canonicalize the pair so (A,B) and (B,A) land in one cell.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.minhashPairs(docs)
+      .select(col("doc_a"), col("doc_b"))
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "source_a"), Seq("doc_a"))
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "source_b"), Seq("doc_b"))
+      .groupBy(least(col("source_a"), col("source_b")).as("source_lo"),
+        greatest(col("source_a"), col("source_b")).as("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
   /** Per-source × language accounting: doc count and total chars per
     * (source, lang) cell. The first report any corpus audit asks for;
     * a single straight aggregate.

@@ -106,6 +106,46 @@ class CorpusOpsSpec extends SparkSuite {
     assert(r.find(_("cluster") == 10L).get("best_doc_id") == 10L)
   }
 
+  test("redactPii scrubs planted emails, SSNs, and phone runs") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextFunctions
+    val d = Seq(
+      (1L, "contact alice.smith+spam@example.co.uk for details"),
+      (2L, "ssn 123-45-6789 and phone +1 (415) 555-0123 on file"),
+      (3L, "clean text with no identifiers at all"),
+      (4L, "card-ish digit run 4111111111111 inline"))
+      .toDF("doc_id", "text")
+    val r = rowsOf(d.select(col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("red")))
+      .map(x => x("doc_id").asInstanceOf[Long] -> x("red").asInstanceOf[String])
+      .toMap
+    assert(r(1L) == "contact <email> for details")
+    // the SSN must redact as one token, not half-match the phone rule;
+    // "+1 (415) 555-0123" redacts from the leading + through the digits
+    assert(r(2L) == "ssn <ssn> and phone <phone> on file")
+    assert(r(3L) == "clean text with no identifiers at all")
+    assert(r(4L) == "card-ish digit run <phone> inline")
+  }
+
+  test("sourceOverlap attributes near-dup pairs to unordered source pairs") {
+    val d = docs(
+      (1L, base, "en", "srcA"),
+      (2L, base + " extra trailing words here", "en", "srcB"),
+      (3L, base + " other small tail", "en", "srcB"),
+      (10L, "entirely different content about query planners and shuffles and joins at massive scale everywhere", "en", "srcC"))
+    val r = rowsOf(CorpusOps.sourceOverlap(d))
+    val cells = r.map(x => (x("source_lo"), x("source_hi")) ->
+      x("n_pairs").asInstanceOf[Long]).toMap
+    // total cells must equal the pair count, orderless
+    val nPairs = graft.operators.Dedup.minhashPairs(d).count()
+    assert(cells.values.sum == nPairs)
+    // the cross-source pair (1,2) lands in the (srcA, srcB) cell
+    assert(cells.contains(("srcA", "srcB")))
+    assert(!cells.keySet.exists { case (lo, hi) =>
+      lo.asInstanceOf[String] > hi.asInstanceOf[String] })
+  }
+
   test("langConfusion and sourceStats partition the corpus") {
     val d = docs(
       (1L, "the and is in it you that he was for " * 3, "en", "s1"),

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AliveKeys, CorpusOps, Dedup, EventAnalytics, Similarity, TextAnalysis, TopicMetrics}
@@ -77,17 +77,9 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
     "q_length_hist" -> ((s, dir) => TextAnalysis.lengthHistogram(docs(s, dir))),
-    "q_text_clean" -> ((s, dir) => {
-      import graft.functions.TextFunctions
-      // clean ONCE: the 5-regex chain is the expensive part, and
-      // CollapseProject keeps the boundary (non-cheap, referenced twice)
-      docs(s, dir)
-        .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("clean"))
-        .select(col("doc_id"),
-          md5(col("clean").cast("binary")).as("clean_md5"),
-          length(col("clean")).cast("long").as("clean_len"))
-        .orderBy(col("doc_id"))
-    }),
+    "q_text_clean" -> ((s, dir) =>
+      transformDigest(docs(s, dir),
+        graft.functions.TextFunctions.cleanText(col("text")), "clean")),
     // LLM-pipeline: text analysis over `documents`
     "q_text_stats" -> ((s, dir) => TextAnalysis.stats(docs(s, dir))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langIdFrame(docs(s, dir))),
@@ -138,17 +130,9 @@ object SparkEntry {
     "q_cluster_best" -> ((s, dir) => CorpusOps.bestOfCluster(docs(s, dir))),
     "q_source_stats" -> ((s, dir) => CorpusOps.sourceStats(docs(s, dir))),
     "q_source_overlap" -> ((s, dir) => CorpusOps.sourceOverlap(docs(s, dir))),
-    "q_pii_redact" -> ((s, dir) => {
-      import graft.functions.TextFunctions
-      // redact ONCE: the 3-regex chain is the expensive part, and
-      // CollapseProject keeps the boundary (non-cheap, referenced twice)
-      docs(s, dir)
-        .select(col("doc_id"), TextFunctions.redactPii(col("text")).as("red"))
-        .select(col("doc_id"),
-          md5(col("red").cast("binary")).as("redacted_md5"),
-          length(col("red")).cast("long").as("redacted_len"))
-        .orderBy(col("doc_id"))
-    }),
+    "q_pii_redact" -> ((s, dir) =>
+      transformDigest(docs(s, dir),
+        graft.functions.TextFunctions.redactPii(col("text")), "redacted")),
     "q_lang_confusion" -> ((s, dir) => CorpusOps.langConfusion(docs(s, dir))),
     // end-to-end corpus filter: quality + language + canonical-of-cluster
     "q_corpus_filter" -> ((s, dir) => {
@@ -185,6 +169,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
   )
+
+  /** (doc_id, <prefix>_md5, <prefix>_len) digest of a per-document text
+    * transform. Transforms ONCE: the regex/scan chain is the expensive
+    * part, and CollapseProject keeps the projection boundary (the
+    * transformed column is non-cheap and referenced twice). */
+  private def transformDigest(d: DataFrame, transformed: Column,
+      prefix: String): DataFrame = {
+    // q_text_clean's historical column names are clean_md5/clean_len,
+    // not cleaned_*; keep the prefix verbatim
+    d.select(col("doc_id"), transformed.as("t"))
+      .select(col("doc_id"),
+        md5(col("t").cast("binary")).as(s"${prefix}_md5"),
+        length(col("t")).cast("long").as(s"${prefix}_len"))
+      .orderBy(col("doc_id"))
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")

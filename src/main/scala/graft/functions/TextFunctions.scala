@@ -143,10 +143,13 @@ object TextFunctions {
 
   /** PII scrubbing patterns — RE2-compatible (no backrefs, no
     * lookaround) so Spark's Java regex and any RE2-based oracle engine
-    * match identically. */
+    * match identically. Whitespace is an EXPLICIT class, not `\s`:
+    * Java's `\s` includes vertical tab (\x0B), RE2's does not, and the
+    * one-engine-redacts-the-other-doesn't divergence would break the
+    * cross-engine hash parity the oracle relies on. */
   val EmailPiiPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val SsnPiiPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
-  val PhonePiiPattern = "\\+?\\d[\\d\\s().-]{7,}\\d"
+  val PhonePiiPattern = "\\+?\\d[\\d \\t\\n\\f\\r().-]{7,}\\d"
 
   /** Redact common PII shapes (emails, SSN-style ids, phone-like digit
     * runs) to typed placeholders — the standard compliance scrub before

@@ -30,14 +30,21 @@ object CorpusOps {
   def hashBucket(id: Column, buckets: Int): Column =
     pmod(Fnv32.fnv32(id.cast("string").cast("binary")), lit(buckets))
 
+  /** Split name from an already-materialized percent bucket — the ONE
+    * definition of the train/val/test boundaries. Takes the bucket as
+    * a column (not the id) because `when` branches past the first are
+    * lazily evaluated: subexpression elimination would not merge three
+    * inline hash references, so callers materialize the bucket once. */
+  def splitNameFromBucket(bucket: Column, trainPct: Int = 80,
+      valPct: Int = 10): Column =
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+
   /** Split name for a document id: buckets 0..79 → train, 80..89 →
     * val, 90..99 → test (by default). */
-  def splitName(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
-    val b = hashBucket(id, 100)
-    when(b < trainPct, lit("train"))
-      .when(b < trainPct + valPct, lit("val"))
-      .otherwise(lit("test"))
-  }
+  def splitName(id: Column, trainPct: Int = 80, valPct: Int = 10): Column =
+    splitNameFromBucket(hashBucket(id, 100), trainPct, valPct)
 
   /** Per-split accounting over `documents`: doc count and total chars.
     * One narrow projection + a 3-group aggregate — scan-bound at any
@@ -45,13 +52,8 @@ object CorpusOps {
     */
   def splitStats(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
     docs
-      // materialize the bucket once: `when` branches past the first are
-      // lazily evaluated, so subexpression elimination would NOT merge
-      // the three hash references inside splitName's CASE
       .select(hashBucket(col("doc_id"), 100).as("bucket"), col("n_chars"))
-      .select(when(col("bucket") < trainPct, lit("train"))
-          .when(col("bucket") < trainPct + valPct, lit("val"))
-          .otherwise(lit("test")).as("split"),
+      .select(splitNameFromBucket(col("bucket"), trainPct, valPct).as("split"),
         col("n_chars"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
@@ -158,7 +160,7 @@ object CorpusOps {
     */
   def sourceOverlap(docs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    Dedup.minhashPairs(docs)
+    Dedup.minhashPairsUnsorted(docs)
       .select(col("doc_a"), col("doc_b"))
       .join(src.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("source", "source_a"), Seq("doc_a"))

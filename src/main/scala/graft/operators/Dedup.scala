@@ -88,6 +88,16 @@ object Dedup {
     * (P[candidate] = 1-(1-j^rows)^bands), not by docs².
     */
   def minhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, shingleN: Int = 3): DataFrame =
+    minhashPairsUnsorted(docs, numHashes, bands, threshold, shingleN)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[minhashPairs]] without the presentation sort — for consumers
+    * that feed the pairs straight into a join, aggregate, or eager
+    * checkpoint (the sort's range exchange would otherwise be
+    * materialized and thrown away; same split as
+    * [[nearDupLabels]]/[[nearDupClusters]]). */
+  def minhashPairsUnsorted(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must divide evenly into bands ($bands); " +
@@ -136,7 +146,6 @@ object Dedup {
         col("inter") / (size(col("x.xs")) + size(col("y.xs")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Exact all-pairs n-gram Jaccard >= threshold via an inverted-index
@@ -212,7 +221,7 @@ object Dedup {
     * exchange would be thrown away one operator later). */
   def nearDupLabels(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50): DataFrame = {
-    val pairs = minhashPairs(docs, numHashes, bands, threshold, shingleN)
+    val pairs = minhashPairsUnsorted(docs, numHashes, bands, threshold, shingleN)
       .select(col("doc_a"), col("doc_b"))
     // NOTE on partitioning: under AQE a localCheckpoint records
     // UnknownPartitioning (verified via explain — the unexecuted

@@ -147,26 +147,28 @@ class PlanShapeSpec extends SparkSuite {
     // where predicates get no subexpression elimination, so each
     // inferred conjunct would re-run the whole hash per row.
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    for (df <- Seq(
-        graft.operators.Dedup.ngramJaccardPairs(docs),
-        graft.operators.CorpusOps.decontaminate(docs))) {
-      val p = plan(df)
+    val pd = plan(graft.operators.CorpusOps.decontaminate(docs))
+    for ((p, what) <- Seq(
+        plan(graft.operators.Dedup.ngramJaccardPairs(docs)) -> "ngram",
+        pd -> "decontaminate")) {
       val inFilter = p.linesIterator
         .filter(_.contains("Condition"))
         .count(_.contains("shinglehashexpr"))
       assert(inFilter == 0,
-        s"shingle hash leaked back into a Filter condition:\n$p")
+        s"shingle hash leaked back into a $what Filter condition:\n$p")
     }
-    // decontaminate must broadcast the (small) eval side, and the label
-    // consumers must not inherit nearDupClusters' presentation sort
-    val pd = plan(graft.operators.CorpusOps.decontaminate(docs))
+    // decontaminate must broadcast the (small) eval side
     assert(pd.contains("BroadcastHashJoin"), s"eval side should broadcast:\n$pd")
-    val pb = plan(graft.operators.CorpusOps.bestOfCluster(docs))
-    val sorts = raw"\(\d+\) Sort\b".r.findAllIn(pb).length
-    // one final presentation sort (orderBy cluster) and possibly an
-    // SMJ sort pair — but never a doc_id range sort under the join
-    assert(!pb.contains("rangepartitioning(doc_id"),
-      s"bestOfCluster inherited the labels presentation sort ($sorts sorts):\n$pb")
+    // pair/label consumers must not inherit the producers' presentation
+    // sorts (nearDupLabels / minhashPairsUnsorted exist for this): no
+    // doc_id / pair-id range exchange anywhere under these plans
+    for ((p, what) <- Seq(
+        plan(graft.operators.CorpusOps.bestOfCluster(docs)) -> "bestOfCluster",
+        plan(graft.operators.CorpusOps.sourceOverlap(docs)) -> "sourceOverlap")) {
+      assert(!p.contains("rangepartitioning(doc_id") &&
+        !p.contains("rangepartitioning(doc_a"),
+        s"$what inherited a producer's presentation sort:\n$p")
+    }
   }
 
   test("brute-force kNN broadcasts the query side, never the corpus") {

@@ -241,8 +241,14 @@ object Dedup {
     // tiny active set; singletons rejoin in ONE corpus-wide left join
     // at the end. At 100 TB this is the difference between iterating
     // over ~10^8 graph vertices and re-shuffling 10^11 docs per round.
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
+    // seed = min(self, direct neighbors): the same single shuffle a
+    // plain distinct() seed would cost, but it starts every vertex one
+    // hop ahead — star-shaped clusters (the common LSH case, everything
+    // paired with the min doc) converge on the first confirming round
+    var labels = edges.groupBy(col("doc_a").as("doc_id"))
+      .agg(min(col("doc_b")).as("nbr_min"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("nbr_min")).as("cluster"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0

@@ -160,4 +160,45 @@ class StreamingSpec extends SparkSuite {
     val aRows = rowsOf(spark.table("alive").filter(col("key") === keyA))
     assert(aRows.last("alive") == false)
   }
+
+  test("streaming session windows match batch sessionization on closed sessions") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L // well above epoch 0: rows at/below the
+                            // initial watermark are dropped as late
+    def ev(id: Long, user: Long, offsetMin: Long, v: Double): SessEvent =
+      SessEvent(id, ts(t0 + offsetMin * 60000L), user, v)
+    val mem = MemoryStream[SessEvent]
+    val q = graft.streaming.StreamingSessions
+      .sessionWindows(mem.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    // user 1: two sessions (10-min gap merges, 60-min gap splits);
+    // user 2: one singleton session
+    val live = Seq(
+      ev(1, 1L, 0, 1.5), ev(2, 1L, 10, 2.5), ev(3, 1L, 70, 4.0),
+      ev(4, 2L, 5, 7.25))
+    mem.addData(live: _*)
+    q.processAllAvailable()
+    // flush batch: advances the watermark a day, closing every session
+    mem.addData(ev(99, 99L, 24 * 60, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rowsOf(spark.table("sess")
+      .select(col("user_id"), col("session_start_us"), col("n_events"),
+        col("sum_value"))
+      .orderBy(col("user_id"), col("session_start_us")))
+    val batch = rowsOf(graft.operators.EventAnalytics.sessionize(
+      live.toDF(), gapMinutes = 30)
+      .select(col("user_id"), col("session_start_us"), col("n_events"),
+        col("sum_value"))
+      .orderBy(col("user_id"), col("session_start_us")))
+    assert(streamed == batch && streamed.length == 3)
+  }
 }
+
+/** MemoryStream row for the session-window parity test — field order
+  * mirrors the events table columns the operators read. */
+case class SessEvent(event_id: Long, ts: java.sql.Timestamp,
+  user_id: Long, value: Double)

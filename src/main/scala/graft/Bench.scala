@@ -1,11 +1,22 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Benchmark main — runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
   * A small warmup job first absorbs session/codegen startup so query
   * timings measure the plans, not JVM warmup.
+  *
+  * Block-manager hygiene: after every query execution (warmup and
+  * timed, outside the timed window) the embedded checkpoint storage is
+  * released via [[ColumnBridge.unpersistCheckpoint]] and the session is
+  * asserted back to its persistent-RDD fixed point (empty). Without
+  * this, iterative operators' label checkpoints accumulate across the
+  * suite and block-manager pressure bleeds into every LATER query's
+  * timing — measured at 3.5–4× on queries alphabetically after the
+  * dedup family. A leak that survives the release is LOUD (stderr +
+  * a "leaked" counter in the JSON), never silently absorbed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,11 +58,28 @@ object Bench {
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY names unknown query '$k'")))
     val queries = only
       .fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
-    queries.foreach { case (name, fn) =>
-      try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+    // queries whose plans embed persisted checkpoints (the near-dup
+    // label family) are released here; any straggler is swept and
+    // counted so the fixed-point violation is visible in the artifact
+    var leaked = 0L
+    def release(name: String, df: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      df.foreach(ColumnBridge.unpersistCheckpoint)
+      val left = spark.sparkContext.getPersistentRDDs
+      if (left.nonEmpty) {
+        leaked += left.size
+        System.err.println(s"[bench] $name left ${left.size} persistent " +
+          "RDD(s) after checkpoint release — sweeping (fix the operator!)")
+        left.values.foreach(_.unpersist(blocking = false))
       }
+    }
+    queries.foreach { case (name, fn) =>
+      val df =
+        try { val d = fn(spark, warmDir); d.write.mode("overwrite").format("noop").save(); Some(d) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+          None
+        }
+      release(name, df)
     }
     // min over N timed passes: the standard steady-state estimator —
     // GC pauses and scheduler jitter only ever ADD time, so the min is
@@ -62,16 +90,22 @@ object Bench {
         val t0 = System.nanoTime()
         // noop sink: forces full materialization of every output column
         // (a bare count() lets Catalyst prune projection-only plans away)
-        val ok =
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        val df =
+          try { val d = fn(spark, sfDir); d.write.mode("overwrite").format("noop").save(); Some(d) }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
+            None
           }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // checkpoint release runs OUTSIDE the timed window: timings
+        // measure the plan, and every query starts from the same empty
+        // block manager (the "isolated" condition) instead of inheriting
+        // earlier queries' leaked storage pressure
+        release(name, df)
         // a failed query must be loud IN THE JSON too: -1 is
         // unmistakably not a timing, so consumers cannot mistake a
         // crash for speed
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (df.isDefined) elapsed else -1.0
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
@@ -83,8 +117,11 @@ object Bench {
     // escape env-provided paths — a quote or backslash in the dir name
     // must not produce unparseable JSON
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // "sweep":true documents the per-query release mode (bench hygiene:
+    // timings are storage-isolated); "leaked" counts fixed-point
+    // violations the sweep had to absorb — anything non-zero is a bug
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes,"sweep":true,"leaked":$leaked}"""
     println(line)
     // also persist to a file: stdout can get interleaved with stray
     // [error] log lines under sbt, which breaks line-oriented parsers.

@@ -16,10 +16,25 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // hold the frame so its embedded checkpoint storage (near-dup
+      // label family) can be released after the write — the execution
+      // boundary is the ONE place a lazily-consumed result's
+      // checkpoints can be freed (see Dedup.nearDupLabels' contract);
+      // without this the suite accumulates one persisted frame per
+      // label-consuming query for the session lifetime
+      val df =
+        try { val d = fn(spark, sfDir); d.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name"); Some(d) }
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          None
+        }
+      df.foreach(org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint)
+      val left = spark.sparkContext.getPersistentRDDs
+      if (left.nonEmpty) {
+        System.err.println(s"[verify] $name left ${left.size} persistent " +
+          "RDD(s) after checkpoint release — sweeping (fix the operator!)")
+        left.values.foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

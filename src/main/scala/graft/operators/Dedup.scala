@@ -218,7 +218,19 @@ object Dedup {
 
   /** [[nearDupClusters]] without the presentation sort — for consumers
     * that immediately join or aggregate the labels (the sort's range
-    * exchange would be thrown away one operator later). */
+    * exchange would be thrown away one operator later).
+    *
+    * STORAGE CONTRACT: the returned plan embeds the final label
+    * checkpoint, which stays persisted so the caller can execute the
+    * result (the checkpoint truncated its lineage — its blocks cannot
+    * be recomputed, so this function cannot release it). After the
+    * LAST action over the result (or any frame derived from it), call
+    * [[ColumnBridge.unpersistCheckpoint]] on that frame — it walks the
+    * analyzed plan and frees every embedded checkpoint. Skipping the
+    * release leaks one persisted frame per invocation for the session
+    * lifetime; `Bench`/`Verify` release at their execution boundary and
+    * assert the session returns to its persistent-RDD fixed point.
+    */
   def nearDupLabels(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50): DataFrame = {
     val pairs = minhashPairsUnsorted(docs, numHashes, bands, threshold, shingleN)

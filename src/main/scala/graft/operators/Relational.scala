@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * multi-table side of the engine: grouped aggregation with pushed-down
   * predicates (Q1) and the broadcast-dimension join chain (Q3). These
   * demonstrate the plan shapes a 100 TB relational workload needs:
-  * filters reach the parquet scans (`PushedFilters`), dimension tables
-  * broadcast (customer is ~1/40 of lineitem here and shrinks further
-  * after its segment filter — never shuffle the fact table for a dim),
-  * and top-k is `TakeOrderedAndProject`, not a global sort.
+  * filters reach the parquet scans (`PushedFilters`), TRUE dimension
+  * tables broadcast by explicit hint (customer is ~1/40 of lineitem
+  * here and shrinks further after its segment filter — never shuffle
+  * the fact table for a dim), FACT-DERIVED frames (filtered orders,
+  * part) are deliberately unhinted so AQE broadcasts them while they
+  * fit and falls back to a shuffle join at the scale where a forced
+  * hint would OOM, and top-k is `TakeOrderedAndProject`, not a global
+  * sort.
   *
   * Money arithmetic routes through DECIMAL(18,2): the source doubles
   * are 2-dp money values, so the cast is EXACT, and decimal addition
@@ -48,9 +52,9 @@ object Relational {
   }
 
   /** TPC-H Q5: local-supplier revenue per nation — the full
-    * six-table join. Every dimension (region → nation → supplier;
-    * customer) broadcasts; the lineitem fact never shuffles until the
-    * final tiny (≤25-nation) aggregate. The c_nationkey = s_nationkey
+    * six-table join. True dimensions (region → nation → supplier;
+    * customer) broadcast by hint; the orders-derived frame is unhinted
+    * (AQE-sized, see inline note). The c_nationkey = s_nationkey
     * "local supplier" constraint rides on the orders-side join.
     */
   def localSupplierRevenue(region: DataFrame, nation: DataFrame,
@@ -71,9 +75,15 @@ object Relational {
       .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
         col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
+    // NO broadcast hint on ordCust: it is FACT-derived (a year of orders
+    // ⋈ customer) and grows linearly with scale factor — a forced hint
+    // would bypass autoBroadcastJoinThreshold and OOM at 100× where an
+    // unhinted plan lets AQE pick broadcast while it fits and fall back
+    // to a shuffle join when it doesn't. Hints stay only on the true
+    // dimensions (region/nation chain, customer projection) above.
     lineitem
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(ordCust),
+      .join(ordCust,
         col("l_orderkey") === col("o_orderkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
@@ -83,9 +93,9 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  /** TPC-H Q14: promo revenue share over a ship-date month — fact ⋈
-    * broadcast(part) with a conditional aggregate; the percentage is a
-    * double division of two exact decimal sums.
+  /** TPC-H Q14: promo revenue share over a ship-date month — filtered
+    * fact ⋈ part (AQE-sized join) with a conditional aggregate; the
+    * percentage is a double division of two exact decimal sums.
     */
   def promoRevenue(lineitem: DataFrame, part: DataFrame,
       from: String = "1996-01-01 00:00:00",
@@ -95,7 +105,11 @@ object Relational {
     lineitem
       .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
         col("l_shipdate") < lit(until).cast("timestamp"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+      // unhinted: part scales linearly with SF (~p_partkey per 30
+      // lineitems), so a forced broadcast is a 100×-scale OOM; AQE
+      // broadcasts the 2-column projection while it fits and degrades
+      // to a shuffle join past the threshold
+      .join(part.select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("p_type") === "PROMO", discPrice)).as("promo"),
@@ -104,10 +118,10 @@ object Relational {
         col("total").cast("double")).as("promo_revenue_pct"))
   }
 
-  /** TPC-H Q3: shipping-priority top-10. The dimension chain
-    * (filtered customer → filtered orders) broadcasts against the
-    * lineitem fact scan; revenue ties break on l_orderkey so the
-    * top-10 is deterministic.
+  /** TPC-H Q3: shipping-priority top-10. The segment-filtered customer
+    * dimension broadcasts into orders; the orders-derived frame joins
+    * the lineitem fact unhinted (AQE-sized, see inline note); revenue
+    * ties break on l_orderkey so the top-10 is deterministic.
     */
   def shippingPriority(customer: DataFrame, orders: DataFrame,
       lineitem: DataFrame, segment: String = "BUILDING",
@@ -118,8 +132,13 @@ object Relational {
     val ord = orders.filter(col("o_orderdate") < cut)
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_orderdate"))
+    // `ord` is FACT-derived (classic Q3 keeps ~10–50% of orders after
+    // the date filter) and grows linearly with SF — no broadcast hint:
+    // AQE broadcasts while it fits and falls back to a shuffle join at
+    // the scale where a forced hint would OOM. Only `cust` (a true
+    // dimension, further shrunk by its segment filter) keeps the hint.
     lineitem.filter(col("l_shipdate") > cut)
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) *
           (lit(1.0).cast("decimal(18,2)") - dec(col("l_discount"))))

@@ -66,6 +66,34 @@ class DedupSpec extends SparkSuite {
     assert(more == clusters)
   }
 
+  test("label checkpoint release: unpersistCheckpoint on a DERIVED frame " +
+      "returns the session to its persistent-RDD fixed point") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val d = docs(
+      1L -> base,
+      2L -> (base + " tail one"),
+      3L -> "completely unrelated content about distributed join strategies and exchanges")
+    // a consumer-shaped plan: aggregate OVER the labels, not the labels
+    // themselves — the release handle must find the checkpoint through
+    // the derived plan, because that is all a real caller still holds.
+    // Pin by the checkpoint's OWN rdd ids, not the global persistent-RDD
+    // map size: the shared session's ContextCleaner collects other
+    // tests' stale entries concurrently.
+    val derived = Dedup.nearDupLabels(d, threshold = 0.3)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    derived.collect()
+    val ids = derived.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(ids.nonEmpty, "the derived plan should embed the label checkpoint")
+    def persisted = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.forall(persisted.contains),
+      "the label checkpoint should be persisted while the result is live")
+    ColumnBridge.unpersistCheckpoint(derived)
+    assert(ids.forall(id => !persisted.contains(id)),
+      "release through the derived frame must free every embedded checkpoint")
+  }
+
   test("corpus filter keeps only canonical, high-quality, target-language docs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val kept = rowsOf(graft.SparkEntry.queries("q_corpus_filter")(

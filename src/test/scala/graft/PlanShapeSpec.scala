@@ -119,25 +119,51 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
-  test("tpch q3 broadcasts the dimension chain and top-ks without a global sort") {
+  test("tpch q3 pushes filters, broadcasts the customer dim, top-ks without a global sort") {
     val q3 = graft.operators.Relational.shippingPriority(
       spark.read.parquet("/root/testdata/sf0.001/customer.parquet"),
       spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
       spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
     val p = plan(q3)
-    // the fact table must never shuffle for the dims, the date/segment
-    // predicates must reach the scans, and the top-10 must be
-    // TakeOrderedAndProject, not Sort+Limit over a full sort
+    // the segment-filtered customer dim must broadcast; the
+    // orders-derived side is DELIBERATELY not asserted broadcast — it
+    // is unhinted (fact-derived, linear in SF) and AQE/stats own that
+    // choice per scale. Date/segment predicates must reach the scans
+    // and the top-10 must be TakeOrderedAndProject, not Sort+Limit.
     val bhj = raw"\(\d+\) BroadcastHashJoin\b".r.findAllIn(p).length
-    assert(bhj >= 2, s"dimension chain no longer broadcasts ($bhj):\n$p")
+    assert(bhj >= 1, s"customer dim no longer broadcasts ($bhj):\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k regressed to a sort:\n$p")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
     assert(pushed.exists(_.contains("l_shipdate")) &&
       pushed.exists(_.contains("o_orderdate")) &&
       pushed.exists(_.contains("c_mktsegment")),
       s"predicates not pushed to scans:\n${pushed.mkString("\n")}")
-    val shuffles = raw"\(\d+\) Exchange\b".r.findAllIn(p).length
-    assert(shuffles <= 1, s"too many shuffle exchanges ($shuffles):\n$p")
+  }
+
+  test("tpch broadcast hints mark only TRUE dimensions, never fact-derived frames") {
+    // the 100×-scale contract: an explicit broadcast() hint bypasses
+    // autoBroadcastJoinThreshold, so a hint on a frame that grows with
+    // the fact tables (date-filtered orders ⋈ customer, part) is a
+    // forced OOM at scale where an unhinted plan degrades to a shuffle
+    // join. Pin the hint COUNT per query — the dims that legitimately
+    // carry hints — so a hint creeping onto a fact-derived frame fails
+    // here with intent, not in a cluster post-mortem.
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.length
+    def t(name: String) =
+      spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
+    val q3 = graft.operators.Relational.shippingPriority(
+      t("customer"), t("orders"), t("lineitem"))
+    assert(hints(q3) == 1, "Q3: exactly the segment-filtered customer dim")
+    val q5 = graft.operators.Relational.localSupplierRevenue(
+      t("region"), t("nation"), t("supplier"), t("customer"),
+      t("orders"), t("lineitem"))
+    assert(hints(q5) == 4,
+      "Q5: region, nation-chain, supplier, customer projection — not orders⋈customer")
+    val q14 = graft.operators.Relational.promoRevenue(t("lineitem"), t("part"))
+    assert(hints(q14) == 0, "Q14: part scales with SF — no forced broadcast")
   }
 
   test("shingle-hash runs once per row: no hash in scan filters, no sort before join") {

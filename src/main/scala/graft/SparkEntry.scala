@@ -126,7 +126,7 @@ object SparkEntry {
     "q_split_stats" -> ((s, dir) => CorpusOps.splitStats(docs(s, dir))),
     "q_sample_stratified" -> ((s, dir) =>
       CorpusOps.stratifiedSampleStats(docs(s, dir))),
-    "q_decontaminate" -> ((s, dir) => CorpusOps.decontaminate(docs(s, dir))),
+    "q_decontaminate" -> ((s, dir) => CorpusOps.decontaminateById(docs(s, dir))),
     "q_cluster_best" -> ((s, dir) => CorpusOps.bestOfCluster(docs(s, dir))),
     "q_source_stats" -> ((s, dir) => CorpusOps.sourceStats(docs(s, dir))),
     "q_source_overlap" -> ((s, dir) => CorpusOps.sourceOverlap(docs(s, dir))),

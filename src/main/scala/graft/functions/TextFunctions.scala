@@ -149,6 +149,18 @@ object TextFunctions {
     * cross-engine hash parity the oracle relies on. */
   val EmailPiiPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val SsnPiiPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Phone-like digit runs: 9+ chars of digits/separators bounded by
+    * digits. KNOWN-LOSSY BY DESIGN — this is a recall-first compliance
+    * scrub, and regexes cannot tell a phone number from any other long
+    * digit run. Documented false-positive classes (all redacted to
+    * `<phone>`): ISO dates/datetimes ("2023-01-15 08" — the time's
+    * colons stop the match, the date alone doesn't), ISBNs, IP-ish
+    * dotted runs, version strings with 3+ numeric fields, and numeric
+    * table rows. Pipelines that must preserve those should pre-mask
+    * them or swap in a stricter pattern; tightening HERE would trade
+    * silent PII leaks for the false positives, the wrong default for a
+    * training-corpus scrub. */
   val PhonePiiPattern = "\\+?\\d[\\d \\t\\n\\f\\r().-]{7,}\\d"
 
   /** Redact common PII shapes (emails, SSN-style ids, phone-like digit

@@ -26,6 +26,13 @@ object CorpusOps {
     * not the row position or an RNG — makes assignment stable across
     * runs, partitionings, and engines (the DuckDB oracle mirrors it
     * byte-for-byte). A narrow projection: no shuffle, scales linearly.
+    *
+    * ASCII-ID CONTRACT: the Spark side hashes the id's UTF-8 BYTES
+    * while the DuckDB oracle mirror folds CODEPOINTS, so the two agree
+    * only while every id character is ASCII (byte == codepoint —
+    * trivially true for the numeric ids here). Feeding non-ASCII ids
+    * keeps this function deterministic but breaks cross-engine
+    * reproducibility of the assignment.
     */
   def hashBucket(id: Column, buckets: Int): Column =
     pmod(Fnv32.fnv32(id.cast("string").cast("binary")), lit(buckets))
@@ -96,37 +103,59 @@ object CorpusOps {
     * distinct `shingleN`-gram shingles it shares with each eval
     * document; report pairs sharing at least `minShared`. The standard
     * pre-training hygiene pass (drop or flag training docs that leak
-    * benchmark content).
+    * benchmark content). Both frames need (doc_id, text) columns —
+    * real pipelines hold eval benchmarks in their own table, so the
+    * eval set is a first-class input, not an id-range convention.
     *
     * Plan shape for 100 TB: the eval set is small by construction
     * (benchmark suites are ≪ the corpus), so its exploded shingle
     * postings BROADCAST — the train side streams through a
     * broadcast-hash join with no shuffle; only the matched pairs (a
     * tiny set) shuffle into the count aggregate. Work is linear in
-    * train-corpus shingles, never train × eval.
+    * train-corpus shingles, never train × eval. If the eval frame is
+    * NOT known-small (its exploded postings must fit in executor
+    * memory), pass `broadcastEval = false`: the forced hint would
+    * bypass `autoBroadcastJoinThreshold` and OOM where an unhinted
+    * shuffle join (AQE-sized) runs fine.
     *
     * Shingles are the fused 31-bit hashes of
     * [[Dedup.shingleHashFrame]] — identical to the dedup family's
     * arithmetic, mirrored exactly by the oracle.
     */
-  def decontaminate(docs: DataFrame, evalMaxId: Long = 100,
-      shingleN: Int = 5, minShared: Long = 1): DataFrame = {
+  def decontaminate(train: DataFrame, eval: DataFrame, shingleN: Int,
+      minShared: Long, broadcastEval: Boolean): DataFrame = {
     // explode_outer: stops InferFiltersFromGenerate from inlining the
     // fused shingle-hash into the scan filter (3× per-row evaluation —
     // see the twin comment in Dedup.ngramJaccardPairs); the null rows
     // it can emit are dropped by the inner join on `g` below.
-    val ex = Dedup.shingleHashFrame(docs, shingleN)
-      .select(col("doc_id"), explode_outer(col("xs")).as("g"))
-    val evalSide = ex.filter(col("doc_id") < evalMaxId)
-      .withColumnRenamed("doc_id", "eval_doc")
-    val trainSide = ex.filter(col("doc_id") >= evalMaxId)
-      .withColumnRenamed("doc_id", "train_doc")
-    trainSide.join(broadcast(evalSide), Seq("g"))
+    def postings(docs: DataFrame, as: String): DataFrame =
+      Dedup.shingleHashFrame(docs, shingleN)
+        .select(col("doc_id").as(as), explode_outer(col("xs")).as("g"))
+    val evalEx = postings(eval, "eval_doc")
+    val evalSide = if (broadcastEval) broadcast(evalEx) else evalEx
+    postings(train, "train_doc").join(evalSide, Seq("g"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .orderBy(col("train_doc"), col("eval_doc"))
   }
+
+  def decontaminate(train: DataFrame, eval: DataFrame): DataFrame =
+    decontaminate(train, eval, shingleN = 5, minShared = 1L,
+      broadcastEval = true)
+
+  /** Fixture adapter: eval set = `doc_id < evalMaxId` within one
+    * corpus frame — the driver-query shape over the single `documents`
+    * table. Pipelines with a real eval table use
+    * [[decontaminate(train:org\.apache\.spark\.sql\.DataFrame,eval:org\.apache\.spark\.sql\.DataFrame)* decontaminate]]
+    * directly.
+    */
+  def decontaminateById(docs: DataFrame, evalMaxId: Long = 100,
+      shingleN: Int = 5, minShared: Long = 1): DataFrame =
+    decontaminate(
+      docs.filter(col("doc_id") >= evalMaxId),
+      docs.filter(col("doc_id") < evalMaxId),
+      shingleN, minShared, broadcastEval = true)
 
   /** Canonical selection by QUALITY: within each near-dup cluster
     * (transitive MinHash closure, [[Dedup.nearDupClusters]]), keep the

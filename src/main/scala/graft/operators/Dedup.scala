@@ -75,6 +75,28 @@ object Dedup {
     array((0 until numHashes).map(i =>
       array_min(transform(xs, x => Hashing.permHash(x, i)))): _*)
 
+  /** Drop LSH band buckets whose population exceeds `cap` — the
+    * skew guard both banded self-joins share. A band self-join is
+    * quadratic PER BUCKET, and the corpora dedup exists for are
+    * exactly the ones with degenerate hot buckets (empty documents,
+    * boilerplate pages — thousands of docs sharing one signature), so
+    * an ungated join is the first thing to break at 100 TB. Dropping a
+    * bucket UNDERCOUNTS candidates (recall becomes a documented lower
+    * bound, mirroring [[ngramJaccardPairs]]' `maxDf` contract) — but a
+    * bucket of thousands of mutual near-identical docs is better served
+    * by [[exact]] dedup than by enumerating its O(n²) pairs. The
+    * over-cap bucket list is tiny by construction (few buckets can
+    * exceed the cap), hence the broadcast anti-join.
+    */
+  private def dropHotBuckets(banded: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame = {
+    val hot = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_bucket"))
+      .filter(col("n_bucket") > cap)
+      .select(keys.map(col): _*)
+    banded.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** MinHash+LSH near-dup pairs. Plan shape (the standard distributed
     * formulation):
     *   1. signature projection (narrow);
@@ -85,11 +107,16 @@ object Dedup {
     *      array_intersect of distinct-shingle arrays;
     *   4. filter >= `threshold`.
     * Candidate volume is controlled by the band/row trade-off
-    * (P[candidate] = 1-(1-j^rows)^bands), not by docs².
+    * (P[candidate] = 1-(1-j^rows)^bands) — plus, on skewed corpora,
+    * the `maxBucket` hot-bucket cap ([[dropHotBuckets]]), without
+    * which one degenerate bucket is locally quadratic. Off by default:
+    * the exact small-scale contract (and the oracles) keep every
+    * bucket.
     */
   def minhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, shingleN: Int = 3): DataFrame =
-    minhashPairsUnsorted(docs, numHashes, bands, threshold, shingleN)
+      threshold: Double = 0.5, shingleN: Int = 3,
+      maxBucket: Option[Int] = None): DataFrame =
+    minhashPairsUnsorted(docs, numHashes, bands, threshold, shingleN, maxBucket)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** [[minhashPairs]] without the presentation sort — for consumers
@@ -98,7 +125,8 @@ object Dedup {
     * materialized and thrown away; same split as
     * [[nearDupLabels]]/[[nearDupClusters]]). */
   def minhashPairsUnsorted(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+      threshold: Double = 0.5, shingleN: Int = 3,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must divide evenly into bands ($bands); " +
         "leftover signature positions would silently never band")
@@ -106,7 +134,7 @@ object Dedup {
     val sh = shingleHashFrame(docs, shingleN)
     val sig = sh.select(col("doc_id"),
       ArrayHashExprs.minhash_sig(col("xs"), numHashes).as("minhash"))
-    val banded = sig.select(col("doc_id"),
+    val bandedAll = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           concat_ws("_", transform(slice(col("minhash"), b * rows + 1, lit(rows)),
@@ -120,6 +148,8 @@ object Dedup {
       // where the exploded posting list is large and SMJ + coalescible
       // ENSURE_REQUIREMENTS exchanges win)
       .repartition(col("band"), col("band_sig"))
+    val banded = maxBucket.fold(bandedAll)(
+      dropHotBuckets(bandedAll, Seq("band", "band_sig"), _))
     // candidate de-dup on id pairs only — never shuffle shingle arrays
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -212,8 +242,9 @@ object Dedup {
     * use `checkpoint` on a reliable store instead.
     */
   def nearDupClusters(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50): DataFrame =
-    nearDupLabels(docs, numHashes, bands, threshold, shingleN, maxIters)
+      threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50,
+      maxBucket: Option[Int] = None): DataFrame =
+    nearDupLabels(docs, numHashes, bands, threshold, shingleN, maxIters, maxBucket)
       .orderBy(col("doc_id"))
 
   /** [[nearDupClusters]] without the presentation sort — for consumers
@@ -232,8 +263,10 @@ object Dedup {
     * assert the session returns to its persistent-RDD fixed point.
     */
   def nearDupLabels(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50): DataFrame = {
-    val pairs = minhashPairsUnsorted(docs, numHashes, bands, threshold, shingleN)
+      threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val pairs = minhashPairsUnsorted(docs, numHashes, bands, threshold, shingleN,
+        maxBucket)
       .select(col("doc_a"), col("doc_b"))
     // NOTE on partitioning: under AQE a localCheckpoint records
     // UnknownPartitioning (verified via explain — the unexecuted
@@ -346,10 +379,13 @@ object Dedup {
   /** SimHash near-dup pairs: band the fingerprint into `bands` slices
     * (pigeonhole: hamming <= bands-1 guarantees a shared band), join
     * per band, verify true hamming distance <= maxHamming via
-    * bit_count(xor). Same LSH-bucket plan shape as [[minhashPairs]].
+    * bit_count(xor). Same LSH-bucket plan shape as [[minhashPairs]],
+    * including the optional `maxBucket` hot-bucket skew guard
+    * ([[dropHotBuckets]] — dropping a bucket also voids the pigeonhole
+    * guarantee for its members, the documented recall trade).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, maxBucket: Option[Int] = None): DataFrame = {
     require(SimhashBits % bands == 0,
       s"bands ($bands) must divide $SimhashBits bits; unbanded top bits " +
         "would silently void the pigeonhole guarantee")
@@ -361,12 +397,14 @@ object Dedup {
     val mask = (1L << bandBits) - 1
     val withSig = shingleHashFrame(docs)
       .select(col("doc_id"), simhashFromHashes(col("xs")).as("sig"))
-    val banded = withSig.select(col("doc_id"), col("sig"),
+    val bandedAll = withSig.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map(bi =>
         struct(lit(bi).as("band"),
           shiftright(col("sig"), bi * bandBits).bitwiseAND(mask)
             .as("band_val"))): _*)).as("bs"))
       .select(col("doc_id"), col("sig"), col("bs.band"), col("bs.band_val"))
+    val banded = maxBucket.fold(bandedAll)(
+      dropHotBuckets(bandedAll, Seq("band", "band_val"), _))
     // shared (AQE stage-reused) exchange via forced SMJ — see minhashPairs
     banded.as("a").join(banded.as("b").hint("shuffle_merge"),
         col("a.band") === col("b.band") &&

@@ -74,7 +74,7 @@ class CorpusOpsSpec extends SparkSuite {
       2L -> "completely different evaluation prompt about catalyst optimizer rules",
       1000L -> s"unrelated training prose first then $leak then more words after",
       1001L -> "entirely disjoint training document with no overlapping runs at all")
-    val r = rowsOf(CorpusOps.decontaminate(d, evalMaxId = 100, shingleN = 5))
+    val r = rowsOf(CorpusOps.decontaminateById(d, evalMaxId = 100, shingleN = 5))
     assert(r.exists(p => p("train_doc") == 1000L && p("eval_doc") == 1L))
     assert(!r.exists(p => p("train_doc") == 1001L))
     // shared counts the distinct common 5-gram hashes — a planted run
@@ -82,6 +82,25 @@ class CorpusOpsSpec extends SparkSuite {
     val shared = r.find(p => p("train_doc") == 1000L && p("eval_doc") == 1L)
       .get("shared").asInstanceOf[Long]
     assert(shared == 6L)
+  }
+
+  test("decontaminate takes a separate eval frame; ids may overlap freely") {
+    // real pipelines hold benchmarks in their own table, so the same
+    // doc_id can exist on both sides — membership comes from WHICH
+    // frame a doc is in, never an id-range convention
+    val leak = "rain falls on the green hills and a river runs"
+    val train = enDocs(
+      1L -> s"training text around $leak embedded in the middle",
+      2L -> "clean training document sharing nothing with the benchmark")
+    val eval = enDocs(1L -> base, 2L -> "benchmark prompt about optimizer rules")
+    val r = rowsOf(CorpusOps.decontaminate(train, eval))
+    assert(r.exists(p => p("train_doc") == 1L && p("eval_doc") == 1L))
+    assert(!r.exists(p => p("train_doc") == 2L))
+    // the unhinted variant (for eval frames NOT known-small) must give
+    // identical results through a shuffle join
+    val unhinted = rowsOf(CorpusOps.decontaminate(train, eval,
+      shingleN = 5, minShared = 1L, broadcastEval = false))
+    assert(unhinted == r)
   }
 
   test("bestOfCluster keeps the highest-quality doc per near-dup cluster") {

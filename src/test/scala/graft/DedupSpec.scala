@@ -66,6 +66,34 @@ class DedupSpec extends SparkSuite {
     assert(more == clusters)
   }
 
+  test("hot-bucket cap: degenerate identical-doc buckets are skipped, " +
+      "under-cap pairs survive") {
+    // the corpus dedup exists for: a pile of identical boilerplate docs
+    // (every band bucket hot) PLUS one genuine near-dup pair whose
+    // buckets stay at size 2. The cap must kill the quadratic bucket
+    // and keep the planted pair — the documented recall trade.
+    val boiler = (10L to 29L).map(_ -> "empty boilerplate page nothing to see here at all today")
+    val planted = Seq(1L -> base, 2L -> (base + " extra trailing words here"))
+    val d = docs((boiler ++ planted): _*)
+    val uncapped = rowsOf(Dedup.minhashPairs(d, threshold = 0.3))
+    // 20 identical docs → C(20,2)=190 mutual pairs + the planted one
+    assert(uncapped.length == 191)
+    val capped = rowsOf(Dedup.minhashPairs(d, threshold = 0.3, maxBucket = Some(5)))
+    assert(capped.length == 1 && capped.head("doc_a") == 1L &&
+      capped.head("doc_b") == 2L,
+      s"cap should keep exactly the planted under-cap pair: $capped")
+    // same contract on the simhash side
+    val simCapped = rowsOf(Dedup.simhashPairs(d, maxBucket = Some(5)))
+    assert(!simCapped.exists(p => p("doc_a").asInstanceOf[Long] >= 10L),
+      s"hot-bucket members must not pair under the cap: $simCapped")
+    // plan shape: the guard is a broadcast anti-join over the tiny
+    // over-cap bucket list, not a second full shuffle of the corpus
+    val p = Dedup.minhashPairs(d, maxBucket = Some(5))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftAnti"), s"expected an anti-join guard:\n$p")
+  }
+
   test("label checkpoint release: unpersistCheckpoint on a DERIVED frame " +
       "returns the session to its persistent-RDD fixed point") {
     import org.apache.spark.sql.graftbridge.ColumnBridge

@@ -173,7 +173,7 @@ class PlanShapeSpec extends SparkSuite {
     // where predicates get no subexpression elimination, so each
     // inferred conjunct would re-run the whole hash per row.
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val pd = plan(graft.operators.CorpusOps.decontaminate(docs))
+    val pd = plan(graft.operators.CorpusOps.decontaminateById(docs))
     for ((p, what) <- Seq(
         plan(graft.operators.Dedup.ngramJaccardPairs(docs)) -> "ngram",
         pd -> "decontaminate")) {

@@ -8,6 +8,7 @@ import graft.functions.ArrayHashExprs.{DotProductExpr, MinHashSigExpr, PolyHash3
 import graft.functions.Fnv32.Fnv32Expr
 import graft.functions.TextExprs.{BpePunctCountsExpr, CleanTextExpr, RollingHashExpr, StopwordHitsExpr}
 import graft.functions.TextFunctions
+import graft.operators.CorpusOps
 
 /** SQL surface for graft's custom Catalyst expressions. Two ways in:
   *
@@ -27,6 +28,10 @@ import graft.functions.TextFunctions
   *   graft_lang_hits(str)        per-language stopword hits (array<int>)
   *   graft_bpe_punct_counts(str) [bpe_tokens, punct] counts (array<int>)
   *   graft_clean_text(str)       fused URL/email/ctrl/punct/ws cleaner
+  *   graft_split_name(id)        deterministic train/val/test assignment
+  *   graft_hash_bucket(id, n)    FNV bucket in [0, n) of the id string
+  *   graft_sample_keep(id, pm)   hash-Bernoulli keep decision (pm ‰)
+  *   graft_redact_pii(str)       email/SSN/phone scrub to placeholders
   *
   * Contract: these are the RAW expressions. Like graft_shingle_hashes,
   * the text functions expect already-normalized input (the Scala
@@ -103,7 +108,36 @@ object GraftExtensions {
         classOf[CleanTextExpr].getName,
         "graft_clean_text"),
       checked("graft_clean_text", 1)(args =>
-        CleanTextExpr(args.head))))
+        CleanTextExpr(args.head))),
+    // curation surface: compositions of the same Column definitions the
+    // DataFrame API uses (one source of truth for the arithmetic) —
+    // the bridge converts the built Column back to an Expression tree,
+    // so these stay codegen'd built-ins, not UDFs
+    ("graft_split_name",
+      new ExpressionInfo(CorpusOps.getClass.getName, "graft_split_name"),
+      checked("graft_split_name", 1)(args =>
+        expr(CorpusOps.splitName(colOf(args.head))))),
+    ("graft_hash_bucket",
+      new ExpressionInfo(CorpusOps.getClass.getName, "graft_hash_bucket"),
+      checked("graft_hash_bucket", 2)(args =>
+        expr(CorpusOps.hashBucket(colOf(args.head), colOf(args(1)))))),
+    ("graft_sample_keep",
+      new ExpressionInfo(CorpusOps.getClass.getName, "graft_sample_keep"),
+      checked("graft_sample_keep", 2)(args =>
+        expr(CorpusOps.hashBucket(colOf(args.head),
+          org.apache.spark.sql.functions.lit(1000)) < colOf(args(1))))),
+    ("graft_redact_pii",
+      new ExpressionInfo(TextFunctions.getClass.getName, "graft_redact_pii"),
+      checked("graft_redact_pii", 1)(args =>
+        expr(TextFunctions.redactPii(colOf(args.head))))))
+
+  private def colOf(e: Expression) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  // eager conversion: a builder-returned tree never passes the
+  // plan-level ColumnNode resolution, so the lazy wrapper would
+  // survive to codegen and throw (see ColumnBridge.catalystExpression)
+  private def expr(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(c)
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

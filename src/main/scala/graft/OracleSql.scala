@@ -488,6 +488,34 @@ object OracleSql {
        |  AND o_orderdate < TIMESTAMP '$until'
        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
 
+  def tpchQ4(from: String = "1996-01-01 00:00:00",
+      until: String = "1996-04-01 00:00:00"): String =
+    s"""SELECT o_orderpriority, COUNT(*) AS order_count
+       |FROM orders o
+       |WHERE o_orderdate >= TIMESTAMP '$from'
+       |  AND o_orderdate < TIMESTAMP '$until'
+       |  AND EXISTS (SELECT 1 FROM lineitem l
+       |              WHERE l.l_orderkey = o.o_orderkey
+       |                AND l.l_shipdate > o.o_orderdate)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Mirror of `Relational.inactiveHighBalanceCustomers`. The
+    * above-average test multiplies in exact decimal (bal × n > total)
+    * instead of comparing against a double average — double fold order
+    * differs across engines, decimal products don't. */
+  def tpchQ22(inactiveSince: String = "2000-01-01 00:00:00"): String =
+    s"""WITH t AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal,
+       |                  COUNT(*) AS n_pos
+       |           FROM customer WHERE c_acctbal > 0.0)
+       |SELECT c_nationkey, COUNT(*) AS n_custs,
+       |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+       |FROM customer, t
+       |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > total_bal
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderdate >= TIMESTAMP '$inactiveSince')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def tpchQ14(from: String = "1996-01-01 00:00:00",
       until: String = "1996-02-01 00:00:00"): String =
     s"""SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'

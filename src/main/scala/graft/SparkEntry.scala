@@ -74,6 +74,16 @@ object SparkEntry {
       graft.operators.Relational.promoRevenue(
         s.read.parquet(s"$dir/lineitem.parquet"),
         s.read.parquet(s"$dir/part.parquet"))),
+    // join-surface breadth: left-semi (Q4-style) and left-anti
+    // (Q22-style) over the warehouse tables
+    "q_tpch_q4" -> ((s, dir) =>
+      graft.operators.Relational.orderPriorityCheck(
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_tpch_q22" -> ((s, dir) =>
+      graft.operators.Relational.inactiveHighBalanceCustomers(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
     "q_length_hist" -> ((s, dir) => TextAnalysis.lengthHistogram(docs(s, dir))),
@@ -269,6 +279,8 @@ object SparkEntry {
       "q_tpch_q3" -> OracleSql.tpchQ3(),
       "q_tpch_q5" -> OracleSql.tpchQ5(),
       "q_tpch_q14" -> OracleSql.tpchQ14(),
+      "q_tpch_q4" -> OracleSql.tpchQ4(),
+      "q_tpch_q22" -> OracleSql.tpchQ22(),
       "q_repetition" -> OracleSql.repetition(),
       "q_vocabulary" -> OracleSql.vocabulary(),
       "q_length_hist" -> OracleSql.lengthHistogram(),

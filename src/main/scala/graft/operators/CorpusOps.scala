@@ -35,7 +35,12 @@ object CorpusOps {
     * reproducibility of the assignment.
     */
   def hashBucket(id: Column, buckets: Int): Column =
-    pmod(Fnv32.fnv32(id.cast("string").cast("binary")), lit(buckets))
+    hashBucket(id, lit(buckets))
+
+  /** Column-typed bucket count — the SQL-surface builder's shape
+    * (`graft_hash_bucket(id, buckets)`); same arithmetic. */
+  def hashBucket(id: Column, buckets: Column): Column =
+    pmod(Fnv32.fnv32(id.cast("string").cast("binary")), buckets)
 
   /** Split name from an already-materialized percent bucket — the ONE
     * definition of the train/val/test boundaries. Takes the bucket as

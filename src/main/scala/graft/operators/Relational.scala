@@ -118,6 +118,68 @@ object Relational {
         col("total").cast("double")).as("promo_revenue_pct"))
   }
 
+  /** TPC-H Q4-style order-priority check — the LEFT SEMI join shape:
+    * count orders per priority that had at least one line shipped
+    * after the order date, within an order-date quarter. (The classic
+    * Q4 predicate is l_commitdate < l_receiptdate; this warehouse has
+    * neither column, so the equivalent exists-per-order test rides on
+    * l_shipdate > o_orderdate.)
+    *
+    * Scale shape: both sides are facts, so NO broadcast hint — the
+    * semi join shuffles both on l_orderkey/o_orderkey and, unlike an
+    * inner-join + distinct formulation, never materializes the
+    * (order × matching-lines) blowup: a probe row emits once. The
+    * date filter prunes the orders scan (PushedFilters); the lineitem
+    * side projects two columns.
+    */
+  def orderPriorityCheck(orders: DataFrame, lineitem: DataFrame,
+      from: String = "1996-01-01 00:00:00",
+      until: String = "1996-04-01 00:00:00"): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q22-style inactive high-balance customers — the LEFT ANTI
+    * join shape: per nation, count customers whose balance exceeds the
+    * positive-balance average and who placed NO order since
+    * `inactiveSince`. (Classic Q22 keys on phone country codes; this
+    * warehouse has no c_phone, so nationkey carries the grouping and
+    * the anti side gets a date window — every customer here has SOME
+    * order.)
+    *
+    * The scalar subquery (corpus-wide average) is the distributed
+    * idiom: a 1-row aggregate broadcast-cross-joined onto customer —
+    * no driver collect, no second scan barrier. The average itself is
+    * compared in EXACT decimal arithmetic (bal × n > total, not
+    * bal > total/n): double averages fold order-dependently across
+    * engines, decimal products don't, so both engines agree on every
+    * boundary customer. The anti side is fact-derived (date-filtered
+    * orders) — unhinted, AQE sizes it.
+    */
+  def inactiveHighBalanceCustomers(customer: DataFrame, orders: DataFrame,
+      inactiveSince: String = "2000-01-01 00:00:00"): DataFrame = {
+    val bal = customer.filter(col("c_acctbal") > 0.0)
+      .agg(sum(dec(col("c_acctbal"))).as("total_bal"),
+        count(lit(1)).as("n_pos"))
+    customer
+      .crossJoin(broadcast(bal))
+      .filter(dec(col("c_acctbal")) * col("n_pos") > col("total_bal"))
+      .join(orders
+          .filter(col("o_orderdate") >= lit(inactiveSince).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** TPC-H Q3: shipping-priority top-10. The segment-filtered customer
     * dimension broadcasts into orders; the orders-derived frame joins
     * the lineitem fact unhinted (AQE-sized, see inline note); revenue

@@ -13,6 +13,18 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → Catalyst conversion. [[expression]] wraps the
+    * column node lazily (`ColumnNodeExpression`, an `Unevaluable`
+    * marker the plan-level resolution normally replaces) — fine as a
+    * plan input, but a tree RETURNED FROM a SQL function builder skips
+    * that replacement and the wrapper survives into codegen, where it
+    * throws. This converts the node tree to real Catalyst expressions
+    * up front; embedded `UnresolvedFunction`s still resolve in the
+    * analyzer's remaining iterations.
+    */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** The standard wrong-number-of-arguments AnalysisException Spark's
     * own function builders throw — `QueryCompilationErrors` is
     * `private[sql]`, hence bridged here. */

@@ -36,11 +36,31 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(r.getSeq[Int](2) == Seq(5, 2))          // Hi , 4 2 ! / , !
   }
 
+  test("curation functions are callable from SQL with known values") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_split_name(7L) AS split,
+        |       graft_hash_bucket(7L, 100) AS bucket,
+        |       graft_sample_keep(7L, 1000) AS keep_all,
+        |       graft_sample_keep(7L, 0) AS keep_none,
+        |       graft_redact_pii('mail a@b.co or call 555-123-4567 now') AS red
+        |""".stripMargin).collect()(0)
+    // the SQL surface must agree with the Scala definitions bit-for-bit
+    val bucket = Fnv32.hashBytes("7".getBytes) % 100
+    assert(r.getLong(1) == bucket)
+    assert(r.getString(0) ==
+      (if (bucket < 80) "train" else if (bucket < 90) "val" else "test"))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getString(4) == "mail <email> or call <phone> now")
+  }
+
   test("wrong argument counts raise a clean AnalysisException") {
     GraftExtensions.register(spark)
     for (sql <- Seq(
         "SELECT graft_dot(array(1.0d))",                       // too few
         "SELECT graft_poly_hash31('a', 'b')",                  // too many
+        "SELECT graft_split_name()",                           // none
+        "SELECT graft_redact_pii('a', 'b')",                   // too many
         "SELECT graft_unit_vector()")) {                       // none
       val e = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql(sql).collect()

@@ -166,6 +166,33 @@ class PlanShapeSpec extends SparkSuite {
     assert(hints(q14) == 0, "Q14: part scales with SF — no forced broadcast")
   }
 
+  test("tpch q4/q22 use true semi/anti joins with pushed date filters") {
+    def t(name: String) =
+      spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
+    val q4 = plan(graft.operators.Relational.orderPriorityCheck(
+      t("orders"), t("lineitem")))
+    // a semi join, never an inner-join+distinct blowup; the quarter
+    // filter must prune the orders scan
+    assert(q4.contains("LeftSemi"), s"expected a left-semi join:\n$q4")
+    assert(!q4.contains("HashAggregate(keys=[o_orderkey"),
+      s"semi join regressed to join+distinct:\n$q4")
+    assert(q4.linesIterator.filter(_.contains("PushedFilters"))
+      .exists(_.contains("o_orderdate")), s"date filter not pushed:\n$q4")
+    val q22df = graft.operators.Relational.inactiveHighBalanceCustomers(
+      t("customer"), t("orders"))
+    val q22 = plan(q22df)
+    assert(q22.contains("LeftAnti"), s"expected a left-anti join:\n$q22")
+    assert(q22.linesIterator.filter(_.contains("PushedFilters"))
+      .exists(_.contains("o_orderdate")),
+      s"inactivity window not pushed to the orders scan:\n$q22")
+    // the only hint is the 1-row scalar-aggregate broadcast; the
+    // date-filtered orders side (fact-derived) stays unhinted
+    val hints = q22df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.length
+    assert(hints == 1, s"q22 should hint only the scalar aggregate ($hints)")
+  }
+
   test("shingle-hash runs once per row: no hash in scan filters, no sort before join") {
     // explode_outer + non-nullable count (Dedup.ngramJaccardPairs,
     // CorpusOps.decontaminate) keep InferFiltersFromGenerate from

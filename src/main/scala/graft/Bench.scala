@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Benchmark main — runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
@@ -10,7 +9,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   *
   * Block-manager hygiene: after every query execution (warmup and
   * timed, outside the timed window) the embedded checkpoint storage is
-  * released via [[ColumnBridge.unpersistCheckpoint]] and the session is
+  * released via [[StorageHygiene.releaseAndSweep]] and the session is
   * asserted back to its persistent-RDD fixed point (empty). Without
   * this, iterative operators' label checkpoints accumulate across the
   * suite and block-manager pressure bleeds into every LATER query's
@@ -59,27 +58,28 @@ object Bench {
     val queries = only
       .fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
     // queries whose plans embed persisted checkpoints (the near-dup
-    // label family) are released here; any straggler is swept and
-    // counted so the fixed-point violation is visible in the artifact
+    // label family) are released here; a straggler after a release is
+    // counted as an operator fixed-point violation in the artifact —
+    // debris from a CRASHED run is swept too, but not counted as an
+    // operator bug (the frame was bound before the failing action, so
+    // its own checkpoints still get a targeted release)
     var leaked = 0L
-    def release(name: String, df: Option[org.apache.spark.sql.DataFrame]): Unit = {
-      df.foreach(ColumnBridge.unpersistCheckpoint)
-      val left = spark.sparkContext.getPersistentRDDs
-      if (left.nonEmpty) {
-        leaked += left.size
-        System.err.println(s"[bench] $name left ${left.size} persistent " +
-          "RDD(s) after checkpoint release — sweeping (fix the operator!)")
-        left.values.foreach(_.unpersist(blocking = false))
-      }
+    def release(name: String, df: Option[org.apache.spark.sql.DataFrame],
+        ok: Boolean): Unit = {
+      val swept = StorageHygiene.releaseAndSweep(spark, "bench", name, df, ok)
+      if (ok) leaked += swept
     }
     queries.foreach { case (name, fn) =>
-      val df =
-        try { val d = fn(spark, warmDir); d.write.mode("overwrite").format("noop").save(); Some(d) }
-        catch { case e: Throwable =>
+      var df: Option[org.apache.spark.sql.DataFrame] = None
+      val ok =
+        try {
+          val d = fn(spark, warmDir); df = Some(d)
+          d.write.mode("overwrite").format("noop").save(); true
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
-          None
+          false
         }
-      release(name, df)
+      release(name, df, ok)
     }
     // min over N timed passes: the standard steady-state estimator —
     // GC pauses and scheduler jitter only ever ADD time, so the min is
@@ -89,23 +89,29 @@ object Bench {
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces full materialization of every output column
-        // (a bare count() lets Catalyst prune projection-only plans away)
-        val df =
-          try { val d = fn(spark, sfDir); d.write.mode("overwrite").format("noop").save(); Some(d) }
-          catch { case e: Throwable =>
+        // (a bare count() lets Catalyst prune projection-only plans away).
+        // The frame is bound BEFORE the action so a failed save still
+        // gets a targeted checkpoint release instead of polluting the
+        // leaked counter.
+        var df: Option[org.apache.spark.sql.DataFrame] = None
+        val ok =
+          try {
+            val d = fn(spark, sfDir); df = Some(d)
+            d.write.mode("overwrite").format("noop").save(); true
+          } catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            None
+            false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // checkpoint release runs OUTSIDE the timed window: timings
         // measure the plan, and every query starts from the same empty
         // block manager (the "isolated" condition) instead of inheriting
         // earlier queries' leaked storage pressure
-        release(name, df)
+        release(name, df, ok)
         // a failed query must be loud IN THE JSON too: -1 is
         // unmistakably not a timing, so consumers cannot mistake a
         // crash for speed
-        if (df.isDefined) elapsed else -1.0
+        if (ok) elapsed else -1.0
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }

@@ -124,8 +124,7 @@ object GraftExtensions {
     ("graft_sample_keep",
       new ExpressionInfo(CorpusOps.getClass.getName, "graft_sample_keep"),
       checked("graft_sample_keep", 2)(args =>
-        expr(CorpusOps.hashBucket(colOf(args.head),
-          org.apache.spark.sql.functions.lit(1000)) < colOf(args(1))))),
+        expr(CorpusOps.sampleKeep(colOf(args.head), colOf(args(1)))))),
     ("graft_redact_pii",
       new ExpressionInfo(TextFunctions.getClass.getName, "graft_redact_pii"),
       checked("graft_redact_pii", 1)(args =>

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Execution-boundary storage hygiene shared by the driver-contract
+  * mains (Bench/Verify): after a query's last action, release the
+  * checkpoints its plan embeds (the near-dup label family's storage
+  * contract — see `Dedup.nearDupLabels`) and assert the session is
+  * back at its persistent-RDD fixed point, sweeping loudly if not.
+  * One definition so release semantics (blocking, failure handling,
+  * reporting) cannot drift between the two callers.
+  */
+object StorageHygiene {
+
+  /** Release `df`'s embedded checkpoints — BLOCKING, so the next
+    * measurement genuinely starts from a clean block manager rather
+    * than racing asynchronous block removal — then sweep stragglers.
+    *
+    * Returns the number of persistent RDDs the sweep had to absorb.
+    * `cleanRun` says whether the query's action completed normally:
+    * after a clean run + release, any non-zero return is an operator
+    * storage-contract violation (a checkpoint the release handle could
+    * not reach) and is blamed as such; after a crash, leftovers are
+    * expected debris — still released (targeted when the frame was
+    * bound before the failing action) and swept, but not blamed on the
+    * operator. Callers should count only clean-run sweeps as leaks.
+    */
+  def releaseAndSweep(spark: SparkSession, tag: String, ctx: String,
+      df: Option[Dataset[_]], cleanRun: Boolean = true): Int = {
+    df.foreach(ColumnBridge.unpersistCheckpoint(_, blocking = true))
+    val left = spark.sparkContext.getPersistentRDDs
+    if (left.nonEmpty) {
+      val blame =
+        if (cleanRun) "after checkpoint release — sweeping (fix the operator!)"
+        else "behind a failed run — sweeping (crash debris, not an operator bug)"
+      System.err.println(s"[$tag] $ctx left ${left.size} persistent RDD(s) $blame")
+      left.values.foreach(_.unpersist(blocking = true))
+    }
+    left.size
+  }
+}

@@ -22,20 +22,16 @@ object Verify {
       // checkpoints can be freed (see Dedup.nearDupLabels' contract);
       // without this the suite accumulates one persisted frame per
       // label-consuming query for the session lifetime
-      val df =
-        try { val d = fn(spark, sfDir); d.coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name"); Some(d) }
-        catch { case e: Throwable =>
+      var df: Option[org.apache.spark.sql.DataFrame] = None
+      val ok =
+        try {
+          val d = fn(spark, sfDir); df = Some(d)
+          d.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name"); true
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          None
+          false
         }
-      df.foreach(org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint)
-      val left = spark.sparkContext.getPersistentRDDs
-      if (left.nonEmpty) {
-        System.err.println(s"[verify] $name left ${left.size} persistent " +
-          "RDD(s) after checkpoint release — sweeping (fix the operator!)")
-        left.values.foreach(_.unpersist(blocking = false))
-      }
+      StorageHygiene.releaseAndSweep(spark, "verify", name, df, ok)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -72,6 +72,14 @@ object CorpusOps {
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("split"))
 
+  /** Hash-Bernoulli keep decision: true iff the id's 1000-bucket hash
+    * falls under `permille`. THE one definition of the sampling
+    * predicate — [[sampleByHash]], [[stratifiedSampleStats]], and the
+    * SQL surface's `graft_sample_keep` all route here, so the modulus
+    * and strict-`<` convention cannot drift between them. */
+  def sampleKeep(id: Column, permille: Column): Column =
+    hashBucket(id, lit(1000)) < permille
+
   /** Shuffle-free deterministic Bernoulli sample: keep rows whose id
     * hashes under `permille`/1000. The scale-correct sampling shape —
     * a pushable filter, no repartition, no global pass — unlike
@@ -79,7 +87,7 @@ object CorpusOps {
     * driver merge.
     */
   def sampleByHash(df: DataFrame, idCol: Column, permille: Int): DataFrame =
-    df.filter(hashBucket(idCol, 1000) < permille)
+    df.filter(sampleKeep(idCol, lit(permille)))
 
   /** Stratified sampling rates per language — downsampling the
     * dominant strata is the standard corpus-balancing move. Returns
@@ -95,7 +103,7 @@ object CorpusOps {
     }
     docs
       .select(col("lang"), col("n_chars"),
-        (hashBucket(col("doc_id"), 1000) < rate).as("kept"))
+        sampleKeep(col("doc_id"), rate).as("kept"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_total"),
         count_if(col("kept")).as("n_kept"),

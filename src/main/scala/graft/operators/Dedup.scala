@@ -85,8 +85,12 @@ object Dedup {
     * bound, mirroring [[ngramJaccardPairs]]' `maxDf` contract) — but a
     * bucket of thousands of mutual near-identical docs is better served
     * by [[exact]] dedup than by enumerating its O(n²) pairs. The
-    * over-cap bucket list is tiny by construction (few buckets can
-    * exceed the cap), hence the broadcast anti-join.
+    * over-cap bucket list is usually small (rows/cap is its hard upper
+    * bound), but that bound is DATA-DEPENDENT — so no forced broadcast
+    * hint: AQE broadcasts the list while it fits and degrades to a
+    * shuffle anti-join when a pathological corpus actually produces
+    * millions of over-cap buckets (the same unhinted-fact-frame policy
+    * as the TPC-H joins).
     */
   private def dropHotBuckets(banded: DataFrame, keys: Seq[String],
       cap: Int): DataFrame = {
@@ -94,7 +98,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_bucket"))
       .filter(col("n_bucket") > cap)
       .select(keys.map(col): _*)
-    banded.join(broadcast(hot), keys, "left_anti")
+    banded.join(hot, keys, "left_anti")
   }
 
   /** MinHash+LSH near-dup pairs. Plan shape (the standard distributed
@@ -310,7 +314,15 @@ object Dedup {
             least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
               .as("cluster"))
           .localCheckpoint(true)
-        converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+        // `next` is persisted from this point on but not yet the live
+        // frame the outer catch releases — a throw in the convergence
+        // check would orphan it, so it needs its own release path
+        converged =
+          try next.filter(col("cluster") =!= col("prev")).isEmpty
+          catch { case t: Throwable =>
+            ColumnBridge.unpersistCheckpoint(next)
+            throw t
+          }
         // `next` is eagerly materialized, so the previous round's
         // checkpoint blocks are now unreachable — release them instead
         // of leaking one persisted frame per round for the session

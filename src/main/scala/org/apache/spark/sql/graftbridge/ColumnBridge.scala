@@ -39,12 +39,15 @@ object ColumnBridge {
     * checkpoint per round would otherwise leak blocks for the session
     * lifetime. Only call on frames that are never executed again: the
     * checkpoint truncated their lineage, so dropped blocks cannot be
-    * recomputed.
+    * recomputed. `blocking = true` waits for the blocks to actually be
+    * freed — measurement boundaries (Bench/Verify) want that; inside
+    * iterative loops the async default avoids stalling the next round.
     */
-  def unpersistCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+  def unpersistCheckpoint(df: org.apache.spark.sql.Dataset[_],
+      blocking: Boolean = false): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
+        l.rdd.unpersist(blocking)
       case _ => ()
     }
 }

@@ -86,8 +86,8 @@ class DedupSpec extends SparkSuite {
     val simCapped = rowsOf(Dedup.simhashPairs(d, maxBucket = Some(5)))
     assert(!simCapped.exists(p => p("doc_a").asInstanceOf[Long] >= 10L),
       s"hot-bucket members must not pair under the cap: $simCapped")
-    // plan shape: the guard is a broadcast anti-join over the tiny
-    // over-cap bucket list, not a second full shuffle of the corpus
+    // plan shape: the guard is an anti-join against the over-cap
+    // bucket list (unhinted — AQE broadcasts it while it fits)
     val p = Dedup.minhashPairs(d, maxBucket = Some(5))
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

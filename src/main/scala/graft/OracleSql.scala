@@ -654,6 +654,49 @@ object OracleSql {
        |       CAST(COALESCE(SUM(n_chars) FILTER (WHERE kept), 0) AS BIGINT) AS chars_kept
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Mirrors [[graft.operators.CorpusOps.packStats]]: same FNV stream
+    * bucketing, same exclusive-prefix window, same double-division bin
+    * arithmetic. */
+  def packStats(budgetTokens: Int = 512, packBuckets: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(${docIdBucket(packBuckets)} AS BIGINT) AS pack_bucket,
+       |         CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_bucket
+       |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |         0) AS start_tok
+       |  FROM t)
+       |SELECT pack_bucket,
+       |       CAST(FLOOR(start_tok / ${budgetTokens.toDouble}) AS BIGINT) AS bin_id,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       |       MIN(doc_id) AS first_doc
+       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Mirrors [[graft.operators.CorpusOps.docKeywords]]: linear idf
+    * (tf × N/df) in the same two IEEE double ops — deliberately no
+    * `ln`, whose final-ulp differences across libm implementations
+    * could flip ranks between engines. */
+  def docKeywords(k: Int = 3): String =
+    s"""$docCte,
+       |ex AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+       |exf AS (SELECT doc_id, term FROM ex WHERE term <> ''),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tfc FROM exf GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |s AS (SELECT tf.doc_id, tf.term,
+       |        CAST(tfc AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(dfc AS DOUBLE)) AS score
+       |      FROM tf JOIN df USING (term), n),
+       |r AS (SELECT doc_id, term, score,
+       |        ROW_NUMBER() OVER (PARTITION BY doc_id
+       |          ORDER BY score DESC, term) AS rank
+       |      FROM s)
+       |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+       |       round(score, 6) AS score
+       |FROM r WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
   def decontaminate(evalMaxId: Long = 100, shingleN: Int = 5,
       minShared: Long = 1): String =
     s"""$docCte,

@@ -144,6 +144,9 @@ object SparkEntry {
       transformDigest(docs(s, dir),
         graft.functions.TextFunctions.redactPii(col("text")), "redacted")),
     "q_lang_confusion" -> ((s, dir) => CorpusOps.langConfusion(docs(s, dir))),
+    // sequence packing (concat-then-chunk bins) + keyword extraction
+    "q_pack_stats" -> ((s, dir) => CorpusOps.packStats(docs(s, dir))),
+    "q_doc_keywords" -> ((s, dir) => CorpusOps.docKeywords(docs(s, dir))),
     // end-to-end corpus filter: quality + language + canonical-of-cluster
     "q_corpus_filter" -> ((s, dir) => {
       import graft.functions.TextFunctions
@@ -308,6 +311,8 @@ object SparkEntry {
       "q_source_overlap" -> OracleSql.sourceOverlap(),
       "q_pii_redact" -> OracleSql.piiRedact,
       "q_lang_confusion" -> OracleSql.langConfusion,
+      "q_pack_stats" -> OracleSql.packStats(),
+      "q_doc_keywords" -> OracleSql.docKeywords(),
       "q_embed_knn_lsh" -> OracleSql.knnLsh(),
       "q_embed_near_pairs" -> OracleSql.lshNearPairs(),
     )

@@ -192,6 +192,92 @@ object CorpusOps {
         max(col("quality")).as("best_quality"))
       .orderBy(col("cluster"))
 
+  /** Sequence packing — the concat-then-chunk shape LLM pretraining
+    * uses: documents are concatenated into fixed token-budget bins and
+    * each document is assigned to the bin where its first token lands.
+    * Distribution strategy: docs hash into `packBuckets` INDEPENDENT
+    * packing streams (FNV of the id — deterministic and
+    * engine-reproducible like every membership decision here), each
+    * stream orders its docs by id and takes a running token total; the
+    * bin is the running total's exclusive-prefix divided by the
+    * budget.
+    *
+    * Scale shape: ONE shuffle on `pack_bucket` + a per-bucket sort —
+    * the cumulative sum is the only inherently sequential step, and
+    * bucketing bounds it to a 1/`packBuckets` slice. At 100 TB raise
+    * `packBuckets` to O(10⁵): streams stay independent, so
+    * parallelism is the bucket count and NO global ordering is ever
+    * materialized. Re-running with the same (budget, buckets) yields
+    * byte-identical assignments on any cluster size.
+    */
+  def packAssignments(docs: DataFrame, budgetTokens: Int = 512,
+      packBuckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pack_bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"),
+        hashBucket(col("doc_id"), packBuckets).as("pack_bucket"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // double division then floor: exact while token totals stay under
+      // 2^53 (always — a 100 TB corpus is ~10^13 tokens), and the same
+      // two IEEE ops on both engines
+      .withColumn("bin_id",
+        floor(col("start_tok") / lit(budgetTokens.toDouble)).cast("long"))
+  }
+
+  /** Per-(stream, bin) packing accounting: how many docs and tokens
+    * each bin carries, and its first document — the audit a packing
+    * run ships with (bins except each stream's last should sit at or
+    * just over budget).
+    */
+  def packStats(docs: DataFrame, budgetTokens: Int = 512,
+      packBuckets: Int = 8): DataFrame =
+    packAssignments(docs, budgetTokens, packBuckets)
+      .groupBy(col("pack_bucket"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("pack_bucket"), col("bin_id"))
+
+  /** Per-document keyword extraction: top-`k` terms by tf×idf with a
+    * LINEAR idf (tf × N/df, not tf × ln(N/df)) — chosen deliberately
+    * for engine stability: the scoring is two IEEE-exact double ops
+    * (divide, multiply) that every engine rounds identically, where a
+    * transcendental `ln` differs in final ulps across libm
+    * implementations and can flip ranks/hashes. Linear idf preserves
+    * the ranking property that matters (rare terms beat stopwords:
+    * df≈N scores ≈tf, df=2 scores ≈tf·N/2).
+    *
+    * Plan shape: one token explode (Σ tokens work), tf aggregate, df
+    * derived FROM the tf frame (no second corpus pass), N as a
+    * broadcast 1-row aggregate (the Q22 scalar idiom), rank via a
+    * WindowGroupLimit-prunable row_number. Ties break on the term
+    * string so top-k is deterministic.
+    */
+  def docKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = ex.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Cross-source near-duplicate overlap: for every near-dup pair
     * (MinHash+LSH, [[Dedup.minhashPairs]]), attribute the pair to its
     * two sources and count pairs per unordered source pair — the

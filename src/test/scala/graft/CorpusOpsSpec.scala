@@ -103,6 +103,48 @@ class CorpusOpsSpec extends SparkSuite {
     assert(unhinted == r)
   }
 
+  test("packAssignments: every doc lands in exactly one bin, streams are " +
+      "contiguous, and bins respect the budget boundary") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val budget = 256
+    val rows = rowsOf(graft.operators.CorpusOps.packAssignments(d, budget, 4))
+    assert(rows.length == d.count())
+    // a doc's bin is where its first token lands: start_tok/budget
+    rows.foreach { r =>
+      val start = r("start_tok").asInstanceOf[Long]
+      assert(r("bin_id") == start / budget)
+    }
+    // per stream: bins are contiguous from 0 and the running total is
+    // the sum of everything before it (no token lost or double-packed)
+    rows.groupBy(_("pack_bucket")).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_("doc_id").asInstanceOf[Long])
+      var running = 0L
+      sorted.foreach { r =>
+        assert(r("start_tok") == running)
+        running += r("n_tokens").asInstanceOf[Long]
+      }
+      val bins = sorted.map(_("bin_id").asInstanceOf[Long]).distinct
+      assert(bins == bins.sorted && bins.head == 0L)
+    }
+    // determinism: a different partitioning gives identical assignments
+    val re = rowsOf(graft.operators.CorpusOps.packAssignments(
+      d.repartition(7), budget, 4))
+    assert(re.toSet == rows.toSet)
+  }
+
+  test("docKeywords ranks a planted rare term above shared vocabulary") {
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val d = enDocs(
+      1L -> (common + " zyxwvut"),
+      2L -> common,
+      3L -> common)
+    val r = rowsOf(graft.operators.CorpusOps.docKeywords(d, k = 2))
+    val top1 = r.find(p => p("doc_id") == 1L && p("rank") == 1).get
+    // tf=1, df=1, N=3 → score 3.0 beats any shared term (df=3 → tf×1)
+    assert(top1("term") == "zyxwvut" && top1("score") == 3.0)
+    assert(r.count(_("doc_id") == 1L) == 2)
+  }
+
   test("bestOfCluster keeps the highest-quality doc per near-dup cluster") {
     // 1-2 form a near-dup cluster (different lengths → different
     // quality); 10 is a singleton

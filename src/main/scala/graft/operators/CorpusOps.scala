@@ -249,9 +249,12 @@ object CorpusOps {
     * the ranking property that matters (rare terms beat stopwords:
     * df≈N scores ≈tf, df=2 scores ≈tf·N/2).
     *
-    * Plan shape: one token explode (Σ tokens work), tf aggregate, df
-    * derived FROM the tf frame (no second corpus pass), N as a
-    * broadcast 1-row aggregate (the Q22 scalar idiom), rank via a
+    * Plan shape: ONE token explode (Σ tokens work) into the tf
+    * aggregate; df rides a `count over (partition by term)` window on
+    * the tf rows — NOT a tf⋈df self-join, which would tokenize the
+    * corpus twice (the df branch optimizes to a distinct, a different
+    * subplan AQE cannot stage-reuse) and add a join exchange. N is a
+    * broadcast 1-row aggregate (the Q22 scalar idiom), rank a
     * WindowGroupLimit-prunable row_number. Ties break on the term
     * string so top-k is deterministic.
     */
@@ -262,11 +265,10 @@ object CorpusOps {
       .filter(col("term") =!= "")
     val tf = ex.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(df, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") *

@@ -697,6 +697,31 @@ object OracleSql {
        |       round(score, 6) AS score
        |FROM r WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 
+  val sourceCube: String =
+    """SELECT source, lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY CUBE (source, lang)
+      |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin
+
+  /** Mirrors [[graft.operators.CorpusOps.cleanCorpus]]: training docs
+    * with NO eval shingle overlap at the threshold. */
+  def cleanCorpus(evalMaxId: Long = 100, shingleN: Int = 5,
+      minShared: Long = 1): String =
+    s"""$docCte,
+       |${shingleCteN(shingleN)},
+       |$shingleHashCte,
+       |ex AS (SELECT doc_id, unnest(xs) AS g FROM hx),
+       |p AS (
+       |  SELECT tr.doc_id AS train_doc, COUNT(*) AS shared
+       |  FROM (SELECT * FROM ex WHERE doc_id >= $evalMaxId) tr
+       |  JOIN (SELECT * FROM ex WHERE doc_id < $evalMaxId) ev ON tr.g = ev.g
+       |  GROUP BY tr.doc_id, ev.doc_id)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id >= $evalMaxId
+       |  AND NOT EXISTS (SELECT 1 FROM p
+       |                  WHERE train_doc = doc_id AND shared >= $minShared)
+       |ORDER BY doc_id""".stripMargin
+
   def decontaminate(evalMaxId: Long = 100, shingleN: Int = 5,
       minShared: Long = 1): String =
     s"""$docCte,

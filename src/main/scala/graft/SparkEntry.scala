@@ -147,6 +147,13 @@ object SparkEntry {
     // sequence packing (concat-then-chunk bins) + keyword extraction
     "q_pack_stats" -> ((s, dir) => CorpusOps.packStats(docs(s, dir))),
     "q_doc_keywords" -> ((s, dir) => CorpusOps.docKeywords(docs(s, dir))),
+    // grouping-sets breadth (CUBE margins) + decontaminated output table
+    "q_source_cube" -> ((s, dir) => CorpusOps.sourceCube(docs(s, dir))),
+    "q_clean_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusOps.cleanCorpus(
+        d.filter(col("doc_id") >= 100), d.filter(col("doc_id") < 100))
+    }),
     // end-to-end corpus filter: quality + language + canonical-of-cluster
     "q_corpus_filter" -> ((s, dir) => {
       import graft.functions.TextFunctions
@@ -313,6 +320,8 @@ object SparkEntry {
       "q_lang_confusion" -> OracleSql.langConfusion,
       "q_pack_stats" -> OracleSql.packStats(),
       "q_doc_keywords" -> OracleSql.docKeywords(),
+      "q_source_cube" -> OracleSql.sourceCube,
+      "q_clean_corpus" -> OracleSql.cleanCorpus(),
       "q_embed_knn_lsh" -> OracleSql.knnLsh(),
       "q_embed_near_pairs" -> OracleSql.lshNearPairs(),
     )

@@ -312,6 +312,36 @@ object CorpusOps {
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("source"), col("lang"))
 
+  /** [[sourceStats]] with every marginal: CUBE over (source, lang) —
+    * per-cell, per-source, per-language, and grand-total rows in ONE
+    * grouping-sets pass (Spark expands the cube in the partial
+    * aggregate, so the corpus is still scanned once; same family as
+    * the topic report's ROLLUP). Null group keys mark the margins,
+    * exactly as SQL does.
+    */
+  def sourceCube(docs: DataFrame): DataFrame =
+    docs.cube(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+
+  /** End-to-end decontamination: the training corpus MINUS every doc
+    * [[decontaminate]] flags — the anti-join composition a pipeline
+    * actually ships (the pair report is the audit; this is the output
+    * table). One extra left-anti against the (tiny) flagged-doc set;
+    * the corpus side streams through untouched, AQE broadcasts the
+    * flag list.
+    */
+  def cleanCorpus(train: DataFrame, eval: DataFrame, shingleN: Int = 5,
+      minShared: Long = 1): DataFrame = {
+    val flagged = decontaminate(train, eval, shingleN, minShared,
+        broadcastEval = true)
+      .select(col("train_doc").as("doc_id")).distinct()
+    train.select(col("doc_id"))
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID confusion matrix: the labeled `lang` column vs the
     * engine's n-gram language prediction ([[TextFunctions.langId]]) —
     * the standard eval for a heuristic classifier when gold labels

@@ -103,6 +103,32 @@ class CorpusOpsSpec extends SparkSuite {
     assert(unhinted == r)
   }
 
+  test("sourceCube margins are consistent with the cell aggregate") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cube = rowsOf(graft.operators.CorpusOps.sourceCube(d))
+    val cells = cube.filter(r => r("source") != null && r("lang") != null)
+    val grand = cube.find(r => r("source") == null && r("lang") == null).get
+    assert(grand("n_docs") == cells.map(_("n_docs").asInstanceOf[Long]).sum)
+    assert(grand("n_docs") == d.count())
+    // each per-source margin equals the sum of its cells
+    cube.filter(r => r("source") != null && r("lang") == null).foreach { m =>
+      assert(m("n_docs") ==
+        cells.filter(_("source") == m("source"))
+          .map(_("n_docs").asInstanceOf[Long]).sum)
+    }
+  }
+
+  test("cleanCorpus = training docs minus every flagged doc") {
+    val leak = "rain falls on the green hills and a river runs"
+    val train = enDocs(
+      1000L -> s"prose around $leak embedded here",
+      1001L -> "clean document sharing nothing with the benchmark at all")
+    val eval = enDocs(1L -> base)
+    val clean = rowsOf(graft.operators.CorpusOps.cleanCorpus(train, eval))
+      .map(_("doc_id"))
+    assert(clean == Seq(1001L))
+  }
+
   test("packAssignments: every doc lands in exactly one bin, streams are " +
       "contiguous, and bins respect the budget boundary") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

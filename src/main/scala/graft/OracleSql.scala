@@ -516,6 +516,43 @@ object OracleSql {
        |                    AND o_orderdate >= TIMESTAMP '$inactiveSince')
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  def tpchQ6(from: String = "1996-01-01 00:00:00",
+      until: String = "1997-01-01 00:00:00"): String =
+    s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '$from'
+       |  AND l_shipdate < TIMESTAMP '$until'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  def tpchQ18(minTotalQty: Int = 250, k: Int = 100): String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > $minTotalQty)
+       |SELECT c_name, c_custkey, o_orderkey,
+       |       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+       |       o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
+       |FROM big
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT $k""".stripMargin
+
+  def tpchQ10(from: String = "1996-01-01 00:00:00",
+      until: String = "1996-04-01 00:00:00", k: Int = 20): String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |       CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '$from'
+       |  AND o_orderdate < TIMESTAMP '$until'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, c_custkey LIMIT $k""".stripMargin
+
   def tpchQ14(from: String = "1996-01-01 00:00:00",
       until: String = "1996-02-01 00:00:00"): String =
     s"""SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'

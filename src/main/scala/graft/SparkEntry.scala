@@ -74,6 +74,20 @@ object SparkEntry {
       graft.operators.Relational.promoRevenue(
         s.read.parquet(s"$dir/lineitem.parquet"),
         s.read.parquet(s"$dir/part.parquet"))),
+    "q_tpch_q6" -> ((s, dir) =>
+      graft.operators.Relational.forecastRevenue(
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_tpch_q10" -> ((s, dir) =>
+      graft.operators.Relational.returnedItemRevenue(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"))),
+    "q_tpch_q18" -> ((s, dir) =>
+      graft.operators.Relational.largeOrders(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
     // join-surface breadth: left-semi (Q4-style) and left-anti
     // (Q22-style) over the warehouse tables
     "q_tpch_q4" -> ((s, dir) =>
@@ -291,6 +305,9 @@ object SparkEntry {
       "q_tpch_q14" -> OracleSql.tpchQ14(),
       "q_tpch_q4" -> OracleSql.tpchQ4(),
       "q_tpch_q22" -> OracleSql.tpchQ22(),
+      "q_tpch_q6" -> OracleSql.tpchQ6(),
+      "q_tpch_q10" -> OracleSql.tpchQ10(),
+      "q_tpch_q18" -> OracleSql.tpchQ18(),
       "q_repetition" -> OracleSql.repetition(),
       "q_vocabulary" -> OracleSql.vocabulary(),
       "q_length_hist" -> OracleSql.lengthHistogram(),

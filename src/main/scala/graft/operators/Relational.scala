@@ -180,6 +180,81 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H Q6: forecast-revenue change — the pure pushed-filter scan
+    * aggregate: no join at all, every predicate (ship-date year,
+    * discount band, quantity cap) reaches the parquet scan as a
+    * PushedFilter, one map-side-combined global sum. The plan every
+    * selective scan-aggregate should collapse to at any scale.
+    * Revenue multiplies exact decimals (18,2 × 18,2 — no float fold).
+    */
+  def forecastRevenue(lineitem: DataFrame,
+      from: String = "1996-01-01 00:00:00",
+      until: String = "1997-01-01 00:00:00",
+      minDiscount: Double = 0.05, maxDiscount: Double = 0.07,
+      maxQuantity: Double = 24): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        col("l_discount") >= minDiscount && col("l_discount") <= maxDiscount &&
+        col("l_quantity") < maxQuantity)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  /** TPC-H Q18: large-volume orders — the HAVING-subquery shape,
+    * Spark-first: classic Q18 writes `o_orderkey IN (SELECT … GROUP BY
+    * … HAVING sum > t)` and then re-aggregates lineitem; here the
+    * HAVING aggregate IS the join input (its key is unique after the
+    * groupBy, so an inner join carries both the membership test and
+    * `total_qty` — no second lineitem pass, no semi+rejoin). Orders
+    * join the (HAVING-filtered, small) aggregate unhinted; the
+    * customer name lookup broadcasts; top-k is TakeOrderedAndProject
+    * with an orderkey tie-break.
+    */
+  def largeOrders(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, minTotalQty: Double = 250, k: Int = 100): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > dec(lit(minTotalQty)))
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_totalprice"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q10: returned-item revenue — top-k customers by revenue
+    * lost to returns in a quarter. The two fact scans (flag-filtered
+    * lineitem, date-filtered orders) join unhinted; the customer
+    * projection and nation ride broadcast hints like Q3/Q5's dims.
+    * Revenue ties break on c_custkey so the top-k is deterministic.
+    */
+  def returnedItemRevenue(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nation: DataFrame,
+      from: String = "1996-01-01 00:00:00",
+      until: String = "1996-04-01 00:00:00", k: Int = 20): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders
+          .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+            col("o_orderdate") < lit(until).cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1.0).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
   /** TPC-H Q3: shipping-priority top-10. The segment-filtered customer
     * dimension broadcasts into orders; the orders-derived frame joins
     * the lineitem fact unhinted (AQE-sized, see inline note); revenue

@@ -166,6 +166,37 @@ class PlanShapeSpec extends SparkSuite {
     assert(hints(q14) == 0, "Q14: part scales with SF — no forced broadcast")
   }
 
+  test("tpch q6 collapses to a pure pushed-filter scan aggregate") {
+    val q6 = graft.operators.Relational.forecastRevenue(
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
+    val p = plan(q6)
+    assert(!p.contains("Join"), s"q6 must not join anything:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c not pushed to the scan:\n$pushed")
+    // one partial + one final aggregate, single exchange between them
+    val shuffles = raw"\(\d+\) Exchange\b".r.findAllIn(p).length
+    assert(shuffles <= 1, s"scan aggregate grew extra shuffles ($shuffles):\n$p")
+  }
+
+  test("tpch q10/q18 hint only schema-bounded lookups; top-k never global-sorts") {
+    def t(name: String) =
+      spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.length
+    val q10 = graft.operators.Relational.returnedItemRevenue(
+      t("customer"), t("orders"), t("lineitem"), t("nation"))
+    assert(hints(q10) == 2, "Q10: customer projection + nation only")
+    assert(plan(q10).contains("TakeOrderedAndProject"))
+    val q18 = graft.operators.Relational.largeOrders(
+      t("customer"), t("orders"), t("lineitem"))
+    assert(hints(q18) == 1, "Q18: the c_name lookup only — the HAVING " +
+      "aggregate is fact-derived and stays unhinted")
+    assert(plan(q18).contains("TakeOrderedAndProject"))
+  }
+
   test("tpch q4/q22 use true semi/anti joins with pushed date filters") {
     def t(name: String) =
       spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.CorpusOps
+
+/** Streaming corpus curation: the per-document scrub-and-gate stage a
+  * continuous ingest pipeline runs before documents ever land in the
+  * corpus store — language gate, quality gate, PII redaction, split
+  * assignment, content fingerprint.
+  *
+  * Everything here is a STATELESS projection/filter (the same Column
+  * definitions the batch operators use — `TextFunctions.langId`/
+  * `qualityScore`/`redactPii`, `CorpusOps.splitName`), so it composes
+  * with any streaming source/sink, needs no watermark, keeps no state,
+  * and is trivially scale-parallel: each micro-batch partition scrubs
+  * independently. Chain [[StreamingDedup]] after it for stateful
+  * first-seen dedup of the survivors (cheaper in that order — dedup
+  * state only holds docs that passed the gates).
+  *
+  * Batch parity is BY CONSTRUCTION: the same expressions run in both
+  * modes, pinned by the spec's batch-vs-stream comparison.
+  */
+object StreamingCuration {
+
+  /** Gate + scrub: keep `lang`-identified documents at or above
+    * `minQuality`, emit (doc_id, split, redacted text, fingerprint).
+    * The langHits array is materialized first so the fused stopword
+    * pass runs once, not per CaseWhen branch (the same CSE boundary
+    * the batch corpus filter documents).
+    */
+  def curated(docs: DataFrame, lang: String = "en",
+      minQuality: Double = 0.65): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        TextFunctions.langHits(col("text")).as("hits"))
+      .select(col("doc_id"), col("text"),
+        TextFunctions.qualityScoreFromHits(col("text"), col("hits"))
+          .as("quality"),
+        TextFunctions.langIdFromHits(col("hits")).as("lang"))
+      .filter(col("quality") >= minQuality && col("lang") === lang)
+      .select(col("doc_id"),
+        CorpusOps.splitName(col("doc_id")).as("split"),
+        TextFunctions.redactPii(col("text")).as("text"),
+        TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+}

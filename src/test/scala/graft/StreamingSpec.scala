@@ -84,6 +84,36 @@ class StreamingSpec extends SparkSuite {
     assert(kept == batch)
   }
 
+  test("streaming curation gates and scrubs identically to the batch expressions") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and then the " +
+        "other animals follow it into the field because they are curious " +
+        "about what is there and mail me at a@b.co for more details soon"),
+      (2L, "der hund und die katze und der vogel und das pferd gehen in " +
+        "den wald weil sie dort etwas suchen und finden wollen heute"),
+      (3L, "x")) // too short to pass the quality gate
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCuration.curated(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("scur")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rowsOf(spark.table("scur").orderBy("doc_id"))
+    // stateless projections: batch over the same rows must agree row-for-row
+    val batch = rowsOf(graft.streaming.StreamingCuration.curated(
+      rows.toDF("doc_id", "text")).orderBy("doc_id"))
+    assert(streamed == batch)
+    assert(streamed.map(_("doc_id")) == Seq(1L)) // en gate drops 2, quality drops 3
+    val kept = streamed.head
+    assert(kept("text").asInstanceOf[String].contains("<email>"))
+    assert(Set("train", "val", "test").contains(kept("split").asInstanceOf[String]))
+  }
+
   test("watermark-bounded streaming dedup suppresses dupes within the horizon") {
     val s = spark
     import s.implicits._

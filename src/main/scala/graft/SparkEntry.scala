@@ -100,6 +100,13 @@ object SparkEntry {
         s.read.parquet(s"$dir/orders.parquet"))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
+    // scale variant: HLL distinct counts (mergeable sketch, no
+    // countDistinct re-shuffle). No oracleSql on purpose — HLL
+    // register merge order is not hash-stable across engines; the
+    // driver records the rows-only check and TextAnalysisSpec brackets
+    // it against the exact counts.
+    "q_vocab_summary_approx" -> ((s, dir) =>
+      TextAnalysis.vocabularySummaryApprox(docs(s, dir))),
     "q_length_hist" -> ((s, dir) => TextAnalysis.lengthHistogram(docs(s, dir))),
     "q_text_clean" -> ((s, dir) =>
       transformDigest(docs(s, dir),

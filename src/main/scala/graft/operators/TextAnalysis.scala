@@ -77,6 +77,25 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
 
+  /** Corpus vocabulary summary via MERGEABLE sketches — the 100 TB
+    * scale companion to [[vocabulary]]'s exact top-k: HyperLogLog++
+    * (`approx_count_distinct`) for distinct terms and distinct
+    * documents, plus exact token totals, in ONE pass with no
+    * `countDistinct` re-shuffle (exact distinct counting rewrites
+    * into a two-phase aggregate whose first phase keys on the VALUE —
+    * a full extra exchange of the exploded token stream; an HLL
+    * register set is a few KB per partition and merges
+    * associatively). `rsd` is the standard-error knob (2.5% default).
+    * No SQL oracle on purpose: HLL register merge order is not
+    * hash-stable across engines — `TextAnalysisSpec` brackets it
+    * against the exact counts instead.
+    */
+  def vocabularySummaryApprox(docs: DataFrame, rsd: Double = 0.025): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .agg(approx_count_distinct(col("token"), rsd).as("distinct_terms_approx"),
+        approx_count_distinct(col("doc_id"), rsd).as("distinct_docs_approx"),
+        count(lit(1)).as("total_tokens"))
+
   /** Document length histogram: n_chars bucketed by `bucket`. */
   def lengthHistogram(docs: DataFrame, bucket: Int = 50): DataFrame =
     docs.select((floor(length(col("text")) / bucket) * bucket)

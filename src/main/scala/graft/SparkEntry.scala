@@ -170,11 +170,7 @@ object SparkEntry {
     "q_doc_keywords" -> ((s, dir) => CorpusOps.docKeywords(docs(s, dir))),
     // grouping-sets breadth (CUBE margins) + decontaminated output table
     "q_source_cube" -> ((s, dir) => CorpusOps.sourceCube(docs(s, dir))),
-    "q_clean_corpus" -> ((s, dir) => {
-      val d = docs(s, dir)
-      CorpusOps.cleanCorpus(
-        d.filter(col("doc_id") >= 100), d.filter(col("doc_id") < 100))
-    }),
+    "q_clean_corpus" -> ((s, dir) => CorpusOps.cleanCorpusById(docs(s, dir))),
     // end-to-end corpus filter: quality + language + canonical-of-cluster
     "q_corpus_filter" -> ((s, dir) => {
       import graft.functions.TextFunctions

@@ -135,8 +135,8 @@ object CorpusOps {
     * [[Dedup.shingleHashFrame]] — identical to the dedup family's
     * arithmetic, mirrored exactly by the oracle.
     */
-  def decontaminate(train: DataFrame, eval: DataFrame, shingleN: Int,
-      minShared: Long, broadcastEval: Boolean): DataFrame = {
+  def decontaminate(train: DataFrame, eval: DataFrame, shingleN: Int = 5,
+      minShared: Long = 1L, broadcastEval: Boolean = true): DataFrame = {
     // explode_outer: stops InferFiltersFromGenerate from inlining the
     // fused shingle-hash into the scan filter (3× per-row evaluation —
     // see the twin comment in Dedup.ngramJaccardPairs); the null rows
@@ -152,10 +152,6 @@ object CorpusOps {
       .filter(col("shared") >= minShared)
       .orderBy(col("train_doc"), col("eval_doc"))
   }
-
-  def decontaminate(train: DataFrame, eval: DataFrame): DataFrame =
-    decontaminate(train, eval, shingleN = 5, minShared = 1L,
-      broadcastEval = true)
 
   /** Fixture adapter: eval set = `doc_id < evalMaxId` within one
     * corpus frame — the driver-query shape over the single `documents`
@@ -334,13 +330,21 @@ object CorpusOps {
     */
   def cleanCorpus(train: DataFrame, eval: DataFrame, shingleN: Int = 5,
       minShared: Long = 1): DataFrame = {
-    val flagged = decontaminate(train, eval, shingleN, minShared,
-        broadcastEval = true)
+    val flagged = decontaminate(train, eval, shingleN, minShared)
       .select(col("train_doc").as("doc_id")).distinct()
     train.select(col("doc_id"))
       .join(flagged, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }
+
+  /** Fixture adapter twin of [[decontaminateById]] for the output
+    * table — ONE home for the id-range eval convention. */
+  def cleanCorpusById(docs: DataFrame, evalMaxId: Long = 100,
+      shingleN: Int = 5, minShared: Long = 1): DataFrame =
+    cleanCorpus(
+      docs.filter(col("doc_id") >= evalMaxId),
+      docs.filter(col("doc_id") < evalMaxId),
+      shingleN, minShared)
 
   /** Language-ID confusion matrix: the labeled `lang` column vs the
     * engine's n-gram language prediction ([[TextFunctions.langId]]) —

@@ -13,6 +13,16 @@ class PlanShapeSpec extends SparkSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  private def table(name: String) =
+    spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
+
+  /** Explicit broadcast() hints in the analyzed plan — the per-query
+    * hint-policy pin (hints only on schema-bounded frames). */
+  private def hints(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.length
+
   test("checkpointed frames report UnknownPartitioning under AQE (documented)") {
     val s = spark
     import s.implicits._
@@ -148,21 +158,16 @@ class PlanShapeSpec extends SparkSuite {
     // join. Pin the hint COUNT per query — the dims that legitimately
     // carry hints — so a hint creeping onto a fact-derived frame fails
     // here with intent, not in a cluster post-mortem.
-    def hints(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.analyzed.collect {
-        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
-      }.length
-    def t(name: String) =
-      spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
     val q3 = graft.operators.Relational.shippingPriority(
-      t("customer"), t("orders"), t("lineitem"))
+      table("customer"), table("orders"), table("lineitem"))
     assert(hints(q3) == 1, "Q3: exactly the segment-filtered customer dim")
     val q5 = graft.operators.Relational.localSupplierRevenue(
-      t("region"), t("nation"), t("supplier"), t("customer"),
-      t("orders"), t("lineitem"))
+      table("region"), table("nation"), table("supplier"), table("customer"),
+      table("orders"), table("lineitem"))
     assert(hints(q5) == 4,
       "Q5: region, nation-chain, supplier, customer projection — not orders⋈customer")
-    val q14 = graft.operators.Relational.promoRevenue(t("lineitem"), t("part"))
+    val q14 = graft.operators.Relational.promoRevenue(
+      table("lineitem"), table("part"))
     assert(hints(q14) == 0, "Q14: part scales with SF — no forced broadcast")
   }
 
@@ -180,28 +185,20 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("tpch q10/q18 hint only schema-bounded lookups; top-k never global-sorts") {
-    def t(name: String) =
-      spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
-    def hints(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.analyzed.collect {
-        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
-      }.length
     val q10 = graft.operators.Relational.returnedItemRevenue(
-      t("customer"), t("orders"), t("lineitem"), t("nation"))
+      table("customer"), table("orders"), table("lineitem"), table("nation"))
     assert(hints(q10) == 2, "Q10: customer projection + nation only")
     assert(plan(q10).contains("TakeOrderedAndProject"))
     val q18 = graft.operators.Relational.largeOrders(
-      t("customer"), t("orders"), t("lineitem"))
+      table("customer"), table("orders"), table("lineitem"))
     assert(hints(q18) == 1, "Q18: the c_name lookup only — the HAVING " +
       "aggregate is fact-derived and stays unhinted")
     assert(plan(q18).contains("TakeOrderedAndProject"))
   }
 
   test("tpch q4/q22 use true semi/anti joins with pushed date filters") {
-    def t(name: String) =
-      spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
     val q4 = plan(graft.operators.Relational.orderPriorityCheck(
-      t("orders"), t("lineitem")))
+      table("orders"), table("lineitem")))
     // a semi join, never an inner-join+distinct blowup; the quarter
     // filter must prune the orders scan
     assert(q4.contains("LeftSemi"), s"expected a left-semi join:\n$q4")
@@ -210,7 +207,7 @@ class PlanShapeSpec extends SparkSuite {
     assert(q4.linesIterator.filter(_.contains("PushedFilters"))
       .exists(_.contains("o_orderdate")), s"date filter not pushed:\n$q4")
     val q22df = graft.operators.Relational.inactiveHighBalanceCustomers(
-      t("customer"), t("orders"))
+      table("customer"), table("orders"))
     val q22 = plan(q22df)
     assert(q22.contains("LeftAnti"), s"expected a left-anti join:\n$q22")
     assert(q22.linesIterator.filter(_.contains("PushedFilters"))
@@ -218,10 +215,8 @@ class PlanShapeSpec extends SparkSuite {
       s"inactivity window not pushed to the orders scan:\n$q22")
     // the only hint is the 1-row scalar-aggregate broadcast; the
     // date-filtered orders side (fact-derived) stays unhinted
-    val hints = q22df.queryExecution.analyzed.collect {
-      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
-    }.length
-    assert(hints == 1, s"q22 should hint only the scalar aggregate ($hints)")
+    assert(hints(q22df) == 1,
+      s"q22 should hint only the scalar aggregate (${hints(q22df)})")
   }
 
   test("shingle-hash runs once per row: no hash in scan filters, no sort before join") {

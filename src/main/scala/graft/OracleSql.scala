@@ -562,6 +562,207 @@ object OracleSql {
        |WHERE l_shipdate >= TIMESTAMP '$from'
        |  AND l_shipdate < TIMESTAMP '$until'""".stripMargin
 
+  /** Mirrors of [[graft.operators.DecisionSupport]] — the remaining
+    * TPC-H shapes. Same conventions as above: DECIMAL(18,2) money,
+    * double casts only at the output edge, `CAST(year(..) AS INTEGER)`
+    * (DuckDB's `year` returns BIGINT; Spark's returns INT), exact
+    * decimal-by-integer threshold products instead of float ratios.
+    */
+  def tpchQ2(regionName: String = "EUROPE", partType: String = "STANDARD",
+      sizeMin: Int = 10, sizeMax: Int = 20, k: Int = 100): String =
+    s"""WITH rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+       |            FROM supplier
+       |            JOIN nation ON s_nationkey = n_nationkey
+       |            JOIN region ON n_regionkey = r_regionkey
+       |            WHERE r_name = '$regionName'),
+       |fp AS (SELECT p_partkey FROM part
+       |       WHERE p_type = '$partType'
+       |         AND p_size BETWEEN $sizeMin AND $sizeMax),
+       |cost AS (SELECT l_partkey, l_suppkey,
+       |                MIN(l_extendedprice / l_quantity) AS unit_cost
+       |         FROM lineitem
+       |         JOIN fp ON p_partkey = l_partkey
+       |         JOIN rs ON rs.s_suppkey = l_suppkey
+       |         GROUP BY 1, 2),
+       |mc AS (SELECT l_partkey AS mc_partkey, MIN(unit_cost) AS min_cost
+       |       FROM cost GROUP BY 1)
+       |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, min_cost
+       |FROM cost
+       |JOIN mc ON l_partkey = mc_partkey AND unit_cost = min_cost
+       |JOIN rs ON rs.s_suppkey = l_suppkey
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       |LIMIT $k""".stripMargin
+
+  def tpchQ7(nationA: String = "NATION_1", nationB: String = "NATION_2",
+      from: String = "1995-01-01 00:00:00",
+      until: String = "1997-01-01 00:00:00"): String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       |       CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE l_shipdate >= TIMESTAMP '$from'
+       |  AND l_shipdate < TIMESTAMP '$until'
+       |  AND ((n1.n_name = '$nationA' AND n2.n_name = '$nationB') OR
+       |       (n1.n_name = '$nationB' AND n2.n_name = '$nationA'))
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  def tpchQ8(regionName: String = "ASIA", nationName: String = "NATION_3",
+      partType: String = "ECONOMY", from: String = "1995-01-01 00:00:00",
+      until: String = "1997-01-01 00:00:00"): String =
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |       CAST(SUM(CASE WHEN n1.n_name = '$nationName'
+       |                     THEN $discPriceSql
+       |                     ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       |       / CAST(SUM($discPriceSql) AS DOUBLE) AS mkt_share
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |JOIN region ON n2.n_regionkey = r_regionkey
+       |WHERE r_name = '$regionName' AND p_type = '$partType'
+       |  AND o_orderdate >= TIMESTAMP '$from'
+       |  AND o_orderdate < TIMESTAMP '$until'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def tpchQ9(nameToken: String = "widget"): String =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |       CAST(SUM($discPriceSql -
+       |                ${decCol("p_retailprice")} *
+       |                CAST(l_quantity AS INTEGER)) AS DOUBLE) AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%$nameToken%'
+       |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin
+
+  def tpchQ11(thresholdTenths: Int = 15): String =
+    s"""WITH pp AS (SELECT l_partkey, SUM($discPriceSql) AS value
+       |            FROM lineitem GROUP BY 1),
+       |t AS (SELECT SUM(value) AS total_value, COUNT(*) AS n_parts FROM pp)
+       |SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS value
+       |FROM pp, t
+       |WHERE value * n_parts * 10 > total_value * $thresholdTenths
+       |ORDER BY 2 DESC, 1""".stripMargin
+
+  def tpchQ12(lateDays: Int = 60, from: String = "1996-01-01 00:00:00",
+      until: String = "1997-01-01 00:00:00"): String =
+    s"""SELECT l_linestatus,
+       |       COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+       |         AS high_line_count,
+       |       COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+       |         AS low_line_count
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_shipdate >= TIMESTAMP '$from'
+       |  AND l_shipdate < TIMESTAMP '$until'
+       |  AND l_shipdate > o_orderdate + INTERVAL $lateDays DAY
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def tpchQ13(excludePriority: String = "1-URGENT"): String =
+    s"""WITH co AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+       |            FROM customer
+       |            LEFT JOIN orders ON c_custkey = o_custkey
+       |                 AND o_orderpriority <> '$excludePriority'
+       |            GROUP BY 1)
+       |SELECT c_count, COUNT(*) AS custdist
+       |FROM co GROUP BY 1 ORDER BY 2 DESC, 1 DESC""".stripMargin
+
+  def tpchQ15(from: String = "1996-01-01 00:00:00",
+      until: String = "1996-04-01 00:00:00"): String =
+    s"""WITH rev AS (SELECT l_suppkey, SUM($discPriceSql) AS total_revenue
+       |             FROM lineitem
+       |             WHERE l_shipdate >= TIMESTAMP '$from'
+       |               AND l_shipdate < TIMESTAMP '$until'
+       |             GROUP BY 1),
+       |m AS (SELECT MAX(total_revenue) AS max_revenue FROM rev)
+       |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+       |FROM rev CROSS JOIN m
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = max_revenue
+       |ORDER BY 1""".stripMargin
+
+  def tpchQ16(excludeBrand: String = "Brand#1", excludeType: String = "PROMO",
+      sizes: Seq[Int] = Seq(1, 5, 9, 14, 19, 23, 36, 45)): String =
+    s"""SELECT p_brand, p_type, p_size,
+       |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand <> '$excludeBrand' AND p_type <> '$excludeType'
+       |  AND p_size IN (${sizes.mkString(", ")})
+       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+       |                        WHERE s_acctbal < 0.0)
+       |GROUP BY 1, 2, 3 ORDER BY 4 DESC, 1, 2, 3""".stripMargin
+
+  def tpchQ17(brand: String = "Brand#23"): String =
+    s"""WITH bl AS (SELECT l_partkey, l_quantity, l_extendedprice
+       |            FROM lineitem JOIN part ON l_partkey = p_partkey
+       |            WHERE p_brand = '$brand'),
+       |cap AS (SELECT l_partkey AS cap_partkey,
+       |               CAST(SUM(${decCol("l_quantity")}) AS DOUBLE)
+       |               / CAST(COUNT(*) AS DOUBLE) * 0.2 AS qty_cap
+       |        FROM bl GROUP BY 1)
+       |SELECT CAST(SUM(${decCol("l_extendedprice")}) AS DOUBLE) / 7.0
+       |       AS avg_yearly
+       |FROM bl JOIN cap ON l_partkey = cap_partkey
+       |WHERE l_quantity < qty_cap""".stripMargin
+
+  def tpchQ19(): String = {
+    def band(brand: String, sizeMax: Int, qtyMin: Int, qtyMax: Int) =
+      s"""(p_brand = '$brand' AND p_size BETWEEN 1 AND $sizeMax
+         |   AND l_quantity BETWEEN $qtyMin AND $qtyMax)""".stripMargin
+    s"""SELECT CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE ${band("Brand#12", 5, 1, 11)}
+       |   OR ${band("Brand#23", 10, 10, 20)}
+       |   OR ${band("Brand#3", 15, 20, 30)}""".stripMargin
+  }
+
+  def tpchQ20(namePrefix: String = "red", nationName: String = "NATION_5",
+      from: String = "1996-01-01 00:00:00",
+      until: String = "1997-01-01 00:00:00"): String =
+    s"""WITH fp AS (SELECT p_partkey FROM part
+       |            WHERE p_name LIKE '$namePrefix%'),
+       |pq AS (SELECT l_partkey, l_suppkey,
+       |              SUM(${decCol("l_quantity")}) AS pair_qty
+       |       FROM lineitem JOIN fp ON p_partkey = l_partkey
+       |       WHERE l_shipdate >= TIMESTAMP '$from'
+       |         AND l_shipdate < TIMESTAMP '$until'
+       |       GROUP BY 1, 2),
+       |tot AS (SELECT l_partkey AS pq_partkey, SUM(pair_qty) AS part_qty
+       |        FROM pq GROUP BY 1)
+       |SELECT s_suppkey, s_name
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = '$nationName'
+       |  AND EXISTS (SELECT 1 FROM pq JOIN tot ON l_partkey = pq_partkey
+       |              WHERE pair_qty * 2 > part_qty
+       |                AND pq.l_suppkey = s_suppkey)
+       |ORDER BY 1""".stripMargin
+
+  def tpchQ21(lateDays: Int = 30, k: Int = 100): String =
+    s"""SELECT s_name, COUNT(*) AS numwait
+       |FROM lineitem l1
+       |JOIN orders ON o_orderkey = l1.l_orderkey
+       |JOIN supplier ON s_suppkey = l1.l_suppkey
+       |WHERE o_orderstatus = 'F'
+       |  AND l1.l_shipdate > o_orderdate + INTERVAL $lateDays DAY
+       |  AND EXISTS (SELECT 1 FROM lineitem l2
+       |              WHERE l2.l_orderkey = l1.l_orderkey
+       |                AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+       |                  WHERE l3.l_orderkey = l1.l_orderkey
+       |                    AND l3.l_suppkey <> l1.l_suppkey
+       |                    AND l3.l_shipdate > l1.l_shipdate)
+       |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT $k""".stripMargin
+
   /** Unit-normalized double vectors, mirroring [[Similarity.withUnit]]:
     * norm once per vector, then element-wise division. */
   private val unitCte: String =

@@ -98,6 +98,77 @@ object SparkEntry {
       graft.operators.Relational.inactiveHighBalanceCustomers(
         s.read.parquet(s"$dir/customer.parquet"),
         s.read.parquet(s"$dir/orders.parquet"))),
+    // DecisionSupport: the remaining TPC-H shapes (see that object's
+    // scaladoc for the partsupp-free adaptations) — suite complete
+    "q_tpch_q2" -> ((s, dir) =>
+      graft.operators.DecisionSupport.minCostSupplier(
+        s.read.parquet(s"$dir/region.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/part.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_tpch_q7" -> ((s, dir) =>
+      graft.operators.DecisionSupport.volumeShipping(
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_tpch_q8" -> ((s, dir) =>
+      graft.operators.DecisionSupport.marketShare(
+        s.read.parquet(s"$dir/region.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"))),
+    "q_tpch_q9" -> ((s, dir) =>
+      graft.operators.DecisionSupport.productProfit(
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/part.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_tpch_q11" -> ((s, dir) =>
+      graft.operators.DecisionSupport.importantParts(
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_tpch_q12" -> ((s, dir) =>
+      graft.operators.DecisionSupport.lateShipmentPriority(
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_tpch_q13" -> ((s, dir) =>
+      graft.operators.DecisionSupport.customerDistribution(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"))),
+    "q_tpch_q15" -> ((s, dir) =>
+      graft.operators.DecisionSupport.topSupplier(
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_tpch_q16" -> ((s, dir) =>
+      graft.operators.DecisionSupport.partSupplierCounts(
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/part.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_tpch_q17" -> ((s, dir) =>
+      graft.operators.DecisionSupport.smallQuantityRevenue(
+        s.read.parquet(s"$dir/part.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_tpch_q19" -> ((s, dir) =>
+      graft.operators.DecisionSupport.discountedRevenue(
+        s.read.parquet(s"$dir/part.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_tpch_q20" -> ((s, dir) =>
+      graft.operators.DecisionSupport.dominantSuppliers(
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/part.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    "q_tpch_q21" -> ((s, dir) =>
+      graft.operators.DecisionSupport.waitingSuppliers(
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
     // scale variant: HLL distinct counts (mergeable sketch, no
@@ -311,6 +382,19 @@ object SparkEntry {
       "q_tpch_q6" -> OracleSql.tpchQ6(),
       "q_tpch_q10" -> OracleSql.tpchQ10(),
       "q_tpch_q18" -> OracleSql.tpchQ18(),
+      "q_tpch_q2" -> OracleSql.tpchQ2(),
+      "q_tpch_q7" -> OracleSql.tpchQ7(),
+      "q_tpch_q8" -> OracleSql.tpchQ8(),
+      "q_tpch_q9" -> OracleSql.tpchQ9(),
+      "q_tpch_q11" -> OracleSql.tpchQ11(),
+      "q_tpch_q12" -> OracleSql.tpchQ12(),
+      "q_tpch_q13" -> OracleSql.tpchQ13(),
+      "q_tpch_q15" -> OracleSql.tpchQ15(),
+      "q_tpch_q16" -> OracleSql.tpchQ16(),
+      "q_tpch_q17" -> OracleSql.tpchQ17(),
+      "q_tpch_q19" -> OracleSql.tpchQ19(),
+      "q_tpch_q20" -> OracleSql.tpchQ20(),
+      "q_tpch_q21" -> OracleSql.tpchQ21(),
       "q_repetition" -> OracleSql.repetition(),
       "q_vocabulary" -> OracleSql.vocabulary(),
       "q_length_hist" -> OracleSql.lengthHistogram(),

@@ -219,6 +219,69 @@ class PlanShapeSpec extends SparkSuite {
       s"q22 should hint only the scalar aggregate (${hints(q22df)})")
   }
 
+  test("remaining tpch suite: hints only on schema-bounded frames, true join shapes") {
+    import graft.operators.DecisionSupport._
+    // hint counts include hints REPLICATED by plan-subtree reuse (a
+    // dimension built once but joined at N sites contributes its
+    // embedded hints N times) — the pin is on the analyzed tree as
+    // Catalyst sees it, so a hint creeping onto a fact-derived frame
+    // (per-pair aggregates, filtered part/orders, brand lines) changes
+    // the count and fails with intent.
+    val q2 = minCostSupplier(table("region"), table("nation"),
+      table("supplier"), table("part"), table("lineitem"))
+    assert(hints(q2) == 11,
+      s"Q2: region/nation/supplier dims at 3 join sites + part filter (${hints(q2)})")
+    val q7 = volumeShipping(table("nation"), table("supplier"),
+      table("customer"), table("orders"), table("lineitem"))
+    assert(hints(q7) == 4, s"Q7: supp/cust nation lookups only (${hints(q7)})")
+    val q8 = marketShare(table("region"), table("nation"), table("supplier"),
+      table("customer"), table("orders"), table("lineitem"), table("part"))
+    assert(hints(q8) == 5,
+      s"Q8: region chain + customer membership + supplier nation — part unhinted (${hints(q8)})")
+    val q9 = productProfit(table("nation"), table("supplier"), table("part"),
+      table("orders"), table("lineitem"))
+    assert(hints(q9) == 2,
+      s"Q9: supplier-nation lookup only — part and orders unhinted (${hints(q9)})")
+    assert(hints(importantParts(table("lineitem"))) == 1,
+      "Q11: the 1-row scalar aggregate only")
+    val q12 = lateShipmentPriority(table("orders"), table("lineitem"))
+    assert(hints(q12) == 0, "Q12: fact ⋈ fact — no hints")
+    val q13 = customerDistribution(table("customer"), table("orders"))
+    assert(hints(q13) == 0, "Q13: fact ⟕ fact — no hints")
+    assert(plan(q13).contains("LeftOuter"),
+      s"Q13 must keep the outer join (order-less customers count 0):\n${plan(q13)}")
+    val q15 = topSupplier(table("supplier"), table("lineitem"))
+    assert(hints(q15) == 2, "Q15: the 1-row max + the name lookup")
+    val q16 = partSupplierCounts(table("supplier"), table("part"),
+      table("lineitem"))
+    assert(hints(q16) == 2, "Q16: part attributes + excluded-supplier list")
+    assert(plan(q16).contains("LeftAnti"),
+      s"Q16 exclusion must stay an anti join:\n${plan(q16)}")
+    assert(hints(smallQuantityRevenue(table("part"), table("lineitem"))) == 0,
+      "Q17: brand lines and the per-part cap are both fact-derived")
+    val q19 = discountedRevenue(table("part"), table("lineitem"))
+    assert(hints(q19) == 0, "Q19: part scales with SF — unhinted")
+    // the disjunction must reach the part scan as a pushed filter
+    // (Catalyst extracts the per-side conjuncts from the OR-of-ANDs)
+    assert(plan(q19).linesIterator.filter(_.contains("PushedFilters"))
+      .exists(l => l.contains("p_brand") || l.contains("p_size")),
+      s"Q19 disjunction not pushed to the part scan:\n${plan(q19)}")
+    val q20 = dominantSuppliers(table("nation"), table("supplier"),
+      table("part"), table("lineitem"))
+    assert(hints(q20) == 1, "Q20: the nation filter only")
+    assert(plan(q20).contains("LeftSemi"),
+      s"Q20 membership must stay a semi join:\n${plan(q20)}")
+    val q21 = waitingSuppliers(table("supplier"), table("orders"),
+      table("lineitem"))
+    assert(hints(q21) == 1, "Q21: the supplier-name lookup only")
+    val p21 = plan(q21)
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"Q21 needs BOTH self-join shapes (semi: other supplier exists; " +
+        s"anti: none shipped later):\n$p21")
+    assert(p21.contains("TakeOrderedAndProject"),
+      s"Q21 top-k regressed to a global sort:\n$p21")
+  }
+
   test("shingle-hash runs once per row: no hash in scan filters, no sort before join") {
     // explode_outer + non-nullable count (Dedup.ngramJaccardPairs,
     // CorpusOps.decontaminate) keep InferFiltersFromGenerate from

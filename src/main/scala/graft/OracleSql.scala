@@ -329,6 +329,79 @@ object OracleSql {
       |SELECT user_id, event_type AS top_type, cnt
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  val interEventGaps: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT user_id, COUNT(gap_us) AS n_gaps,
+      |       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+      |       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+      |       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+      |       CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(gap_us) AS DOUBLE)
+      |         AS avg_gap_us
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def rollingValue(frame: Int = 3): String =
+    s"""SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       |       CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER w AS DOUBLE)
+       |         AS rolling_sum,
+       |       COUNT(*) OVER w AS n_in_frame
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |             ROWS BETWEEN $frame PRECEDING AND CURRENT ROW)""".stripMargin
+
+  def userSpendDeciles(buckets: Int = 10): String =
+    s"""WITH t AS (
+       |  SELECT user_id, SUM(CAST("value" AS DECIMAL(18,2))) AS total_dec
+       |  FROM events GROUP BY 1)
+       |SELECT user_id, CAST(total_dec AS DOUBLE) AS total_value,
+       |       CAST(DENSE_RANK() OVER w AS INTEGER) AS spend_rank,
+       |       CAST(NTILE($buckets) OVER w AS INTEGER) AS decile
+       |FROM t
+       |WINDOW w AS (ORDER BY total_dec DESC, user_id)
+       |ORDER BY user_id""".stripMargin
+
+  /** Mirror of [[graft.operators.EventAnalytics.asOfLastPrior]] — the
+    * identical union-merge + last-ignore-nulls formulation (DuckDB's
+    * native ASOF JOIN would also work, but spelling out the window
+    * keeps the tie semantics — builds before probes, highest event_id
+    * among equal-ts builds — explicit and engine-independent). */
+  def asOfLastPrior(probeType: String = "click",
+      buildType: String = "purchase"): String =
+    s"""WITH tagged AS (
+       |  SELECT user_id, ts, event_id, 0 AS side, event_id AS build_id,
+       |         CAST(epoch_us(ts) AS BIGINT) AS build_ts_us
+       |  FROM events WHERE event_type = '$buildType'
+       |  UNION ALL
+       |  SELECT user_id, ts, event_id, 1, NULL, NULL
+       |  FROM events WHERE event_type = '$probeType'),
+       |m AS (
+       |  SELECT *, last_value(build_id IGNORE NULLS) OVER w AS asof_build_id,
+       |         last_value(build_ts_us IGNORE NULLS) OVER w AS asof_build_ts_us
+       |  FROM tagged
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_id AS probe_id, user_id,
+       |       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       |       asof_build_id, asof_build_ts_us,
+       |       CAST(epoch_us(ts) AS BIGINT) - asof_build_ts_us AS gap_us
+       |FROM m WHERE side = 1""".stripMargin
+
+  def audienceSetOps(typeA: String = "click",
+      typeB: String = "purchase"): String =
+    s"""WITH a AS (SELECT DISTINCT user_id FROM events
+       |           WHERE event_type = '$typeA'),
+       |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = '$typeB')
+       |SELECT 'a_and_b' AS op, COUNT(*) AS n_users
+       |  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+       |UNION ALL
+       |SELECT 'a_only', COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+       |UNION ALL
+       |SELECT 'b_only', COUNT(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+       |ORDER BY op""".stripMargin
+
   def valuePercentiles(ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): String = {
     val picks = ps.map { p =>
       s"""MAX(CASE WHEN rn = CEIL(n * $p) THEN "value" END) AS p${(p * 100).toInt}"""

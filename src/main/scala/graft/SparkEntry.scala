@@ -53,6 +53,18 @@ object SparkEntry {
     // oracle, and EventAnalyticsSpec brackets this one against it.
     "q_value_percentiles_approx" -> ((s, dir) =>
       EventAnalytics.valuePercentilesApprox(EventsAsRecords.readEvents(s, dir))),
+    // analytic-function surface: lag gaps, rolling frames, rank/ntile
+    "q_event_gaps" -> ((s, dir) =>
+      EventAnalytics.interEventGaps(EventsAsRecords.readEvents(s, dir))),
+    "q_rolling_value" -> ((s, dir) =>
+      EventAnalytics.rollingValue(EventsAsRecords.readEvents(s, dir))),
+    "q_spend_deciles" -> ((s, dir) =>
+      EventAnalytics.userSpendDeciles(EventsAsRecords.readEvents(s, dir))),
+    // as-of join (union-merge formulation) + set operations
+    "q_asof_join" -> ((s, dir) =>
+      EventAnalytics.asOfLastPrior(EventsAsRecords.readEvents(s, dir))),
+    "q_audience_set_ops" -> ((s, dir) =>
+      EventAnalytics.audienceSetOps(EventsAsRecords.readEvents(s, dir))),
     // relational side: classic TPC-H shapes over the warehouse tables
     "q_tpch_q1" -> ((s, dir) =>
       graft.operators.Relational.pricingSummary(
@@ -373,6 +385,11 @@ object SparkEntry {
       "q_sessions" -> OracleSql.sessions(),
       "q_user_top_type" -> OracleSql.topEventTypePerUser,
       "q_value_percentiles" -> OracleSql.valuePercentiles(),
+      "q_event_gaps" -> OracleSql.interEventGaps,
+      "q_rolling_value" -> OracleSql.rollingValue(),
+      "q_spend_deciles" -> OracleSql.userSpendDeciles(),
+      "q_asof_join" -> OracleSql.asOfLastPrior(),
+      "q_audience_set_ops" -> OracleSql.audienceSetOps(),
       "q_tpch_q1" -> OracleSql.tpchQ1(),
       "q_tpch_q3" -> OracleSql.tpchQ3(),
       "q_tpch_q5" -> OracleSql.tpchQ5(),

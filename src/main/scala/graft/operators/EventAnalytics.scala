@@ -132,4 +132,124 @@ object EventAnalytics {
       unix_micros(min(col("ts"))).as("first_us"),
       unix_micros(max(col("ts"))).as("last_us"))
       .orderBy(col("event_type"))
+
+  /** Per-user inter-event gap statistics — the lag/lead analytic shape
+    * reduced to a grouped summary. One shuffle on user_id shared by
+    * the lag window and the aggregate; the average divides identical
+    * exact BIGINT sums in both engines. Users with a single event
+    * surface with n_gaps = 0 and NULL gap stats (engines agree: sum
+    * and max of an empty set are NULL, as is NULL / 0).
+    */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(col("gap_us")).as("n_gaps"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        (sum(col("gap_us")).cast("double") /
+          count(col("gap_us")).cast("double")).as("avg_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Rolling-frame aggregate: each event's sum/count of `value` over
+    * the user's previous `frame` events and itself (ROWS BETWEEN
+    * `frame` PRECEDING AND CURRENT ROW). Output is event-cardinality
+    * and DELIBERATELY unsorted — a presentation orderBy on a 100 TB
+    * result is a useless global range exchange; consumers that need
+    * order sort their (smaller) downstream result. Frame sums stay in
+    * exact decimal until the output cast.
+    */
+  def rollingValue(events: DataFrame, frame: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-frame, org.apache.spark.sql.expressions.Window.currentRow)
+    events.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+        .as("rolling_sum"),
+      count(lit(1)).over(w).as("n_in_frame"))
+  }
+
+  /** Users ranked and bucketed by total spend — dense_rank + ntile
+    * over the aggregated (≈ #users rows) frame. The global window IS
+    * a single-reducer total order, which is fine precisely because it
+    * runs AFTER the grouped aggregate collapsed event cardinality to
+    * user cardinality; the same query ranking raw events would not
+    * scale. Rank ties (equal totals) are broken by user_id so both
+    * engines assign identical bucket boundaries.
+    */
+  def userSpendDeciles(events: DataFrame, buckets: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_dec").desc, col("user_id"))
+    events.groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("total_dec"))
+      .select(col("user_id"),
+        col("total_dec").cast("double").as("total_value"),
+        dense_rank().over(w).as("spend_rank"),
+        ntile(buckets).over(w).as("decile"))
+      .orderBy(col("user_id"))
+  }
+
+  /** As-of join (the operator Spark lacks natively): each probe event
+    * is matched to the user's most recent build event at-or-before its
+    * timestamp. Implemented as the union-merge: tag both sides, union,
+    * one (user_id) shuffle + per-user sort, and `last(_, ignoreNulls)`
+    * over an unbounded-preceding frame carries the latest build row
+    * forward into each probe row. This is THE scalable as-of shape —
+    * no per-row range probe, no broadcast requirement, no candidate
+    * blowup; cost is one sort-merge pass and skew is bounded by
+    * per-user volume. Ties: a build at exactly the probe's timestamp
+    * matches (build sorts first via the side tag); among equal-ts
+    * builds the highest event_id wins — deterministic in both engines.
+    * Unmatched probes survive with NULL build columns (left as-of).
+    */
+  def asOfLastPrior(events: DataFrame, probeType: String = "click",
+      buildType: String = "purchase"): DataFrame = {
+    val builds = events.filter(col("event_type") === buildType)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("side"), col("event_id").as("build_id"),
+        unix_micros(col("ts")).as("build_ts_us"))
+    val probes = events.filter(col("event_type") === probeType)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("side"), lit(null).cast("long").as("build_id"),
+        lit(null).cast("long").as("build_ts_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    builds.unionAll(probes)
+      .withColumn("asof_build_id", last(col("build_id"), true).over(w))
+      .withColumn("asof_build_ts_us", last(col("build_ts_us"), true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id").as("probe_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("asof_build_id"), col("asof_build_ts_us"),
+        (unix_micros(col("ts")) - col("asof_build_ts_us")).as("gap_us"))
+  }
+
+  /** Set operations over event-type audiences: users who did both /
+    * only A / only B. INTERSECT and EXCEPT compile to distinct
+    * semi/anti joins on the (already-distinct) user sets — one
+    * user_id shuffle each, no row blowup.
+    */
+  def audienceSetOps(events: DataFrame, typeA: String = "click",
+      typeB: String = "purchase"): DataFrame = {
+    def users(t: String) =
+      events.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val a = users(typeA)
+    val b = users(typeB)
+    def counted(df: DataFrame, label: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(label).as("op"), col("n_users"))
+    counted(a.intersect(b), "a_and_b")
+      .unionAll(counted(a.except(b), "a_only"))
+      .unionAll(counted(b.except(a), "b_only"))
+      .orderBy(col("op"))
+  }
 }

@@ -105,6 +105,67 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(r("p50") == 5.0 && r("p90") == 9.0 && r("p99") == 10.0)
   }
 
+  test("as-of join matches the most recent build at-or-before each probe") {
+    val df = events(
+      (0L, 100L, 1L, "purchase", 1.0),
+      (1L, 200L, 1L, "purchase", 1.0),
+      (2L, 200L, 1L, "click", 0.0),    // tie: the equal-ts build MATCHES
+      (3L, 300L, 1L, "click", 0.0),    // latest build is still id=1
+      (4L, 50L, 2L, "click", 0.0),     // probe before any build -> NULLs
+      (5L, 60L, 2L, "purchase", 1.0),
+      (6L, 70L, 2L, "click", 0.0))
+    val r = rowsOf(EventAnalytics.asOfLastPrior(df).orderBy(col("probe_id")))
+      .map(m => m("probe_id") -> m).toMap
+    assert(r(2L)("asof_build_id") == 1L, "equal-ts build must match (as-of <=)")
+    assert(r(3L)("asof_build_id") == 1L)
+    assert(r(3L)("gap_us") == 100L * 1000L)
+    assert(r(4L)("asof_build_id") == null, "probe before any build is unmatched")
+    assert(r(4L)("gap_us") == null)
+    assert(r(6L)("asof_build_id") == 5L, "other user's builds are invisible")
+  }
+
+  test("as-of tie among equal-ts builds picks the highest event_id") {
+    val df = events(
+      (0L, 100L, 1L, "purchase", 1.0),
+      (1L, 100L, 1L, "purchase", 1.0),  // same ts: id=1 wins
+      (2L, 100L, 1L, "click", 0.0))
+    val r = rowsOf(EventAnalytics.asOfLastPrior(df))
+    assert(r.head("asof_build_id") == 1L)
+  }
+
+  test("audience set ops partition the union: |A| = both + a_only") {
+    val df = events(
+      (0L, 0L, 1L, "click", 0.0), (1L, 0L, 1L, "purchase", 0.0),
+      (2L, 0L, 2L, "click", 0.0),
+      (3L, 0L, 3L, "purchase", 0.0), (4L, 0L, 4L, "purchase", 0.0),
+      (5L, 0L, 2L, "click", 0.0))    // duplicate events must not double-count
+    val r = rowsOf(EventAnalytics.audienceSetOps(df))
+      .map(m => m("op") -> m("n_users")).toMap
+    assert(r == Map("a_and_b" -> 1L, "a_only" -> 1L, "b_only" -> 2L))
+  }
+
+  test("rolling frame never exceeds frame+1 rows and sums exactly") {
+    val df = events(
+      (0L, 0L, 1L, "a", 1.5), (1L, 1L, 1L, "a", 2.5),
+      (2L, 2L, 1L, "a", 3.0), (3L, 3L, 1L, "a", 4.0),
+      (4L, 4L, 1L, "a", 5.0))
+    val r = rowsOf(EventAnalytics.rollingValue(df, frame = 3)
+      .orderBy(col("event_id")))
+    assert(r.map(_("n_in_frame")) == Seq(1L, 2L, 3L, 4L, 4L))
+    assert(r(4)("rolling_sum") == 2.5 + 3.0 + 4.0 + 5.0)
+  }
+
+  test("spend deciles rank by total with deterministic tie-break") {
+    val df = events(
+      (0L, 0L, 1L, "a", 5.0), (1L, 0L, 2L, "a", 5.0),
+      (2L, 0L, 3L, "a", 1.0))
+    val r = rowsOf(EventAnalytics.userSpendDeciles(df, buckets = 2))
+    // equal totals: dense_rank ties on value would collapse, but the
+    // user_id tie-break keeps ranks distinct and buckets deterministic
+    assert(r.map(_("spend_rank")) == Seq(1, 2, 3))
+    assert(r.map(_("decile")) == Seq(1, 1, 2))
+  }
+
   test("cleanText strips urls/emails, collapses punctuation and whitespace") {
     val s = spark
     import s.implicits._

@@ -389,6 +389,34 @@ object OracleSql {
        |       CAST(epoch_us(ts) AS BIGINT) - asof_build_ts_us AS gap_us
        |FROM m WHERE side = 1""".stripMargin
 
+  /** Mirror of errorIncidents ∘ incidentEvents: same islands logic;
+    * the range join is spelled as the plain inequality join (DuckDB's
+    * optimizer handles it at oracle scale — the banded rewrite is the
+    * Spark-side scale concern, not a semantic one). */
+  def incidentRangeJoin(minErrors: Int = 2, bridgeMinutes: Int = 5): String =
+    s"""WITH em AS (
+       |  SELECT date_trunc('minute', ts) AS m_start, COUNT(*) AS n_errors
+       |  FROM events WHERE event_type = 'error'
+       |  GROUP BY 1 HAVING COUNT(*) >= $minErrors),
+       |x AS (SELECT *, lag(m_start) OVER (ORDER BY m_start) AS prev_start
+       |      FROM em),
+       |y AS (SELECT *, CASE WHEN prev_start IS NULL OR m_start >
+       |        prev_start + INTERVAL ${bridgeMinutes + 1} MINUTE
+       |        THEN 1 ELSE 0 END AS new_island FROM x),
+       |z AS (SELECT *, CAST(SUM(new_island) OVER (ORDER BY m_start
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island FROM y),
+       |inc AS (SELECT island, MIN(m_start) AS i_start,
+       |               MAX(m_start) + INTERVAL 1 MINUTE AS i_end,
+       |               COUNT(*) AS n_busy_minutes,
+       |               CAST(SUM(n_errors) AS BIGINT) AS n_errors
+       |        FROM z GROUP BY 1)
+       |SELECT CAST(epoch_us(i_start) AS BIGINT) AS incident_start_us,
+       |       CAST(epoch_us(i_end) AS BIGINT) AS incident_end_us,
+       |       n_busy_minutes, n_errors,
+       |       COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users
+       |FROM inc JOIN events e ON e.ts >= i_start AND e.ts < i_end
+       |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+
   def audienceSetOps(typeA: String = "click",
       typeB: String = "purchase"): String =
     s"""WITH a AS (SELECT DISTINCT user_id FROM events

@@ -65,6 +65,11 @@ object SparkEntry {
       EventAnalytics.asOfLastPrior(EventsAsRecords.readEvents(s, dir))),
     "q_audience_set_ops" -> ((s, dir) =>
       EventAnalytics.audienceSetOps(EventsAsRecords.readEvents(s, dir))),
+    // gaps-and-islands incidents + banded range join over the intervals
+    "q_incident_range_join" -> ((s, dir) => {
+      val ev = EventsAsRecords.readEvents(s, dir)
+      EventAnalytics.incidentEvents(ev, EventAnalytics.errorIncidents(ev))
+    }),
     // relational side: classic TPC-H shapes over the warehouse tables
     "q_tpch_q1" -> ((s, dir) =>
       graft.operators.Relational.pricingSummary(
@@ -390,6 +395,7 @@ object SparkEntry {
       "q_spend_deciles" -> OracleSql.userSpendDeciles(),
       "q_asof_join" -> OracleSql.asOfLastPrior(),
       "q_audience_set_ops" -> OracleSql.audienceSetOps(),
+      "q_incident_range_join" -> OracleSql.incidentRangeJoin(),
       "q_tpch_q1" -> OracleSql.tpchQ1(),
       "q_tpch_q3" -> OracleSql.tpchQ3(),
       "q_tpch_q5" -> OracleSql.tpchQ5(),

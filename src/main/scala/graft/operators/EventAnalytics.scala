@@ -233,6 +233,73 @@ object EventAnalytics {
         (unix_micros(col("ts")) - col("asof_build_ts_us")).as("gap_us"))
   }
 
+  /** Error-burst incidents — the gaps-and-islands shape: busy minutes
+    * (≥ `minErrors` error events) merge into maximal intervals,
+    * bridging gaps of up to `bridgeMinutes` quiet minutes. The island
+    * assignment (lag + running sum) windows over the BUSY-MINUTE
+    * frame, whose cardinality is bounded by wall-clock minutes — the
+    * single-reducer global order is safe for the same post-aggregate
+    * reason as [[userSpendDeciles]], and at 100 TB stays bounded by
+    * the time range, not the event volume.
+    */
+  def errorIncidents(events: DataFrame, minErrors: Int = 2,
+      bridgeMinutes: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("m_start"))
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    events.filter(col("event_type") === "error")
+      .groupBy(window(col("ts"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("n_errors"))
+      .filter(col("n_errors") >= minErrors)
+      .select(col("w.start").as("m_start"), col("n_errors"))
+      .withColumn("prev_start", lag(col("m_start"), 1).over(w))
+      .withColumn("new_island",
+        when(col("prev_start").isNull || col("m_start") >
+          col("prev_start") + expr(s"INTERVAL ${bridgeMinutes + 1} MINUTES"),
+          1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy(col("island"))
+      .agg(min(col("m_start")).as("i_start"),
+        (max(col("m_start")) + expr("INTERVAL 1 MINUTE")).as("i_end"),
+        count(lit(1)).as("n_busy_minutes"),
+        sum(col("n_errors")).as("n_errors"))
+      .select(col("i_start"), col("i_end"), col("n_busy_minutes"),
+        col("n_errors"))
+  }
+
+  /** Banded range join: all events falling inside the (variable-
+    * length) incident intervals. The scalable range-join shape: each
+    * interval explodes into the minute buckets it covers, events
+    * project their own minute bucket, and the join is a plain
+    * EQUI-join on the bucket with the range predicate as a residual —
+    * never an inequality-only join (which Spark can only execute as a
+    * nested-loop against a broadcast side). Work is linear in
+    * events + covered minutes; bucket skew is bounded by per-minute
+    * event volume. For these minute-ALIGNED intervals the residual is
+    * vacuously true — it stays in the join condition because the same
+    * plan serves non-aligned intervals, and Catalyst evaluates it as
+    * a cheap post-join filter.
+    */
+  def incidentEvents(events: DataFrame, incidents: DataFrame): DataFrame = {
+    val buckets = incidents.withColumn("bucket",
+      explode(sequence(col("i_start"),
+        col("i_end") - expr("INTERVAL 1 MINUTE"), expr("INTERVAL 1 MINUTE"))))
+    events
+      .withColumn("bucket", date_trunc("minute", col("ts")))
+      .join(buckets, Seq("bucket"))
+      .filter(col("ts") >= col("i_start") && col("ts") < col("i_end"))
+      .groupBy(col("i_start"), col("i_end"), col("n_busy_minutes"),
+        col("n_errors"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("i_start")).as("incident_start_us"),
+        unix_micros(col("i_end")).as("incident_end_us"),
+        col("n_busy_minutes"), col("n_errors"), col("n_events"),
+        col("n_users"))
+      .orderBy(col("incident_start_us"))
+  }
+
   /** Set operations over event-type audiences: users who did both /
     * only A / only B. INTERSECT and EXCEPT compile to distinct
     * semi/anti joins on the (already-distinct) user sets — one

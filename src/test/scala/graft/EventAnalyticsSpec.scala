@@ -166,6 +166,52 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(r.map(_("decile")) == Seq(1, 1, 2))
   }
 
+  test("error incidents merge busy minutes across bridgeable gaps") {
+    val min = 60L * 1000
+    val df = events(
+      // minute 0: 2 errors (busy); minute 3: 2 errors (busy, gap 2 <= 5
+      // -> same island); minute 20: 2 errors (gap 16 -> new island);
+      // minute 1: 1 error (below threshold, ignored)
+      (0L, 0 * min, 1L, "error", 0.0), (1L, 0 * min + 1, 2L, "error", 0.0),
+      (2L, 1 * min, 1L, "error", 0.0),
+      (3L, 3 * min, 1L, "error", 0.0), (4L, 3 * min + 2, 3L, "error", 0.0),
+      (5L, 20 * min, 1L, "error", 0.0), (6L, 20 * min + 5, 2L, "error", 0.0))
+    val r = rowsOf(EventAnalytics.errorIncidents(df, minErrors = 2,
+      bridgeMinutes = 5).orderBy(col("i_start")))
+    assert(r.length == 2)
+    assert(r.head("n_busy_minutes") == 2L, "minutes 0 and 3 form one island")
+    assert(r.head("n_errors") == 4L, "the sub-threshold minute stays out")
+    assert(r(1)("n_busy_minutes") == 1L)
+  }
+
+  test("incident range join honors [start, end) and only bucket-matched events") {
+    val min = 60L * 1000
+    val df = events(
+      (0L, 0 * min, 1L, "error", 0.0), (1L, 0 * min + 1, 2L, "error", 0.0),
+      (2L, 0 * min + 30000, 3L, "view", 1.0), // inside [0, 1min)
+      (3L, 1 * min, 4L, "view", 1.0),         // exactly at end: EXCLUDED
+      (4L, 5 * min, 5L, "view", 1.0))         // far outside
+    val inc = EventAnalytics.errorIncidents(df, minErrors = 2)
+    val r = rowsOf(EventAnalytics.incidentEvents(df, inc))
+    assert(r.length == 1)
+    // the 2 errors + the in-window view; the boundary and outside views drop
+    assert(r.head("n_events") == 3L)
+    assert(r.head("n_users") == 3L)
+  }
+
+  test("the range join stays an equi-join on the minute bucket, never a nested loop") {
+    val min = 60L * 1000
+    val df = events((0L, 0 * min, 1L, "error", 0.0),
+      (1L, 0 * min + 1, 2L, "error", 0.0), (2L, 30000L, 3L, "view", 1.0))
+    val plan = EventAnalytics.incidentEvents(df,
+      EventAnalytics.errorIncidents(df))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join must band on the bucket, not nested-loop:\n$plan")
+  }
+
   test("cleanText strips urls/emails, collapses punctuation and whitespace") {
     val s = spark
     import s.implicits._

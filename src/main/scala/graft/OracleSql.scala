@@ -737,7 +737,7 @@ object OracleSql {
     s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
        |       CAST(SUM($discPriceSql -
        |                ${decCol("p_retailprice")} *
-       |                CAST(l_quantity AS INTEGER)) AS DOUBLE) AS sum_profit
+       |                CAST(FLOOR(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_profit
        |FROM lineitem
        |JOIN part ON l_partkey = p_partkey
        |JOIN supplier ON l_suppkey = s_suppkey

@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   * what the plans are graded on — and is noted per query.
   *
   * Broadcast policy matches [[Relational]]: explicit `broadcast()` ONLY
-  * on frames whose size is bounded by the schema (region/nation chains,
-  * supplier at 1/600 of lineitem, 1-row scalar aggregates); anything
-  * derived from a fact or scaling linearly with SF (filtered part,
-  * filtered orders, per-key aggregates of lineitem) is unhinted so AQE
+  * on true dimension frames — region/nation chains, supplier (1/600 of
+  * lineitem), narrow customer projections (1/40, the same dims
+  * Relational's Q5/Q10 bless), and 1-row scalar aggregates; anything
+  * fact-derived or fact-shaped (filtered part, filtered orders,
+  * per-key aggregates of lineitem) is unhinted so AQE
   * broadcasts it while it fits and degrades to a shuffle join at the
   * scale where a forced hint would OOM. Money math rides DECIMAL(18,2)
   * (exact for the 2-dp source doubles, associative under distributed
@@ -68,7 +69,8 @@ object DecisionSupport {
         col("p_size").between(sizeMin, sizeMax))
       .select(col("p_partkey"))
     val pairCost = lineitem
-      .join(broadcast(wantedParts), col("l_partkey") === col("p_partkey"))
+      // wantedParts is part-derived (SF-linear) — unhinted, AQE sizes it
+      .join(wantedParts, col("l_partkey") === col("p_partkey"))
       .join(broadcast(regionalSupp.select(col("s_suppkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
@@ -164,12 +166,12 @@ object DecisionSupport {
   /** TPC-H Q9: product-type profit by nation and order year. The
     * supply-cost term (classically `ps_supplycost × l_quantity`) is
     * `p_retailprice × l_quantity` over the lineitem bridge — an exact
-    * decimal × integer product (quantities are integral 2-dp money
-    * stays 2-dp), so the profit amount folds exactly. Part (name
-    * token filter) and the supplier-nation lookup broadcast per the
-    * dim policy footnote: filtered part IS SF-linear, but here it
-    * joins before the orders fact join, so it stays unhinted too;
-    * orders joins unhinted on the order key.
+    * decimal × integer product (`floor` pins the double→integer step
+    * to the same operation in both engines; a bare int cast truncates
+    * in Spark but rounds in DuckDB), so the profit amount folds
+    * exactly. Filtered part is SF-linear and stays unhinted; only the
+    * supplier-nation lookup broadcasts; orders joins unhinted on the
+    * order key.
     */
   def productProfit(nation: DataFrame, supplier: DataFrame, part: DataFrame,
       orders: DataFrame, lineitem: DataFrame,
@@ -178,7 +180,7 @@ object DecisionSupport {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name"))
     val amount = discPrice -
-      dec(col("p_retailprice")) * col("l_quantity").cast("int")
+      dec(col("p_retailprice")) * floor(col("l_quantity")).cast("long")
     lineitem
       .join(part.filter(col("p_name").contains(nameToken))
           .select(col("p_partkey"), col("p_retailprice")),
@@ -288,10 +290,10 @@ object DecisionSupport {
   /** TPC-H Q16-style: supplier counts by part attributes — the
     * distinct-aggregate-behind-an-anti-join shape. Lineitem is the
     * part–supplier bridge (no partsupp); the "complaints" exclusion is
-    * suppliers with negative balance, anti-joined (tiny frame →
+    * suppliers with negative balance, anti-joined (supplier-derived →
     * broadcast anti); supplier counts are COUNT(DISTINCT) per part
-    * attribute triple. Part attributes ride a broadcast of the
-    * filtered part projection onto the bridge pairs.
+    * attribute triple. The filtered part projection is part-derived
+    * (SF-linear) and stays unhinted — AQE broadcasts it while it fits.
     */
   def partSupplierCounts(supplier: DataFrame, part: DataFrame,
       lineitem: DataFrame, excludeBrand: String = "Brand#1",
@@ -304,7 +306,7 @@ object DecisionSupport {
         col("p_type") =!= excludeType && col("p_size").isin(sizes: _*))
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
     lineitem.select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(wantedParts), col("l_partkey") === col("p_partkey"))
+      .join(wantedParts, col("l_partkey") === col("p_partkey"))
       .join(broadcast(excludedSupp), col("l_suppkey") === col("s_suppkey"),
         "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))

@@ -229,8 +229,8 @@ class PlanShapeSpec extends SparkSuite {
     // the count and fails with intent.
     val q2 = minCostSupplier(table("region"), table("nation"),
       table("supplier"), table("part"), table("lineitem"))
-    assert(hints(q2) == 11,
-      s"Q2: region/nation/supplier dims at 3 join sites + part filter (${hints(q2)})")
+    assert(hints(q2) == 9,
+      s"Q2: region/nation/supplier dims at 3 join sites — filtered part unhinted (${hints(q2)})")
     val q7 = volumeShipping(table("nation"), table("supplier"),
       table("customer"), table("orders"), table("lineitem"))
     assert(hints(q7) == 4, s"Q7: supp/cust nation lookups only (${hints(q7)})")
@@ -254,7 +254,8 @@ class PlanShapeSpec extends SparkSuite {
     assert(hints(q15) == 2, "Q15: the 1-row max + the name lookup")
     val q16 = partSupplierCounts(table("supplier"), table("part"),
       table("lineitem"))
-    assert(hints(q16) == 2, "Q16: part attributes + excluded-supplier list")
+    assert(hints(q16) == 1,
+      "Q16: the excluded-supplier list only — part attributes unhinted")
     assert(plan(q16).contains("LeftAnti"),
       s"Q16 exclusion must stay an anti join:\n${plan(q16)}")
     assert(hints(smallQuantityRevenue(table("part"), table("lineitem"))) == 0,

@@ -52,4 +52,34 @@ object CorpusStore {
       split: String, lang: String): DataFrame =
     spark.read.parquet(path)
       .filter(col("split") === split && col("lang") === lang)
+
+  /** Bucketed layout — the CO-LOCATED JOIN side of the 100 TB design.
+    * Two tables bucketed by the same key into the same bucket count
+    * are join-compatible WITHOUT a shuffle: each task reads bucket i
+    * of both sides, so the exchange that dominates fact⋈fact joins
+    * disappears from every subsequent join on that key. This is the
+    * amortization move for keys a pipeline joins on repeatedly
+    * (doc_id across dedup labels / quality scores / keyword tables):
+    * pay one bucketed write, skip the shuffle on every read-side join
+    * forever after.
+    *
+    * Sizing at scale: `buckets` should put one bucket's worth of one
+    * side at ~100–500 MB (e.g. 100 TB / 256 MB ≈ 4×10^5 buckets);
+    * too few buckets caps join parallelism — the bucket count IS the
+    * task count for shuffle-free joins. `sortBy` the bucket key so
+    * parquet row-group stats prune point lookups inside each bucket.
+    *
+    * Bucketing metadata lives in the session catalog (`saveAsTable`;
+    * a path-based `save` cannot carry it) — `path` makes the table
+    * EXTERNAL so the files outlive the catalog entry; a production
+    * deployment points the same DDL at a shared metastore.
+    */
+  def writeBucketed(docs: DataFrame, table: String, path: String,
+      buckets: Int = 32, bucketCol: String = "doc_id"): Unit =
+    docs.write
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(table)
 }

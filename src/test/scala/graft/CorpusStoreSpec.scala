@@ -40,4 +40,38 @@ class CorpusStoreSpec extends SparkSuite {
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("bucketed store: same-key joins run shuffle-free and match the plain join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevThreshold = spark.conf.get(thresholdKey)
+    try {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val scores = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("score"))
+      CorpusStore.writeBucketed(docs, "bkt_docs", s"$dir/docs", buckets = 4)
+      CorpusStore.writeBucketed(scores, "bkt_scores", s"$dir/scores", buckets = 4)
+      // force the join down the sort-merge path: the claim under test
+      // is shuffle ELIMINATION via co-located buckets, which a
+      // broadcast of the small test fixture would mask
+      spark.conf.set(thresholdKey, "-1")
+      val joined = spark.table("bkt_docs")
+        .join(spark.table("bkt_scores"), "doc_id")
+      assert(joined.count() == docs.count())
+      val executed = joined.queryExecution.executedPlan.toString
+      assert(!executed.contains("Exchange"),
+        s"bucket-aligned join must not shuffle either side:\n$executed")
+      // parity: bucketed result == the plain unbucketed join
+      val plain = docs.join(scores, "doc_id")
+      assert(joined.select(sum(col("score"))).head.getLong(0) ==
+        plain.select(sum(col("score"))).head.getLong(0))
+    } finally {
+      spark.conf.set(thresholdKey, prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_docs")
+      spark.sql("DROP TABLE IF EXISTS bkt_scores")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -417,6 +417,18 @@ object OracleSql {
        |FROM inc JOIN events e ON e.ts >= i_start AND e.ts < i_end
        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
 
+  /** Plain-join mirror of the salted enrichment — the salt is a
+    * physical-layout device only, so the oracle doesn't know it
+    * exists. */
+  val saltedUserEnrichment: String =
+    """WITH t AS (SELECT user_id,
+      |                  SUM(CAST("value" AS DECIMAL(18,2))) AS ut
+      |           FROM events GROUP BY 1)
+      |SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(ut) AS DOUBLE) AS sum_user_totals
+      |FROM events JOIN t USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def audienceSetOps(typeA: String = "click",
       typeB: String = "purchase"): String =
     s"""WITH a AS (SELECT DISTINCT user_id FROM events

@@ -65,6 +65,10 @@ object SparkEntry {
       EventAnalytics.asOfLastPrior(EventsAsRecords.readEvents(s, dir))),
     "q_audience_set_ops" -> ((s, dir) =>
       EventAnalytics.audienceSetOps(EventsAsRecords.readEvents(s, dir))),
+    // explicit skew salting (result == plain join; oracle is unsalted)
+    "q_salted_enrich" -> ((s, dir) =>
+      graft.operators.Skew.saltedUserEnrichment(
+        EventsAsRecords.readEvents(s, dir))),
     // gaps-and-islands incidents + banded range join over the intervals
     "q_incident_range_join" -> ((s, dir) => {
       val ev = EventsAsRecords.readEvents(s, dir)
@@ -396,6 +400,7 @@ object SparkEntry {
       "q_asof_join" -> OracleSql.asOfLastPrior(),
       "q_audience_set_ops" -> OracleSql.audienceSetOps(),
       "q_incident_range_join" -> OracleSql.incidentRangeJoin(),
+      "q_salted_enrich" -> OracleSql.saltedUserEnrichment,
       "q_tpch_q1" -> OracleSql.tpchQ1(),
       "q_tpch_q3" -> OracleSql.tpchQ3(),
       "q_tpch_q5" -> OracleSql.tpchQ5(),

@@ -212,6 +212,36 @@ class EventAnalyticsSpec extends SparkSuite {
       s"range join must band on the bucket, not nested-loop:\n$plan")
   }
 
+  test("salted join equals the plain join and spreads hot keys over salts") {
+    // one pathologically hot user (80% of rows) + a cold one
+    val rows = (0L until 50L).map(i =>
+      (i, i, if (i < 40) 1L else 2L, "view", 1.0))
+    val df = events(rows: _*)
+    val totals = df.groupBy(col("user_id"))
+      .agg(sum(col("value")).as("total"))
+    val salted = graft.operators.Skew.saltedJoin(
+      df, totals, "user_id", "event_id", salts = 4)
+    val plain = df.join(totals, "user_id")
+    assert(salted.count() == plain.count())
+    assert(rowsOf(salted.groupBy(col("user_id")).agg(sum(col("total")).as("s"))
+        .orderBy(col("user_id"))) ==
+      rowsOf(plain.groupBy(col("user_id")).agg(sum(col("total")).as("s"))
+        .orderBy(col("user_id"))))
+    // the salt must be part of the join key (that IS the technique) …
+    val keys = salted.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.sql).getOrElse("")
+    }
+    assert(keys.exists(_.contains("_salt")),
+      s"join no longer keys on the salt: $keys")
+    // … and the hot user's rows must actually occupy every salt bucket
+    val buckets = df
+      .withColumn("_salt", pmod(xxhash64(col("event_id")), lit(4L)))
+      .filter(col("user_id") === 1L)
+      .select(col("_salt")).distinct().count()
+    assert(buckets == 4L, s"hot key spread over $buckets/4 salt buckets")
+  }
+
   test("cleanText strips urls/emails, collapses punctuation and whitespace") {
     val s = spark
     import s.implicits._

@@ -264,22 +264,26 @@ object DecisionSupport {
       .orderBy(col("custdist").desc, col("c_count").desc)
 
   /** TPC-H Q15: top supplier by quarterly revenue — the
-    * max-over-aggregated-view shape: per-supplier revenue (exact
-    * decimal, so the max-equality join cannot miss a tied winner by a
-    * float ulp), 1-row max broadcast-cross-joined back, supplier name
-    * attached by broadcast.
+    * max-over-aggregated-view shape as `rank() = 1` over the
+    * per-supplier aggregate: ONE lineitem scan (the scalar-max
+    * cross-join variant re-scans and re-aggregates the fact — AQE
+    * does not reuse the exchange through the broadcast branch;
+    * measured in the round-5 plan audit), ties on the exact decimal
+    * revenue all surface, and the global window ranks the
+    * POST-aggregate frame (bounded by #suppliers — the same
+    * single-reducer rationale as [[EventAnalytics.userSpendDeciles]]).
     */
   def topSupplier(supplier: DataFrame, lineitem: DataFrame,
       from: String = "1996-01-01 00:00:00",
       until: String = "1996-04-01 00:00:00"): DataFrame = {
-    val revenue = lineitem
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_revenue").desc)
+    lineitem
       .filter(col("l_shipdate") >= ts(from) && col("l_shipdate") < ts(until))
       .groupBy(col("l_suppkey"))
       .agg(sum(discPrice).as("total_revenue"))
-    val maxRev = revenue.agg(max(col("total_revenue")).as("max_revenue"))
-    revenue
-      .crossJoin(broadcast(maxRev))
-      .filter(col("total_revenue") === col("max_revenue"))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") === 1)
       .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),

@@ -251,7 +251,10 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan(q13).contains("LeftOuter"),
       s"Q13 must keep the outer join (order-less customers count 0):\n${plan(q13)}")
     val q15 = topSupplier(table("supplier"), table("lineitem"))
-    assert(hints(q15) == 2, "Q15: the 1-row max + the name lookup")
+    assert(hints(q15) == 1, "Q15: the name lookup only (rank()=1, no max branch)")
+    // the single-scan claim: exactly one lineitem scan in the plan
+    val q15Scans = raw"\(\d+\) Scan parquet\b".r.findAllIn(plan(q15)).length
+    assert(q15Scans == 2, s"Q15 must scan lineitem once + supplier once ($q15Scans)")
     val q16 = partSupplierCounts(table("supplier"), table("part"),
       table("lineitem"))
     assert(hints(q16) == 1,

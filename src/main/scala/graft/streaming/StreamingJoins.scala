@@ -22,6 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object StreamingJoins {
 
+  /** Stream-STATIC enrichment: a streaming fact joined to a batch
+    * dimension (user profile, model registry, allowlist). Stateless —
+    * no watermark, no join state: each micro-batch plans a fresh
+    * batch join against the static side (so a small dim broadcasts
+    * per batch, and updates to the underlying static table are picked
+    * up on re-read sources like Delta; plain parquet snapshots at
+    * query start). The static side must be the BUILD side — streaming
+    * frames cannot be broadcast.
+    */
+  def enriched(stream: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
+
   /** Click→purchase attribution within `horizonMinutes`, inner join.
     * Works identically on batch frames (withWatermark is a no-op in
     * batch), which is how the spec pins stream/batch parity.

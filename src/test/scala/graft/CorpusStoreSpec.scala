@@ -41,6 +41,44 @@ class CorpusStoreSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("partitioned store: joins on a partition column prune dynamically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    try {
+      val s = spark
+      import s.implicits._
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"))
+      CorpusStore.write(docs, dir)
+      // dim-side filter on a NON-join column + join on the partition
+      // column: static pruning can't help (the pruned langs are only
+      // known after the dim filter runs), so the scan must carry a
+      // dynamicpruning expression — at 100 TB this is the difference
+      // between listing one lang's directories and scanning the store.
+      // The dim is parquet-backed: DPP's benefit estimation skips
+      // in-memory LocalRelations (verified here), matching production
+      // where dims are tables, not literals.
+      // the dim predicate must be one DPP's selectivity heuristic
+      // recognizes (a comparison — a bare boolean column is not
+      // "likely selective" to the rule)
+      Seq(("en", 1), ("de", 0), ("es", 0), ("fr", 0), ("zh", 0))
+        .toDF("lang", "keep")
+        .write.mode("overwrite").parquet(s"$dir-dim")
+      val wanted = spark.read.parquet(s"$dir-dim")
+      val joined = spark.read.parquet(dir)
+        .join(broadcast(wanted.filter(col("keep") === 1)), "lang")
+      val p = joined.queryExecution.explainString(
+        ExplainMode.fromString("formatted"))
+      assert(p.contains("dynamicpruning"),
+        s"partition-column join must prune dynamically:\n$p")
+      assert(joined.count() ==
+        docs.filter(col("lang") === "en").count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir-dim"))
+    }
+  }
+
   test("bucketed store: same-key joins run shuffle-free and match the plain join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
     val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"

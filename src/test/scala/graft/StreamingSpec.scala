@@ -130,6 +130,26 @@ class StreamingSpec extends SparkSuite {
     assert(batch == got)
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("event_id", "user_id")
+    val q = graft.streaming.StreamingJoins.enriched(stream, dim)
+      .writeStream.format("memory").queryName("senrich")
+      .outputMode("append").start()
+    mem.addData((10L, 1L), (11L, 3L))   // 3 has no profile -> left outer null
+    q.processAllAvailable()
+    mem.addData((12L, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val got = rowsOf(spark.table("senrich"))
+      .map(m => (m("event_id"), m("tier"))).toSet
+    assert(got == Set((10L, "gold"), (11L, null), (12L, "basic")))
+  }
+
   test("streaming curation gates and scrubs identically to the batch expressions") {
     val s = spark
     import s.implicits._

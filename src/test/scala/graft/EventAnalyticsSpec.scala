@@ -242,6 +242,63 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(buckets == 4L, s"hot key spread over $buckets/4 salt buckets")
   }
 
+  test("as-of join matches a brute-force oracle on random streams") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val rows = (0 until 120).map { i =>
+        val typ = rnd.nextInt(3) match {
+          case 0 => "click"; case 1 => "purchase"; case _ => "view"
+        }
+        // coarse timestamps force ts ties across users and types
+        (i.toLong, (rnd.nextInt(20) * 60L * 1000), rnd.nextInt(5).toLong,
+          typ, 1.0)
+      }
+      val df = events(rows: _*)
+      val got = rowsOf(EventAnalytics.asOfLastPrior(df))
+        .map(m => m("probe_id") -> m("asof_build_id")).toMap
+      val builds = rows.filter(_._4 == "purchase")
+      val expected = rows.filter(_._4 == "click").map { p =>
+        val candidates = builds.filter(b => b._3 == p._3 && (b._2 < p._2 ||
+          (b._2 == p._2)))
+        // latest ts wins; equal-ts builds tie-break on highest event_id
+        p._1 -> (if (candidates.isEmpty) null
+          else candidates.maxBy(b => (b._2, b._1))._1)
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
+  test("incident islands partition busy minutes and respect the bridge on random streams") {
+    val rnd = new scala.util.Random(11)
+    val min = 60L * 1000
+    val base = 1700000000000L
+    for (trial <- 1 to 5) {
+      val rows = (0 until 150).map { i =>
+        (i.toLong, base + rnd.nextInt(40) * min + rnd.nextInt(3) * 1000L,
+          rnd.nextInt(3).toLong,
+          if (rnd.nextInt(3) == 0) "error" else "view", 1.0)
+      }
+      val df = events(rows: _*)
+      val bridge = 2
+      val r = rowsOf(EventAnalytics.errorIncidents(df, minErrors = 2,
+        bridgeMinutes = bridge).orderBy(col("i_start")))
+      val busyMinutes = rows.filter(_._4 == "error")
+        .groupBy(t => t._2 / min * min).filter(_._2.size >= 2)
+      // islands cover every busy minute exactly once
+      assert(r.map(_("n_busy_minutes").asInstanceOf[Long]).sum ==
+        busyMinutes.size, s"trial $trial")
+      assert(r.map(_("n_errors").asInstanceOf[Long]).sum ==
+        busyMinutes.values.map(_.size).sum, s"trial $trial")
+      // consecutive islands are separated by MORE than the bridge
+      // (else they would have merged), and intervals never overlap
+      val spans = r.map(m =>
+        (m("i_start").asInstanceOf[java.sql.Timestamp].getTime,
+          m("i_end").asInstanceOf[java.sql.Timestamp].getTime))
+      for (Seq((_, e1), (s2, _)) <- spans.sliding(2) if spans.length > 1)
+        assert(s2 - e1 > bridge * min, s"trial $trial: gap ${s2 - e1}")
+    }
+  }
+
   test("cleanText strips urls/emails, collapses punctuation and whitespace") {
     val s = spark
     import s.implicits._

@@ -429,6 +429,24 @@ object OracleSql {
       |FROM events JOIN t USING (user_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val eventTypeNames = graft.operators.EventAnalytics.EventTypes
+
+  val eventTypePivot: String = {
+    val cols = eventTypeNames.map(t =>
+      s"COUNT(*) FILTER (WHERE event_type = '$t') AS $t").mkString(",\n|       ")
+    s"""SELECT user_id,
+       |       $cols
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val eventTypeLong: String = {
+    val arms = eventTypeNames.map(t =>
+      s"SELECT user_id, '$t' AS event_type, $t AS n FROM p").mkString("\n|  UNION ALL\n|  ")
+    s"""WITH p AS ($eventTypePivot)
+       |  $arms
+       |ORDER BY user_id, event_type""".stripMargin
+  }
+
   def audienceSetOps(typeA: String = "click",
       typeB: String = "purchase"): String =
     s"""WITH a AS (SELECT DISTINCT user_id FROM events

@@ -65,6 +65,11 @@ object SparkEntry {
       EventAnalytics.asOfLastPrior(EventsAsRecords.readEvents(s, dir))),
     "q_audience_set_ops" -> ((s, dir) =>
       EventAnalytics.audienceSetOps(EventsAsRecords.readEvents(s, dir))),
+    // pivot (explicit value list) and its lossless long-form melt
+    "q_event_pivot" -> ((s, dir) =>
+      EventAnalytics.eventTypePivot(EventsAsRecords.readEvents(s, dir))),
+    "q_event_unpivot" -> ((s, dir) =>
+      EventAnalytics.eventTypeLong(EventsAsRecords.readEvents(s, dir))),
     // explicit skew salting (result == plain join; oracle is unsalted)
     "q_salted_enrich" -> ((s, dir) =>
       graft.operators.Skew.saltedUserEnrichment(
@@ -401,6 +406,8 @@ object SparkEntry {
       "q_audience_set_ops" -> OracleSql.audienceSetOps(),
       "q_incident_range_join" -> OracleSql.incidentRangeJoin(),
       "q_salted_enrich" -> OracleSql.saltedUserEnrichment,
+      "q_event_pivot" -> OracleSql.eventTypePivot,
+      "q_event_unpivot" -> OracleSql.eventTypeLong,
       "q_tpch_q1" -> OracleSql.tpchQ1(),
       "q_tpch_q3" -> OracleSql.tpchQ3(),
       "q_tpch_q5" -> OracleSql.tpchQ5(),

@@ -300,6 +300,33 @@ object EventAnalytics {
       .orderBy(col("incident_start_us"))
   }
 
+  /** Event-type counts pivoted to one column per type. The pivot
+    * VALUES ARE EXPLICIT: an unlisted pivot runs an extra collect job
+    * to discover the domain (a full scan before the real one) and
+    * makes the output schema data-dependent — at scale, always pin
+    * the column set. Empty cells fill 0 so both engines agree on the
+    * no-events case.
+    */
+  val EventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  def eventTypePivot(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, EventTypes)
+      .orderBy(col("user_id"))
+
+  /** The pivot melted back to long form — `unpivot` keeps explicit
+    * zero rows (one row per user × type), which is the point: the
+    * wide↔long round trip is lossless, unlike the original sparse
+    * groupBy. */
+  def eventTypeLong(events: DataFrame): DataFrame =
+    eventTypePivot(events)
+      .unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
+        "event_type", "n")
+      .orderBy(col("user_id"), col("event_type"))
+
   /** Set operations over event-type audiences: users who did both /
     * only A / only B. INTERSECT and EXCEPT compile to distinct
     * semi/anti joins on the (already-distinct) user sets — one

@@ -310,19 +310,25 @@ object EventAnalytics {
   val EventTypes: Seq[String] =
     Seq("click", "error", "purchase", "signup", "view")
 
-  def eventTypePivot(events: DataFrame): DataFrame =
+  // unordered core shared by both public surfaces: EliminateSorts
+  // cannot remove a sort below an Expand (unpivot) node, so baking the
+  // presentation orderBy in here would make eventTypeLong pay a dead
+  // range-exchange + sort under its own
+  private def pivotUnordered(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
       .na.fill(0, EventTypes)
-      .orderBy(col("user_id"))
+
+  def eventTypePivot(events: DataFrame): DataFrame =
+    pivotUnordered(events).orderBy(col("user_id"))
 
   /** The pivot melted back to long form — `unpivot` keeps explicit
     * zero rows (one row per user × type), which is the point: the
     * wide↔long round trip is lossless, unlike the original sparse
     * groupBy. */
   def eventTypeLong(events: DataFrame): DataFrame =
-    eventTypePivot(events)
+    pivotUnordered(events)
       .unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
         "event_type", "n")
       .orderBy(col("user_id"), col("event_type"))

@@ -25,15 +25,17 @@ object StreamingJoins {
   /** Stream-STATIC enrichment: a streaming fact joined to a batch
     * dimension (user profile, model registry, allowlist). Stateless —
     * no watermark, no join state: each micro-batch plans a fresh
-    * batch join against the static side (so a small dim broadcasts
-    * per batch, and updates to the underlying static table are picked
-    * up on re-read sources like Delta; plain parquet snapshots at
-    * query start). The static side must be the BUILD side — streaming
-    * frames cannot be broadcast.
+    * batch join against the static side, so updates to a re-read
+    * source (e.g. Delta) are picked up per batch; plain parquet
+    * snapshots at query start. UNHINTED per the repo's broadcast
+    * policy: a "dim" keyed per-user is unbounded-cardinality, so size
+    * estimation broadcasts it while it fits and the join degrades to
+    * a per-batch shuffle instead of a broadcast OOM when it doesn't.
+    * (Streaming frames can never be the broadcast side regardless.)
     */
   def enriched(stream: DataFrame, dim: DataFrame,
       key: String = "user_id"): DataFrame =
-    stream.join(broadcast(dim), Seq(key), "left_outer")
+    stream.join(dim, Seq(key), "left_outer")
 
   /** Click→purchase attribution within `horizonMinutes`, inner join.
     * Works identically on batch frames (withWatermark is a no-op in

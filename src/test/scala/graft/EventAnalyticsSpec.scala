@@ -299,6 +299,32 @@ class EventAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("pivot zero-fills missing types and unpivot round-trips losslessly") {
+    val df = events(
+      (0L, 0L, 1L, "click", 1.0), (1L, 0L, 1L, "click", 1.0),
+      (2L, 0L, 1L, "purchase", 1.0),
+      (3L, 0L, 2L, "view", 1.0))   // user 2 has NO click/purchase
+    val wide = rowsOf(EventAnalytics.eventTypePivot(df))
+    assert(wide.map(_("user_id")) == Seq(1L, 2L))
+    assert(wide.head("click") == 2L && wide.head("purchase") == 1L &&
+      wide.head("view") == 0L, s"zero-fill broken: ${wide.head}")
+    assert(wide(1)("click") == 0L && wide(1)("view") == 1L)
+    // melt: one row per user x type, zeros explicit, counts preserved
+    val long = rowsOf(EventAnalytics.eventTypeLong(df))
+    assert(long.length == 2 * EventAnalytics.EventTypes.length)
+    val back = long.map(m => (m("user_id"), m("event_type")) -> m("n")).toMap
+    assert(back((1L, "click")) == 2L && back((2L, "click")) == 0L &&
+      back((2L, "view")) == 1L)
+    assert(long.map(_("n").asInstanceOf[Long]).sum == df.count())
+    // the melt must not inherit the pivot's presentation sort: exactly
+    // one global Sort (its own) in the plan
+    val p = EventAnalytics.eventTypeLong(df).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    val sorts = raw"\(\d+\) Sort\b".r.findAllIn(p).length
+    assert(sorts <= 1, s"melt pays a dead inner sort ($sorts):\n$p")
+  }
+
   test("cleanText strips urls/emails, collapses punctuation and whitespace") {
     val s = spark
     import s.implicits._

@@ -103,6 +103,22 @@ object OracleSql {
       |       + least(stops / greatest(words, 1.0) * 3.0, 1.0) * 0.2
       |       + greatest(0.0, 1.0 - abs(chars / greatest(words, 1.0) - 5.0) / 10.0) * 0.2""".stripMargin
 
+  /** Mirror of [[graft.operators.CorpusOps.selectByTokenBudget]] —
+    * the SEMANTIC definition (one global prefix-sum window over
+    * quality order); the Spark side reproduces it via the histogram
+    * two-pass without the corpus-wide sort. */
+  def selectByTokenBudget(budgetTokens: Long = 15000L): String =
+    s"""$docCte,
+       |q AS ($qualityInputsSql),
+       |sel AS (SELECT doc_id,
+       |               $qualityFormulaSql AS quality,
+       |               CAST(words AS BIGINT) AS n_tokens
+       |        FROM q),
+       |w AS (SELECT *, SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |        ROWS UNBOUNDED PRECEDING) AS cum FROM sel)
+       |SELECT doc_id, quality, n_tokens
+       |FROM w WHERE cum <= $budgetTokens ORDER BY doc_id""".stripMargin
+
   val langId: String =
     s"""$docCte,
        |h AS (SELECT doc_id, $langHitsSelect FROM tok)

@@ -256,6 +256,9 @@ object SparkEntry {
       CorpusOps.stratifiedSampleStats(docs(s, dir))),
     "q_decontaminate" -> ((s, dir) => CorpusOps.decontaminateById(docs(s, dir))),
     "q_cluster_best" -> ((s, dir) => CorpusOps.bestOfCluster(docs(s, dir))),
+    // token-budget selection (histogram two-pass; oracle is the global window)
+    "q_token_budget" -> ((s, dir) =>
+      CorpusOps.selectByTokenBudget(docs(s, dir))),
     "q_source_stats" -> ((s, dir) => CorpusOps.sourceStats(docs(s, dir))),
     "q_source_overlap" -> ((s, dir) => CorpusOps.sourceOverlap(docs(s, dir))),
     "q_pii_redact" -> ((s, dir) =>
@@ -407,6 +410,7 @@ object SparkEntry {
       "q_incident_range_join" -> OracleSql.incidentRangeJoin(),
       "q_salted_enrich" -> OracleSql.saltedUserEnrichment,
       "q_event_pivot" -> OracleSql.eventTypePivot,
+      "q_token_budget" -> OracleSql.selectByTokenBudget(),
       "q_event_unpivot" -> OracleSql.eventTypeLong,
       "q_tpch_q1" -> OracleSql.tpchQ1(),
       "q_tpch_q3" -> OracleSql.tpchQ3(),

@@ -357,4 +357,65 @@ object CorpusOps {
       .groupBy(col("lang_label"), col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang_label"), col("lang_pred"))
+
+  /** Token-budget corpus selection: take documents in quality order
+    * (ties by doc_id) until the cumulative token count would exceed
+    * `budgetTokens` — "the best B tokens", the selection rule a
+    * data-constrained training run applies to a scored corpus.
+    *
+    * SEMANTICS are the global prefix: cum tokens over
+    * (quality DESC, doc_id) ≤ budget — exactly what the oracle's one
+    * window computes. The IMPLEMENTATION never runs that global sort:
+    * quality lives in [0, 1], so a histogram of `bins` quality bins
+    * (pass 1: one aggregate, O(bins) rows to the driver) locates the
+    * boundary bin by cumulative bin totals; bins above it are taken
+    * whole by a pushable filter, and only the boundary BIN — whose
+    * population the bin width bounds — pays a prefix-sum window. Docs
+    * with equal quality land in the same bin, so bin order extends to
+    * the exact global order and the two-pass result is identical, at
+    * the cost of one small sort instead of a corpus-wide range
+    * exchange. The driver holds O(bins) longs — never rows.
+    */
+  def selectByTokenBudget(docs: DataFrame, budgetTokens: Long = 15000L,
+      bins: Int = 1024): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val binned = scored.withColumn("bin",
+      least(lit(bins - 1), greatest(lit(0), floor(col("quality") * bins)))
+        .cast("int"))
+    val hist = binned.groupBy(col("bin"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // cumulative from the best bin down: bins above `boundary` fit the
+    // budget entirely; the prefix stops inside `boundary` (contiguous
+    // in global quality order, so lower bins cannot contribute)
+    var tokensAbove = 0L
+    var boundary = -1
+    var b = bins - 1
+    while (b >= 0 && boundary < 0) {
+      val t = hist.getOrElse(b, 0L)
+      if (tokensAbove + t <= budgetTokens) tokensAbove += t
+      else boundary = b
+      b -= 1
+    }
+    val selected =
+      if (boundary < 0) binned
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val whole = binned.filter(col("bin") > boundary)
+        // only the boundary bin sorts — its population is bounded by
+        // the bin width, not the corpus
+        val partial = binned.filter(col("bin") === boundary)
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .filter(col("cum") + tokensAbove <= budgetTokens)
+          .drop("cum")
+        whole.unionByName(partial)
+      }
+    selected.select(col("doc_id"), col("quality"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

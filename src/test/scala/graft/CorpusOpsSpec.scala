@@ -247,4 +247,34 @@ class CorpusOpsSpec extends SparkSuite {
     assert(src.length == 3)
     assert(src.map(_("n_docs").asInstanceOf[Long]).sum == 3L)
   }
+
+  test("token-budget selection equals the global prefix-sum definition") {
+    import graft.functions.TextFunctions
+    // real corpus slice: varied quality, forces a partial boundary bin
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = d.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    for (budget <- Seq(0L, 500L, 2000L, Long.MaxValue)) {
+      val expected = rowsOf(scored
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .filter(col("cum") <= budget)
+        .select(col("doc_id")).orderBy(col("doc_id")))
+        .map(_("doc_id"))
+      val got = rowsOf(CorpusOps.selectByTokenBudget(d, budgetTokens = budget))
+        .map(_("doc_id"))
+      assert(got == expected, s"budget=$budget: $got vs $expected")
+      // hard budget: the selection never exceeds it (except the
+      // everything-fits sentinel case)
+      if (budget != Long.MaxValue) {
+        val total = rowsOf(CorpusOps.selectByTokenBudget(d, budget))
+          .map(_("n_tokens").asInstanceOf[Long]).sum
+        assert(total <= budget)
+      }
+    }
+  }
 }

@@ -375,15 +375,34 @@ object CorpusOps {
     * the exact global order and the two-pass result is identical, at
     * the cost of one small sort instead of a corpus-wide range
     * exchange. The driver holds O(bins) longs — never rows.
+    *
+    * Both passes recompute the scoring projection rather than
+    * materializing it: the narrow (id, quality, tokens) frame is
+    * still corpus-cardinality (terabytes at the design point), so
+    * recomputing a codegen'd expression chain beats persisting and
+    * re-reading it — the same recompute-over-materialize call the
+    * rest of the curation surface makes.
     */
   def selectByTokenBudget(docs: DataFrame, budgetTokens: Long = 15000L,
       bins: Int = 1024): DataFrame = {
-    val scored = docs.select(col("doc_id"),
-      TextFunctions.qualityScore(col("text")).as("quality"),
-      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-    val binned = scored.withColumn("bin",
-      least(lit(bins - 1), greatest(lit(0), floor(col("quality") * bins)))
-        .cast("int"))
+    // Pushdown barrier, stronger form than q_corpus_filter's: a bare
+    // unused rand() column gets COLUMN-PRUNED whenever any outer
+    // projection exists, after which PushPredicateThroughNonJoin
+    // happily inlines the bin predicates below this projection —
+    // re-deriving the whole scoring chain inside Filter conditions,
+    // where no subexpression elimination exists. So every bin filter
+    // REFERENCES the barrier as its leading conjunct (rand ∈ [0,1),
+    // so `>= 0` is vacuously true but unfoldable): a filter whose
+    // first conjunct is non-deterministic can neither move nor shed
+    // the column that anchors it.
+    val q = TextFunctions.qualityScore(col("text"))
+    val binned = docs.select(col("doc_id"),
+      q.as("quality"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      least(lit(bins - 1), greatest(lit(0), floor(q * bins)))
+        .cast("int").as("bin"),
+      rand(7).as("_pushdown_barrier"))
+    def binFilter(c: Column) = col("_pushdown_barrier") >= 0 && c
     val hist = binned.groupBy(col("bin"))
       .agg(sum(col("n_tokens")).as("bin_tokens"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -406,10 +425,10 @@ object CorpusOps {
           .orderBy(col("quality").desc, col("doc_id"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow)
-        val whole = binned.filter(col("bin") > boundary)
+        val whole = binned.filter(binFilter(col("bin") > boundary))
         // only the boundary bin sorts — its population is bounded by
         // the bin width, not the corpus
-        val partial = binned.filter(col("bin") === boundary)
+        val partial = binned.filter(binFilter(col("bin") === boundary))
           .withColumn("cum", sum(col("n_tokens")).over(w))
           .filter(col("cum") + tokensAbove <= budgetTokens)
           .drop("cum")

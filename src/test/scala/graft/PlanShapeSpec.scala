@@ -286,6 +286,28 @@ class PlanShapeSpec extends SparkSuite {
       s"Q21 top-k regressed to a global sort:\n$p21")
   }
 
+  test("token-budget selection prunes the scan and sorts only the boundary bin") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.operators.CorpusOps.selectByTokenBudget(docs, 500L))
+    // only (doc_id, text) may be read from the corpus
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(r =>
+      r.contains("doc_id") && r.contains("text") && !r.contains("lang")),
+      s"scan reads more than the scoring projection:\n${reads.mkString("\n")}")
+    // the prefix-sum window must sit above a bin FILTER (the boundary
+    // bin only), never over the whole scored corpus
+    val windows = raw"\(\d+\) Window\b".r.findAllIn(p).length
+    assert(windows == 1, s"expected exactly the boundary-bin window ($windows):\n$p")
+    // and the scoring chain must run ONCE per row: the rand() barrier
+    // keeps the bin predicates ABOVE the scoring projection, so no
+    // Filter condition may contain the fused scoring expressions
+    val scoringInFilters = p.linesIterator
+      .filter(_.contains("Condition"))
+      .count(l => l.contains("stopwordhitsexpr") || l.contains("bpepunctcountsexpr"))
+    assert(scoringInFilters == 0,
+      s"bin filter re-derives the scoring chain ($scoringInFilters):\n$p")
+  }
+
   test("shingle-hash runs once per row: no hash in scan filters, no sort before join") {
     // explode_outer + non-nullable count (Dedup.ngramJaccardPairs,
     // CorpusOps.decontaminate) keep InferFiltersFromGenerate from

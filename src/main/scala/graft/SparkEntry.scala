@@ -287,20 +287,23 @@ object SparkEntry {
       // re-tokenize per language branch. With `hits` a real column,
       // every downstream reference is a cheap element_at (CollapseProject
       // keeps the boundary: non-cheap, multi-referenced).
-      // The rand() column is a deliberate pushdown barrier:
-      // PushPredicateThroughNonJoin only rewrites a filter through a
-      // projection whose fields are ALL deterministic, and without it
-      // the predicate is inlined below — re-deriving the scoring trees
-      // per row inside the filter, where no subexpression elimination
-      // exists (verified in the formatted plan: 8× stopwordhitsexpr +
-      // regex chains in the Filter condition).
+      // The rand() barrier keeps the gate predicates ABOVE the scoring
+      // projection (PushPredicateThroughNonJoin only rewrites a filter
+      // through an all-deterministic projection; inlined predicates
+      // re-derive the scoring trees per row inside the Filter, where no
+      // subexpression elimination exists). The filter must REFERENCE
+      // the barrier as its leading conjunct — a bare unused rand()
+      // column is column-pruned once any outer projection exists, and
+      // the push then proceeds anyway (caught in round 5: the scoring
+      // chain was back inside the Filter condition).
       d.select(col("doc_id"), col("text"),
           TextFunctions.langHits(col("text")).as("hits"))
         .select(col("doc_id"),
           TextFunctions.qualityScoreFromHits(col("text"), col("hits")).as("quality"),
           TextFunctions.langIdFromHits(col("hits")).as("lang"),
           rand(7).as("_pushdown_barrier"))
-        .filter(col("quality") >= 0.65 && col("lang") === "en")
+        .filter(col("_pushdown_barrier") >= 0 &&
+          col("quality") >= 0.65 && col("lang") === "en")
         .join(canon, Seq("doc_id"))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))

@@ -306,6 +306,16 @@ class PlanShapeSpec extends SparkSuite {
       .count(l => l.contains("stopwordhitsexpr") || l.contains("bpepunctcountsexpr"))
     assert(scoringInFilters == 0,
       s"bin filter re-derives the scoring chain ($scoringInFilters):\n$p")
+    // same contract for the corpus-filter gate (its round-3 bare-rand
+    // barrier had silently died to column pruning; the anchored
+    // leading conjunct must keep the chain out of Filter conditions)
+    val cf = plan(SparkEntry.queries("q_corpus_filter")(
+      spark, "/root/testdata/sf0.001"))
+    val cfInFilters = cf.linesIterator
+      .filter(_.contains("Condition"))
+      .count(l => l.contains("stopwordhitsexpr") || l.contains("bpepunctcountsexpr"))
+    assert(cfInFilters == 0,
+      s"corpus-filter gate re-derives the scoring chain ($cfInFilters):\n$cf")
   }
 
   test("shingle-hash runs once per row: no hash in scan filters, no sort before join") {

@@ -316,6 +316,14 @@ class PlanShapeSpec extends SparkSuite {
       .count(l => l.contains("stopwordhitsexpr") || l.contains("bpepunctcountsexpr"))
     assert(cfInFilters == 0,
       s"corpus-filter gate re-derives the scoring chain ($cfInFilters):\n$cf")
+    // and for the streaming curation gate (batch-mode plan; the same
+    // Column definitions run in the stream)
+    val cur = plan(graft.streaming.StreamingCuration.curated(docs))
+    val curInFilters = cur.linesIterator
+      .filter(_.contains("Condition"))
+      .count(l => l.contains("stopwordhitsexpr") || l.contains("bpepunctcountsexpr"))
+    assert(curInFilters == 0,
+      s"curation gate re-derives the scoring chain ($curInFilters):\n$cur")
   }
 
   test("shingle-hash runs once per row: no hash in scan filters, no sort before join") {

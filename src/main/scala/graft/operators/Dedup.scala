@@ -407,8 +407,16 @@ object Dedup {
           "candidate recall is approximate, not pigeonhole-guaranteed")
     val bandBits = SimhashBits / bands
     val mask = (1L << bandBits) - 1
-    val withSig = shingleHashFrame(docs)
-      .select(col("doc_id"), simhashFromHashes(col("xs")).as("sig"))
+    // cheap text.isNotNull pre-filter + non-nullable sig: the join
+    // constraint on band_val otherwise infers isnotnull(simhash(
+    // shinglehash(...))) into BOTH self-join scans, re-running the
+    // fused chain per row inside a Filter condition (the same
+    // InferFilters class as round 4's ngram fix; caught by the round-5
+    // plan sweep). Null-text docs never matched anyway (null band_val
+    // never equi-joins), so dropping them up front is semantics-free.
+    val withSig = shingleHashFrame(docs.filter(col("text").isNotNull))
+      .select(col("doc_id"),
+        coalesce(simhashFromHashes(col("xs")), lit(0L)).as("sig"))
     val bandedAll = withSig.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map(bi =>
         struct(lit(bi).as("band"),

@@ -227,7 +227,15 @@ object Similarity {
       nCentroids: Int = 16, nProbes: Int = 4,
       centroids: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val cu = withUnit(corpus).select(col("vec_id"), col("unit"))
+    // null-embedding corpus rows are EXCLUDED from the index (no cell
+    // for them; trainCentroids applies the same policy). The filter
+    // rides the RAW column — `unit IS NULL ⟺ embedding IS NULL`
+    // (UnitVectorExpr is a UnaryExpression: null out only for null in;
+    // element nulls stay element nulls), and filtering on the derived
+    // column instead would inline unitvectorexpr into the scan Filter,
+    // re-normalizing every row a second time (round-5 plan sweep).
+    val cu = withUnit(corpus.filter(col("embedding").isNotNull))
+      .select(col("vec_id"), col("unit"))
     // default: deterministic stand-in centroids (first nCentroids
     // vectors) so the DuckDB oracle can reproduce cell assignment;
     // production passes trainCentroids(corpus) — the plan is identical
@@ -254,12 +262,10 @@ object Similarity {
     }
     val scores = array(book.map { case (_, v) =>
       dot(col("unit"), typedLit(v)) }: _*)
-    // null-embedding corpus rows are EXCLUDED from the index (argmax
-    // over all-null scores has no cell; the same policy trainCentroids
-    // applies). Null-embedding queries score null against every
-    // candidate and rank last, as before.
+    // (null exclusion happened at the embedding column above;
+    // null-embedding queries still score null against every candidate
+    // and rank last, as before)
     val assigned = cu
-      .filter(col("unit").isNotNull)
       .withColumn("scores", scores)
       // first max wins (array_position is 1-based) = lowest cid, since
       // the book is cid-ascending — the same tie-break as the probe

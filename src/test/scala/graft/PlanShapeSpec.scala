@@ -357,6 +357,28 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("no query plan evaluates a fused expensive expression inside a Filter") {
+    // the generalized net for the class round 5 kept finding: Filter
+    // conditions get NO subexpression elimination, so an expensive
+    // fused expression that leaks into one (via inferred isnotnull
+    // constraints on nullable derived columns, or predicate pushdown
+    // through an all-deterministic projection after a dead barrier is
+    // pruned) silently re-runs per row. Three instances were caught by
+    // this sweep (simhash band join, IVF unit filter, corpus-filter
+    // gate); every future query walks through it.
+    val expensive = Seq("stopwordhitsexpr", "bpepunctcountsexpr",
+      "shinglehashexpr", "minhashsigexpr", "simhashexpr", "unitvectorexpr")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = plan(fn(spark, "/root/testdata/sf0.001"))
+        val hits = p.linesIterator.filter(_.contains("Condition"))
+          .flatMap(l => expensive.filter(l.contains)).toSeq.distinct
+        if (hits.isEmpty) None else Some(s"$name: ${hits.mkString(",")}")
+    }
+    assert(offenders.isEmpty,
+      s"fused expressions inside Filter conditions:\n${offenders.mkString("\n")}")
+  }
+
   test("brute-force kNN broadcasts the query side, never the corpus") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = plan(graft.operators.Similarity.knnBruteForce(

@@ -287,23 +287,18 @@ object SparkEntry {
       // re-tokenize per language branch. With `hits` a real column,
       // every downstream reference is a cheap element_at (CollapseProject
       // keeps the boundary: non-cheap, multi-referenced).
-      // The rand() barrier keeps the gate predicates ABOVE the scoring
-      // projection (PushPredicateThroughNonJoin only rewrites a filter
-      // through an all-deterministic projection; inlined predicates
-      // re-derive the scoring trees per row inside the Filter, where no
-      // subexpression elimination exists). The filter must REFERENCE
-      // the barrier as its leading conjunct — a bare unused rand()
-      // column is column-pruned once any outer projection exists, and
-      // the push then proceeds anyway (caught in round 5: the scoring
-      // chain was back inside the Filter condition).
+      // the anchored barrier (functions.Barrier) keeps the gate above
+      // the scoring projection — inlined gate predicates re-derive the
+      // scoring trees inside the Filter, where no subexpression
+      // elimination exists
       d.select(col("doc_id"), col("text"),
           TextFunctions.langHits(col("text")).as("hits"))
         .select(col("doc_id"),
           TextFunctions.qualityScoreFromHits(col("text"), col("hits")).as("quality"),
           TextFunctions.langIdFromHits(col("hits")).as("lang"),
-          rand(7).as("_pushdown_barrier"))
-        .filter(col("_pushdown_barrier") >= 0 &&
-          col("quality") >= 0.65 && col("lang") === "en")
+          graft.functions.Barrier.column)
+        .filter(graft.functions.Barrier.anchored(
+          col("quality") >= 0.65 && col("lang") === "en"))
         .join(canon, Seq("doc_id"))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))

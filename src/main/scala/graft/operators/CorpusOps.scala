@@ -384,57 +384,91 @@ object CorpusOps {
     * rest of the curation surface makes.
     */
   def selectByTokenBudget(docs: DataFrame, budgetTokens: Long = 15000L,
-      bins: Int = 1024): DataFrame = {
-    // Pushdown barrier, stronger form than q_corpus_filter's: a bare
-    // unused rand() column gets COLUMN-PRUNED whenever any outer
-    // projection exists, after which PushPredicateThroughNonJoin
-    // happily inlines the bin predicates below this projection —
-    // re-deriving the whole scoring chain inside Filter conditions,
-    // where no subexpression elimination exists. So every bin filter
-    // REFERENCES the barrier as its leading conjunct (rand ∈ [0,1),
-    // so `>= 0` is vacuously true but unfoldable): a filter whose
-    // first conjunct is non-deterministic can neither move nor shed
-    // the column that anchors it.
+      bins: Int = 1024, windowMaxRows: Long = 1L << 20): DataFrame = {
+    require(bins > 1, s"bins must be > 1: $bins (a single bin cannot " +
+      "locate a boundary; <= 0 would silently disable the budget)")
+    // gate predicates over the scoring projection use the anchored
+    // barrier (functions.Barrier) so the quality chain never inlines
+    // into Filter conditions
     val q = TextFunctions.qualityScore(col("text"))
-    val binned = docs.select(col("doc_id"),
+    val scored = docs.select(col("doc_id"),
       q.as("quality"),
       TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
-      least(lit(bins - 1), greatest(lit(0), floor(q * bins)))
-        .cast("int").as("bin"),
-      rand(7).as("_pushdown_barrier"))
-    def binFilter(c: Column) = col("_pushdown_barrier") >= 0 && c
+      graft.functions.Barrier.column)
+    prefixSelect(scored, budgetTokens, bins, windowMaxRows,
+      lo = 0.0, width = 1.0, depth = MaxRefineDepth)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 4 levels × 1024 bins resolve quality to ~10^-12 — finer than
+    * double noise; past this, remaining boundary mass is quality TIES,
+    * which only the doc_id total order can split. */
+  private val MaxRefineDepth = 4
+
+  /** One refinement level of the budget prefix over the quality range
+    * `[lo, lo + width)`: histogram `frame` into `bins`, take whole
+    * bins above the boundary, and resolve the boundary bin by
+    * RECURSING into its (bins×-finer) quality sub-range while its
+    * population exceeds `windowMaxRows` — so the terminal prefix-sum
+    * window sorts a bounded row set on its one reducer, not whatever
+    * fraction of the corpus shares a quality bin (quality
+    * concentrates: ordinary >=100-word English text pins several score
+    * terms at their caps). Quality TIES cannot be split by any bin
+    * resolution; they exhaust `depth` in a few cheap aggregates and
+    * fall to the window — the irreducible case, since only the doc_id
+    * tie-break orders them.
+    */
+  private def prefixSelect(frame: DataFrame, budget: Long, bins: Int,
+      windowMaxRows: Long, lo: Double, width: Double, depth: Int): DataFrame = {
+    import graft.functions.Barrier
+    val binned = frame.withColumn("bin",
+      least(lit(bins - 1), greatest(lit(0),
+        floor((col("quality") - lo) / width * bins))).cast("int"))
+    // O(bins) (tokens, rows) pairs to the driver — never rows. Null
+    // token sums (an all-null-text bin) read as 0: SUM skips nulls in
+    // both engines, so null-token docs never advance the budget.
     val hist = binned.groupBy(col("bin"))
-      .agg(sum(col("n_tokens")).as("bin_tokens"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // cumulative from the best bin down: bins above `boundary` fit the
-    // budget entirely; the prefix stops inside `boundary` (contiguous
-    // in global quality order, so lower bins cannot contribute)
-    var tokensAbove = 0L
+      .agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2)))
+      .toMap
+    // cumulative from the best bin down: bins above `boundary` fit
+    // entirely; the prefix stops inside `boundary` (contiguous in
+    // global quality order, so lower bins cannot contribute)
+    var above = 0L
     var boundary = -1
     var b = bins - 1
     while (b >= 0 && boundary < 0) {
-      val t = hist.getOrElse(b, 0L)
-      if (tokensAbove + t <= budgetTokens) tokensAbove += t
+      val t = hist.getOrElse(b, (0L, 0L))._1
+      if (above + t <= budget) above += t
       else boundary = b
       b -= 1
     }
-    val selected =
-      if (boundary < 0) binned
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("quality").desc, col("doc_id"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        val whole = binned.filter(binFilter(col("bin") > boundary))
-        // only the boundary bin sorts — its population is bounded by
-        // the bin width, not the corpus
-        val partial = binned.filter(binFilter(col("bin") === boundary))
-          .withColumn("cum", sum(col("n_tokens")).over(w))
-          .filter(col("cum") + tokensAbove <= budgetTokens)
-          .drop("cum")
-        whole.unionByName(partial)
-      }
-    selected.select(col("doc_id"), col("quality"), col("n_tokens"))
-      .orderBy(col("doc_id"))
+    if (boundary < 0) frame
+    else {
+      val whole = binned.filter(Barrier.anchored(col("bin") > boundary))
+        .drop("bin")
+      val inBoundary = binned
+        .filter(Barrier.anchored(col("bin") === boundary)).drop("bin")
+      val remaining = budget - above
+      val partial =
+        if (depth > 0 && hist(boundary)._2 > windowMaxRows)
+          prefixSelect(inBoundary, remaining, bins, windowMaxRows,
+            lo + boundary * (width / bins), width / bins, depth - 1)
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(col("quality").desc, col("doc_id"))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)
+          inBoundary
+            .withColumn("cum", sum(col("n_tokens")).over(w))
+            .filter(col("cum") <= remaining)
+            .drop("cum")
+        }
+      whole.unionByName(partial)
+    }
   }
 }

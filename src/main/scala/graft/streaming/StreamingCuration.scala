@@ -40,14 +40,14 @@ object StreamingCuration {
         TextFunctions.qualityScoreFromHits(col("text"), col("hits"))
           .as("quality"),
         TextFunctions.langIdFromHits(col("hits")).as("lang"),
-        // anchored pushdown barrier (see q_corpus_filter / round 5):
-        // the gate must lead with a non-deterministic conjunct or the
-        // quality/langid chains inline into the Filter condition and
-        // run twice per document — legal in streaming projections and
-        // per-batch-seeded, which is fine for a vacuously-true guard
-        rand(7).as("_pushdown_barrier"))
-      .filter(col("_pushdown_barrier") >= 0 &&
-        col("quality") >= minQuality && col("lang") === lang)
+        // anchored pushdown barrier (functions.Barrier): the gate must
+        // lead with a non-deterministic conjunct or the quality/langid
+        // chains inline into the Filter condition and run twice per
+        // document — legal in streaming projections, and per-batch
+        // seeding is fine for a vacuously-true guard
+        graft.functions.Barrier.column)
+      .filter(graft.functions.Barrier.anchored(
+        col("quality") >= minQuality && col("lang") === lang))
       .select(col("doc_id"),
         CorpusOps.splitName(col("doc_id")).as("split"),
         TextFunctions.redactPii(col("text")).as("text"),

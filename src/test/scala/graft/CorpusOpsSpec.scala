@@ -277,4 +277,33 @@ class CorpusOpsSpec extends SparkSuite {
       }
     }
   }
+
+  test("token-budget boundary refinement recurses instead of sorting a huge bin") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import graft.functions.TextFunctions
+    val scored = d.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val expected = rowsOf(scored
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= 2000L)
+      .select(col("doc_id")).orderBy(col("doc_id"))).map(_("doc_id"))
+    // windowMaxRows = 1 forces refinement all the way to the depth cap
+    // (and the final quality-tie window) — the result must not change
+    val got = rowsOf(CorpusOps.selectByTokenBudget(d, 2000L,
+      windowMaxRows = 1L)).map(_("doc_id"))
+    assert(got == expected)
+    // coarse bins force a populated boundary bin at every level
+    val gotCoarse = rowsOf(CorpusOps.selectByTokenBudget(d, 2000L,
+      bins = 2, windowMaxRows = 1L)).map(_("doc_id"))
+    assert(gotCoarse == expected)
+    // degenerate bins are an error, not a silently ignored budget
+    intercept[IllegalArgumentException] {
+      CorpusOps.selectByTokenBudget(d, 2000L, bins = 0)
+    }
+  }
 }

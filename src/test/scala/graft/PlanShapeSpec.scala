@@ -306,18 +306,10 @@ class PlanShapeSpec extends SparkSuite {
       .count(l => l.contains("stopwordhitsexpr") || l.contains("bpepunctcountsexpr"))
     assert(scoringInFilters == 0,
       s"bin filter re-derives the scoring chain ($scoringInFilters):\n$p")
-    // same contract for the corpus-filter gate (its round-3 bare-rand
-    // barrier had silently died to column pruning; the anchored
-    // leading conjunct must keep the chain out of Filter conditions)
-    val cf = plan(SparkEntry.queries("q_corpus_filter")(
-      spark, "/root/testdata/sf0.001"))
-    val cfInFilters = cf.linesIterator
-      .filter(_.contains("Condition"))
-      .count(l => l.contains("stopwordhitsexpr") || l.contains("bpepunctcountsexpr"))
-    assert(cfInFilters == 0,
-      s"corpus-filter gate re-derives the scoring chain ($cfInFilters):\n$cf")
-    // and for the streaming curation gate (batch-mode plan; the same
-    // Column definitions run in the stream)
+    // the same contract for q_corpus_filter is covered by the
+    // all-queries Filter sweep below; the streaming curation gate is
+    // NOT in the queries map, so it gets its own check here
+    // (batch-mode plan; the same Column definitions run in the stream)
     val cur = plan(graft.streaming.StreamingCuration.curated(docs))
     val curInFilters = cur.linesIterator
       .filter(_.contains("Condition"))

@@ -445,6 +445,15 @@ object OracleSql {
       |FROM events JOIN t USING (user_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  val propsStats: String =
+    """WITH x AS (SELECT event_type,
+      |                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |           FROM events)
+      |SELECT event_type, COUNT(k) AS n_with_k,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k,
+      |       MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val eventTypeNames = graft.operators.EventAnalytics.EventTypes
 
   val eventTypePivot: String = {

@@ -65,6 +65,9 @@ object SparkEntry {
       EventAnalytics.asOfLastPrior(EventsAsRecords.readEvents(s, dir))),
     "q_audience_set_ops" -> ((s, dir) =>
       EventAnalytics.audienceSetOps(EventsAsRecords.readEvents(s, dir))),
+    // semi-structured JSON extraction with an explicit schema
+    "q_props_stats" -> ((s, dir) =>
+      EventAnalytics.propsStats(EventsAsRecords.readEvents(s, dir))),
     // pivot (explicit value list) and its lossless long-form melt
     "q_event_pivot" -> ((s, dir) =>
       EventAnalytics.eventTypePivot(EventsAsRecords.readEvents(s, dir))),
@@ -410,6 +413,7 @@ object SparkEntry {
       "q_event_pivot" -> OracleSql.eventTypePivot,
       "q_token_budget" -> OracleSql.selectByTokenBudget(),
       "q_event_unpivot" -> OracleSql.eventTypeLong,
+      "q_props_stats" -> OracleSql.propsStats,
       "q_tpch_q1" -> OracleSql.tpchQ1(),
       "q_tpch_q3" -> OracleSql.tpchQ3(),
       "q_tpch_q5" -> OracleSql.tpchQ5(),

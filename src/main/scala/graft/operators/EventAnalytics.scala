@@ -300,6 +300,26 @@ object EventAnalytics {
       .orderBy(col("incident_start_us"))
   }
 
+  /** Semi-structured property extraction: parse the JSON `props`
+    * payload with an EXPLICIT schema (`from_json` + schema string —
+    * never schema inference, which costs a discovery scan and makes
+    * the plan data-dependent) and aggregate the typed field. The
+    * parse is a codegen'd scan-bound projection; malformed or missing
+    * JSON yields NULL, which COUNT(field)/SUM skip identically in
+    * both engines.
+    */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"), "k BIGINT",
+          Map.empty[String, String]).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   /** Event-type counts pivoted to one column per type. The pivot
     * VALUES ARE EXPLICIT: an unlisted pivot runs an extra collect job
     * to discover the domain (a full scan before the real one) and

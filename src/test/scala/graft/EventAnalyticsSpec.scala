@@ -299,6 +299,26 @@ class EventAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("props extraction nulls malformed JSON and skips it in aggregates") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "a", """{"k": 5}"""),
+      (1L, "a", """{"k": 7}"""),
+      (2L, "a", """not json at all"""),
+      (3L, "a", """{"other": 9}"""),
+      (4L, "a", null: String),
+      (5L, "b", """{"k": -2}"""))
+      .toDF("event_id", "event_type", "props")
+      .withColumn("ts", timestamp_millis(col("event_id")))
+      .withColumn("user_id", lit(1L)).withColumn("value", lit(1.0))
+    val r = rowsOf(EventAnalytics.propsStats(df))
+      .map(m => m("event_type") -> m).toMap
+    assert(r("a")("n_with_k") == 2L, "malformed/missing k must not count")
+    assert(r("a")("sum_k") == 12L && r("a")("min_k") == 5L)
+    assert(r("b")("sum_k") == -2L)
+  }
+
   test("pivot zero-fills missing types and unpivot round-trips losslessly") {
     val df = events(
       (0L, 0L, 1L, "click", 1.0), (1L, 0L, 1L, "click", 1.0),

@@ -16,6 +16,11 @@ object SparkEntry {
   private def records(s: SparkSession, dir: String): DataFrame =
     EventsAsRecords.records(s, dir)
 
+  /** One warehouse-table read — every relational query loads tables
+    * through here. */
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     TopicMetrics.report(records(spark, "/root/testdata/sf0.001"))
@@ -85,119 +90,119 @@ object SparkEntry {
     // relational side: classic TPC-H shapes over the warehouse tables
     "q_tpch_q1" -> ((s, dir) =>
       graft.operators.Relational.pricingSummary(
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "lineitem"))),
     "q_tpch_q3" -> ((s, dir) =>
       graft.operators.Relational.shippingPriority(
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "customer"),
+        tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
     "q_tpch_q5" -> ((s, dir) =>
       graft.operators.Relational.localSupplierRevenue(
-        s.read.parquet(s"$dir/region.parquet"),
-        s.read.parquet(s"$dir/nation.parquet"),
-        s.read.parquet(s"$dir/supplier.parquet"),
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "region"),
+        tbl(s, dir, "nation"),
+        tbl(s, dir, "supplier"),
+        tbl(s, dir, "customer"),
+        tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
     "q_tpch_q14" -> ((s, dir) =>
       graft.operators.Relational.promoRevenue(
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/part.parquet"))),
+        tbl(s, dir, "lineitem"),
+        tbl(s, dir, "part"))),
     "q_tpch_q6" -> ((s, dir) =>
       graft.operators.Relational.forecastRevenue(
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "lineitem"))),
     "q_tpch_q10" -> ((s, dir) =>
       graft.operators.Relational.returnedItemRevenue(
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/nation.parquet"))),
+        tbl(s, dir, "customer"),
+        tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"),
+        tbl(s, dir, "nation"))),
     "q_tpch_q18" -> ((s, dir) =>
       graft.operators.Relational.largeOrders(
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "customer"),
+        tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
     // join-surface breadth: left-semi (Q4-style) and left-anti
     // (Q22-style) over the warehouse tables
     "q_tpch_q4" -> ((s, dir) =>
       graft.operators.Relational.orderPriorityCheck(
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
     "q_tpch_q22" -> ((s, dir) =>
       graft.operators.Relational.inactiveHighBalanceCustomers(
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"))),
+        tbl(s, dir, "customer"),
+        tbl(s, dir, "orders"))),
     // DecisionSupport: the remaining TPC-H shapes (see that object's
     // scaladoc for the partsupp-free adaptations) — suite complete
     "q_tpch_q2" -> ((s, dir) =>
       graft.operators.DecisionSupport.minCostSupplier(
-        s.read.parquet(s"$dir/region.parquet"),
-        s.read.parquet(s"$dir/nation.parquet"),
-        s.read.parquet(s"$dir/supplier.parquet"),
-        s.read.parquet(s"$dir/part.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "region"),
+        tbl(s, dir, "nation"),
+        tbl(s, dir, "supplier"),
+        tbl(s, dir, "part"),
+        tbl(s, dir, "lineitem"))),
     "q_tpch_q7" -> ((s, dir) =>
       graft.operators.DecisionSupport.volumeShipping(
-        s.read.parquet(s"$dir/nation.parquet"),
-        s.read.parquet(s"$dir/supplier.parquet"),
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "nation"),
+        tbl(s, dir, "supplier"),
+        tbl(s, dir, "customer"),
+        tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
     "q_tpch_q8" -> ((s, dir) =>
       graft.operators.DecisionSupport.marketShare(
-        s.read.parquet(s"$dir/region.parquet"),
-        s.read.parquet(s"$dir/nation.parquet"),
-        s.read.parquet(s"$dir/supplier.parquet"),
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/part.parquet"))),
+        tbl(s, dir, "region"),
+        tbl(s, dir, "nation"),
+        tbl(s, dir, "supplier"),
+        tbl(s, dir, "customer"),
+        tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"),
+        tbl(s, dir, "part"))),
     "q_tpch_q9" -> ((s, dir) =>
       graft.operators.DecisionSupport.productProfit(
-        s.read.parquet(s"$dir/nation.parquet"),
-        s.read.parquet(s"$dir/supplier.parquet"),
-        s.read.parquet(s"$dir/part.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "nation"),
+        tbl(s, dir, "supplier"),
+        tbl(s, dir, "part"),
+        tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
     "q_tpch_q11" -> ((s, dir) =>
       graft.operators.DecisionSupport.importantParts(
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "lineitem"))),
     "q_tpch_q12" -> ((s, dir) =>
       graft.operators.DecisionSupport.lateShipmentPriority(
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
     "q_tpch_q13" -> ((s, dir) =>
       graft.operators.DecisionSupport.customerDistribution(
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"))),
+        tbl(s, dir, "customer"),
+        tbl(s, dir, "orders"))),
     "q_tpch_q15" -> ((s, dir) =>
       graft.operators.DecisionSupport.topSupplier(
-        s.read.parquet(s"$dir/supplier.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "supplier"),
+        tbl(s, dir, "lineitem"))),
     "q_tpch_q16" -> ((s, dir) =>
       graft.operators.DecisionSupport.partSupplierCounts(
-        s.read.parquet(s"$dir/supplier.parquet"),
-        s.read.parquet(s"$dir/part.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "supplier"),
+        tbl(s, dir, "part"),
+        tbl(s, dir, "lineitem"))),
     "q_tpch_q17" -> ((s, dir) =>
       graft.operators.DecisionSupport.smallQuantityRevenue(
-        s.read.parquet(s"$dir/part.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "part"),
+        tbl(s, dir, "lineitem"))),
     "q_tpch_q19" -> ((s, dir) =>
       graft.operators.DecisionSupport.discountedRevenue(
-        s.read.parquet(s"$dir/part.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "part"),
+        tbl(s, dir, "lineitem"))),
     "q_tpch_q20" -> ((s, dir) =>
       graft.operators.DecisionSupport.dominantSuppliers(
-        s.read.parquet(s"$dir/nation.parquet"),
-        s.read.parquet(s"$dir/supplier.parquet"),
-        s.read.parquet(s"$dir/part.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "nation"),
+        tbl(s, dir, "supplier"),
+        tbl(s, dir, "part"),
+        tbl(s, dir, "lineitem"))),
     "q_tpch_q21" -> ((s, dir) =>
       graft.operators.DecisionSupport.waitingSuppliers(
-        s.read.parquet(s"$dir/supplier.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+        tbl(s, dir, "supplier"),
+        tbl(s, dir, "orders"),
+        tbl(s, dir, "lineitem"))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
     // scale variant: HLL distinct counts (mergeable sketch, no
@@ -324,10 +329,10 @@ object SparkEntry {
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    tbl(s, dir, "documents")
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    tbl(s, dir, "embeddings")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

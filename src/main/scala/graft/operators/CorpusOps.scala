@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Fnv32, TextFunctions}
@@ -208,7 +209,6 @@ object CorpusOps {
     */
   def packAssignments(docs: DataFrame, budgetTokens: Int = 512,
       packBuckets: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("pack_bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col("doc_id"),
@@ -255,7 +255,6 @@ object CorpusOps {
     * string so top-k is deterministic.
     */
   def docKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ex = docs.select(col("doc_id"),
       explode(TextFunctions.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
@@ -458,11 +457,11 @@ object CorpusOps {
           prefixSelect(inBoundary, remaining, bins, windowMaxRows,
             lo + boundary * (width / bins), width / bins, depth - 1)
         else {
-          val w = org.apache.spark.sql.expressions.Window
+          val w = Window
             .orderBy(col("quality").desc, col("doc_id"))
             .rowsBetween(
-              org.apache.spark.sql.expressions.Window.unboundedPreceding,
-              org.apache.spark.sql.expressions.Window.currentRow)
+              Window.unboundedPreceding,
+              Window.currentRow)
           inBoundary
             .withColumn("cum", sum(col("n_tokens")).over(w))
             .filter(col("cum") <= remaining)

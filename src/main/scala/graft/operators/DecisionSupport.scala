@@ -36,10 +36,7 @@ import org.apache.spark.sql.functions._
   */
 object DecisionSupport {
 
-  private def dec(c: Column) = c.cast("decimal(18,2)")
-  private val one = lit(1.0).cast("decimal(18,2)")
-  private def discPrice: Column =
-    dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+  import Money.{dec, discPrice}
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
   /** TPC-H Q2-style: min-cost regional supplier per part. The
@@ -144,7 +141,6 @@ object DecisionSupport {
     val suppNation = supplier
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-    val zero = lit(0.0).cast("decimal(18,2)")
     lineitem
       // part is SF-linear (fact-shaped) — unhinted, AQE sizes the join
       .join(part.filter(col("p_type") === partType).select(col("p_partkey")),
@@ -158,7 +154,7 @@ object DecisionSupport {
       .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg((sum(when(col("supp_nation") === nationName, discPrice)
-            .otherwise(zero)).cast("double") /
+            .otherwise(Money.zero)).cast("double") /
           sum(discPrice).cast("double")).as("mkt_share"))
       .orderBy(col("o_year"))
   }

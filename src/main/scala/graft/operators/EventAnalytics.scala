@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics over the raw `events` table — the windowed /
@@ -34,7 +35,7 @@ object EventAnalytics {
     * (ts, event_id).
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     events
@@ -55,7 +56,7 @@ object EventAnalytics {
   /** Each user's most frequent event type (ties broken
     * lexicographically) — grouped count + one top-1 window. */
   def topEventTypePerUser(events: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy(col("user_id"))
       .orderBy(col("cnt").desc, col("event_type"))
     events.groupBy(col("user_id"), col("event_type"))
@@ -82,9 +83,9 @@ object EventAnalytics {
     */
   def valuePercentiles(events: DataFrame,
       ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy(col("event_type")).orderBy(col("value"))
-    val wAll = org.apache.spark.sql.expressions.Window
+    val wAll = Window
       .partitionBy(col("event_type"))
     // null values are excluded outright: engines disagree on null sort
     // position (Spark NULLS FIRST vs others' NULLS LAST), and a
@@ -141,7 +142,7 @@ object EventAnalytics {
     * and max of an empty set are NULL, as is NULL / 0).
     */
   def interEventGaps(events: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
       .withColumn("gap_us",
@@ -165,9 +166,9 @@ object EventAnalytics {
     * exact decimal until the output cast.
     */
   def rollingValue(events: DataFrame, frame: Int = 3): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      .rowsBetween(-frame, org.apache.spark.sql.expressions.Window.currentRow)
+      .rowsBetween(-frame, Window.currentRow)
     events.select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"),
       sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
@@ -184,7 +185,7 @@ object EventAnalytics {
     * engines assign identical bucket boundaries.
     */
   def userSpendDeciles(events: DataFrame, buckets: Int = 10): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .orderBy(col("total_dec").desc, col("user_id"))
     events.groupBy(col("user_id"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("total_dec"))
@@ -218,11 +219,11 @@ object EventAnalytics {
       .select(col("user_id"), col("ts"), col("event_id"),
         lit(1).as("side"), lit(null).cast("long").as("build_id"),
         lit(null).cast("long").as("build_ts_us"))
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy(col("user_id"))
       .orderBy(col("ts"), col("side"), col("event_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+      .rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
     builds.unionAll(probes)
       .withColumn("asof_build_id", last(col("build_id"), true).over(w))
       .withColumn("asof_build_ts_us", last(col("build_ts_us"), true).over(w))
@@ -244,10 +245,10 @@ object EventAnalytics {
     */
   def errorIncidents(events: DataFrame, minErrors: Int = 2,
       bridgeMinutes: Int = 5): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("m_start"))
+    val w = Window.orderBy(col("m_start"))
     val wRun = w.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.currentRow)
+      Window.unboundedPreceding,
+      Window.currentRow)
     events.filter(col("event_type") === "error")
       .groupBy(window(col("ts"), "1 minute").as("w"))
       .agg(count(lit(1)).as("n_errors"))

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  import Money.dec
 
   /** TPC-H Q1: pricing summary report. One scan, one shuffle keyed by
     * the 4-value (returnflag, linestatus) pair, map-side partials do
@@ -33,8 +33,8 @@ object Relational {
     */
   def pricingSummary(lineitem: DataFrame,
       shipBefore: String = "1998-09-02 00:00:00"): DataFrame = {
-    val discPrice = dec(col("l_extendedprice")) * (lit(1.0).cast("decimal(18,2)") - dec(col("l_discount")))
-    val charge = discPrice * (lit(1.0).cast("decimal(18,2)") + dec(col("l_tax")))
+    val discPrice = dec(col("l_extendedprice")) * (Money.one - dec(col("l_discount")))
+    val charge = discPrice * (Money.one + dec(col("l_tax")))
     lineitem
       .filter(col("l_shipdate") <= lit(shipBefore).cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -88,7 +88,7 @@ object Relational {
           col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) *
-          (lit(1.0).cast("decimal(18,2)") - dec(col("l_discount"))))
+          (Money.one - dec(col("l_discount"))))
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -101,7 +101,7 @@ object Relational {
       from: String = "1996-01-01 00:00:00",
       until: String = "1996-02-01 00:00:00"): DataFrame = {
     val discPrice = dec(col("l_extendedprice")) *
-      (lit(1.0).cast("decimal(18,2)") - dec(col("l_discount")))
+      (Money.one - dec(col("l_discount")))
     lineitem
       .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
         col("l_shipdate") < lit(until).cast("timestamp"))
@@ -250,7 +250,7 @@ object Relational {
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) *
-          (lit(1.0).cast("decimal(18,2)") - dec(col("l_discount"))))
+          (Money.one - dec(col("l_discount"))))
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(k)
@@ -278,7 +278,7 @@ object Relational {
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) *
-          (lit(1.0).cast("decimal(18,2)") - dec(col("l_discount"))))
+          (Money.one - dec(col("l_discount"))))
         .cast("double").as("revenue"))
       .select(col("l_orderkey"),
         // parquet naive timestamps surface as TIMESTAMP_NTZ; the cast

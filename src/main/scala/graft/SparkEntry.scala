@@ -226,6 +226,14 @@ object SparkEntry {
       Dedup.exact(docs(s, dir)).orderBy(col("canonical_doc_id"))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(docs(s, dir))),
+    // same semantics, bucketed-edge-table iteration (the 100 TB path:
+    // per-round joins run co-located, only the update stream shuffles);
+    // scratch state lives under a fresh temp dir — only the final
+    // label parquet survives, which the returned plan reads
+    "q_dedup_clusters_bucketed" -> ((s, dir) =>
+      Dedup.nearDupClustersBucketed(docs(s, dir),
+        java.nio.file.Files.createTempDirectory("graft-ndb-q").toString,
+        buckets = s.conf.get("spark.sql.shuffle.partitions").toInt)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
     "q_simhash" -> ((s, dir) => TextAnalysis.simhashFrame(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
@@ -452,6 +460,7 @@ object SparkEntry {
       "q_dedup_exact" -> OracleSql.dedupExact,
       "q_dedup_minhash" -> OracleSql.minhashPairs(),
       "q_dedup_clusters" -> OracleSql.nearDupClusters(),
+      "q_dedup_clusters_bucketed" -> OracleSql.nearDupClusters(),
       "q_ngram_jaccard" -> OracleSql.ngramJaccardPairs(),
       "q_simhash" -> OracleSql.simhash,
       "q_simhash_pairs" -> OracleSql.simhashPairs(),

@@ -246,13 +246,20 @@ object CorpusOps {
     * df≈N scores ≈tf, df=2 scores ≈tf·N/2).
     *
     * Plan shape: ONE token explode (Σ tokens work) into the tf
-    * aggregate; df rides a `count over (partition by term)` window on
-    * the tf rows — NOT a tf⋈df self-join, which would tokenize the
-    * corpus twice (the df branch optimizes to a distinct, a different
-    * subplan AQE cannot stage-reuse) and add a join exchange. N is a
+    * aggregate; df is RE-AGGREGATED from the tf frame
+    * (`tf.groupBy(term).count` — both join sides share the tf
+    * aggregate's (doc_id, term) Exchange, which ReuseExchange dedupes,
+    * so the corpus is still tokenized exactly once) and equi-joined
+    * back. NOT a `count over (partition by term)` window on the tf
+    * rows: terms are Zipfian, and a window Exchange keyed by raw term
+    * must land a stopword's ~N tf rows on ONE task (windows cannot be
+    * skew-split), where (a) the df aggregate is partial-aggregable so
+    * the hot key combines map-side to O(#partitions) rows, and (b) the
+    * tf⋈df join exchange IS AQE-skew-splittable at runtime. N is a
     * broadcast 1-row aggregate (the Q22 scalar idiom), rank a
-    * WindowGroupLimit-prunable row_number. Ties break on the term
-    * string so top-k is deterministic.
+    * WindowGroupLimit-prunable row_number over doc_id (bounded: tokens
+    * per document). Ties break on the term string so top-k is
+    * deterministic.
     */
   def docKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
     val ex = docs.select(col("doc_id"),
@@ -260,10 +267,20 @@ object CorpusOps {
       .filter(col("term") =!= "")
     val tf = ex.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // the vacuous `tf >= 1` gate (tf counts ≥1 rows by construction) is
+    // load-bearing: without a reference to tf, column pruning rewrites
+    // the df-side copy of the tf aggregate into a bare distinct
+    // (functions=[]), de-canonicalizing it from the tf side's — AQE then
+    // cannot stage-reuse the exchange and the corpus tokenizes TWICE
+    // (observed; the spec pins the reuse). Catalyst cannot fold the gate
+    // away (no ≥1 constraint is inferred for a count output), and a
+    // filter on an aggregate output never pushes below the aggregate.
+    val df = tf.filter(col("tf") >= 1)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") *

@@ -357,6 +357,120 @@ object Dedup {
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
+  /** One label-propagation round over a bucketed edge/label pair — the
+    * iteration body [[nearDupLabelsBucketed]] runs and the plan shape
+    * the companion spec pins. With `edges` bucketed by `doc_b` and
+    * `labels` bucketed by `doc_id` (same bucket count), both joins run
+    * bucket-co-located: the edge table — the BIG side, |E| ≫ |V| — is
+    * never exchanged, and the only shuffle left in the round is the
+    * label-update stream between them (`groupBy(doc_a).min`), which is
+    * partial-aggregated map-side inside the bucket tasks so it carries
+    * at most |V| rows however many edges a hot vertex has. That stream
+    * is the irreducible communication of label propagation (labels
+    * must cross the graph); everything else is exchange-free.
+    *
+    * Output: (doc_id, prev, cluster) — prev carried through so the
+    * convergence check stays a narrow filter on the next round's table.
+    */
+  def propagationRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
+      .groupBy(edges("doc_a").as("nbr_doc"))
+      .agg(min(col("cluster")).as("nbr_min"))
+    labels.join(prop, labels("doc_id") === prop("nbr_doc"), "left")
+      .select(labels("doc_id"), col("cluster").as("prev"),
+        least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+          .as("cluster"))
+  }
+
+  /** [[nearDupClusters]] with the iteration state held in BUCKETED
+    * tables ([[graft.sources.CorpusStore.writeBucketed]]) instead of
+    * local checkpoints — the cluster-scale formulation the checkpoint
+    * variant's NOTE points at: a localCheckpoint records
+    * UnknownPartitioning under AQE, so the checkpointed loop re-plans
+    * (and on big inputs re-shuffles) the edge side every round, while
+    * a bucketed edge table carries its co-location in catalog metadata
+    * that every round's scan reuses. Per round, only the
+    * partial-aggregated label-update stream shuffles (see
+    * [[propagationRound]]); the edge table is read bucket-aligned
+    * `maxIters` times with ZERO exchanges (spec-pinned).
+    *
+    * Storage: everything lives under `storeDir` (a scratch path — at
+    * cluster scale, a durable store; locally, a temp dir). Superseded
+    * rounds' tables and files are dropped as the loop advances; on
+    * return only the FINAL label parquet remains (the returned plan
+    * reads it — callers that need the files gone afterwards delete
+    * `storeDir` once done with the frame). Unlike [[nearDupLabels]]
+    * there is no persisted-RDD contract: state is on disk, and a crash
+    * leaves only droppable catalog entries + files under `storeDir`.
+    *
+    * `buckets` should match `spark.sql.shuffle.partitions` so the
+    * update stream's aggregate partitioning aligns with the label
+    * table's bucketing and the carry-through join needs no realignment.
+    */
+  def nearDupClustersBucketed(docs: DataFrame, storeDir: String,
+      buckets: Int = 32, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val tag = "graft_ndb_" +
+      java.lang.Integer.toHexString(storeDir.hashCode & 0x7fffffff)
+    def rm(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    def drop(table: String): Unit =
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    val pairs = minhashPairsUnsorted(docs, numHashes, bands, threshold,
+        shingleN, maxBucket)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    graft.sources.CorpusStore.writeBucketed(
+      sym, s"${tag}_edges", s"$storeDir/edges", buckets, bucketCol = "doc_b")
+    val edges = spark.table(s"${tag}_edges")
+    def labelsTable(i: Int) = s"${tag}_labels_$i"
+    def labelsPath(i: Int) = s"$storeDir/labels_$i"
+    // seed = min(self, direct neighbors), same head start as the
+    // checkpoint variant; written bucketed by doc_id for round 1
+    // (no prev column: round 0 is never convergence-checked — every
+    // later table comes out of propagationRound, which carries prev)
+    val seed = edges.groupBy(col("doc_a").as("doc_id"))
+      .agg(min(col("doc_b")).as("nbr_min"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("nbr_min")).as("cluster"))
+    graft.sources.CorpusStore.writeBucketed(
+      seed, labelsTable(0), labelsPath(0), buckets)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val labels = spark.table(labelsTable(iter))
+        .select(col("doc_id"), col("cluster"))
+      graft.sources.CorpusStore.writeBucketed(
+        propagationRound(edges, labels),
+        labelsTable(iter + 1), labelsPath(iter + 1), buckets)
+      // convergence = narrow filter over the just-written (tiny) table
+      converged = spark.table(labelsTable(iter + 1))
+        .filter(col("cluster") =!= col("prev")).isEmpty
+      drop(labelsTable(iter)); rm(labelsPath(iter))
+      iter += 1
+    }
+    if (!converged)
+      System.err.println(
+        s"[nearDupClustersBucketed] NOT converged after $maxIters rounds — " +
+          "labels may be non-minimal; raise maxIters for deeper chains")
+    // the returned plan reads the final parquet by PATH so the catalog
+    // entries can be dropped now; the edge files are no longer needed
+    val labels = spark.read.parquet(labelsPath(iter))
+      .select(col("doc_id"), col("cluster"))
+    drop(labelsTable(iter)); drop(s"${tag}_edges"); rm(s"$storeDir/edges")
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "graph_doc"),
+        col("doc_id") === col("graph_doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash over distinct word-3-gram shingles: bit j of the

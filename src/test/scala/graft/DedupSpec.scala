@@ -66,6 +66,27 @@ class DedupSpec extends SparkSuite {
     assert(more == clusters)
   }
 
+  test("bucketed clustering matches the checkpoint variant on the real corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndb").toString
+    try {
+      val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val expect = rowsOf(Dedup.nearDupClusters(d))
+        .map(r => r("doc_id") -> r("cluster")).toMap
+      val got = rowsOf(Dedup.nearDupClustersBucketed(d, dir, buckets = 4))
+        .map(r => r("doc_id") -> r("cluster")).toMap
+      assert(got == expect)
+      // loop hygiene: only the final labels parquet survives — all
+      // superseded rounds, the edge store, and every catalog entry are
+      // gone (bench reruns must not accumulate tables or files)
+      val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(left.forall(_.startsWith("labels_")) && left.size == 1,
+        s"stale state left behind: $left")
+      assert(!spark.catalog.listTables().collect()
+        .exists(_.name.startsWith("graft_ndb_")), "catalog entries leaked")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("hot-bucket cap: degenerate identical-doc buckets are skipped, " +
       "under-cap pairs survive") {
     // the corpus dedup exists for: a pile of identical boilerplate docs

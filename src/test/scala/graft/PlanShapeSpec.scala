@@ -107,6 +107,77 @@ class PlanShapeSpec extends SparkSuite {
     assert(shuffles <= 3, s"too many shuffle exchanges ($shuffles):\n$p")
   }
 
+  test("bucketed propagation round: both joins co-located, one exchange total") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndb-plan").toString
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val pairs = graft.operators.Dedup.minhashPairsUnsorted(docs)
+        .select(col("doc_a"), col("doc_b"))
+      val sym = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      graft.sources.CorpusStore.writeBucketed(
+        sym, "plan_ndb_edges", s"$dir/edges", 4, bucketCol = "doc_b")
+      val edges = spark.table("plan_ndb_edges")
+      val seed = edges.groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("doc_b")).as("nbr_min"))
+        .select(col("doc_id"),
+          least(col("doc_id"), col("nbr_min")).as("cluster"))
+      graft.sources.CorpusStore.writeBucketed(
+        seed, "plan_ndb_labels", s"$dir/labels", 4)
+      // force the SMJ path: a broadcast of the small fixture would mask
+      // the co-location claim under test
+      spark.conf.set(thresholdKey, "-1")
+      val round = graft.operators.Dedup.propagationRound(
+        edges, spark.table("plan_ndb_labels").select(col("doc_id"), col("cluster")))
+      round.collect()
+      val executed = round.queryExecution.executedPlan.toString
+      assert(executed.contains("isFinalPlan=true"), executed.take(500))
+      // the round's ONLY exchange is the partial-aggregated label-update
+      // stream (groupBy doc_a) — the irreducible communication. The edge
+      // scan and both label scans feed their joins bucket-aligned: the
+      // edge⋈labels SMJ directly, the carry-through left join because
+      // the aggregate's hashpartitioning(doc_a, buckets) already matches
+      // the label table's bucketing. An Exchange under either join
+      // input, or a second exchange anywhere, means a round re-shuffles
+      // state — the cost this variant exists to amortize away.
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(executed.substring(0, executed.indexOf("== Initial Plan =="))).length
+      assert(exchanges == 1,
+        s"round must shuffle only the update stream ($exchanges):\n$executed")
+      assert(!executed.contains("BroadcastExchange"),
+        s"broadcast crept past the disabled threshold:\n$executed")
+    } finally {
+      spark.conf.set(thresholdKey, prev)
+      spark.sql("DROP TABLE IF EXISTS plan_ndb_edges")
+      spark.sql("DROP TABLE IF EXISTS plan_ndb_labels")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("docKeywords never windows by raw term; tf exchange is shared at runtime") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.CorpusOps.docKeywords(docs)
+    val p = plan(df)
+    // terms are Zipfian: a Window partitioned by raw term would land a
+    // stopword's ~N tf rows on ONE task with no AQE skew escape. The
+    // only window allowed is the per-document rank (bounded by tokens
+    // per doc); df must arrive via a partial-aggregable groupBy + join.
+    val windows = raw"\(\d+\) Window\b".r.findAllIn(p).length
+    assert(windows == 1, s"docKeywords grew extra windows ($windows):\n$p")
+    assert(!p.contains("windowspecdefinition(term"),
+      s"df regressed to a term-partitioned window:\n$p")
+    // both sides of the tf⋈df join derive from the tf aggregate — the
+    // (doc_id, term) exchange must be stage-reused so the corpus is
+    // tokenized exactly once (only the EXECUTED adaptive plan proves it)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("isFinalPlan=true"), executed.take(500))
+    assert(executed.contains("ReusedExchange"),
+      s"tf/df no longer share the tokenize exchange:\n${executed.take(3000)}")
+  }
+
   test("sketch self-joins reuse one exchange per input at runtime") {
     // the forced-SMJ claim (Dedup.ngramJaccardPairs, simhashPairs,
     // Similarity.lshNearPairs): both self-join sides demand identical

@@ -446,8 +446,13 @@ object OracleSql {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val propsStats: String =
+    // TRY_CAST-to-JSON first: Spark's from_json is PERMISSIVE (NULL on
+    // malformed props) while DuckDB's json_extract RAISES — the cast
+    // nulls bad payloads so both engines agree row-for-row instead of
+    // the oracle erroring out on the first garbage row
     """WITH x AS (SELECT event_type,
-      |                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |                  CAST(json_extract(TRY_CAST(props AS JSON), '$.k')
+      |                       AS BIGINT) AS k
       |           FROM events)
       |SELECT event_type, COUNT(k) AS n_with_k,
       |       CAST(SUM(k) AS BIGINT) AS sum_k,
@@ -457,8 +462,12 @@ object OracleSql {
   private val eventTypeNames = graft.operators.EventAnalytics.EventTypes
 
   val eventTypePivot: String = {
+    // event-type names become column identifiers — quote them ("view"
+    // is a keyword in several dialects, and nothing stops a future
+    // event type from carrying spaces or reserved words)
     val cols = eventTypeNames.map(t =>
-      s"COUNT(*) FILTER (WHERE event_type = '$t') AS $t").mkString(",\n|       ")
+      s"""COUNT(*) FILTER (WHERE event_type = '$t') AS "$t"""")
+      .mkString(",\n|       ")
     s"""SELECT user_id,
        |       $cols
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
@@ -466,7 +475,8 @@ object OracleSql {
 
   val eventTypeLong: String = {
     val arms = eventTypeNames.map(t =>
-      s"SELECT user_id, '$t' AS event_type, $t AS n FROM p").mkString("\n|  UNION ALL\n|  ")
+      s"""SELECT user_id, '$t' AS event_type, "$t" AS n FROM p""")
+      .mkString("\n|  UNION ALL\n|  ")
     s"""WITH p AS ($eventTypePivot)
        |  $arms
        |ORDER BY user_id, event_type""".stripMargin
@@ -570,6 +580,32 @@ object OracleSql {
        |       ${stripeMean("n // 2", "3 * n // 4")} AS stripe2,
        |       ${stripeMean("3 * n // 4", "n")} AS stripe3
        |FROM m ORDER BY media_id""".stripMargin
+  }
+
+  /** Closed-form pixel statistics for the REAL PNG decode round trip
+    * ([[graft.operators.Multimodal.decodeQuery]]): the generator puts
+    * `(doc_id*31 + p) mod 256` at pixel index p of an 8×8 grayscale
+    * PNG, so the oracle recomputes every decoded statistic from the
+    * formula alone — no image parsing on the DuckDB side, and any
+    * decoder pixel error hash-mismatches. Sums are exact integers;
+    * the divisors (64, 16) are powers of two, so the double means are
+    * IEEE-exact on both engines.
+    */
+  val multimodalDecode: String = {
+    def stripe(lo: Int, hi: Int): String =
+      s"""CAST(SUM(CASE WHEN p >= $lo AND p < $hi THEN v ELSE 0 END) AS DOUBLE)
+         |  / ${hi - lo}""".stripMargin
+    s"""WITH px AS (
+       |  SELECT d.doc_id, t.p, (d.doc_id * 31 + t.p) % 256 AS v
+       |  FROM documents d, generate_series(0, 63) AS t(p))
+       |SELECT doc_id AS media_id,
+       |       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       |       CAST(SUM(v) AS DOUBLE) / 64 AS px_mean,
+       |       ${stripe(0, 16)} AS stripe0,
+       |       ${stripe(16, 32)} AS stripe1,
+       |       ${stripe(32, 48)} AS stripe2,
+       |       ${stripe(48, 64)} AS stripe3
+       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
   }
 
   /** Frame-count / stride sampling over the ASCII payload, mirroring

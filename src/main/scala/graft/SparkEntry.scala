@@ -58,6 +58,13 @@ object SparkEntry {
     // oracle, and EventAnalyticsSpec brackets this one against it.
     "q_value_percentiles_approx" -> ((s, dir) =>
       EventAnalytics.valuePercentilesApprox(EventsAsRecords.readEvents(s, dir))),
+    // EXACT scale variant: distributed radix select over the IEEE bit
+    // key — same values as q_value_percentiles (shared oracle), no
+    // per-type global sort; windowMaxRows=256 forces real refinement
+    // levels even at verify scale so the gate exercises the descent
+    "q_value_percentiles_dist" -> ((s, dir) =>
+      EventAnalytics.valuePercentilesDistributed(
+        EventsAsRecords.readEvents(s, dir), windowMaxRows = 256L)),
     // analytic-function surface: lag gaps, rolling frames, rank/ntile
     "q_event_gaps" -> ((s, dir) =>
       EventAnalytics.interEventGaps(EventsAsRecords.readEvents(s, dir))),
@@ -65,6 +72,11 @@ object SparkEntry {
       EventAnalytics.rollingValue(EventsAsRecords.readEvents(s, dir))),
     "q_spend_deciles" -> ((s, dir) =>
       EventAnalytics.userSpendDeciles(EventsAsRecords.readEvents(s, dir))),
+    // EXACT scale variant: histogram-prefix global rank + per-bin
+    // windows instead of the one-reducer ntile (shared oracle)
+    "q_spend_deciles_dist" -> ((s, dir) =>
+      EventAnalytics.userSpendDecilesDistributed(
+        EventsAsRecords.readEvents(s, dir))),
     // as-of join (union-merge formulation) + set operations
     "q_asof_join" -> ((s, dir) =>
       EventAnalytics.asOfLastPrior(EventsAsRecords.readEvents(s, dir))),
@@ -242,6 +254,10 @@ object SparkEntry {
       graft.operators.Multimodal.featuresQuery(docs(s, dir))),
     "q_multimodal_sample" -> ((s, dir) =>
       graft.operators.Multimodal.sampleQuery(docs(s, dir))),
+    // REAL image decode: generated PNGs → javax.imageio → pixel stats;
+    // the oracle recomputes the stats from the generator's closed form
+    "q_multimodal_decode" -> ((s, dir) =>
+      graft.operators.Multimodal.decodeQuery(docs(s, dir))),
     // LLM-pipeline: embedding similarity search
     "q_embed_knn" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -416,9 +432,11 @@ object SparkEntry {
       "q_sessions" -> OracleSql.sessions(),
       "q_user_top_type" -> OracleSql.topEventTypePerUser,
       "q_value_percentiles" -> OracleSql.valuePercentiles(),
+      "q_value_percentiles_dist" -> OracleSql.valuePercentiles(),
       "q_event_gaps" -> OracleSql.interEventGaps,
       "q_rolling_value" -> OracleSql.rollingValue(),
       "q_spend_deciles" -> OracleSql.userSpendDeciles(),
+      "q_spend_deciles_dist" -> OracleSql.userSpendDeciles(),
       "q_asof_join" -> OracleSql.asOfLastPrior(),
       "q_audience_set_ops" -> OracleSql.audienceSetOps(),
       "q_incident_range_join" -> OracleSql.incidentRangeJoin(),
@@ -466,6 +484,7 @@ object SparkEntry {
       "q_simhash_pairs" -> OracleSql.simhashPairs(),
       "q_multimodal_features" -> OracleSql.multimodalFeatures,
       "q_multimodal_sample" -> OracleSql.multimodalSample(),
+      "q_multimodal_decode" -> OracleSql.multimodalDecode,
       "q_embed_knn" -> OracleSql.knn(),
       "q_embed_knn_ivf" -> OracleSql.knnIvf(),
       "q_corpus_filter" -> OracleSql.corpusFilter(),

@@ -397,7 +397,15 @@ object CorpusOps {
     * still corpus-cardinality (terabytes at the design point), so
     * recomputing a codegen'd expression chain beats persisting and
     * re-reading it — the same recompute-over-materialize call the
-    * rest of the curation surface makes.
+    * rest of the curation surface makes. NOTE the recursion multiplies
+    * this: each refinement level re-scans and re-scores the full
+    * corpus (the bin gate deliberately sits above the barrier, so it
+    * cannot prune the scan), so a hot boundary bin costs up to
+    * MaxRefineDepth+1 = 5 scoring passes before assembly — still
+    * scan-bound and shuffle-free, but O(depth) scans, not the two of
+    * the non-recursive case. A deployment where scoring dominates
+    * scanning should persist the boundary-bin frame once refinement
+    * triggers and trade storage for the repeated scoring.
     */
   def selectByTokenBudget(docs: DataFrame, budgetTokens: Long = 15000L,
       bins: Int = 1024, windowMaxRows: Long = 1L << 20): DataFrame = {

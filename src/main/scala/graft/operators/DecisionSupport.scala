@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The rest of the TPC-H decision-support suite — every query SHAPE the
@@ -395,35 +396,69 @@ object DecisionSupport {
       .orderBy(col("s_suppkey"))
   }
 
-  /** TPC-H Q21-style: suppliers who kept finished orders waiting — the
-    * semi + anti self-join pair on the same fact. A line is "late"
-    * when it shipped more than `lateDays` after the order date (no
-    * receipt/commit dates here); the supplier is blamed when SOME
-    * other supplier contributed to the order (semi) and NO other
-    * supplier shipped later (anti) — i.e. it was the last to ship.
-    * Both self-joins shuffle lineitem on the order key with the
-    * supplier inequality (and ship-date compare) as residual
-    * conditions; only the name lookup broadcasts.
+  /** TPC-H Q21-style: suppliers who kept finished orders waiting. A
+    * line is "late" when it shipped more than `lateDays` after the
+    * order date (no receipt/commit dates here); the supplier is blamed
+    * when SOME other supplier contributed to the order (semi) and NO
+    * other supplier shipped later (anti) — i.e. it was the last to
+    * ship.
+    *
+    * Plan shape: the textbook formulation is a semi + anti SELF-JOIN
+    * pair — three lineitem scans, three order-key shuffles (and the
+    * three branches prune different columns, so their exchanges never
+    * canonicalize equal for stage reuse). Both self-joins reduce to
+    * per-(order, supplier) facts, so this instead shuffles ONE narrow
+    * lineitem projection on the order key and derives everything
+    * inside that partitioning with zero further exchanges:
+    * `exists other supplier` = the per-order supplier count ≥ 2, and
+    * `exists other supplier later than line d` = d's supplier-wise
+    * other-max: M1 (per-order max shipdate) unless this supplier is
+    * M1's UNIQUE attainer, in which case the max over sub-M1 suppliers
+    * — all from one aggregate plus chained sort-free windows (the
+    * groupBy(order, supp) aggregate, the per-order windows, and the
+    * line-level join-back all have their clustering satisfied by the
+    * one repartition, and AQE stage-reuses it across the two
+    * branches). Only the supplier name lookup broadcasts.
     */
   def waitingSuppliers(supplier: DataFrame, orders: DataFrame,
       lineitem: DataFrame, lateDays: Int = 30, k: Int = 100): DataFrame = {
+    // the explicit not-null gate (vacuous on this warehouse — lineitem
+    // carries no nulls) keeps the two consumers of the repartition
+    // byte-identical BELOW it: the late-lines branch would otherwise
+    // push its inferred IsNotNull constraints (join keys + the
+    // shipdate comparison) under its copy of the exchange, and the
+    // de-canonicalized twins would scan + shuffle lineitem twice
     val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
-      col("l_shipdate"))
-    val others = li.select(col("l_orderkey").as("o2_orderkey"),
-      col("l_suppkey").as("o2_suppkey"))
-    val later = li.select(col("l_orderkey").as("o3_orderkey"),
-      col("l_suppkey").as("o3_suppkey"), col("l_shipdate").as("o3_shipdate"))
+        col("l_shipdate"))
+      .filter(col("l_orderkey").isNotNull && col("l_suppkey").isNotNull &&
+        col("l_shipdate").isNotNull)
+      .repartition(col("l_orderkey"))
+    val perSupp = li.groupBy(
+        col("l_orderkey").as("i_orderkey"), col("l_suppkey").as("i_suppkey"))
+      .agg(max(col("l_shipdate")).as("s_max"))
+    val w = Window.partitionBy(col("i_orderkey"))
+    val info = perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("m1", max(col("s_max")).over(w))
+      .withColumn("n_at_m1",
+        sum(when(col("s_max") === col("m1"), 1).otherwise(0)).over(w))
+      .withColumn("m2",
+        max(when(col("s_max") =!= col("m1"), col("s_max"))).over(w))
+      .select(col("i_orderkey"), col("i_suppkey"), col("n_supp"),
+        when(col("s_max") === col("m1") && col("n_at_m1") === 1, col("m2"))
+          .otherwise(col("m1")).as("max_others"))
     li
       .join(orders.filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") >
         col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
-      .join(others, col("o2_orderkey") === col("l_orderkey") &&
-        col("o2_suppkey") =!= col("l_suppkey"), "left_semi")
-      .join(later, col("o3_orderkey") === col("l_orderkey") &&
-        col("o3_suppkey") =!= col("l_suppkey") &&
-        col("o3_shipdate") > col("l_shipdate"), "left_anti")
+      .join(info, col("i_orderkey") === col("l_orderkey") &&
+        col("i_suppkey") === col("l_suppkey"))
+      // max_others NULL = no other supplier in the order at all — the
+      // anti holds vacuously but the semi (n_supp >= 2) already fails
+      .filter(col("n_supp") >= 2 &&
+        (col("max_others").isNull || col("max_others") <= col("l_shipdate")))
       .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))

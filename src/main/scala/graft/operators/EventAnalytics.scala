@@ -102,6 +102,107 @@ object EventAnalytics {
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("event_type"))
   }
+  /** EXACT percentiles without a per-type global sort — distributed
+    * MSD radix select over the order-preserving IEEE bit key
+    * ([[graft.functions.DoubleBits]]). Identical output to
+    * [[valuePercentiles]] (same `ceil(p·n)` order-statistic pick, same
+    * actual values — no interpolation), but the scale shape is
+    * different: instead of sorting each event type's values on one
+    * reducer, each refinement level is ONE partial-aggregable
+    * histogram pass — `groupBy(target, top-10-bits-of-suffix).count`,
+    * a map-side-combining aggregate whose shuffle carries at most
+    * targets × 1024 rows — and the driver walks O(1024) counts to pick
+    * each target's next 10-bit prefix. Levels repeat until a target's
+    * candidate population fits `windowMaxRows`, then one bounded
+    * per-target window picks the exact value. Six levels resolve 60 of
+    * the key's 64 bits, so candidates are ≤16 DISTINCT values even in
+    * the worst case; only a mega-run of literally equal doubles can
+    * keep the terminal window large (ties are unsplittable by any
+    * method — the pick is then the shared value regardless of order).
+    *
+    * Driver state: O(#types × |ps|) targets + one O(targets × 1024)
+    * histogram per level — counts, never rows (the bounded-collect
+    * contract the rest of the engine follows).
+    */
+  def valuePercentilesDistributed(events: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      windowMaxRows: Long = 4096L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val vals = events.select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .withColumn("u", graft.functions.DoubleBits.orderableBits(col("value")))
+    // rank targets: k-th smallest (1-based), k = ceil(p·n) — the same
+    // double-multiply-then-ceil both the window variant and the oracle
+    // compute, so tie/rounding behavior is identical
+    val counts = vals.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    final case class Target(id: Int, typ: String, pi: Int, var k: Long,
+        var prefix: Long, var level: Int, var done: Boolean)
+    val targets = (for {
+      ((typ, n), ti) <- counts.zipWithIndex
+      (p, pi) <- ps.zipWithIndex
+    } yield Target(ti * ps.size + pi, typ, pi,
+      math.ceil(n * p).toLong, 0L, 0, n <= windowMaxRows)).toArray
+    var level = 0
+    val MaxLevels = 6 // 60 bits resolved; ≤16 distinct values remain
+    while (level < MaxLevels && targets.exists(!_.done)) {
+      val active = targets.filter(!_.done)
+      val tdf = active.map(t => (t.id, t.typ, t.prefix))
+        .toSeq.toDF("t_id", "t_type", "t_prefix")
+      val prefShift = 64 - 10 * level   // bits already fixed
+      val fineShift = 64 - 10 * (level + 1) // this level's 10-bit bin
+      // level 0 has no prefix (a Java shift by 64 is a shift by 0 —
+      // the condition must be vacuous, not wrong)
+      val joinCond = vals("event_type") === col("t_type") &&
+        (if (level == 0) lit(true)
+         else expr(s"shiftrightunsigned(u, $prefShift)") === col("t_prefix"))
+      val hist = vals.join(broadcast(tdf), joinCond)
+        .groupBy(col("t_id"),
+          expr(s"shiftrightunsigned(u, $fineShift)")
+            .bitwiseAND(lit(1023L)).as("bin"))
+        .count()
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (id, rows) =>
+          id -> rows.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1) }
+      for (t <- active) {
+        var k = t.k
+        var picked = -1L
+        var pickedCount = 0L
+        for ((bin, c) <- hist(t.id) if picked < 0)
+          if (k > c) k -= c else { picked = bin; pickedCount = c }
+        t.k = k
+        t.prefix = (t.prefix << 10) | picked
+        t.level = level + 1
+        if (pickedCount <= windowMaxRows) t.done = true
+      }
+      level += 1
+    }
+    // terminal pick: candidates per target are its resolved-prefix rows
+    // (bounded by windowMaxRows / 16 distinct values), one bounded
+    // window each — partitioned per target, never per whole type
+    val tf = broadcast(targets.map(t =>
+        (t.id, t.typ, t.pi, t.k, t.prefix, 64 - 10 * t.level,
+          if (t.level == 0) 0 else 1))
+      .toSeq.toDF("t_id", "t_type", "t_pi", "t_k", "t_prefix", "t_shift",
+        "t_has_prefix"))
+    val cond = vals("event_type") === tf("t_type") &&
+      (tf("t_has_prefix") === 0 ||
+        expr("shiftrightunsigned(u, t_shift)") === col("t_prefix"))
+    val w = Window.partitionBy(col("t_id")).orderBy(col("u"))
+    val picked = vals.join(tf, cond)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === col("t_k"))
+    val aggs = ps.zipWithIndex.map { case (p, pi) =>
+      max(when(col("t_pi") === pi, col("value")))
+        .as(s"p${(p * 100).toInt}")
+    }
+    picked.groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("event_type"))
+  }
+
   /** Approximate companion of [[valuePercentiles]] for skew-prone
     * corpora: `percentile_approx` is a mergeable sketch aggregate —
     * map-side partials then one shuffle of fixed-size sketches per
@@ -193,6 +294,74 @@ object EventAnalytics {
         col("total_dec").cast("double").as("total_value"),
         dense_rank().over(w).as("spend_rank"),
         ntile(buckets).over(w).as("decile"))
+      .orderBy(col("user_id"))
+  }
+
+  /** [[userSpendDeciles]] without the global single-reducer window —
+    * the distributed-rank formulation. The total order (spend DESC,
+    * user_id ASC) is mapped to an ascending radix key (complemented
+    * [[graft.functions.DoubleBits]] bits), and the global rank
+    * decomposes into ONE 1024-bin histogram (a map-side-combining
+    * aggregate; the driver holds 1024 row counts — counts, never rows)
+    * plus per-BIN windows: global rank = bin-prefix rows + within-bin
+    * row_number. The window variant's `dense_rank` orders by
+    * (total DESC, user_id) — a UNIQUE key — so it equals the row
+    * position and needs no separate distinct bookkeeping. `ntile` is
+    * then pure arithmetic on the global rank — identical bucket
+    * boundaries to the window variant, bucket sizes differing by at
+    * most 1 with the first n mod k buckets larger.
+    *
+    * Scale bound: window parallelism is the number of OCCUPIED bins
+    * and the single-reducer unit shrinks from all users to one bin's
+    * users. Spend totals cluster in few exponents, so the top 10 key
+    * bits may occupy few bins; a skew-critical deployment recurses the
+    * hot bins on the next 10 bits exactly like
+    * [[valuePercentilesDistributed]]'s level loop — one level is shown
+    * here because per-row ranking (unlike single-value selection)
+    * usually tolerates bin-sized windows.
+    */
+  def userSpendDecilesDistributed(events: DataFrame,
+      buckets: Int = 10): DataFrame = {
+    val totals = events.groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("total_dec"))
+      .withColumn("bkey",
+        // complemented bits: unsigned-ascending == total DESCENDING;
+        // a NULL total (possible only for all-null-value users) takes
+        // the max key so it sorts last, matching DESC NULLS LAST
+        coalesce(
+          // ~x == -1 - x: bitwise complement via exact long arithmetic
+          lit(-1L) - graft.functions.DoubleBits.orderableBits(
+            col("total_dec").cast("double")),
+          lit(-1L)))
+    val binned = totals.withColumn("bin",
+      expr("shiftrightunsigned(bkey, 54)"))
+    val hist = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val nTotal = hist.map(_._2).sum
+    // driver prefix sums -> a 1024-row broadcast lookup
+    var rows = 0L
+    val prefix = hist.map { case (b, n) =>
+      val out = (b, rows); rows += n; out
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pdf = broadcast(prefix.toSeq.toDF("bin", "row_prefix"))
+    val w = Window.partitionBy(col("bin"))
+      .orderBy(col("bkey"), col("user_id"))
+    val base = nTotal / buckets
+    val rem = nTotal % buckets
+    val ranked = binned.join(pdf, "bin")
+      .withColumn("r", col("row_prefix") + row_number().over(w))
+    val decile =
+      when(col("r") <= lit(rem * (base + 1)),
+        (col("r") + base) / (base + 1))
+        .otherwise(lit(rem) + (col("r") - rem * (base + 1) + base - 1) / base)
+    ranked.select(col("user_id"),
+        col("total_dec").cast("double").as("total_value"),
+        col("r").cast("int").as("spend_rank"),
+        decile.cast("int").as("decile"))
       .orderBy(col("user_id"))
   }
 

@@ -7,14 +7,21 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, processed partition-locally in
   * batches.
   *
-  * The DECODE STEP IS A STUB: real codecs (JPEG/PNG/audio frames) are
-  * not available in this environment, so [[decodeStub]] derives
-  * deterministic fake features (byte statistics standing in for pixel
-  * statistics). Everything around it is real and tested: the schema,
-  * the `binary` payload column, batched partition-local processing
-  * (`mapPartitions` + `grouped(batchSize)` — the Scala shape of an
-  * Arrow-batched decode loop), and the typed output. Swapping
-  * [[decodeStub]] for a real decoder changes no plumbing.
+  * IMAGE DECODE IS REAL: PNG/JPEG readers ship in every JDK
+  * (`javax.imageio`), so [[decodeImage]] decodes actual pixels and
+  * [[extractImageFeatures]] derives statistics from them; the
+  * companion query generates deterministic PNGs whose pixel values
+  * follow a closed form the DuckDB oracle recomputes directly — PNG is
+  * lossless, so a decoder that misreads even one pixel hash-mismatches.
+  *
+  * AUDIO/VIDEO DECODE IS A STUB: those codecs are not available in
+  * this environment, so [[decodeStub]] derives deterministic fake
+  * features (byte statistics standing in for frame statistics).
+  * Everything around it is real and tested: the schema, the `binary`
+  * payload column, batched partition-local processing (`mapPartitions`
+  * + `grouped(batchSize)` — the Scala shape of an Arrow-batched decode
+  * loop), and the typed output. Swapping [[decodeStub]] for a real
+  * decoder changes no plumbing — [[decodeImage]] is the proof.
   *
   * Scale shape: decode is embarrassingly parallel and partition-local —
   * no shuffle anywhere; batch size bounds peak decoder memory per task.
@@ -75,6 +82,114 @@ object Multimodal {
     * media frame, ordered. */
   def featuresQuery(docs: DataFrame): DataFrame =
     extractFeatures(mediaFromDocuments(docs)).toDF().orderBy(col("media_id"))
+
+  /** Generated-image geometry: 8×8 keeps payloads tiny and every mean
+    * below a division by a power of two (64, 16) — IEEE-exact, so the
+    * decoded statistics hash-match the oracle's closed form bit-for-bit.
+    */
+  val ImgW = 8
+  val ImgH = 8
+
+  /** Deterministic 8×8 grayscale-in-RGB PNG for `id`: pixel (x, y)
+    * carries value `(id*31 + y*W + x) mod 256` in all three channels.
+    * The formula IS the oracle contract — [[graft.OracleSql]] recomputes
+    * the same statistics from it without decoding anything, so the
+    * encode→decode round trip is verified end-to-end against an
+    * independent engine.
+    */
+  def pngPayload(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < ImgH) {
+      var x = 0
+      while (x < ImgW) {
+        val v = ((id * 31 + y * ImgW + x) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real JDK decode: (width, height, row-major gray values), or None
+    * when the payload is not a decodable image — corrupt blobs must
+    * skip cleanly, not kill the task (at 100 TB some payloads WILL be
+    * garbage).
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        Some((w, h, px))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  case class ImageFeatures(
+      media_id: Long, width: Int, height: Int, px_mean: Double,
+      stripe0: Double, stripe1: Double, stripe2: Double, stripe3: Double)
+
+  /** Documents-derived PNG media frame: one real encoded image per
+    * document. Partition-local generation — the fixture-writer side of
+    * the decode round trip.
+    */
+  def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, pngPayload(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** Batched partition-local REAL image decode: pixel mean plus four
+    * quarter-stripe means over the decoded raster (same feature shape
+    * as [[decodeStub]], derived from actual pixels). Undecodable
+    * payloads are dropped.
+    */
+  def extractImageFeatures(media: DataFrame,
+      batchSize: Int = 64): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap {
+        case (id, payload) =>
+          decodeImage(payload).map { case (w, h, px) =>
+            val n = px.length
+            def rangeMean(lo: Int, hi: Int): Double =
+              if (hi <= lo) 0.0
+              else {
+                var s = 0L
+                var i = lo
+                while (i < hi) { s += px(i); i += 1 }
+                s.toDouble / (hi - lo)
+              }
+            ImageFeatures(id, w, h, rangeMean(0, n),
+              rangeMean(0, n / 4), rangeMean(n / 4, n / 2),
+              rangeMean(n / 2, 3 * n / 4), rangeMean(3 * n / 4, n))
+          }
+      }))
+  }
+
+  /** The driver-facing query: generate PNGs, decode them with the real
+    * JDK reader, return the pixel statistics. */
+  def decodeQuery(docs: DataFrame): DataFrame =
+    extractImageFeatures(pngMediaFromDocuments(docs))
+      .toDF().orderBy(col("media_id"))
 
   case class MediaSample(
       media_id: Long, n_frames: Long, kept_frames: Long,

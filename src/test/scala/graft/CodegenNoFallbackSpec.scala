@@ -105,4 +105,10 @@ class CodegenNoFallbackSpec extends SparkSuite {
     assertCodegenParity(docs.select(col("doc_id"),
       Fnv32.fnv32(col("text").cast("binary")).as("h")))
   }
+
+  test("orderable_bits compiles and matches under CODEGEN_ONLY") {
+    assertCodegenParity(docs.select(col("doc_id"),
+      graft.functions.DoubleBits.orderableBits(
+        (col("doc_id") * 0.37 - 90.0).cast("double")).as("u")))
+  }
 }

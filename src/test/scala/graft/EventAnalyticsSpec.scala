@@ -105,6 +105,79 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(r("p50") == 5.0 && r("p90") == 9.0 && r("p99") == 10.0)
   }
 
+  test("distributed radix-select percentiles equal the window variant at every depth") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val ev = graft.sources.EventsAsRecords
+        .readEvents(spark, "/root/testdata/sf0.01")
+      val exact = rowsOf(EventAnalytics.valuePercentiles(ev))
+      // windowMaxRows=1 forces the full 6-level descent; 100000
+      // resolves at level 0 (terminal window only); 64 lands in
+      // between — parity must hold wherever a target stops refining
+      for (wmr <- Seq(1L, 64L, 100000L))
+        assert(rowsOf(EventAnalytics.valuePercentilesDistributed(
+          ev, windowMaxRows = wmr)) == exact, s"diverged at windowMaxRows=$wmr")
+      // the scale claim: no window (hence no sort) partitioned by the
+      // whole event type — the terminal window partitions per TARGET
+      // over a windowMaxRows-bounded candidate set
+      val p = EventAnalytics.valuePercentilesDistributed(ev)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("windowspecdefinition(event_type"),
+        s"terminal window regressed to per-type:\n$p")
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    // negative values exercise the sign-flip branch of the bit mapping
+    val signed = events((0 until 20).map(i =>
+      (i.toLong, 1000L * i, 1L, "t", i - 10.5)): _*)
+    assert(rowsOf(EventAnalytics.valuePercentilesDistributed(
+        signed, windowMaxRows = 1L)) ==
+      rowsOf(EventAnalytics.valuePercentiles(signed)))
+  }
+
+  test("distributed spend deciles equal the global-window variant") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val ev = graft.sources.EventsAsRecords
+        .readEvents(spark, "/root/testdata/sf0.01")
+      assert(rowsOf(EventAnalytics.userSpendDecilesDistributed(ev)) ==
+        rowsOf(EventAnalytics.userSpendDeciles(ev)))
+      // no global (partition-less) window anywhere in the plan — ranks
+      // come from the bin-prefix join + per-bin windows
+      val p = EventAnalytics.userSpendDecilesDistributed(ev)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("windowspecdefinition(total_dec"),
+        s"rank regressed to the global window:\n$p")
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    // n < buckets edge: every user gets their own bucket, rank order
+    val tiny = events(
+      (0L, 1000L, 1L, "t", 5.0), (1L, 2000L, 2L, "t", 9.0),
+      (2L, 3000L, 3L, "t", 1.0))
+    assert(rowsOf(EventAnalytics.userSpendDecilesDistributed(tiny)) ==
+      rowsOf(EventAnalytics.userSpendDeciles(tiny)))
+  }
+
+  test("orderable bits preserve double ordering across the full range") {
+    import graft.functions.DoubleBits.orderable
+    val vs = Seq(Double.NegativeInfinity, -1e300, -490.02, -1.5, -0.01,
+      -Double.MinPositiveValue, -0.0, 0.0, Double.MinPositiveValue, 0.01,
+      1.5, 490.02, 1e300, Double.PositiveInfinity)
+    for (a <- vs; b <- vs) {
+      // unsigned comparison of the mapped keys == double comparison
+      val cmp = java.lang.Long.compareUnsigned(orderable(a), orderable(b))
+      assert(Integer.signum(cmp) ==
+        Integer.signum(java.lang.Double.compare(a, b)),
+        s"order broken for ($a, $b)")
+    }
+    // NaN maps above +Inf — both engines sort NaN last
+    assert(java.lang.Long.compareUnsigned(
+      orderable(Double.NaN), orderable(Double.PositiveInfinity)) > 0)
+  }
+
   test("as-of join matches the most recent build at-or-before each probe") {
     val df = events(
       (0L, 100L, 1L, "purchase", 1.0),

@@ -35,6 +35,51 @@ class MultimodalSpec extends SparkSuite {
     })
   }
 
+  test("PNG round trip: decoded pixel stats equal the generator's closed form") {
+    // the decoder must recover EVERY pixel the generator wrote — PNG is
+    // lossless, so equality against the formula proves a real decode,
+    // not byte-statistics luck
+    for (id <- Seq(0L, 1L, 7L, 255L, 256L, 123456789L)) {
+      val Some((w, h, px)) = Multimodal.decodeImage(Multimodal.pngPayload(id))
+      assert(w == Multimodal.ImgW && h == Multimodal.ImgH)
+      for (p <- 0 until w * h)
+        assert(px(p) == ((id * 31 + p) % 256).toInt,
+          s"pixel $p of image $id decoded wrong")
+    }
+  }
+
+  test("image decode query is batch-size invariant and matches the formula") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val png = Multimodal.pngMediaFromDocuments(docs)
+    val a = rowsOf(Multimodal.extractImageFeatures(png, batchSize = 1)
+      .toDF().orderBy("media_id"))
+    val b = rowsOf(Multimodal.extractImageFeatures(png, batchSize = 512)
+      .toDF().orderBy("media_id"))
+    assert(a == b && a.size == docs.count())
+    // spot-check the statistics against the closed form
+    assert(a.forall { r =>
+      val id = r("media_id").asInstanceOf[Long]
+      val px = (0 until 64).map(p => ((id * 31 + p) % 256).toInt)
+      r("px_mean") == px.sum.toDouble / 64 &&
+        r("stripe0") == px.slice(0, 16).sum.toDouble / 16 &&
+        r("stripe3") == px.slice(48, 64).sum.toDouble / 16
+    })
+  }
+
+  test("corrupt image payloads are dropped, valid ones survive") {
+    val s = spark
+    import s.implicits._
+    val mixed = Seq(
+      (1L, Multimodal.pngPayload(1L)),
+      (2L, "definitely not a png".getBytes("UTF-8")),
+      (3L, Array.emptyByteArray),
+      (4L, Multimodal.pngPayload(4L)))
+      .toDF("media_id", "payload")
+    val got = rowsOf(Multimodal.extractImageFeatures(mixed)
+      .toDF().orderBy("media_id"))
+    assert(got.map(_("media_id")) == Seq(1L, 4L))
+  }
+
   test("empty payload decodes to zero features, not a crash") {
     val f = Multimodal.decodeStub(1L, "image", Array.emptyByteArray)
     assert(f.n_bytes == 0L && f.byte_mean == 0.0 && f.stripe3 == 0.0)

@@ -350,11 +350,19 @@ class PlanShapeSpec extends SparkSuite {
       table("lineitem"))
     assert(hints(q21) == 1, "Q21: the supplier-name lookup only")
     val p21 = plan(q21)
-    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
-      s"Q21 needs BOTH self-join shapes (semi: other supplier exists; " +
-        s"anti: none shipped later):\n$p21")
     assert(p21.contains("TakeOrderedAndProject"),
       s"Q21 top-k regressed to a global sort:\n$p21")
+    // the semi/anti self-join pair is re-expressed as ONE lineitem
+    // shuffle + per-order windows: at runtime the two consumers must
+    // stage-reuse the repartition exchange so lineitem is scanned and
+    // shuffled exactly once (the executed adaptive plan proves it)
+    q21.collect()
+    val exec21 = q21.queryExecution.executedPlan.toString
+    val final21 = exec21.substring(0, exec21.indexOf("== Initial Plan =="))
+    assert("lineitem.parquet".r.findAllIn(final21).length == 1,
+      s"Q21 scans lineitem more than once:\n${final21.take(3000)}")
+    assert(final21.contains("ReusedExchange"),
+      s"Q21 branches no longer share the lineitem exchange:\n${final21.take(3000)}")
   }
 
   test("token-budget selection prunes the scan and sorts only the boundary bin") {

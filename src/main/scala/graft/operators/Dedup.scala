@@ -406,13 +406,22 @@ object Dedup {
     * `buckets` should match `spark.sql.shuffle.partitions` so the
     * update stream's aggregate partitioning aligns with the label
     * table's bucketing and the carry-through join needs no realignment.
+    *
+    * Concurrency: catalog table names are unique per invocation, but
+    * the FILES live under `storeDir` — concurrent invocations must use
+    * distinct storeDirs.
     */
   def nearDupClustersBucketed(docs: DataFrame, storeDir: String,
       buckets: Int = 32, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50,
       maxBucket: Option[Int] = None): DataFrame = {
     val spark = docs.sparkSession
-    val tag = "graft_ndb_" +
+    // per-invocation unique tag: a storeDir-derived name alone would
+    // let two runs (same dir, or a 31-bit hash collision) overwrite
+    // and DROP each other's catalog entries mid-loop. The counter
+    // disambiguates the catalog; the FILES still key on storeDir, so
+    // concurrent invocations must use distinct storeDirs (documented).
+    val tag = "graft_ndb_" + BucketedRunCounter.incrementAndGet() + "_" +
       java.lang.Integer.toHexString(storeDir.hashCode & 0x7fffffff)
     def rm(path: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(path)
@@ -470,6 +479,10 @@ object Dedup {
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .orderBy(col("doc_id"))
   }
+
+  /** Disambiguates [[nearDupClustersBucketed]] catalog entries across
+    * invocations in one JVM. */
+  private val BucketedRunCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   val SimhashBits = 32
 

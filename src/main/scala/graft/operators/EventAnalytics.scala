@@ -154,7 +154,10 @@ object EventAnalytics {
       val fineShift = 64 - 10 * (level + 1) // this level's 10-bit bin
       // level 0 has no prefix (a Java shift by 64 is a shift by 0 —
       // the condition must be vacuous, not wrong)
-      val joinCond = vals("event_type") === col("t_type") &&
+      // null-safe type match: NULL is a legitimate group key (the
+      // window variant and the oracle both emit a NULL-type row); a
+      // plain === would strand the null target with an empty histogram
+      val joinCond = (vals("event_type") <=> col("t_type")) &&
         (if (level == 0) lit(true)
          else expr(s"shiftrightunsigned(u, $prefShift)") === col("t_prefix"))
       val hist = vals.join(broadcast(tdf), joinCond)
@@ -187,10 +190,15 @@ object EventAnalytics {
           if (t.level == 0) 0 else 1))
       .toSeq.toDF("t_id", "t_type", "t_pi", "t_k", "t_prefix", "t_shift",
         "t_has_prefix"))
-    val cond = vals("event_type") === tf("t_type") &&
+    val cond = (vals("event_type") <=> tf("t_type")) &&
       (tf("t_has_prefix") === 0 ||
         expr("shiftrightunsigned(u, t_shift)") === col("t_prefix"))
-    val w = Window.partitionBy(col("t_id")).orderBy(col("u"))
+    // order the terminal window by VALUE, never by the raw key: u is
+    // unsigned-orderable, and a level-0 partition (whole type) spans
+    // the sign boundary where SIGNED long order would rank positives
+    // before negatives; value order equals unsigned-u order by
+    // construction (NaN last, -0.0 before 0.0 in both)
+    val w = Window.partitionBy(col("t_id")).orderBy(col("value"))
     val picked = vals.join(tf, cond)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === col("t_k"))
@@ -299,8 +307,9 @@ object EventAnalytics {
 
   /** [[userSpendDeciles]] without the global single-reducer window —
     * the distributed-rank formulation. The total order (spend DESC,
-    * user_id ASC) is mapped to an ascending radix key (complemented
-    * [[graft.functions.DoubleBits]] bits), and the global rank
+    * user_id ASC) is mapped to an ascending radix key (the DECIMAL's
+    * unscaled cents, complemented — exact where double bits would
+    * collide past 2^53 cents), and the global rank
     * decomposes into ONE 1024-bin histogram (a map-side-combining
     * aggregate; the driver holds 1024 row counts — counts, never rows)
     * plus per-BIN windows: global rank = bin-prefix rows + within-bin
@@ -325,13 +334,18 @@ object EventAnalytics {
     val totals = events.groupBy(col("user_id"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("total_dec"))
       .withColumn("bkey",
-        // complemented bits: unsigned-ascending == total DESCENDING;
-        // a NULL total (possible only for all-null-value users) takes
-        // the max key so it sorts last, matching DESC NULLS LAST
+        // EXACT radix key from the decimal's unscaled cents (≤18
+        // digits fits a long losslessly — a double key would collide
+        // totals differing only beyond 2^53 cents and mis-rank them
+        // against the decimal-ordered window variant). x ^ MAX_VALUE
+        // is unsigned-ascending == total DESCENDING (x ^ MIN would be
+        // ascending; the extra complement flips it). A NULL total
+        // (all-null-value users only) takes the max key, matching
+        // DESC NULLS LAST; it cannot collide (its preimage is an
+        // unreachable 17-digit-overflow total).
         coalesce(
-          // ~x == -1 - x: bitwise complement via exact long arithmetic
-          lit(-1L) - graft.functions.DoubleBits.orderableBits(
-            col("total_dec").cast("double")),
+          (col("total_dec") * 100).cast("long")
+            .bitwiseXOR(lit(Long.MaxValue)),
           lit(-1L)))
     val binned = totals.withColumn("bin",
       expr("shiftrightunsigned(bkey, 54)"))
@@ -348,6 +362,9 @@ object EventAnalytics {
     val spark = events.sparkSession
     import spark.implicits._
     val pdf = broadcast(prefix.toSeq.toDF("bin", "row_prefix"))
+    // signed orderBy on bkey is safe HERE (unlike a sign-spanning
+    // window): the partition fixes the key's top 10 bits, sign bit
+    // included, so signed and unsigned order agree within every bin
     val w = Window.partitionBy(col("bin"))
       .orderBy(col("bkey"), col("user_id"))
     val base = nTotal / buckets

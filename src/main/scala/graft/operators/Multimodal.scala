@@ -137,7 +137,14 @@ object Multimodal {
         }
         Some((w, h, px))
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NOT just IOException: the JDK readers throw unchecked
+      // exceptions (IllegalArgument, ArrayIndexOutOfBounds, …) on
+      // truncated/hostile bodies behind valid magic bytes — any of
+      // them escaping would kill the task, which is exactly what this
+      // Option return exists to prevent
+      case scala.util.control.NonFatal(_) => None
+    }
 
   case class ImageFeatures(
       media_id: Long, width: Int, height: Int, px_mean: Double,

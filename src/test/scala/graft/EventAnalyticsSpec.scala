@@ -129,11 +129,30 @@ class EventAnalyticsSpec extends SparkSuite {
         s"terminal window regressed to per-type:\n$p")
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     // negative values exercise the sign-flip branch of the bit mapping
+    // at EVERY stopping depth — windowMaxRows=100000 resolves at level
+    // 0, where the terminal window spans the double sign boundary
+    // (caught in review: signed order on the raw key ranked positives
+    // before negatives there)
     val signed = events((0 until 20).map(i =>
       (i.toLong, 1000L * i, 1L, "t", i - 10.5)): _*)
-    assert(rowsOf(EventAnalytics.valuePercentilesDistributed(
-        signed, windowMaxRows = 1L)) ==
-      rowsOf(EventAnalytics.valuePercentiles(signed)))
+    for (wmr <- Seq(1L, 8L, 100000L))
+      assert(rowsOf(EventAnalytics.valuePercentilesDistributed(
+          signed, windowMaxRows = wmr)) ==
+        rowsOf(EventAnalytics.valuePercentiles(signed)),
+        s"mixed-sign diverged at windowMaxRows=$wmr")
+    // NULL event_type is a legitimate group: the window variant emits
+    // it, so the distributed one must too (null-safe target join)
+    val s = spark
+    import s.implicits._
+    val withNullType = Seq[(Long, java.sql.Timestamp, Long, String, Double)](
+      (0L, ts(1000L), 1L, null, 3.0), (1L, ts(2000L), 1L, null, 1.0),
+      (2L, ts(3000L), 1L, "t", 2.0), (3L, ts(4000L), 2L, null, 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    for (wmr <- Seq(1L, 100000L))
+      assert(rowsOf(EventAnalytics.valuePercentilesDistributed(
+          withNullType, windowMaxRows = wmr)) ==
+        rowsOf(EventAnalytics.valuePercentiles(withNullType)),
+        s"null-type diverged at windowMaxRows=$wmr")
   }
 
   test("distributed spend deciles equal the global-window variant") {
@@ -159,6 +178,20 @@ class EventAnalyticsSpec extends SparkSuite {
       (2L, 3000L, 3L, "t", 1.0))
     assert(rowsOf(EventAnalytics.userSpendDecilesDistributed(tiny)) ==
       rowsOf(EventAnalytics.userSpendDeciles(tiny)))
+    // totals past 2^53 cents: 90071992547409.93 and .94 are DISTINCT
+    // decimals whose doubles are EQUAL (verified below) — a double-bits
+    // rank key collides them and falls back to user_id order, flipping
+    // the ranks (caught in review); the unscaled-cents key cannot
+    assert(90071992547409.93.toDouble == 90071992547409.94.toDouble)
+    val huge = events(
+      (0L, 1000L, 1L, "t", 45035996273704.96),
+      (1L, 2000L, 1L, "t", 45035996273704.97), // user 1: total ...409.93
+      (2L, 3000L, 2L, "t", 45035996273704.97),
+      (3L, 4000L, 2L, "t", 45035996273704.97)) // user 2: total ...409.94
+    val h = rowsOf(EventAnalytics.userSpendDecilesDistributed(huge))
+    assert(h == rowsOf(EventAnalytics.userSpendDeciles(huge)))
+    assert(h.find(_("user_id") == 2L).get("spend_rank") == 1,
+      "the one-cent-larger total must rank first despite double collision")
   }
 
   test("orderable bits preserve double ordering across the full range") {

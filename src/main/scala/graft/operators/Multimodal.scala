@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO wraps every read/write stream in a FILE-backed cache by
+  // default — one temp file per image, disk I/O on a pure in-memory
+  // round trip. Payloads here are byte arrays; cache in heap instead.
+  // (JVM-global, set once on first use of this object; the executors
+  // running the decode tasks are the JVMs that load it.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Long, byte_mean: Double,
       stripe0: Double, stripe1: Double, stripe2: Double, stripe3: Double)

@@ -261,26 +261,34 @@ object DecisionSupport {
       .orderBy(col("custdist").desc, col("c_count").desc)
 
   /** TPC-H Q15: top supplier by quarterly revenue — the
-    * max-over-aggregated-view shape as `rank() = 1` over the
-    * per-supplier aggregate: ONE lineitem scan (the scalar-max
-    * cross-join variant re-scans and re-aggregates the fact — AQE
-    * does not reuse the exchange through the broadcast branch;
-    * measured in the round-5 plan audit), ties on the exact decimal
-    * revenue all surface, and the global window ranks the
-    * POST-aggregate frame (bounded by #suppliers — the same
-    * single-reducer rationale as [[EventAnalytics.userSpendDeciles]]).
+    * max-over-aggregated-view shape as a scalar max joined back by
+    * EXACT-decimal equality (ties all surface, same as `rank() = 1`).
+    * Still ONE lineitem scan: round 5 rejected the scalar-max variant
+    * because the max branch re-scanned the fact — the de-canonicalized
+    * twin-aggregate problem (column pruning strips l_suppkey from the
+    * max branch's copy, so AQE can't stage-reuse the exchange). The
+    * rand-anchored vacuous gate on the max branch references the group
+    * key where the optimizer can neither push it below the aggregate
+    * (leading non-deterministic conjunct — the functions.Barrier
+    * principle) nor prune the column, so both branches stay
+    * byte-identical and the per-supplier aggregate computes once.
+    * This kills round 5's window formulation: no partition-less Window
+    * (the documented-global-window allowlist now excludes Q15), no
+    * single-reducer sort — the only post-aggregate work is a max and a
+    * broadcast equality join.
     */
   def topSupplier(supplier: DataFrame, lineitem: DataFrame,
       from: String = "1996-01-01 00:00:00",
       until: String = "1996-04-01 00:00:00"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("total_revenue").desc)
-    lineitem
+    val perSupp = lineitem
       .filter(col("l_shipdate") >= ts(from) && col("l_shipdate") < ts(until))
       .groupBy(col("l_suppkey"))
       .agg(sum(discPrice).as("total_revenue"))
-      .withColumn("rnk", rank().over(w))
-      .filter(col("rnk") === 1)
+    val maxRev = perSupp
+      .filter(rand(7) >= 0 && col("l_suppkey").isNotNull)
+      .agg(max(col("total_revenue")).as("max_rev"))
+    perSupp
+      .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
       .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),

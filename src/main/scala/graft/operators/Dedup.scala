@@ -441,26 +441,30 @@ object Dedup {
     def labelsPath(i: Int) = s"$storeDir/labels_$i"
     // seed = min(self, direct neighbors), same head start as the
     // checkpoint variant; written bucketed by doc_id for round 1
-    // (no prev column: round 0 is never convergence-checked — every
-    // later table comes out of propagationRound, which carries prev)
+    // the seed stays a FRAME, never a table: round 1 pays one tiny
+    // (≤|V| rows) exchange to align it with the edge bucketing, which
+    // is strictly cheaper than the bucketed write+read a labels_0
+    // table would cost. Every later round reads its predecessor's
+    // table bucket-aligned. (No prev column: round 0 is never
+    // convergence-checked — every table comes out of propagationRound,
+    // which carries prev.)
     val seed = edges.groupBy(col("doc_a").as("doc_id"))
       .agg(min(col("doc_b")).as("nbr_min"))
       .select(col("doc_id"),
         least(col("doc_id"), col("nbr_min")).as("cluster"))
-    graft.sources.CorpusStore.writeBucketed(
-      seed, labelsTable(0), labelsPath(0), buckets)
+    var labelsFrame = seed
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val labels = spark.table(labelsTable(iter))
-        .select(col("doc_id"), col("cluster"))
       graft.sources.CorpusStore.writeBucketed(
-        propagationRound(edges, labels),
+        propagationRound(edges, labelsFrame),
         labelsTable(iter + 1), labelsPath(iter + 1), buckets)
       // convergence = narrow filter over the just-written (tiny) table
       converged = spark.table(labelsTable(iter + 1))
         .filter(col("cluster") =!= col("prev")).isEmpty
-      drop(labelsTable(iter)); rm(labelsPath(iter))
+      if (iter > 0) { drop(labelsTable(iter)); rm(labelsPath(iter)) }
+      labelsFrame = spark.table(labelsTable(iter + 1))
+        .select(col("doc_id"), col("cluster"))
       iter += 1
     }
     if (!converged)
@@ -468,10 +472,14 @@ object Dedup {
         s"[nearDupClustersBucketed] NOT converged after $maxIters rounds — " +
           "labels may be non-minimal; raise maxIters for deeper chains")
     // the returned plan reads the final parquet by PATH so the catalog
-    // entries can be dropped now; the edge files are no longer needed
-    val labels = spark.read.parquet(labelsPath(iter))
-      .select(col("doc_id"), col("cluster"))
-    drop(labelsTable(iter)); drop(s"${tag}_edges"); rm(s"$storeDir/edges")
+    // entries can be dropped now; the edge files are no longer needed.
+    // maxIters=0 (or an empty pair graph) falls back to the seed frame,
+    // which only references the edge table — keep it in that case.
+    val labels =
+      if (iter > 0) spark.read.parquet(labelsPath(iter))
+        .select(col("doc_id"), col("cluster"))
+      else seed
+    if (iter > 0) { drop(labelsTable(iter)); drop(s"${tag}_edges"); rm(s"$storeDir/edges") }
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "graph_doc"),
         col("doc_id") === col("graph_doc"), "left")

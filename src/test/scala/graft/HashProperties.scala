@@ -101,6 +101,27 @@ object HashProperties extends Properties("graft.hashing") {
     }
   }
 
+  property("orderableBits: unsigned key order == IEEE double order") = {
+    // the distributed rank/select operators stand on this total-order
+    // isomorphism; exercise the full double range including subnormals,
+    // infinities, zeros of both signs, and values from every exponent
+    val anyDouble: Gen[Double] = Gen.oneOf(
+      Gen.choose(Long.MinValue, Long.MaxValue)
+        .map(java.lang.Double.longBitsToDouble) // random bit patterns
+        .filterNot(_.isNaN),
+      Gen.oneOf(0.0, -0.0, Double.MinPositiveValue,
+        -Double.MinPositiveValue, Double.MaxValue, Double.MinValue,
+        Double.PositiveInfinity, Double.NegativeInfinity),
+      Gen.choose(-1e6, 1e6))
+    Prop.forAll(anyDouble, anyDouble) { (a, b) =>
+      val cmp = java.lang.Long.compareUnsigned(
+        graft.functions.DoubleBits.orderable(a),
+        graft.functions.DoubleBits.orderable(b))
+      Integer.signum(cmp) ==
+        Integer.signum(java.lang.Double.compare(a, b))
+    }
+  }
+
   property("StopwordHitsExpr == per-list membership counts") = {
     import graft.functions.TextFunctions.{Langs, Stopwords}
     val lists = Langs.map(Stopwords)

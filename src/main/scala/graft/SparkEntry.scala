@@ -39,6 +39,10 @@ object SparkEntry {
     // §2.F2: exact last-write-wins alive-key count
     "q_alive_keys" -> ((s, dir) => AliveKeys.exactFrame(records(s, dir))),
     // §2.F1 fidelity: alive keys bucketed by the reference's FNV-variant
+    // per-partition post-compaction footprint (bytes a compacted log
+    // retains) — the priced-in-bytes companion to the dirty ratio
+    "q_compaction_estimate" -> ((s, dir) =>
+      AliveKeys.compactionEstimate(records(s, dir))),
     "q_alive_keys_fnv32" -> ((s, dir) =>
       AliveKeys.approxFnv32Frame(records(s, dir))),
     // event-time analytics (streaming-ready windowed aggregations)
@@ -430,6 +434,29 @@ object SparkEntry {
            |         ROW_NUMBER() OVER (PARTITION BY "key"
            |           ORDER BY "partition" DESC, "offset" DESC) AS rn
            |  FROM records WHERE "key" IS NOT NULL) WHERE rn = 1""".stripMargin,
+      "q_compaction_estimate" ->
+        s"""$cte
+           |, totals AS (
+           |  SELECT "partition", COUNT(*) AS n_records,
+           |         CAST(COALESCE(SUM(LENGTH("key")), 0)
+           |            + COALESCE(SUM(LENGTH("value")), 0) AS BIGINT) AS total_bytes
+           |  FROM records GROUP BY 1),
+           |last_writes AS (
+           |  SELECT "partition", "key", "value",
+           |         ROW_NUMBER() OVER (PARTITION BY "partition", "key"
+           |           ORDER BY "offset" DESC) AS rn
+           |  FROM records WHERE "key" IS NOT NULL),
+           |retained AS (
+           |  SELECT "partition", COUNT(*) AS alive_keys,
+           |         CAST(SUM(LENGTH("key") + LENGTH("value")) AS BIGINT)
+           |           AS retained_bytes
+           |  FROM last_writes WHERE rn = 1 AND "value" IS NOT NULL
+           |  GROUP BY 1)
+           |SELECT t."partition", t.n_records, t.total_bytes,
+           |       COALESCE(r.alive_keys, 0) AS alive_keys,
+           |       COALESCE(r.retained_bytes, 0) AS retained_bytes
+           |FROM totals t LEFT JOIN retained r USING ("partition")
+           |ORDER BY t."partition"""".stripMargin,
       "q_alive_keys_fnv32" -> OracleSql.aliveKeysFnv32(cte),
       "q_event_windows" -> OracleSql.eventWindows,
       "q_event_type_stats" -> OracleSql.eventTypeStats,

@@ -60,6 +60,43 @@ object AliveKeys {
       .agg(count_if(!col("dead_at_end")))
       .collect()(0).getLong(0)
 
+  /** Per-partition post-compaction footprint estimate — the natural
+    * "what would compaction buy me" companion to the dirty ratio
+    * (`src/metric.rs:305-311` stops at the ratio; this prices it in
+    * bytes). Kafka compaction operates PER PARTITION LOG, so the
+    * last-write reduction groups by (partition, key) — the same key on
+    * two partitions survives on both, exactly like a broker. Modeled
+    * at the post-tombstone-purge steady state: a partition retains the
+    * last record of each key whose last value is non-null (tombstones
+    * themselves are eventually purged after delete.retention); null-key
+    * records are invalid on compacted topics and count only toward the
+    * pre-compaction totals.
+    *
+    * Scale: one (partition, key) shuffle with a constant-size `max_by`
+    * buffer per key (the value rides in the buffer, bounded by record
+    * size), re-reduced per partition; totals re-use the partition
+    * grouping. Output is O(#partitions) rows of exact BIGINTs.
+    */
+  def compactionEstimate(records: DataFrame): DataFrame = {
+    val totals = records.groupBy(col("partition")).agg(
+      count(lit(1)).as("n_records"),
+      (coalesce(sum(length(col("key"))), lit(0L)) +
+        coalesce(sum(length(col("value"))), lit(0L))).as("total_bytes"))
+    val retained = records.filter(col("key").isNotNull)
+      .groupBy(col("partition"), col("key"))
+      .agg(max_by(col("value"), col("offset")).as("last_value"))
+      .filter(col("last_value").isNotNull)
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("alive_keys"),
+        sum(length(col("key")) + length(col("last_value")))
+          .as("retained_bytes"))
+    totals.join(retained, Seq("partition"), "left")
+      .select(col("partition"), col("n_records"), col("total_bytes"),
+        coalesce(col("alive_keys"), lit(0L)).as("alive_keys"),
+        coalesce(col("retained_bytes"), lit(0L)).as("retained_bytes"))
+      .orderBy(col("partition"))
+  }
+
   /** Reference-fidelity approximate count: buckets keys by the
     * reference's own 32-bit FNV-variant hash (`src/fnv32.rs`), applies
     * last-write-wins PER BUCKET — reproducing the reference's bitset

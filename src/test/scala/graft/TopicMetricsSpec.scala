@@ -88,6 +88,31 @@ class TopicMetricsSpec extends SparkSuite {
     assert(AliveKeys.approx(df) == 2L)
   }
 
+  test("compaction estimate: per-PARTITION last writes, tombstones and null keys excluded") {
+    val df = records(
+      (0, 0L, 1L, "a", "stale"),   // superseded by offset 2
+      (0, 1L, 2L, "b", "gone"),    // retracted at offset 3
+      (0, 2L, 3L, "a", "kept1"),   // a's last write on p0: retained
+      (0, 3L, 4L, "b", null),      // b's last write is a tombstone
+      (0, 4L, 5L, null, "nokey"),  // null key: totals only
+      (1, 0L, 6L, "a", "kept22"))  // same key, other partition: retained TOO
+    val r = rowsOf(AliveKeys.compactionEstimate(df))
+      .map(m => m("partition") -> m).toMap
+    val p0 = r(0)
+    // totals: 5 records; bytes = keys (a,b,a,b)=4 + values
+    // (stale,gone,kept1,nokey)=5+4+5+5=19 -> 23
+    assert(p0("n_records") == 5L && p0("total_bytes") == 23L)
+    // retained: only a@2 -> key 1 + value 5
+    assert(p0("alive_keys") == 1L && p0("retained_bytes") == 6L)
+    // compaction is per partition log: key "a" also survives on p1
+    val p1 = r(1)
+    assert(p1("alive_keys") == 1L && p1("retained_bytes") == 7L)
+    // all-tombstone/keyless partition reads as zeros, not nulls
+    val empty = rowsOf(AliveKeys.compactionEstimate(records(
+      (2, 0L, 1L, "x", null), (2, 1L, 2L, null, "v")))).head
+    assert(empty("alive_keys") == 0L && empty("retained_bytes") == 0L)
+  }
+
   test("empty topic guard") {
     val df = records((0, 0L, 1L, "a", "x")).filter("partition = 99")
     assert(TopicMetrics.isEmpty(df))

@@ -132,34 +132,54 @@ object EventAnalytics {
     val vals = events.select(col("event_type"), col("value"))
       .filter(col("value").isNotNull)
       .withColumn("u", graft.functions.DoubleBits.orderableBits(col("value")))
+    // ONE fused pass yields both the per-type counts AND the level-0
+    // histogram: per-type n is just the sum of its level-0 bins, so a
+    // separate counts aggregate would scan the input once more for
+    // information the histogram already carries. Every target walks
+    // its level-0 bins immediately — the level loop below always runs
+    // prefixed (which also removes the shift-by-64 level-0 special
+    // case: a Java shift by 64 is a shift by 0).
+    def walkBins(bins: Seq[(Long, Long)], k0: Long): (Long, Long, Long) = {
+      // (bin picked, rank within it, its population)
+      var k = k0
+      var picked = -1L
+      var pickedCount = 0L
+      for ((bin, c) <- bins if picked < 0)
+        if (k > c) k -= c else { picked = bin; pickedCount = c }
+      (picked, k, pickedCount)
+    }
+    val hist0 = vals.groupBy(col("event_type"),
+        expr("shiftrightunsigned(u, 54)").as("bin"))
+      .count().collect()
+      .groupBy(r => Option(r.getString(0)))
+      .map { case (typ, rows) =>
+        typ -> rows.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1).toSeq }
+    final case class Target(id: Int, typ: Option[String], pi: Int,
+        var k: Long, var prefix: Long, var level: Int, var done: Boolean)
     // rank targets: k-th smallest (1-based), k = ceil(p·n) — the same
     // double-multiply-then-ceil both the window variant and the oracle
     // compute, so tie/rounding behavior is identical
-    val counts = vals.groupBy(col("event_type")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    final case class Target(id: Int, typ: String, pi: Int, var k: Long,
-        var prefix: Long, var level: Int, var done: Boolean)
     val targets = (for {
-      ((typ, n), ti) <- counts.zipWithIndex
+      ((typ, bins), ti) <- hist0.toSeq.zipWithIndex
       (p, pi) <- ps.zipWithIndex
-    } yield Target(ti * ps.size + pi, typ, pi,
-      math.ceil(n * p).toLong, 0L, 0, n <= windowMaxRows)).toArray
-    var level = 0
+    } yield {
+      val n = bins.map(_._2).sum
+      val (bin, k, c) = walkBins(bins, math.ceil(n * p).toLong)
+      Target(ti * ps.size + pi, typ, pi, k, bin, 1, c <= windowMaxRows)
+    }).toArray
+    var level = 1
     val MaxLevels = 6 // 60 bits resolved; ≤16 distinct values remain
     while (level < MaxLevels && targets.exists(!_.done)) {
       val active = targets.filter(!_.done)
-      val tdf = active.map(t => (t.id, t.typ, t.prefix))
+      val tdf = active.map(t => (t.id, t.typ.orNull, t.prefix))
         .toSeq.toDF("t_id", "t_type", "t_prefix")
       val prefShift = 64 - 10 * level   // bits already fixed
       val fineShift = 64 - 10 * (level + 1) // this level's 10-bit bin
-      // level 0 has no prefix (a Java shift by 64 is a shift by 0 —
-      // the condition must be vacuous, not wrong)
       // null-safe type match: NULL is a legitimate group key (the
       // window variant and the oracle both emit a NULL-type row); a
       // plain === would strand the null target with an empty histogram
       val joinCond = (vals("event_type") <=> col("t_type")) &&
-        (if (level == 0) lit(true)
-         else expr(s"shiftrightunsigned(u, $prefShift)") === col("t_prefix"))
+        expr(s"shiftrightunsigned(u, $prefShift)") === col("t_prefix")
       val hist = vals.join(broadcast(tdf), joinCond)
         .groupBy(col("t_id"),
           expr(s"shiftrightunsigned(u, $fineShift)")
@@ -168,17 +188,13 @@ object EventAnalytics {
         .collect()
         .groupBy(_.getInt(0))
         .map { case (id, rows) =>
-          id -> rows.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1) }
+          id -> rows.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1).toSeq }
       for (t <- active) {
-        var k = t.k
-        var picked = -1L
-        var pickedCount = 0L
-        for ((bin, c) <- hist(t.id) if picked < 0)
-          if (k > c) k -= c else { picked = bin; pickedCount = c }
+        val (bin, k, c) = walkBins(hist(t.id), t.k)
         t.k = k
-        t.prefix = (t.prefix << 10) | picked
+        t.prefix = (t.prefix << 10) | bin
         t.level = level + 1
-        if (pickedCount <= windowMaxRows) t.done = true
+        if (c <= windowMaxRows) t.done = true
       }
       level += 1
     }
@@ -186,18 +202,15 @@ object EventAnalytics {
     // (bounded by windowMaxRows / 16 distinct values), one bounded
     // window each — partitioned per target, never per whole type
     val tf = broadcast(targets.map(t =>
-        (t.id, t.typ, t.pi, t.k, t.prefix, 64 - 10 * t.level,
-          if (t.level == 0) 0 else 1))
-      .toSeq.toDF("t_id", "t_type", "t_pi", "t_k", "t_prefix", "t_shift",
-        "t_has_prefix"))
+        (t.id, t.typ.orNull, t.pi, t.k, t.prefix, 64 - 10 * t.level))
+      .toSeq.toDF("t_id", "t_type", "t_pi", "t_k", "t_prefix", "t_shift"))
     val cond = (vals("event_type") <=> tf("t_type")) &&
-      (tf("t_has_prefix") === 0 ||
-        expr("shiftrightunsigned(u, t_shift)") === col("t_prefix"))
+      expr("shiftrightunsigned(u, t_shift)") === col("t_prefix")
     // order the terminal window by VALUE, never by the raw key: u is
-    // unsigned-orderable, and a level-0 partition (whole type) spans
-    // the sign boundary where SIGNED long order would rank positives
-    // before negatives; value order equals unsigned-u order by
-    // construction (NaN last, -0.0 before 0.0 in both)
+    // unsigned-orderable, and a sign-spanning partition under SIGNED
+    // long order would rank positives before negatives; value order
+    // equals unsigned-u order by construction (NaN last, -0.0 before
+    // 0.0 in both)
     val w = Window.partitionBy(col("t_id")).orderBy(col("value"))
     val picked = vals.join(tf, cond)
       .withColumn("rn", row_number().over(w))

@@ -345,6 +345,23 @@ object OracleSql {
       |SELECT user_id, event_type AS top_type, cnt
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Mirror of [[graft.operators.EventAnalytics.dailySpikes]] —
+    * identical integer cross-multiplied flag, no float folds. */
+  def dailySpikes(factor: Int = 2, window: Int = 7): String =
+    s"""WITH d AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, day, n,
+       |       CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS prev_sum,
+       |       COUNT(n) OVER w AS prev_cnt,
+       |       (COUNT(n) OVER w > 0 AND
+       |        n * (COUNT(n) OVER w) > $factor * COALESCE(SUM(n) OVER w, 0))
+       |         AS is_spike
+       |FROM d
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |             ROWS BETWEEN $window PRECEDING AND 1 PRECEDING)
+       |ORDER BY event_type, day""".stripMargin
+
   val interEventGaps: String =
     """WITH g AS (
       |  SELECT user_id,

@@ -69,6 +69,9 @@ object SparkEntry {
     "q_value_percentiles_dist" -> ((s, dir) =>
       EventAnalytics.valuePercentilesDistributed(
         EventsAsRecords.readEvents(s, dir), windowMaxRows = 256L)),
+    // anomaly surface: integer-exact trailing-window spike flags
+    "q_daily_spikes" -> ((s, dir) =>
+      EventAnalytics.dailySpikes(EventsAsRecords.readEvents(s, dir))),
     // analytic-function surface: lag gaps, rolling frames, rank/ntile
     "q_event_gaps" -> ((s, dir) =>
       EventAnalytics.interEventGaps(EventsAsRecords.readEvents(s, dir))),
@@ -464,6 +467,7 @@ object SparkEntry {
       "q_user_top_type" -> OracleSql.topEventTypePerUser,
       "q_value_percentiles" -> OracleSql.valuePercentiles(),
       "q_value_percentiles_dist" -> OracleSql.valuePercentiles(),
+      "q_daily_spikes" -> OracleSql.dailySpikes(),
       "q_event_gaps" -> OracleSql.interEventGaps,
       "q_rolling_value" -> OracleSql.rollingValue(),
       "q_spend_deciles" -> OracleSql.userSpendDeciles(),

@@ -247,6 +247,33 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Daily volume-spike detection per event type: a day is a spike
+    * when its count exceeds `factor`× the trailing-`window`-day mean.
+    * The flag is computed in INTEGER cross-multiplied form
+    * (`n · prev_cnt > factor · prev_sum`) rather than a float
+    * mean/stddev — division-free, so both engines agree bit-for-bit
+    * (a stddev z-score folds floats in engine-specific order and can
+    * never be a hash oracle). Days with no trailing history flag
+    * false. One shuffle on event_type shared by the daily aggregate
+    * and the trailing frame; per-type window length is bounded by
+    * calendar days.
+    */
+  def dailySpikes(events: DataFrame, factor: Int = 2,
+      window: Int = 7): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-window, -1)
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_sum",
+        coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("prev_cnt", count(col("n")).over(w))
+      .withColumn("is_spike",
+        col("prev_cnt") > 0 &&
+          col("n") * col("prev_cnt") > lit(factor.toLong) * col("prev_sum"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def typeStats(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
@@ -350,7 +377,9 @@ object EventAnalytics {
         // EXACT radix key from the decimal's unscaled cents (≤18
         // digits fits a long losslessly — a double key would collide
         // totals differing only beyond 2^53 cents and mis-rank them
-        // against the decimal-ordered window variant). x ^ MAX_VALUE
+        // against the decimal-ordered window variant; totals past
+        // 2^63 cents would overflow the cast and fail loudly under
+        // ANSI — an explicit bound, not silent corruption). x ^ MAX_VALUE
         // is unsigned-ascending == total DESCENDING (x ^ MIN would be
         // ascending; the extra complement flips it). A NULL total
         // (all-null-value users only) takes the max key, matching

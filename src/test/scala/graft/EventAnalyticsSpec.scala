@@ -211,6 +211,23 @@ class EventAnalyticsSpec extends SparkSuite {
       orderable(Double.NaN), orderable(Double.PositiveInfinity)) > 0)
   }
 
+  test("daily spikes: integer cross-multiplied flag against the trailing window") {
+    val day = 24L * 3600 * 1000
+    // type t: 3 quiet days (2,2,2) then a 5x day; day 0 has no history
+    val rows = Seq.tabulate(3)(d =>
+      Seq.tabulate(2)(i => (d * 10 + i).toLong -> (d * day + i * 1000))).flatten ++
+      Seq.tabulate(10)(i => (100 + i).toLong -> (3 * day + i * 1000))
+    val df = events(rows.map { case (id, ts) => (id, ts, 1L, "t", 1.0) }: _*)
+    val r = rowsOf(EventAnalytics.dailySpikes(df))
+    assert(r.map(_("n")) == Seq(2L, 2L, 2L, 10L))
+    // day 0: no trailing history -> NOT a spike (prev_cnt = 0)
+    assert(r.head("is_spike") == false && r.head("prev_cnt") == 0L)
+    // days 1-2: 2 * cnt <= 2 * sum -> quiet
+    assert(r(1)("is_spike") == false && r(2)("is_spike") == false)
+    // day 3: 10 * 3 > 2 * 6 -> spike
+    assert(r(3)("is_spike") == true && r(3)("prev_sum") == 6L)
+  }
+
   test("as-of join matches the most recent build at-or-before each probe") {
     val df = events(
       (0L, 100L, 1L, "purchase", 1.0),

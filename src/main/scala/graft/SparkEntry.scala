@@ -38,11 +38,11 @@ object SparkEntry {
     "q_rollup_stats" -> ((s, dir) => TopicMetrics.rollupStats(records(s, dir))),
     // §2.F2: exact last-write-wins alive-key count
     "q_alive_keys" -> ((s, dir) => AliveKeys.exactFrame(records(s, dir))),
-    // §2.F1 fidelity: alive keys bucketed by the reference's FNV-variant
     // per-partition post-compaction footprint (bytes a compacted log
     // retains) — the priced-in-bytes companion to the dirty ratio
     "q_compaction_estimate" -> ((s, dir) =>
       AliveKeys.compactionEstimate(records(s, dir))),
+    // §2.F1 fidelity: alive keys bucketed by the reference's FNV-variant
     "q_alive_keys_fnv32" -> ((s, dir) =>
       AliveKeys.approxFnv32Frame(records(s, dir))),
     // event-time analytics (streaming-ready windowed aggregations)

@@ -448,6 +448,16 @@ object Dedup {
     // table bucket-aligned. (No prev column: round 0 is never
     // convergence-checked — every table comes out of propagationRound,
     // which carries prev.)
+    // an EMPTY pair graph (all-unique corpus) must short-circuit before
+    // the loop: round 1 would write a zero-row bucketed table whose
+    // directory has no parquet data files (bucketed writers open files
+    // lazily), and the final by-path read of it cannot infer a schema.
+    // Every doc is then its own cluster — no state needed at all.
+    if (edges.isEmpty) {
+      drop(s"${tag}_edges"); rm(s"$storeDir/edges")
+      return docs.select(col("doc_id"), col("doc_id").as("cluster"))
+        .orderBy(col("doc_id"))
+    }
     val seed = edges.groupBy(col("doc_a").as("doc_id"))
       .agg(min(col("doc_b")).as("nbr_min"))
       .select(col("doc_id"),
@@ -473,8 +483,9 @@ object Dedup {
           "labels may be non-minimal; raise maxIters for deeper chains")
     // the returned plan reads the final parquet by PATH so the catalog
     // entries can be dropped now; the edge files are no longer needed.
-    // maxIters=0 (or an empty pair graph) falls back to the seed frame,
-    // which only references the edge table — keep it in that case.
+    // Only maxIters=0 falls back to the seed frame (the empty-graph
+    // case returned above), which still references the edge table —
+    // keep it in that case.
     val labels =
       if (iter > 0) spark.read.parquet(labelsPath(iter))
         .select(col("doc_id"), col("cluster"))

@@ -248,8 +248,12 @@ object EventAnalytics {
   }
 
   /** Daily volume-spike detection per event type: a day is a spike
-    * when its count exceeds `factor`× the trailing-`window`-day mean.
-    * The flag is computed in INTEGER cross-multiplied form
+    * when its count exceeds `factor`× the mean of the trailing
+    * `window` OBSERVED days (a ROWS frame over the per-day aggregate —
+    * calendar gaps are NOT densified, so after a quiet period the
+    * baseline is the last `window` ACTIVE days however old; densify
+    * upstream if zero-days should decay the baseline). The flag is
+    * computed in INTEGER cross-multiplied form
     * (`n · prev_cnt > factor · prev_sum`) rather than a float
     * mean/stddev — division-free, so both engines agree bit-for-bit
     * (a stddev z-score folds floats in engine-specific order and can

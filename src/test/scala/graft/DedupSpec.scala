@@ -87,6 +87,25 @@ class DedupSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("bucketed clustering on an all-unique corpus: every doc its own cluster") {
+    // the empty-pair-graph short circuit (review-caught: a zero-row
+    // bucketed labels table has no parquet data files, so the final
+    // by-path read cannot infer a schema and crashed)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndb-empty").toString
+    try {
+      val d = docs(
+        1L -> "entirely different content about query planners everywhere",
+        2L -> "completely unrelated prose concerning streaming watermarks",
+        3L -> "a third thing on bucketed storage layouts and pruning")
+      val got = rowsOf(Dedup.nearDupClustersBucketed(d, dir, buckets = 4))
+        .map(r => r("doc_id") -> r("cluster")).toMap
+      assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+      assert(!spark.catalog.listTables().collect()
+        .exists(_.name.startsWith("graft_ndb_")), "catalog entries leaked")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("hot-bucket cap: degenerate identical-doc buckets are skipped, " +
       "under-cap pairs survive") {
     // the corpus dedup exists for: a pile of identical boilerplate docs

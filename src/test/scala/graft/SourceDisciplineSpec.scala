@@ -24,8 +24,16 @@ class SourceDisciplineSpec extends AnyFunSuite {
       .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
       .map { p =>
         val body = new String(Files.readAllBytes(p), "UTF-8")
-        // strip line comments so prose mentioning a pattern doesn't count
-        val code = body.linesIterator
+        // strip string literals FIRST (a "//" inside one — s3://… —
+        // must not truncate the code after it: that would blind the
+        // audit to a real violation), then line comments, so prose
+        // mentioning a pattern doesn't count. Block comments are left
+        // in: a pattern there fails LOUDLY (allowlist mismatch) rather
+        // than silently passing — the safe direction for an audit.
+        val code = body
+          .replaceAll("\"\"\"(?s).*?\"\"\"", "\"\"")
+          .replaceAll("\"(\\\\.|[^\"\\\\])*\"", "\"\"")
+          .linesIterator
           .map(l => l.indexOf("//") match {
             case -1 => l
             case i  => l.substring(0, i)

@@ -625,6 +625,35 @@ object OracleSql {
        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
   }
 
+  /** Closed-form sample statistics for the REAL WAV decode round trip
+    * ([[graft.operators.Multimodal.audioDecodeQuery]]): the generator
+    * puts `((doc_id*37 + i*13) mod 65536) - 32768` at sample index i of
+    * a 64-sample 16-bit mono PCM WAV, so the oracle recomputes every
+    * decoded statistic from the formula alone — no audio parsing on the
+    * DuckDB side, and any decoder sample error hash-mismatches. Sums
+    * are exact integers; the divisors (64, 16) are powers of two, so
+    * the double means are IEEE-exact on both engines.
+    */
+  val multimodalAudio: String = {
+    def stripe(lo: Int, hi: Int): String =
+      s"""CAST(SUM(CASE WHEN p >= $lo AND p < $hi THEN v ELSE 0 END) AS DOUBLE)
+         |  / ${hi - lo}""".stripMargin
+    s"""WITH smp AS (
+       |  SELECT d.doc_id, t.p,
+       |         ((d.doc_id * 37 + t.p * 13) % 65536) - 32768 AS v
+       |  FROM documents d, generate_series(0, 63) AS t(p))
+       |SELECT doc_id AS media_id,
+       |       CAST(8000 AS INTEGER) AS sample_rate,
+       |       CAST(64 AS BIGINT) AS n_samples,
+       |       CAST(SUM(v) AS DOUBLE) / 64 AS amp_mean,
+       |       ${stripe(0, 16)} AS stripe0,
+       |       ${stripe(16, 32)} AS stripe1,
+       |       ${stripe(32, 48)} AS stripe2,
+       |       ${stripe(48, 64)} AS stripe3,
+       |       CAST(MAX(ABS(v)) AS INTEGER) AS peak
+       |FROM smp GROUP BY doc_id ORDER BY media_id""".stripMargin
+  }
+
   /** Frame-count / stride sampling over the ASCII payload, mirroring
     * [[graft.operators.Multimodal.sampleStub]]. */
   def multimodalSample(frameBytes: Int = 256, everyK: Int = 3,

@@ -269,6 +269,11 @@ object SparkEntry {
     // the oracle recomputes the stats from the generator's closed form
     "q_multimodal_decode" -> ((s, dir) =>
       graft.operators.Multimodal.decodeQuery(docs(s, dir))),
+    // REAL audio decode: generated PCM WAVs → javax.sound.sampled →
+    // sample stats; the oracle recomputes them from the generator's
+    // closed form
+    "q_multimodal_audio" -> ((s, dir) =>
+      graft.operators.Multimodal.audioDecodeQuery(docs(s, dir))),
     // LLM-pipeline: embedding similarity search
     "q_embed_knn" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -520,6 +525,7 @@ object SparkEntry {
       "q_multimodal_features" -> OracleSql.multimodalFeatures,
       "q_multimodal_sample" -> OracleSql.multimodalSample(),
       "q_multimodal_decode" -> OracleSql.multimodalDecode,
+      "q_multimodal_audio" -> OracleSql.multimodalAudio,
       "q_embed_knn" -> OracleSql.knn(),
       "q_embed_knn_ivf" -> OracleSql.knnIvf(),
       "q_corpus_filter" -> OracleSql.corpusFilter(),

@@ -14,14 +14,22 @@ import org.apache.spark.sql.functions._
   * follow a closed form the DuckDB oracle recomputes directly — PNG is
   * lossless, so a decoder that misreads even one pixel hash-mismatches.
   *
-  * AUDIO/VIDEO DECODE IS A STUB: those codecs are not available in
-  * this environment, so [[decodeStub]] derives deterministic fake
-  * features (byte statistics standing in for frame statistics).
-  * Everything around it is real and tested: the schema, the `binary`
-  * payload column, batched partition-local processing (`mapPartitions`
-  * + `grouped(batchSize)` — the Scala shape of an Arrow-batched decode
-  * loop), and the typed output. Swapping [[decodeStub]] for a real
-  * decoder changes no plumbing — [[decodeImage]] is the proof.
+  * AUDIO DECODE IS REAL TOO: WAV/AIFF readers ship in every JDK
+  * (`javax.sound.sampled`), so [[decodeAudio]] decodes actual PCM
+  * samples and [[extractAudioFeatures]] derives statistics from them;
+  * the companion query generates deterministic 16-bit PCM WAVs whose
+  * sample values follow a closed form the DuckDB oracle recomputes
+  * directly — PCM is lossless, so a decoder that misreads even one
+  * sample hash-mismatches.
+  *
+  * VIDEO DECODE IS A STUB: no video codec ships with the JDK, so
+  * [[decodeStub]] derives deterministic fake features (byte statistics
+  * standing in for frame statistics). Everything around it is real and
+  * tested: the schema, the `binary` payload column, batched
+  * partition-local processing (`mapPartitions` + `grouped(batchSize)` —
+  * the Scala shape of an Arrow-batched decode loop), and the typed
+  * output. Swapping [[decodeStub]] for a real decoder changes no
+  * plumbing — [[decodeImage]] and [[decodeAudio]] are the proof.
   *
   * Scale shape: decode is embarrassingly parallel and partition-local —
   * no shuffle anywhere; batch size bounds peak decoder memory per task.
@@ -203,6 +211,143 @@ object Multimodal {
     * JDK reader, return the pixel statistics. */
   def decodeQuery(docs: DataFrame): DataFrame =
     extractImageFeatures(pngMediaFromDocuments(docs))
+      .toDF().orderBy(col("media_id"))
+
+  /** Generated-audio geometry: 64 samples of 16-bit mono PCM keeps
+    * payloads tiny and every mean below a division by a power of two
+    * (64, 16) — IEEE-exact, so the decoded statistics hash-match the
+    * oracle's closed form bit-for-bit.
+    */
+  val AudioSamples = 64
+  val AudioRate = 8000
+
+  /** Deterministic 16-bit signed mono PCM WAV for `id`: sample `i`
+    * carries value `((id*37 + i*13) mod 65536) - 32768`. The formula IS
+    * the oracle contract — [[graft.OracleSql]] recomputes the same
+    * statistics from it without decoding anything, so the
+    * encode→decode round trip is verified end-to-end against an
+    * independent engine. Encoding goes through the real JDK WAV writer
+    * (`AudioSystem.write`), not a hand-rolled RIFF header, so the
+    * fixture exercises the same container format a real corpus would.
+    */
+  def wavPayload(id: Long): Array[Byte] = {
+    val data = new Array[Byte](AudioSamples * 2)
+    var i = 0
+    while (i < AudioSamples) {
+      val v = (((id * 37 + i * 13) % 65536) - 32768).toInt
+      // little-endian, matching the AudioFormat below
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      AudioRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, AudioSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real JDK decode: (sampleRate, channels, interleaved samples), or
+    * None when the payload is not a decodable audio container —
+    * corrupt blobs must skip cleanly, not kill the task. Handles the
+    * PCM encodings the JDK readers emit (8-bit signed/unsigned, 16-bit
+    * signed either endianness); exotic encodings decode as None rather
+    * than silently wrong samples.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        val enc = fmt.getEncoding
+        import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+        val samples: Option[Array[Int]] = fmt.getSampleSizeInBits match {
+          case 16 if enc == PCM_SIGNED && bytes.length % 2 == 0 =>
+            val n = bytes.length / 2
+            val out = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              val (lo, hi) =
+                if (fmt.isBigEndian) (bytes(2 * i + 1), bytes(2 * i))
+                else (bytes(2 * i), bytes(2 * i + 1))
+              // sign comes from the high byte; the shift-back keeps it
+              out(i) = ((hi << 8) | (lo & 0xff)).toShort.toInt
+              i += 1
+            }
+            Some(out)
+          case 8 if enc == PCM_SIGNED => Some(bytes.map(_.toInt))
+          case 8 if enc == PCM_UNSIGNED => Some(bytes.map(b => (b & 0xff) - 128))
+          case _ => None
+        }
+        samples.map(s => (fmt.getSampleRate.toInt, fmt.getChannels, s))
+      } finally ais.close()
+    } catch {
+      // the JDK audio readers throw UnsupportedAudioFileException on
+      // unrecognized containers but also unchecked exceptions on
+      // truncated/hostile bodies behind a valid RIFF magic — same
+      // containment rationale as [[decodeImage]]
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  case class AudioFeatures(
+      media_id: Long, sample_rate: Int, n_samples: Long, amp_mean: Double,
+      stripe0: Double, stripe1: Double, stripe2: Double, stripe3: Double,
+      peak: Int)
+
+  /** Documents-derived WAV media frame: one real encoded waveform per
+    * document. Partition-local generation — the fixture-writer side of
+    * the decode round trip.
+    */
+  def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, wavPayload(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** Batched partition-local REAL audio decode: amplitude mean plus
+    * four quarter-stripe means and the peak magnitude over the decoded
+    * samples (same feature shape as the image path, derived from actual
+    * PCM). Undecodable payloads are dropped.
+    */
+  def extractAudioFeatures(media: DataFrame,
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap {
+        case (id, payload) =>
+          decodeAudio(payload).map { case (rate, _, smp) =>
+            val n = smp.length
+            def rangeMean(lo: Int, hi: Int): Double =
+              if (hi <= lo) 0.0
+              else {
+                var s = 0L
+                var i = lo
+                while (i < hi) { s += smp(i); i += 1 }
+                s.toDouble / (hi - lo)
+              }
+            var peak = 0
+            var i = 0
+            while (i < n) { val a = math.abs(smp(i)); if (a > peak) peak = a; i += 1 }
+            AudioFeatures(id, rate, n.toLong, rangeMean(0, n),
+              rangeMean(0, n / 4), rangeMean(n / 4, n / 2),
+              rangeMean(n / 2, 3 * n / 4), rangeMean(3 * n / 4, n), peak)
+          }
+      }))
+  }
+
+  /** The driver-facing query: generate WAVs, decode them with the real
+    * JDK reader, return the sample statistics. */
+  def audioDecodeQuery(docs: DataFrame): DataFrame =
+    extractAudioFeatures(wavMediaFromDocuments(docs))
       .toDF().orderBy(col("media_id"))
 
   case class MediaSample(

@@ -80,6 +80,59 @@ class MultimodalSpec extends SparkSuite {
     assert(got.map(_("media_id")) == Seq(1L, 4L))
   }
 
+  test("WAV round trip: decoded samples equal the generator's closed form") {
+    // the decoder must recover EVERY sample the generator wrote — PCM
+    // is lossless, so equality against the formula proves a real
+    // decode, not byte-statistics luck
+    for (id <- Seq(0L, 1L, 7L, 255L, 256L, 123456789L)) {
+      val Some((rate, channels, smp)) =
+        Multimodal.decodeAudio(Multimodal.wavPayload(id))
+      assert(rate == Multimodal.AudioRate && channels == 1)
+      assert(smp.length == Multimodal.AudioSamples)
+      for (i <- smp.indices)
+        assert(smp(i) == (((id * 37 + i * 13) % 65536) - 32768).toInt,
+          s"sample $i of waveform $id decoded wrong")
+    }
+  }
+
+  test("audio decode query is batch-size invariant and matches the formula") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wav = Multimodal.wavMediaFromDocuments(docs)
+    val a = rowsOf(Multimodal.extractAudioFeatures(wav, batchSize = 1)
+      .toDF().orderBy("media_id"))
+    val b = rowsOf(Multimodal.extractAudioFeatures(wav, batchSize = 512)
+      .toDF().orderBy("media_id"))
+    assert(a == b && a.size == docs.count())
+    // spot-check the statistics against the closed form
+    assert(a.forall { r =>
+      val id = r("media_id").asInstanceOf[Long]
+      val smp = (0 until 64).map(i => (((id * 37 + i * 13) % 65536) - 32768).toInt)
+      r("amp_mean") == smp.sum.toDouble / 64 &&
+        r("stripe0") == smp.slice(0, 16).sum.toDouble / 16 &&
+        r("stripe3") == smp.slice(48, 64).sum.toDouble / 16 &&
+        r("peak") == smp.map(math.abs).max
+    })
+  }
+
+  test("corrupt audio payloads are dropped, valid ones survive") {
+    val s = spark
+    import s.implicits._
+    // the truncated case keeps a valid RIFF magic but cuts the data
+    // chunk short — exactly the hostile shape the NonFatal containment
+    // exists for
+    val truncated = Multimodal.wavPayload(9L).take(30)
+    val mixed = Seq(
+      (1L, Multimodal.wavPayload(1L)),
+      (2L, "definitely not a wav".getBytes("UTF-8")),
+      (3L, Array.emptyByteArray),
+      (4L, truncated),
+      (5L, Multimodal.wavPayload(5L)))
+      .toDF("media_id", "payload")
+    val got = rowsOf(Multimodal.extractAudioFeatures(mixed)
+      .toDF().orderBy("media_id"))
+    assert(got.map(_("media_id")) == Seq(1L, 5L))
+  }
+
   test("empty payload decodes to zero features, not a crash") {
     val f = Multimodal.decodeStub(1L, "image", Array.emptyByteArray)
     assert(f.n_bytes == 0L && f.byte_mean == 0.0 && f.stripe3 == 0.0)

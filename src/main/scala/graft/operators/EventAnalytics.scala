@@ -367,15 +367,60 @@ object EventAnalytics {
     * Scale bound: window parallelism is the number of OCCUPIED bins
     * and the single-reducer unit shrinks from all users to one bin's
     * users. Spend totals cluster in few exponents, so the top 10 key
-    * bits may occupy few bins; a skew-critical deployment recurses the
-    * hot bins on the next 10 bits exactly like
-    * [[valuePercentilesDistributed]]'s level loop — one level is shown
-    * here because per-row ranking (unlike single-value selection)
-    * usually tolerates bin-sized windows.
+    * bits may occupy few bins — which is why bins exceeding
+    * `binMaxRows` RECURSE on the next 10 key bits exactly like
+    * [[valuePercentilesDistributed]]'s level loop (one extra
+    * map-side-combining histogram per level, driver state one O(1024)
+    * count array per hot bin — counts, never rows) until every final
+    * bin fits or 60 bits are resolved. Past 60 bits a bin holds ≤16
+    * DISTINCT keys, and what keeps it large then is ties — equal
+    * totals — which NO radix depth can split; its window cost is the
+    * tie cardinality, the irreducible minimum.
     */
-  def userSpendDecilesDistributed(events: DataFrame,
-      buckets: Int = 10): DataFrame = {
-    val totals = events.groupBy(col("user_id"))
+  /** The bin-refinement planner behind [[userSpendDecilesDistributed]],
+    * exposed for its spec: returns the final disjoint prefix bins as
+    * (prefix, level, rows), where a level-L bin covers the keys whose
+    * top 10·L bits equal `prefix`. Every returned bin either fits
+    * `binMaxRows` or sits at the 60-bit refinement floor.
+    */
+  private[graft] def planSpendBins(totals: DataFrame,
+      binMaxRows: Long): Seq[(Long, Int, Long)] = {
+    val MaxLevels = 6 // 60 bits; ≤16 distinct keys remain below a bin
+    val spark = totals.sparkSession
+    import spark.implicits._
+    val l1 = totals
+      .groupBy(expr("shiftrightunsigned(bkey, 54)").as("p"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), 1, r.getLong(1))).toSeq
+    val done = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    var (hot, fit) = l1.partition(_._3 > binMaxRows)
+    done ++= fit
+    var level = 1
+    while (hot.nonEmpty && level < MaxLevels) {
+      val parentShift = 64 - 10 * level
+      val fineShift = 64 - 10 * (level + 1)
+      val hdf = broadcast(hot.map(_._1).toDF("h_prefix"))
+      val sub = totals.join(hdf,
+          expr(s"shiftrightunsigned(bkey, $parentShift)") === col("h_prefix"))
+        .groupBy(col("h_prefix"),
+          expr(s"shiftrightunsigned(bkey, $fineShift)")
+            .bitwiseAND(lit(1023L)).as("sub"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => ((r.getLong(0) << 10) | r.getLong(1), level + 1, r.getLong(2)))
+        .toSeq
+      level += 1
+      if (level < MaxLevels) {
+        val (h, f) = sub.partition(_._3 > binMaxRows)
+        hot = h; done ++= f
+      } else { hot = Nil; done ++= sub } // 60-bit floor: ties only below
+    }
+    done.toSeq
+  }
+
+  /** Per-user spend totals with the exact radix rank key — the input
+    * both [[planSpendBins]] and the rank join consume. */
+  private[graft] def spendTotalsWithKey(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("total_dec"))
       .withColumn("bkey",
         // EXACT radix key from the decimal's unscaled cents (≤18
@@ -393,29 +438,44 @@ object EventAnalytics {
           (col("total_dec") * 100).cast("long")
             .bitwiseXOR(lit(Long.MaxValue)),
           lit(-1L)))
-    val binned = totals.withColumn("bin",
-      expr("shiftrightunsigned(bkey, 54)"))
-    val hist = binned.groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(_._1)
-    val nTotal = hist.map(_._2).sum
-    // driver prefix sums -> a 1024-row broadcast lookup
+
+  def userSpendDecilesDistributed(events: DataFrame,
+      buckets: Int = 10, binMaxRows: Long = 1000000L): DataFrame = {
+    val totals = spendTotalsWithKey(events)
+    // the refinement loop runs one driver-collected histogram per
+    // level; persist the user-cardinality aggregate so each level
+    // reads the cache instead of re-aggregating raw events. Released
+    // (blocking=false) before returning — the terminal plan then
+    // recomputes totals once, the same two-scans-of-events total the
+    // one-level formulation had, independent of refinement depth.
+    totals.persist()
+    val bins =
+      try planSpendBins(totals, binMaxRows)
+      finally totals.unpersist(blocking = false)
+    // disjoint variable-depth bins order by their unsigned key-range
+    // start (prefix left-aligned to 64 bits); driver prefix sums turn
+    // counts into each bin's global row offset
+    val ordered = bins.sortWith((a, b) =>
+      java.lang.Long.compareUnsigned(
+        a._1 << (64 - 10 * a._2), b._1 << (64 - 10 * b._2)) < 0)
+    val nTotal = ordered.map(_._3).sum
     var rows = 0L
-    val prefix = hist.map { case (b, n) =>
-      val out = (b, rows); rows += n; out
+    val prefix = ordered.zipWithIndex.map { case ((p, lvl, n), i) =>
+      val out = (i, p, 64 - 10 * lvl, rows); rows += n; out
     }
     val spark = events.sparkSession
     import spark.implicits._
-    val pdf = broadcast(prefix.toSeq.toDF("bin", "row_prefix"))
+    val pdf = broadcast(
+      prefix.toDF("bin_id", "b_prefix", "b_shift", "row_prefix"))
     // signed orderBy on bkey is safe HERE (unlike a sign-spanning
-    // window): the partition fixes the key's top 10 bits, sign bit
-    // included, so signed and unsigned order agree within every bin
-    val w = Window.partitionBy(col("bin"))
+    // window): every bin fixes ≥10 top key bits, sign bit included,
+    // so signed and unsigned order agree within every bin
+    val w = Window.partitionBy(col("bin_id"))
       .orderBy(col("bkey"), col("user_id"))
     val base = nTotal / buckets
     val rem = nTotal % buckets
-    val ranked = binned.join(pdf, "bin")
+    val ranked = totals.join(pdf,
+        expr("shiftrightunsigned(bkey, b_shift)") === col("b_prefix"))
       .withColumn("r", col("row_prefix") + row_number().over(w))
     val decile =
       when(col("r") <= lit(rem * (base + 1)),

@@ -194,6 +194,40 @@ class EventAnalyticsSpec extends SparkSuite {
       "the one-cent-larger total must rank first despite double collision")
   }
 
+  test("spend-decile hot bins recurse multi-level on clustered totals") {
+    // the skew shape the recursion exists for: 64 user totals packed
+    // into a 64-cent span (100.00–100.63), so the radix key's top 50
+    // bits are IDENTICAL across every user — one level of 10-bit
+    // binning puts all of them in a single bin and recreates the
+    // single-reducer window. With binMaxRows=4 the planner must
+    // descend level after level until the bit positions where the
+    // cents actually differ.
+    val rows = (0 until 64).map(i =>
+      (i.toLong, 1000L * (i + 1), i.toLong, "t", 100.0 + i / 100.0))
+    val ev = events(rows: _*)
+    val totals = EventAnalytics.spendTotalsWithKey(ev)
+    val bins = EventAnalytics.planSpendBins(totals, binMaxRows = 4L)
+    val maxLevel = bins.map(_._2).max
+    assert(maxLevel > 2, s"expected multi-level descent, got depth $maxLevel")
+    assert(bins.length > 1, "clustered totals must end in split bins")
+    // disjoint exact cover: bin populations sum to the user count
+    assert(bins.map(_._3).sum == 64L)
+    // and the refined ranking still equals the global-window variant
+    assert(rowsOf(EventAnalytics.userSpendDecilesDistributed(
+        ev, binMaxRows = 4L)) ==
+      rowsOf(EventAnalytics.userSpendDeciles(ev)))
+    // tie floor: equal totals can never split, whatever the depth —
+    // the planner must terminate at the 60-bit floor, not loop
+    val tied = events((0 until 8).map(i =>
+      (i.toLong, 1000L * (i + 1), i.toLong, "t", 42.42)): _*)
+    val tiedBins = EventAnalytics.planSpendBins(
+      EventAnalytics.spendTotalsWithKey(tied), binMaxRows = 2L)
+    assert(tiedBins.map(_._3).sum == 8L)
+    assert(rowsOf(EventAnalytics.userSpendDecilesDistributed(
+        tied, binMaxRows = 2L)) ==
+      rowsOf(EventAnalytics.userSpendDeciles(tied)))
+  }
+
   test("orderable bits preserve double ordering across the full range") {
     import graft.functions.DoubleBits.orderable
     val vs = Seq(Double.NegativeInfinity, -1e300, -490.02, -1.5, -0.01,

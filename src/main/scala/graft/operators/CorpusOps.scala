@@ -267,15 +267,13 @@ object CorpusOps {
       .filter(col("term") =!= "")
     val tf = ex.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // the vacuous `tf >= 1` gate (tf counts ≥1 rows by construction) is
-    // load-bearing: without a reference to tf, column pruning rewrites
-    // the df-side copy of the tf aggregate into a bare distinct
-    // (functions=[]), de-canonicalizing it from the tf side's — AQE then
-    // cannot stage-reuse the exchange and the corpus tokenizes TWICE
-    // (observed; the spec pins the reuse). Catalyst cannot fold the gate
-    // away (no ≥1 constraint is inferred for a count output), and a
-    // filter on an aggregate output never pushes below the aggregate.
-    val df = tf.filter(col("tf") >= 1)
+    // load-bearing vacuous gate: without a reference to tf, column
+    // pruning rewrites the df-side copy of the tf aggregate into a bare
+    // distinct (functions=[]), de-canonicalizing it from the tf side's —
+    // AQE then cannot stage-reuse the exchange and the corpus tokenizes
+    // TWICE (observed; the spec pins the reuse). Why this form holds is
+    // documented once at [[graft.functions.Barrier.reuseAnchor]].
+    val df = tf.filter(graft.functions.Barrier.reuseAnchor(col("tf")))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))

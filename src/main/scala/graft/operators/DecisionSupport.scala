@@ -284,8 +284,10 @@ object DecisionSupport {
       .filter(col("l_shipdate") >= ts(from) && col("l_shipdate") < ts(until))
       .groupBy(col("l_suppkey"))
       .agg(sum(discPrice).as("total_revenue"))
+    // key-shaped reuse anchor — rationale documented once at
+    // [[graft.functions.Barrier.reuseAnchorKey]]
     val maxRev = perSupp
-      .filter(rand(7) >= 0 && col("l_suppkey").isNotNull)
+      .filter(graft.functions.Barrier.reuseAnchorKey(col("l_suppkey")))
       .agg(max(col("total_revenue")).as("max_rev"))
     perSupp
       .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
@@ -435,11 +437,13 @@ object DecisionSupport {
     // byte-identical BELOW it: the late-lines branch would otherwise
     // push its inferred IsNotNull constraints (join keys + the
     // shipdate comparison) under its copy of the exchange, and the
-    // de-canonicalized twins would scan + shuffle lineitem twice
+    // de-canonicalized twins would scan + shuffle lineitem twice.
+    // Rationale documented once at
+    // [[graft.functions.Barrier.notNullCanonical]].
     val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
         col("l_shipdate"))
-      .filter(col("l_orderkey").isNotNull && col("l_suppkey").isNotNull &&
-        col("l_shipdate").isNotNull)
+      .filter(graft.functions.Barrier.notNullCanonical(
+        col("l_orderkey"), col("l_suppkey"), col("l_shipdate")))
       .repartition(col("l_orderkey"))
     val perSupp = li.groupBy(
         col("l_orderkey").as("i_orderkey"), col("l_suppkey").as("i_suppkey"))

@@ -235,7 +235,19 @@ object EventAnalytics {
     */
   def valuePercentilesApprox(events: DataFrame,
       ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000): DataFrame =
+    valuePercentilesApproxCore(events, ps, accuracy)
+      .orderBy(col("event_type"))
+
+  /** The sketch aggregate without the presentation sort — shared with
+    * [[graft.streaming.StreamingPercentiles]], where a global sort is
+    * only legal in complete output mode (and pointless per
+    * micro-batch). Every expression here is streaming-safe: one
+    * stateful groupBy whose state is a fixed-size mergeable sketch per
+    * event type.
+    */
+  private[graft] def valuePercentilesApproxCore(events: DataFrame,
+      ps: Seq[Double], accuracy: Int): DataFrame = {
     val qs = percentile_approx(
       col("value"), typedLit(ps), lit(accuracy)).as("qs")
     events.select(col("event_type"), col("value"))
@@ -244,7 +256,6 @@ object EventAnalytics {
       .agg(qs)
       .select(col("event_type") +: ps.zipWithIndex.map { case (p, i) =>
         element_at(col("qs"), i + 1).as(s"p${(p * 100).toInt}") }: _*)
-      .orderBy(col("event_type"))
   }
 
   /** Daily volume-spike detection per event type: a day is a spike

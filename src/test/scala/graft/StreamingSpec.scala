@@ -296,6 +296,60 @@ class StreamingSpec extends SparkSuite {
       .orderBy(col("user_id"), col("session_start_us")))
     assert(streamed == batch && streamed.length == 3)
   }
+
+  test("streaming approx percentiles bracket the batch exact order statistics") {
+    // the streaming percentile story: sketches merge INCREMENTALLY
+    // across micro-batches (two addData rounds force a real state
+    // merge), and the final running result must satisfy the same
+    // rank-error bracket against the batch EXACT order statistics the
+    // batch approx twin is held to
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val ev = graft.sources.EventsAsRecords
+        .readEvents(spark, "/root/testdata/sf0.001")
+      val rows = ev.select(col("event_type"), col("value"))
+        .as[(String, Option[Double])].collect()
+      assert(rows.length > 10)
+      val mem = MemoryStream[(String, Option[Double])]
+      val q = graft.streaming.StreamingPercentiles.valuePercentiles(
+          mem.toDF().toDF("event_type", "value"))
+        .writeStream.format("memory").queryName("stream_pcts")
+        .outputMode("complete").start()
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("stream_pcts").collect()
+      val ps = Seq(0.5, 0.9, 0.99)
+      val lo = graft.operators.EventAnalytics.valuePercentiles(
+          ev, ps.map(p => (p - 0.02).max(0.01)))
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      val hi = graft.operators.EventAnalytics.valuePercentiles(
+          ev, ps.map(p => (p + 0.02).min(1.0)))
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      assert(streamed.nonEmpty && streamed.length == lo.size)
+      streamed.foreach { r =>
+        val t = r.getString(0)
+        ps.indices.foreach { i =>
+          val a = r.getDouble(i + 1)
+          val l = lo(t)(i).asInstanceOf[Double]
+          val h = hi(t)(i).asInstanceOf[Double]
+          assert(a >= l && a <= h,
+            s"$t p${(ps(i) * 100).toInt}: streamed $a outside exact bracket [$l, $h]")
+        }
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
 
 /** MemoryStream row for the session-window parity test — field order

@@ -466,12 +466,8 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      graft.sources.CorpusStore.writeBucketed(
-        propagationRound(edges, labelsFrame),
+      converged = writeRoundObserved(propagationRound(edges, labelsFrame),
         labelsTable(iter + 1), labelsPath(iter + 1), buckets)
-      // convergence = narrow filter over the just-written (tiny) table
-      converged = spark.table(labelsTable(iter + 1))
-        .filter(col("cluster") =!= col("prev")).isEmpty
       if (iter > 0) { drop(labelsTable(iter)); rm(labelsPath(iter)) }
       labelsFrame = spark.table(labelsTable(iter + 1))
         .select(col("doc_id"), col("cluster"))
@@ -502,6 +498,27 @@ object Dedup {
   /** Disambiguates [[nearDupClustersBucketed]] catalog entries across
     * invocations in one JVM. */
   private val BucketedRunCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Write one propagation round bucketed and return whether it
+    * converged (changed zero labels). Convergence is OBSERVED inside
+    * the write job itself — `Dataset.observe` plants a CollectMetrics
+    * node counting `cluster =!= prev` rows as the write streams past —
+    * instead of re-scanning the just-written table with a separate
+    * filter job, saving one read of the round state per iteration
+    * (the loop's only other read of the table is as the NEXT round's
+    * input, which is irreducible). `Observation.get` blocks until the
+    * write action's completion listener delivers the metric.
+    */
+  private[graft] def writeRoundObserved(round: DataFrame, table: String,
+      path: String, buckets: Int): Boolean = {
+    val obs = org.apache.spark.sql.Observation()
+    graft.sources.CorpusStore.writeBucketed(
+      round.observe(obs,
+        coalesce(sum(when(col("cluster") =!= col("prev"), 1L)
+          .otherwise(0L)), lit(0L)).as("changed")),
+      table, path, buckets)
+    obs.get("changed").asInstanceOf[Long] == 0L
+  }
 
   val SimhashBits = 32
 

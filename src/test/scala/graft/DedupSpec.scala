@@ -106,6 +106,66 @@ class DedupSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("observed convergence: correct verdicts, no job beyond the write itself") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndb-obs").toString
+    def cleanup(): Unit = {
+      Seq("obs_edges", "obs_r1", "obs_r2", "obs_base")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    try {
+      // 3-doc chain 1–2–3: the seed labels 3 as 2, so round 1 CHANGES
+      // (3 joins cluster 1 through 2's label) and round 2 is a fixpoint
+      val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+        .toDF("doc_a", "doc_b")
+      graft.sources.CorpusStore.writeBucketed(
+        sym, "obs_edges", s"$dir/edges", 4, bucketCol = "doc_b")
+      val edges = spark.table("obs_edges")
+      val seed = edges.groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("doc_b")).as("nbr_min"))
+        .select(col("doc_id"),
+          least(col("doc_id"), col("nbr_min")).as("cluster"))
+      val conv1 = Dedup.writeRoundObserved(
+        Dedup.propagationRound(edges, seed), "obs_r1", s"$dir/r1", 4)
+      assert(!conv1, "a label-changing round must not report convergence")
+      val labels1 = spark.table("obs_r1").select(col("doc_id"), col("cluster"))
+      assert(rowsOf(labels1.orderBy("doc_id")).map(_("cluster")) ==
+        Seq(1L, 1L, 1L))
+      // the fixpoint round, twice over the same frame: once through the
+      // bare bucketed write (baseline job count) and once through the
+      // observed write. Equal counts prove the convergence verdict rides
+      // INSIDE the write job — the old shape's separate post-write
+      // filter scan would show up as an extra job here.
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      def countJobs(run: => Unit): Int = {
+        spark.sparkContext.addSparkListener(listener)
+        try { jobs.set(0); run; Thread.sleep(1000); jobs.get }
+        finally spark.sparkContext.removeSparkListener(listener)
+      }
+      val baseJobs = countJobs {
+        graft.sources.CorpusStore.writeBucketed(
+          Dedup.propagationRound(edges, labels1), "obs_base", s"$dir/base", 4)
+      }
+      var conv2 = false
+      val obsJobs = countJobs {
+        conv2 = Dedup.writeRoundObserved(
+          Dedup.propagationRound(edges, labels1), "obs_r2", s"$dir/r2", 4)
+      }
+      assert(conv2, "a fixpoint round must report convergence")
+      assert(obsJobs == baseJobs,
+        s"observed write ran $obsJobs jobs vs $baseJobs bare — " +
+          "the convergence check launched its own scan")
+    } finally cleanup()
+  }
+
   test("hot-bucket cap: degenerate identical-doc buckets are skipped, " +
       "under-cap pairs survive") {
     // the corpus dedup exists for: a pile of identical boilerplate docs

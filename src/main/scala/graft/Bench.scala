@@ -154,13 +154,21 @@ object Bench {
     // passes adjudicating regressions that were really regime/machine
     // drift — this field makes the artifact self-adjudicating.
     quiesce()
-    val sentinel = (0 until 5).map { _ =>
-      val t0 = System.nanoTime()
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .groupBy("event_type").count()
-        .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
-    }.min
+    // same containment as every query run: a sentinel failure (transient
+    // FS error, end-of-run heap pressure) must not discard the whole
+    // suite's timings — it reports -1, unmistakably not a timing
+    val sentinel =
+      try (0 until 5).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .groupBy("event_type").count()
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] sentinel FAILED: ${e.getMessage}")
+        -1.0
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total covers successful queries only — summing the -1 failure

@@ -640,7 +640,10 @@ object OracleSql {
          |  / ${hi - lo}""".stripMargin
     s"""WITH smp AS (
        |  SELECT d.doc_id, t.p,
-       |         ((d.doc_id * 37 + t.p * 13) % 65536) - 32768 AS v
+       |         -- floor-mod form: DuckDB % is dividend-signed like
+       |         -- Scala's, so the double-mod keeps the contract total
+       |         -- over negative doc_ids (mirrors Multimodal.wavPayload)
+       |         (((d.doc_id * 37 + t.p * 13) % 65536 + 65536) % 65536) - 32768 AS v
        |  FROM documents d, generate_series(0, 63) AS t(p))
        |SELECT doc_id AS media_id,
        |       CAST(8000 AS INTEGER) AS sample_rate,

@@ -472,12 +472,29 @@ object EventAnalytics {
     val nTotal = ordered.map(_._3).sum
     var rows = 0L
     val prefix = ordered.zipWithIndex.map { case ((p, lvl, n), i) =>
-      val out = (i, p, 64 - 10 * lvl, rows); rows += n; out
+      val out = (i, lvl, p, rows); rows += n; out
     }
     val spark = events.sparkSession
     import spark.implicits._
     val pdf = broadcast(
-      prefix.toDF("bin_id", "b_prefix", "b_shift", "row_prefix"))
+      prefix.toDF("bin_id", "b_level", "b_prefix", "row_prefix"))
+    // the bin-assignment join must stay an EQUI-join: a key expression
+    // referencing both sides (shiftrightunsigned(bkey, b_shift) with
+    // b_shift from the bin table) gives Catalyst no extractable join
+    // keys and plans a BroadcastNestedLoopJoin — every totals row
+    // against every bin (review-caught). Instead each totals row
+    // explodes into one probe struct per OCCUPIED level (≤6, usually
+    // 1–2), and the join matches on the (level, truncated-key) PAIR —
+    // a broadcast hash join. Bin disjointness guarantees exactly one
+    // probe survives per user, so the inner join is also the filter
+    // that discards the other copies.
+    val levels = {
+      val ls = ordered.map(_._2).distinct.sorted
+      if (ls.isEmpty) Seq(1) else ls // empty corpus: any valid probe shape
+    }
+    val probeArr = array(levels.map(l =>
+      struct(lit(l).as("lvl"),
+        expr(s"shiftrightunsigned(bkey, ${64 - 10 * l})").as("k"))): _*)
     // signed orderBy on bkey is safe HERE (unlike a sign-spanning
     // window): every bin fixes ≥10 top key bits, sign bit included,
     // so signed and unsigned order agree within every bin
@@ -485,8 +502,10 @@ object EventAnalytics {
       .orderBy(col("bkey"), col("user_id"))
     val base = nTotal / buckets
     val rem = nTotal % buckets
-    val ranked = totals.join(pdf,
-        expr("shiftrightunsigned(bkey, b_shift)") === col("b_prefix"))
+    val ranked = totals
+      .withColumn("probe", explode(probeArr))
+      .join(pdf, col("probe.lvl") === col("b_level") &&
+        col("probe.k") === col("b_prefix"))
       .withColumn("r", col("row_prefix") + row_number().over(w))
     val decile =
       when(col("r") <= lit(rem * (base + 1)),

@@ -222,19 +222,23 @@ object Multimodal {
   val AudioRate = 8000
 
   /** Deterministic 16-bit signed mono PCM WAV for `id`: sample `i`
-    * carries value `((id*37 + i*13) mod 65536) - 32768`. The formula IS
-    * the oracle contract — [[graft.OracleSql]] recomputes the same
+    * carries value `floorMod(id*37 + i*13, 65536) - 32768`. The formula
+    * IS the oracle contract — [[graft.OracleSql]] recomputes the same
     * statistics from it without decoding anything, so the
     * encode→decode round trip is verified end-to-end against an
     * independent engine. Encoding goes through the real JDK WAV writer
     * (`AudioSystem.write`), not a hand-rolled RIFF header, so the
     * fixture exercises the same container format a real corpus would.
+    * floorMod, not `%`: a negative id under truncated `%` yields values
+    * below -32768, which the 16-bit write would wrap mod 2^16 while
+    * the oracle computes unwrapped — the contract must be total over
+    * ALL ids, not just the generated non-negative ones.
     */
   def wavPayload(id: Long): Array[Byte] = {
     val data = new Array[Byte](AudioSamples * 2)
     var i = 0
     while (i < AudioSamples) {
-      val v = (((id * 37 + i * 13) % 65536) - 32768).toInt
+      val v = (Math.floorMod(id * 37 + i * 13, 65536L) - 32768).toInt
       // little-endian, matching the AudioFormat below
       data(2 * i) = (v & 0xff).toByte
       data(2 * i + 1) = ((v >> 8) & 0xff).toByte

@@ -43,22 +43,8 @@ class EventAnalyticsSpec extends SparkSuite {
       val ev = graft.sources.EventsAsRecords
         .readEvents(spark, "/root/testdata/sf0.01")
       val ps = Seq(0.5, 0.9, 0.99)
-      val lo = EventAnalytics.valuePercentiles(ev, ps.map(p => (p - 0.02).max(0.01)))
-        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
-      val hi = EventAnalytics.valuePercentiles(ev, ps.map(p => (p + 0.02).min(1.0)))
-        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
-      val approx = EventAnalytics.valuePercentilesApprox(ev, ps).collect()
-      assert(approx.nonEmpty)
-      approx.foreach { r =>
-        val t = r.getString(0)
-        ps.indices.foreach { i =>
-          val a = r.getDouble(i + 1)
-          val l = lo(t)(i).asInstanceOf[Double]
-          val h = hi(t)(i).asInstanceOf[Double]
-          assert(a >= l && a <= h,
-            s"$t p${(ps(i) * 100).toInt}: approx $a outside exact bracket [$l, $h]")
-        }
-      }
+      assertPercentileBracket(ev,
+        EventAnalytics.valuePercentilesApprox(ev, ps).collect().toSeq, ps)
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
@@ -171,6 +157,10 @@ class EventAnalyticsSpec extends SparkSuite {
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(!p.contains("windowspecdefinition(total_dec"),
         s"rank regressed to the global window:\n$p")
+      // the bin-assignment join must be an equi-join (broadcast hash),
+      // never a nested loop over totals × bins
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"bin assignment regressed to a nested-loop join:\n$p")
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     // n < buckets edge: every user gets their own bucket, rank order
     val tiny = events(

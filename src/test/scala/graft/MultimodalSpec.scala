@@ -84,13 +84,17 @@ class MultimodalSpec extends SparkSuite {
     // the decoder must recover EVERY sample the generator wrote — PCM
     // is lossless, so equality against the formula proves a real
     // decode, not byte-statistics luck
-    for (id <- Seq(0L, 1L, 7L, 255L, 256L, 123456789L)) {
+    // negative ids included: truncated % would push samples below
+    // -32768 there and wrap in the 16-bit write — floorMod keeps the
+    // generator/oracle contract total over the whole id domain
+    for (id <- Seq(0L, 1L, 7L, 255L, 256L, 123456789L, -1L, -98765L)) {
       val Some((rate, channels, smp)) =
         Multimodal.decodeAudio(Multimodal.wavPayload(id))
       assert(rate == Multimodal.AudioRate && channels == 1)
       assert(smp.length == Multimodal.AudioSamples)
       for (i <- smp.indices)
-        assert(smp(i) == (((id * 37 + i * 13) % 65536) - 32768).toInt,
+        assert(smp(i) ==
+          (Math.floorMod(id * 37 + i * 13, 65536L) - 32768).toInt,
           s"sample $i of waveform $id decoded wrong")
     }
   }
@@ -106,7 +110,8 @@ class MultimodalSpec extends SparkSuite {
     // spot-check the statistics against the closed form
     assert(a.forall { r =>
       val id = r("media_id").asInstanceOf[Long]
-      val smp = (0 until 64).map(i => (((id * 37 + i * 13) % 65536) - 32768).toInt)
+      val smp = (0 until 64).map(i =>
+        (Math.floorMod(id * 37 + i * 13, 65536L) - 32768).toInt)
       r("amp_mean") == smp.sum.toDouble / 64 &&
         r("stripe0") == smp.slice(0, 16).sum.toDouble / 16 &&
         r("stripe3") == smp.slice(48, 64).sum.toDouble / 16 &&

@@ -36,4 +36,31 @@ trait SparkSuite extends AnyFunSuite {
     val cols = df.columns
     df.collect().toSeq.map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
   }
+
+  /** Shared rank-error bracket contract for the approx-percentile
+    * family (batch sketch AND its streaming twin): each pNN in `got`
+    * must lie within the EXACT [p−2%, p+2%] order-statistic bracket
+    * for its event type, and every type must be present. One
+    * definition so the two specs cannot drift apart.
+    */
+  def assertPercentileBracket(ev: DataFrame,
+      got: Seq[org.apache.spark.sql.Row], ps: Seq[Double]): Unit = {
+    val lo = graft.operators.EventAnalytics.valuePercentiles(
+        ev, ps.map(p => (p - 0.02).max(0.01)))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val hi = graft.operators.EventAnalytics.valuePercentiles(
+        ev, ps.map(p => (p + 0.02).min(1.0)))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(got.nonEmpty && got.length == lo.size)
+    got.foreach { r =>
+      val t = r.getString(0)
+      ps.indices.foreach { i =>
+        val a = r.getDouble(i + 1)
+        val l = lo(t)(i).asInstanceOf[Double]
+        val h = hi(t)(i).asInstanceOf[Double]
+        assert(a >= l && a <= h,
+          s"$t p${(ps(i) * 100).toInt}: $a outside exact bracket [$l, $h]")
+      }
+    }
+  }
 }

@@ -326,25 +326,8 @@ class StreamingSpec extends SparkSuite {
       mem.addData(second.toIndexedSeq: _*)
       q.processAllAvailable()
       q.stop()
-      val streamed = spark.table("stream_pcts").collect()
-      val ps = Seq(0.5, 0.9, 0.99)
-      val lo = graft.operators.EventAnalytics.valuePercentiles(
-          ev, ps.map(p => (p - 0.02).max(0.01)))
-        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
-      val hi = graft.operators.EventAnalytics.valuePercentiles(
-          ev, ps.map(p => (p + 0.02).min(1.0)))
-        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
-      assert(streamed.nonEmpty && streamed.length == lo.size)
-      streamed.foreach { r =>
-        val t = r.getString(0)
-        ps.indices.foreach { i =>
-          val a = r.getDouble(i + 1)
-          val l = lo(t)(i).asInstanceOf[Double]
-          val h = hi(t)(i).asInstanceOf[Double]
-          assert(a >= l && a <= h,
-            s"$t p${(ps(i) * 100).toInt}: streamed $a outside exact bracket [$l, $h]")
-        }
-      }
+      val streamed = spark.table("stream_pcts").collect().toSeq
+      assertPercentileBracket(ev, streamed, Seq(0.5, 0.9, 0.99))
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)

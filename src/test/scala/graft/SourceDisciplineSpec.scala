@@ -64,14 +64,16 @@ class SourceDisciplineSpec extends AnyFunSuite {
     //   AliveKeys        two 1-row aggregates
     //   CorpusOps        O(bins) histogram longs (token budget)
     //   EventAnalytics   O(#types), O(targets×1024) histogram counts,
-    //                    O(1024) bin prefix counts (radix rank/select)
+    //                    O(1024) bin prefix counts (radix rank/select),
+    //                    and planSpendBins' two per-level histograms —
+    //                    O(1024) counts per hot bin, never rows
     //   Similarity       k×dims codebooks (documented IVF trade)
     //   TopicMetrics     1-row global summary
     audit("collect()", raw"\.collect\(\)", Map(
       "src/main/scala/graft/TopicAnalyzer.scala" -> 1,
       "src/main/scala/graft/operators/AliveKeys.scala" -> 2,
       "src/main/scala/graft/operators/CorpusOps.scala" -> 1,
-      "src/main/scala/graft/operators/EventAnalytics.scala" -> 3,
+      "src/main/scala/graft/operators/EventAnalytics.scala" -> 4,
       "src/main/scala/graft/operators/Similarity.scala" -> 3,
       "src/main/scala/graft/operators/TopicMetrics.scala" -> 1))
   }
@@ -85,10 +87,11 @@ class SourceDisciplineSpec extends AnyFunSuite {
   }
 
   test("mapPartitions only where no expression can express the op") {
-    // Multimodal: batched binary decode loops (codec calls) — the one
-    // imperative shape; everything else is declarative/codegen'd
+    // Multimodal: batched binary decode/encode loops (codec calls —
+    // PNG + WAV generators and decoders) — the one imperative shape;
+    // everything else is declarative/codegen'd
     audit("mapPartitions", raw"\.mapPartitions\(", Map(
-      "src/main/scala/graft/operators/Multimodal.scala" -> 4))
+      "src/main/scala/graft/operators/Multimodal.scala" -> 6))
   }
 
   test("no Scala UDFs; no raw RDD drops outside the internals bridge") {

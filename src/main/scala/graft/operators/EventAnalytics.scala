@@ -132,6 +132,16 @@ object EventAnalytics {
     val vals = events.select(col("event_type"), col("value"))
       .filter(col("value").isNotNull)
       .withColumn("u", graft.functions.DoubleBits.orderableBits(col("value")))
+    // the refinement loop below runs one driver-collected histogram per
+    // level, each a full pass over vals — persist the narrow
+    // (type, value, u) projection so levels past the first read the
+    // cache (MEMORY_AND_DISK: at cluster scale a 3-column projection of
+    // the input is the standard working set of any multi-pass
+    // selection). Released before the terminal pick, which then
+    // recomputes vals once — a fixed two-scans-of-events bound
+    // independent of refinement depth, same treatment as
+    // [[userSpendDecilesDistributed]].
+    vals.persist()
     // ONE fused pass yields both the per-type counts AND the level-0
     // histogram: per-type n is just the sum of its level-0 bins, so a
     // separate counts aggregate would scan the input once more for
@@ -198,21 +208,38 @@ object EventAnalytics {
       }
       level += 1
     }
+    vals.unpersist(blocking = false)
     // terminal pick: candidates per target are its resolved-prefix rows
     // (bounded by windowMaxRows / 16 distinct values), one bounded
     // window each — partitioned per target, never per whole type
     val tf = broadcast(targets.map(t =>
         (t.id, t.typ.orNull, t.pi, t.k, t.prefix, 64 - 10 * t.level))
       .toSeq.toDF("t_id", "t_type", "t_pi", "t_k", "t_prefix", "t_shift"))
-    val cond = (vals("event_type") <=> tf("t_type")) &&
-      expr("shiftrightunsigned(u, t_shift)") === col("t_prefix")
+    // equi-join discipline (same fix as the decile bin assignment): a
+    // key expression shiftrightunsigned(u, t_shift) with t_shift from
+    // the target table has no extractable join keys and would plan a
+    // BroadcastNestedLoopJoin evaluating every row against every
+    // target. Each row instead explodes one probe per DISTINCT target
+    // shift (≤6) and the join matches on the (shift, truncated-key)
+    // pair plus the null-safe type — a broadcast hash join. A row may
+    // legitimately match several targets (one per percentile whose
+    // candidate window covers it); that multiplicity is identical to
+    // the old predicate's.
+    val shifts = targets.map(t => 64 - 10 * t.level).distinct.sorted
+    val probeArr = array(shifts.map(s =>
+      struct(lit(s).as("sh"),
+        expr(s"shiftrightunsigned(u, $s)").as("k"))): _*)
+    val probed = vals.withColumn("probe", explode(probeArr))
+    val cond = (probed("event_type") <=> tf("t_type")) &&
+      col("probe.sh") === col("t_shift") &&
+      col("probe.k") === col("t_prefix")
     // order the terminal window by VALUE, never by the raw key: u is
     // unsigned-orderable, and a sign-spanning partition under SIGNED
     // long order would rank positives before negatives; value order
     // equals unsigned-u order by construction (NaN last, -0.0 before
     // 0.0 in both)
     val w = Window.partitionBy(col("t_id")).orderBy(col("value"))
-    val picked = vals.join(tf, cond)
+    val picked = probed.join(tf, cond)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === col("t_k"))
     val aggs = ps.zipWithIndex.map { case (p, pi) =>

@@ -113,6 +113,10 @@ class EventAnalyticsSpec extends SparkSuite {
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(!p.contains("windowspecdefinition(event_type"),
         s"terminal window regressed to per-type:\n$p")
+      // the terminal candidate join must stay an equi-join (broadcast
+      // hash), never a nested loop of every row against every target
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"terminal pick regressed to a nested-loop join:\n$p")
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     // negative values exercise the sign-flip branch of the bit mapping
     // at EVERY stopping depth — windowMaxRows=100000 resolves at level

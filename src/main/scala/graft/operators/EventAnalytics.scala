@@ -133,15 +133,16 @@ object EventAnalytics {
       .filter(col("value").isNotNull)
       .withColumn("u", graft.functions.DoubleBits.orderableBits(col("value")))
     // the refinement loop below runs one driver-collected histogram per
-    // level, each a full pass over vals — persist the narrow
-    // (type, value, u) projection so levels past the first read the
-    // cache (MEMORY_AND_DISK: at cluster scale a 3-column projection of
-    // the input is the standard working set of any multi-pass
-    // selection). Released before the terminal pick, which then
-    // recomputes vals once — a fixed two-scans-of-events bound
-    // independent of refinement depth, same treatment as
-    // [[userSpendDecilesDistributed]].
-    vals.persist()
+    // level, each a full pass over vals — LAZILY persist the narrow
+    // (type, value, u) projection the moment a second pass is needed,
+    // so levels past the first read the cache (MEMORY_AND_DISK: at
+    // cluster scale a 3-column projection of the input is the standard
+    // working set of any multi-pass selection) while the
+    // resolves-at-level-0 case pays no cache materialization. Released
+    // before the terminal pick, which then recomputes vals once — a
+    // fixed two-scans-of-events bound independent of refinement depth,
+    // same treatment as [[userSpendDecilesDistributed]].
+    var valsPersisted = false
     // ONE fused pass yields both the per-type counts AND the level-0
     // histogram: per-type n is just the sum of its level-0 bins, so a
     // separate counts aggregate would scan the input once more for
@@ -180,6 +181,7 @@ object EventAnalytics {
     var level = 1
     val MaxLevels = 6 // 60 bits resolved; ≤16 distinct values remain
     while (level < MaxLevels && targets.exists(!_.done)) {
+      if (!valsPersisted) { vals.persist(); valsPersisted = true }
       val active = targets.filter(!_.done)
       val tdf = active.map(t => (t.id, t.typ.orNull, t.prefix))
         .toSeq.toDF("t_id", "t_type", "t_prefix")
@@ -208,7 +210,7 @@ object EventAnalytics {
       }
       level += 1
     }
-    vals.unpersist(blocking = false)
+    if (valsPersisted) vals.unpersist(blocking = false)
     // terminal pick: candidates per target are its resolved-prefix rows
     // (bounded by windowMaxRows / 16 distinct values), one bounded
     // window each — partitioned per target, never per whole type
@@ -434,24 +436,35 @@ object EventAnalytics {
     var (hot, fit) = l1.partition(_._3 > binMaxRows)
     done ++= fit
     var level = 1
-    while (hot.nonEmpty && level < MaxLevels) {
-      val parentShift = 64 - 10 * level
-      val fineShift = 64 - 10 * (level + 1)
-      val hdf = broadcast(hot.map(_._1).toDF("h_prefix"))
-      val sub = totals.join(hdf,
-          expr(s"shiftrightunsigned(bkey, $parentShift)") === col("h_prefix"))
-        .groupBy(col("h_prefix"),
-          expr(s"shiftrightunsigned(bkey, $fineShift)")
-            .bitwiseAND(lit(1023L)).as("sub"))
-        .agg(count(lit(1)).as("n")).collect()
-        .map(r => ((r.getLong(0) << 10) | r.getLong(1), level + 1, r.getLong(2)))
-        .toSeq
-      level += 1
-      if (level < MaxLevels) {
-        val (h, f) = sub.partition(_._3 > binMaxRows)
-        hot = h; done ++= f
-      } else { hot = Nil; done ++= sub } // 60-bit floor: ties only below
-    }
+    // LAZY persist: the common no-skew case resolves at level 1 from
+    // the single uncached histogram above and must not pay a cache
+    // materialization; only when hot bins force a second pass does the
+    // user-cardinality aggregate get persisted (levels ≥2 then read
+    // the cache instead of re-aggregating raw events). Released before
+    // returning — the caller's terminal plan recomputes totals once,
+    // the same two-scans-of-events bound regardless of depth.
+    var persisted = false
+    try {
+      while (hot.nonEmpty && level < MaxLevels) {
+        if (!persisted) { totals.persist(); persisted = true }
+        val parentShift = 64 - 10 * level
+        val fineShift = 64 - 10 * (level + 1)
+        val hdf = broadcast(hot.map(_._1).toDF("h_prefix"))
+        val sub = totals.join(hdf,
+            expr(s"shiftrightunsigned(bkey, $parentShift)") === col("h_prefix"))
+          .groupBy(col("h_prefix"),
+            expr(s"shiftrightunsigned(bkey, $fineShift)")
+              .bitwiseAND(lit(1023L)).as("sub"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => ((r.getLong(0) << 10) | r.getLong(1), level + 1, r.getLong(2)))
+          .toSeq
+        level += 1
+        if (level < MaxLevels) {
+          val (h, f) = sub.partition(_._3 > binMaxRows)
+          hot = h; done ++= f
+        } else { hot = Nil; done ++= sub } // 60-bit floor: ties only below
+      }
+    } finally if (persisted) totals.unpersist(blocking = false)
     done.toSeq
   }
 
@@ -480,16 +493,9 @@ object EventAnalytics {
   def userSpendDecilesDistributed(events: DataFrame,
       buckets: Int = 10, binMaxRows: Long = 1000000L): DataFrame = {
     val totals = spendTotalsWithKey(events)
-    // the refinement loop runs one driver-collected histogram per
-    // level; persist the user-cardinality aggregate so each level
-    // reads the cache instead of re-aggregating raw events. Released
-    // (blocking=false) before returning — the terminal plan then
-    // recomputes totals once, the same two-scans-of-events total the
-    // one-level formulation had, independent of refinement depth.
-    totals.persist()
-    val bins =
-      try planSpendBins(totals, binMaxRows)
-      finally totals.unpersist(blocking = false)
+    // caching across refinement levels lives INSIDE planSpendBins and
+    // is lazy — the no-skew case pays no cache materialization
+    val bins = planSpendBins(totals, binMaxRows)
     // disjoint variable-depth bins order by their unsigned key-range
     // start (prefix left-aligned to 64 bits); driver prefix sums turn
     // counts into each bin's global row offset

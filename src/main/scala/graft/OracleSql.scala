@@ -1271,6 +1271,32 @@ object OracleSql {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Snapshot diff against the deterministic synthetic next crawl
+    * ([[graft.operators.CorpusOps.syntheticNextSnapshot]]): the oracle
+    * rebuilds the same snapshot in SQL and recomputes the md5
+    * fingerprints — both engines emit lowercase-hex md5 over UTF-8
+    * bytes, so statuses and digests are hash-exact.
+    */
+  val corpusDiff: String =
+    """WITH newsnap AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |o AS (SELECT doc_id, md5(COALESCE(text, '')) AS old_fp FROM documents),
+      |n AS (SELECT doc_id, md5(COALESCE(text, '')) AS new_fp FROM newsnap),
+      |d AS (
+      |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp,
+      |         CASE WHEN o.old_fp IS NULL THEN 'added'
+      |              WHEN n.new_fp IS NULL THEN 'removed'
+      |              WHEN o.old_fp <> n.new_fp THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT doc_id, status, old_fp, new_fp FROM d
+      |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin
+
   def sourceOverlap(numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): String =
     s"""WITH pairs AS (

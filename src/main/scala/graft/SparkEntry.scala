@@ -309,6 +309,11 @@ object SparkEntry {
       CorpusOps.selectByTokenBudget(docs(s, dir))),
     "q_source_stats" -> ((s, dir) => CorpusOps.sourceStats(docs(s, dir))),
     "q_source_overlap" -> ((s, dir) => CorpusOps.sourceOverlap(docs(s, dir))),
+    // snapshot diff against a deterministic synthetic "next crawl"
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusOps.snapshotDiff(d, CorpusOps.syntheticNextSnapshot(d))
+    }),
     "q_pii_redact" -> ((s, dir) =>
       transformDigest(docs(s, dir),
         graft.functions.TextFunctions.redactPii(col("text")), "redacted")),
@@ -535,6 +540,7 @@ object SparkEntry {
       "q_cluster_best" -> OracleSql.clusterBest(),
       "q_source_stats" -> OracleSql.sourceStats,
       "q_source_overlap" -> OracleSql.sourceOverlap(),
+      "q_corpus_diff" -> OracleSql.corpusDiff,
       "q_pii_redact" -> OracleSql.piiRedact,
       "q_lang_confusion" -> OracleSql.langConfusion,
       "q_pack_stats" -> OracleSql.packStats(),

@@ -298,6 +298,48 @@ object CorpusOps {
     * corpus-side cost is exactly one minhash pass; `least/greatest`
     * canonicalize the pair so (A,B) and (B,A) land in one cell.
     */
+  /** Corpus snapshot diff — the incremental-crawl audit: which docs
+    * were added, removed, or changed between two corpus snapshots.
+    * Both sides collapse to (doc_id, md5-fingerprint) BEFORE the join,
+    * so the full-outer shuffle carries 16-byte digests, never document
+    * text; status falls out of null-ness and fingerprint inequality.
+    * Unchanged docs (the overwhelming majority between adjacent crawl
+    * snapshots) are filtered out, so the result is delta-sized.
+    *
+    * Scale shape: one doc_id shuffle per side (zero with snapshots
+    * stored bucketed by doc_id via [[graft.sources.CorpusStore]] — the
+    * natural layout for a corpus diffed every crawl). Null text is
+    * fingerprinted as the empty string so a present-but-null doc
+    * compares as present on both engines.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def fp(d: DataFrame, as: String) = d.select(col("doc_id"),
+      md5(coalesce(col("text"), lit(""))).as(as))
+    fp(oldDocs, "old_fp")
+      .join(fp(newDocs, "new_fp"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"), col("old_fp"), col("new_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic "next crawl" of a corpus for the diff query's
+    * fixture: every 7th doc dropped, every 5th revised (text suffix),
+    * every 11th re-crawled under a shifted id — the oracle rebuilds
+    * the same snapshot in SQL, so the diff is hash-exact end-to-end.
+    */
+  def syntheticNextSnapshot(docs: DataFrame, idShift: Long = 1000000L): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + lit(idShift)).as("doc_id"), col("text")))
+
   def sourceOverlap(docs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
     Dedup.minhashPairsUnsorted(docs)

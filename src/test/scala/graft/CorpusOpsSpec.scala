@@ -306,4 +306,32 @@ class CorpusOpsSpec extends SparkSuite {
       CorpusOps.selectByTokenBudget(d, 2000L, bins = 0)
     }
   }
+
+  test("snapshot diff classifies added/removed/changed and drops unchanged") {
+    val old = enDocs(
+      1L -> "alpha text", 2L -> "beta text", 3L -> "gamma text",
+      4L -> "delta text")
+    val neu = enDocs(
+      1L -> "alpha text",          // unchanged -> filtered out
+      2L -> "beta text revised",   // changed
+      // 3 absent -> removed
+      4L -> "delta text",          // unchanged -> filtered out
+      5L -> "epsilon text")        // added
+    val got = rowsOf(CorpusOps.snapshotDiff(old, neu))
+    assert(got.map(r => r("doc_id") -> r("status")) ==
+      Seq(2L -> "changed", 3L -> "removed", 5L -> "added"))
+    // fingerprint null-ness mirrors presence
+    val byId = got.map(r => r("doc_id").asInstanceOf[Long] -> r).toMap
+    assert(byId(3L)("new_fp") == null && byId(3L)("old_fp") != null)
+    assert(byId(5L)("old_fp") == null && byId(5L)("new_fp") != null)
+    assert(byId(2L)("old_fp") != byId(2L)("new_fp"))
+    // identical snapshots diff to nothing
+    assert(rowsOf(CorpusOps.snapshotDiff(old, old)).isEmpty)
+    // the synthetic next crawl hits all three classes on the fixture
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val statuses = rowsOf(CorpusOps.snapshotDiff(
+        real, CorpusOps.syntheticNextSnapshot(real)))
+      .map(_("status")).toSet
+    assert(statuses == Set("added", "removed", "changed"))
+  }
 }

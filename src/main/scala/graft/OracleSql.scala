@@ -1105,6 +1105,28 @@ object OracleSql {
        |FROM scored WHERE score >= $threshold ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Semantic-dedup representatives
+    * ([[graft.operators.Similarity.semanticKeep]]): transitive closure
+    * over the LSH near-pair graph via a recursive CTE (the
+    * [[nearDupClusters]] pattern on embeddings), kept = is-own-cluster.
+    */
+  def semanticKeep(tables: Int = 4, planes: Int = 4,
+      threshold: Double = 0.35): String = {
+    val pairsSql = lshNearPairs(tables, planes, threshold)
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsSql
+       |),
+       |edges AS (
+       |  SELECT vec_a AS a, vec_b AS b FROM pairs
+       |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |reach(s, t) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
+       |SELECT s AS vec_id, MIN(t) AS cluster, s = MIN(t) AS kept
+       |FROM reach GROUP BY s ORDER BY vec_id""".stripMargin
+  }
+
   // ── corpus-curation ops ([[graft.operators.CorpusOps]]) ──────────────
 
   /** FNV-1a-variant bucket of the ASCII doc-id string — mirrors

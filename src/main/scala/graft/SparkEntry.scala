@@ -284,6 +284,9 @@ object SparkEntry {
       Similarity.knnLsh(e, e.filter(col("vec_id") < 16), 5)
     }),
     "q_embed_near_pairs" -> ((s, dir) => Similarity.lshNearPairs(emb(s, dir))),
+    // SemDeDup-style: epsilon-ball clusters over the embedding LSH
+    // graph, min-id representative kept per cluster
+    "q_semantic_keep" -> ((s, dir) => Similarity.semanticKeep(emb(s, dir))),
     "q_embed_knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.knnIvf(e, e.filter(col("vec_id") < 16), 5)
@@ -549,6 +552,7 @@ object SparkEntry {
       "q_clean_corpus" -> OracleSql.cleanCorpus(),
       "q_embed_knn_lsh" -> OracleSql.knnLsh(),
       "q_embed_near_pairs" -> OracleSql.lshNearPairs(),
+      "q_semantic_keep" -> OracleSql.semanticKeep(),
     )
   }
 }

@@ -268,19 +268,38 @@ object Dedup {
     */
   def nearDupLabels(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50,
-      maxBucket: Option[Int] = None): DataFrame = {
-    val pairs = minhashPairsUnsorted(docs, numHashes, bands, threshold, shingleN,
+      maxBucket: Option[Int] = None): DataFrame =
+    labelPropagate(
+      minhashPairsUnsorted(docs, numHashes, bands, threshold, shingleN,
         maxBucket)
-      .select(col("doc_a"), col("doc_b"))
+        .select(col("doc_a").as("a"), col("doc_b").as("b")),
+      docs.select(col("doc_id")), maxIters, "nearDupClusters")
+
+  /** Min-label propagation over an ARBITRARY undirected pair graph —
+    * the connected-components core [[nearDupLabels]] (text near-dups)
+    * and [[Similarity.semanticKeep]] (embedding epsilon-balls) share.
+    * Every vertex in `ids` (a single-column frame; its column name is
+    * preserved in the output) gets the smallest id reachable through
+    * `pairs` (columns `a`, `b`); vertices outside the graph label
+    * themselves via the final corpus-wide left join, so the iteration
+    * touches only graph vertices. Same storage contract as before the
+    * extraction: the returned plan embeds the final label checkpoint —
+    * release with [[ColumnBridge.unpersistCheckpoint]] after the last
+    * action (Bench/Verify do, at their execution boundary).
+    */
+  private[graft] def labelPropagate(pairs: DataFrame, ids: DataFrame,
+      maxIters: Int, tag: String): DataFrame = {
+    val idCol = ids.columns.head
     // NOTE on partitioning: under AQE a localCheckpoint records
     // UnknownPartitioning (verified via explain — the unexecuted
     // AdaptiveSparkPlan has no final partitioning to preserve), so
     // pre-partitioning on the join key buys the NEXT round nothing;
     // each round AQE re-plans the join and broadcasts the label side
     // when it is small. At cluster scale, persist edges to a bucketed
-    // table (bucket by doc_b) to make iterations exchange-free.
+    // table (bucket by b) to make iterations exchange-free
+    // ([[nearDupClustersBucketed]] is that formulation).
     val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
     // iterate over the PAIR GRAPH's vertices only, never the corpus:
     // a doc in no near-dup pair keeps label = self forever, so it has
@@ -294,23 +313,23 @@ object Dedup {
     // plain distinct() seed would cost, but it starts every vertex one
     // hop ahead — star-shaped clusters (the common LSH case, everything
     // paired with the min doc) converge on the first confirming round
-    var labels = edges.groupBy(col("doc_a").as("doc_id"))
-      .agg(min(col("doc_b")).as("nbr_min"))
-      .select(col("doc_id"),
-        least(col("doc_id"), col("nbr_min")).as("cluster"))
+    var labels = edges.groupBy(col("a").as("vid"))
+      .agg(min(col("b")).as("nbr_min"))
+      .select(col("vid"),
+        least(col("vid"), col("nbr_min")).as("cluster"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
     try {
       while (!converged && iter < maxIters) {
-        val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
-          .groupBy(edges("doc_a").as("nbr_doc"))
+        val prop = edges.join(labels, edges("b") === labels("vid"))
+          .groupBy(edges("a").as("nbr_vid"))
           .agg(min(col("cluster")).as("nbr_min"))
         // carry the previous label through so convergence is a narrow
         // filter on the (already-materialized) checkpoint — no extra
         // join+shuffle per round just to detect the fixpoint
-        val next = labels.join(prop, labels("doc_id") === prop("nbr_doc"), "left")
-          .select(labels("doc_id"), col("cluster").as("prev"),
+        val next = labels.join(prop, labels("vid") === prop("nbr_vid"), "left")
+          .select(labels("vid"), col("cluster").as("prev"),
             least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
               .as("cluster"))
           .localCheckpoint(true)
@@ -328,7 +347,7 @@ object Dedup {
         // of leaking one persisted frame per round for the session
         // lifetime
         ColumnBridge.unpersistCheckpoint(labels)
-        labels = next.select(col("doc_id"), col("cluster"))
+        labels = next.select(col("vid"), col("cluster"))
         iter += 1
       }
     } catch {
@@ -345,16 +364,14 @@ object Dedup {
       ColumnBridge.unpersistCheckpoint(edges)
     if (!converged)
       System.err.println(
-        s"[nearDupClusters] NOT converged after $maxIters rounds — " +
+        s"[$tag] NOT converged after $maxIters rounds — " +
           "labels may be non-minimal; raise maxIters for deeper chains")
-    // singletons rejoin: docs outside the pair graph label themselves.
-    // The label side is the (small) graph-vertex set → AQE broadcasts
-    // it; the corpus side streams through untouched.
-    docs.select(col("doc_id"))
-      .join(labels.withColumnRenamed("doc_id", "graph_doc"),
-        col("doc_id") === col("graph_doc"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    // singletons rejoin: vertices outside the pair graph label
+    // themselves. The label side is the (small) graph-vertex set →
+    // AQE broadcasts it; the corpus side streams through untouched.
+    ids.join(labels, col(idCol) === col("vid"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("cluster"))
   }
 
   /** One label-propagation round over a bucketed edge/label pair — the

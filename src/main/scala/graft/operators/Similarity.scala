@@ -121,7 +121,15 @@ object Similarity {
     * on (vec_a, vec_b) ids; unit vectors join back after.
     */
   def lshNearPairs(corpus: DataFrame, tables: Int = 4, planes: Int = 4,
-      threshold: Double = 0.35): DataFrame = {
+      threshold: Double = 0.35): DataFrame =
+    lshNearPairsUnsorted(corpus, tables, planes, threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** [[lshNearPairs]] without the presentation sort — for consumers
+    * that immediately aggregate or iterate the pairs (the sort's range
+    * exchange would be thrown away one operator later). */
+  def lshNearPairsUnsorted(corpus: DataFrame, tables: Int = 4,
+      planes: Int = 4, threshold: Double = 0.35): DataFrame = {
     val u = withUnit(corpus).select(col("vec_id"), col("unit"))
     val sigs = withSigs(u, tables, planes)
       .select(col("vec_id"), col("tbl"), col("sig"))
@@ -141,8 +149,31 @@ object Similarity {
       .withColumn("score", dot(col("x.unit"), col("y.unit")))
       .filter(col("score") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** SemDeDup-style semantic deduplication: vectors whose cosine
+    * similarity exceeds `threshold` form an epsilon-ball graph
+    * ([[lshNearPairsUnsorted]] — LSH candidates, exact cosine verify),
+    * transitive closure labels each vector with its cluster
+    * ([[Dedup.labelPropagate]] — the same min-label iteration the text
+    * near-dup stack uses), and the cluster's minimum id is the kept
+    * representative. Output: (vec_id, cluster, kept) for every vector;
+    * downstream pipelines keep `kept` rows and drop the rest.
+    *
+    * Scale shape inherits from its two parts: candidate generation is
+    * banded LSH (never all-pairs), the iteration touches only
+    * graph vertices. STORAGE CONTRACT: same as [[Dedup.nearDupLabels]]
+    * — the plan embeds the final label checkpoint; release with
+    * `ColumnBridge.unpersistCheckpoint` after the last action.
+    */
+  def semanticKeep(corpus: DataFrame, tables: Int = 4, planes: Int = 4,
+      threshold: Double = 0.35, maxIters: Int = 50): DataFrame =
+    Dedup.labelPropagate(
+      lshNearPairsUnsorted(corpus, tables, planes, threshold)
+        .select(col("vec_a").as("a"), col("vec_b").as("b")),
+      corpus.select(col("vec_id")), maxIters, "semanticKeep")
+      .withColumn("kept", col("vec_id") === col("cluster"))
+      .orderBy(col("vec_id"))
 
   /** Spherical k-means (Lloyd's) for IVF coarse centroids — the
     * production swap for [[knnIvf]]'s deterministic stand-in.

@@ -113,4 +113,34 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs.forall(_("score").asInstanceOf[Double] >= 0.3))
     assert(pairs.forall(p => p("vec_a").asInstanceOf[Long] < p("vec_b").asInstanceOf[Long]))
   }
+
+  test("semantic keep: one representative per epsilon-ball cluster") {
+    try {
+      // 0≈1≈2 form one semantic cluster (chained — 0 and 2 connect
+      // through 1 even if not directly paired), 3 is orthogonal, 4 is
+      // opposite: three clusters, representatives 0, 3, 4
+      val d = vecs(
+        0L -> pad(Seq(1f, 0f)),
+        1L -> pad(Seq(1f, 0.05f)),
+        2L -> pad(Seq(1f, 0.1f)),
+        3L -> pad(Seq(0f, 1f)),
+        4L -> pad(Seq(-1f, 0f)))
+      val r = rowsOf(Similarity.semanticKeep(d, threshold = 0.9))
+      assert(r.map(_("vec_id")) == Seq(0L, 1L, 2L, 3L, 4L))
+      assert(r.map(_("cluster")) == Seq(0L, 0L, 0L, 3L, 4L))
+      assert(r.filter(_("kept") == true).map(_("vec_id")) == Seq(0L, 3L, 4L))
+      // kept representatives = distinct clusters, always (the invariant
+      // downstream dedup relies on), checked on the real fixture too
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val real = rowsOf(Similarity.semanticKeep(e, threshold = 0.3))
+      assert(real.nonEmpty)
+      assert(real.filter(_("kept") == true).map(_("vec_id")).toSet ==
+        real.map(_("cluster")).toSet)
+    } finally {
+      // semanticKeep's plan embeds label checkpoints (the documented
+      // storage contract); restore the suite's clean-session invariant
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+  }
 }

@@ -134,6 +134,23 @@ object OracleSql {
        |       AS quality
        |FROM q ORDER BY doc_id""".stripMargin
 
+  /** Per-source quota ([[graft.operators.CorpusOps.sourceQuota]]):
+    * same quality formula, ROW_NUMBER per source over (quality DESC,
+    * doc_id) — rank and kept flag are engine-stable because the order
+    * key is unique. */
+  def sourceQuota(cap: Int = 50): String =
+    s"""$docCte,
+       |q AS ($qualityInputsSql),
+       |sel AS (SELECT doc_id, $qualityFormulaSql AS quality FROM q),
+       |j AS (SELECT d.doc_id, d.source, s.quality
+       |      FROM documents d JOIN sel s USING (doc_id)),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+       |      FROM j)
+       |SELECT doc_id, source, quality,
+       |       CAST(rn AS INTEGER) AS src_rank, rn <= $cap AS kept
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val fingerprints: String =
     s"""$docCte
        |SELECT doc_id, md5(norm) AS fp_md5,

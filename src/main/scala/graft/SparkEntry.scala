@@ -317,6 +317,8 @@ object SparkEntry {
       val d = docs(s, dir)
       CorpusOps.snapshotDiff(d, CorpusOps.syntheticNextSnapshot(d))
     }),
+    // domain balancing: cap each source, keep highest-quality docs
+    "q_source_quota" -> ((s, dir) => CorpusOps.sourceQuota(docs(s, dir))),
     "q_pii_redact" -> ((s, dir) =>
       transformDigest(docs(s, dir),
         graft.functions.TextFunctions.redactPii(col("text")), "redacted")),
@@ -544,6 +546,7 @@ object SparkEntry {
       "q_source_stats" -> OracleSql.sourceStats,
       "q_source_overlap" -> OracleSql.sourceOverlap(),
       "q_corpus_diff" -> OracleSql.corpusDiff,
+      "q_source_quota" -> OracleSql.sourceQuota(),
       "q_pii_redact" -> OracleSql.piiRedact,
       "q_lang_confusion" -> OracleSql.langConfusion,
       "q_pack_stats" -> OracleSql.packStats(),

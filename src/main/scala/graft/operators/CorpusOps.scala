@@ -358,6 +358,32 @@ object CorpusOps {
     * (source, lang) cell. The first report any corpus audit asks for;
     * a single straight aggregate.
     */
+  /** Per-source quota curation — the domain-balancing step (CCNet /
+    * RefinedWeb style): cap every source at `cap` documents, keeping
+    * the highest-quality ones (quality DESC, doc_id tiebreak for
+    * engine-stable ranking). Emits every doc with its within-source
+    * rank and a `kept` flag, so downstream both filters and audits
+    * how much each source was squeezed.
+    *
+    * Scale shape: ONE source-partitioned window over a projection that
+    * computes quality inline — no join, no second pass. Window
+    * parallelism is the source count and per-task cost the largest
+    * source's cardinality; a mega-source (half the crawl from one
+    * domain) is the documented bound — pre-aggregate by (source,
+    * quality-bucket) histogram prefix, as in
+    * [[graft.operators.EventAnalytics.userSpendDecilesDistributed]],
+    * if one source dominates the corpus.
+    */
+  def sourceQuota(docs: DataFrame, cap: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      .withColumn("src_rank", row_number().over(w))
+      .withColumn("kept", col("src_rank") <= cap)
+      .orderBy(col("doc_id"))
+  }
+
   def sourceStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),

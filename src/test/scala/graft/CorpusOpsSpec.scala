@@ -307,6 +307,29 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("source quota keeps the cap best docs per source") {
+    val d = docs(
+      (1L, base + " one", "en", "sA"),
+      (2L, base, "en", "sA"),
+      (3L, base + " three more words here", "en", "sA"),
+      (4L, "tiny", "en", "sB"),
+      (5L, base + " five", "en", "sB"))
+    val r = rowsOf(CorpusOps.sourceQuota(d, cap = 2))
+    assert(r.map(_("doc_id")) == Seq(1L, 2L, 3L, 4L, 5L))
+    // per-source ranks are a permutation of 1..n_source
+    val bySrc = r.groupBy(_("source"))
+    assert(bySrc("sA").map(_("src_rank").asInstanceOf[Int]).sorted == Seq(1, 2, 3))
+    assert(bySrc("sB").map(_("src_rank").asInstanceOf[Int]).sorted == Seq(1, 2))
+    // cap=2: exactly 2 kept in sA, both kept in sB
+    assert(r.count(m => m("source") == "sA" && m("kept") == true) == 2)
+    assert(r.count(m => m("source") == "sB" && m("kept") == true) == 2)
+    // kept docs are the top-quality ones within their source
+    val sA = bySrc("sA").sortBy(_("src_rank").asInstanceOf[Int])
+    assert(sA.map(_("quality").asInstanceOf[Double]).reverse.sorted ==
+      sA.map(_("quality").asInstanceOf[Double]).reverse)
+    assert(!sA.last("kept").asInstanceOf[Boolean])
+  }
+
   test("snapshot diff classifies added/removed/changed and drops unchanged") {
     val old = enDocs(
       1L -> "alpha text", 2L -> "beta text", 3L -> "gamma text",

@@ -285,8 +285,13 @@ object SparkEntry {
     }),
     "q_embed_near_pairs" -> ((s, dir) => Similarity.lshNearPairs(emb(s, dir))),
     // SemDeDup-style: epsilon-ball clusters over the embedding LSH
-    // graph, min-id representative kept per cluster
-    "q_semantic_keep" -> ((s, dir) => Similarity.semanticKeep(emb(s, dir))),
+    // graph, min-id representative kept per cluster. Threshold 0.4 on
+    // the synthetic embeddings yields realistic dedup structure
+    // (clusters up to ~15); the default 0.35 sits at this fixture's
+    // noise floor and welds 78% of vectors into one giant component
+    // whose diameter drags the propagation loop through many rounds
+    "q_semantic_keep" -> ((s, dir) =>
+      Similarity.semanticKeep(emb(s, dir), threshold = 0.4)),
     "q_embed_knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.knnIvf(e, e.filter(col("vec_id") < 16), 5)
@@ -555,7 +560,7 @@ object SparkEntry {
       "q_clean_corpus" -> OracleSql.cleanCorpus(),
       "q_embed_knn_lsh" -> OracleSql.knnLsh(),
       "q_embed_near_pairs" -> OracleSql.lshNearPairs(),
-      "q_semantic_keep" -> OracleSql.semanticKeep(),
+      "q_semantic_keep" -> OracleSql.semanticKeep(threshold = 0.4),
     )
   }
 }

@@ -322,16 +322,36 @@ object Dedup {
     var iter = 0
     try {
       while (!converged && iter < maxIters) {
-        val prop = edges.join(labels, edges("b") === labels("vid"))
+        // pointer jump (hash-to-min doubling) BEFORE the neighbor
+        // round: cluster ← min(cluster, label(cluster)). A plain
+        // neighbor propagation moves the min one hop per round —
+        // O(component diameter) rounds, which a chain-shaped component
+        // (the noise-floor-threshold pathology) turns into dozens of
+        // checkpointed iterations; following the label indirection
+        // doubles the reach each round, O(log diameter). `jumped`
+        // derives only from the materialized label checkpoint, so its
+        // two uses below recompute a cheap self-join of the tiny label
+        // frame (AQE broadcasts it), never the round's edge shuffle.
+        // The label is always itself a graph vertex, so the lookup
+        // always matches; "left" is belt-and-braces.
+        val jc = labels
+          .select(col("vid").as("j_vid"), col("cluster").as("j_cluster"))
+        val jumped = labels.join(jc, labels("cluster") === jc("j_vid"), "left")
+          .select(labels("vid"), labels("cluster").as("prev"),
+            least(labels("cluster"),
+              coalesce(col("j_cluster"), labels("cluster"))).as("cluster"))
+        val prop = edges.join(jumped, edges("b") === jumped("vid"))
           .groupBy(edges("a").as("nbr_vid"))
           .agg(min(col("cluster")).as("nbr_min"))
         // carry the previous label through so convergence is a narrow
         // filter on the (already-materialized) checkpoint — no extra
-        // join+shuffle per round just to detect the fixpoint
-        val next = labels.join(prop, labels("vid") === prop("nbr_vid"), "left")
-          .select(labels("vid"), col("cluster").as("prev"),
-            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-              .as("cluster"))
+        // join+shuffle per round just to detect the fixpoint. prev is
+        // the label BEFORE the jump: convergence must see a change
+        // from either the jump or the neighbor round.
+        val next = jumped.join(prop, jumped("vid") === prop("nbr_vid"), "left")
+          .select(jumped("vid"), col("prev"),
+            least(jumped("cluster"),
+              coalesce(col("nbr_min"), jumped("cluster"))).as("cluster"))
           .localCheckpoint(true)
         // `next` is persisted from this point on but not yet the live
         // frame the outer catch releases — a throw in the convergence

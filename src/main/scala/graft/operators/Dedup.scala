@@ -409,6 +409,18 @@ object Dedup {
     * Output: (doc_id, prev, cluster) — prev carried through so the
     * convergence check stays a narrow filter on the next round's table.
     */
+  /** NOTE on pointer jumping: the checkpointed core
+    * ([[labelPropagate]]) jumps through the label indirection each
+    * round (O(log diameter) rounds) because its tiny label frame
+    * broadcasts for free. HERE the jump would cost a by-cluster
+    * exchange of the label table every round — against this
+    * formulation's spec-pinned single-exchange shape — so the bucketed
+    * round stays one-hop. For graphs whose components are deep chains
+    * (rare for LSH near-dup graphs, which are star-heavy), interleave
+    * a jump-only compaction round (labels ⋈ labels, one tiny exchange
+    * + write, no edge scan) every few iterations; at O(d) vs O(log d)
+    * rounds the trade flips in the jump's favor.
+    */
   def propagationRound(edges: DataFrame, labels: DataFrame): DataFrame = {
     val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
       .groupBy(edges("doc_a").as("nbr_doc"))

@@ -21,18 +21,21 @@ NORMALIZED ratio exceeds the threshold are listed as suspects worth an
 isolated re-timing (SPARK_GRAFT_ONLY=q SPARK_GRAFT_PASSES=5); everything
 else is attributed to drift. Exit 1 if suspects exist, else 0.
 """
+import argparse
 import json
 import re
 import sys
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-force = "--force" in sys.argv
-threshold = 1.3
-if "--threshold" in sys.argv:
-    threshold = float(sys.argv[sys.argv.index("--threshold") + 1])
-    args = [a for a in args if a != str(threshold)]
-if len(args) != 2:
-    sys.exit(__doc__)
+ap = argparse.ArgumentParser(
+    description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+ap.add_argument("old")
+ap.add_argument("new")
+ap.add_argument("--threshold", type=float, default=1.3)
+ap.add_argument("--force", action="store_true")
+ns = ap.parse_args()
+args = [ns.old, ns.new]
+force = ns.force
+threshold = ns.threshold
 
 
 def load(path):
@@ -78,6 +81,13 @@ else:
     print("sentinel missing or failed in one artifact — raw ratios only "
           "(pre-v3 artifact?)")
 
+# suspect selection is legitimate only when the ratios actually compare
+# plans: same regime (raw is meaningful), or a sentinel in both (the
+# normalized view exists). Cross-regime WITHOUT a sentinel has neither —
+# flagging suspects there would re-litigate exactly the
+# machine/methodology false regressions this tool exists to end.
+can_judge = (o_reg == n_reg) or (drift is not None)
+
 shared = sorted(set(old["queries"]) & set(new["queries"]))
 only_old = sorted(set(old["queries"]) - set(new["queries"]))
 only_new = sorted(set(new["queries"]) - set(old["queries"]))
@@ -92,13 +102,17 @@ for q in shared:
     n_tot += b
     raw = b / a
     norm = raw / drift if drift else raw
-    if norm > threshold:
+    if can_judge and norm > threshold:
         suspects.append((q, a, b, raw, norm))
 
-print(f"{len(shared)} shared queries: {o_tot:.1f}s -> {n_tot:.1f}s "
-      f"(raw x{n_tot / o_tot:.2f}"
-      + (f", normalized x{n_tot / o_tot / drift:.2f}" if drift else "")
-      + ")")
+if o_tot > 0:
+    print(f"{len(shared)} shared queries: {o_tot:.1f}s -> {n_tot:.1f}s "
+          f"(raw x{n_tot / o_tot:.2f}"
+          + (f", normalized x{n_tot / o_tot / drift:.2f}" if drift else "")
+          + ")")
+else:
+    print(f"{len(shared)} shared queries with valid timings in both: none "
+          "— nothing to compare")
 if only_old:
     print(f"dropped queries: {', '.join(only_old)}")
 if only_new:
@@ -110,4 +124,8 @@ if suspects:
     for q, a, b, raw, norm in sorted(suspects, key=lambda s: -s[4]):
         print(f"  x{norm:5.2f} (raw x{raw:5.2f}, {a:.2f}s -> {b:.2f}s)  {q}")
     sys.exit(1)
-print("no plan-drift suspects — differences attributable to environment")
+if not can_judge:
+    print("cross-regime artifacts with no shared sentinel: totals above "
+          "are methodology-confounded — no suspect judgment possible")
+else:
+    print("no plan-drift suspects — differences attributable to environment")

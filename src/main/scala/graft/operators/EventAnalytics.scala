@@ -139,9 +139,13 @@ object EventAnalytics {
     // cluster scale a 3-column projection of the input is the standard
     // working set of any multi-pass selection) while the
     // resolves-at-level-0 case pays no cache materialization. Released
-    // before the terminal pick, which then recomputes vals once — a
-    // fixed two-scans-of-events bound independent of refinement depth,
-    // same treatment as [[userSpendDecilesDistributed]].
+    // before the terminal pick, which recomputes vals once. Input-scan
+    // accounting of the lazy trade: 2 full scans when level 0 resolves
+    // everything (the common case; eager persist also paid 2 but added
+    // the cache write), 3 when the loop runs (level-0 uncached +
+    // cache-materializing first level + terminal) with every deeper
+    // level a cache read — depth-bounded either way, same treatment as
+    // [[userSpendDecilesDistributed]].
     var valsPersisted = false
     // ONE fused pass yields both the per-type counts AND the level-0
     // histogram: per-type n is just the sum of its level-0 bins, so a
@@ -180,7 +184,11 @@ object EventAnalytics {
     }).toArray
     var level = 1
     val MaxLevels = 6 // 60 bits resolved; ≤16 distinct values remain
-    while (level < MaxLevels && targets.exists(!_.done)) {
+    // try/finally, not straight-line release: a failed collect inside
+    // the loop (task failure, cancellation) must not leak the persisted
+    // projection for the session lifetime — the leaked:0 invariant
+    // Bench asserts (review-caught; planSpendBins had the guard)
+    try while (level < MaxLevels && targets.exists(!_.done)) {
       if (!valsPersisted) { vals.persist(); valsPersisted = true }
       val active = targets.filter(!_.done)
       val tdf = active.map(t => (t.id, t.typ.orNull, t.prefix))
@@ -209,8 +217,7 @@ object EventAnalytics {
         if (c <= windowMaxRows) t.done = true
       }
       level += 1
-    }
-    if (valsPersisted) vals.unpersist(blocking = false)
+    } finally if (valsPersisted) vals.unpersist(blocking = false)
     // terminal pick: candidates per target are its resolved-prefix rows
     // (bounded by windowMaxRows / 16 distinct values), one bounded
     // window each — partitioned per target, never per whole type
@@ -227,7 +234,14 @@ object EventAnalytics {
     // legitimately match several targets (one per percentile whose
     // candidate window covers it); that multiplicity is identical to
     // the old predicate's.
-    val shifts = targets.map(t => 64 - 10 * t.level).distinct.sorted
+    // empty-input guard: zero targets (no non-null values at all) would
+    // make probeArr an array() of NullType and the probe.sh field
+    // reference fail analysis — any valid shift keeps the degenerate
+    // plan analyzable; it joins against an empty target table anyway
+    val shifts = {
+      val ss = targets.map(t => 64 - 10 * t.level).distinct.sorted.toSeq
+      if (ss.isEmpty) Seq(4) else ss
+    }
     val probeArr = array(shifts.map(s =>
       struct(lit(s).as("sh"),
         expr(s"shiftrightunsigned(u, $s)").as("k"))): _*)
@@ -439,10 +453,12 @@ object EventAnalytics {
     // LAZY persist: the common no-skew case resolves at level 1 from
     // the single uncached histogram above and must not pay a cache
     // materialization; only when hot bins force a second pass does the
-    // user-cardinality aggregate get persisted (levels ≥2 then read
+    // user-cardinality aggregate get persisted (levels ≥3 then read
     // the cache instead of re-aggregating raw events). Released before
-    // returning — the caller's terminal plan recomputes totals once,
-    // the same two-scans-of-events bound regardless of depth.
+    // returning; the caller's terminal plan recomputes totals once.
+    // Scan accounting: 2 events aggregations when level 1 resolves
+    // everything, 3 when the loop runs (level-1 uncached + cache-
+    // materializing level-2 + terminal) — depth-bounded either way.
     var persisted = false
     try {
       while (hot.nonEmpty && level < MaxLevels) {

@@ -145,6 +145,16 @@ class EventAnalyticsSpec extends SparkSuite {
         s"null-type diverged at windowMaxRows=$wmr")
   }
 
+  test("distributed percentiles on a no-values input return empty, not an error") {
+    // review-caught: zero targets made the terminal probe an array()
+    // of NullType and the struct-field reference failed analysis
+    val none = events((0L, 1000L, 1L, "t", 1.0))
+      .withColumn("value", lit(null).cast("double"))
+    assert(rowsOf(EventAnalytics.valuePercentilesDistributed(none)).isEmpty)
+    assert(rowsOf(EventAnalytics.valuePercentilesDistributed(
+      none.filter(lit(false)))).isEmpty)
+  }
+
   test("distributed spend deciles equal the global-window variant") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)

@@ -36,6 +36,17 @@ object SparkEntry {
     "q_offsets" -> ((s, dir) => TopicMetrics.offsets(records(s, dir))),
     // §4.3(c): per-partition + grand-total in one grouping-sets pass
     "q_rollup_stats" -> ((s, dir) => TopicMetrics.rollupStats(records(s, dir))),
+    // offset-gap audit over a deterministically gapped log (every 17th
+    // offset dropped — the fixture's offsets are dense by construction,
+    // so gaps must be synthesized for the query to demonstrate anything)
+    "q_offset_gaps" -> ((s, dir) =>
+      TopicMetrics.offsetGaps(records(s, dir).filter(col("offset") % 17 =!= 0))),
+    // event-time throughput buckets per partition
+    "q_partition_throughput" -> ((s, dir) =>
+      TopicMetrics.partitionThroughput(records(s, dir))),
+    // exact distinct-key cardinality per partition
+    "q_key_cardinality" -> ((s, dir) =>
+      TopicMetrics.keyCardinality(records(s, dir))),
     // §2.F2: exact last-write-wins alive-key count
     "q_alive_keys" -> ((s, dir) => AliveKeys.exactFrame(records(s, dir))),
     // per-partition post-compaction footprint (bytes a compacted log
@@ -436,6 +447,32 @@ object SparkEntry {
         s"""$cte
            |SELECT "partition", MIN("offset") AS start_offset,
            |       MAX("offset") + 1 AS end_offset
+           |FROM records GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_offset_gaps" ->
+        s"""$cte,
+           |g AS (SELECT "partition", "offset",
+           |        "offset" - LAG("offset") OVER (
+           |          PARTITION BY "partition" ORDER BY "offset") - 1 AS gap_before
+           |      FROM records WHERE "offset" % 17 <> 0)
+           |SELECT "partition", COUNT(*) AS n,
+           |       MIN("offset") AS lo, MAX("offset") AS hi,
+           |       MAX("offset") - MIN("offset") + 1 - COUNT(*) AS missing,
+           |       CAST(SUM(CASE WHEN gap_before > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_gaps,
+           |       COALESCE(MAX(CASE WHEN gap_before > 0 THEN gap_before END), 0)
+           |         AS max_gap
+           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_partition_throughput" ->
+        s"""$cte
+           |SELECT "partition",
+           |       (CAST(epoch_us("timestamp") AS BIGINT) // 86400000000) * 86400000000
+           |         AS bucket_start_us,
+           |       COUNT(*) AS n
+           |FROM records GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_key_cardinality" ->
+        s"""$cte
+           |SELECT "partition", COUNT(DISTINCT "key") AS n_keys,
+           |       COUNT("key") AS n_keyed_records
            |FROM records GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_rollup_stats" ->
         s"""$cte

@@ -166,4 +166,70 @@ object TopicMetrics {
 
   /** Empty-topic guard (A4, `src/main.rs:98-101`): cheap limit-1 probe. */
   def isEmpty(records: DataFrame): Boolean = records.isEmpty
+
+  /** Offset-gap audit — the "did we lose messages?" check the
+    * reference's bounded scan silently assumes away: per partition,
+    * how many offsets in [min, max] are absent, how many distinct gap
+    * runs exist, and the widest run. Pure integer arithmetic (counts
+    * and offset differences), so the result is hash-exact across
+    * engines. The lag window is partitioned per Kafka partition —
+    * parallelism is the partition count and per-task cost one
+    * partition's records, the same bound as any per-partition consumer.
+    * Compacted topics make gaps NORMAL (deleted keys vacate offsets);
+    * for those, read `missing` as "compacted or lost", not "lost".
+    */
+  def offsetGaps(records: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("partition")).orderBy(col("offset"))
+    records.select(col("partition"), col("offset"))
+      .withColumn("gap_before",
+        col("offset") - lag(col("offset"), 1).over(w) - 1)
+      .groupBy(col("partition"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("offset")).as("lo"),
+        max(col("offset")).as("hi"),
+        (max(col("offset")) - min(col("offset")) + 1 - count(lit(1)))
+          .as("missing"),
+        sum(when(col("gap_before") > 0, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(max(when(col("gap_before") > 0, col("gap_before"))),
+          lit(0L)).as("max_gap"))
+      .orderBy(col("partition"))
+  }
+
+  /** Per-partition throughput histogram: message counts per
+    * fixed-width event-time bucket (integer division of epoch micros —
+    * engine-exact, unlike float window arithmetic). The streaming twin
+    * is `groupBy(partition, window(timestamp, ...))`; this batch shape
+    * is ONE fused aggregate, map-side combined, shuffling only
+    * (partition × occupied-bucket) rows.
+    */
+  def partitionThroughput(records: DataFrame,
+      bucketSeconds: Int = 86400): DataFrame = {
+    val bucketUs = bucketSeconds * 1000000L
+    // `div` = integer division (DuckDB `//` agrees for the
+    // non-negative epochs here); a double divide would round
+    // 2^50-magnitude micros off the bucket boundary
+    records
+      .groupBy(col("partition"),
+        expr(s"(unix_micros(timestamp) div $bucketUs) * $bucketUs")
+          .as("bucket_start_us"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("partition"), col("bucket_start_us"))
+  }
+
+  /** Exact distinct-key cardinality per partition (tombstones and
+    * null-key records excluded — they carry no key to count). The
+    * two-phase distinct aggregate shuffles only the (partition, key)
+    * distinct pairs; at compacted-topic scale this IS the
+    * post-compaction footprint denominator. Swap in
+    * `approx_count_distinct` when ±2% error buys a sketch-sized
+    * shuffle instead (not oracle-checkable — sketch results are not
+    * engine-stable, so the exact form is the driver query).
+    */
+  def keyCardinality(records: DataFrame): DataFrame =
+    records.groupBy(col("partition"))
+      .agg(countDistinct(col("key")).as("n_keys"),
+        count(col("key")).as("n_keyed_records"))
+      .orderBy(col("partition"))
 }

@@ -121,4 +121,41 @@ class TopicMetricsSpec extends SparkSuite {
   private implicit class DoubleOps(val d: Double) {
     def ===(other: Double): Boolean = math.abs(d - other) < 1e-12
   }
+
+  test("offset gaps: missing count, run count, and widest run per partition") {
+    // partition 0 offsets: 0,1,4,5,9 -> missing 5 (2,3,6,7,8), two
+    // runs (2-3 and 6-8), widest 3; partition 1 dense -> all zero
+    val df = records(
+      (0, 0L, 1L, "a", "v"), (0, 1L, 2L, "a", "v"), (0, 4L, 3L, "a", "v"),
+      (0, 5L, 4L, "a", "v"), (0, 9L, 5L, "a", "v"),
+      (1, 0L, 1L, "b", "v"), (1, 1L, 2L, "b", "v"))
+    val r = rowsOf(graft.operators.TopicMetrics.offsetGaps(df))
+    val p0 = r.find(_("partition") == 0).get
+    assert(p0("n") == 5L && p0("lo") == 0L && p0("hi") == 9L)
+    assert(p0("missing") == 5L && p0("n_gaps") == 2L && p0("max_gap") == 3L)
+    val p1 = r.find(_("partition") == 1).get
+    assert(p1("missing") == 0L && p1("n_gaps") == 0L && p1("max_gap") == 0L)
+  }
+
+  test("partition throughput buckets on exact integer boundaries") {
+    val hour = 3600L * 1000 // ms
+    val df = records(
+      (0, 0L, 1000L, "a", "v"), (0, 1L, hour - 1, "a", "v"), // bucket 0
+      (0, 2L, hour + 1, "a", "v"),                           // bucket 1
+      (1, 0L, 2 * hour, "b", "v"))                           // bucket 2
+    val r = rowsOf(graft.operators.TopicMetrics
+      .partitionThroughput(df, bucketSeconds = 3600))
+    assert(r.map(m => (m("partition"), m("bucket_start_us"), m("n"))) == Seq(
+      (0, 0L, 2L), (0, hour * 1000, 1L), (1, 2 * hour * 1000, 1L)))
+  }
+
+  test("key cardinality counts distinct keys, excluding nulls") {
+    val df = records(
+      (0, 0L, 1L, "a", "v"), (0, 1L, 2L, "a", "v"), (0, 2L, 3L, "b", "v"),
+      (0, 3L, 4L, null, "v"), // null key: not a key
+      (1, 0L, 1L, "a", "v"))
+    val r = rowsOf(graft.operators.TopicMetrics.keyCardinality(df))
+    assert(r.map(m => (m("partition"), m("n_keys"), m("n_keyed_records"))) ==
+      Seq((0, 2L, 3L), (1, 1L, 1L)))
+  }
 }

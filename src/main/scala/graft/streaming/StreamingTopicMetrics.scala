@@ -38,6 +38,24 @@ object StreamingTopicMetrics {
     stream.groupBy(col("partition")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Streaming twin of [[graft.operators.TopicMetrics
+    * .partitionThroughput]]: message counts per (partition, event-time
+    * window). The watermark closes windows `delay` past their end, so
+    * state is bounded by partitions × in-flight windows; run in
+    * update/append mode. The batch twin buckets by integer epoch
+    * division for oracle exactness — `window()` here is the native
+    * streaming form of the same tumbling bucket.
+    */
+  def partitionThroughput(stream: DataFrame, bucket: String = "1 day",
+      delay: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("timestamp", delay)
+      .groupBy(col("partition"),
+        window(col("timestamp"), bucket).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("partition"),
+        unix_micros(col("w.start")).as("bucket_start_us"), col("n"))
+
   case class KeyState(partition: Int, offset: Long, alive: Boolean)
   case class KeyUpdate(key: String, alive: Boolean)
 

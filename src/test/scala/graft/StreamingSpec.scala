@@ -297,6 +297,38 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch && streamed.length == 3)
   }
 
+  test("streaming throughput windows equal the batch bucket counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600L * 1000
+    val rows = Seq(
+      rec2(0, 0L, 1000L), rec2(0, 1L, hour - 1), // bucket 0
+      rec2(0, 2L, hour + 1),                     // bucket 1
+      rec2(1, 0L, 2 * hour))                     // bucket 2
+    val mem = MemoryStream[KafkaRecord]
+    val q = StreamingTopicMetrics.partitionThroughput(
+        mem.toDF(), bucket = "1 hour")
+      .writeStream.format("memory").queryName("tput")
+      .outputMode("complete").start()
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rowsOf(spark.table("tput")
+      .orderBy(col("partition"), col("bucket_start_us")))
+    val batch = rowsOf(graft.operators.TopicMetrics.partitionThroughput(
+      records(
+        (0, 0L, 1000L, "k", "v"), (0, 1L, hour - 1, "k", "v"),
+        (0, 2L, hour + 1, "k", "v"), (1, 0L, 2 * hour, "k", "v")),
+      bucketSeconds = 3600))
+    assert(streamed == batch && streamed.size == 3)
+  }
+
+  private def rec2(p: Int, o: Long, tsMs: Long): KafkaRecord =
+    KafkaRecord(p, o, ts(tsMs), b("k"), b("v"))
+
   test("streaming approx percentiles bracket the batch exact order statistics") {
     // the streaming percentile story: sketches merge INCREMENTALLY
     // across micro-batches (two addData rounds force a real state

@@ -191,7 +191,7 @@ object TopicMetrics {
         max(col("offset")).as("hi"),
         (max(col("offset")) - min(col("offset")) + 1 - count(lit(1)))
           .as("missing"),
-        sum(when(col("gap_before") > 0, 1L).otherwise(0L)).as("n_gaps"),
+        count_if(col("gap_before") > 0).as("n_gaps"),
         coalesce(max(when(col("gap_before") > 0, col("gap_before"))),
           lit(0L)).as("max_gap"))
       .orderBy(col("partition"))
@@ -218,14 +218,18 @@ object TopicMetrics {
       .orderBy(col("partition"), col("bucket_start_us"))
   }
 
-  /** Exact distinct-key cardinality per partition (tombstones and
-    * null-key records excluded — they carry no key to count). The
+  /** Exact distinct-key cardinality per partition. Null-KEY records
+    * are excluded (no key to count); TOMBSTONES (null value, non-null
+    * key) still count — this measures keys EVER WRITTEN, the
+    * "how many keys has this partition seen" audit. The ALIVE-key
+    * denominator a post-compaction footprint needs is the separate
+    * last-write-wins computation ([[AliveKeys]] /
+    * `compactionEstimate`), which retracts tombstoned keys. The
     * two-phase distinct aggregate shuffles only the (partition, key)
-    * distinct pairs; at compacted-topic scale this IS the
-    * post-compaction footprint denominator. Swap in
-    * `approx_count_distinct` when ±2% error buys a sketch-sized
-    * shuffle instead (not oracle-checkable — sketch results are not
-    * engine-stable, so the exact form is the driver query).
+    * distinct pairs. Swap in `approx_count_distinct` when ±2% error
+    * buys a sketch-sized shuffle instead (not oracle-checkable —
+    * sketch results are not engine-stable, so the exact form is the
+    * driver query).
     */
   def keyCardinality(records: DataFrame): DataFrame =
     records.groupBy(col("partition"))

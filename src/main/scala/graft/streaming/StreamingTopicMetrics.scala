@@ -44,7 +44,11 @@ object StreamingTopicMetrics {
     * state is bounded by partitions × in-flight windows; run in
     * update/append mode. The batch twin buckets by integer epoch
     * division for oracle exactness — `window()` here is the native
-    * streaming form of the same tumbling bucket.
+    * streaming form of the same tumbling bucket FOR NON-NEGATIVE
+    * epochs (the Kafka path guarantees them:
+    * `RecordSource.normalizeTimestamp` clamps pre-epoch input). A
+    * pre-1970 event time would diverge: `window()` floors, the batch
+    * `div` truncates toward zero.
     */
   def partitionThroughput(stream: DataFrame, bucket: String = "1 day",
       delay: String = "1 hour"): DataFrame =

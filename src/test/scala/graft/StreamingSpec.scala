@@ -329,6 +329,38 @@ class StreamingSpec extends SparkSuite {
   private def rec2(p: Int, o: Long, tsMs: Long): KafkaRecord =
     KafkaRecord(p, o, ts(tsMs), b("k"), b("v"))
 
+  test("streaming throughput in append mode: watermark closes and emits windows") {
+    // the production-recommended configuration (append + watermark):
+    // only windows whose end has passed the watermark emit, and state
+    // for them is dropped. Fixture uses a realistic clock base — an
+    // epoch-adjacent base would start the watermark at 0 and silently
+    // drop everything (the known event-time-streaming trap).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600L * 1000
+    val base = 1754002800000L // 2025-08-01-ish, hour-ALIGNED ms
+    val mem = MemoryStream[KafkaRecord]
+    val q = StreamingTopicMetrics.partitionThroughput(
+        mem.toDF(), bucket = "1 hour", delay = "1 minute")
+      .writeStream.format("memory").queryName("tput_append")
+      .outputMode("append").start()
+    // two records in bucket 0, one in bucket 1
+    mem.addData(rec2(0, 0L, base), rec2(0, 1L, base + hour - 1),
+      rec2(0, 2L, base + hour))
+    q.processAllAvailable()
+    // advance the watermark far past bucket 1's end -> both close
+    mem.addData(rec2(0, 3L, base + 4 * hour))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = rowsOf(spark.table("tput_append")
+      .orderBy(col("bucket_start_us")))
+    val bucket0 = base * 1000 // base is hour-aligned; micros
+    assert(emitted.map(m => (m("bucket_start_us"), m("n"))) ==
+      Seq((bucket0, 2L), (bucket0 + hour * 1000, 1L)),
+      s"append mode must emit exactly the closed windows: $emitted")
+  }
+
   test("streaming approx percentiles bracket the batch exact order statistics") {
     // the streaming percentile story: sketches merge INCREMENTALLY
     // across micro-batches (two addData rounds force a real state

@@ -60,6 +60,45 @@ object StreamingTopicMetrics {
       .select(col("partition"),
         unix_micros(col("w.start")).as("bucket_start_us"), col("n"))
 
+  case class GapState(lo: Long, hi: Long, n: Long)
+  case class GapUpdate(partition: Int, lo: Long, hi: Long, n: Long,
+      missing: Long)
+
+  /** Streaming lost-message monitor — the incremental twin of
+    * [[graft.operators.TopicMetrics.offsetGaps]]'s headline number:
+    * per partition, how many offsets inside the observed [lo, hi]
+    * range have not arrived. State is three longs per partition
+    * (min/max offset, count) — O(#partitions), unbounded-time safe
+    * with NoTimeout. Emits one row per partition per micro-batch in
+    * which it received records; `missing` shrinks as laggards arrive,
+    * so a persistently non-zero value IS the alert. Contract: offsets
+    * must be exactly-once upstream (a redelivered duplicate inflates
+    * `n` and understates `missing` — run the streaming dedup stage
+    * first on at-least-once inputs). The batch variant's gap-RUN
+    * statistics (n_gaps, max_gap) need per-record order state and are
+    * deliberately absent here: a bitmap/range-set per partition is the
+    * extension, at O(gap runs) state, when run shape matters live.
+    */
+  def offsetGapMonitor(stream: Dataset[KafkaRecord]): Dataset[GapUpdate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .groupByKey(_.partition)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (p: Int, rows: Iterator[KafkaRecord], state: GroupState[GapState]) =>
+          var (lo, hi, n) = state.getOption
+            .map(s => (s.lo, s.hi, s.n))
+            .getOrElse((Long.MaxValue, Long.MinValue, 0L))
+          rows.foreach { r =>
+            if (r.offset < lo) lo = r.offset
+            if (r.offset > hi) hi = r.offset
+            n += 1
+          }
+          state.update(GapState(lo, hi, n))
+          Iterator.single(GapUpdate(p, lo, hi, n, hi - lo + 1 - n))
+      }
+  }
+
   case class KeyState(partition: Int, offset: Long, alive: Boolean)
   case class KeyUpdate(key: String, alive: Boolean)
 

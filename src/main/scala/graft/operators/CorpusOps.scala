@@ -384,6 +384,120 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Distributed-rank twin of [[sourceQuota]] — identical output, no
+    * full-source window. [[sourceQuota]]'s `row_number() OVER
+    * (PARTITION BY source)` funnels every doc of a source through ONE
+    * window task; a mega-source (half the crawl from one domain) makes
+    * that task the job. This twin ranks by radix histogram prefix
+    * instead (the [[graft.operators.EventAnalytics.userSpendDecilesDistributed]]
+    * machinery, here per source):
+    *
+    *  1. per-doc radix key: complemented [[graft.functions.DoubleBits]]
+    *     orderable bits of quality — unsigned-ascending == (quality
+    *     DESC); doc_id breaks ties inside a bin. Equal qualities share
+    *     a key, so a tie can never straddle bins.
+    *  2. histogram per (source, top-10-bits) — an ordinary distributed
+    *     aggregate; bins holding more than `binMaxRows` docs refine 10
+    *     more bits per round (≤6 rounds to the 60-bit floor, where
+    *     only exact quality ties remain). Each round's bin table is
+    *     locally checkpointed (tiny: ≤1024 bins/source/round) so the
+    *     returned plan reads materialized bins instead of re-running
+    *     the planning aggregates — same storage contract as the
+    *     near-dup label family: release with
+    *     `ColumnBridge.unpersistCheckpoint` after the last action.
+    *  3. bin offsets: running count over the BIN table per source —
+    *     window cardinality is bins, never docs.
+    *  4. each doc probes one struct per refinement level (≤6) and
+    *     equi-joins its unique bin; rank = bin offset + row_number
+    *     within (source, bin) — per-task cost `binMaxRows`, not
+    *     source cardinality. Signed bkey order inside a bin is safe:
+    *     every bin fixes the top ≥10 key bits, sign bit included.
+    *
+    * The hot-bin probe side is broadcast: its size is bounded by
+    * docs/`binMaxRows`, not by source cardinality.
+    */
+  def sourceQuotaDistributed(docs: DataFrame, cap: Int = 50,
+      binMaxRows: Long = 1000000L): DataFrame = {
+    val MaxLevels = 6
+    val base = docs.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      .withColumn("bkey",
+        // NULL quality → unsigned max == DESC NULLS LAST in both
+        // engines; collides only with an unreachable -Inf quality,
+        // and the doc_id tiebreak keeps even that deterministic
+        coalesce(
+          graft.functions.DoubleBits.orderableBits(col("quality"))
+            .bitwiseXOR(lit(-1L)),
+          lit(-1L)))
+    def prefixAt(level: Int): Column =
+      shiftrightunsigned(col("bkey"), 64 - 10 * level)
+    var level = 1
+    var hist = base.groupBy(col("source"), prefixAt(1).as("b_prefix"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("b_level", lit(1))
+      .localCheckpoint()
+    var leaves = hist.filter(col("n") <= binMaxRows)
+    var hot = hist.filter(col("n") > binMaxRows)
+    var hotLeft = hot.limit(1).count() > 0
+    while (hotLeft && level < MaxLevels) {
+      val hotKeys = hot.select(col("source").as("h_source"),
+        col("b_prefix").as("h_prefix"))
+      val sub = base.join(broadcast(hotKeys),
+          col("source") === col("h_source") &&
+            prefixAt(level) === col("h_prefix"))
+        .groupBy(col("source"), prefixAt(level + 1).as("b_prefix"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("b_level", lit(level + 1))
+        .localCheckpoint()
+      level += 1
+      if (level < MaxLevels) {
+        leaves = leaves.unionByName(sub.filter(col("n") <= binMaxRows))
+        hot = sub.filter(col("n") > binMaxRows)
+        hotLeft = hot.limit(1).count() > 0
+      } else {
+        // 60-bit floor: what remains over-sized is pure quality ties —
+        // the irreducible window cost no radix depth can split
+        leaves = leaves.unionByName(sub)
+        hotLeft = false
+      }
+    }
+    // left-align each bin's range start to 64 bits; x ^ MIN_VALUE maps
+    // unsigned order onto the window's signed sort
+    val wOff = Window.partitionBy(col("source"))
+      .orderBy(col("ustart_signed"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binTable = leaves
+      .withColumn("ustart_signed",
+        expr("shiftleft(b_prefix, 64 - 10 * b_level)")
+          .bitwiseXOR(lit(Long.MinValue)))
+      .withColumn("row_prefix", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("source").as("b_source"), col("b_level"),
+        col("b_prefix"), col("row_prefix"))
+    // equi-join on the (level, truncated-key) pair — bin disjointness
+    // guarantees exactly one surviving probe per doc (the deciles'
+    // review-caught lesson: a shift amount drawn from the bin side
+    // would plan a nested-loop join)
+    val probeArr = array((1 to level).map(l =>
+      struct(lit(l).as("lvl"), prefixAt(l).as("k"))): _*)
+    val wRank = Window
+      .partitionBy(col("source"), col("b_level"), col("b_prefix"))
+      .orderBy(col("bkey"), col("doc_id"))
+    // no broadcast hint on the bin table: its cardinality grows with
+    // SOURCE count (≤~1024 bins each), so AQE must stay free to pick a
+    // shuffle hash join when sources number in the millions; at the
+    // common scale it broadcasts on its own
+    base.withColumn("probe", explode(probeArr))
+      .join(binTable,
+        col("source") === col("b_source") &&
+          col("probe.lvl") === col("b_level") &&
+          col("probe.k") === col("b_prefix"))
+      .withColumn("src_rank",
+        (col("row_prefix") + row_number().over(wRank)).cast("int"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("src_rank"), (col("src_rank") <= cap).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   def sourceStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),

@@ -330,6 +330,44 @@ class CorpusOpsSpec extends SparkSuite {
     assert(!sA.last("kept").asInstanceOf[Boolean])
   }
 
+  test("distributed source quota == window formulation on a skewed corpus") {
+    // one mega-source dominating the corpus (the exact shape that
+    // bottlenecks the window formulation), small satellites, and
+    // exact-duplicate texts so quality TIES cross the radix floor
+    val words = base.split(" ")
+    val megaRows = (0L until 400L).map { i =>
+      val t =
+        if (i % 4 == 0) base // duplicates → tied qualities
+        else words.take((i % 37 + 3).toInt).mkString(" ") + s" tail$i"
+      (i, t, "en", "mega")
+    }
+    val smallRows = (400L until 430L).map(i =>
+      (i, s"small doc $i " + words.take((i % 11 + 2).toInt).mkString(" "),
+        "en", s"s${i % 3}"))
+    val d = docs((megaRows ++ smallRows): _*)
+    val expected = rowsOf(CorpusOps.sourceQuota(d, cap = 5))
+    // binMaxRows=8 forces hot-bin recursion on the mega source (and
+    // the 60-bit tie floor for the duplicate texts)
+    val dist = CorpusOps.sourceQuotaDistributed(d, cap = 5, binMaxRows = 8L)
+    val got = rowsOf(dist)
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(dist)
+    assert(got == expected)
+  }
+
+  test("distributed source quota, no-skew path (level-1 histogram only)") {
+    val d = docs(
+      (1L, base + " one", "en", "sA"),
+      (2L, base, "en", "sA"),
+      (3L, base + " three more words here", "en", "sA"),
+      (4L, "tiny", "en", "sB"),
+      (5L, base + " five", "en", "sB"))
+    val expected = rowsOf(CorpusOps.sourceQuota(d, cap = 2))
+    val dist = CorpusOps.sourceQuotaDistributed(d, cap = 2)
+    val got = rowsOf(dist)
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(dist)
+    assert(got == expected)
+  }
+
   test("snapshot diff classifies added/removed/changed and drops unchanged") {
     val old = enDocs(
       1L -> "alpha text", 2L -> "beta text", 3L -> "gamma text",

@@ -102,6 +102,25 @@ class PlanShapeSpec extends SparkSuite {
       s"scan reads more than the projected columns: $readSchema")
   }
 
+  test("distributed source quota never ranks docs in a source-only window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.CorpusOps.sourceQuotaDistributed(docs)
+    val p = plan(df)
+    // the doc-ranking row_number must partition by the radix bin
+    // (source, b_level, b_prefix), never by source alone — a
+    // source-only rank window is exactly the mega-source bottleneck
+    // this twin exists to remove. The bin-offset sum window partitions
+    // by source too, but over the BIN table (ordered by ustart_signed),
+    // so the pin targets row_number specifically.
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(df)
+    val rowNumberSpecs = raw"row_number\(\) windowspecdefinition\([^)]*\)".r
+      .findAllIn(p).toList
+    assert(rowNumberSpecs.nonEmpty, s"expected a row_number window:\n$p")
+    rowNumberSpecs.foreach(spec =>
+      assert(spec.contains("b_prefix"),
+        s"row_number windows a full source:\n$spec\n$p"))
+  }
+
   test("ivf kNN corpus assignment is a shuffle-free argmax projection") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = plan(graft.operators.Similarity.knnIvf(

@@ -172,28 +172,68 @@ object TopicMetrics {
     * how many offsets in [min, max] are absent, how many distinct gap
     * runs exist, and the widest run. Pure integer arithmetic (counts
     * and offset differences), so the result is hash-exact across
-    * engines. The lag window is partitioned per Kafka partition —
-    * parallelism is the partition count and per-task cost one
-    * partition's records, the same bound as any per-partition consumer.
+    * engines.
+    *
+    * Bucketed two-level formulation: a single lag window partitioned
+    * only by Kafka partition funnels a partition's every record through
+    * ONE sort task — at 100 TB a billion-record partition is the job.
+    * Instead:
+    *
+    *  1. records window by (partition, `offset div bucketSize`) — the
+    *     bucket is part of the window KEY, so per-task cost is capped
+    *     at `bucketSize` rows regardless of partition size;
+    *  2. one fused aggregate per bucket: count, min/max offset,
+    *     within-bucket gap-run count and widest run;
+    *  3. boundary stitch: lag over the BUCKET table (1/bucketSize of
+    *     the data) joins each present bucket to its predecessor —
+    *     a gap spanning any number of wholly-empty buckets surfaces
+    *     as `lo − previous hi − 1` between consecutive present rows,
+    *     so empty buckets need no rows;
+    *  4. per-partition roll-up: within-bucket and boundary gap stats
+    *     combine by sum/max.
+    *
+    * The stitch window's per-task cost is records/bucketSize for the
+    * hottest partition; if even that bounds the job, the same
+    * construction nests (bucket the buckets) — one more level per
+    * 4096× of partition growth.
+    *
     * Compacted topics make gaps NORMAL (deleted keys vacate offsets);
     * for those, read `missing` as "compacted or lost", not "lost".
     */
-  def offsetGaps(records: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("partition")).orderBy(col("offset"))
-    records.select(col("partition"), col("offset"))
+  def offsetGaps(records: DataFrame, bucketSize: Long = 4096L): DataFrame = {
+    require(bucketSize > 0, s"bucketSize must be positive: $bucketSize")
+    val wInBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("partition"), col("bucket")).orderBy(col("offset"))
+    val perBucket = records
+      .select(col("partition"), col("offset"),
+        (col("offset") / bucketSize).cast("long").as("bucket"))
       .withColumn("gap_before",
-        col("offset") - lag(col("offset"), 1).over(w) - 1)
+        col("offset") - lag(col("offset"), 1).over(wInBucket) - 1)
+      .groupBy(col("partition"), col("bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("offset")).as("lo_b"),
+        max(col("offset")).as("hi_b"),
+        count_if(col("gap_before") > 0).as("n_gaps_b"),
+        max(when(col("gap_before") > 0, col("gap_before"))).as("max_gap_b"))
+    val wStitch = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("partition")).orderBy(col("bucket"))
+    perBucket
+      .withColumn("boundary_gap",
+        col("lo_b") - lag(col("hi_b"), 1).over(wStitch) - 1)
       .groupBy(col("partition"))
       .agg(
-        count(lit(1)).as("n"),
-        min(col("offset")).as("lo"),
-        max(col("offset")).as("hi"),
-        (max(col("offset")) - min(col("offset")) + 1 - count(lit(1)))
+        sum(col("cnt")).as("n"),
+        min(col("lo_b")).as("lo"),
+        max(col("hi_b")).as("hi"),
+        (max(col("hi_b")) - min(col("lo_b")) + 1 - sum(col("cnt")))
           .as("missing"),
-        count_if(col("gap_before") > 0).as("n_gaps"),
-        coalesce(max(when(col("gap_before") > 0, col("gap_before"))),
-          lit(0L)).as("max_gap"))
+        (sum(col("n_gaps_b")) + count_if(col("boundary_gap") > 0))
+          .as("n_gaps"),
+        greatest(
+          coalesce(max(col("max_gap_b")), lit(0L)),
+          coalesce(max(when(col("boundary_gap") > 0, col("boundary_gap"))),
+            lit(0L))).as("max_gap"))
       .orderBy(col("partition"))
   }
 

@@ -137,6 +137,28 @@ class TopicMetricsSpec extends SparkSuite {
     assert(p1("missing") == 0L && p1("n_gaps") == 0L && p1("max_gap") == 0L)
   }
 
+  test("offset gaps: bucketed stitch — runs and widest gap across bucket boundaries") {
+    // bucketSize=4 forces every boundary case: a run INSIDE a bucket
+    // (2→5 within [4,8)), a run straddling a boundary (6→9), a run
+    // spanning wholly-empty buckets (10→23, crossing empty [12,16) and
+    // [16,20)), and a dense partition. Expected for p0, offsets
+    // 0,1,2,5,6,9,10,23: missing 16, runs {3-4, 7-8, 11-22}, widest 12.
+    val offs = Seq(0L, 1L, 2L, 5L, 6L, 9L, 10L, 23L)
+    val df = records(
+      offs.map(o => (0, o, o + 1, "a", "v")) ++
+        Seq((1, 0L, 1L, "b", "v"), (1, 1L, 2L, "b", "v")): _*)
+    for (b <- Seq(1L, 2L, 4L, 1024L)) {
+      val r = rowsOf(graft.operators.TopicMetrics.offsetGaps(df, bucketSize = b))
+      val p0 = r.find(_("partition") == 0).get
+      assert(p0("n") == 8L && p0("lo") == 0L && p0("hi") == 23L, s"b=$b")
+      assert(p0("missing") == 16L && p0("n_gaps") == 3L &&
+        p0("max_gap") == 12L, s"b=$b")
+      val p1 = r.find(_("partition") == 1).get
+      assert(p1("missing") == 0L && p1("n_gaps") == 0L && p1("max_gap") == 0L,
+        s"b=$b")
+    }
+  }
+
   test("partition throughput buckets on exact integer boundaries") {
     val hour = 3600L * 1000 // ms
     val df = records(

@@ -60,42 +60,107 @@ object StreamingTopicMetrics {
       .select(col("partition"),
         unix_micros(col("w.start")).as("bucket_start_us"), col("n"))
 
-  case class GapState(lo: Long, hi: Long, n: Long)
+  /** A maximal run of PRESENT (arrived) offsets. */
+  case class GapRun(lo: Long, hi: Long)
+  case class GapState(lo: Long, hi: Long, n: Long,
+      runs: List[GapRun], saturated: Boolean)
   case class GapUpdate(partition: Int, lo: Long, hi: Long, n: Long,
-      missing: Long)
+      missing: Long, n_gaps: Long, max_gap: Long, saturated: Boolean)
+
+  /** Merge a SORTED batch of offsets into a coalesced present-run set
+    * (both inputs ascending): one linear pass, duplicates and
+    * already-covered offsets absorb into the current run. Adjacent
+    * runs (next.lo == cur.hi + 1) coalesce, so distinct output runs
+    * are always separated by a real gap.
+    */
+  private[streaming] def mergeRuns(runs: List[GapRun],
+      offs: Array[Long]): List[GapRun] = {
+    val out = scala.collection.mutable.ListBuffer.empty[GapRun]
+    var cur: GapRun = null
+    def push(r: GapRun): Unit =
+      if (cur == null) cur = r
+      else if (r.lo <= cur.hi + 1) {
+        if (r.hi > cur.hi) cur = GapRun(cur.lo, r.hi)
+      } else { out += cur; cur = r }
+    val it = runs.iterator
+    var nextRun: GapRun = if (it.hasNext) it.next() else null
+    var i = 0
+    while (nextRun != null || i < offs.length) {
+      if (nextRun == null || (i < offs.length && offs(i) < nextRun.lo)) {
+        push(GapRun(offs(i), offs(i))); i += 1
+      } else {
+        push(nextRun)
+        nextRun = if (it.hasNext) it.next() else null
+      }
+    }
+    if (cur != null) out += cur
+    out.toList
+  }
 
   /** Streaming lost-message monitor — the incremental twin of
-    * [[graft.operators.TopicMetrics.offsetGaps]]'s headline number:
-    * per partition, how many offsets inside the observed [lo, hi]
-    * range have not arrived. State is three longs per partition
-    * (min/max offset, count) — O(#partitions), unbounded-time safe
-    * with NoTimeout. Emits one row per partition per micro-batch in
-    * which it received records; `missing` shrinks as laggards arrive,
-    * so a persistently non-zero value IS the alert. Contract: offsets
-    * must be exactly-once upstream (a redelivered duplicate inflates
-    * `n` and understates `missing` — run the streaming dedup stage
-    * first on at-least-once inputs). The batch variant's gap-RUN
-    * statistics (n_gaps, max_gap) need per-record order state and are
-    * deliberately absent here: a bitmap/range-set per partition is the
-    * extension, at O(gap runs) state, when run shape matters live.
+    * [[graft.operators.TopicMetrics.offsetGaps]]: per partition, how
+    * many offsets inside the observed [lo, hi] range have not arrived,
+    * how many distinct gap runs exist, and the widest one. State is a
+    * coalesced range-set of PRESENT-offset runs — O(gap runs), not
+    * O(records) — hard-bounded by `maxRuns`: a partition whose shape
+    * exceeds it SATURATES, dropping run detail permanently (the flag
+    * stays set) and reporting n_gaps/max_gap as -1 — unmistakably not
+    * a statistic, never a silent wrong number. The headline `missing`
+    * survives saturation (three-long summary arithmetic). A healthy
+    * topic has ~0 runs of gaps, so saturation itself is an alert: it
+    * means ≥`maxRuns` distinct holes are live right now.
+    *
+    * Unbounded-time safe with NoTimeout. Emits one row per partition
+    * per micro-batch in which it received records; `missing` shrinks
+    * as laggards arrive and runs coalesce, so a persistently non-zero
+    * value IS the alert. While unsaturated, `missing` is computed from
+    * run coverage, so upstream redelivery (at-least-once) cannot
+    * understate it — only the arrival counter `n` inflates; after
+    * saturation the summary fallback `hi-lo+1-n` inherits that
+    * exactly-once caveat.
     */
-  def offsetGapMonitor(stream: Dataset[KafkaRecord]): Dataset[GapUpdate] = {
+  def offsetGapMonitor(stream: Dataset[KafkaRecord],
+      maxRuns: Int = 256): Dataset[GapUpdate] = {
     val spark = stream.sparkSession
     import spark.implicits._
     stream
       .groupByKey(_.partition)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (p: Int, rows: Iterator[KafkaRecord], state: GroupState[GapState]) =>
-          var (lo, hi, n) = state.getOption
-            .map(s => (s.lo, s.hi, s.n))
-            .getOrElse((Long.MaxValue, Long.MinValue, 0L))
-          rows.foreach { r =>
-            if (r.offset < lo) lo = r.offset
-            if (r.offset > hi) hi = r.offset
-            n += 1
+          val prev = state.getOption
+            .getOrElse(GapState(Long.MaxValue, Long.MinValue, 0L, Nil, false))
+          val offs = rows.map(_.offset).toArray
+          java.util.Arrays.sort(offs)
+          var lo = prev.lo; var hi = prev.hi
+          if (offs.nonEmpty) {
+            if (offs(0) < lo) lo = offs(0)
+            if (offs(offs.length - 1) > hi) hi = offs(offs.length - 1)
           }
-          state.update(GapState(lo, hi, n))
-          Iterator.single(GapUpdate(p, lo, hi, n, hi - lo + 1 - n))
+          val n = prev.n + offs.length
+          val merged =
+            if (prev.saturated) Nil else mergeRuns(prev.runs, offs)
+          val saturated = prev.saturated || merged.size > maxRuns
+          val runs = if (saturated) Nil else merged
+          state.update(GapState(lo, hi, n, runs, saturated))
+          val update =
+            if (saturated)
+              GapUpdate(p, lo, hi, n, hi - lo + 1 - n, -1L, -1L, saturated)
+            else {
+              var covered = 0L; var nGaps = 0L; var maxGap = 0L
+              var prevHi = Long.MinValue
+              runs.foreach { r =>
+                covered += r.hi - r.lo + 1
+                if (prevHi != Long.MinValue) {
+                  val g = r.lo - prevHi - 1
+                  nGaps += 1
+                  if (g > maxGap) maxGap = g
+                }
+                prevHi = r.hi
+              }
+              GapUpdate(p, lo, hi, n, hi - lo + 1 - covered,
+                nGaps, maxGap, saturated)
+            }
+          Iterator.single(update)
       }
   }
 

@@ -102,6 +102,20 @@ class PlanShapeSpec extends SparkSuite {
       s"scan reads more than the projected columns: $readSchema")
   }
 
+  test("offset gaps never sorts a full Kafka partition in one window") {
+    val rec = graft.sources.EventsAsRecords.records(spark, "/root/testdata/sf0.001")
+    val p = plan(graft.operators.TopicMetrics.offsetGaps(rec))
+    // the record-level lag must window by (partition, bucket) — the
+    // bucket key is what caps per-task cost at bucketSize. The only
+    // window allowed to partition by `partition` alone is the stitch
+    // lag over the BUCKET table, which orders by bucket, not offset.
+    val specs = raw"windowspecdefinition\([^)]*\)".r.findAllIn(p).toList
+    assert(specs.nonEmpty, s"expected windows in the plan:\n$p")
+    specs.filter(_.contains("offset")).foreach(spec =>
+      assert(spec.contains("bucket"),
+        s"record lag windows a full partition:\n$spec\n$p"))
+  }
+
   test("distributed source quota never ranks docs in a source-only window") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val df = graft.operators.CorpusOps.sourceQuotaDistributed(docs)

@@ -380,16 +380,55 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable()
     q.stop()
     val last = rowsOf(spark.table("gapmon")).drop(after1.size)
-      .map(m => (m("partition"), m("lo"), m("hi"), m("n"), m("missing")))
+      .map(m => (m("partition"), m("lo"), m("hi"), m("n"), m("missing"),
+        m("n_gaps"), m("max_gap")))
       .sortBy(_._1.asInstanceOf[Int])
-    assert(last == Seq((0, 0L, 4L, 4L, 1L), (1, 5L, 6L, 2L, 0L)))
-    // final state agrees with the batch audit on the same records
+    assert(last == Seq((0, 0L, 4L, 4L, 1L, 1L, 1L), (1, 5L, 6L, 2L, 0L, 0L, 0L)))
+    // final state agrees with the batch audit on the same records —
+    // including the gap-RUN statistics the range-set state now carries
     val batch = rowsOf(graft.operators.TopicMetrics.offsetGaps(records(
       (0, 0L, 1000L, "a", "v"), (0, 1L, 1000L, "a", "v"),
       (0, 4L, 1000L, "a", "v"), (0, 2L, 1000L, "a", "v"),
       (1, 5L, 1000L, "b", "v"), (1, 6L, 1000L, "b", "v"))))
-      .map(m => (m("partition"), m("lo"), m("hi"), m("n"), m("missing")))
+      .map(m => (m("partition"), m("lo"), m("hi"), m("n"), m("missing"),
+        m("n_gaps"), m("max_gap")))
     assert(last == batch)
+  }
+
+  test("offset-gap monitor: laggards coalesce runs; saturation is loud and sticky") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KafkaRecord]
+    val q = StreamingTopicMetrics.offsetGapMonitor(mem.toDS(), maxRuns = 2)
+      .writeStream.format("memory").queryName("gapmon_sat")
+      .outputMode("update").start()
+    // two runs {0, 4} -> at the bound, still exact: 2 runs, 1+3=...
+    // offsets 0 and 4: runs {0-0, 4-4}, missing 3, n_gaps 1, max_gap 3
+    mem.addData(rec(0, 0L, "a", "v"), rec(0, 4L, "a", "v"))
+    q.processAllAvailable()
+    val r1 = rowsOf(spark.table("gapmon_sat")).last
+    assert((r1("missing"), r1("n_gaps"), r1("max_gap"), r1("saturated")) ==
+      (3L, 1L, 3L, false))
+    // laggard 3 coalesces into run 4: {0-0, 3-4}, gap shrinks to 1-2
+    mem.addData(rec(0, 3L, "a", "v"))
+    q.processAllAvailable()
+    val r2 = rowsOf(spark.table("gapmon_sat")).last
+    assert((r2("missing"), r2("n_gaps"), r2("max_gap"), r2("saturated")) ==
+      (2L, 1L, 2L, false))
+    // offset 8 makes a third run: over maxRuns=2 -> saturate; run
+    // detail gone (-1 sentinels), summary missing survives
+    mem.addData(rec(0, 8L, "a", "v"))
+    q.processAllAvailable()
+    val r3 = rowsOf(spark.table("gapmon_sat")).last
+    assert((r3("n"), r3("missing"), r3("n_gaps"), r3("max_gap"),
+      r3("saturated")) == (4L, 5L, -1L, -1L, true))
+    // sticky: even input that WOULD fit maxRuns stays saturated
+    mem.addData(rec(0, 1L, "a", "v"), rec(0, 2L, "a", "v"))
+    q.processAllAvailable()
+    q.stop()
+    val r4 = rowsOf(spark.table("gapmon_sat")).last
+    assert((r4("n"), r4("missing"), r4("saturated")) == (6L, 3L, true))
   }
 
   test("streaming approx percentiles bracket the batch exact order statistics") {

@@ -288,7 +288,16 @@ object Dedup {
     * action (Bench/Verify do, at their execution boundary).
     */
   private[graft] def labelPropagate(pairs: DataFrame, ids: DataFrame,
-      maxIters: Int, tag: String): DataFrame = {
+      maxIters: Int, tag: String): DataFrame =
+    labelPropagateCounted(pairs, ids, maxIters, tag)._1
+
+  /** [[labelPropagate]] also returning the number of propagation
+    * rounds the loop ran — the telemetry the noise-floor specs pin: a
+    * threshold at a fixture's noise floor welds a giant component
+    * whose diameter shows up directly as extra rounds.
+    */
+  private[graft] def labelPropagateCounted(pairs: DataFrame, ids: DataFrame,
+      maxIters: Int, tag: String): (DataFrame, Int) = {
     val idCol = ids.columns.head
     // NOTE on partitioning: under AQE a localCheckpoint records
     // UnknownPartitioning (verified via explain — the unexecuted
@@ -389,9 +398,9 @@ object Dedup {
     // singletons rejoin: vertices outside the pair graph label
     // themselves. The label side is the (small) graph-vertex set →
     // AQE broadcasts it; the corpus side streams through untouched.
-    ids.join(labels, col(idCol) === col("vid"), "left")
+    (ids.join(labels, col(idCol) === col("vid"), "left")
       .select(col(idCol),
-        coalesce(col("cluster"), col(idCol)).as("cluster"))
+        coalesce(col("cluster"), col(idCol)).as("cluster")), iter)
   }
 
   /** One label-propagation round over a bucketed edge/label pair — the
@@ -415,11 +424,9 @@ object Dedup {
     * broadcasts for free. HERE the jump would cost a by-cluster
     * exchange of the label table every round — against this
     * formulation's spec-pinned single-exchange shape — so the bucketed
-    * round stays one-hop. For graphs whose components are deep chains
-    * (rare for LSH near-dup graphs, which are star-heavy), interleave
-    * a jump-only compaction round (labels ⋈ labels, one tiny exchange
-    * + write, no edge scan) every few iterations; at O(d) vs O(log d)
-    * rounds the trade flips in the jump's favor.
+    * round stays one-hop, and [[nearDupClustersBucketed]] interleaves
+    * a [[jumpRound]] compaction every `jumpEvery` one-hop rounds
+    * instead (see there for the depth heuristic).
     */
   def propagationRound(edges: DataFrame, labels: DataFrame): DataFrame = {
     val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
@@ -429,6 +436,25 @@ object Dedup {
       .select(labels("doc_id"), col("cluster").as("prev"),
         least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
           .as("cluster"))
+  }
+
+  /** Pointer-jump compaction round: each vertex adopts its LABEL's
+    * label — `cluster' = cluster(cluster)` — roughly halving chain
+    * depth, with NO edge scan: the big table never moves, only the
+    * label table pays one by-cluster exchange plus the round write.
+    * Every cluster value is itself a graph vertex (labels are mins of
+    * vertex ids), so the self-join is total; the left join + coalesce
+    * is belt-and-braces, not a semantic branch. Label monotonicity is
+    * preserved (`cluster(x) ≤ x`, so the adopted label can only be
+    * smaller-or-equal), which keeps the component-min fixed point of
+    * the propagation rounds intact.
+    */
+  private[graft] def jumpRound(labels: DataFrame): DataFrame = {
+    val jump = labels
+      .select(col("doc_id").as("j_doc"), col("cluster").as("j_cluster"))
+    labels.join(jump, labels("cluster") === col("j_doc"), "left")
+      .select(labels("doc_id"), labels("cluster").as("prev"),
+        coalesce(col("j_cluster"), labels("cluster")).as("cluster"))
   }
 
   /** [[nearDupClusters]] with the iteration state held in BUCKETED
@@ -463,7 +489,18 @@ object Dedup {
   def nearDupClustersBucketed(docs: DataFrame, storeDir: String,
       buckets: Int = 32, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None, jumpEvery: Int = 4): DataFrame =
+    nearDupClustersBucketedCounted(docs, storeDir, buckets, numHashes,
+      bands, threshold, shingleN, maxIters, maxBucket, jumpEvery)._1
+
+  /** [[nearDupClustersBucketed]] also returning the number of rounds
+    * the loop ran — the observable the jump-compaction spec asserts
+    * shrinks on deep-chain graphs. */
+  private[graft] def nearDupClustersBucketedCounted(docs: DataFrame,
+      storeDir: String,
+      buckets: Int = 32, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, shingleN: Int = 3, maxIters: Int = 50,
+      maxBucket: Option[Int] = None, jumpEvery: Int = 4): (DataFrame, Int) = {
     val spark = docs.sparkSession
     // per-invocation unique tag: a storeDir-derived name alone would
     // let two runs (same dir, or a 31-bit hash collision) overwrite
@@ -504,8 +541,8 @@ object Dedup {
     // Every doc is then its own cluster — no state needed at all.
     if (edges.isEmpty) {
       drop(s"${tag}_edges"); rm(s"$storeDir/edges")
-      return docs.select(col("doc_id"), col("doc_id").as("cluster"))
-        .orderBy(col("doc_id"))
+      return (docs.select(col("doc_id"), col("doc_id").as("cluster"))
+        .orderBy(col("doc_id")), 0)
     }
     val seed = edges.groupBy(col("doc_a").as("doc_id"))
       .agg(min(col("doc_b")).as("nbr_min"))
@@ -514,9 +551,25 @@ object Dedup {
     var labelsFrame = seed
     var iter = 0
     var converged = false
+    // one-hop rounds since the last jump compaction. jumpEvery = 4 is
+    // the chain-depth heuristic: star-heavy LSH graphs converge in ≤3
+    // one-hop rounds, so a graph still unconverged after 4 has depth
+    // only chains produce — from then on a jump round (no edge scan)
+    // interleaves after every jumpEvery one-hops, turning O(depth)
+    // rounds into roughly O(log depth). jumpEvery = 0 disables.
+    var sinceJump = 0
     while (!converged && iter < maxIters) {
-      converged = writeRoundObserved(propagationRound(edges, labelsFrame),
+      val isJump = jumpEvery > 0 && sinceJump >= jumpEvery
+      val round =
+        if (isJump) { sinceJump = 0; jumpRound(labelsFrame) }
+        else { sinceJump += 1; propagationRound(edges, labelsFrame) }
+      val changedZero = writeRoundObserved(round,
         labelsTable(iter + 1), labelsPath(iter + 1), buckets)
+      // a change-free JUMP only says labels are pointer-stable
+      // (cluster(cluster) = cluster); neighbors can still offer
+      // smaller labels, so convergence is only ever declared from a
+      // change-free PROPAGATION round
+      converged = changedZero && !isJump
       if (iter > 0) { drop(labelsTable(iter)); rm(labelsPath(iter)) }
       labelsFrame = spark.table(labelsTable(iter + 1))
         .select(col("doc_id"), col("cluster"))
@@ -536,12 +589,12 @@ object Dedup {
         .select(col("doc_id"), col("cluster"))
       else seed
     if (iter > 0) { drop(labelsTable(iter)); drop(s"${tag}_edges"); rm(s"$storeDir/edges") }
-    docs.select(col("doc_id"))
+    (docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "graph_doc"),
         col("doc_id") === col("graph_doc"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
-      .orderBy(col("doc_id"))
+      .orderBy(col("doc_id")), iter)
   }
 
   /** Disambiguates [[nearDupClustersBucketed]] catalog entries across

@@ -87,6 +87,37 @@ class DedupSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("jump compaction shrinks rounds on a deep-chain graph, same labels") {
+    // a 16-doc PATH graph — each doc shares a 30-token sliding window
+    // with its neighbors only (threshold 0.9 keeps J≈0.93 consecutive
+    // pairs, drops J≈0.87 distance-2 pairs) — the worst case for
+    // one-hop propagation: the min label crawls one edge per round.
+    // Jump rounds must converge the same labels in fewer rounds.
+    val words = (0 until 60).map(i => f"t$i%02d")
+    val chainDocs = (0 until 16).map { i =>
+      (i + 1).toLong -> words.slice(i, i + 31).mkString(" ")
+    }
+    val d = docs(chainDocs: _*)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ndb-chainA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ndb-chainB").toString
+    try {
+      val (dfNo, roundsNo) = Dedup.nearDupClustersBucketedCounted(
+        d, dirA, buckets = 4, threshold = 0.9, jumpEvery = 0)
+      val a = rowsOf(dfNo).map(r => r("doc_id") -> r("cluster")).toMap
+      val (dfJump, roundsJump) = Dedup.nearDupClustersBucketedCounted(
+        d, dirB, buckets = 4, threshold = 0.9, jumpEvery = 4)
+      val b = rowsOf(dfJump).map(r => r("doc_id") -> r("cluster")).toMap
+      assert(a == b)
+      // the fixture really is one chain: everything labels to doc 1
+      assert(a.values.toSet == Set(1L), s"chain broke: $a")
+      assert(roundsJump < roundsNo,
+        s"jump rounds ($roundsJump) not fewer than one-hop-only ($roundsNo)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirA))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirB))
+    }
+  }
+
   test("bucketed clustering on an all-unique corpus: every doc its own cluster") {
     // the empty-pair-graph short circuit (review-caught: a zero-row
     // bucketed labels table has no parquet data files, so the final

@@ -168,12 +168,33 @@ object Similarity {
     */
   def semanticKeep(corpus: DataFrame, tables: Int = 4, planes: Int = 4,
       threshold: Double = 0.35, maxIters: Int = 50): DataFrame =
-    Dedup.labelPropagate(
+    semanticKeepCounted(corpus, tables, planes, threshold, maxIters)._1
+
+  /** [[semanticKeep]] also returning the label-propagation round count,
+    * and with an `observe` node named `semantic_keep` planting
+    * free-of-charge telemetry into every action on the result:
+    * `n_vectors` and `n_kept` (= cluster count). Read them from
+    * `df.queryExecution.observedMetrics` after any action — the
+    * noise-floor check an operator dashboard (or the companion spec)
+    * watches: a threshold at the corpus's noise floor shows up as
+    * n_kept collapsing toward 1 while rounds climb with the giant
+    * component's diameter.
+    */
+  private[graft] def semanticKeepCounted(corpus: DataFrame, tables: Int = 4,
+      planes: Int = 4, threshold: Double = 0.35,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    val (labels, rounds) = Dedup.labelPropagateCounted(
       lshNearPairsUnsorted(corpus, tables, planes, threshold)
         .select(col("vec_a").as("a"), col("vec_b").as("b")),
       corpus.select(col("vec_id")), maxIters, "semanticKeep")
+    (labels
       .withColumn("kept", col("vec_id") === col("cluster"))
-      .orderBy(col("vec_id"))
+      .observe("semantic_keep",
+        count(lit(1)).as("n_vectors"),
+        coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L))
+          .as("n_kept"))
+      .orderBy(col("vec_id")), rounds)
+  }
 
   /** Spherical k-means (Lloyd's) for IVF coarse centroids — the
     * production swap for [[knnIvf]]'s deterministic stand-in.

@@ -137,6 +137,50 @@ class SimilaritySpec extends SparkSuite {
       assert(real.filter(_("kept") == true).map(_("vec_id")).toSet ==
         real.map(_("cluster")).toSet)
     } finally {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+  }
+
+  test("semantic keep noise floor: telemetry separates healthy from welded") {
+    // The q_semantic_keep registry comment made executable: a
+    // threshold ABOVE the fixture's noise floor (0.4) yields small
+    // epsilon-balls and a shallow propagation; one AT/BELOW it welds
+    // most of the corpus into giant components whose diameter drags
+    // the loop through more rounds. The floor is SF-dependent — the
+    // sf0.1 fixture the registry comment describes welds at 0.35; this
+    // suite's sf0.001 slice (1000 vectors, sparser pair graph) welds
+    // at 0.2 (measured: 2 clusters, max 500, rounds 4 vs 938 clusters,
+    // max 3, rounds 2 healthy). The observe node carries (n_vectors,
+    // n_kept) with every action, so an operator dashboard sees the
+    // collapse without a second job.
+    try {
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      def run(threshold: Double): (Long, Long, Long, Int) = {
+        val (df, rounds) = Similarity.semanticKeepCounted(e, threshold = threshold)
+        val rows = rowsOf(df)
+        val metrics = df.queryExecution.observedMetrics("semantic_keep")
+        val maxCluster = rows.groupBy(_("cluster")).values.map(_.size).max
+        (metrics.getAs[Long]("n_vectors"), metrics.getAs[Long]("n_kept"),
+          maxCluster.toLong, rounds)
+      }
+      val (nVec, keptHealthy, maxHealthy, roundsHealthy) = run(0.4)
+      val (nVec2, keptWelded, maxWelded, roundsWelded) = run(0.2)
+      info(s"healthy: kept=$keptHealthy max=$maxHealthy rounds=$roundsHealthy; " +
+        s"welded: kept=$keptWelded max=$maxWelded rounds=$roundsWelded")
+      assert(nVec == nVec2 && nVec > 0)
+      // healthy regime: clusters stay epsilon-ball sized
+      assert(maxHealthy <= 32L, s"healthy max cluster: $maxHealthy")
+      // noise floor: a giant component swallows a large fraction of
+      // the corpus (bound left slack — the exact split is fixture
+      // detail, the collapse is the invariant)
+      assert(maxWelded >= nVec / 3, s"welded max cluster: $maxWelded of $nVec")
+      // ...far fewer representatives survive...
+      assert(keptWelded < keptHealthy, s"$keptWelded >= $keptHealthy")
+      // ...and its diameter costs extra (jump-accelerated) rounds
+      assert(roundsWelded >= roundsHealthy,
+        s"rounds: welded=$roundsWelded healthy=$roundsHealthy")
+    } finally {
       // semanticKeep's plan embeds label checkpoints (the documented
       // storage contract); restore the suite's clean-session invariant
       spark.sparkContext.getPersistentRDDs.values

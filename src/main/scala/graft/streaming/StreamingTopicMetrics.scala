@@ -73,7 +73,7 @@ object StreamingTopicMetrics {
     * runs (next.lo == cur.hi + 1) coalesce, so distinct output runs
     * are always separated by a real gap.
     */
-  private[streaming] def mergeRuns(runs: List[GapRun],
+  private[graft] def mergeRuns(runs: List[GapRun],
       offs: Array[Long]): List[GapRun] = {
     val out = scala.collection.mutable.ListBuffer.empty[GapRun]
     var cur: GapRun = null

@@ -68,4 +68,37 @@ class InvariantsSpec extends SparkSuite {
     assert(AliveKeys.exact(records(rows: _*)) ==
       AliveKeys.exact(records(shuffled: _*)))
   }
+
+  test("bucketed offset gaps match a brute-force oracle on random sparse sets") {
+    // the bucketed stitch has real edge cases (runs straddling bucket
+    // boundaries, runs spanning wholly-empty buckets, single-offset
+    // partitions) — sweep random sparse offset sets × bucket sizes
+    // against a sequential reference computation
+    for (seed <- 1L to 8L) {
+      val rnd = new Random(seed * 131)
+      val byPartition = (0 until 3).map { p =>
+        val n = 1 + rnd.nextInt(40)
+        p -> Iterator.continually(rnd.nextInt(120).toLong)
+          .take(200).toSet.take(n).toSeq.sorted
+      }.toMap
+      val rows = byPartition.toSeq.flatMap { case (p, offs) =>
+        offs.map(o => (p, o, 1000L, "k", "v"))
+      }
+      val expected = byPartition.map { case (p, offs) =>
+        val gaps = offs.sliding(2).collect {
+          case Seq(a, b) if b - a > 1 => b - a - 1
+        }.toSeq
+        p -> (offs.size.toLong, offs.head, offs.last,
+          offs.last - offs.head + 1 - offs.size,
+          gaps.size.toLong, if (gaps.isEmpty) 0L else gaps.max)
+      }
+      for (b <- Seq(1L, 2L, 7L, 64L, 4096L)) {
+        val got = rowsOf(TopicMetrics.offsetGaps(records(rows: _*), b))
+          .map(m => m("partition").asInstanceOf[Int] ->
+            (m("n"), m("lo"), m("hi"), m("missing"), m("n_gaps"),
+              m("max_gap"))).toMap
+        assert(got == expected, s"seed=$seed bucket=$b")
+      }
+    }
+  }
 }

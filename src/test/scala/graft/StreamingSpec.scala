@@ -8,6 +8,28 @@ import graft.streaming.StreamingTopicMetrics
 
 class StreamingSpec extends SparkSuite {
 
+  test("mergeRuns: random interleavings equal the set-derived run decomposition") {
+    import graft.streaming.StreamingTopicMetrics.{mergeRuns, GapRun}
+    val rnd = new scala.util.Random(421)
+    for (_ <- 0 until 200) {
+      // random offset universe arriving in random micro-batch splits
+      // (with duplicates across batches) must fold to the same run set
+      // as decomposing the final SET of offsets
+      val universe = Iterator.continually(rnd.nextInt(60).toLong)
+        .take(1 + rnd.nextInt(40)).toSeq
+      val batches = universe.grouped(1 + rnd.nextInt(7)).toSeq
+      val folded = batches.foldLeft(List.empty[GapRun]) { (runs, b) =>
+        mergeRuns(runs, b.sorted.toArray)
+      }
+      val expected = universe.toSet.toSeq.sorted
+        .foldLeft(List.empty[(Long, Long)]) {
+          case ((lo, hi) :: tail, o) if o == hi + 1 => (lo, o) :: tail
+          case (acc, o)                             => (o, o) :: acc
+        }.reverse.map { case (lo, hi) => GapRun(lo, hi) }
+      assert(folded == expected, s"batches=$batches")
+    }
+  }
+
   private def rec(p: Int, o: Long, k: String, v: String): KafkaRecord =
     KafkaRecord(p, o, ts(1000L * (o + 1)), b(k), b(v))
 

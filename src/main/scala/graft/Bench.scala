@@ -18,16 +18,31 @@ import org.apache.spark.sql.SparkSession
   * a "leaked" counter in the JSON), never silently absorbed.
   */
 object Bench {
+  /** Timing-methodology tag, stamped into the artifact and REQUIRED to
+    * match on the baseline before the suspect pass compares timings —
+    * bump it whenever the measurement procedure or artifact schema
+    * changes (warmup policy, rotation, quiesce, sentinel, fields) so
+    * artifacts from different regimes are never compared raw.
+    * v2 = pass-major rotation + quiesce (round 6); v3 adds the
+    * end-of-run min-of-5 sentinel; v4 adds the self-adjudicating
+    * suspect pass — "suspect_ratio" (sentinel-normalized in-suite vs
+    * baseline) and "isolated_s" (post-suite min-of-5 isolated
+    * re-timings of the worst offenders).
+    */
+  private[graft] val Regime = "pass-major-rotate-v4"
+
   /** Parse a prior one-line bench artifact (the exact shape this main
     * emits at the bottom): per-query seconds from the flat
-    * `"queries":{...}` object plus the `"sentinel_s"` yardstick.
+    * `"queries":{...}` object, the `"sentinel_s"` yardstick, and the
+    * `"regime"` tag (empty string when absent — pre-v2 artifacts).
     * Returns None when the file is missing, unparseable, or carries no
     * usable sentinel — the suspect re-timing pass simply doesn't run
     * then. A ~20-line manual parse keeps the binary dependency-free;
     * both numeric shapes the emitter produces (plain and scientific
     * notation) are accepted.
     */
-  private[graft] def loadBaseline(path: String): Option[(Map[String, Double], Double)] =
+  private[graft] def loadBaseline(
+      path: String): Option[(Map[String, Double], Double, String)] =
     try {
       val p = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.isReadable(p)) None
@@ -36,6 +51,8 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8)
         val sent = """"sentinel_s"\s*:\s*(-?[0-9.eE+\-]+)""".r
           .findFirstMatchIn(text).map(_.group(1).toDouble)
+        val regime = """"regime"\s*:\s*"([^"]*)"""".r
+          .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
         val marker = "\"queries\":{"
         val qStart = text.indexOf(marker)
         val qEnd = if (qStart < 0) -1 else text.indexOf('}', qStart)
@@ -47,7 +64,7 @@ object Bench {
           val qs = """"([^"]+)"\s*:\s*(-?[0-9.eE+\-]+)""".r
             .findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          if (qs.isEmpty) None else Some((qs, sent.get))
+          if (qs.isEmpty) None else Some((qs, sent.get, regime))
         }
       }
     } catch { case _: Throwable => None }
@@ -228,9 +245,22 @@ object Bench {
     // var (e.g. a BENCH_rNN.json snapshot)
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench.json")
     // (name, sentinel-normalized ratio vs baseline) — recorded in the
-    // artifact so suspect selection is auditable without a re-run
+    // artifact so suspect selection is auditable without a re-run.
+    // The baseline must share THIS run's regime: the file's own rule
+    // is that artifacts from different regimes are never compared raw
+    // — a procedure change shifts in-suite timings in ways the
+    // sentinel (a pure machine yardstick) cannot normalize, and every
+    // shifted query would become a phantom suspect burning 5 isolated
+    // re-timings. Skipping is loud, and self-heals the next run (this
+    // run commits a same-regime artifact).
     val suspects: Seq[(String, Double)] = loadBaseline(baselinePath) match {
-      case Some((prevQ, prevSent)) if sentinel > 0 && prevSent > 0 =>
+      case Some((_, _, prevRegime)) if prevRegime != Regime =>
+        System.err.println(
+          s"[bench] baseline $baselinePath is regime '$prevRegime', this " +
+            s"run is '$Regime' — cross-regime timings are not comparable; " +
+            "skipping the suspect re-timing pass")
+        Seq.empty
+      case Some((prevQ, prevSent, _)) if sentinel > 0 && prevSent > 0 =>
         val drift = sentinel / prevSent
         results
           .flatMap { case (name, t) =>
@@ -268,14 +298,8 @@ object Bench {
     // "regime" names the timing methodology; bump it whenever the
     // measurement procedure changes (warmup policy, rotation, quiesce,
     // sentinel) so artifacts from different regimes are never compared
-    // raw. v2 = pass-major rotation + quiesce (round 6); v3 adds the
-    // end-of-run min-of-5 sentinel; v4 adds the self-adjudicating
-    // suspect pass — "suspect_ratio" (sentinel-normalized in-suite vs
-    // baseline) and "isolated_s" (post-suite min-of-5 isolated
-    // re-timings of the worst offenders).
-    val regime = "pass-major-rotate-v4"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes,"sweep":true,"leaked":$leaked,"regime":"$regime","sentinel_s":$sentinel,"baseline":"${esc(baselinePath)}","suspect_ratio":$suspectJson,"isolated_s":$isoJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes,"sweep":true,"leaked":$leaked,"regime":"$Regime","sentinel_s":$sentinel,"baseline":"${esc(baselinePath)}","suspect_ratio":$suspectJson,"isolated_s":$isoJson}"""
     println(line)
     // also persist to a file: stdout can get interleaved with stray
     // [error] log lines under sbt, which breaks line-oriented parsers.

@@ -439,28 +439,39 @@ object CorpusOps {
     var leaves = hist.filter(col("n") <= binMaxRows)
     var hot = hist.filter(col("n") > binMaxRows)
     var hotLeft = hot.limit(1).count() > 0
-    while (hotLeft && level < MaxLevels) {
-      val hotKeys = hot.select(col("source").as("h_source"),
-        col("b_prefix").as("h_prefix"))
-      val sub = base.join(broadcast(hotKeys),
-          col("source") === col("h_source") &&
-            prefixAt(level) === col("h_prefix"))
-        .groupBy(col("source"), prefixAt(level + 1).as("b_prefix"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("b_level", lit(level + 1))
-        .localCheckpoint()
-      level += 1
-      if (level < MaxLevels) {
-        leaves = leaves.unionByName(sub.filter(col("n") <= binMaxRows))
-        hot = sub.filter(col("n") > binMaxRows)
-        hotLeft = hot.limit(1).count() > 0
-      } else {
-        // 60-bit floor: what remains over-sized is pure quality ties —
-        // the irreducible window cost no radix depth can split
-        leaves = leaves.unionByName(sub)
-        hotLeft = false
+    // LAZY persist, the planSpendBins discipline: the no-skew case
+    // resolves from the single level-1 histogram and must not pay a
+    // cache materialization, but every refinement round below joins
+    // `base` again — uncached that recomputes qualityScore over the
+    // FULL corpus per round (the filter applies after scoring).
+    // Released before returning; the terminal probe plan recomputes
+    // base once — review-caught (round 9).
+    var persisted = false
+    try {
+      while (hotLeft && level < MaxLevels) {
+        if (!persisted) { base.persist(); persisted = true }
+        val hotKeys = hot.select(col("source").as("h_source"),
+          col("b_prefix").as("h_prefix"))
+        val sub = base.join(broadcast(hotKeys),
+            col("source") === col("h_source") &&
+              prefixAt(level) === col("h_prefix"))
+          .groupBy(col("source"), prefixAt(level + 1).as("b_prefix"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("b_level", lit(level + 1))
+          .localCheckpoint()
+        level += 1
+        if (level < MaxLevels) {
+          leaves = leaves.unionByName(sub.filter(col("n") <= binMaxRows))
+          hot = sub.filter(col("n") > binMaxRows)
+          hotLeft = hot.limit(1).count() > 0
+        } else {
+          // 60-bit floor: what remains over-sized is pure quality ties —
+          // the irreducible window cost no radix depth can split
+          leaves = leaves.unionByName(sub)
+          hotLeft = false
+        }
       }
-    }
+    } finally if (persisted) base.unpersist(blocking = false)
     // left-align each bin's range start to 64 bits; x ^ MIN_VALUE maps
     // unsigned order onto the window's signed sort
     val wOff = Window.partitionBy(col("source"))

@@ -206,7 +206,11 @@ object TopicMetrics {
       .partitionBy(col("partition"), col("bucket")).orderBy(col("offset"))
     val perBucket = records
       .select(col("partition"), col("offset"),
-        (col("offset") / bucketSize).cast("long").as("bucket"))
+        // `div` = true integer division — `/` on longs goes through
+        // double and rounds the operand above 2^53, drifting boundary
+        // records into the neighbor bucket (monotone, so results stay
+        // correct, but the per-task cap would no longer be exact)
+        expr(s"`offset` div $bucketSize").as("bucket"))
       .withColumn("gap_before",
         col("offset") - lag(col("offset"), 1).over(wInBucket) - 1)
       .groupBy(col("partition"), col("bucket"))

@@ -118,6 +118,14 @@ object StreamingTopicMetrics {
     * understate it — only the arrival counter `n` inflates; after
     * saturation the summary fallback `hi-lo+1-n` inherits that
     * exactly-once caveat.
+    *
+    * STATE-SCHEMA MIGRATION: the range-set extension widened
+    * [[GapState]] from (lo, hi, n) to (lo, hi, n, runs, saturated) —
+    * a query restored from a checkpoint written by the 3-field
+    * monitor will fail state-schema validation. Restart such queries
+    * with a FRESH checkpoint directory (the monitor's state rebuilds
+    * from the stream; only the pre-restart observed range is
+    * forgotten, exactly as on first deploy).
     */
   def offsetGapMonitor(stream: Dataset[KafkaRecord],
       maxRuns: Int = 256): Dataset[GapUpdate] = {

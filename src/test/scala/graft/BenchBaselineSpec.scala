@@ -25,9 +25,16 @@ class BenchBaselineSpec extends AnyFunSuite {
     val line =
       """{"metric":"total","value":93.4,"unit":"sec","queries":{"q_agg":1.25,"q_knn":0.5,"q_neg":-1.0,"q_sci":1.2E-3},"sf":"/x","warmup":"/x","passes":2,"sweep":true,"leaked":0,"regime":"pass-major-rotate-v4","sentinel_s":0.129}"""
     withTemp(line) { path =>
-      val Some((qs, sent)) = Bench.loadBaseline(path)
+      val Some((qs, sent, regime)) = Bench.loadBaseline(path)
       assert(sent == 0.129)
+      assert(regime == "pass-major-rotate-v4")
       assert(qs == Map("q_agg" -> 1.25, "q_knn" -> 0.5, "q_neg" -> -1.0, "q_sci" -> 1.2e-3))
+    }
+    // a pre-regime artifact parses with an empty tag (never compared
+    // raw against a tagged run — the caller's mismatch check handles it)
+    withTemp("""{"queries":{"q":1.0},"sentinel_s":0.2}""") { p =>
+      val Some((_, _, regime)) = Bench.loadBaseline(p)
+      assert(regime == "")
     }
   }
 

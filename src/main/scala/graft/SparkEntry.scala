@@ -316,6 +316,14 @@ object SparkEntry {
       Similarity.knnIvf(e, e.filter(col("vec_id") < 16), 5,
         centroids = Some(Similarity.trainCentroids(e, k = 16, iters = 3)))
     }),
+    // IVF-PQ: coarse cells + product-quantized codes (m ints per
+    // vector instead of dims floats), ADC candidate scan, exact
+    // re-rank. Rows-only like _trained (k-means + float LUT folds are
+    // not engine-stable); the recall gate lives in SimilaritySpec.
+    "q_embed_knn_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnIvfPq(e, e.filter(col("vec_id") < 16), 5, nProbes = 8)
+    }),
     // corpus-curation ops: deterministic split / sampling /
     // decontamination / canonical selection / dataset accounting
     "q_split_stats" -> ((s, dir) => CorpusOps.splitStats(docs(s, dir))),

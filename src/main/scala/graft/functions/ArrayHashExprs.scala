@@ -459,6 +459,75 @@ object ArrayHashExprs {
       copy(child = newChild)
   }
 
+  /** Asymmetric-distance lookup for product-quantized vectors: given a
+    * row's PQ `codes` (`array<int>`, one sub-centroid id per
+    * subquantizer) and a query's lookup table `lut`
+    * (`array<array<double>>`, `lut[m][c]` = the query's precomputed
+    * partial score against sub-centroid `c` of subquantizer `m`), the
+    * approximate score is Σ_m lut[m][codes[m]] — M array lookups per
+    * candidate instead of a D-dimensional dot product. One fused
+    * codegen'd loop; a code with no LUT entry (id out of range, null
+    * element) contributes 0 rather than poisoning the scan with an
+    * index error — encode and LUT come from the same codebook, so the
+    * defensive branch is dead in correct pipelines.
+    */
+  case class PqAdcExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.graftbridge.GraftInputTypes {
+
+    override def graftInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+      Seq(ArrayType(org.apache.spark.sql.types.IntegerType),
+        ArrayType(ArrayType(org.apache.spark.sql.types.DoubleType)))
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val codes = l.asInstanceOf[ArrayData]
+      val lut = r.asInstanceOf[ArrayData]
+      val m = math.min(codes.numElements(), lut.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        if (!codes.isNullAt(i) && !lut.isNullAt(i)) {
+          val c = codes.getInt(i)
+          val sub = lut.getArray(i)
+          if (c >= 0 && c < sub.numElements() && !sub.isNullAt(c))
+            acc += sub.getDouble(c)
+        }
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (codes, lut) => {
+        val m = ctx.freshName("m")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        val sub = ctx.freshName("sub")
+        s"""
+           |final int $m = java.lang.Math.min($codes.numElements(), $lut.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $m; $i++) {
+           |  if ($codes.isNullAt($i) || $lut.isNullAt($i)) continue;
+           |  final int $c = $codes.getInt($i);
+           |  final org.apache.spark.sql.catalyst.util.ArrayData $sub = $lut.getArray($i);
+           |  if ($c >= 0 && $c < $sub.numElements() && !$sub.isNullAt($c))
+           |    $acc += $sub.getDouble($c);
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqAdcExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def pq_adc(codes: Column, lut: Column): Column =
+    ColumnBridge.column(PqAdcExpr(
+      ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
+
   def unit_vector(v: Column): Column =
     ColumnBridge.column(UnitVectorExpr(ColumnBridge.expression(v)))
 

@@ -275,59 +275,65 @@ object Similarity {
     * reproduce cell assignment — production passes
     * [[trainCentroids]]; the plan is identical either way.
     */
-  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbes: Int = 4,
-      centroids: Option[DataFrame] = None): DataFrame = {
-    val spark = corpus.sparkSession
-    // null-embedding corpus rows are EXCLUDED from the index (no cell
-    // for them; trainCentroids applies the same policy). The filter
-    // rides the RAW column — `unit IS NULL ⟺ embedding IS NULL`
-    // (UnitVectorExpr is a UnaryExpression: null out only for null in;
-    // element nulls stay element nulls), and filtering on the derived
-    // column instead would inline unitvectorexpr into the scan Filter,
-    // re-normalizing every row a second time (round-5 plan sweep).
-    val cu = withUnit(corpus.filter(col("embedding").isNotNull))
+  /** Null-free unit-vector index frame. The filter rides the RAW
+    * column — `unit IS NULL ⟺ embedding IS NULL` (UnitVectorExpr is a
+    * UnaryExpression: null out only for null in; element nulls stay
+    * element nulls), and filtering on the derived column instead would
+    * inline unitvectorexpr into the scan Filter, re-normalizing every
+    * row a second time (round-5 plan sweep).
+    */
+  private def unitIndex(corpus: DataFrame): DataFrame =
+    withUnit(corpus.filter(col("embedding").isNotNull))
       .select(col("vec_id"), col("unit"))
-    // default: deterministic stand-in centroids (first nCentroids
-    // vectors) so the DuckDB oracle can reproduce cell assignment;
-    // production passes trainCentroids(corpus) — the plan is identical
+
+  /** Driver-held coarse codebook (cid → unit centroid), cid-ascending.
+    * The codebook is tiny by construction (k ≤ ~64k cells), so holding
+    * it on the driver makes corpus cell ASSIGNMENT a pure shuffle-free
+    * projection. Default: deterministic stand-in centroids (first
+    * `nCentroids` vectors) so the DuckDB oracle can reproduce cell
+    * assignment; production passes [[trainCentroids]] — the plan is
+    * identical. Building the plan runs one tiny collect job (a
+    * pushed-down filter scan for the stand-in, the k-means result for
+    * the trained path). Empty result = empty corpus (or no vec_id
+    * below nCentroids); callers return their empty frame then.
+    */
+  private def collectCoarseBook(cu: DataFrame, nCentroids: Int,
+      centroids: Option[DataFrame]): Array[(Long, Seq[Double])] = {
     val cent = centroids.getOrElse(
       cu.filter(col("vec_id") < nCentroids)
         .select(col("vec_id").as("cid"), col("unit").as("cunit")))
-    // the coarse codebook is tiny by construction (k ≤ ~64k cells), so
-    // hold it on the driver: corpus cell ASSIGNMENT is then a pure
-    // shuffle-free projection — k fused dots + array_position argmax
-    // per row, the same ASSIGN shape as [[trainCentroids]]. (The
-    // previous formulation broadcast-joined corpus × nCentroids rows
-    // and ranked with a row_number window — a shuffle of k× the corpus
-    // just to pick each row's top-1.) The trade: building the plan now
-    // runs one tiny collect job for the codebook (a pushed-down filter
-    // scan for the stand-in, the k-means result for the trained path).
-    val book = cent.select(col("cid"), col("cunit")).orderBy(col("cid"))
+    cent.select(col("cid"), col("cunit")).orderBy(col("cid"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
-    if (book.isEmpty) {
-      // empty corpus (or no vec_id below nCentroids): no cells exist —
-      // return the empty result instead of failing plan construction
-      import spark.implicits._
-      return Seq.empty[(Long, Int, Long, Double)]
-        .toDF("query_id", "rank", "neighbor_id", "score")
-    }
-    val scores = array(book.map { case (_, v) =>
+  }
+
+  /** (vec_id, unit, cid): shuffle-free argmax cell assignment — k
+    * fused dots + array_position argmax per row, the same ASSIGN shape
+    * as [[trainCentroids]]. (The earlier formulation broadcast-joined
+    * corpus × nCentroids rows and ranked with a row_number window — a
+    * shuffle of k× the corpus just to pick each row's top-1.) First
+    * max wins (array_position is 1-based) = lowest cid, since the book
+    * is cid-ascending — the same tie-break as the probe window's
+    * ORDER BY cscore DESC, cid. Null-embedding queries score null
+    * against every candidate and rank last.
+    */
+  private def assignCells(cu: DataFrame,
+      book: Array[(Long, Seq[Double])]): DataFrame = {
+    val scores = array(book.toIndexedSeq.map { case (_, v) =>
       dot(col("unit"), typedLit(v)) }: _*)
-    // (null exclusion happened at the embedding column above;
-    // null-embedding queries still score null against every candidate
-    // and rank last, as before)
-    val assigned = cu
-      .withColumn("scores", scores)
-      // first max wins (array_position is 1-based) = lowest cid, since
-      // the book is cid-ascending — the same tie-break as the probe
-      // window's ORDER BY cscore DESC, cid
+    cu.withColumn("scores", scores)
       .withColumn("cid", element_at(typedLit(book.map(_._1).toSeq),
         expr("array_position(scores, array_max(scores))").cast("int")))
       .select(col("vec_id"), col("unit"), col("cid"))
-    // probe side keeps the top-nProbes window: the query set is tiny,
-    // and the broadcast codebook frame is built from driver-held rows
-    // (no second corpus scan for the stand-in centroids)
+  }
+
+  /** (query_id, qunit, cid) × nProbes: probe side keeps the
+    * top-nProbes window — the query set is tiny, and the broadcast
+    * codebook frame is built from driver-held rows (no second corpus
+    * scan for the stand-in centroids).
+    */
+  private def probeCells(queries: DataFrame, book: Array[(Long, Seq[Double])],
+      nProbes: Int): DataFrame = {
+    val spark = queries.sparkSession
     val centDf = {
       import spark.implicits._
       book.toSeq.toDF("cid", "cunit")
@@ -335,18 +341,194 @@ object Similarity {
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cscore").desc, col("cid"))
-    val probes = withUnit(queries).select(col("vec_id"), col("unit"))
+    withUnit(queries).select(col("vec_id"), col("unit"))
       .join(broadcast(centDf))
       .withColumn("cscore", dot(col("unit"), col("cunit")))
       .withColumn("crn", row_number().over(pw))
       .filter(col("crn") <= nProbes)
       .select(col("vec_id").as("query_id"), col("unit").as("qunit"), col("cid"))
+  }
+
+  private def emptyKnnResult(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Int, Long, Double)]
+      .toDF("query_id", "rank", "neighbor_id", "score")
+  }
+
+  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbes: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cu = unitIndex(corpus)
+    val book = collectCoarseBook(cu, nCentroids, centroids)
+    if (book.isEmpty) return emptyKnnResult(corpus.sparkSession)
+    val assigned = assignCells(cu, book)
+    val probes = probeCells(queries, book, nProbes)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qunit"), col("unit")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Product-quantization codebook: the vector's dimensions split into
+    * `m` contiguous subspaces; per subspace, `ksub` sub-centroids
+    * trained by Lloyd's on the subvectors. Returned driver-held
+    * (`[m][ksub][dims/m]` doubles — for the classic 8×16 over 64 dims,
+    * 1024 doubles). PQ is THE 100 TB ANN memory story: the index holds
+    * `m` small ints per vector (codes) instead of `dims` floats — 32×
+    * smaller for 8×16/64-float vectors — and queries scan codes with
+    * `m` table lookups per candidate ([[graft.functions.ArrayHashExprs
+    * .PqAdcExpr]]) instead of a `dims`-wide dot product.
+    *
+    * One corpus scan per iteration handles ALL subspaces: assignment
+    * is a projection (per subspace, `ksub` fused sub-dots; argmin of
+    * L2 distance computed as argmax of `2·dot − |c|²` — `|x|²` is
+    * constant within a row's argmin, so the available dot expression
+    * suffices); the update explodes (subspace, cell, position) and
+    * partial-aggregates means map-side, shuffling at most
+    * `m × ksub × dims/m` rows per task. Seeding: the subvectors of the
+    * `ksub` lowest vec_ids — deterministic, reproducible runs (fewer
+    * rows than `ksub` → a smaller book, never a crash). Empty cells
+    * keep their previous centroid, as in [[trainCentroids]].
+    */
+  def trainPqCodebook(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): Array[Array[Seq[Double]]] = {
+    require(m > 0 && ksub > 0 && iters >= 0,
+      s"need m > 0 ($m), ksub > 0 ($ksub), iters >= 0 ($iters)")
+    val cu = unitIndex(corpus).localCheckpoint(true)
+    try {
+      val seeds = cu.orderBy(col("vec_id")).limit(ksub)
+        .collect().map(_.getSeq[Double](1))
+      require(seeds.nonEmpty, "cannot train a PQ codebook on an empty corpus")
+      val dims = seeds(0).size
+      require(dims % m == 0, s"dims ($dims) must split evenly into m ($m)")
+      val dsub = dims / m
+      var book: Array[Array[Seq[Double]]] = Array.tabulate(m)(mi =>
+        seeds.map(v => v.slice(mi * dsub, (mi + 1) * dsub)))
+      for (_ <- 0 until iters) {
+        val assigned = withPqCodes(cu, book, dsub)
+        val means = assigned
+          .select(explode(array(book.indices.map(mi =>
+            struct(lit(mi).as("mq"),
+              element_at(col("codes"), mi + 1).as("cell"),
+              slice(col("unit"), mi * dsub + 1, dsub).as("sub"))): _*)).as("e"))
+          .select(col("e.mq"), col("e.cell"), posexplode(col("e.sub")))
+          .groupBy(col("mq"), col("cell"), col("pos"))
+          .agg(avg(col("col")).as("v"))
+          .groupBy(col("mq"), col("cell"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("v")))),
+            s => s.getField("v")).as("mean"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+        book = Array.tabulate(m)(mi =>
+          book(mi).indices.map(c =>
+            means.getOrElse((mi, c), book(mi)(c))).toArray)
+      }
+      book
+    } finally ColumnBridge.unpersistCheckpoint(cu)
+  }
+
+  /** The compressed-index build a deployment materializes once:
+    * (vec_id, codes) — `m` small ints per vector. Pure projection
+    * (encode is argmin-per-subspace over the driver-held book), so
+    * writing the index is a single shuffle-free pass over the corpus.
+    */
+  def encodePq(corpus: DataFrame, book: Array[Array[Seq[Double]]]): DataFrame =
+    withPqCodes(unitIndex(corpus), book, book(0)(0).size)
+      .select(col("vec_id"), col("codes"))
+
+  /** Adds `codes` (`array<int>`, one sub-cell id per subquantizer):
+    * per subspace, argmin-L2 sub-centroid via the `2·dot − |c|²`
+    * argmax — a pure projection, no shuffle. First max wins = lowest
+    * cell id, deterministic. */
+  private def withPqCodes(df: DataFrame, book: Array[Array[Seq[Double]]],
+      dsub: Int): DataFrame = {
+    val coded = book.indices.foldLeft(df) { (d, mi) =>
+      val sub = slice(col("unit"), mi * dsub + 1, dsub)
+      val scores = array(book(mi).toIndexedSeq.map(c =>
+        dot(sub, typedLit(c)) * 2.0 - lit(c.map(x => x * x).sum)): _*)
+      d.withColumn(s"pq_scores_$mi", scores)
+        .withColumn(s"pq_cid_$mi",
+          (expr(s"array_position(pq_scores_$mi, array_max(pq_scores_$mi))") - 1)
+            .cast("int"))
+    }
+    coded
+      .withColumn("codes",
+        array(book.indices.map(mi => col(s"pq_cid_$mi")): _*))
+      .drop(book.indices.flatMap(mi =>
+        Seq(s"pq_scores_$mi", s"pq_cid_$mi")): _*)
+  }
+
+  /** IVF-PQ ANN top-k — the compressed-index composition of
+    * [[knnIvf]]'s inverted file and [[trainPqCodebook]]'s product
+    * quantization, with an exact re-rank:
+    *
+    *  1. INDEX (the table a 100 TB deployment materializes once): per
+    *     vector, its coarse cell id + `m` PQ codes — `m` small ints
+    *     instead of `dims` floats. Built here inline, shuffle-free.
+    *  2. ADC SCAN: a query probes `nProbes` cells; every candidate in
+    *     a probed cell is scored with `m` lookups into the query's
+    *     per-subspace LUT (`lut[mi][c] = dot(q_sub, centroid)`, so the
+    *     ADC sum reconstructs `dot(q, decode(codes))`) — the codegen'd
+    *     [[graft.functions.ArrayHashExprs.PqAdcExpr]]. No vector
+    *     arrays move; the scan reads codes only.
+    *  3. REFINE: the top `k·refine` ADC candidates per query join back
+    *     to the stored vectors (a broadcast of the tiny candidate set
+    *     into one corpus scan — the standard re-rank read) and the
+    *     exact dot re-ranks the final top-k, so emitted scores are
+    *     exact and ADC error only costs recall, never wrong scores.
+    *
+    * Not SQL-oracle-expressible (k-means + float LUT folds); the
+    * recall gate vs [[knnBruteForce]] lives in SimilaritySpec, the
+    * driver records the rows-only check — the [[knnIvf]]
+    * `_trained` precedent.
+    */
+  def knnIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbes: Int = 4, m: Int = 8, ksub: Int = 16,
+      pqIters: Int = 2, refine: Int = 4,
+      centroids: Option[DataFrame] = None,
+      pqBook: Option[Array[Array[Seq[Double]]]] = None): DataFrame = {
+    require(k > 0 && refine >= 1, s"need k > 0 ($k), refine >= 1 ($refine)")
+    val cu = unitIndex(corpus)
+    val book = collectCoarseBook(cu, nCentroids, centroids)
+    if (book.isEmpty) return emptyKnnResult(corpus.sparkSession)
+    val pq = pqBook.getOrElse(trainPqCodebook(corpus, m, ksub, pqIters))
+    val dsub = pq(0)(0).size
+    // the compressed index: (vec_id, cid, codes) — no vector column
+    val index = withPqCodes(assignCells(cu, book), pq, dsub)
+      .select(col("vec_id"), col("cid"), col("codes"))
+    // per-query LUT: m × ksub sub-dots, computed once on the tiny
+    // probe frame; carried through the broadcast with qunit (needed
+    // for the exact re-rank)
+    val lut = array(pq.indices.map(mi =>
+      array(pq(mi).toIndexedSeq.map(c =>
+        dot(slice(col("qunit"), mi * dsub + 1, dsub), typedLit(c))): _*)): _*)
+    val probes = probeCells(queries, book, nProbes)
+      .withColumn("lut", lut)
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val cand = index.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qunit"), col("vec_id").as("neighbor_id"),
+        graft.functions.ArrayHashExprs.pq_adc(col("codes"), col("lut"))
+          .as("adc"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= k * refine)
+      .select(col("query_id"), col("qunit"), col("neighbor_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cu.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
         dot(col("qunit"), col("unit")).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -78,6 +78,19 @@ class CodegenNoFallbackSpec extends SparkSuite {
         col("embedding").cast("array<double>")).as("u")))
   }
 
+  test("pq_adc compiles and matches under CODEGEN_ONLY") {
+    // codes from vec_id bits, a fixed 2×4 LUT literal — plus the
+    // defensive branches: an out-of-range code and a null LUT row
+    // contribute 0, never an index error
+    assertCodegenParity(emb.limit(50).select(col("vec_id"),
+      ArrayHashExprs.pq_adc(
+        array((col("vec_id") % 4).cast("int"),
+          (col("vec_id") % 3).cast("int"),
+          lit(99).cast("int")),
+        typedLit(Seq(Seq(0.5, 1.0, 1.5, 2.0), Seq(10.0, 20.0, 30.0),
+          Seq(7.0)))).as("adc")))
+  }
+
   test("rolling_hash compiles and matches under CODEGEN_ONLY") {
     assertCodegenParity(docs.select(col("doc_id"),
       graft.functions.TextExprs.rolling_hash(

@@ -62,6 +62,58 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("ivf-pq: codes well-formed, ADC equals reconstructed dot, recall holds") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    val m = 8; val ksub = 16
+    val pq = Similarity.trainPqCodebook(e, m, ksub, iters = 2)
+    // codebook shape: m subspaces × ≤ksub cells × dims/m components
+    assert(pq.length == m && pq.forall(_.nonEmpty) &&
+      pq.forall(_.forall(_.size == pq(0)(0).size)))
+    // every vector encodes to m in-range codes (projection, no shuffle)
+    val codes = rowsOf(Similarity.encodePq(e, pq))
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val cs = r("codes").asInstanceOf[scala.collection.Seq[Int]]
+      assert(cs.size == m && cs.forall(c => c >= 0 && c < ksub), s"codes: $cs")
+    }
+    // the ADC identity the LUT construction promises: for any query,
+    // sum of per-subspace LUT lookups == dot(query, decode(codes)) —
+    // checked in driver arithmetic on a handful of rows
+    val qunit = rowsOf(Similarity.withUnit(q).select(col("vec_id"), col("unit")))
+      .map(r => r("vec_id").asInstanceOf[Long] ->
+        r("unit").asInstanceOf[scala.collection.Seq[Double]]).toMap
+    val dsub = pq(0)(0).size
+    codes.take(5).foreach { r =>
+      val cs = r("codes").asInstanceOf[scala.collection.Seq[Int]]
+      val decoded = (0 until m).flatMap(mi => pq(mi)(cs(mi)))
+      qunit.values.take(2).foreach { qv =>
+        val adc = (0 until m).map(mi =>
+          (0 until dsub).map(d => qv(mi * dsub + d) * pq(mi)(cs(mi))(d)).sum).sum
+        val full = qv.zip(decoded).map { case (a, b) => a * b }.sum
+        assert(math.abs(adc - full) < 1e-9)
+      }
+    }
+    // end-to-end: exact output columns, exact re-ranked scores, recall
+    // vs brute force at the _trained gate level
+    val exact = rowsOf(Similarity.knnBruteForce(e, q, 5))
+      .map(r => (r("query_id"), r("neighbor_id"))).toSet
+    val got = rowsOf(Similarity.knnIvfPq(e, q, 5, nProbes = 8))
+    assert(got.nonEmpty && got.forall(_("rank").asInstanceOf[Int] <= 5))
+    val recall = exact.intersect(
+      got.map(r => (r("query_id"), r("neighbor_id"))).toSet).size.toDouble /
+      exact.size
+    assert(recall >= 0.3, s"IVF-PQ recall too low: $recall")
+    // emitted scores are EXACT dots (the refine stage re-scored them):
+    // every returned (query, neighbor) score matches brute force's
+    val bf = rowsOf(Similarity.knnBruteForce(e, q, 1000))
+      .map(r => (r("query_id"), r("neighbor_id")) -> r("score")).toMap
+    got.foreach { r =>
+      val key = (r("query_id"), r("neighbor_id"))
+      assert(bf(key) == r("score"), s"refined score not exact at $key")
+    }
+  }
+
   test("k-means-trained centroids keep IVF recall and partition every vector") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 8)

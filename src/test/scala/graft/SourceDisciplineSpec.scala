@@ -67,14 +67,17 @@ class SourceDisciplineSpec extends AnyFunSuite {
     //                    O(1024) bin prefix counts (radix rank/select),
     //                    and planSpendBins' two per-level histograms —
     //                    O(1024) counts per hot bin, never rows
-    //   Similarity       k×dims codebooks (documented IVF trade)
+    //   Similarity       k×dims codebooks (documented IVF trade); PQ
+    //                    adds ksub seed rows + m×ksub×(dims/m)
+    //                    sub-centroid means per training iteration —
+    //                    codebook-sized, never corpus rows
     //   TopicMetrics     1-row global summary
     audit("collect()", raw"\.collect\(\)", Map(
       "src/main/scala/graft/TopicAnalyzer.scala" -> 1,
       "src/main/scala/graft/operators/AliveKeys.scala" -> 2,
       "src/main/scala/graft/operators/CorpusOps.scala" -> 1,
       "src/main/scala/graft/operators/EventAnalytics.scala" -> 4,
-      "src/main/scala/graft/operators/Similarity.scala" -> 3,
+      "src/main/scala/graft/operators/Similarity.scala" -> 5,
       "src/main/scala/graft/operators/TopicMetrics.scala" -> 1))
   }
 

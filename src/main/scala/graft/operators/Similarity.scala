@@ -505,14 +505,31 @@ object Similarity {
     // the compressed index: (vec_id, cid, codes) — no vector column
     val index = withPqCodes(assignCells(cu, book), pq, dsub)
       .select(col("vec_id"), col("cid"), col("codes"))
-    // per-query LUT: m × ksub sub-dots, computed once on the tiny
-    // probe frame; carried through the broadcast with qunit (needed
-    // for the exact re-rank)
-    val lut = array(pq.indices.map(mi =>
-      array(pq(mi).toIndexedSeq.map(c =>
-        dot(slice(col("qunit"), mi * dsub + 1, dsub), typedLit(c))): _*)): _*)
     val probes = probeCells(queries, book, nProbes)
-      .withColumn("lut", lut)
+    adcRefine(index, cu, withLut(probes, pq), k, refine)
+  }
+
+  /** Adds the per-query ADC lookup table: m × ksub sub-dots, computed
+    * once on the tiny probe frame; `lut[mi][c] = dot(q_sub, centroid)`,
+    * so the ADC sum reconstructs `dot(q, decode(codes))`. Carried
+    * through the broadcast with qunit (needed for the exact re-rank).
+    */
+  private def withLut(probes: DataFrame,
+      pq: Array[Array[Seq[Double]]]): DataFrame = {
+    val dsub = pq(0)(0).size
+    probes.withColumn("lut", array(pq.indices.map(mi =>
+      array(pq(mi).toIndexedSeq.map(c =>
+        dot(slice(col("qunit"), mi * dsub + 1, dsub), typedLit(c))): _*)): _*))
+  }
+
+  /** The ADC candidate scan + exact re-rank shared by the inline and
+    * persisted-index paths: probes (with LUT) broadcast into the codes
+    * table, `PqAdcExpr` scores candidates with m lookups, the top
+    * k·refine per query re-rank with exact dots by broadcasting the
+    * candidate ids into one scan of the vector store.
+    */
+  private def adcRefine(index: DataFrame, cu: DataFrame, probes: DataFrame,
+      k: Int, refine: Int): DataFrame = {
     val aw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id").asc)
@@ -535,6 +552,76 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("score"), 6).as("score"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Materialize the IVF-PQ index at `dir` — the build-once side of a
+    * deployment. Layout:
+    *  - `dir/codes`: (vec_id, codes), hive-PARTITIONED BY the coarse
+    *    cell id — probing then prunes at the directory LISTING, so a
+    *    query's ADC scan reads `nProbes / nCells` of the index files,
+    *    the at-rest inverted file;
+    *  - `dir/coarse_book`, `dir/pq_book`: the two codebooks as tiny
+    *    parquet sidecars, so later sessions query without retraining
+    *    (and encode future vectors with the same books).
+    */
+  def writePqIndex(corpus: DataFrame, dir: String, nCentroids: Int = 16,
+      m: Int = 8, ksub: Int = 16, pqIters: Int = 2,
+      centroids: Option[DataFrame] = None,
+      pqBook: Option[Array[Array[Seq[Double]]]] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cu = unitIndex(corpus)
+    val book = collectCoarseBook(cu, nCentroids, centroids)
+    require(book.nonEmpty, "cannot index an empty corpus")
+    val pq = pqBook.getOrElse(trainPqCodebook(corpus, m, ksub, pqIters))
+    withPqCodes(assignCells(cu, book), pq, pq(0)(0).size)
+      .select(col("vec_id"), col("codes"), col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/codes")
+    book.toSeq.toDF("cid", "cunit")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse_book")
+    pq.indices.flatMap(mi => pq(mi).indices.map(c => (mi, c, pq(mi)(c))))
+      .toDF("mq", "cell", "sub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_book")
+  }
+
+  /** Query a [[writePqIndex]] index: books load from the sidecars (two
+    * codebook-sized collects), the probed cell ids collect from the
+    * tiny probe frame (≤ queries × nProbes values) and prune the codes
+    * scan via a STATIC partition filter — the explain shows the cid
+    * predicate under PartitionFilters, so unprobed cells' files are
+    * never listed, let alone read. `corpus` is the vector store the
+    * exact re-rank reads (the index itself holds no vectors — that is
+    * its point); results are identical to the inline [[knnIvfPq]]
+    * under the same books.
+    */
+  def knnIvfPqIndexed(dir: String, corpus: DataFrame, queries: DataFrame,
+      k: Int, nProbes: Int = 4, refine: Int = 4): DataFrame = {
+    require(k > 0 && refine >= 1, s"need k > 0 ($k), refine >= 1 ($refine)")
+    val spark = corpus.sparkSession
+    val book = spark.read.parquet(s"$dir/coarse_book").orderBy(col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    if (book.isEmpty) return emptyKnnResult(spark)
+    val pqRows = spark.read.parquet(s"$dir/pq_book")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val pq: Array[Array[Seq[Double]]] =
+      Array.tabulate(pqRows.map(_._1).max + 1)(mi =>
+        pqRows.filter(_._1 == mi).sortBy(_._2).map(_._3))
+    val probes = withLut(probeCells(queries, book, nProbes), pq)
+    // probed cells, collected driver-side so the pruning predicate is
+    // STATIC (a dynamic join-based prune would depend on runtime DPP)
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val raw = spark.read.parquet(s"$dir/codes")
+    // partition-column type inference may read cid back narrower than
+    // long; filter in the INFERRED type (pruning survives — no cast
+    // lands on the partition column), then widen for the probe join
+    val cidLits = raw.schema("cid").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probedCids.toSeq.map(_.toInt)
+      case _                                      => probedCids.toSeq
+    }
+    val index = raw.filter(col("cid").isin(cidLits: _*))
+      .withColumn("cid", col("cid").cast("long"))
+    adcRefine(index, unitIndex(corpus), probes, k, refine)
   }
 
   /** ANN top-k: LSH candidates (union over tables), exact cosine and

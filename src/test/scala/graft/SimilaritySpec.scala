@@ -114,6 +114,34 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("ivf-pq persisted index: listing-pruned probes, inline-identical results") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    val pq = Similarity.trainPqCodebook(e, 8, 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
+    try {
+      Similarity.writePqIndex(e, dir, pqBook = Some(pq))
+      // sidecars exist: codes partitioned by cell + the two codebooks
+      val parts = new java.io.File(s"$dir/codes").listFiles()
+        .map(_.getName).filter(_.startsWith("cid="))
+      assert(parts.nonEmpty, "codes table not partitioned by cid")
+      val viaIndex = Similarity.knnIvfPqIndexed(dir, e, q, 5, nProbes = 4)
+      val inline = Similarity.knnIvfPq(e, q, 5, nProbes = 4, pqBook = Some(pq))
+      assert(rowsOf(viaIndex) == rowsOf(inline))
+      // the probe prune is STATIC partition pruning: the codes scan
+      // carries the cid predicate under PartitionFilters (files of
+      // unprobed cells are never listed), with no cast on the
+      // partition column to defeat it
+      val plan = viaIndex.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pf = plan.linesIterator
+        .filter(_.contains("PartitionFilters")).toList
+      assert(pf.exists(l => l.contains("cid") && l.contains("IN")),
+        s"no cid partition filter on the codes scan:\n$plan")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("k-means-trained centroids keep IVF recall and partition every vector") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 8)

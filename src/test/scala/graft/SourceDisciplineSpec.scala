@@ -70,14 +70,18 @@ class SourceDisciplineSpec extends AnyFunSuite {
     //   Similarity       k×dims codebooks (documented IVF trade); PQ
     //                    adds ksub seed rows + m×ksub×(dims/m)
     //                    sub-centroid means per training iteration —
-    //                    codebook-sized, never corpus rows
+    //                    codebook-sized, never corpus rows; the
+    //                    persisted-index reader adds the two codebook
+    //                    sidecars + the probed-cell id list
+    //                    (≤ queries × nProbes values, the static
+    //                    partition-pruning predicate)
     //   TopicMetrics     1-row global summary
     audit("collect()", raw"\.collect\(\)", Map(
       "src/main/scala/graft/TopicAnalyzer.scala" -> 1,
       "src/main/scala/graft/operators/AliveKeys.scala" -> 2,
       "src/main/scala/graft/operators/CorpusOps.scala" -> 1,
       "src/main/scala/graft/operators/EventAnalytics.scala" -> 4,
-      "src/main/scala/graft/operators/Similarity.scala" -> 5,
+      "src/main/scala/graft/operators/Similarity.scala" -> 8,
       "src/main/scala/graft/operators/TopicMetrics.scala" -> 1))
   }
 

@@ -528,6 +528,61 @@ object ArrayHashExprs {
     ColumnBridge.column(PqAdcExpr(
       ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
 
+  /** Element-wise vector subtraction (`array<double> - array<double>`)
+    * in one fused loop — the residual step of residual product
+    * quantization (`x - centroid(cell(x))`). Null elements propagate
+    * null for that element; length mismatch truncates to the shorter
+    * input (codebooks and vectors share dims in correct pipelines, so
+    * both branches are defensive, not semantic).
+    */
+  case class VecSubExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.graftbridge.GraftInputTypes {
+
+    private val elemType = org.apache.spark.sql.types.DoubleType
+    override def graftInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+      Seq(ArrayType(elemType), ArrayType(elemType))
+    override def dataType: DataType = ArrayType(elemType)
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i) && !b.isNullAt(i))
+          out(i) = a.getDouble(i) - b.getDouble(i)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        s"""
+           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |Object[] $out = new Object[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i) && !$b.isNullAt($i))
+           |    $out[$i] = $a.getDouble($i) - $b.getDouble($i);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): VecSubExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def vec_sub(a: Column, b: Column): Column =
+    ColumnBridge.column(VecSubExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def unit_vector(v: Column): Column =
     ColumnBridge.column(UnitVectorExpr(ColumnBridge.expression(v)))
 

@@ -317,13 +317,45 @@ object Similarity {
     * against every candidate and rank last.
     */
   private def assignCells(cu: DataFrame,
+      book: Array[(Long, Seq[Double])]): DataFrame =
+    assignCellsIdx(cu, book).drop("cidx")
+
+  /** [[assignCells]] also emitting `cidx`, the 0-based position of the
+    * assigned cell in the (cid-ascending) book — the residual path
+    * selects the centroid array by position. */
+  private def assignCellsIdx(cu: DataFrame,
       book: Array[(Long, Seq[Double])]): DataFrame = {
     val scores = array(book.toIndexedSeq.map { case (_, v) =>
       dot(col("unit"), typedLit(v)) }: _*)
     cu.withColumn("scores", scores)
-      .withColumn("cid", element_at(typedLit(book.map(_._1).toSeq),
-        expr("array_position(scores, array_max(scores))").cast("int")))
-      .select(col("vec_id"), col("unit"), col("cid"))
+      .withColumn("cidx",
+        (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
+      .withColumn("cid",
+        element_at(typedLit(book.map(_._1).toSeq), col("cidx") + 1))
+      .select(col("vec_id"), col("unit"), col("cid"), col("cidx"))
+  }
+
+  /** Replaces `unit` with the cell residual `unit − centroid(cid)` —
+    * what residual PQ trains on and encodes: residual magnitudes are
+    * a fraction of the raw vectors', so the same ksub cells quantize
+    * them with less error. One fused [[graft.functions.ArrayHashExprs
+    * .VecSubExpr]] loop per row; still a pure projection.
+    */
+  private def residualOf(assigned: DataFrame,
+      book: Array[(Long, Seq[Double])]): DataFrame =
+    assigned.withColumn("unit",
+      graft.functions.ArrayHashExprs.vec_sub(col("unit"),
+        element_at(typedLit(book.map(_._2).toSeq), col("cidx") + 1)))
+
+  /** The (vec_id, cid, codes) index frame shared by the inline query,
+    * the persisted build, and the quantization-error spec. */
+  private[graft] def pqIndexFrame(cu: DataFrame,
+      book: Array[(Long, Seq[Double])], pq: Array[Array[Seq[Double]]],
+      residual: Boolean): DataFrame = {
+    val assigned = assignCellsIdx(cu, book)
+    val enc = if (residual) residualOf(assigned, book) else assigned
+    withPqCodes(enc, pq, pq(0)(0).size)
+      .select(col("vec_id"), col("cid"), col("codes"))
   }
 
   /** (query_id, qunit, cid) × nProbes: probe side keeps the
@@ -346,7 +378,10 @@ object Similarity {
       .withColumn("cscore", dot(col("unit"), col("cunit")))
       .withColumn("crn", row_number().over(pw))
       .filter(col("crn") <= nProbes)
-      .select(col("vec_id").as("query_id"), col("unit").as("qunit"), col("cid"))
+      // cscore rides along: residual ADC adds the query×centroid dot
+      // back per probed cell (score = dot(q, centroid + decode(codes)))
+      .select(col("vec_id").as("query_id"), col("unit").as("qunit"),
+        col("cid"), col("cscore"))
   }
 
   private def emptyKnnResult(spark: org.apache.spark.sql.SparkSession): DataFrame = {
@@ -399,10 +434,17 @@ object Similarity {
     * keep their previous centroid, as in [[trainCentroids]].
     */
   def trainPqCodebook(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
-      iters: Int = 2): Array[Array[Seq[Double]]] = {
+      iters: Int = 2): Array[Array[Seq[Double]]] =
+    trainPqOn(unitIndex(corpus), m, ksub, iters)
+
+  /** [[trainPqCodebook]] over an arbitrary (vec_id, unit) frame — the
+    * residual path trains on `x − centroid(cell(x))` instead of raw
+    * unit vectors, everything else identical. */
+  private def trainPqOn(vecs: DataFrame, m: Int, ksub: Int,
+      iters: Int): Array[Array[Seq[Double]]] = {
     require(m > 0 && ksub > 0 && iters >= 0,
       s"need m > 0 ($m), ksub > 0 ($ksub), iters >= 0 ($iters)")
-    val cu = unitIndex(corpus).localCheckpoint(true)
+    val cu = vecs.localCheckpoint(true)
     try {
       val seeds = cu.orderBy(col("vec_id")).limit(ksub)
         .collect().map(_.getSeq[Double](1))
@@ -493,20 +535,29 @@ object Similarity {
     */
   def knnIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbes: Int = 4, m: Int = 8, ksub: Int = 16,
-      pqIters: Int = 2, refine: Int = 4,
+      pqIters: Int = 2, refine: Int = 4, residual: Boolean = false,
       centroids: Option[DataFrame] = None,
       pqBook: Option[Array[Array[Seq[Double]]]] = None): DataFrame = {
     require(k > 0 && refine >= 1, s"need k > 0 ($k), refine >= 1 ($refine)")
     val cu = unitIndex(corpus)
     val book = collectCoarseBook(cu, nCentroids, centroids)
     if (book.isEmpty) return emptyKnnResult(corpus.sparkSession)
-    val pq = pqBook.getOrElse(trainPqCodebook(corpus, m, ksub, pqIters))
-    val dsub = pq(0)(0).size
-    // the compressed index: (vec_id, cid, codes) — no vector column
-    val index = withPqCodes(assignCells(cu, book), pq, dsub)
-      .select(col("vec_id"), col("cid"), col("codes"))
-    val probes = probeCells(queries, book, nProbes)
-    adcRefine(index, cu, withLut(probes, pq), k, refine)
+    // residual = true is the faiss-style refinement: train on and
+    // encode `x − centroid(cell(x))` — the residuals are a fraction of
+    // the raw magnitudes, so the same ksub cells quantize them with
+    // less error; ADC then adds the per-(query, cell) centroid dot
+    // (already computed for probe ranking) back into the score:
+    // dot(q, centroid + decode(codes))
+    val pq = pqBook.getOrElse(trainPqOn(
+      if (residual)
+        residualOf(assignCellsIdx(cu, book), book)
+          .select(col("vec_id"), col("unit"))
+      else cu,
+      m, ksub, pqIters))
+    val index = pqIndexFrame(cu, book, pq, residual)
+    val probes = withLut(probeCells(queries, book, nProbes), pq)
+    adcRefine(index, cu, probes, k, refine,
+      if (residual) col("cscore") else lit(0.0))
   }
 
   /** Adds the per-query ADC lookup table: m × ksub sub-dots, computed
@@ -529,15 +580,15 @@ object Similarity {
     * candidate ids into one scan of the vector store.
     */
   private def adcRefine(index: DataFrame, cu: DataFrame, probes: DataFrame,
-      k: Int, refine: Int): DataFrame = {
+      k: Int, refine: Int, baseScore: Column = lit(0.0)): DataFrame = {
     val aw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val cand = index.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("qunit"), col("vec_id").as("neighbor_id"),
-        graft.functions.ArrayHashExprs.pq_adc(col("codes"), col("lut"))
-          .as("adc"))
+        (baseScore + graft.functions.ArrayHashExprs.pq_adc(
+          col("codes"), col("lut"))).as("adc"))
       .withColumn("arn", row_number().over(aw))
       .filter(col("arn") <= k * refine)
       .select(col("query_id"), col("qunit"), col("neighbor_id"))
@@ -566,6 +617,7 @@ object Similarity {
     */
   def writePqIndex(corpus: DataFrame, dir: String, nCentroids: Int = 16,
       m: Int = 8, ksub: Int = 16, pqIters: Int = 2,
+      residual: Boolean = false,
       centroids: Option[DataFrame] = None,
       pqBook: Option[Array[Array[Seq[Double]]]] = None): Unit = {
     val spark = corpus.sparkSession
@@ -573,8 +625,13 @@ object Similarity {
     val cu = unitIndex(corpus)
     val book = collectCoarseBook(cu, nCentroids, centroids)
     require(book.nonEmpty, "cannot index an empty corpus")
-    val pq = pqBook.getOrElse(trainPqCodebook(corpus, m, ksub, pqIters))
-    withPqCodes(assignCells(cu, book), pq, pq(0)(0).size)
+    val pq = pqBook.getOrElse(trainPqOn(
+      if (residual)
+        residualOf(assignCellsIdx(cu, book), book)
+          .select(col("vec_id"), col("unit"))
+      else cu,
+      m, ksub, pqIters))
+    pqIndexFrame(cu, book, pq, residual)
       .select(col("vec_id"), col("codes"), col("cid"))
       .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/codes")
     book.toSeq.toDF("cid", "cunit")
@@ -582,6 +639,11 @@ object Similarity {
     pq.indices.flatMap(mi => pq(mi).indices.map(c => (mi, c, pq(mi)(c))))
       .toDF("mq", "cell", "sub")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_book")
+    // the codes' meaning (raw vs residual) is index metadata — a
+    // reader scoring residual codes without the centroid add-back
+    // would silently mis-rank, so it is recorded, not assumed
+    Seq(residual).toDF("residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Query a [[writePqIndex]] index: books load from the sidecars (two
@@ -621,7 +683,10 @@ object Similarity {
     }
     val index = raw.filter(col("cid").isin(cidLits: _*))
       .withColumn("cid", col("cid").cast("long"))
-    adcRefine(index, unitIndex(corpus), probes, k, refine)
+    val residual = spark.read.parquet(s"$dir/meta")
+      .collect().headOption.exists(_.getBoolean(0))
+    adcRefine(index, unitIndex(corpus), probes, k, refine,
+      if (residual) col("cscore") else lit(0.0))
   }
 
   /** ANN top-k: LSH candidates (union over tables), exact cosine and

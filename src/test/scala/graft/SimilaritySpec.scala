@@ -142,6 +142,137 @@ class SimilaritySpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  /** Driver-side reconstruction audit over a persisted PQ index:
+    * mean |dot(q, x) − estimate| where
+    * est_plain(q,x) = Σ_m dot(q_sub, pq[m][code_m]) and
+    * est_resid(q,x) = dot(q, coarse[cid]) + Σ_m dot(q_sub, pqr[m][code_m]).
+    */
+  private def meanPqErr(dir: String, residual: Boolean,
+      qunits: Seq[scala.collection.Seq[Double]],
+      units: Map[Long, scala.collection.Seq[Double]]): Double = {
+    val coarse = rowsOf(spark.read.parquet(s"$dir/coarse_book"))
+      .map(r => r("cid").asInstanceOf[Long] ->
+        r("cunit").asInstanceOf[scala.collection.Seq[Double]]).toMap
+    val pqRows = rowsOf(spark.read.parquet(s"$dir/pq_book"))
+      .map(r => (r("mq").asInstanceOf[Int], r("cell").asInstanceOf[Int]) ->
+        r("sub").asInstanceOf[scala.collection.Seq[Double]]).toMap
+    val codes = rowsOf(spark.read.parquet(s"$dir/codes"))
+      .map(r => (r("vec_id").asInstanceOf[Long],
+        r("codes").asInstanceOf[scala.collection.Seq[Int]],
+        r("cid").toString.toLong))
+    val m = pqRows.keys.map(_._1).max + 1
+    val dsub = pqRows((0, 0)).size
+    val errs = for {
+      qv <- qunits
+      (vid, cs, cid) <- codes
+    } yield {
+      val exact = qv.zip(units(vid)).map { case (a, b) => a * b }.sum
+      val adc = (0 until m).map(mi =>
+        (0 until dsub).map(d =>
+          qv(mi * dsub + d) * pqRows((mi, cs(mi)))(d)).sum).sum
+      val base =
+        if (residual) qv.zip(coarse(cid)).map { case (a, b) => a * b }.sum
+        else 0.0
+      math.abs(exact - (base + adc))
+    }
+    errs.sum / errs.size
+  }
+
+  private def unitMap(df: DataFrame): Map[Long, scala.collection.Seq[Double]] =
+    rowsOf(Similarity.withUnit(df).select(col("vec_id"), col("unit")))
+      .map(r => r("vec_id").asInstanceOf[Long] ->
+        r("unit").asInstanceOf[scala.collection.Seq[Double]]).toMap
+
+  test("residual PQ: indexed == inline, meta round-trips, estimates sane") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    val dirP = java.nio.file.Files.createTempDirectory("graft-pq-plain").toString
+    val dirR = java.nio.file.Files.createTempDirectory("graft-pq-resid").toString
+    try {
+      // the trained spherical-k-means book — the honest production
+      // configuration for residual encoding (the first-16 stand-in's
+      // "centroids" are not cell means; residuals against them
+      // measurably WORSEN reconstruction: 0.142 vs 0.074 when this
+      // spec first ran that way)
+      val coarse = Similarity.trainCentroids(e, k = 16, iters = 3)
+      Similarity.writePqIndex(e, dirP, residual = false,
+        centroids = Some(coarse))
+      Similarity.writePqIndex(e, dirR, residual = true,
+        centroids = Some(coarse))
+      val units = unitMap(e)
+      val qunits = (0L until 8L).map(units)
+      val errPlain = meanPqErr(dirP, residual = false, qunits, units)
+      val errResid = meanPqErr(dirR, residual = true, qunits, units)
+      // on THIS fixture cells are loose (quasi-uniform embeddings:
+      // residual magnitudes rival the raw vectors) and residual does
+      // NOT win — measured 0.091 vs 0.074. Corpus-dependent, not a
+      // bug; the tight-cluster test below shows the designed-for flip.
+      // Here pin only sanity; the win/lose relation belongs there.
+      info(s"loose cells: plain=$errPlain residual=$errResid")
+      assert(errPlain > 0 && errPlain < 0.5 && errResid > 0 && errResid < 0.5)
+      // the residual indexed path scores with the centroid add-back
+      // (recorded in the meta sidecar) and matches the inline residual
+      // path exactly — both train the same deterministic books
+      val viaIndex = Similarity.knnIvfPqIndexed(dirR, e, q, 5, nProbes = 8)
+      val inline = Similarity.knnIvfPq(e, q, 5, nProbes = 8, residual = true,
+        centroids = Some(Similarity.trainCentroids(e, k = 16, iters = 3)))
+      assert(rowsOf(viaIndex) == rowsOf(inline))
+      val exactTop = rowsOf(Similarity.knnBruteForce(e, q, 5))
+        .map(r => (r("query_id"), r("neighbor_id"))).toSet
+      val recall = exactTop.intersect(rowsOf(inline)
+        .map(r => (r("query_id"), r("neighbor_id"))).toSet).size.toDouble /
+        exactTop.size
+      assert(recall >= 0.3, s"residual IVF-PQ recall too low: $recall")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirP))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirR))
+    }
+  }
+
+  test("residual PQ cuts reconstruction error when clusters outnumber sub-cells") {
+    // the corpus residual PQ is designed for: MANY tight clusters —
+    // more than ksub, so plain PQ cannot memorize the sub-center
+    // modes (64 modes per subspace vs 16 cells) while residual only
+    // quantizes the small noise around each center. 64 deterministic
+    // pseudo-random unit centers, 10 vectors each, noise ~0.1.
+    val s = spark
+    import s.implicits._
+    def lcg(idx: Long): Float =
+      (((1103515245L * idx + 12345L) % 2147483647L) % 2001L - 1000L) / 1000.0f
+    val centers: IndexedSeq[IndexedSeq[Float]] = (0 until 64).map { c =>
+      val raw = (0 until 64).map(d => lcg(7919L * c + d))
+      val n = math.sqrt(raw.map(x => x * x.toDouble).sum).toFloat
+      raw.map(_ / n)
+    }
+    // id i → cluster i % 64: the lowest-id k-means seeds see one
+    // vector per cluster
+    val rows = (0L until 640L).map { i =>
+      val c = (i % 64).toInt
+      i -> (0 until 64).map(d =>
+        centers(c)(d) + lcg(104729L * i + d) * 0.1f).toSeq
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val dirP = java.nio.file.Files.createTempDirectory("graft-pqt-plain").toString
+    val dirR = java.nio.file.Files.createTempDirectory("graft-pqt-resid").toString
+    try {
+      val coarse = Similarity.trainCentroids(e, k = 64, iters = 3)
+      Similarity.writePqIndex(e, dirP, residual = false,
+        centroids = Some(coarse))
+      Similarity.writePqIndex(e, dirR, residual = true,
+        centroids = Some(coarse))
+      val units = unitMap(e)
+      val qunits = (0L until 8L).map(units)
+      val errPlain = meanPqErr(dirP, residual = false, qunits, units)
+      val errResid = meanPqErr(dirR, residual = true, qunits, units)
+      info(s"64 tight clusters: plain=$errPlain residual=$errResid")
+      assert(errResid < errPlain,
+        s"residual did not win on tight clusters: $errResid >= $errPlain")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirP))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirR))
+    }
+  }
+
   test("k-means-trained centroids keep IVF recall and partition every vector") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 8)

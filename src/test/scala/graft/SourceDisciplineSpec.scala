@@ -81,7 +81,7 @@ class SourceDisciplineSpec extends AnyFunSuite {
       "src/main/scala/graft/operators/AliveKeys.scala" -> 2,
       "src/main/scala/graft/operators/CorpusOps.scala" -> 1,
       "src/main/scala/graft/operators/EventAnalytics.scala" -> 4,
-      "src/main/scala/graft/operators/Similarity.scala" -> 8,
+      "src/main/scala/graft/operators/Similarity.scala" -> 9,
       "src/main/scala/graft/operators/TopicMetrics.scala" -> 1))
   }
 

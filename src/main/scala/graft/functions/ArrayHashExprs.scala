@@ -568,7 +568,7 @@ object ArrayHashExprs {
            |Object[] $out = new Object[$n];
            |for (int $i = 0; $i < $n; $i++) {
            |  if (!$a.isNullAt($i) && !$b.isNullAt($i))
-           |    $out[$i] = $a.getDouble($i) - $b.getDouble($i);
+           |    $out[$i] = java.lang.Double.valueOf($a.getDouble($i) - $b.getDouble($i));
            |}
            |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
            |""".stripMargin

@@ -437,6 +437,60 @@ object Similarity {
       iters: Int = 2): Array[Array[Seq[Double]]] =
     trainPqOn(unitIndex(corpus), m, ksub, iters)
 
+  /** A PQ codebook TAGGED with what it was trained on. Raw-vector and
+    * residual books are not interchangeable: residual codes scored
+    * against a raw-trained LUT (or vice versa) systematically mis-rank
+    * with no error anywhere — the same hazard the persisted index's
+    * meta sidecar records. Carrying the flag in the type lets
+    * [[knnIvfPq]]/[[writePqIndex]] refuse a mismatched book loudly.
+    */
+  case class PqBook(subCentroids: Array[Array[Seq[Double]]],
+      residual: Boolean)
+
+  /** Train a [[PqBook]] standalone (the build-once side when the book
+    * is reused across queries/indexes). `residual = true` trains on
+    * `x − centroid(cell(x))` against the same coarse book the queries
+    * will use — pass the SAME `centroids` there.
+    */
+  def trainPq(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, residual: Boolean = false, nCentroids: Int = 16,
+      centroids: Option[DataFrame] = None): PqBook = {
+    val cu = unitIndex(corpus)
+    val frame =
+      if (residual) {
+        val book = collectCoarseBook(cu, nCentroids, centroids)
+        require(book.nonEmpty, "cannot train a residual book on an empty corpus")
+        residualOf(assignCellsIdx(cu, book), book)
+          .select(col("vec_id"), col("unit"))
+      } else cu
+    PqBook(trainPqOn(frame, m, ksub, iters), residual)
+  }
+
+  /** The one place a query/index obtains its PQ sub-centroids: a
+    * provided book must carry the matching residual tag (refused
+    * loudly otherwise); absent one, training runs here — on residuals
+    * of the given coarse book when `residual`. Shared by the inline
+    * query and the persisted build so the two can never drift.
+    */
+  private def resolvePqBook(cu: DataFrame, book: Array[(Long, Seq[Double])],
+      residual: Boolean, m: Int, ksub: Int, pqIters: Int,
+      provided: Option[PqBook]): Array[Array[Seq[Double]]] =
+    provided match {
+      case Some(pb) =>
+        require(pb.residual == residual,
+          s"pqBook was trained with residual=${pb.residual} but this " +
+            s"call scores residual=$residual — codes and LUT would " +
+            "silently disagree; train with the matching flag")
+        pb.subCentroids
+      case None =>
+        trainPqOn(
+          if (residual)
+            residualOf(assignCellsIdx(cu, book), book)
+              .select(col("vec_id"), col("unit"))
+          else cu,
+          m, ksub, pqIters)
+    }
+
   /** [[trainPqCodebook]] over an arbitrary (vec_id, unit) frame — the
     * residual path trains on `x − centroid(cell(x))` instead of raw
     * unit vectors, everything else identical. */
@@ -537,23 +591,18 @@ object Similarity {
       nCentroids: Int = 16, nProbes: Int = 4, m: Int = 8, ksub: Int = 16,
       pqIters: Int = 2, refine: Int = 4, residual: Boolean = false,
       centroids: Option[DataFrame] = None,
-      pqBook: Option[Array[Array[Seq[Double]]]] = None): DataFrame = {
+      pqBook: Option[PqBook] = None): DataFrame = {
     require(k > 0 && refine >= 1, s"need k > 0 ($k), refine >= 1 ($refine)")
     val cu = unitIndex(corpus)
     val book = collectCoarseBook(cu, nCentroids, centroids)
     if (book.isEmpty) return emptyKnnResult(corpus.sparkSession)
     // residual = true is the faiss-style refinement: train on and
-    // encode `x − centroid(cell(x))` — the residuals are a fraction of
-    // the raw magnitudes, so the same ksub cells quantize them with
-    // less error; ADC then adds the per-(query, cell) centroid dot
-    // (already computed for probe ranking) back into the score:
+    // encode `x − centroid(cell(x))` — when cells are tight and
+    // outnumber the sub-cells, residuals quantize with less error;
+    // ADC then adds the per-(query, cell) centroid dot (already
+    // computed for probe ranking) back into the score:
     // dot(q, centroid + decode(codes))
-    val pq = pqBook.getOrElse(trainPqOn(
-      if (residual)
-        residualOf(assignCellsIdx(cu, book), book)
-          .select(col("vec_id"), col("unit"))
-      else cu,
-      m, ksub, pqIters))
+    val pq = resolvePqBook(cu, book, residual, m, ksub, pqIters, pqBook)
     val index = pqIndexFrame(cu, book, pq, residual)
     val probes = withLut(probeCells(queries, book, nProbes), pq)
     adcRefine(index, cu, probes, k, refine,
@@ -619,18 +668,13 @@ object Similarity {
       m: Int = 8, ksub: Int = 16, pqIters: Int = 2,
       residual: Boolean = false,
       centroids: Option[DataFrame] = None,
-      pqBook: Option[Array[Array[Seq[Double]]]] = None): Unit = {
+      pqBook: Option[PqBook] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cu = unitIndex(corpus)
     val book = collectCoarseBook(cu, nCentroids, centroids)
     require(book.nonEmpty, "cannot index an empty corpus")
-    val pq = pqBook.getOrElse(trainPqOn(
-      if (residual)
-        residualOf(assignCellsIdx(cu, book), book)
-          .select(col("vec_id"), col("unit"))
-      else cu,
-      m, ksub, pqIters))
+    val pq = resolvePqBook(cu, book, residual, m, ksub, pqIters, pqBook)
     pqIndexFrame(cu, book, pq, residual)
       .select(col("vec_id"), col("codes"), col("cid"))
       .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/codes")
@@ -668,7 +712,14 @@ object Similarity {
     val pq: Array[Array[Seq[Double]]] =
       Array.tabulate(pqRows.map(_._1).max + 1)(mi =>
         pqRows.filter(_._1 == mi).sortBy(_._2).map(_._3))
+    // materialize the (tiny) probe frame once: it is consumed twice —
+    // the cid collect below and adcRefine's broadcast — and uncached
+    // each use would re-run the query scan, the book cross-join, and
+    // the top-nProbes window. Same storage contract as the label
+    // family: the returned plan embeds the checkpoint; release with
+    // ColumnBridge.unpersistCheckpoint after the last action.
     val probes = withLut(probeCells(queries, book, nProbes), pq)
+      .localCheckpoint(true)
     // probed cells, collected driver-side so the pruning predicate is
     // STATIC (a dynamic join-based prune would depend on runtime DPP)
     val probedCids = probes.select(col("cid")).distinct()

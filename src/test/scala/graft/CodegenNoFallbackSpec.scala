@@ -79,16 +79,38 @@ class CodegenNoFallbackSpec extends SparkSuite {
   }
 
   test("pq_adc compiles and matches under CODEGEN_ONLY") {
-    // codes from vec_id bits, a fixed 2×4 LUT literal — plus the
-    // defensive branches: an out-of-range code and a null LUT row
-    // contribute 0, never an index error
+    // codes from vec_id bits, a fixed LUT literal — and EVERY
+    // defensive branch live: an out-of-range code (99), a NULL code
+    // element, a NULL LUT row, and a NULL LUT element each contribute
+    // 0, never an index error (eval and codegen agree)
     assertCodegenParity(emb.limit(50).select(col("vec_id"),
       ArrayHashExprs.pq_adc(
         array((col("vec_id") % 4).cast("int"),
           (col("vec_id") % 3).cast("int"),
-          lit(99).cast("int")),
-        typedLit(Seq(Seq(0.5, 1.0, 1.5, 2.0), Seq(10.0, 20.0, 30.0),
-          Seq(7.0)))).as("adc")))
+          lit(99).cast("int"),
+          lit(null).cast("int"),           // null code element
+          (col("vec_id") % 2).cast("int")),
+        typedLit[Seq[Seq[java.lang.Double]]](Seq(
+          Seq[java.lang.Double](0.5, 1.0, 1.5, 2.0),
+          Seq[java.lang.Double](10.0, 20.0, 30.0),
+          Seq[java.lang.Double](7.0),
+          Seq[java.lang.Double](1.0),
+          Seq[java.lang.Double](2.0, null)))).as("adc")))
+    // null LUT ROW: built with a when() branch (a typedLit of a Seq
+    // containing a null Seq does not round-trip literals cleanly)
+    assertCodegenParity(emb.limit(50).select(col("vec_id"),
+      ArrayHashExprs.pq_adc(
+        array((col("vec_id") % 2).cast("int"), lit(0).cast("int")),
+        array(
+          when(lit(true), typedLit(Seq(0.5, 1.0))),
+          when(lit(false), typedLit(Seq(9.0, 9.0))))).as("adc")))
+  }
+
+  test("vec_sub compiles and matches under CODEGEN_ONLY") {
+    assertCodegenParity(emb.limit(50).select(col("vec_id"),
+      ArrayHashExprs.vec_sub(
+        col("embedding").cast("array<double>"),
+        array(lit(0.25), lit(null).cast("double"), lit(-1.5))).as("r")))
   }
 
   test("rolling_hash compiles and matches under CODEGEN_ONLY") {

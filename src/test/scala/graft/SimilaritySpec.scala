@@ -120,14 +120,18 @@ class SimilaritySpec extends SparkSuite {
     val pq = Similarity.trainPqCodebook(e, 8, 16, iters = 2)
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
     try {
-      Similarity.writePqIndex(e, dir, pqBook = Some(pq))
+      Similarity.writePqIndex(e, dir,
+        pqBook = Some(Similarity.PqBook(pq, residual = false)))
       // sidecars exist: codes partitioned by cell + the two codebooks
       val parts = new java.io.File(s"$dir/codes").listFiles()
         .map(_.getName).filter(_.startsWith("cid="))
       assert(parts.nonEmpty, "codes table not partitioned by cid")
       val viaIndex = Similarity.knnIvfPqIndexed(dir, e, q, 5, nProbes = 4)
-      val inline = Similarity.knnIvfPq(e, q, 5, nProbes = 4, pqBook = Some(pq))
-      assert(rowsOf(viaIndex) == rowsOf(inline))
+      val inline = Similarity.knnIvfPq(e, q, 5, nProbes = 4,
+        pqBook = Some(Similarity.PqBook(pq, residual = false)))
+      val parity = rowsOf(viaIndex) == rowsOf(inline)
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(viaIndex)
+      assert(parity)
       // the probe prune is STATIC partition pruning: the codes scan
       // carries the cid predicate under PartitionFilters (files of
       // unprobed cells are never listed), with no cast on the
@@ -216,7 +220,9 @@ class SimilaritySpec extends SparkSuite {
       val viaIndex = Similarity.knnIvfPqIndexed(dirR, e, q, 5, nProbes = 8)
       val inline = Similarity.knnIvfPq(e, q, 5, nProbes = 8, residual = true,
         centroids = Some(Similarity.trainCentroids(e, k = 16, iters = 3)))
-      assert(rowsOf(viaIndex) == rowsOf(inline))
+      val parity = rowsOf(viaIndex) == rowsOf(inline)
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(viaIndex)
+      assert(parity)
       val exactTop = rowsOf(Similarity.knnBruteForce(e, q, 5))
         .map(r => (r("query_id"), r("neighbor_id"))).toSet
       val recall = exactTop.intersect(rowsOf(inline)

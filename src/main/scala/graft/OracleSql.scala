@@ -198,6 +198,66 @@ object OracleSql {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Incremental dedup of the batch (`doc_id % mod = 0`) against the
+    * remaining documents as corpus. Mirrors
+    * [[Dedup.dedupIncrementalCore]]'s greedy first-wins rule:
+    * exact_corpus > exact_batch > near_corpus > near_batch > kept,
+    * `match_id` = smallest matching doc_id of the winning class (−1
+    * when kept). Near-dup candidates come from the SAME banded LSH
+    * construction as [[minhashPairs]], restricted to batch probes.
+    */
+  def dedupIncremental(numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, mod: Int = 5): String = {
+    val rows = numHashes / bands
+    val p = Hashing.MersennePrime31
+    val sigExprs = (0 until numHashes).map { i =>
+      val (a, b) = Hashing.permCoeffs(i)
+      s"list_min(list_transform(xs, x -> ($a * (x % $p) + $b) % $p))"
+    }.mkString("[\n         ", ",\n         ", "]")
+    s"""$docCte,
+       |$shingleCte,
+       |$shingleHashCte,
+       |fp AS (SELECT doc_id, md5(norm) AS f, doc_id % $mod = 0 AS is_batch FROM t),
+       |sig AS (SELECT doc_id, $sigExprs AS mh FROM hx),
+       |banded AS (
+       |  SELECT doc_id, doc_id % $mod = 0 AS is_batch, gs.bd AS band,
+       |         array_to_string(mh[gs.bd*$rows+1:gs.bd*$rows+$rows], '_') AS band_sig
+       |  FROM sig, generate_series(0, ${bands - 1}) gs(bd)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS b_id, b.doc_id AS o_id, b.is_batch AS o_batch
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig
+       |   AND a.is_batch AND (NOT b.is_batch OR b.doc_id < a.doc_id)),
+       |near AS (
+       |  SELECT b_id, o_id, o_batch,
+       |         len(list_filter(x.xs, e -> list_contains(y.xs, e))) AS inter,
+       |         len(x.xs) AS na, len(y.xs) AS nb
+       |  FROM cand JOIN hx x ON x.doc_id = b_id JOIN hx y ON y.doc_id = o_id),
+       |nd AS (SELECT b_id, o_id, o_batch FROM near
+       |       WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold),
+       |ec AS (SELECT a.doc_id AS doc_id, MIN(c.doc_id) AS m
+       |       FROM fp a JOIN fp c ON a.f = c.f
+       |       WHERE a.is_batch AND NOT c.is_batch GROUP BY 1),
+       |eb AS (SELECT a.doc_id AS doc_id, MIN(c.doc_id) AS m
+       |       FROM fp a JOIN fp c ON a.f = c.f
+       |       WHERE a.is_batch AND c.is_batch AND c.doc_id < a.doc_id GROUP BY 1),
+       |nc AS (SELECT b_id AS doc_id, MIN(o_id) AS m FROM nd WHERE NOT o_batch GROUP BY 1),
+       |nb AS (SELECT b_id AS doc_id, MIN(o_id) AS m FROM nd WHERE o_batch GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CASE WHEN ec.m IS NOT NULL THEN 'exact_corpus'
+       |            WHEN eb.m IS NOT NULL THEN 'exact_batch'
+       |            WHEN nc.m IS NOT NULL THEN 'near_corpus'
+       |            WHEN nb.m IS NOT NULL THEN 'near_batch'
+       |            ELSE 'kept' END AS verdict,
+       |       CAST(COALESCE(ec.m, eb.m, nc.m, nb.m, -1) AS BIGINT) AS match_id
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $mod = 0) d
+       |LEFT JOIN ec ON ec.doc_id = d.doc_id
+       |LEFT JOIN eb ON eb.doc_id = d.doc_id
+       |LEFT JOIN nc ON nc.doc_id = d.doc_id
+       |LEFT JOIN nb ON nb.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Transitive closure over the minhash near-dup pair graph via a
     * recursive CTE: cluster = min reachable doc_id. Mirrors
     * [[Dedup.nearDupClusters]] (label propagation run to fixpoint).

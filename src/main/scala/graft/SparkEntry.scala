@@ -269,6 +269,13 @@ object SparkEntry {
           System.getProperty("java.io.tmpdir"), "graft-ndb-q").toString,
         buckets = s.conf.get("spark.sql.shuffle.partitions").toInt)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
+    // incremental ingest: dedup the batch (doc_id % 5 = 0) against the
+    // rest of the corpus — exact + LSH near-dup, greedy first-wins
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupIncremental(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
+    }),
     "q_simhash" -> ((s, dir) => TextAnalysis.simhashFrame(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     // LLM-pipeline: multimodal binary-column plumbing (stubbed decode)
@@ -584,6 +591,7 @@ object SparkEntry {
       "q_dedup_clusters" -> OracleSql.nearDupClusters(),
       "q_dedup_clusters_bucketed" -> OracleSql.nearDupClusters(),
       "q_ngram_jaccard" -> OracleSql.ngramJaccardPairs(),
+      "q_dedup_incremental" -> OracleSql.dedupIncremental(),
       "q_simhash" -> OracleSql.simhash,
       "q_simhash_pairs" -> OracleSql.simhashPairs(),
       "q_multimodal_features" -> OracleSql.multimodalFeatures,

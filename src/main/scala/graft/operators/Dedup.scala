@@ -75,6 +75,30 @@ object Dedup {
     array((0 until numHashes).map(i =>
       array_min(transform(xs, x => Hashing.permHash(x, i)))): _*)
 
+  /** LSH band table of a doc frame: one (doc_id, band, band_sig) row
+    * per document per band, `band_sig` the `_`-joined slice of the
+    * minhash signature. The shared banding step of [[minhashPairs]],
+    * [[writeDedupIndex]], and [[dedupIncremental]] — one definition so
+    * the inline self-join, the persisted index, and the incremental
+    * batch probe can never band differently.
+    */
+  private[graft] def bandFrame(docs: DataFrame, numHashes: Int,
+      bands: Int, shingleN: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands); " +
+        "leftover signature positions would silently never band")
+    val rows = numHashes / bands
+    shingleHashFrame(docs, shingleN)
+      .select(col("doc_id"),
+        ArrayHashExprs.minhash_sig(col("xs"), numHashes).as("minhash"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            concat_ws("_", transform(slice(col("minhash"), b * rows + 1, lit(rows)),
+              x => x.cast("string"))).as("band_sig")))).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.band_sig"))
+  }
+
   /** Drop LSH band buckets whose population exceeds `cap` — the
     * skew guard both banded self-joins share. A band self-join is
     * quadratic PER BUCKET, and the corpora dedup exists for are
@@ -131,26 +155,14 @@ object Dedup {
   def minhashPairsUnsorted(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, shingleN: Int = 3,
       maxBucket: Option[Int] = None): DataFrame = {
-    require(numHashes % bands == 0,
-      s"numHashes ($numHashes) must divide evenly into bands ($bands); " +
-        "leftover signature positions would silently never band")
-    val rows = numHashes / bands
-    val sh = shingleHashFrame(docs, shingleN)
-    val sig = sh.select(col("doc_id"),
-      ArrayHashExprs.minhash_sig(col("xs"), numHashes).as("minhash"))
-    val bandedAll = sig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          concat_ws("_", transform(slice(col("minhash"), b * rows + 1, lit(rows)),
-            x => x.cast("string"))).as("band_sig")))).as("bs"))
-      .select(col("doc_id"), col("bs.band"), col("bs.band_sig"))
-      // pre-shuffle on the join keys: both self-join sides then share
-      // ONE stage-reused exchange, so signatures are computed once, not
-      // twice; AQE's broadcast conversion reads the reused shuffle
-      // output for the build side (measured faster here than forcing
-      // SMJ — the banded frame is small; contrast ngramJaccardPairs,
-      // where the exploded posting list is large and SMJ + coalescible
-      // ENSURE_REQUIREMENTS exchanges win)
+    // pre-shuffle on the join keys: both self-join sides then share
+    // ONE stage-reused exchange, so signatures are computed once, not
+    // twice; AQE's broadcast conversion reads the reused shuffle
+    // output for the build side (measured faster here than forcing
+    // SMJ — the banded frame is small; contrast ngramJaccardPairs,
+    // where the exploded posting list is large and SMJ + coalescible
+    // ENSURE_REQUIREMENTS exchanges win)
+    val bandedAll = bandFrame(docs, numHashes, bands, shingleN)
       .repartition(col("band"), col("band_sig"))
     val banded = maxBucket.fold(bandedAll)(
       dropHotBuckets(bandedAll, Seq("band", "band_sig"), _))
@@ -703,5 +715,213 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental dedup: index the corpus once, dedup each new batch
+  // against the index. At 100 TB nobody re-deduplicates the whole
+  // corpus per ingest — the corpus is hashed/banded ONCE (write-side),
+  // and each delta pays work proportional to (batch × bands) plus
+  // its candidate set, never a corpus rescan. The index is three
+  // parquet tables + a meta sidecar (same pattern as the persisted
+  // IVF-PQ index in [[Similarity.writePqIndex]]): `fp` exact
+  // fingerprints, `bands` the LSH band table, `shingles` the distinct
+  // shingle-hash lists candidate verification needs.
+  // ------------------------------------------------------------------
+
+  /** Write the dedup index of `docs` under `dir`:
+    * `dir/fp` (doc_id, fingerprint), `dir/bands` (doc_id, band,
+    * band_sig), `dir/shingles` (doc_id, xs), and `dir/meta` pinning
+    * (numHashes, bands, shingleN) — [[appendToDedupIndex]] and
+    * [[dedupIncrementalIndexed]] read meta rather than trusting the
+    * caller to repeat the same constants (a batch banded with
+    * different parameters would probe empty buckets and silently find
+    * nothing). Band rows are repartitioned by (band, band_sig) so
+    * file contents align with the probe join's key distribution; on a
+    * real cluster, bucket `bands` by band_sig (CorpusStore-style) to
+    * make every later probe join shuffle-free on the index side.
+    */
+  def writeDedupIndex(docs: DataFrame, dir: String, numHashes: Int = 16,
+      bands: Int = 4, shingleN: Int = 3): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+      .write.mode("overwrite").parquet(s"$dir/fp")
+    bandFrame(docs, numHashes, bands, shingleN)
+      .repartition(col("band"), col("band_sig"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    shingleHashFrame(docs, shingleN)
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+    Seq((numHashes, bands, shingleN))
+      .toDF("num_hashes", "bands", "shingle_n")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def readDedupMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Int) = {
+    val m = spark.read.parquet(s"$dir/meta")
+      .select(col("num_hashes"), col("bands"), col("shingle_n"))
+      .head()
+    (m.getInt(0), m.getInt(1), m.getInt(2))
+  }
+
+  /** Append `docs` (e.g. the kept rows of a deduped batch) to an
+    * existing index, banding them with the meta-pinned parameters.
+    * After appending, a re-run of [[dedupIncrementalIndexed]] on the
+    * same batch reports every doc as an exact corpus duplicate — the
+    * ingest-loop invariant the spec pins.
+    */
+  def appendToDedupIndex(docs: DataFrame, dir: String): Unit = {
+    val (numHashes, bands, shingleN) = readDedupMeta(docs.sparkSession, dir)
+    docs.select(col("doc_id"),
+        TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+      .write.mode("append").parquet(s"$dir/fp")
+    bandFrame(docs, numHashes, bands, shingleN)
+      .repartition(col("band"), col("band_sig"))
+      .write.mode("append").parquet(s"$dir/bands")
+    shingleHashFrame(docs, shingleN)
+      .write.mode("append").parquet(s"$dir/shingles")
+  }
+
+  /** Dedup a new `batch` against a `corpus`, both given inline — the
+    * index tables are derived on the fly and handed to the shared
+    * core. The small-scale / oracle-checked twin of
+    * [[dedupIncrementalIndexed]]; both run the identical core, so the
+    * spec's indexed-equals-inline parity holds by construction plus
+    * one read path.
+    */
+  def dedupIncremental(corpus: DataFrame, batch: DataFrame,
+      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      shingleN: Int = 3, maxBucket: Option[Int] = None): DataFrame =
+    dedupIncrementalCore(
+      corpus.select(col("doc_id"),
+        TextFunctions.fingerprintMd5(col("text")).as("fingerprint")),
+      bandFrame(corpus, numHashes, bands, shingleN),
+      shingleHashFrame(corpus, shingleN),
+      batch, numHashes, bands, shingleN, threshold, maxBucket)
+
+  /** [[dedupIncremental]] against a persisted index written by
+    * [[writeDedupIndex]] — the production shape: corpus text is never
+    * re-read, re-normalized, or re-hashed; the probe joins consume the
+    * index parquet directly, and corpus shingle lists are read only
+    * for docs that actually appear in a candidate pair (semi-join
+    * prune before the verification join).
+    */
+  def dedupIncrementalIndexed(dir: String, batch: DataFrame,
+      threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val (numHashes, bands, shingleN) = readDedupMeta(spark, dir)
+    dedupIncrementalCore(
+      spark.read.parquet(s"$dir/fp"),
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/shingles"),
+      batch, numHashes, bands, shingleN, threshold, maxBucket)
+  }
+
+  /** Shared incremental core. Verdict per batch doc, first match wins
+    * (deterministic, non-recursive — the C4-style greedy rule, chosen
+    * over transitive clustering so the decision for a doc depends only
+    * on the corpus and on SMALLER batch ids, never on a chain of
+    * other verdicts):
+    *   1. `exact_corpus` — fingerprint exists in the corpus;
+    *   2. `exact_batch`  — a smaller batch doc_id has the fingerprint;
+    *   3. `near_corpus`  — jaccard ≥ threshold with a corpus doc;
+    *   4. `near_batch`   — jaccard ≥ threshold with a smaller batch id;
+    *   5. `kept`.
+    * `match_id` is the smallest matching doc_id of the winning class
+    * (−1 for kept). Near-dup candidates come from the LSH band join —
+    * batch×index plus batch×batch(smaller-id), both keyed by
+    * (band, band_sig) with the same hot-bucket cap contract as
+    * [[minhashPairs]] — so recall matches the banded pair operator,
+    * not exhaustive Jaccard. All five outcomes reduce to four
+    * min-aggregates left-joined back to the batch on doc_id:
+    * batch-cardinality frames, broadcast-scale under AQE.
+    */
+  private def dedupIncrementalCore(corpusFp: DataFrame,
+      corpusBands: DataFrame, corpusShingles: DataFrame, batch: DataFrame,
+      numHashes: Int, bands: Int, shingleN: Int, threshold: Double,
+      maxBucket: Option[Int]): DataFrame = {
+    val batchFp = batch.select(col("doc_id"),
+      TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+    val batchBands = bandFrame(batch, numHashes, bands, shingleN)
+      .repartition(col("band"), col("band_sig"))
+    // hot-bucket cap counts the COMBINED population (index + batch):
+    // a bucket degenerate in the corpus stays degenerate when probed
+    val probeBands = maxBucket.fold(batchBands) { cap =>
+      val all = corpusBands.select(col("band"), col("band_sig"))
+        .union(batchBands.select(col("band"), col("band_sig")))
+      val hot = all.groupBy(col("band"), col("band_sig"))
+        .agg(count(lit(1)).as("n_bucket"))
+        .filter(col("n_bucket") > cap)
+        .select(col("band"), col("band_sig"))
+      batchBands.join(hot, Seq("band", "band_sig"), "left_anti")
+    }
+    val candCorpus = probeBands.as("a").join(corpusBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig"))
+      .select(col("a.doc_id").as("b_id"), col("b.doc_id").as("o_id"))
+      .distinct()
+    val candBatch = probeBands.as("a").join(probeBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("b_id"), col("b.doc_id").as("o_id"))
+      .distinct()
+    val cand = candCorpus.withColumn("from_corpus", lit(true))
+      .union(candBatch.withColumn("from_corpus", lit(false)))
+    // shingle lists only for docs in some candidate pair — batch side
+    // recomputed for the (small) probe set, corpus side READ from the
+    // index, both semi-join-pruned before any array ships
+    val batchIds = cand.select(col("b_id").as("doc_id"))
+      .union(candBatch.select(col("o_id").as("doc_id"))).distinct()
+    val batchSh = shingleHashFrame(
+      batch.join(batchIds, Seq("doc_id"), "left_semi"), shingleN)
+    val corpusSh = corpusShingles.join(
+      candCorpus.select(col("o_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    // the other side carries its own provenance flag under a distinct
+    // name — `otherSh` shares lineage with `batchSh`, so a same-named
+    // column would force attribute-id disambiguation in the join
+    val otherSh = corpusSh
+      .select(col("doc_id").as("o_doc_id"), col("xs"), lit(true).as("o_corpus"))
+      .union(batchSh
+        .select(col("doc_id").as("o_doc_id"), col("xs"), lit(false).as("o_corpus")))
+    val near = cand
+      .join(batchSh.as("x"), col("b_id") === col("x.doc_id"))
+      .join(otherSh.as("y"),
+        col("o_id") === col("y.o_doc_id") &&
+          col("from_corpus") === col("y.o_corpus"))
+      .withColumn("inter",
+        size(array_intersect(col("x.xs"), col("y.xs"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("x.xs")) + size(col("y.xs")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("from_corpus"), col("b_id"), col("o_id"))
+    def minOf(pairs: DataFrame, out: String): DataFrame =
+      pairs.groupBy(col("b_id").as("doc_id")).agg(min(col("o_id")).as(out))
+    val exactCorpus = minOf(batchFp.as("a")
+      .join(corpusFp.as("c"), col("a.fingerprint") === col("c.fingerprint"))
+      .select(col("a.doc_id").as("b_id"), col("c.doc_id").as("o_id")), "ec")
+    val exactBatch = minOf(batchFp.as("a")
+      .join(batchFp.as("c"), col("a.fingerprint") === col("c.fingerprint") &&
+        col("c.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("b_id"), col("c.doc_id").as("o_id")), "eb")
+    val nearCorpus = minOf(near.filter(col("from_corpus")), "nc")
+    val nearBatch = minOf(near.filter(!col("from_corpus")), "nb")
+    batch.select(col("doc_id"))
+      .join(exactCorpus, Seq("doc_id"), "left")
+      .join(exactBatch, Seq("doc_id"), "left")
+      .join(nearCorpus, Seq("doc_id"), "left")
+      .join(nearBatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ec").isNotNull, lit("exact_corpus"))
+          .when(col("eb").isNotNull, lit("exact_batch"))
+          .when(col("nc").isNotNull, lit("near_corpus"))
+          .when(col("nb").isNotNull, lit("near_batch"))
+          .otherwise(lit("kept")).as("verdict"),
+        coalesce(col("ec"), col("eb"), col("nc"), col("nb"), lit(-1L))
+          .as("match_id"))
+      .orderBy(col("doc_id"))
   }
 }

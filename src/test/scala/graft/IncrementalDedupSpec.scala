@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Incremental (index-once, dedup-deltas) dedup: greedy first-wins
+  * verdicts, inline == indexed parity, and the ingest-loop append
+  * invariant. */
+class IncrementalDedupSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while rain falls on the green hills " +
+      "and a river runs through the quiet valley under a pale morning sky"
+  private val other =
+    "completely different text about spark catalyst optimizer rules and physical " +
+      "plans for distributed aggregation joins and shuffles at massive scale"
+
+  private def verdicts(df: DataFrame): Map[Long, (String, Long)] =
+    rowsOf(df).map(r => r("doc_id").asInstanceOf[Long] ->
+      (r("verdict").asInstanceOf[String], r("match_id").asInstanceOf[Long])).toMap
+
+  test("greedy first-wins verdicts: every class on a hand fixture") {
+    val corpus = docs(1L -> base, 2L -> other)
+    val batch = docs(
+      10L -> base,                           // exact copy of corpus doc 1
+      11L -> "Fresh   Unseen Content here",  // kept (first of an exact pair)
+      12L -> "fresh unseen content HERE",    // exact_batch dup of 11 (normalized)
+      13L -> (other + " extra tail words"),  // near_corpus of 2
+      14L -> "unique brand new standalone document nothing shares these tokens",
+      15L -> ("unique brand new standalone document nothing shares these tokens" +
+        " with a small tail"))               // near_batch of 14
+    val v = verdicts(Dedup.dedupIncremental(corpus, batch, threshold = 0.3))
+    assert(v(10L) == ("exact_corpus", 1L))
+    assert(v(11L) == ("kept", -1L))
+    assert(v(12L) == ("exact_batch", 11L))
+    assert(v(13L) == ("near_corpus", 2L))
+    assert(v(14L) == ("kept", -1L))
+    assert(v(15L) == ("near_batch", 14L))
+  }
+
+  test("priority: exact beats near, corpus beats batch") {
+    // batch doc 20 is an exact copy of corpus 1 AND near-dup of batch 19
+    // (itself a near-copy of corpus 1): exact_corpus must win for 20,
+    // near_corpus (not near_batch, despite 19 < 20 banding with it)
+    // must win for 19 only through the corpus-first coalesce order
+    val corpus = docs(1L -> base)
+    val batch = docs(19L -> (base + " tiny tail"), 20L -> base)
+    val v = verdicts(Dedup.dedupIncremental(corpus, batch, threshold = 0.3))
+    assert(v(20L) == ("exact_corpus", 1L))
+    assert(v(19L) == ("near_corpus", 1L))
+  }
+
+  test("indexed equals inline; append makes the batch all exact_corpus") {
+    val corpus = docs(1L -> base, 2L -> other,
+      3L -> "third corpus document with its own words about rivers and stone bridges")
+    val batch = docs(10L -> base, 11L -> (other + " appended words"),
+      12L -> "entirely novel tokens assembled into one never before seen document")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+    try {
+      Dedup.writeDedupIndex(corpus, dir)
+      val inline = rowsOf(Dedup.dedupIncremental(corpus, batch, threshold = 0.3))
+      val indexed = rowsOf(Dedup.dedupIncrementalIndexed(dir, batch, threshold = 0.3))
+      assert(indexed == inline)
+      // ingest loop: append the batch, re-run — every doc is now IN the
+      // corpus, so all verdicts are exact_corpus; the match is the
+      // SMALLEST corpus doc with the fingerprint (doc 10 duplicates
+      // corpus doc 1, so it matches 1, not itself)
+      Dedup.appendToDedupIndex(batch, dir)
+      val rerun = verdicts(Dedup.dedupIncrementalIndexed(dir, batch, threshold = 0.3))
+      assert(rerun == Map(
+        10L -> ("exact_corpus", 1L),
+        11L -> ("exact_corpus", 11L),
+        12L -> ("exact_corpus", 12L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("hot-bucket cap only ever moves near verdicts toward kept") {
+    val corpus = docs((1L to 6L).map(i => i -> (base + s" tail $i")): _*)
+    val batch = docs((10L to 14L).map(i => i -> (base + s" tail b $i")): _*)
+    val full = verdicts(Dedup.dedupIncremental(corpus, batch, threshold = 0.3))
+    val capped = verdicts(
+      Dedup.dedupIncremental(corpus, batch, threshold = 0.3, maxBucket = Some(1)))
+    // with every doc a near-dup of every other, cap=1 drops all buckets
+    capped.foreach { case (id, (verdict, _)) =>
+      val fullV = full(id)._1
+      assert(verdict == fullV || verdict == "kept",
+        s"cap may only drop candidates, never add: $id $fullV -> $verdict")
+    }
+    assert(full.exists(_._2._1 != "kept"), "fixture must produce near-dups uncapped")
+    assert(capped.forall(_._2._1 == "kept"), "cap=1 must drop every banded bucket")
+  }
+}

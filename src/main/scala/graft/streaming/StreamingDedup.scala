@@ -1,9 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.TextFunctions
+import graft.operators.Dedup
 
 /** Streaming exact deduplication for a document ingest pipeline: keep
   * the FIRST document seen for each content fingerprint (md5 of
@@ -43,4 +45,45 @@ object StreamingDedup {
       .withColumn("fingerprint", TextFunctions.fingerprintMd5(col("text")))
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Streaming ingest loop over the persisted dedup index
+    * ([[graft.operators.Dedup.writeDedupIndex]]): each micro-batch is
+    * deduped against the index — full verdict set, exact AND LSH
+    * near-dup, unlike the fingerprint-only `dropDuplicates` variants
+    * above — then its kept docs are appended, so batch N+1 dedups
+    * against everything batch N kept. `foreachBatch`, deliberately:
+    * the loop's state is the index itself — disk-backed, unbounded,
+    * shared with batch jobs and readable mid-stream — which no
+    * in-operator state store models; near-dup state in particular
+    * (band + shingle tables) has no `dropDuplicates` analogue.
+    * Verdicts are eagerly materialized (`localCheckpoint`) BEFORE the
+    * append so the probe never reads its own batch, then handed to
+    * `onBatch` (sink the frame, record metrics — it is released after
+    * the callback returns).
+    *
+    * Exactly-once note: foreachBatch is at-least-once on failure
+    * recovery — a replayed batch re-appends its kept docs. The index
+    * tolerates this: a re-appended doc matches itself as
+    * `exact_corpus` thereafter, and downstream consumers of `fp`
+    * dedup on (doc_id, fingerprint). For a transactional index, write
+    * through a table format with batchId-conditional commits.
+    */
+  def incrementalIngest(docs: DataFrame, indexDir: String,
+      threshold: Double = 0.5, maxBucket: Option[Int] = None)(
+      onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val verdicts = Dedup
+          .dedupIncrementalIndexed(indexDir, batch.toDF(), threshold, maxBucket)
+          .localCheckpoint(true)
+        try {
+          val keptIds = verdicts.filter(col("verdict") === "kept")
+            .select(col("doc_id"))
+          Dedup.appendToDedupIndex(
+            batch.toDF().join(keptIds, Seq("doc_id"), "left_semi"), indexDir)
+          onBatch(verdicts, batchId)
+        } finally org.apache.spark.sql.graftbridge.ColumnBridge
+          .unpersistCheckpoint(verdicts)
+      }
+      .start()
 }

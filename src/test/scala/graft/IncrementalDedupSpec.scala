@@ -84,6 +84,46 @@ class IncrementalDedupSpec extends SparkSuite {
     }
   }
 
+  test("streaming ingest loop: batch N+1 dedups against what batch N kept") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup-idx").toString
+    try {
+      // seed: an index over a 1-doc corpus
+      Dedup.writeDedupIndex(docs(1L -> base), dir)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "text")
+      val seen = scala.collection.mutable.Map[Long, (String, Long)]()
+      val q = graft.streaming.StreamingDedup.incrementalIngest(
+        stream, dir, threshold = 0.3) { (verdicts, _) =>
+        seen.synchronized { seen ++= verdicts.collect().map(r =>
+          r.getLong(0) -> (r.getString(1), r.getLong(2))) }
+      }
+      // batch 1: an exact dup of the seed corpus, a fresh doc, and an
+      // in-batch near-dup of that fresh doc
+      mem.addData((10L, base), (11L, other), (12L, other + " extra tail"))
+      q.processAllAvailable()
+      // batch 2: exact copy of batch-1's KEPT doc (cross-batch exact),
+      // near-dup of it (cross-batch near), and a dropped-doc copy
+      mem.addData((20L, other), (21L, other + " trailing bits"), (22L, base))
+      q.processAllAvailable()
+      q.stop()
+      assert(seen(10L) == ("exact_corpus", 1L))
+      assert(seen(11L) == ("kept", -1L))
+      assert(seen(12L) == ("near_batch", 11L))
+      // 11 was appended, so batch 2 sees it as CORPUS; 22 matches the
+      // original seed doc — dropped docs (10, 12) are NOT in the index,
+      // which is why 20 matches 11 and not 12
+      assert(seen(20L) == ("exact_corpus", 11L))
+      assert(seen(21L) == ("near_corpus", 11L))
+      assert(seen(22L) == ("exact_corpus", 1L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("hot-bucket cap only ever moves near verdicts toward kept") {
     val corpus = docs((1L to 6L).map(i => i -> (base + s" tail $i")): _*)
     val batch = docs((10L to 14L).map(i => i -> (base + s" tail b $i")): _*)

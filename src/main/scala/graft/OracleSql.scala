@@ -326,6 +326,26 @@ object OracleSql {
        |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Per-document duplicated-n-gram audit; mirrors
+    * [[graft.operators.Dedup.duplicatedNgrams]] — same shingle-hash
+    * frame, df threshold, and count/ratio arithmetic.
+    */
+  def duplicatedNgrams(minDf: Int = 2): String =
+    s"""$docCte,
+       |$shingleCte,
+       |$shingleHashCte,
+       |ex AS (SELECT doc_id, unnest(xs) AS h FROM hx),
+       |hot AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= $minDf),
+       |dup AS (SELECT doc_id, COUNT(*) AS dup_ngrams
+       |        FROM ex WHERE h IN (SELECT h FROM hot) GROUP BY doc_id)
+       |SELECT hx.doc_id,
+       |       CAST(len(xs) AS BIGINT) AS total_ngrams,
+       |       CAST(coalesce(dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+       |       CAST(coalesce(dup_ngrams, 0) AS DOUBLE)
+       |         / CAST(len(xs) AS DOUBLE) AS dup_frac
+       |FROM hx LEFT JOIN dup ON hx.doc_id = dup.doc_id
+       |ORDER BY hx.doc_id""".stripMargin
+
   private def simhashSigSql(xsExpr: String): String =
     (0 until Dedup.SimhashBits).map { j =>
       s"""CASE WHEN list_reduce(list_transform($xsExpr,

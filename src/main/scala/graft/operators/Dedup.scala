@@ -246,6 +246,45 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Corpus-wide duplicated-n-gram audit — per document, how much of
+    * its content is n-gram-level boilerplate repeated across the
+    * corpus (the distributed approximation of the substring-dedup
+    * pass from "Deduplicating Training Data Makes Language Models
+    * Better": count n-gram hashes instead of building suffix arrays).
+    * Output: (doc_id, total_ngrams, dup_ngrams, dup_frac) where
+    * dup_ngrams counts the document's DISTINCT shingles whose document
+    * frequency is ≥ `minDf`; dup_frac ~1 flags boilerplate documents
+    * even when no single whole-document near-dup exists — the case
+    * MinHash misses by design.
+    *
+    * Scale shape: one map-side-combinable count over shingle hashes,
+    * then a semi join of the exploded shingles against the surviving
+    * hot set, then a per-doc re-count. Work is linear in corpus
+    * shingles; no pair enumeration anywhere. The hot set (df ≥ minDf)
+    * is the df-skew tail — orders of magnitude smaller than the
+    * shingle universe — so AQE turns the semi join into a broadcast at
+    * any realistic threshold.
+    */
+  def duplicatedNgrams(docs: DataFrame, shingleN: Int = 3,
+      minDf: Int = 2): DataFrame = {
+    val hx = shingleHashFrame(docs, shingleN)
+    // explode_outer for the same InferFiltersFromGenerate reason as in
+    // [[ngramJaccardPairs]]: keep the fused hash expression out of the
+    // scan filter. The null row is dropped by the groupBy-count paths.
+    val ex = hx.select(col("doc_id"), explode_outer(col("xs")).as("h"))
+      .filter(col("h").isNotNull)
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("h"))
+    val dup = ex.join(hot, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_ngrams"))
+    hx.select(col("doc_id"), size(col("xs")).cast("long").as("total_ngrams"))
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("dup_ngrams", coalesce(col("dup_ngrams"), lit(0L)))
+      .withColumn("dup_frac",
+        col("dup_ngrams").cast("double") / col("total_ngrams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Transitive near-duplicate clusters over the MinHash pair graph:
     * every document is labeled with the smallest doc_id reachable
     * through near-dup pairs (singletons label themselves). Min-label

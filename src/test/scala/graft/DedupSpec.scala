@@ -37,6 +37,34 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p("doc_b") == 3L || p("doc_a") == 3L))
   }
 
+  test("duplicated-ngram audit matches brute-force document frequencies") {
+    val d = docs(
+      1L -> base,                      // shares all shingles with 2
+      2L -> base,                      // exact copy → dup_frac 1.0
+      3L -> (base + " extra trailing words here"), // partial overlap
+      4L -> "unrelated words entirely disjoint from the others completely")
+    val got = rowsOf(Dedup.duplicatedNgrams(d))
+      .map(r => r("doc_id") -> r).toMap
+    // brute force: distinct 3-gram shingles, df >= 2
+    def sh(t: String) = t.toLowerCase.split("\\s+").sliding(3)
+      .map(_.mkString(" ")).toSet
+    val texts = Map(1L -> base, 2L -> base,
+      3L -> (base + " extra trailing words here"),
+      4L -> "unrelated words entirely disjoint from the others completely")
+    val all = texts.values.toSeq.flatMap(t => sh(t).toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    texts.foreach { case (id, t) =>
+      val mine = sh(t)
+      val dup = mine.count(all(_) >= 2)
+      assert(got(id)("total_ngrams") == mine.size.toLong, s"total doc $id")
+      assert(got(id)("dup_ngrams") == dup.toLong, s"dup doc $id")
+      assert(got(id)("dup_frac").asInstanceOf[Double]
+        == dup.toDouble / mine.size, s"frac doc $id")
+    }
+    assert(got(1L)("dup_frac") == 1.0 && got(2L)("dup_frac") == 1.0)
+    assert(got(4L)("dup_frac") == 0.0)
+  }
+
   test("ngram jaccard pairs match brute-force jaccard") {
     val d = docs(1L -> base, 2L -> (base + " extra words appended"),
       3L -> "unrelated words entirely disjoint from the others completely")

@@ -267,19 +267,25 @@ object Dedup {
     */
   def duplicatedNgrams(docs: DataFrame, shingleN: Int = 3,
       minDf: Int = 2): DataFrame = {
-    val hx = shingleHashFrame(docs, shingleN)
     // explode_outer for the same InferFiltersFromGenerate reason as in
     // [[ngramJaccardPairs]]: keep the fused hash expression out of the
-    // scan filter. The null row is dropped by the groupBy-count paths.
-    val ex = hx.select(col("doc_id"), explode_outer(col("xs")).as("h"))
+    // scan filter. The null row (never produced in practice — shingles
+    // of any text is non-empty) is dropped by the isNotNull filter.
+    val ex = shingleHashFrame(docs, shingleN)
+      .select(col("doc_id"), explode_outer(col("xs")).as("h"))
       .filter(col("h").isNotNull)
     val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf).select(col("h"))
-    val dup = ex.join(hot, Seq("h"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_ngrams"))
-    hx.select(col("doc_id"), size(col("xs")).cast("long").as("total_ngrams"))
-      .join(dup, Seq("doc_id"), "left")
-      .withColumn("dup_ngrams", coalesce(col("dup_ngrams"), lit(0L)))
+      .filter(col("df") >= minDf)
+      .select(col("h"), lit(1).as("hot"))
+    // LEFT join + one conditional count, so the per-doc totals and the
+    // dup counts come out of the SAME aggregate — the corpus text is
+    // tokenized+hashed twice (hot-set pass, join pass), not three
+    // times as a separate totals frame would cost. Every doc has ≥1
+    // shingle, so no doc can drop out of the left side.
+    ex.join(hot, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        count(col("hot")).as("dup_ngrams"))
       .withColumn("dup_frac",
         col("dup_ngrams").cast("double") / col("total_ngrams").cast("double"))
       .orderBy(col("doc_id"))
@@ -886,9 +892,17 @@ object Dedup {
     val batchBands = bandFrame(batch, numHashes, bands, shingleN)
       .repartition(col("band"), col("band_sig"))
     // hot-bucket cap counts the COMBINED population (index + batch):
-    // a bucket degenerate in the corpus stays degenerate when probed
+    // a bucket degenerate in the corpus stays degenerate when probed.
+    // Corpus-side rows are semi-join-pruned to the buckets the batch
+    // actually probes BEFORE the count — unprobed buckets can never
+    // match the left_anti below, and without the prune every delta
+    // would pay a shuffle-aggregate over the whole persisted bands
+    // table, breaking the index contract (delta work ∝ batch, never a
+    // corpus rescan). The probe-key set is batch-sized → broadcast.
     val probeBands = maxBucket.fold(batchBands) { cap =>
+      val probeKeys = batchBands.select(col("band"), col("band_sig")).distinct()
       val all = corpusBands.select(col("band"), col("band_sig"))
+        .join(probeKeys, Seq("band", "band_sig"), "left_semi")
         .union(batchBands.select(col("band"), col("band_sig")))
       val hot = all.groupBy(col("band"), col("band_sig"))
         .agg(count(lit(1)).as("n_bucket"))

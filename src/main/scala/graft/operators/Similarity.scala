@@ -433,7 +433,14 @@ object Similarity {
     * rows than `ksub` → a smaller book, never a crash). Empty cells
     * keep their previous centroid, as in [[trainCentroids]].
     */
-  def trainPqCodebook(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+  /** Default PQ geometry (subspaces × sub-centroids). Named so
+    * [[resolvePqBook]] can tell "caller left the defaults" from "caller
+    * explicitly asked for a geometry that contradicts the provided
+    * book" — only the latter is refused. */
+  val DefaultPqM = 8
+  val DefaultPqKsub = 16
+
+  def trainPqCodebook(corpus: DataFrame, m: Int = DefaultPqM, ksub: Int = DefaultPqKsub,
       iters: Int = 2): Array[Array[Seq[Double]]] =
     trainPqOn(unitIndex(corpus), m, ksub, iters)
 
@@ -443,27 +450,43 @@ object Similarity {
     * with no error anywhere — the same hazard the persisted index's
     * meta sidecar records. Carrying the flag in the type lets
     * [[knnIvfPq]]/[[writePqIndex]] refuse a mismatched book loudly.
+    * For residual books the hazard is two-level: residuals are only
+    * meaningful against the SAME coarse codebook, so [[trainPq]] also
+    * stamps `coarseKey` (a fingerprint of the coarse book) and
+    * [[resolvePqBook]] refuses a book trained against a different one.
+    * Hand-built books (coarseKey = None) skip that check — they have
+    * nothing trustworthy to compare.
     */
   case class PqBook(subCentroids: Array[Array[Seq[Double]]],
-      residual: Boolean)
+      residual: Boolean, coarseKey: Option[Long] = None)
+
+  /** Deterministic fingerprint of a coarse codebook, the identity
+    * [[PqBook.coarseKey]] records: order-sensitive fold over cell ids
+    * and exact double bits — any retrain or edit changes it.
+    */
+  private def coarseKeyOf(book: Array[(Long, Seq[Double])]): Long =
+    book.foldLeft(17L) { case (h, (cid, vs)) =>
+      vs.foldLeft(h * 31 + cid)((a, v) =>
+        a * 31 + java.lang.Double.doubleToLongBits(v))
+    }
 
   /** Train a [[PqBook]] standalone (the build-once side when the book
     * is reused across queries/indexes). `residual = true` trains on
     * `x − centroid(cell(x))` against the same coarse book the queries
     * will use — pass the SAME `centroids` there.
     */
-  def trainPq(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+  def trainPq(corpus: DataFrame, m: Int = DefaultPqM, ksub: Int = DefaultPqKsub,
       iters: Int = 2, residual: Boolean = false, nCentroids: Int = 16,
       centroids: Option[DataFrame] = None): PqBook = {
     val cu = unitIndex(corpus)
-    val frame =
-      if (residual) {
-        val book = collectCoarseBook(cu, nCentroids, centroids)
-        require(book.nonEmpty, "cannot train a residual book on an empty corpus")
-        residualOf(assignCellsIdx(cu, book), book)
-          .select(col("vec_id"), col("unit"))
-      } else cu
-    PqBook(trainPqOn(frame, m, ksub, iters), residual)
+    if (residual) {
+      val book = collectCoarseBook(cu, nCentroids, centroids)
+      require(book.nonEmpty, "cannot train a residual book on an empty corpus")
+      val frame = residualOf(assignCellsIdx(cu, book), book)
+        .select(col("vec_id"), col("unit"))
+      PqBook(trainPqOn(frame, m, ksub, iters), residual = true,
+        coarseKey = Some(coarseKeyOf(book)))
+    } else PqBook(trainPqOn(cu, m, ksub, iters), residual = false)
   }
 
   /** The one place a query/index obtains its PQ sub-centroids: a
@@ -481,6 +504,23 @@ object Similarity {
           s"pqBook was trained with residual=${pb.residual} but this " +
             s"call scores residual=$residual — codes and LUT would " +
             "silently disagree; train with the matching flag")
+        // a provided book is authoritative for geometry; still refuse
+        // an EXPLICIT m/ksub that contradicts it (defaulted args are
+        // indistinguishable from explicit defaults — those pass)
+        val bm = pb.subCentroids.length
+        val bk = pb.subCentroids.headOption.map(_.length).getOrElse(ksub)
+        require((m == DefaultPqM && ksub == DefaultPqKsub) ||
+            (bm == m && bk == ksub),
+          s"pqBook geometry is ${bm}x$bk but the call asked for " +
+            s"${m}x$ksub — the book is authoritative; drop the m/ksub " +
+            "arguments or train a matching book")
+        if (residual) pb.coarseKey.foreach { key =>
+          require(key == coarseKeyOf(book),
+            "residual pqBook was trained against a DIFFERENT coarse " +
+              "codebook than this call uses — residual codes are only " +
+              "meaningful against their own coarse book; pass the same " +
+              "`centroids` to trainPq and to this call")
+        }
         pb.subCentroids
       case None =>
         trainPqOn(
@@ -588,7 +628,7 @@ object Similarity {
     * `_trained` precedent.
     */
   def knnIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbes: Int = 4, m: Int = 8, ksub: Int = 16,
+      nCentroids: Int = 16, nProbes: Int = 4, m: Int = DefaultPqM, ksub: Int = DefaultPqKsub,
       pqIters: Int = 2, refine: Int = 4, residual: Boolean = false,
       centroids: Option[DataFrame] = None,
       pqBook: Option[PqBook] = None): DataFrame = {
@@ -665,7 +705,7 @@ object Similarity {
     *    (and encode future vectors with the same books).
     */
   def writePqIndex(corpus: DataFrame, dir: String, nCentroids: Int = 16,
-      m: Int = 8, ksub: Int = 16, pqIters: Int = 2,
+      m: Int = DefaultPqM, ksub: Int = DefaultPqKsub, pqIters: Int = 2,
       residual: Boolean = false,
       centroids: Option[DataFrame] = None,
       pqBook: Option[PqBook] = None): Unit = {
@@ -720,24 +760,34 @@ object Similarity {
     // ColumnBridge.unpersistCheckpoint after the last action.
     val probes = withLut(probeCells(queries, book, nProbes), pq)
       .localCheckpoint(true)
-    // probed cells, collected driver-side so the pruning predicate is
-    // STATIC (a dynamic join-based prune would depend on runtime DPP)
-    val probedCids = probes.select(col("cid")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val raw = spark.read.parquet(s"$dir/codes")
-    // partition-column type inference may read cid back narrower than
-    // long; filter in the INFERRED type (pruning survives — no cast
-    // lands on the partition column), then widen for the probe join
-    val cidLits = raw.schema("cid").dataType match {
-      case org.apache.spark.sql.types.IntegerType => probedCids.toSeq.map(_.toInt)
-      case _                                      => probedCids.toSeq
+    // fallible steps below (cid collect, codes/meta reads) must not
+    // leak the eager checkpoint: on ANY failure before the frame is
+    // handed to the caller, release it here — afterwards releasing is
+    // the caller's storage contract
+    try {
+      // probed cells, collected driver-side so the pruning predicate is
+      // STATIC (a dynamic join-based prune would depend on runtime DPP)
+      val probedCids = probes.select(col("cid")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val raw = spark.read.parquet(s"$dir/codes")
+      // partition-column type inference may read cid back narrower than
+      // long; filter in the INFERRED type (pruning survives — no cast
+      // lands on the partition column), then widen for the probe join
+      val cidLits = raw.schema("cid").dataType match {
+        case org.apache.spark.sql.types.IntegerType => probedCids.toSeq.map(_.toInt)
+        case _                                      => probedCids.toSeq
+      }
+      val index = raw.filter(col("cid").isin(cidLits: _*))
+        .withColumn("cid", col("cid").cast("long"))
+      val residual = spark.read.parquet(s"$dir/meta")
+        .collect().headOption.exists(_.getBoolean(0))
+      adcRefine(index, unitIndex(corpus), probes, k, refine,
+        if (residual) col("cscore") else lit(0.0))
+    } catch {
+      case t: Throwable =>
+        ColumnBridge.unpersistCheckpoint(probes)
+        throw t
     }
-    val index = raw.filter(col("cid").isin(cidLits: _*))
-      .withColumn("cid", col("cid").cast("long"))
-    val residual = spark.read.parquet(s"$dir/meta")
-      .collect().headOption.exists(_.getBoolean(0))
-    adcRefine(index, unitIndex(corpus), probes, k, refine,
-      if (residual) col("cscore") else lit(0.0))
   }
 
   /** ANN top-k: LSH candidates (union over tables), exact cosine and

@@ -62,16 +62,19 @@ object StreamingDedup {
     * the callback returns).
     *
     * Exactly-once note: foreachBatch is at-least-once on failure
-    * recovery — a replayed batch re-appends its kept docs. The index
+    * recovery (give `checkpointDir` a durable location so recovery
+    * resumes from the last committed batch rather than the source's
+    * starting offsets) — a replayed batch re-appends its kept docs. The index
     * tolerates this: a re-appended doc matches itself as
     * `exact_corpus` thereafter, and downstream consumers of `fp`
     * dedup on (doc_id, fingerprint). For a transactional index, write
     * through a table format with batchId-conditional commits.
     */
   def incrementalIngest(docs: DataFrame, indexDir: String,
-      threshold: Double = 0.5, maxBucket: Option[Int] = None)(
-      onBatch: (DataFrame, Long) => Unit): StreamingQuery =
-    docs.writeStream
+      threshold: Double = 0.5, maxBucket: Option[Int] = None,
+      checkpointDir: Option[String] = None)(
+      onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val verdicts = Dedup
           .dedupIncrementalIndexed(indexDir, batch.toDF(), threshold, maxBucket)
@@ -85,5 +88,11 @@ object StreamingDedup {
         } finally org.apache.spark.sql.graftbridge.ColumnBridge
           .unpersistCheckpoint(verdicts)
       }
+    // without a durable checkpoint the at-least-once recovery story in
+    // the scaladoc cannot hold — a restart re-reads from the source's
+    // starting offsets; pass checkpointDir in production, leave None
+    // only for tests and ad-hoc runs
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
+  }
 }

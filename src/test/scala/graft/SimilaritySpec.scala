@@ -235,6 +235,33 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("provided pqBook: mismatched coarse book and geometry refused loudly") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 4)
+    val coarseA = Similarity.trainCentroids(e, k = 16, iters = 2)
+    val coarseB = Similarity.trainCentroids(e, k = 16, iters = 3) // different
+    val residBook = Similarity.trainPq(e, residual = true,
+      centroids = Some(coarseA))
+    assert(residBook.coarseKey.isDefined)
+    // same coarse book → accepted
+    Similarity.knnIvfPq(e, q, 3, residual = true,
+      centroids = Some(coarseA), pqBook = Some(residBook)).collect()
+    // different coarse book → the silent-mis-rank hazard, refused
+    val exCoarse = intercept[IllegalArgumentException] {
+      Similarity.knnIvfPq(e, q, 3, residual = true,
+        centroids = Some(coarseB), pqBook = Some(residBook)).collect()
+    }
+    assert(exCoarse.getMessage.contains("coarse"))
+    // explicit geometry contradicting the book → refused; defaults pass
+    val raw = Similarity.trainPq(e, m = 4, ksub = 8)
+    Similarity.knnIvfPq(e, q, 3, pqBook = Some(raw)).collect()
+    val exGeom = intercept[IllegalArgumentException] {
+      Similarity.knnIvfPq(e, q, 3, m = 16, ksub = 32,
+        pqBook = Some(raw)).collect()
+    }
+    assert(exGeom.getMessage.contains("geometry"))
+  }
+
   test("residual PQ cuts reconstruction error when clusters outnumber sub-cells") {
     // the corpus residual PQ is designed for: MANY tight clusters —
     // more than ksub, so plain PQ cannot memorize the sub-center

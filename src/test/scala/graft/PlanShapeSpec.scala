@@ -480,6 +480,19 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("duplicated-ngram audit: two hash passes, hot set broadcast") {
+    // totals and dup counts come out of ONE left-join aggregate, so
+    // the fused shingle hash must appear exactly twice (hot-set pass +
+    // join pass) — a separate totals frame would make it three — and
+    // the hot side (df-threshold survivors) must broadcast, never
+    // shuffle the exploded corpus for a sort-merge join.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.operators.Dedup.duplicatedNgrams(docs))
+    val hashes = "shinglehashexpr".r.findAllIn(p.toLowerCase).size
+    assert(hashes == 2, s"expected exactly 2 shingle-hash passes, got $hashes:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"hot set should broadcast:\n$p")
+  }
+
   test("no query plan evaluates a fused expensive expression inside a Filter") {
     // the generalized net for the class round 5 kept finding: Filter
     // conditions get NO subexpression elimination, so an expensive

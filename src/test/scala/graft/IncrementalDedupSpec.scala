@@ -139,4 +139,28 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(full.exists(_._2._1 != "kept"), "fixture must produce near-dups uncapped")
     assert(capped.forall(_._2._1 == "kept"), "cap=1 must drop every banded bucket")
   }
+
+  test("cap counts are prunable: unprobed corpus buckets cannot change verdicts") {
+    // The cap path semi-join-prunes the persisted bands table to the
+    // buckets the batch probes (index contract: delta work ∝ batch).
+    // That prune is only sound if an over-cap bucket the batch never
+    // probes has NO effect on verdicts — pin exactly that: adding a
+    // large family of mutual near-dups (a hot bucket) in a disjoint
+    // shingle universe leaves every batch verdict byte-identical,
+    // capped and uncapped.
+    val corpus = docs(1L -> base, 2L -> other)
+    val hotFamily = (100L to 120L).map(i =>
+      i -> ("orbital telescopes map distant galaxies while silent probes " +
+        s"drift past frozen moons recording faint signals number $i"))
+    val corpusHot = docs((Seq(1L -> base, 2L -> other) ++ hotFamily): _*)
+    val batch = docs(10L -> (base + " small tail"), 11L -> "totally novel words")
+    for (cap <- Seq(None, Some(3))) {
+      val lean = verdicts(
+        Dedup.dedupIncremental(corpus, batch, threshold = 0.3, maxBucket = cap))
+      val hot = verdicts(
+        Dedup.dedupIncremental(corpusHot, batch, threshold = 0.3, maxBucket = cap))
+      assert(lean == hot,
+        s"unprobed hot bucket changed verdicts under cap=$cap: $lean vs $hot")
+    }
+  }
 }

@@ -167,14 +167,21 @@ object OracleSql {
        |       COUNT(*) AS dup_count
        |FROM t GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin
 
-  def minhashPairs(numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): String = {
-    val rows = numHashes / bands
+  /** The MinHash signature list expression over `xs` — the same
+    * universal-hash permutations [[graft.functions.Hashing.permCoeffs]]
+    * drives on the Spark side; shared by every banded-LSH oracle. */
+  private def minhashSigSql(numHashes: Int): String = {
     val p = Hashing.MersennePrime31
-    val sigExprs = (0 until numHashes).map { i =>
+    (0 until numHashes).map { i =>
       val (a, b) = Hashing.permCoeffs(i)
       s"list_min(list_transform(xs, x -> ($a * (x % $p) + $b) % $p))"
     }.mkString("[\n         ", ",\n         ", "]")
+  }
+
+  def minhashPairs(numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): String = {
+    val rows = numHashes / bands
+    val sigExprs = minhashSigSql(numHashes)
     s"""$docCte,
        |$shingleCte,
        |$shingleHashCte,
@@ -209,11 +216,7 @@ object OracleSql {
   def dedupIncremental(numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, mod: Int = 5): String = {
     val rows = numHashes / bands
-    val p = Hashing.MersennePrime31
-    val sigExprs = (0 until numHashes).map { i =>
-      val (a, b) = Hashing.permCoeffs(i)
-      s"list_min(list_transform(xs, x -> ($a * (x % $p) + $b) % $p))"
-    }.mkString("[\n         ", ",\n         ", "]")
+    val sigExprs = minhashSigSql(numHashes)
     s"""$docCte,
        |$shingleCte,
        |$shingleHashCte,

@@ -349,6 +349,28 @@ object OracleSql {
        |FROM hx LEFT JOIN dup ON hx.doc_id = dup.doc_id
        |ORDER BY hx.doc_id""".stripMargin
 
+  /** Per-source boilerplate rollup; mirrors
+    * [[graft.operators.Dedup.sourceDupProfile]] — source joins in from
+    * the base table, counts stay integers, one final division.
+    */
+  def sourceDupProfile(minDf: Int = 2): String =
+    s"""$docCte,
+       |$shingleCte,
+       |$shingleHashCte,
+       |ex AS (SELECT hx.doc_id, d.source, unnest(hx.xs) AS h
+       |       FROM hx JOIN documents d ON hx.doc_id = d.doc_id),
+       |hot AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= $minDf)
+       |SELECT source,
+       |       COUNT(DISTINCT doc_id) AS n_docs,
+       |       COUNT(*) AS total_ngrams,
+       |       CAST(COUNT(CASE WHEN h IN (SELECT h FROM hot) THEN 1 END)
+       |            AS BIGINT) AS dup_ngrams,
+       |       CAST(COUNT(CASE WHEN h IN (SELECT h FROM hot) THEN 1 END)
+       |              AS DOUBLE)
+       |         / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+       |FROM ex GROUP BY source
+       |ORDER BY source""".stripMargin
+
   private def simhashSigSql(xsExpr: String): String =
     (0 until Dedup.SimhashBits).map { j =>
       s"""CASE WHEN list_reduce(list_transform($xsExpr,

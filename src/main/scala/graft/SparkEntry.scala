@@ -270,6 +270,7 @@ object SparkEntry {
         buckets = s.conf.get("spark.sql.shuffle.partitions").toInt)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
     "q_dup_ngrams" -> ((s, dir) => Dedup.duplicatedNgrams(docs(s, dir))),
+    "q_source_dup_profile" -> ((s, dir) => Dedup.sourceDupProfile(docs(s, dir))),
     // incremental ingest: dedup the batch (doc_id % 5 = 0) against the
     // rest of the corpus — exact + LSH near-dup, greedy first-wins
     "q_dedup_incremental" -> ((s, dir) => {
@@ -593,6 +594,7 @@ object SparkEntry {
       "q_dedup_clusters_bucketed" -> OracleSql.nearDupClusters(),
       "q_ngram_jaccard" -> OracleSql.ngramJaccardPairs(),
       "q_dup_ngrams" -> OracleSql.duplicatedNgrams(),
+      "q_source_dup_profile" -> OracleSql.sourceDupProfile(),
       "q_dedup_incremental" -> OracleSql.dedupIncremental(),
       "q_simhash" -> OracleSql.simhash,
       "q_simhash_pairs" -> OracleSql.simhashPairs(),

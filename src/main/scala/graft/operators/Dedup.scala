@@ -291,6 +291,38 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source boilerplate profile — [[duplicatedNgrams]] rolled up
+    * to the source axis: for each source, how many of its documents'
+    * shingle occurrences are corpus-duplicated (df ≥ `minDf`). The
+    * curation signal behind "drop spammy domains": a source whose
+    * `dup_ratio` dwarfs the corpus norm is template/boilerplate output
+    * even when its individual documents look unique. Same two-pass
+    * shape as the per-doc audit (df count → broadcast hot set → one
+    * LEFT-join aggregate), grouped by source directly — no per-doc
+    * intermediate, so the second pass's shuffle is source-cardinality
+    * sized. Integer counts + one final division keep the output
+    * hash-stable across engines.
+    */
+  def sourceDupProfile(docs: DataFrame, shingleN: Int = 3,
+      minDf: Int = 2): DataFrame = {
+    val ex = docs.select(col("doc_id"), col("source"),
+        ArrayHashExprs.shingle_hashes(
+          TextFunctions.normText(col("text")), shingleN).as("xs"))
+      .select(col("doc_id"), col("source"), explode_outer(col("xs")).as("h"))
+      .filter(col("h").isNotNull)
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"), lit(1).as("hot"))
+    ex.join(hot, Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_ngrams"),
+        count(col("hot")).as("dup_ngrams"))
+      .withColumn("dup_ratio",
+        col("dup_ngrams").cast("double") / col("total_ngrams").cast("double"))
+      .orderBy(col("source"))
+  }
+
   /** Transitive near-duplicate clusters over the MinHash pair graph:
     * every document is labeled with the smallest doc_id reachable
     * through near-dup pairs (singletons label themselves). Min-label

@@ -65,6 +65,28 @@ class DedupSpec extends SparkSuite {
     assert(got(4L)("dup_frac") == 0.0)
   }
 
+  test("per-source dup profile: boilerplate source flagged, clean source at zero") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      // spam: one template, three "documents"
+      (1L, base, "spam"), (2L, base, "spam"), (3L, base, "spam"),
+      // clean: mutually disjoint texts, disjoint from the template
+      (4L, "unrelated words entirely disjoint from the others completely", "clean"),
+      (5L, "catalyst rules rewrite logical plans before physical strategies run", "clean"))
+      .toDF("doc_id", "text", "source")
+    val got = rowsOf(Dedup.sourceDupProfile(d))
+      .map(r => r("source") -> r).toMap
+    assert(got("spam")("n_docs") == 3L)
+    assert(got("spam")("dup_ratio") == 1.0) // every shingle in 3 docs
+    assert(got("clean")("n_docs") == 2L)
+    assert(got("clean")("dup_ratio") == 0.0) // no shingle repeats anywhere
+    // totals are shingle OCCURRENCES (per doc), not distinct shingles
+    def sh(t: String) = t.toLowerCase.split("\\s+").sliding(3)
+      .map(_.mkString(" ")).toSet.size
+    assert(got("spam")("total_ngrams") == 3L * sh(base))
+  }
+
   test("ngram jaccard pairs match brute-force jaccard") {
     val d = docs(1L -> base, 2L -> (base + " extra words appended"),
       3L -> "unrelated words entirely disjoint from the others completely")

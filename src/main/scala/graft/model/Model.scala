@@ -27,6 +27,13 @@ object Timestamps {
       java.lang.Math.addExact(
         java.lang.Math.multiplyExact(i.getEpochSecond, 1000000L),
         i.getNano / 1000L)
+    case d: java.time.LocalDateTime =>
+      // TIMESTAMP_NTZ's external type; sessions here pin UTC, so the
+      // wall-clock value IS the instant
+      java.lang.Math.addExact(
+        java.lang.Math.multiplyExact(
+          d.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+        d.getNano / 1000L)
     case other =>
       throw new IllegalArgumentException(
         s"unsupported temporal value: ${other.getClass}")

@@ -105,19 +105,32 @@ object EventsAsRecords {
   val NumPartitions = 8
 
   /** The raw events table with `ts` as a proper micros TimestampType.
-    * The driver's events.parquet stores ts as TIMESTAMP(NANOS), which
-    * Spark 4 rejects unless read as a raw long (nanos since epoch) —
-    * so every reader must come through here.
+    * The driver's events.parquet has stored ts as TIMESTAMP(NANOS)
+    * (which Spark 4 rejects unless read as a raw long) and as
+    * TIMESTAMP_NTZ micros, depending on its writer version — so every
+    * reader must come through here.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer division: double division loses microseconds at
-      // 2^60-magnitude nano timestamps (53-bit mantissa)
-      ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else ev
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
+
+  /** Normalize `ts` to TimestampType whatever the parquet encoding
+    * yielded: raw long nanos (the nanosAsLong fallback), TIMESTAMP_NTZ
+    * (the cast is value-preserving because Verify/Bench/specs pin the
+    * session time zone to UTC), or already TimestampType. Works on
+    * batch and streaming frames alike — column ops only.
+    */
+  def normalizeTs(ev: DataFrame): DataFrame =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division: double division loses microseconds at
+        // 2^60-magnitude nano timestamps (53-bit mantissa)
+        ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        ev.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => ev
+    }
 
   def records(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = readEvents(spark, sfDir)

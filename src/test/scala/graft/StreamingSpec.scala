@@ -55,7 +55,6 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("event-time windows run as a streaming query over the parquet fixture") {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source wants a directory; link the fixture in
     val dir = java.nio.file.Files.createTempDirectory("ev_stream")
@@ -63,9 +62,8 @@ class StreamingSpec extends SparkSuite {
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"))
     val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.sources.EventsAsRecords.normalizeTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q = graft.operators.EventAnalytics.dailyWindows(stream)
       .writeStream.format("memory").queryName("ev_windows")
       .outputMode("complete").start()

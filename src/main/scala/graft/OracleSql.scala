@@ -119,6 +119,23 @@ object OracleSql {
        |SELECT doc_id, quality, n_tokens
        |FROM w WHERE cum <= $budgetTokens ORDER BY doc_id""".stripMargin
 
+  /** Mirror of [[graft.operators.CorpusOps.docChunks]]: same token
+    * list, same chunk-count formula (ceil((n − window)/stride) extra
+    * chunks, floored at 0), same 1-based inclusive window slice —
+    * DuckDB's `list_slice(xs, a, b)` and Spark's `slice(xs, a, len)`
+    * both clamp at the list end, so the short final chunk agrees. */
+  def docChunks(window: Int = 32, stride: Int = 16): String =
+    s"""$docCte,
+       |ex AS (
+       |  SELECT doc_id, toks,
+       |         unnest(generate_series(0,
+       |           CAST(greatest(ceil((len(toks) - $window) / $stride.0), 0) AS BIGINT))) AS chunk_id
+       |  FROM tok)
+       |SELECT doc_id, chunk_id,
+       |       array_to_string(list_slice(toks, chunk_id*$stride + 1, chunk_id*$stride + $window), ' ') AS chunk,
+       |       CAST(least(len(toks) - chunk_id*$stride, $window) AS BIGINT) AS n_tokens
+       |FROM ex ORDER BY doc_id, chunk_id""".stripMargin
+
   val langId: String =
     s"""$docCte,
        |h AS (SELECT doc_id, $langHitsSelect FROM tok)

@@ -362,6 +362,8 @@ object SparkEntry {
     "q_lang_confusion" -> ((s, dir) => CorpusOps.langConfusion(docs(s, dir))),
     // sequence packing (concat-then-chunk bins) + keyword extraction
     "q_pack_stats" -> ((s, dir) => CorpusOps.packStats(docs(s, dir))),
+    // context-window prep: sliding token chunks with overlap
+    "q_doc_chunks" -> ((s, dir) => CorpusOps.docChunks(docs(s, dir))),
     "q_doc_keywords" -> ((s, dir) => CorpusOps.docKeywords(docs(s, dir))),
     // grouping-sets breadth (CUBE margins) + decontaminated output table
     "q_source_cube" -> ((s, dir) => CorpusOps.sourceCube(docs(s, dir))),
@@ -617,6 +619,7 @@ object SparkEntry {
       "q_pii_redact" -> OracleSql.piiRedact,
       "q_lang_confusion" -> OracleSql.langConfusion,
       "q_pack_stats" -> OracleSql.packStats(),
+      "q_doc_chunks" -> OracleSql.docChunks(),
       "q_doc_keywords" -> OracleSql.docKeywords(),
       "q_source_cube" -> OracleSql.sourceCube,
       "q_clean_corpus" -> OracleSql.cleanCorpus(),

@@ -236,6 +236,41 @@ object CorpusOps {
         min(col("doc_id")).as("first_doc"))
       .orderBy(col("pack_bucket"), col("bin_id"))
 
+  /** Sliding-window token chunking — context-length preparation: each
+    * document yields windows of `window` tokens advancing by `stride`
+    * (overlap = `window − stride`), the shape long-document corpora are
+    * cut into before packing/training. A document shorter than `window`
+    * yields exactly ONE chunk (its whole text); only the final chunk of
+    * a longer document may be short. `stride ≤ window` is required —
+    * that is what guarantees every token lands in at least one chunk.
+    *
+    * Scale shape: a NARROW per-row transform — tokenize once, explode
+    * into ⌈n/stride⌉ rows, slice+join per chunk — NO shuffle anywhere
+    * (the trailing orderBy is presentation-only for the oracle compare;
+    * production callers drop it). At 100 TB this runs at parquet-scan
+    * speed with column pruning to (doc_id, text); output volume is
+    * input × window/stride, the expected overlap factor.
+    */
+  def docChunks(docs: DataFrame, window: Int = 32, stride: Int = 16): DataFrame = {
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window]; got stride=$stride window=$window")
+    docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      // chunk count − 1: ceil((n − window)/stride), floored at 0 so a
+      // short document still emits its single whole-text chunk
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          greatest(ceil((size(col("toks")) - window) / lit(stride.toDouble)),
+            lit(0)).cast("int"))).as("chunk_id"))
+      .select(col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        array_join(
+          slice(col("toks"), col("chunk_id") * stride + 1, lit(window)), " ")
+          .as("chunk"),
+        least(size(col("toks")) - col("chunk_id") * stride, lit(window))
+          .cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Per-document keyword extraction: top-`k` terms by tf×idf with a
     * LINEAR idf (tf × N/df, not tf × ln(N/df)) — chosen deliberately
     * for engine stability: the scoring is two IEEE-exact double ops

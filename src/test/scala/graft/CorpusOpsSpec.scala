@@ -395,4 +395,45 @@ class CorpusOpsSpec extends SparkSuite {
       .map(_("status")).toSet
     assert(statuses == Set("added", "removed", "changed"))
   }
+
+  test("docChunks: window/stride boundaries, short docs, full coverage") {
+    val d = enDocs(
+      0L -> "a b c d e",            // 5 toks, W3 S2 -> [a b c][c d e]
+      1L -> "x y",                  // shorter than window -> ONE chunk
+      2L -> "a b c d e f g",        // 7 toks -> 3 chunks, last ends at n
+      3L -> "t1 t2 t3 t4 t5 t6")    // 6 toks -> last chunk short (2)
+    val got = rowsOf(CorpusOps.docChunks(d, window = 3, stride = 2))
+      .map(r => (r("doc_id"), r("chunk_id"), r("chunk"), r("n_tokens")))
+    assert(got == Seq(
+      (0L, 0L, "a b c", 3L), (0L, 1L, "c d e", 3L),
+      (1L, 0L, "x y", 2L),
+      (2L, 0L, "a b c", 3L), (2L, 1L, "c d e", 3L), (2L, 2L, "e f g", 3L),
+      (3L, 0L, "t1 t2 t3", 3L), (3L, 1L, "t3 t4 t5", 3L),
+      (3L, 2L, "t5 t6", 2L)))
+    // coverage property on the real fixture: with stride <= window the
+    // per-doc chunk token counts telescope to n + overlap*(chunks-1),
+    // i.e. every token is covered and consecutive chunks overlap by
+    // exactly window - stride except possibly at the tail
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val perDoc = rowsOf(CorpusOps.docChunks(real, 32, 16)
+      .groupBy("doc_id")
+      .agg(sum("n_tokens").as("covered"), count("*").as("chunks"),
+        max(col("chunk_id") * 16 + col("n_tokens")).as("last_end")))
+    val nToks = rowsOf(real.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n")))
+      .map(r => r("doc_id") -> r("n").asInstanceOf[Long]).toMap
+    perDoc.foreach { r =>
+      val (n, chunks) = (nToks(r("doc_id")), r("chunks").asInstanceOf[Long])
+      // the final chunk reaches exactly the last token
+      assert(r("last_end") == n, s"doc ${r("doc_id")} tail")
+      // sum of chunk sizes = n + 16*(chunks-1) when every overlap is
+      // the full window-stride, and never less than n (full coverage)
+      val covered = r("covered").asInstanceOf[Long]
+      assert(covered >= n && covered <= n + 16L * (chunks - 1),
+        s"doc ${r("doc_id")} coverage")
+    }
+    // stride > window would leave token gaps — refuse it
+    intercept[IllegalArgumentException](
+      CorpusOps.docChunks(d, window = 3, stride = 4))
+  }
 }

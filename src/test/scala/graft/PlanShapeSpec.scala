@@ -102,6 +102,23 @@ class PlanShapeSpec extends SparkSuite {
       s"scan reads more than the projected columns: $readSchema")
   }
 
+  test("docChunks is a narrow transform: no exchange before the presentation sort") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.operators.CorpusOps.docChunks(docs))
+    // tokenize → explode → slice is per-row; the ONLY exchange allowed
+    // is the rangepartitioning for the trailing presentation orderBy
+    val shuffles = raw"\(\d+\) Exchange\b".r.findAllIn(p).length
+    assert(shuffles <= 1, s"expected at most the sort exchange:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not hash-shuffle:\n$p")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    // column pruning must reach the scan: (doc_id, text) only
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("lang"),
+      s"scan must prune to (doc_id, text): $readSchema")
+  }
+
   test("offset gaps never sorts a full Kafka partition in one window") {
     val rec = graft.sources.EventsAsRecords.records(spark, "/root/testdata/sf0.001")
     val p = plan(graft.operators.TopicMetrics.offsetGaps(rec))

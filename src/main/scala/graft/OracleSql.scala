@@ -1315,6 +1315,27 @@ object OracleSql {
        |       MIN(doc_id) AS first_doc
        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Mirrors [[graft.operators.CorpusOps.batchPadding]]: same integer
+    * length-bucket formula, same FNV stream, same per-(bucket, stream)
+    * row_number batching — all integer arithmetic, so batches and the
+    * padding metric are bit-identical across engines. */
+  def batchPadding(batchSize: Int = 8, streams: Int = 4,
+      bucketTokens: Int = 16, maxBucket: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(${docIdBucket(streams)} AS BIGINT) AS stream
+       |  FROM documents),
+       |b AS (SELECT *, least(n_tokens // $bucketTokens, $maxBucket) AS len_bucket FROM t),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY len_bucket, stream ORDER BY doc_id) - 1 AS rn
+       |      FROM b)
+       |SELECT len_bucket, stream, CAST(rn // $batchSize AS BIGINT) AS batch_id,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+       |       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       |       CAST(MAX(n_tokens)*COUNT(*) - SUM(n_tokens) AS BIGINT) AS padding_tokens
+       |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** Mirrors [[graft.operators.CorpusOps.docKeywords]]: linear idf
     * (tf × N/df) in the same two IEEE double ops — deliberately no
     * `ln`, whose final-ulp differences across libm implementations

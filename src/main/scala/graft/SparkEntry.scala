@@ -364,6 +364,8 @@ object SparkEntry {
     "q_pack_stats" -> ((s, dir) => CorpusOps.packStats(docs(s, dir))),
     // context-window prep: sliding token chunks with overlap
     "q_doc_chunks" -> ((s, dir) => CorpusOps.docChunks(docs(s, dir))),
+    // length-bucketed batching + pad-to-longest waste accounting
+    "q_batch_padding" -> ((s, dir) => CorpusOps.batchPadding(docs(s, dir))),
     "q_doc_keywords" -> ((s, dir) => CorpusOps.docKeywords(docs(s, dir))),
     // grouping-sets breadth (CUBE margins) + decontaminated output table
     "q_source_cube" -> ((s, dir) => CorpusOps.sourceCube(docs(s, dir))),
@@ -620,6 +622,7 @@ object SparkEntry {
       "q_lang_confusion" -> OracleSql.langConfusion,
       "q_pack_stats" -> OracleSql.packStats(),
       "q_doc_chunks" -> OracleSql.docChunks(),
+      "q_batch_padding" -> OracleSql.batchPadding(),
       "q_doc_keywords" -> OracleSql.docKeywords(),
       "q_source_cube" -> OracleSql.sourceCube,
       "q_clean_corpus" -> OracleSql.cleanCorpus(),

@@ -236,6 +236,46 @@ object CorpusOps {
         min(col("doc_id")).as("first_doc"))
       .orderBy(col("pack_bucket"), col("bin_id"))
 
+  /** Length-bucketed batch accounting — the padding-waste audit that
+    * motivates length bucketing: batching similar-length sequences
+    * shrinks the `max(len)·batch − Σlen` padding a naive random batch
+    * pays. Documents bucket by `n_tokens div bucketTokens` (capped at
+    * `maxBucket` — pure integer arithmetic, engine-exact; no log2,
+    * whose float rounding at exact powers of two could flip buckets
+    * between engines), then split into `streams` independent FNV
+    * sub-streams, and each (bucket, stream) forms batches of
+    * `batchSize` docs in doc-id order. Output: per-batch doc/token
+    * totals, the batch max, and `padding_tokens` — the waste a
+    * pad-to-longest collator would add.
+    *
+    * Scale shape: ONE shuffle on (len_bucket, stream) + a per-group
+    * row_number — the same independent-stream trick as
+    * [[packAssignments]]: parallelism is buckets×streams, so at
+    * 100 TB raise `streams` to O(10⁴-10⁵) and no group ever
+    * serializes the corpus. Assignment hashes the stable doc id, so
+    * re-runs on any cluster size reproduce identical batches.
+    */
+  def batchPadding(docs: DataFrame, batchSize: Int = 8, streams: Int = 4,
+      bucketTokens: Int = 16, maxBucket: Int = 8): DataFrame = {
+    require(batchSize >= 1 && streams >= 1 && bucketTokens >= 1)
+    val w = Window.partitionBy(col("len_bucket"), col("stream"))
+      .orderBy(col("doc_id"))
+    docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        hashBucket(col("doc_id"), streams).as("stream"))
+      .withColumn("len_bucket",
+        least(expr(s"n_tokens div $bucketTokens"), lit(maxBucket.toLong)))
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("batch_id", expr(s"rn div $batchSize").cast("long"))
+      .groupBy(col("len_bucket"), col("stream"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("batch_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .withColumn("padding_tokens",
+        col("max_tokens") * col("n_docs") - col("batch_tokens"))
+      .orderBy(col("len_bucket"), col("stream"), col("batch_id"))
+  }
+
   /** Sliding-window token chunking — context-length preparation: each
     * document yields windows of `window` tokens advancing by `stride`
     * (overlap = `window − stride`), the shape long-document corpora are

@@ -436,4 +436,41 @@ class CorpusOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       CorpusOps.docChunks(d, window = 3, stride = 4))
   }
+
+  test("batchPadding: homogeneous buckets, full partition, exact waste") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = rowsOf(CorpusOps.batchPadding(real,
+      batchSize = 8, streams = 4, bucketTokens = 16, maxBucket = 8))
+    def l(r: Map[String, Any], c: String) = r(c).asInstanceOf[Long]
+    // every document lands in exactly one batch
+    assert(rows.map(l(_, "n_docs")).sum == real.count())
+    rows.foreach { r =>
+      assert(l(r, "n_docs") <= 8, "batch over size")
+      // bucket homogeneity: a batch in bucket b only holds docs whose
+      // n_tokens div 16 == b (capped), so its max obeys the bucket edge
+      val b = l(r, "len_bucket")
+      assert(b >= 0 && b <= 8)
+      if (b < 8) assert(l(r, "max_tokens") < (b + 1) * 16,
+        s"bucket $b leaked a longer doc: ${l(r, "max_tokens")}")
+      // padding is the pad-to-longest identity, never negative
+      assert(l(r, "padding_tokens") ==
+        l(r, "max_tokens") * l(r, "n_docs") - l(r, "batch_tokens"))
+      assert(l(r, "padding_tokens") >= 0L)
+    }
+    // within each (bucket, stream): contiguous batch ids from 0, and
+    // only the LAST batch may be short — the row_number construction
+    rows.groupBy(r => (l(r, "len_bucket"), l(r, "stream"))).foreach {
+      case (_, group) =>
+        val ids = group.map(l(_, "batch_id")).sorted
+        assert(ids == (0L until ids.length).toSeq, s"gaps in $ids")
+        group.sortBy(l(_, "batch_id")).dropRight(1).foreach(r =>
+          assert(l(r, "n_docs") == 8L, "short batch before the last"))
+    }
+    // length bucketing must beat one unbucketed stream on padding:
+    // the whole point of the operator
+    val unbucketed = rowsOf(CorpusOps.batchPadding(real,
+      batchSize = 8, streams = 1, bucketTokens = 1000000, maxBucket = 0))
+    assert(rows.map(l(_, "padding_tokens")).sum <
+      unbucketed.map(l(_, "padding_tokens")).sum)
+  }
 }

@@ -119,6 +119,19 @@ class PlanShapeSpec extends SparkSuite {
       s"scan must prune to (doc_id, text): $readSchema")
   }
 
+  test("batchPadding windows by (len_bucket, stream), never one global stream") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.operators.CorpusOps.batchPadding(docs))
+    // parallelism = buckets×streams REQUIRES the row_number window to
+    // partition by both keys; a stream-less (or bucket-less) window
+    // would serialize the corpus through one task at scale
+    val specs = raw"windowspecdefinition\([^)]*\)".r.findAllIn(p).toList
+    assert(specs.nonEmpty, s"expected a window in the plan:\n$p")
+    specs.foreach(spec =>
+      assert(spec.contains("len_bucket") && spec.contains("stream"),
+        s"window must partition by (len_bucket, stream): $spec"))
+  }
+
   test("offset gaps never sorts a full Kafka partition in one window") {
     val rec = graft.sources.EventsAsRecords.records(spark, "/root/testdata/sf0.001")
     val p = plan(graft.operators.TopicMetrics.offsetGaps(rec))

@@ -291,7 +291,19 @@ object CorpusOps {
     * speed with column pruning to (doc_id, text); output volume is
     * input × window/stride, the expected overlap factor.
     */
-  def docChunks(docs: DataFrame, window: Int = 32, stride: Int = 16): DataFrame = {
+  def docChunks(docs: DataFrame, window: Int = 32, stride: Int = 16): DataFrame =
+    chunkProjection(docs, window, stride)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** The chunk projection alone — stateless and narrow, so it runs
+    * UNCHANGED as a Structured Streaming transform (append mode, no
+    * state, no watermark): chunking a live document feed is the same
+    * plan as chunking the batch corpus. [[docChunks]] adds only the
+    * batch-tier presentation sort, which streaming neither allows nor
+    * needs.
+    */
+  def chunkProjection(docs: DataFrame, window: Int = 32,
+      stride: Int = 16): DataFrame = {
     require(stride >= 1 && stride <= window,
       s"stride must be in [1, window]; got stride=$stride window=$window")
     docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
@@ -308,7 +320,6 @@ object CorpusOps {
           .as("chunk"),
         least(size(col("toks")) - col("chunk_id") * stride, lit(window))
           .cast("long").as("n_tokens"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   /** Per-document keyword extraction: top-`k` terms by tf×idf with a

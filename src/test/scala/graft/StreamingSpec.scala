@@ -75,6 +75,28 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSet == batch.toSet && streamed.nonEmpty)
   }
 
+  test("chunk projection runs unchanged as a streaming transform") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    // stateless narrow projection: append mode, no watermark, no state
+    val q = graft.operators.CorpusOps.chunkProjection(docs, 3, 2)
+      .writeStream.format("memory").queryName("schunks")
+      .outputMode("append").start()
+    mem.addData((0L, "a b c d e"), (1L, "x y"))
+    q.processAllAvailable()
+    mem.addData((2L, "a b c d e f g"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rowsOf(spark.table("schunks")).toSet
+    val batch = rowsOf(graft.operators.CorpusOps.docChunks(
+      Seq((0L, "a b c d e"), (1L, "x y"), (2L, "a b c d e f g"))
+        .toDF("doc_id", "text"), 3, 2)).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming exact dedup keeps the first-seen doc per fingerprint") {
     val s = spark
     import s.implicits._

@@ -437,6 +437,34 @@ class CorpusOpsSpec extends SparkSuite {
       CorpusOps.docChunks(d, window = 3, stride = 4))
   }
 
+  test("docChunks reconstruction: dropping the overlap reassembles every doc") {
+    // THE chunking invariant: chunk 0 plus each later chunk minus its
+    // first (window − stride) tokens is exactly the token stream — no
+    // token lost, none duplicated beyond the declared overlap. Checked
+    // generatively over seeded random lengths and (W, S) corners
+    // (wide overlap, no overlap W==S, stride 1).
+    val rnd = new scala.util.Random(12021)
+    val lens = Seq(1, 2, 3) ++ Seq.fill(37)(1 + rnd.nextInt(50))
+    val d = enDocs(lens.zipWithIndex.map { case (n, id) =>
+      id.toLong -> (0 until n).map(j => s"t${id}x$j").mkString(" ")
+    }: _*)
+    for ((w, s) <- Seq((32, 16), (8, 3), (5, 5), (4, 1))) {
+      val byDoc = rowsOf(CorpusOps.docChunks(d, w, s))
+        .groupBy(_("doc_id").asInstanceOf[Long])
+      lens.zipWithIndex.foreach { case (n, id) =>
+        val chunks = byDoc(id.toLong)
+          .sortBy(_("chunk_id").asInstanceOf[Long])
+          .map(_("chunk").asInstanceOf[String].split(" ").toSeq)
+        val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(w - s))
+        assert(rebuilt == (0 until n).map(j => s"t${id}x$j"),
+          s"doc $id W=$w S=$s")
+        // every non-final chunk is full; the final one is never empty
+        chunks.dropRight(1).foreach(c => assert(c.length == w))
+        assert(chunks.last.nonEmpty)
+      }
+    }
+  }
+
   test("batchPadding: homogeneous buckets, full partition, exact waste") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rows = rowsOf(CorpusOps.batchPadding(real,

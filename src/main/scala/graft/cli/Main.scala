@@ -62,22 +62,37 @@ object Main {
           Main.parseLibrdkafka(opts.get("librdkafka")))
           .records(spark)
     }
-    // empty-topic guard (`src/main.rs:98-101`); compat mode echoes the
-    // reference's error! text verbatim
-    if (TopicMetrics.isEmpty(records)) {
-      System.err.println(
+    analyzeAndRender(records, opts, topic.orElse(parquetDir).get, t0) match {
+      case Left(msg) =>
+        System.err.println(msg)
+        spark.stop()
+        sys.exit(-2)
+      case Right(report) =>
+        println(report)
+        spark.stop()
+    }
+  }
+
+  /** The post-source CLI core — empty-topic guard (`src/main.rs:98-101`;
+    * compat mode echoes the reference's error! text verbatim), analyze,
+    * render. Session-agnostic and exit-free so tests can drive the
+    * exact `--parquet` end-to-end path in-JVM; `main` owns the process
+    * concerns (stderr, exit −2, session stop) around it.
+    */
+  private[cli] def analyzeAndRender(
+      records: org.apache.spark.sql.DataFrame, opts: Map[String, String],
+      label: String, t0: Long): Either[String, String] =
+    if (TopicMetrics.isEmpty(records))
+      Left(
         if (opts.contains("compat"))
           "Given topic has no content, no analysis possible. Exiting."
         else "The topic is empty, exiting.")
-      spark.stop()
-      sys.exit(-2)
+    else {
+      val result = TopicAnalyzer.analyze(records, opts.contains("alive"))
+      val elapsed = (System.nanoTime() - t0) / 1000000000L
+      Right(TopicAnalyzer.report(
+        result, label, elapsed, opts.contains("compat")))
     }
-    val result = TopicAnalyzer.analyze(records, opts.contains("alive"))
-    val elapsed = (System.nanoTime() - t0) / 1000000000L
-    println(TopicAnalyzer.report(result,
-      topic.orElse(parquetDir).get, elapsed, opts.contains("compat")))
-    spark.stop()
-  }
 
   /** The `--librdkafka k=v[,k=v...]` list as Spark Kafka-source
     * options (`kafka.` prefix, like the reference passes raw consumer

@@ -62,4 +62,34 @@ class CliSpec extends AnyFunSuite {
     val stream = KafkaRecordSource.streamOptions("b:9092", "t", Map.empty).toMap
     assert(!stream.contains("endingOffsets")) // unbounded
   }
+
+  test("--parquet end-to-end: parse -> source -> analyze -> report, in the CLI core") {
+    val spark = graft.SparkSuite.spark
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val opts = Main.parse(
+      List("--parquet", "/root/testdata/sf0.001", "-c", "--compat"), Map.empty)
+    assert(!opts.contains("unknown") && !opts.contains("missing-value"))
+    val records =
+      graft.sources.EventsAsRecords.records(spark, opts("parquet"))
+    val out = Main.analyzeAndRender(records, opts, opts("parquet"),
+      System.nanoTime())
+    assert(out.isRight, s"CLI core failed: $out")
+    val report = out.toOption.get
+    // the full 15-column report rendered with the alive-key column
+    // populated (the -c path) and the compat legend present
+    assert(report.contains("K = Key, V = Value, P = Partition"))
+    assert(report.contains("/root/testdata/sf0.001"))
+    assert(report.linesIterator.size > 8)
+  }
+
+  test("--parquet end-to-end: the empty guard takes the compat exit text") {
+    val spark = graft.SparkSuite.spark
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      graft.model.RecordSchema.schema)
+    assert(Main.analyzeAndRender(empty, Map("compat" -> "true"), "t", 0L) ==
+      Left("Given topic has no content, no analysis possible. Exiting."))
+    assert(Main.analyzeAndRender(empty, Map.empty, "t", 0L) ==
+      Left("The topic is empty, exiting."))
+  }
 }

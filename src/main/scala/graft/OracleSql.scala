@@ -1321,12 +1321,13 @@ object OracleSql {
     * padding metric are bit-identical across engines. */
   def batchPadding(batchSize: Int = 8, streams: Int = 4,
       bucketTokens: Int = 16, maxBucket: Int = 8): String =
-    s"""WITH t AS (
+    s"""$docCte,
+       |tt AS (
        |  SELECT doc_id,
-       |         CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(toks) AS BIGINT) AS n_tokens,
        |         CAST(${docIdBucket(streams)} AS BIGINT) AS stream
-       |  FROM documents),
-       |b AS (SELECT *, least(n_tokens // $bucketTokens, $maxBucket) AS len_bucket FROM t),
+       |  FROM tok),
+       |b AS (SELECT *, least(n_tokens // $bucketTokens, $maxBucket) AS len_bucket FROM tt),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY len_bucket, stream ORDER BY doc_id) - 1 AS rn
        |      FROM b)
        |SELECT len_bucket, stream, CAST(rn // $batchSize AS BIGINT) AS batch_id,

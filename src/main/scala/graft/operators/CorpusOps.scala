@@ -257,7 +257,11 @@ object CorpusOps {
     */
   def batchPadding(docs: DataFrame, batchSize: Int = 8, streams: Int = 4,
       bucketTokens: Int = 16, maxBucket: Int = 8): DataFrame = {
-    require(batchSize >= 1 && streams >= 1 && bucketTokens >= 1)
+    require(batchSize >= 1 && streams >= 1 && bucketTokens >= 1 &&
+      maxBucket >= 0,
+      s"batchSize/streams/bucketTokens must be >= 1 and maxBucket >= 0; " +
+        s"got batchSize=$batchSize streams=$streams " +
+        s"bucketTokens=$bucketTokens maxBucket=$maxBucket")
     val w = Window.partitionBy(col("len_bucket"), col("stream"))
       .orderBy(col("doc_id"))
     docs.select(col("doc_id"),

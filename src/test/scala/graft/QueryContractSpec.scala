@@ -41,7 +41,10 @@ class QueryContractSpec extends SparkSuite {
               case e: Throwable =>
                 StorageHygiene.releaseAndSweep(spark, "contract", name, None,
                   cleanRun = false)
-                Some(name -> e.getMessage.linesIterator.next())
+                // null/empty getMessage (bare NPE) must not crash the
+                // reporter whose whole job is naming the broken query
+                Some(name -> Option(e.getMessage).flatMap(
+                  _.linesIterator.nextOption()).getOrElse(e.getClass.getName))
             }
           r
       }

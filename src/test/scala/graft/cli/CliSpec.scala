@@ -65,21 +65,29 @@ class CliSpec extends AnyFunSuite {
 
   test("--parquet end-to-end: parse -> source -> analyze -> report, in the CLI core") {
     val spark = graft.SparkSuite.spark
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val opts = Main.parse(
-      List("--parquet", "/root/testdata/sf0.001", "-c", "--compat"), Map.empty)
-    assert(!opts.contains("unknown") && !opts.contains("missing-value"))
-    val records =
-      graft.sources.EventsAsRecords.records(spark, opts("parquet"))
-    val out = Main.analyzeAndRender(records, opts, opts("parquet"),
-      System.nanoTime())
-    assert(out.isRight, s"CLI core failed: $out")
-    val report = out.toOption.get
-    // the full 15-column report rendered with the alive-key column
-    // populated (the -c path) and the compat legend present
-    assert(report.contains("K = Key, V = Value, P = Partition"))
-    assert(report.contains("/root/testdata/sf0.001"))
-    assert(report.linesIterator.size > 8)
+    // save/restore the shared session's legacy-nanos conf (suite order
+    // must not decide later tests' parquet timestamp behavior)
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    try {
+      val opts = Main.parse(
+        List("--parquet", "/root/testdata/sf0.001", "-c", "--compat"), Map.empty)
+      assert(!opts.contains("unknown") && !opts.contains("missing-value"))
+      val records =
+        graft.sources.EventsAsRecords.records(spark, opts("parquet"))
+      val out = Main.analyzeAndRender(records, opts, opts("parquet"),
+        System.nanoTime())
+      assert(out.isRight, s"CLI core failed: $out")
+      val report = out.toOption.get
+      // the full 15-column report rendered with the alive-key column
+      // populated (the -c path) and the compat legend present
+      assert(report.contains("K = Key, V = Value, P = Partition"))
+      assert(report.contains("/root/testdata/sf0.001"))
+      assert(report.linesIterator.size > 8)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   test("--parquet end-to-end: the empty guard takes the compat exit text") {

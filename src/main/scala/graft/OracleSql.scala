@@ -1315,6 +1315,23 @@ object OracleSql {
        |       MIN(doc_id) AS first_doc
        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Mirrors [[graft.operators.CorpusOps.sourceMixture]]: integer
+    * token sums, IEEE-exact sqrt, MAX normalizer — every float op is
+    * a single identically-shaped rounding on both engines. */
+  val sourceMixture: String =
+    s"""$docCte,
+       |per AS (
+       |  SELECT d.source, COUNT(*) AS n_docs,
+       |         CAST(SUM(len(t.toks)) AS BIGINT) AS tokens
+       |  FROM tok t JOIN documents d USING (doc_id)
+       |  GROUP BY d.source),
+       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot_tokens,
+       |               MAX(tokens) AS max_tokens FROM per)
+       |SELECT source, n_docs, tokens,
+       |       CAST(tokens AS DOUBLE) / tot_tokens AS raw_share,
+       |       sqrt(CAST(tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
+       |FROM per, tot ORDER BY source""".stripMargin
+
   /** Mirrors [[graft.operators.CorpusOps.batchPadding]]: same integer
     * length-bucket formula, same FNV stream, same per-(bucket, stream)
     * row_number batching — all integer arithmetic, so batches and the

@@ -366,6 +366,8 @@ object SparkEntry {
     "q_doc_chunks" -> ((s, dir) => CorpusOps.docChunks(docs(s, dir))),
     // length-bucketed batching + pad-to-longest waste accounting
     "q_batch_padding" -> ((s, dir) => CorpusOps.batchPadding(docs(s, dir))),
+    // temperature-style (alpha = 1/2) source mixture weights
+    "q_source_mixture" -> ((s, dir) => CorpusOps.sourceMixture(docs(s, dir))),
     "q_doc_keywords" -> ((s, dir) => CorpusOps.docKeywords(docs(s, dir))),
     // grouping-sets breadth (CUBE margins) + decontaminated output table
     "q_source_cube" -> ((s, dir) => CorpusOps.sourceCube(docs(s, dir))),
@@ -623,6 +625,7 @@ object SparkEntry {
       "q_pack_stats" -> OracleSql.packStats(),
       "q_doc_chunks" -> OracleSql.docChunks(),
       "q_batch_padding" -> OracleSql.batchPadding(),
+      "q_source_mixture" -> OracleSql.sourceMixture,
       "q_doc_keywords" -> OracleSql.docKeywords(),
       "q_source_cube" -> OracleSql.sourceCube,
       "q_clean_corpus" -> OracleSql.cleanCorpus(),

@@ -236,6 +236,40 @@ object CorpusOps {
         min(col("doc_id")).as("first_doc"))
       .orderBy(col("pack_bucket"), col("bin_id"))
 
+  /** Source mixture weights — the temperature-style rebalancing a
+    * multi-source pretraining mix applies so big crawls don't drown
+    * small high-quality sources: each source's relative sampling
+    * weight is `tokens^α` with α fixed at 1/2 via `sqrt`. Engine-exact
+    * by construction: token totals are integer sums, `sqrt` is
+    * IEEE-754 correctly rounded on every engine (an arbitrary `pow`'s
+    * libm ulp drift would break the cross-engine hash), and the
+    * normalizer is the MAX source (order-independent) rather than a
+    * float sum (whose addition order differs across engines). Output
+    * per source: doc/token totals, the proportional share
+    * `tokens/total`, and `rel_weight = sqrt(tokens)/sqrt(max_tokens)`
+    * — 1 for the largest source, and > raw share for every smaller
+    * one (the flattening that is the point of the operator).
+    *
+    * Scale shape: one partial-aggregable groupBy(source) (map-side
+    * combine collapses 100 TB to O(#sources) rows) + a broadcast
+    * 1-row scalar for the totals — the Q22 idiom; no corpus-wide
+    * shuffle beyond the tiny per-source aggregate.
+    */
+  def sourceMixture(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("tot_tokens"),
+      max(col("tokens")).as("max_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") / col("tot_tokens")).as("raw_share"),
+        (sqrt(col("tokens").cast("double")) /
+          sqrt(col("max_tokens").cast("double"))).as("rel_weight"))
+      .orderBy(col("source"))
+  }
+
   /** Length-bucketed batch accounting — the padding-waste audit that
     * motivates length bucketing: batching similar-length sequences
     * shrinks the `max(len)·batch − Σlen` padding a naive random batch

@@ -465,6 +465,31 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("sourceMixture: exact closed form, flattening, max-normalized") {
+    // 3 sources with token counts 100 / 25 / 4 (docs of "w "*n text)
+    def doc(id: Long, n: Int, src: String) =
+      (id, Seq.fill(n)("w").mkString(" "), "en", src)
+    val d = docs(
+      doc(0L, 60, "big"), doc(1L, 40, "big"),
+      doc(2L, 25, "mid"),
+      doc(3L, 4, "small"))
+    val r = rowsOf(CorpusOps.sourceMixture(d))
+      .map(m => m("source").asInstanceOf[String] -> m).toMap
+    assert(r("big")("tokens") == 100L && r("mid")("tokens") == 25L &&
+      r("small")("tokens") == 4L)
+    // sqrt closed forms: sqrt(100)=10, sqrt(25)=5, sqrt(4)=2 — exact
+    assert(r("big")("rel_weight") == 1.0)
+    assert(r("mid")("rel_weight") == 0.5)
+    assert(r("small")("rel_weight") == 0.2)
+    assert(r("big")("raw_share") == 100.0 / 129)
+    // flattening: every non-largest source's relative weight exceeds
+    // its relative size — the operator's reason to exist
+    assert(0.5 > 25.0 / 100 && 0.2 > 4.0 / 100)
+    // raw shares are exact integer-ratio doubles summing to ~1
+    val shares = r.values.map(_("raw_share").asInstanceOf[Double]).sum
+    assert(math.abs(shares - 1.0) < 1e-12)
+  }
+
   test("batchPadding: homogeneous buckets, full partition, exact waste") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rows = rowsOf(CorpusOps.batchPadding(real,

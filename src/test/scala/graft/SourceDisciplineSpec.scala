@@ -86,9 +86,10 @@ class SourceDisciplineSpec extends AnyFunSuite {
   }
 
   test("every crossJoin is a broadcast 1-row scalar subquery") {
-    // all three are the Q22 idiom: broadcast(1-row aggregate) ⨯ frame
+    // all four are the Q22 idiom: broadcast(1-row aggregate) ⨯ frame
+    // (CorpusOps: token-budget total + sourceMixture totals)
     audit("crossJoin", raw"\.crossJoin\(", Map(
-      "src/main/scala/graft/operators/CorpusOps.scala" -> 1,
+      "src/main/scala/graft/operators/CorpusOps.scala" -> 2,
       "src/main/scala/graft/operators/DecisionSupport.scala" -> 1,
       "src/main/scala/graft/operators/Relational.scala" -> 1))
   }

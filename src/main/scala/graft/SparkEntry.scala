@@ -339,6 +339,11 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, dir) =>
       CorpusOps.stratifiedSampleStats(docs(s, dir))),
     "q_decontaminate" -> ((s, dir) => CorpusOps.decontaminateById(docs(s, dir))),
+    // Bloom-prefiltered twin: eval shingles fold into one fixed-size
+    // sketch, train postings filter through might_contain before any
+    // join — exact output (the join removes false positives), same oracle
+    "q_decontaminate_bloom" -> ((s, dir) =>
+      CorpusOps.decontaminateBloomById(docs(s, dir))),
     "q_cluster_best" -> ((s, dir) => CorpusOps.bestOfCluster(docs(s, dir))),
     // token-budget selection (histogram two-pass; oracle is the global window)
     "q_token_budget" -> ((s, dir) =>
@@ -614,6 +619,7 @@ object SparkEntry {
       "q_split_stats" -> OracleSql.splitStats(),
       "q_sample_stratified" -> OracleSql.stratifiedSampleStats(),
       "q_decontaminate" -> OracleSql.decontaminate(),
+      "q_decontaminate_bloom" -> OracleSql.decontaminate(),
       "q_cluster_best" -> OracleSql.clusterBest(),
       "q_source_stats" -> OracleSql.sourceStats,
       "q_source_overlap" -> OracleSql.sourceOverlap(),

@@ -138,21 +138,96 @@ object CorpusOps {
     */
   def decontaminate(train: DataFrame, eval: DataFrame, shingleN: Int = 5,
       minShared: Long = 1L, broadcastEval: Boolean = true): DataFrame = {
-    // explode_outer: stops InferFiltersFromGenerate from inlining the
-    // fused shingle-hash into the scan filter (3× per-row evaluation —
-    // see the twin comment in Dedup.ngramJaccardPairs); the null rows
-    // it can emit are dropped by the inner join on `g` below.
-    def postings(docs: DataFrame, as: String): DataFrame =
-      Dedup.shingleHashFrame(docs, shingleN)
-        .select(col("doc_id").as(as), explode_outer(col("xs")).as("g"))
-    val evalEx = postings(eval, "eval_doc")
+    val evalEx = shinglePostings(eval, "eval_doc", shingleN)
     val evalSide = if (broadcastEval) broadcast(evalEx) else evalEx
-    postings(train, "train_doc").join(evalSide, Seq("g"))
+    sharedShingleReport(
+      shinglePostings(train, "train_doc", shingleN), evalSide, minShared)
+  }
+
+  /** Exploded (doc, shingle-hash) postings. `explode_outer`: stops
+    * InferFiltersFromGenerate from inlining the fused shingle-hash
+    * into the scan filter (3× per-row evaluation — see the twin
+    * comment in Dedup.ngramJaccardPairs); the null rows it can emit
+    * are dropped by the inner join on `g` downstream.
+    */
+  private def shinglePostings(docs: DataFrame, as: String,
+      shingleN: Int): DataFrame =
+    Dedup.shingleHashFrame(docs, shingleN)
+      .select(col("doc_id").as(as), explode_outer(col("xs")).as("g"))
+
+  /** The shared tail of both decontamination variants: matched
+    * postings → per-pair shared-shingle counts ≥ `minShared`. */
+  private def sharedShingleReport(trainPost: DataFrame,
+      evalSide: DataFrame, minShared: Long): DataFrame =
+    trainPost.join(evalSide, Seq("g"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .orderBy(col("train_doc"), col("eval_doc"))
+
+  /** [[decontaminate]] with a Bloom-prefiltered train side — the
+    * eval-not-small scale path. [[decontaminate]]'s linear-in-train
+    * plan still JOINS every train shingle posting against the eval
+    * postings; when the eval side outgrows a broadcast
+    * (`broadcastEval = false`), that is a corpus-sized shuffle whose
+    * matches are a vanishing fraction. Here the eval shingle set first
+    * folds into ONE fixed-size Bloom sketch (Spark's own
+    * `BloomFilterAggregate` — map-side combining, `numBits/8` bytes on
+    * the driver regardless of eval cardinality: the codebook pattern),
+    * and train postings filter through the codegen'd
+    * `might_contain` BEFORE any join — so the shuffle carries true
+    * matches + an `fpp` sliver of false positives, both removed by the
+    * exact join that follows. No false negatives exist (Bloom
+    * guarantee), therefore output ≡ [[decontaminate]] row-for-row and
+    * the two share one oracle.
+    *
+    * `expectedEvalShingles` sizes the sketch: ~1.2 bytes/shingle at
+    * the default 1% fpp (Spark caps it at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`, default
+    * 4M — raise that conf alongside for benchmark suites beyond it).
+    */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame,
+      shingleN: Int = 5, minShared: Long = 1L,
+      expectedEvalShingles: Long = 1L << 20,
+      broadcastEval: Boolean = true): DataFrame = {
+    val evalEx = shinglePostings(eval, "eval_doc", shingleN)
+    val evalSide = if (broadcastEval) broadcast(evalEx) else evalEx
+    sharedShingleReport(
+      bloomPrefilter(shinglePostings(train, "train_doc", shingleN),
+        evalEx, expectedEvalShingles),
+      evalSide, minShared)
   }
+
+  /** `trainPost` filtered to postings whose shingle might be in
+    * `evalPost`'s shingle set. The collect is the ONE bounded driver
+    * artifact: the serialized sketch, ≤ numBits/8 bytes (≈1.2 MB at
+    * the 1%-fpp default sizing), never a row of either corpus.
+    */
+  private[graft] def bloomPrefilter(trainPost: DataFrame,
+      evalPost: DataFrame, expectedEvalShingles: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bloomAgg = ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.catalystExpression(col("g").cast("long")),
+        expectedEvalShingles).toAggregateExpression())
+    val bytes = evalPost.filter(col("g").isNotNull)
+      .agg(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]]("bf")
+    if (bytes == null) trainPost.filter(lit(false)) // empty eval set
+    else trainPost.filter(ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes),
+      ColumnBridge.catalystExpression(col("g").cast("long")))))
+  }
+
+  /** Fixture adapter twin of [[decontaminateById]] for the Bloom
+    * variant — same oracle as [[decontaminateById]] (the sketch is a
+    * prefilter, not a semantics change). */
+  def decontaminateBloomById(docs: DataFrame, evalMaxId: Long = 100,
+      shingleN: Int = 5, minShared: Long = 1): DataFrame =
+    decontaminateBloom(
+      docs.filter(col("doc_id") >= evalMaxId),
+      docs.filter(col("doc_id") < evalMaxId),
+      shingleN, minShared)
 
   /** Fixture adapter: eval set = `doc_id < evalMaxId` within one
     * corpus frame — the driver-query shape over the single `documents`

@@ -121,14 +121,22 @@ object EventsAsRecords {
     * session time zone to UTC), or already TimestampType. Works on
     * batch and streaming frames alike — column ops only.
     */
-  def normalizeTs(ev: DataFrame): DataFrame =
-    ev.schema("ts").dataType match {
+  def normalizeTs(ev: DataFrame): DataFrame = normalizeTs(ev, "ts")
+
+  /** [[normalizeTs]] for an arbitrary event-time column — the entry
+    * guard for every operator that accepts a USER-supplied frame
+    * (streaming sessionization, attribution joins) rather than one
+    * produced by [[readEvents]]. Without it, an NTZ-encoded input
+    * detonates at `unix_micros` deep inside the operator's plan.
+    */
+  def normalizeTs(ev: DataFrame, colName: String): DataFrame =
+    ev.schema(colName).dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer division: double division loses microseconds at
         // 2^60-magnitude nano timestamps (53-bit mantissa)
-        ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        ev.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        ev.withColumn("ts", col("ts").cast("timestamp"))
+        ev.withColumn(colName, col(colName).cast("timestamp"))
       case _ => ev
     }
 

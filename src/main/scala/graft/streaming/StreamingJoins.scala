@@ -44,10 +44,11 @@ object StreamingJoins {
   def attribution(clicks: DataFrame, purchases: DataFrame,
       horizonMinutes: Int = 30,
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    val c = clicks.withWatermark("ts", watermarkDelay)
+    import graft.sources.EventsAsRecords.normalizeTs
+    val c = normalizeTs(clicks, "ts").withWatermark("ts", watermarkDelay)
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
-    val p = purchases.withWatermark("ts", watermarkDelay)
+    val p = normalizeTs(purchases, "ts").withWatermark("ts", watermarkDelay)
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
         col("value"))

@@ -28,7 +28,7 @@ object StreamingSessions {
 
   def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
       delay: String = "1 hour"): DataFrame =
-    events
+    graft.sources.EventsAsRecords.normalizeTs(events, "ts")
       .withWatermark("ts", delay)
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$gapMinutes minutes").as("sw"))

@@ -103,6 +103,47 @@ class CorpusOpsSpec extends SparkSuite {
     assert(unhinted == r)
   }
 
+  test("decontaminateBloom ≡ decontaminate (exact output through the sketch)") {
+    // the sketch is a PREFILTER: no false negatives (Bloom guarantee),
+    // false positives die in the exact join — so the two variants must
+    // agree row-for-row, on the planted fixture and the real one
+    val leak = "rain falls on the green hills and a river runs"
+    val d = enDocs(
+      1L -> base,
+      2L -> "completely different evaluation prompt about catalyst optimizer rules",
+      1000L -> s"unrelated training prose first then $leak then more words after",
+      1001L -> "entirely disjoint training document with no overlapping runs at all")
+    assert(rowsOf(CorpusOps.decontaminateBloomById(d)) ==
+      rowsOf(CorpusOps.decontaminateById(d)))
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    assert(rowsOf(CorpusOps.decontaminateBloomById(real)) ==
+      rowsOf(CorpusOps.decontaminateById(real)))
+  }
+
+  test("bloom prefilter prunes disjoint postings, keeps every true match") {
+    val leak = "rain falls on the green hills and a river runs"
+    val train = enDocs(
+      1L -> s"training text around $leak embedded in the middle",
+      2L -> "clean training document sharing nothing with the benchmark and long")
+    val eval = enDocs(10L -> base)
+    def postings(df: org.apache.spark.sql.DataFrame, as: String) =
+      graft.operators.Dedup.shingleHashFrame(df, 5)
+        .select(col("doc_id").as(as), explode_outer(col("xs")).as("g"))
+    val trainPost = postings(train, "train_doc")
+    val kept = CorpusOps.bloomPrefilter(trainPost, postings(eval, "eval_doc"),
+      expectedEvalShingles = 1L << 12)
+    val keptG = rowsOf(kept).map(_("g")).toSet
+    val matchG = rowsOf(trainPost.join(postings(eval, "eval_doc"), Seq("g")))
+      .map(_("g")).toSet
+    assert(matchG.subsetOf(keptG), "a Bloom filter must never drop a true match")
+    assert(kept.count() < trainPost.count(),
+      "the prefilter should prune the disjoint doc's postings")
+    // empty eval set: no sketch to build — zero postings survive
+    assert(CorpusOps.bloomPrefilter(trainPost,
+      postings(eval.filter(lit(false)), "eval_doc"), 1L << 12).count() == 0L)
+  }
+
   test("sourceCube margins are consistent with the cell aggregate") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val cube = rowsOf(graft.operators.CorpusOps.sourceCube(d))

@@ -71,6 +71,30 @@ class EventsSourceSpec extends SparkSuite {
       .head("m").asInstanceOf[Long] > 0L)
   }
 
+  test("user-frame operators accept TIMESTAMP_NTZ input (entry guard)") {
+    // sessionWindows / attribution consume USER-supplied frames, not
+    // readEvents output — they must normalize at entry or an NTZ `ts`
+    // detonates at unix_micros during analysis (batch mode exercises
+    // the identical plan; withWatermark is a no-op here)
+    val ldt = java.time.LocalDateTime
+      .ofEpochSecond(micros / 1000000L, (micros % 1000000L).toInt * 1000,
+        java.time.ZoneOffset.UTC)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampNTZType), StructField("value", DoubleType)))
+    val click = spark.createDataFrame(
+      Seq(Row(1L, 7L, ldt, 1.0)).asJava, schema)
+    val buy = spark.createDataFrame(
+      Seq(Row(2L, 7L, ldt.plusMinutes(5), 9.5)).asJava, schema)
+
+    val sess = rowsOf(graft.streaming.StreamingSessions.sessionWindows(click))
+    assert(sess.head("session_start_us") == micros)
+
+    val att = rowsOf(graft.streaming.StreamingJoins.attribution(click, buy))
+    assert(att.head("click_ts_us") == micros)
+    assert(att.head("purchase_ts_us") == micros + 5L * 60L * 1000000L)
+  }
+
   test("Timestamps.toMicros covers all three external temporal types") {
     val t = new java.sql.Timestamp(micros / 1000L)
     t.setNanos(((micros % 1000000L) * 1000L).toInt)

@@ -62,7 +62,9 @@ class SourceDisciplineSpec extends AnyFunSuite {
     // bounds, per file (the round-5 verdict's audit, now executable):
     //   TopicAnalyzer    O(#partitions) report rows
     //   AliveKeys        two 1-row aggregates
-    //   CorpusOps        O(bins) histogram longs (token budget)
+    //   CorpusOps        O(bins) histogram longs (token budget) + the
+    //                    serialized eval-shingle Bloom sketch
+    //                    (numBits/8 bytes, never rows — decontaminateBloom)
     //   EventAnalytics   O(#types), O(targets×1024) histogram counts,
     //                    O(1024) bin prefix counts (radix rank/select),
     //                    and planSpendBins' two per-level histograms —
@@ -79,7 +81,7 @@ class SourceDisciplineSpec extends AnyFunSuite {
     audit("collect()", raw"\.collect\(\)", Map(
       "src/main/scala/graft/TopicAnalyzer.scala" -> 1,
       "src/main/scala/graft/operators/AliveKeys.scala" -> 2,
-      "src/main/scala/graft/operators/CorpusOps.scala" -> 1,
+      "src/main/scala/graft/operators/CorpusOps.scala" -> 2,
       "src/main/scala/graft/operators/EventAnalytics.scala" -> 4,
       "src/main/scala/graft/operators/Similarity.scala" -> 9,
       "src/main/scala/graft/operators/TopicMetrics.scala" -> 1))

@@ -1227,6 +1227,27 @@ object OracleSql {
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Cluster-stratified diversity sample
+    * ([[graft.operators.Similarity.diverseSample]]): the knnIvf
+    * assignment CTE + a per-cell quota in FNV-hash order. */
+  def diverseSample(quota: Int = 40, nCentroids: Int = 16): String =
+    s"""WITH $unitCte,
+       |cent AS (SELECT vec_id AS cid, un AS cu FROM u WHERE vec_id < $nCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dotSql("e.un", "c.cu")} DESC, c.cid) AS crn
+       |    FROM u e, cent c) WHERE crn = 1),
+       |h AS (SELECT vec_id, cid,
+       |        ${fnvOf("CAST(vec_id AS VARCHAR)")} AS hv FROM assigned),
+       |r AS (SELECT vec_id, cid,
+       |        ROW_NUMBER() OVER (PARTITION BY cid ORDER BY hv, vec_id) AS rk,
+       |        COUNT(*) OVER (PARTITION BY cid) AS cell_n FROM h)
+       |SELECT vec_id, cid, CAST(cell_n AS BIGINT) AS cell_n,
+       |       rk <= $quota AS kept
+       |FROM r ORDER BY vec_id""".stripMargin
+
   def lshNearPairs(tables: Int = 4, planes: Int = 4,
       threshold: Double = 0.35): String = {
     val sigsUnion = sigsUnionSql(tables, planes)

@@ -316,6 +316,9 @@ object SparkEntry {
       val e = emb(s, dir)
       Similarity.knnIvf(e, e.filter(col("vec_id") < 16), 5)
     }),
+    // cluster-stratified diversity sampling: cap each embedding-space
+    // cell's contribution, deterministic hash-order draw within cells
+    "q_diverse_sample" -> ((s, dir) => Similarity.diverseSample(emb(s, dir))),
     // the PRODUCTION IVF path: k-means-trained codebook instead of the
     // oracle's deterministic stand-in. No oracleSql on purpose — float
     // avg fold order differs across engines, so the driver records the
@@ -615,6 +618,7 @@ object SparkEntry {
       "q_multimodal_audio" -> OracleSql.multimodalAudio,
       "q_embed_knn" -> OracleSql.knn(),
       "q_embed_knn_ivf" -> OracleSql.knnIvf(),
+      "q_diverse_sample" -> OracleSql.diverseSample(),
       "q_corpus_filter" -> OracleSql.corpusFilter(),
       "q_split_stats" -> OracleSql.splitStats(),
       "q_sample_stratified" -> OracleSql.stratifiedSampleStats(),

@@ -818,4 +818,54 @@ object Similarity {
         round(col("score"), 6).as("score"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Cluster-stratified diversity sampling — the embedding-space twin
+    * of [[graft.operators.CorpusOps.sourceQuota]]: cap how many
+    * vectors any one REGION of embedding space contributes, so a
+    * downsampled corpus keeps its semantic spread instead of
+    * collapsing onto the densest clusters (the cluster-balanced
+    * selection step of data-curation pipelines). Each vector is
+    * assigned to its nearest coarse centroid (the [[knnIvf]]
+    * inverted-file assignment — a shuffle-free driver-held-codebook
+    * argmax projection), then each cell keeps its first `quota`
+    * vectors in deterministic hash order (FNV-32 of the vec id, the
+    * engine's reproducible stand-in for a uniform draw — re-runs,
+    * repartitionings, and other engines pick the identical sample).
+    *
+    * Plan: one exchange on `cid` shared by the rank and cell-size
+    * windows; parallelism = number of cells, per-task cost = cell
+    * population. A pathologically hot cell (most of the corpus in one
+    * centroid's basin at 100 TB) is the [[graft.operators.CorpusOps
+    * .sourceQuotaDistributed]] regime — its radix-histogram rank
+    * applies verbatim with (group = cid, key = the 32-bit hash); with
+    * a trained codebook, cells are near-balanced by construction
+    * (that imbalance is exactly what k-means minimizes).
+    *
+    * Centroids default to the deterministic stand-in (first
+    * `nCentroids` vectors) so the DuckDB oracle reproduces the
+    * assignment; production passes [[trainCentroids]] — same plan.
+    */
+  def diverseSample(corpus: DataFrame, quota: Int = 40,
+      nCentroids: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cu = unitIndex(corpus)
+    val book = collectCoarseBook(cu, nCentroids, centroids)
+    if (book.isEmpty) {
+      import corpus.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Long, Boolean)]
+        .toDF("vec_id", "cid", "cell_n", "kept")
+    }
+    val cellW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"))
+    val rankW = cellW.orderBy(col("hv"), col("vec_id"))
+    assignCells(cu, book)
+      .select(col("vec_id"), col("cid"),
+        graft.functions.Fnv32.fnv32(
+          col("vec_id").cast("string").cast("binary")).as("hv"))
+      .withColumn("cell_rank", row_number().over(rankW))
+      .withColumn("cell_n", count(lit(1)).over(cellW))
+      .select(col("vec_id"), col("cid"), col("cell_n"),
+        (col("cell_rank") <= quota).as("kept"))
+      .orderBy(col("vec_id"))
+  }
 }

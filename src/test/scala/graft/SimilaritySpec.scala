@@ -351,6 +351,32 @@ class SimilaritySpec extends SparkSuite {
     assert(r.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "score"))
   }
 
+  test("diverseSample: every vector once, per-cell caps, repartition-stable") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val quota = 10
+    val r = rowsOf(Similarity.diverseSample(e, quota = quota))
+    // exactly one verdict per vector
+    assert(r.map(_("vec_id")).distinct.size == r.size)
+    assert(r.size == e.count())
+    // cell accounting: cell_n is the cell's population; kept per cell
+    // is min(quota, cell_n) — the quota binds tight, never over
+    val byCell = r.groupBy(_("cid"))
+    byCell.foreach { case (cid, rows) =>
+      val n = rows.head("cell_n").asInstanceOf[Long]
+      assert(rows.size.toLong == n, s"cell_n mismatch in cell $cid")
+      val kept = rows.count(_("kept").asInstanceOf[Boolean]).toLong
+      assert(kept == math.min(quota.toLong, n), s"cell $cid kept $kept of $n")
+    }
+    // the sample is a membership decision, not an artifact of physical
+    // layout: a different partitioning draws the identical sample
+    val re = rowsOf(Similarity.diverseSample(e.repartition(7), quota = quota))
+    assert(re.toSet == r.toSet)
+    // empty corpus: empty frame with the contract columns
+    val empty = Similarity.diverseSample(vecs(), quota = quota)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("vec_id", "cid", "cell_n", "kept"))
+  }
+
   test("lsh near pairs returns only pairs above threshold, ordered") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = rowsOf(Similarity.lshNearPairs(e, threshold = 0.3))

@@ -103,8 +103,8 @@ class CorpusStoreSpec extends SparkSuite {
         s"bucket-aligned join must not shuffle either side:\n$executed")
       // parity: bucketed result == the plain unbucketed join
       val plain = docs.join(scores, "doc_id")
-      assert(joined.select(sum(col("score"))).head.getLong(0) ==
-        plain.select(sum(col("score"))).head.getLong(0))
+      assert(joined.select(sum(col("score"))).head().getLong(0) ==
+        plain.select(sum(col("score"))).head().getLong(0))
     } finally {
       spark.conf.set(thresholdKey, prevThreshold)
       spark.sql("DROP TABLE IF EXISTS bkt_docs")

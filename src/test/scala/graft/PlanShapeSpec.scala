@@ -581,6 +581,38 @@ class PlanShapeSpec extends SparkSuite {
       s"undocumented single-reducer windows:\n${offenders.mkString("\n")}")
   }
 
+  test("bloom decontamination filters train postings BELOW the join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val d = table("documents").select(col("doc_id"), col("text"))
+    val opt = graft.operators.CorpusOps.decontaminateBloomById(d)
+      .queryExecution.optimizedPlan
+    // the sketch prefilter is the operator's reason to exist: train
+    // postings must pass through might_contain on the way INTO the
+    // join (a refactor that filters after joining — or drops the
+    // filter — silently reverts to the exact operator's shuffle size)
+    def hasBloomFilter(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collect { case f: Filter
+        if f.condition.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+            .BloomFilterMightContain]) => f }.nonEmpty
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.nonEmpty, s"expected the exact verify join:\n$opt")
+    assert(joins.exists(j =>
+        hasBloomFilter(j.left) || hasBloomFilter(j.right)),
+      s"bloom prefilter not below the join:\n$opt")
+  }
+
+  test("diverseSample: shuffle-free assignment, one cell exchange + sort") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(graft.operators.Similarity.diverseSample(emb, quota = 10))
+    // assignment is the knnIvf argmax projection (no corpus shuffle);
+    // the rank and cell-size windows share ONE cid exchange; the only
+    // other exchange is the presentation orderBy
+    val shuffles = raw"\(\d+\) Exchange\b".r.findAllIn(p).length
+    assert(shuffles <= 2, s"diverseSample grew an extra shuffle ($shuffles):\n$p")
+  }
+
   test("brute-force kNN broadcasts the query side, never the corpus") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = plan(graft.operators.Similarity.knnBruteForce(

@@ -683,6 +683,23 @@ object OracleSql {
        |FROM (SELECT doc_id, unnest(toks) AS token FROM tok)
        |GROUP BY token ORDER BY tf DESC, token LIMIT $k""".stripMargin
 
+  /** Mirrors [[graft.operators.TextAnalysis.tokenRarity]]: integer
+    * counts + one terminal division, so the doubles hash-match. */
+  val tokenRarity: String =
+    s"""$docCte,
+       |ex AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+       |exf AS (SELECT doc_id, term FROM ex WHERE term <> ''),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tfc FROM exf GROUP BY 1, 2),
+       |ctf AS (SELECT term, SUM(tfc) AS ctfc FROM tf GROUP BY 1)
+       |SELECT tf.doc_id,
+       |       CAST(SUM(tfc) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(tfc * ctfc) AS BIGINT) AS sum_ctf,
+       |       CAST(MIN(ctfc) AS BIGINT) AS min_ctf,
+       |       CAST(SUM(tfc * ctfc) AS DOUBLE) / CAST(SUM(tfc) AS DOUBLE)
+       |         AS mean_ctf
+       |FROM tf JOIN ctf USING (term)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def lengthHistogram(bucket: Int = 50): String =
     s"""SELECT CAST(FLOOR(length(text) * 1.0 / $bucket) * $bucket AS BIGINT) AS len_bucket,
        |       COUNT(*) AS n_docs

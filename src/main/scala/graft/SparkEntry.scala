@@ -235,6 +235,9 @@ object SparkEntry {
         tbl(s, dir, "lineitem"))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
+    // LM-lite quality signal: corpus-relative token commonness in
+    // exact integer arithmetic (one terminal division)
+    "q_token_rarity" -> ((s, dir) => TextAnalysis.tokenRarity(docs(s, dir))),
     // scale variant: HLL distinct counts (mergeable sketch, no
     // countDistinct re-shuffle). No oracleSql on purpose — HLL
     // register merge order is not hash-stable across engines; the
@@ -596,6 +599,7 @@ object SparkEntry {
       "q_tpch_q21" -> OracleSql.tpchQ21(),
       "q_repetition" -> OracleSql.repetition(),
       "q_vocabulary" -> OracleSql.vocabulary(),
+      "q_token_rarity" -> OracleSql.tokenRarity,
       "q_length_hist" -> OracleSql.lengthHistogram(),
       "q_text_clean" -> OracleSql.textClean,
       "q_text_stats" -> OracleSql.textStats,

@@ -77,6 +77,47 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
 
+  /** Corpus-relative token-commonness score — the LM-lite quality
+    * signal (the CCNet idea with a unigram model and EXACT
+    * arithmetic): per document, how common its tokens are in the
+    * corpus' own distribution. Boilerplate/spam scores HIGH
+    * (`mean_ctf` near the head of the Zipf curve), gibberish and
+    * OCR noise score LOW (`min_ctf` = 1 means a token occurs nowhere
+    * else in the corpus). A true n-gram-LM perplexity would sum
+    * `log p` — a libm call whose ulp drift breaks cross-engine
+    * hash comparison — so the score is kept in the exact domain:
+    * integer token counts, integer corpus-frequency sums, and ONE
+    * terminal division (IEEE-correctly-rounded from identical
+    * integers on every engine; the [[graft.operators.CorpusOps
+    * .sourceMixture]] rule).
+    *
+    * Plan shape: tokenize once; corpus term frequency is
+    * RE-AGGREGATED from the per-doc tf aggregate (never a
+    * term-partitioned window — Zipfian head terms made that a
+    * one-task hot spot in docKeywords, same reasoning) and
+    * equi-joined back with the tf exchange stage-reused via the
+    * [[graft.functions.Barrier.reuseAnchor]] gate, so the corpus
+    * tokenizes and shuffles ONCE. Head-term join skew is
+    * AQE-splittable.
+    */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val ctf = tf.filter(graft.functions.Barrier.reuseAnchor(col("tf")))
+      .groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    tf.join(ctf, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("tf") * col("ctf")).cast("long").as("sum_ctf"),
+        min(col("ctf")).cast("long").as("min_ctf"))
+      .withColumn("mean_ctf",
+        col("sum_ctf").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary summary via MERGEABLE sketches — the 100 TB
     * scale companion to [[vocabulary]]'s exact top-k: HyperLogLog++
     * (`approx_count_distinct`) for distinct terms and distinct

@@ -1370,6 +1370,30 @@ object OracleSql {
        |       sqrt(CAST(tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
        |FROM per, tot ORDER BY source""".stripMargin
 
+  /** Mirrors [[graft.operators.CorpusOps.mixtureSampleStats]]: same
+    * sqrt/floor ppm rate, same FNV membership, integer output. */
+  val mixtureSampleStats: String =
+    s"""$docCte,
+       |per AS (
+       |  SELECT d.source, d.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens
+       |  FROM tok t JOIN documents d USING (doc_id)),
+       |st AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+       |       FROM per GROUP BY 1),
+       |mn AS (SELECT MIN(tokens) AS min_tokens FROM st),
+       |r AS (SELECT source, tokens,
+       |        CAST(FLOOR(sqrt(CAST(min_tokens AS DOUBLE)) /
+       |             sqrt(CAST(tokens AS DOUBLE)) * 1000000) AS BIGINT) AS ppm
+       |      FROM st, mn),
+       |k AS (SELECT per.source, per.n_tokens, r.tokens, r.ppm,
+       |        (${fnvOf("CAST(doc_id AS VARCHAR)")}) % 1000000 < r.ppm AS kept
+       |      FROM per JOIN r USING (source))
+       |SELECT source, tokens, ppm,
+       |       COUNT(*) AS n_docs,
+       |       COUNT(*) FILTER (WHERE kept) AS n_kept,
+       |       CAST(COALESCE(SUM(n_tokens) FILTER (WHERE kept), 0) AS BIGINT)
+       |         AS kept_tokens
+       |FROM k GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   /** Mirrors [[graft.operators.CorpusOps.batchPadding]]: same integer
     * length-bucket formula, same FNV stream, same per-(bucket, stream)
     * row_number batching — all integer arithmetic, so batches and the

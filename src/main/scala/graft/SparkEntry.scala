@@ -379,6 +379,10 @@ object SparkEntry {
     "q_batch_padding" -> ((s, dir) => CorpusOps.batchPadding(docs(s, dir))),
     // temperature-style (alpha = 1/2) source mixture weights
     "q_source_mixture" -> ((s, dir) => CorpusOps.sourceMixture(docs(s, dir))),
+    // the weights APPLIED: per-source ppm keep rates + before/after
+    // accounting (sampled tokens come out proportional to sqrt(tokens))
+    "q_mixture_sample" -> ((s, dir) =>
+      CorpusOps.mixtureSampleStats(docs(s, dir))),
     "q_doc_keywords" -> ((s, dir) => CorpusOps.docKeywords(docs(s, dir))),
     // grouping-sets breadth (CUBE margins) + decontaminated output table
     "q_source_cube" -> ((s, dir) => CorpusOps.sourceCube(docs(s, dir))),
@@ -640,6 +644,7 @@ object SparkEntry {
       "q_doc_chunks" -> OracleSql.docChunks(),
       "q_batch_padding" -> OracleSql.batchPadding(),
       "q_source_mixture" -> OracleSql.sourceMixture,
+      "q_mixture_sample" -> OracleSql.mixtureSampleStats,
       "q_doc_keywords" -> OracleSql.docKeywords(),
       "q_source_cube" -> OracleSql.sourceCube,
       "q_clean_corpus" -> OracleSql.cleanCorpus(),

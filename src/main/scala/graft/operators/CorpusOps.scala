@@ -345,6 +345,62 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** Temperature sampling APPLIED — [[sourceMixture]]'s α=1/2
+    * rebalancing turned into an actual deterministic per-source keep
+    * rate: sampled tokens per source come out ∝ √tokens, so the big
+    * crawls shrink and the smallest source keeps everything
+    * (rate_s = √(min_tokens / tokens_s), the unique per-source
+    * Bernoulli rate with that property that never exceeds 1).
+    *
+    * Exactness discipline: the rate is two IEEE-correctly-rounded
+    * `sqrt`s, one division, one multiply, one `floor` to an integer
+    * parts-per-million threshold — every engine lands on the SAME
+    * ppm integer, and membership is then pure integer arithmetic
+    * (FNV of the doc id mod 1e6 under the threshold: the
+    * [[sampleKeep]] shape at ppm granularity). Truncation biases the
+    * rate DOWN (≤ 0.5 doc expected shortfall per million) — the safe
+    * direction for a cap. Re-runs, repartitionings, and other
+    * engines draw the identical sample.
+    *
+    * Two-pass plan (the [[selectByTokenBudget]] regime): pass 1
+    * collapses the corpus to O(#sources) token sums (map-side
+    * combining) + a broadcast 1-row min; pass 2 re-scans with the
+    * tiny rate table joined back (AQE broadcasts it) and the
+    * membership filter — no corpus shuffle in either pass.
+    */
+  private def mixtureKept(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("source"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val srcTok = per.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tokens"))
+    val mn = srcTok.agg(min(col("tokens")).as("min_tokens"))
+    val rates = srcTok.crossJoin(broadcast(mn))
+      .select(col("source"), col("tokens"),
+        floor(sqrt(col("min_tokens").cast("double")) /
+          sqrt(col("tokens").cast("double")) * 1000000.0)
+          .cast("long").as("ppm"))
+    per.join(rates, Seq("source"))
+      .withColumn("kept", hashBucket(col("doc_id"), lit(1000000)) < col("ppm"))
+  }
+
+  /** The kept rows — the pipeline-usable sampled corpus. */
+  def mixtureSample(docs: DataFrame): DataFrame =
+    mixtureKept(docs).filter(col("kept"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Per-source accounting for [[mixtureSample]]: the ppm rate and
+    * the doc/token counts before and after — all-integer output, so
+    * the oracle compare is hash-exact. */
+  def mixtureSampleStats(docs: DataFrame): DataFrame =
+    mixtureKept(docs)
+      .groupBy(col("source"), col("tokens"), col("ppm"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("kept")).as("n_kept"),
+        coalesce(sum(when(col("kept"), col("n_tokens"))), lit(0L))
+          .as("kept_tokens"))
+      .orderBy(col("source"))
+
   /** Length-bucketed batch accounting — the padding-waste audit that
     * motivates length bucketing: batching similar-length sequences
     * shrinks the `max(len)·batch − Σlen` padding a naive random batch

@@ -531,6 +531,39 @@ class CorpusOpsSpec extends SparkSuite {
     assert(math.abs(shares - 1.0) < 1e-12)
   }
 
+  test("mixtureSample: exact ppm rates, smallest source keeps all, stats agree") {
+    // token sums 100 / 25 / 4 → rates sqrt(4/100)=0.2, sqrt(4/25)=0.4,
+    // sqrt(4/4)=1 — exact doubles, so the ppm floors are closed-form
+    def doc(id: Long, n: Int, src: String) =
+      (id, Seq.fill(n)("w").mkString(" "), "en", src)
+    val d = docs(Seq(
+      doc(0L, 60, "big"), doc(1L, 40, "big"),
+      doc(2L, 25, "mid")) ++
+      (3L to 6L).map(i => doc(i, 1, "small")): _*)
+    val stats = rowsOf(CorpusOps.mixtureSampleStats(d))
+      .map(m => m("source").asInstanceOf[String] -> m).toMap
+    assert(stats("big")("ppm") == 200000L)
+    assert(stats("mid")("ppm") == 400000L)
+    assert(stats("small")("ppm") == 1000000L)
+    // the smallest source is never downsampled
+    assert(stats("small")("n_kept") == stats("small")("n_docs"))
+    assert(stats("small")("kept_tokens") == 4L)
+    // the kept-row frame and the accounting must be the same draw
+    val kept = rowsOf(CorpusOps.mixtureSample(d))
+    val bySrc = kept.groupBy(_("source")).view.mapValues(_.size.toLong).toMap
+    stats.foreach { case (src, m) =>
+      assert(bySrc.getOrElse(src, 0L) == m("n_kept").asInstanceOf[Long], src)
+    }
+    // membership is the documented FNV rule, not an RNG draw
+    kept.foreach { r =>
+      val id = r("doc_id").asInstanceOf[Long]
+      val src = r("source").asInstanceOf[String]
+      val hv = rowsOf(d.filter(col("doc_id") === id).select(
+        CorpusOps.hashBucket(col("doc_id"), 1000000).as("h"))).head("h")
+      assert(hv.asInstanceOf[Long] < stats(src)("ppm").asInstanceOf[Long])
+    }
+  }
+
   test("batchPadding: homogeneous buckets, full partition, exact waste") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rows = rowsOf(CorpusOps.batchPadding(real,

@@ -88,10 +88,11 @@ class SourceDisciplineSpec extends AnyFunSuite {
   }
 
   test("every crossJoin is a broadcast 1-row scalar subquery") {
-    // all four are the Q22 idiom: broadcast(1-row aggregate) ⨯ frame
-    // (CorpusOps: token-budget total + sourceMixture totals)
+    // all five are the Q22 idiom: broadcast(1-row aggregate) ⨯ frame
+    // (CorpusOps: token-budget total + sourceMixture totals +
+    // mixtureKept's min-tokens scalar)
     audit("crossJoin", raw"\.crossJoin\(", Map(
-      "src/main/scala/graft/operators/CorpusOps.scala" -> 2,
+      "src/main/scala/graft/operators/CorpusOps.scala" -> 3,
       "src/main/scala/graft/operators/DecisionSupport.scala" -> 1,
       "src/main/scala/graft/operators/Relational.scala" -> 1))
   }

@@ -253,6 +253,23 @@ class PlanShapeSpec extends SparkSuite {
       s"tf/df no longer share the tokenize exchange:\n${executed.take(3000)}")
   }
 
+  test("tokenRarity: no term window, tf exchange shared at runtime") {
+    // same Zipf-safety contract as docKeywords: corpus term frequency
+    // is re-aggregated from the per-doc tf aggregate (never a
+    // term-partitioned window) and the tf exchange is stage-reused so
+    // the corpus tokenizes exactly once
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.TextAnalysis.tokenRarity(docs)
+    val p = plan(df)
+    assert(!p.contains("windowspecdefinition(term"),
+      s"ctf regressed to a term-partitioned window:\n$p")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("isFinalPlan=true"), executed.take(500))
+    assert(executed.contains("ReusedExchange"),
+      s"tf/ctf no longer share the tokenize exchange:\n${executed.take(3000)}")
+  }
+
   test("sketch self-joins reuse one exchange per input at runtime") {
     // the forced-SMJ claim (Dedup.ngramJaccardPairs, simhashPairs,
     // Similarity.lshNearPairs): both self-join sides demand identical

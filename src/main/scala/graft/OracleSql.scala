@@ -1482,6 +1482,34 @@ object OracleSql {
     * mirrors [[graft.operators.CorpusOps.bestOfCluster]]: the same
     * recursive-closure clusters as [[nearDupClusters]] joined to the
     * same quality formula as [[quality]], argmax via a window. */
+  /** Mirrors [[graft.operators.CorpusOps.splitLeakage]]: the
+    * nearDupClusters recursive CTE + the FNV split rule, aggregated
+    * per cluster, leaking clusters only. */
+  def splitLeakage(numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, trainPct: Int = 80,
+      valPct: Int = 10): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashPairs(numHashes, bands, threshold)}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, t2) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t2 = e.a),
+       |clusters AS (SELECT s AS doc_id, MIN(t2) AS cluster FROM reach GROUP BY s),
+       |sp AS (SELECT doc_id, cluster,
+       |         CASE WHEN ${docIdBucket(100)} < $trainPct THEN 'train'
+       |              WHEN ${docIdBucket(100)} < ${trainPct + valPct} THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM clusters)
+       |SELECT cluster, COUNT(*) AS n_docs,
+       |       COUNT(DISTINCT split) AS n_splits,
+       |       MIN(split) AS split_a, MAX(split) AS split_b
+       |FROM sp GROUP BY 1 HAVING COUNT(DISTINCT split) > 1
+       |ORDER BY 1""".stripMargin
+
   def clusterBest(numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): String =
     s"""WITH RECURSIVE pairs AS (

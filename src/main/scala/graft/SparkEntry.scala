@@ -351,6 +351,9 @@ object SparkEntry {
     "q_decontaminate_bloom" -> ((s, dir) =>
       CorpusOps.decontaminateBloomById(docs(s, dir))),
     "q_cluster_best" -> ((s, dir) => CorpusOps.bestOfCluster(docs(s, dir))),
+    // dedup-aware split audit: near-dup clusters straddling
+    // train/val/test — the contamination hash-splitting cannot see
+    "q_split_leakage" -> ((s, dir) => CorpusOps.splitLeakage(docs(s, dir))),
     // token-budget selection (histogram two-pass; oracle is the global window)
     "q_token_budget" -> ((s, dir) =>
       CorpusOps.selectByTokenBudget(docs(s, dir))),
@@ -633,6 +636,7 @@ object SparkEntry {
       "q_decontaminate" -> OracleSql.decontaminate(),
       "q_decontaminate_bloom" -> OracleSql.decontaminate(),
       "q_cluster_best" -> OracleSql.clusterBest(),
+      "q_split_leakage" -> OracleSql.splitLeakage(),
       "q_source_stats" -> OracleSql.sourceStats,
       "q_source_overlap" -> OracleSql.sourceOverlap(),
       "q_corpus_diff" -> OracleSql.corpusDiff,

@@ -808,6 +808,38 @@ object CorpusOps {
       docs.filter(col("doc_id") < evalMaxId),
       shingleN, minShared)
 
+  /** Dedup-aware split-leakage audit: near-dup clusters
+    * ([[Dedup.nearDupLabels]], transitive MinHash closure) whose
+    * members straddle train/val/test boundaries. Hash-splitting is
+    * blind to content, so two near-copies of one document routinely
+    * land in train AND test — exactly the contamination a held-out
+    * split exists to prevent, invisible to [[decontaminate]] (which
+    * guards a separate eval BENCHMARK, not the corpus' own split).
+    * Emits one row per leaking cluster with its size, the number of
+    * splits spanned, and the (min, max) split names — deterministic
+    * columns instead of a collected list. The repair is membership
+    * re-derivation: assign each doc `splitName(cluster)` instead of
+    * `splitName(doc_id)` and the leak is gone by construction.
+    *
+    * Plan: the label frame (one row per doc) joins nothing — split
+    * derives from the id by arithmetic; one cluster-keyed aggregate.
+    * `countDistinct` is safe here: the distinct domain is the three
+    * split names. Inherits [[Dedup.nearDupLabels]]' checkpoint-release
+    * contract (consumers release via `ColumnBridge.unpersistCheckpoint`
+    * after the last action).
+    */
+  def splitLeakage(docs: DataFrame, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame =
+    Dedup.nearDupLabels(docs)
+      .withColumn("split", splitName(col("doc_id"), trainPct, valPct))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        min(col("split")).as("split_a"),
+        max(col("split")).as("split_b"))
+      .filter(col("n_splits") > 1)
+      .orderBy(col("cluster"))
+
   /** Language-ID confusion matrix: the labeled `lang` column vs the
     * engine's n-gram language prediction ([[TextFunctions.langId]]) —
     * the standard eval for a heuristic classifier when gold labels

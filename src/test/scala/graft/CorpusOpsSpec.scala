@@ -103,6 +103,25 @@ class CorpusOpsSpec extends SparkSuite {
     assert(unhinted == r)
   }
 
+  test("splitLeakage flags near-dup clusters straddling splits, skips clean ones") {
+    // ids 0..30 share one text → one cluster; with 80/10/10 FNV splits
+    // 31 ids certainly span at least two splits. 100 is a singleton.
+    val d = enDocs(
+      ((0L to 30L).map(i => i -> base) :+ (100L -> "a lone unrelated document")): _*)
+    val r = rowsOf(CorpusOps.splitLeakage(d))
+    assert(r.size == 1, s"expected exactly the one planted leak: $r")
+    val c = r.head
+    assert(c("cluster") == 0L)
+    assert(c("n_docs") == 31L)
+    assert(c("n_splits").asInstanceOf[Long] >= 2L)
+    // the reported split pair must agree with recomputing memberships
+    val splits = rowsOf(d.filter(col("doc_id") <= 30L)
+      .select(CorpusOps.splitName(col("doc_id")).as("s")).distinct())
+      .map(_("s").asInstanceOf[String]).sorted
+    assert(c("n_splits") == splits.size.toLong)
+    assert(c("split_a") == splits.min && c("split_b") == splits.max)
+  }
+
   test("decontaminateBloom ≡ decontaminate (exact output through the sketch)") {
     // the sketch is a PREFILTER: no false negatives (Bloom guarantee),
     // false positives die in the exact join — so the two variants must

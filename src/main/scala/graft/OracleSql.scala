@@ -1244,6 +1244,25 @@ object OracleSql {
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors [[graft.operators.Similarity.embeddingAudit]]: same
+    * well-formed guard, same sequential-fold norm. */
+  def embeddingAudit(dims: Int = Similarity.LshDims): String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |             list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, embedding,
+       |        CASE WHEN embedding IS NOT NULL AND len(embedding) = $dims
+       |             THEN sqrt(${dotSql("v", "v")}) END AS nrm
+       |      FROM e)
+       |SELECT COUNT(*) AS n_vectors,
+       |       COUNT(*) FILTER (WHERE embedding IS NULL) AS n_null_vec,
+       |       COUNT(*) FILTER (WHERE embedding IS NOT NULL
+       |                          AND len(embedding) <> $dims) AS n_wrong_dim,
+       |       COUNT(*) FILTER (WHERE nrm = 0.0) AS n_zero_norm,
+       |       round(MIN(nrm), 6) AS min_norm,
+       |       round(MAX(nrm), 6) AS max_norm
+       |FROM n""".stripMargin
+
   /** Cluster-stratified diversity sample
     * ([[graft.operators.Similarity.diverseSample]]): the knnIvf
     * assignment CTE + a per-cell quota in FNV-hash order. */

@@ -322,6 +322,9 @@ object SparkEntry {
     // cluster-stratified diversity sampling: cap each embedding-space
     // cell's contribution, deterministic hash-order draw within cells
     "q_diverse_sample" -> ((s, dir) => Similarity.diverseSample(emb(s, dir))),
+    // embedding-dump data-quality gate: nulls / wrong dims / zero
+    // norms / norm range, one scan, one row
+    "q_embedding_audit" -> ((s, dir) => Similarity.embeddingAudit(emb(s, dir))),
     // the PRODUCTION IVF path: k-means-trained codebook instead of the
     // oracle's deterministic stand-in. No oracleSql on purpose — float
     // avg fold order differs across engines, so the driver records the
@@ -630,6 +633,7 @@ object SparkEntry {
       "q_embed_knn" -> OracleSql.knn(),
       "q_embed_knn_ivf" -> OracleSql.knnIvf(),
       "q_diverse_sample" -> OracleSql.diverseSample(),
+      "q_embedding_audit" -> OracleSql.embeddingAudit(),
       "q_corpus_filter" -> OracleSql.corpusFilter(),
       "q_split_stats" -> OracleSql.splitStats(),
       "q_sample_stratified" -> OracleSql.stratifiedSampleStats(),

@@ -819,6 +819,32 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-table audit — the data-quality gate an embedding dump
+    * passes BEFORE any ANN/semantic operator trusts it: null vectors
+    * (failed encodes), wrong-dimension rows (mixed model versions —
+    * the silent killer: a 768-dim row in a 64-dim index scores
+    * garbage, not an error), zero-norm vectors (which [[withUnit]]
+    * maps to zero units so they cannot NaN-poison top-k, but which a
+    * pipeline wants counted), and the norm range. One scan, one
+    * 1-row aggregate; norms are computed only for well-formed rows
+    * (the guard pins identical null semantics on every engine) with
+    * the same sequential-fold dot as the kNN family, so min/max are
+    * engine-stable — min/max over a set is order-free, unlike a sum.
+    */
+  def embeddingAudit(corpus: DataFrame, dims: Int = LshDims): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm",
+        when(col("embedding").isNotNull && size(col("embedding")) === dims,
+          norm(col("embedding"))))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        count_if(col("embedding").isNull).as("n_null_vec"),
+        count_if(col("embedding").isNotNull &&
+          size(col("embedding")) =!= dims).as("n_wrong_dim"),
+        count_if(col("nrm") === 0.0).as("n_zero_norm"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+
   /** Cluster-stratified diversity sampling — the embedding-space twin
     * of [[graft.operators.CorpusOps.sourceQuota]]: cap how many
     * vectors any one REGION of embedding space contributes, so a

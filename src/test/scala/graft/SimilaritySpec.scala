@@ -351,6 +351,34 @@ class SimilaritySpec extends SparkSuite {
     assert(r.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "score"))
   }
 
+  test("embeddingAudit counts nulls, wrong dims, zero norms; fixture is clean") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(Seq(
+      Row(1L, Seq.fill(4)(0.5f)),  // well-formed, norm exactly 1.0
+      Row(2L, null),               // failed encode
+      Row(3L, Seq.fill(3)(1.0f)),  // wrong model dimension
+      Row(4L, Seq.fill(4)(0.0f))   // zero norm
+    ).asJava, schema)
+    val a = rowsOf(Similarity.embeddingAudit(df, dims = 4)).head
+    assert(a("n_vectors") == 4L)
+    assert(a("n_null_vec") == 1L)
+    assert(a("n_wrong_dim") == 1L)
+    assert(a("n_zero_norm") == 1L)
+    assert(a("min_norm") == 0.0)
+    assert(a("max_norm") == 1.0)
+    // the driver fixture must audit clean — this doubles as an env guard
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = rowsOf(Similarity.embeddingAudit(e)).head
+    assert(r("n_vectors").asInstanceOf[Long] == e.count())
+    assert(r("n_null_vec") == 0L && r("n_wrong_dim") == 0L &&
+      r("n_zero_norm") == 0L)
+    assert(r("min_norm").asInstanceOf[Double] > 0.0)
+  }
+
   test("diverseSample: every vector once, per-cell caps, repartition-stable") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val quota = 10

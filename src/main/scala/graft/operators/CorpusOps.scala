@@ -368,19 +368,33 @@ object CorpusOps {
     * tiny rate table joined back (AQE broadcasts it) and the
     * membership filter — no corpus shuffle in either pass.
     */
-  private def mixtureKept(docs: DataFrame): DataFrame = {
-    val per = docs.select(col("source"), col("doc_id"),
-      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-    val srcTok = per.groupBy(col("source"))
+  /** The (source, tokens, ppm) rate table — the persistable artifact
+    * a pipeline computes from yesterday's corpus and joins against
+    * today's ingest (see [[graft.streaming.StreamingCuration
+    * .mixtureGate]], the streaming face of this sampler). */
+  def mixtureRates(docs: DataFrame): DataFrame = {
+    val srcTok = docs.select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("tokens"))
     val mn = srcTok.agg(min(col("tokens")).as("min_tokens"))
-    val rates = srcTok.crossJoin(broadcast(mn))
+    srcTok.crossJoin(broadcast(mn))
       .select(col("source"), col("tokens"),
         floor(sqrt(col("min_tokens").cast("double")) /
           sqrt(col("tokens").cast("double")) * 1000000.0)
           .cast("long").as("ppm"))
-    per.join(rates, Seq("source"))
-      .withColumn("kept", hashBucket(col("doc_id"), lit(1000000)) < col("ppm"))
+  }
+
+  /** The per-doc membership rule shared by the batch sampler and the
+    * streaming gate: FNV(id) mod 1e6 under the source's ppm. */
+  private[graft] def mixtureKeep(id: Column, ppm: Column): Column =
+    hashBucket(id, lit(1000000)) < ppm
+
+  private def mixtureKept(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("source"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    per.join(mixtureRates(docs), Seq("source"))
+      .withColumn("kept", mixtureKeep(col("doc_id"), col("ppm")))
   }
 
   /** The kept rows — the pipeline-usable sampled corpus. */

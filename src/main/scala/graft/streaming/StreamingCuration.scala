@@ -52,4 +52,28 @@ object StreamingCuration {
         CorpusOps.splitName(col("doc_id")).as("split"),
         TextFunctions.redactPii(col("text")).as("text"),
         TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+
+  /** Temperature-sampling admission gate — the streaming face of
+    * [[CorpusOps.mixtureSample]]: a stream-static left join against a
+    * rate table ([[CorpusOps.mixtureRates]], computed from the
+    * at-rest corpus and re-read per micro-batch like any static dim)
+    * plus the SAME deterministic FNV membership rule the batch
+    * sampler uses — so a doc admitted here is exactly the doc the
+    * batch sampler would keep under those rates. Stateless: no
+    * watermark, no state, per-batch broadcast of the tiny rate table
+    * (unhinted — AQE sizes it; the broadcast policy note on
+    * [[StreamingJoins.enriched]] applies).
+    *
+    * A source ABSENT from the rate table passes at rate 1 (ppm
+    * defaults to 1e6): a brand-new domain was by definition too small
+    * to appear in yesterday's totals, and the mixture rule keeps the
+    * smallest sources whole — dropping unknown sources would starve
+    * every new domain out of the corpus forever.
+    */
+  def mixtureGate(stream: DataFrame, rates: DataFrame): DataFrame =
+    stream
+      .join(rates.select(col("source"), col("ppm")), Seq("source"), "left_outer")
+      .filter(CorpusOps.mixtureKeep(col("doc_id"),
+        coalesce(col("ppm"), lit(1000000L))))
+      .drop("ppm")
 }

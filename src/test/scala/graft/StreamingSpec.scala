@@ -222,6 +222,37 @@ class StreamingSpec extends SparkSuite {
     assert(Set("train", "val", "test").contains(kept("split").asInstanceOf[String]))
   }
 
+  test("streaming mixture gate admits exactly the batch sampler's draw") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch corpus → rate table; the stream replays the same docs plus
+    // one from an UNKNOWN source (absent from the rates: must pass)
+    def doc(id: Long, n: Int, src: String) =
+      (id, Seq.fill(n)("w").mkString(" "), src)
+    val corpusRows = Seq(doc(0L, 60, "big"), doc(1L, 40, "big"),
+      doc(2L, 25, "mid")) ++ (3L to 6L).map(i => doc(i, 1, "small"))
+    val corpus = corpusRows.toDF("doc_id", "text", "source")
+    val rates = graft.operators.CorpusOps.mixtureRates(corpus)
+    val streamRows = corpusRows :+ doc(99L, 7, "brand_new")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingCuration.mixtureGate(
+        mem.toDF().toDF("doc_id", "text", "source"), rates)
+      .writeStream.format("memory").queryName("mixgate")
+      .outputMode("append").start()
+    mem.addData(streamRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val admitted = rowsOf(spark.table("mixgate"))
+      .map(_("doc_id").asInstanceOf[Long]).toSet
+    // unknown source passes at rate 1
+    assert(admitted.contains(99L))
+    // known sources: exactly the batch sampler's deterministic draw
+    val batchKept = rowsOf(graft.operators.CorpusOps.mixtureSample(corpus))
+      .map(_("doc_id").asInstanceOf[Long]).toSet
+    assert(admitted - 99L == batchKept)
+  }
+
   test("watermark-bounded streaming dedup suppresses dupes within the horizon") {
     val s = spark
     import s.implicits._

@@ -143,6 +143,25 @@ object OracleSql {
        |       $langCaseSql AS lang_pred
        |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.operators.TextAnalysis.langConfidence]]: same
+    * hit counts, ranked by one DESC list sort, all-integer output. */
+  val langConfidence: String = {
+    val hitsList = TextFunctions.Langs.map(l => s"${l}_hits")
+      .mkString("[", ", ", "]")
+    s"""$docCte,
+       |h AS (SELECT doc_id, len(toks) AS n_tokens, $langHitsSelect FROM tok),
+       |s AS (SELECT doc_id, n_tokens,
+       |        ${TextFunctions.Langs.map(l => s"${l}_hits").mkString(", ")},
+       |        list_sort($hitsList, 'DESC') AS sh
+       |      FROM h)
+       |SELECT doc_id, $langCaseSql AS lang_pred,
+       |       CAST(sh[1] AS BIGINT) AS top_hits,
+       |       CAST(sh[2] AS BIGINT) AS second_hits,
+       |       CAST(sh[1] - sh[2] AS BIGINT) AS margin,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   val quality: String =
     s"""$docCte,
        |q AS ($qualityInputsSql)

@@ -252,6 +252,9 @@ object SparkEntry {
     // LLM-pipeline: text analysis over `documents`
     "q_text_stats" -> ((s, dir) => TextAnalysis.stats(docs(s, dir))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langIdFrame(docs(s, dir))),
+    // language-ID confidence: top/runner-up hits + margin, integers only
+    "q_lang_confidence" -> ((s, dir) =>
+      TextAnalysis.langConfidence(docs(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     // LLM-pipeline: dedup family
@@ -614,6 +617,7 @@ object SparkEntry {
       "q_text_clean" -> OracleSql.textClean,
       "q_text_stats" -> OracleSql.textStats,
       "q_lang_id" -> OracleSql.langId,
+      "q_lang_confidence" -> OracleSql.langConfidence,
       "q_quality" -> OracleSql.quality,
       "q_fingerprint" -> OracleSql.fingerprints,
       "q_dedup_exact" -> OracleSql.dedupExact,

@@ -32,6 +32,32 @@ object TextAnalysis {
         langIdFromHits(col("hits")).as("lang_pred"): _*)
       .orderBy(col("doc_id"))
 
+  /** Language-ID confidence — the gate that separates "predicted en"
+    * from "confidently en": the top and runner-up stopword hit counts
+    * and their margin, all integers (a likelihood-ratio analogue
+    * without a single float). A tie between two languages yields
+    * margin 0 — exactly the "don't trust this label" signal; short
+    * docs expose their small evidence base via `n_tokens`. Downstream
+    * gates pick their own threshold (absolute margin or margin per
+    * token) — the operator reports evidence, not policy. Same fused
+    * one-pass [[graft.functions.TextFunctions.langHits]] scan as
+    * langId; the ranked hits come from one `sort_array` (dup-safe:
+    * tied maxima sort adjacent, so runner-up is well-defined with no
+    * argmax-index bookkeeping).
+    */
+  def langConfidence(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langHits(col("text")).as("hits"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("sorted", sort_array(col("hits"), asc = false))
+      .select(col("doc_id"),
+        langIdFromHits(col("hits")).as("lang_pred"),
+        element_at(col("sorted"), 1).cast("long").as("top_hits"),
+        element_at(col("sorted"), 2).cast("long").as("second_hits"),
+        (element_at(col("sorted"), 1) - element_at(col("sorted"), 2))
+          .cast("long").as("margin"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"))
+
   def quality(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))

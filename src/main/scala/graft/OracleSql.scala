@@ -1263,6 +1263,29 @@ object OracleSql {
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors [[graft.operators.Similarity.semanticContaminationById]]:
+    * id split, unit vectors, pairwise index-order-fold dot, per-train
+    * verdict with arg-max via row_number (ties toward smaller eval id,
+    * same as the engine's `max_by(eval_id, struct(score, -eval_id))`).
+    */
+  def semanticContamination(evalMaxId: Long = 50,
+      threshold: Double = 0.4): String =
+    s"""WITH $unitCte,
+       |t AS (SELECT vec_id AS train_id, un AS tu FROM u WHERE vec_id >= $evalMaxId),
+       |e2 AS (SELECT vec_id AS eval_id, un AS eu FROM u WHERE vec_id < $evalMaxId),
+       |hits AS (
+       |  SELECT train_id, eval_id, ${dotSql("tu", "eu")} AS score
+       |  FROM t, e2 WHERE ${dotSql("tu", "eu")} >= $threshold),
+       |r AS (SELECT train_id, eval_id, score,
+       |        ROW_NUMBER() OVER (PARTITION BY train_id
+       |          ORDER BY score DESC, eval_id) AS rn,
+       |        COUNT(*) OVER (PARTITION BY train_id) AS n_hits,
+       |        MAX(score) OVER (PARTITION BY train_id) AS mx
+       |      FROM hits)
+       |SELECT train_id, n_hits AS n_eval_hits, eval_id AS top_eval_id,
+       |       round(mx, 6) AS top_score
+       |FROM r WHERE rn = 1 ORDER BY train_id""".stripMargin
+
   /** Mirrors [[graft.operators.Similarity.embeddingAudit]]: same
     * well-formed guard, same sequential-fold norm. */
   def embeddingAudit(dims: Int = Similarity.LshDims): String =

@@ -47,6 +47,9 @@ object SparkEntry {
     // exact distinct-key cardinality per partition
     "q_key_cardinality" -> ((s, dir) =>
       TopicMetrics.keyCardinality(records(s, dir))),
+    // producer-skew diagnosis: top-k hottest keys with tombstone share
+    // and partition spread (one agg + TakeOrderedAndProject)
+    "q_hot_keys" -> ((s, dir) => TopicMetrics.hotKeys(records(s, dir))),
     // §2.F2: exact last-write-wins alive-key count
     "q_alive_keys" -> ((s, dir) => AliveKeys.exactFrame(records(s, dir))),
     // per-partition post-compaction footprint (bytes a compacted log
@@ -328,6 +331,10 @@ object SparkEntry {
     // embedding-dump data-quality gate: nulls / wrong dims / zero
     // norms / norm range, one scan, one row
     "q_embedding_audit" -> ((s, dir) => Similarity.embeddingAudit(emb(s, dir))),
+    // embedding-space decontamination: train vectors too close to the
+    // (broadcast) eval set — the semantic twin of q_decontaminate
+    "q_decontaminate_semantic" -> ((s, dir) =>
+      Similarity.semanticContaminationById(emb(s, dir))),
     // the PRODUCTION IVF path: k-means-trained codebook instead of the
     // oracle's deterministic stand-in. No oracleSql on purpose — float
     // avg fold order differs across engines, so the driver records the
@@ -525,6 +532,13 @@ object SparkEntry {
            |SELECT "partition", COUNT(DISTINCT "key") AS n_keys,
            |       COUNT("key") AS n_keyed_records
            |FROM records GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_hot_keys" ->
+        s"""$cte
+           |SELECT "key" AS key_str, COUNT(*) AS n_writes,
+           |       COUNT(*) FILTER (WHERE "value" IS NULL) AS n_tombstones,
+           |       CAST(COUNT(DISTINCT "partition") AS INTEGER) AS n_partitions
+           |FROM records WHERE "key" IS NOT NULL
+           |GROUP BY 1 ORDER BY n_writes DESC, key_str LIMIT 20""".stripMargin,
       "q_rollup_stats" ->
         s"""$cte
            |SELECT "partition",
@@ -663,6 +677,7 @@ object SparkEntry {
       "q_embed_knn_lsh" -> OracleSql.knnLsh(),
       "q_embed_near_pairs" -> OracleSql.lshNearPairs(),
       "q_semantic_keep" -> OracleSql.semanticKeep(threshold = 0.4),
+      "q_decontaminate_semantic" -> OracleSql.semanticContamination(),
     )
   }
 }

@@ -196,6 +196,54 @@ object Similarity {
       .orderBy(col("vec_id")), rounds)
   }
 
+  /** Semantic decontamination: flag TRAIN vectors whose cosine
+    * similarity to ANY eval-set vector reaches `threshold` — the
+    * embedding-space complement of the shingle-based
+    * [[CorpusOps.decontaminate]] (paraphrased benchmark leakage shares
+    * no 5-gram but sits on top of the eval point in embedding space).
+    *
+    * Per flagged train vector: how many eval vectors it collides with,
+    * the most-similar one (ties toward the smaller eval id), and that
+    * score. Downstream pipelines anti-join the train corpus against
+    * column `train_id`.
+    *
+    * Scale shape — this exact formulation IS the 100 TB path, unlike
+    * the text variant (which needs its Bloom prefilter): eval
+    * benchmarks are tiny (10³–10⁵ vectors) against a 100 TB corpus, so
+    * the eval side is broadcast once and the plan is ONE corpus scan ×
+    * |eval| fused dot products per row with a partial-aggregable
+    * (count / max / max_by) reduction on `train_id` — no shuffle
+    * carries a vector, and the output is bounded by the contaminated
+    * set. All arithmetic is the index-order double fold ([[dot]]), so
+    * the DuckDB oracle reproduces scores bit-exactly.
+    */
+  def semanticContamination(train: DataFrame, eval: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    val t = withUnit(train).select(col("vec_id").as("train_id"),
+      col("unit").as("tu"))
+    val e = withUnit(eval).select(col("vec_id").as("eval_id"),
+      col("unit").as("eu"))
+    t.join(broadcast(e),
+        dot(col("tu"), col("eu")) >= threshold)
+      .select(col("train_id"), col("eval_id"),
+        dot(col("tu"), col("eu")).as("score"))
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max_by(col("eval_id"), struct(col("score"), -col("eval_id")))
+          .as("top_eval_id"),
+        round(max(col("score")), 6).as("top_score"))
+      .orderBy(col("train_id"))
+  }
+
+  /** Fixture adapter: eval set = `vec_id < evalMaxId` within the one
+    * embeddings table — the same split-by-id shape as
+    * [[CorpusOps.decontaminateById]]. */
+  def semanticContaminationById(emb: DataFrame, evalMaxId: Long = 50,
+      threshold: Double = 0.4): DataFrame =
+    semanticContamination(
+      emb.filter(col("vec_id") >= evalMaxId),
+      emb.filter(col("vec_id") < evalMaxId), threshold)
+
   /** Spherical k-means (Lloyd's) for IVF coarse centroids — the
     * production swap for [[knnIvf]]'s deterministic stand-in.
     * Per iteration:

@@ -280,4 +280,30 @@ object TopicMetrics {
       .agg(countDistinct(col("key")).as("n_keys"),
         count(col("key")).as("n_keyed_records"))
       .orderBy(col("partition"))
+
+  /** Hot-key report: the `k` most-written keys with their skew
+    * signature — total writes, tombstone share, and how many
+    * partitions the key landed on (> 1 means a non-default or changed
+    * partitioner; exactly the situation where compaction and
+    * consumer-side keyed state silently diverge). The producer-skew
+    * diagnosis the reference's per-partition averages (§2.E) hint at
+    * but cannot attribute to a key.
+    *
+    * Scale shape: ONE partial-aggregable `groupBy(key)` — the
+    * partition spread rides as `collect_set(partition)` (bounded by
+    * the topic's partition count, so the set is a few dozen ints, not
+    * a row explosion; a `countDistinct` would cost a second shuffle
+    * via Expand) — then `orderBy.limit(k)` plans as
+    * TakeOrderedAndProject: per-partition top-k heaps, driver merges
+    * k·partitions rows, never a global sort. Ties break on the key
+    * string so the cut is total-ordered and engine-stable.
+    */
+  def hotKeys(records: DataFrame, k: Int = 20): DataFrame =
+    records.filter(col("key").isNotNull)
+      .groupBy(col("key").cast("string").as("key_str"))
+      .agg(count(lit(1)).as("n_writes"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_tombstones"),
+        size(collect_set(col("partition"))).as("n_partitions"))
+      .orderBy(col("n_writes").desc, col("key_str"))
+      .limit(k)
 }

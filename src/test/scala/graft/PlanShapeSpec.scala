@@ -630,6 +630,35 @@ class PlanShapeSpec extends SparkSuite {
     assert(shuffles <= 2, s"diverseSample grew an extra shuffle ($shuffles):\n$p")
   }
 
+  test("hotKeys plans one aggregate + TakeOrderedAndProject, no global sort") {
+    // parquet-backed input: a bounded-maxRows LocalRelation would let
+    // EliminateLimits remove the k-cut entirely and void the pin
+    val recs = graft.sources.EventsAsRecords.records(spark, "/root/testdata/sf0.001")
+    val p = plan(graft.operators.TopicMetrics.hotKeys(recs))
+    // the k-cut must be the per-partition-heap TakeOrderedAndProject,
+    // never a second full Sort over the key domain (the one Sort in
+    // the plan belongs to the fixture adapter's offset window)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"hot-key cut regressed to a global sort:\n$p")
+    assert(raw"\(\d+\) Sort\b".r.findAllIn(p).length <= 1,
+      s"extra Sort beyond the fixture's offset window:\n$p")
+    // ONE aggregation (partial+final pair) on key; the partition
+    // spread must ride in it (collect_set), not add an Expand shuffle
+    assert(!p.contains("Expand"),
+      s"partition spread expanded into a second shuffle:\n$p")
+  }
+
+  test("semanticContamination broadcasts eval; corpus is never shuffled with vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(graft.operators.Similarity.semanticContaminationById(emb, 8))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval side should broadcast into one corpus scan:\n$p")
+    // allowed shuffles: the train_id aggregate + the presentation sort
+    // — both carry verdict rows (id + 3 scalars), never vectors
+    val shuffles = raw"\(\d+\) Exchange\b".r.findAllIn(p).length
+    assert(shuffles <= 2, s"too many shuffle exchanges ($shuffles):\n$p")
+  }
+
   test("brute-force kNN broadcasts the query side, never the corpus") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = plan(graft.operators.Similarity.knnBruteForce(

@@ -351,6 +351,33 @@ class SimilaritySpec extends SparkSuite {
     assert(r.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "score"))
   }
 
+  test("semanticContamination flags near-eval train vectors with argmax eval") {
+    val eval = vecs(
+      0L -> pad(Seq(1f, 0f)),
+      1L -> pad(Seq(0f, 1f)))
+    val train = vecs(
+      100L -> pad(Seq(0.95f, 0.05f)),  // on top of eval 0
+      101L -> pad(Seq(0.1f, 0.9f)),    // on top of eval 1
+      102L -> pad(Seq(0f, 0f, 1f)),    // orthogonal to both: clean
+      103L -> pad(Seq(0.7f, 0.7f)))    // diagonal: cos ~0.707 to BOTH
+    val r = rowsOf(Similarity.semanticContamination(train, eval, 0.6))
+    assert(r.map(_("train_id")) == Seq(100L, 101L, 103L)) // 102 clean; ordered
+    val m = r.map(x => x("train_id") -> x).toMap
+    assert(m(100L)("n_eval_hits") == 1L && m(100L)("top_eval_id") == 0L)
+    assert(m(101L)("n_eval_hits") == 1L && m(101L)("top_eval_id") == 1L)
+    // collides with both; the exact-equal diagonal scores tie → eval 0
+    assert(m(103L)("n_eval_hits") == 2L && m(103L)("top_eval_id") == 0L)
+    assert(r.forall(_("top_score").asInstanceOf[Double] >= 0.6))
+  }
+
+  test("semanticContamination argmax ties break toward the smaller eval id") {
+    val eval = vecs(0L -> pad(Seq(1f, 0f)), 1L -> pad(Seq(1f, 0f)))
+    val train = vecs(100L -> pad(Seq(1f, 0f)))
+    val r = rowsOf(Similarity.semanticContamination(train, eval, 0.5))
+    assert(r.size == 1 && r.head("n_eval_hits") == 2L &&
+      r.head("top_eval_id") == 0L)
+  }
+
   test("embeddingAudit counts nulls, wrong dims, zero norms; fixture is clean") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row

@@ -33,6 +33,31 @@ class TopicMetricsSpec extends SparkSuite {
     assert(p1("total") == 1L && p1("dirty_ratio") == 0.0)
   }
 
+  test("hotKeys: counts, tombstone share, partition spread, ordered cut") {
+    val df = records(
+      (0, 0L, 1L, "hot", "a"),
+      (0, 1L, 2L, "hot", null),   // tombstone still a write
+      (1, 0L, 3L, "hot", "b"),    // same key on a second partition
+      (0, 2L, 4L, "warm", "x"),
+      (1, 1L, 5L, "warm", "y"),
+      (0, 3L, 6L, "cold", "z"),
+      (0, 4L, 7L, null, "ignored")) // null key: no identity to report
+    val r = rowsOf(TopicMetrics.hotKeys(df, k = 2))
+    // top-2 cut: hot(3) then warm(2); cold dropped by the limit
+    assert(r.map(_("key_str")) == Seq("hot", "warm"))
+    val hot = r.head
+    assert(hot("n_writes") == 3L && hot("n_tombstones") == 1L)
+    assert(hot("n_partitions") == 2) // landed on both partitions
+    assert(r(1)("n_partitions") == 2 && r(1)("n_tombstones") == 0L)
+  }
+
+  test("hotKeys tie-break is the key string: total order, stable cut") {
+    val df = records(
+      (0, 0L, 1L, "b", "x"), (0, 1L, 2L, "a", "x"), (0, 2L, 3L, "c", "x"))
+    assert(rowsOf(TopicMetrics.hotKeys(df, k = 2)).map(_("key_str")) ==
+      Seq("a", "b"))
+  }
+
   test("all-tombstone keyed partition: averages defined as 0, not crash") {
     val df = records((0, 0L, 1L, "kk", null), (0, 1L, 2L, "kk", null))
     val p0 = rowsOf(TopicMetrics.report(df)).head

@@ -249,6 +249,81 @@ object StreamingTopicMetrics {
       }
   }
 
+  case class HotKeyEntry(key: String, count: Long, err: Long)
+  case class HotKeyState(entries: List[HotKeyEntry], processed: Long)
+  case class HotKeyUpdate(partition: Int, key_str: String, est_count: Long,
+      max_err: Long, n_processed: Long)
+
+  /** Space-Saving summary fold (Metwally et al., the bounded-state
+    * heavy-hitters sketch): a present key increments; a new key takes a
+    * free slot; at capacity the (count, key)-minimum entry is EVICTED
+    * and the newcomer inherits `min+1` with error `min`. The classic
+    * guarantees follow for N processed keyed records:
+    *  - any key with true count > N/capacity is IN the summary;
+    *  - true ≤ est ≤ true + err, and err ≤ N/capacity.
+    * Eviction ties break on the key string, so the summary is a pure
+    * function of the fold order. Pulled out of the state op for the
+    * randomized-oracle spec (the [[mergeRuns]] discipline).
+    */
+  private[graft] def spaceSavingFold(entries: Map[String, (Long, Long)],
+      keys: IterableOnce[String], capacity: Int): Map[String, (Long, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    m ++= entries
+    keys.iterator.foreach { k =>
+      m.get(k) match {
+        case Some((c, e)) => m(k) = (c + 1, e)
+        case None if m.size < capacity => m(k) = (1L, 0L)
+        case None =>
+          val (mk, (mc, _)) = m.minBy { case (k2, (c2, _)) => (c2, k2) }
+          m.remove(mk)
+          m(k) = (mc + 1, mc)
+      }
+    }
+    m.toMap
+  }
+
+  /** Streaming twin of [[graft.operators.TopicMetrics.hotKeys]]: a
+    * per-partition Space-Saving summary over the unbounded record
+    * stream. The batch operator's exact `groupBy(key)` would keep
+    * O(distinct keys) streaming state forever; this keeps EXACTLY
+    * `capacity` entries per partition (the state bound is partitions ×
+    * capacity × key size — a few KiB per partition, watermark-free)
+    * while still guaranteeing every key hotter than 1/capacity of the
+    * partition's traffic is reported, with its count bracketed by
+    * [est − err, est].
+    *
+    * Each micro-batch folds the group's records in OFFSET order — the
+    * partition log's total order — so the summary is replay-
+    * deterministic regardless of task-internal arrival order, and
+    * emits the full summary (update mode): the monitoring consumer
+    * keeps only the latest row set per partition.
+    */
+  def hotKeyMonitor(stream: Dataset[KafkaRecord],
+      capacity: Int = 64): Dataset[HotKeyUpdate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .filter((r: KafkaRecord) => r.key != null)
+      .groupByKey(_.partition)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (p: Int, rows: Iterator[KafkaRecord], state: GroupState[HotKeyState]) =>
+          val prev = state.getOption.getOrElse(HotKeyState(Nil, 0L))
+          val batch = rows.toArray.sortBy(_.offset)
+          val folded = spaceSavingFold(
+            prev.entries.map(e => e.key -> (e.count, e.err)).toMap,
+            batch.iterator.map(r =>
+              new String(r.key, java.nio.charset.StandardCharsets.UTF_8)),
+            capacity)
+          val processed = prev.processed + batch.length
+          val ranked = folded.toList
+            .map { case (k, (c, e)) => HotKeyEntry(k, c, e) }
+            .sortBy(e => (-e.count, e.key))
+          state.update(HotKeyState(ranked, processed))
+          ranked.iterator.map(e =>
+            HotKeyUpdate(p, e.key, e.count, e.err, processed))
+      }
+  }
+
   /** The shared LWW fold: newer = larger (partition, offset); a stale
     * replay can never overwrite newer state. */
   private def lastWriteWins(key: String, rows: Iterator[KafkaRecord],

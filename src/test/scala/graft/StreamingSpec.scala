@@ -30,6 +30,71 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("spaceSavingFold: Space-Saving guarantees hold on random key streams") {
+    import graft.streaming.StreamingTopicMetrics.spaceSavingFold
+    val rnd = new scala.util.Random(1187)
+    for (_ <- 0 until 60) {
+      val cap = 4 + rnd.nextInt(12)
+      val n = 50 + rnd.nextInt(400)
+      // cubed uniform draw ~ skewed key popularity (small ids dominate)
+      val keys = Seq.fill(n)(
+        s"k${(math.pow(rnd.nextDouble(), 3) * 40).toInt}")
+      // fold across random micro-batch splits to exercise resumption
+      val cut1 = rnd.nextInt(n + 1)
+      val cut2 = cut1 + rnd.nextInt(n - cut1 + 1)
+      val sum = spaceSavingFold(
+        spaceSavingFold(
+          spaceSavingFold(Map.empty, keys.slice(0, cut1), cap),
+          keys.slice(cut1, cut2), cap),
+        keys.slice(cut2, n), cap)
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(sum.size <= cap)
+      // count-sum conservation: every processed key adds exactly 1
+      assert(sum.values.map(_._1).sum == n.toLong)
+      sum.foreach { case (k, (est, err)) =>
+        val t = exact.getOrElse(k, 0L)
+        assert(t <= est && est <= t + err && err <= n.toLong / cap,
+          s"bracket violated: key=$k t=$t est=$est err=$err n=$n cap=$cap")
+      }
+      exact.foreach { case (k, t) =>
+        assert(t <= n.toLong / cap || sum.contains(k),
+          s"hot key evicted: $k count=$t n=$n cap=$cap")
+      }
+    }
+  }
+
+  test("streaming hot-key monitor brackets exact counts with bounded state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KafkaRecord]
+    val q = StreamingTopicMetrics.hotKeyMonitor(mem.toDS(), capacity = 3)
+      .writeStream.format("memory").queryName("hotkeys")
+      .outputMode("update").start()
+    // 5 distinct keys through 3 slots; "hot" dominates; null key dropped
+    mem.addData(rec(0, 0, "hot", "x"), rec(0, 1, "hot", "x"),
+      rec(0, 2, "b", "x"), rec(0, 3, null, "x"))
+    q.processAllAvailable()
+    mem.addData(rec(0, 4, "hot", null), rec(0, 5, "c", "x"),
+      rec(0, 6, "d", "x"), rec(0, 7, "hot", "x"), rec(1, 0, "p1", "y"))
+    q.processAllAvailable()
+    q.stop()
+    // latest partition-0 summary: the batch that brought n_processed to 7
+    val rows = rowsOf(spark.table("hotkeys")
+      .filter(col("partition") === 0 && col("n_processed") === 7))
+    assert(rows.nonEmpty && rows.size <= 3, s"state bound violated: $rows")
+    // the dominant key survived eviction pressure and ranks first
+    val top = rows.maxBy(_("est_count").asInstanceOf[Long])
+    assert(top("key_str") == "hot")
+    // exact count 4 is bracketed by [est - err, est]
+    val est = top("est_count").asInstanceOf[Long]
+    val err = top("max_err").asInstanceOf[Long]
+    assert(est >= 4L && est - err <= 4L, s"bracket: est=$est err=$err")
+    // other partitions keep independent summaries
+    val p1 = rowsOf(spark.table("hotkeys").filter(col("partition") === 1))
+    assert(p1.map(_("key_str")) == Seq("p1"))
+  }
+
   private def rec(p: Int, o: Long, k: String, v: String): KafkaRecord =
     KafkaRecord(p, o, ts(1000L * (o + 1)), b(k), b(v))
 

@@ -1370,8 +1370,12 @@ object OracleSql {
   /** FNV-1a-variant bucket of the ASCII doc-id string — mirrors
     * [[graft.operators.CorpusOps.hashBucket]] (fnv32 is non-negative,
     * so plain % == Spark's pmod). */
-  private def docIdBucket(buckets: Int): String =
-    s"(${fnvOf("CAST(doc_id AS VARCHAR)")}) % $buckets"
+  private def docIdBucket(buckets: Int): String = idBucket("doc_id", buckets)
+
+  /** [[graft.operators.CorpusOps.hashBucket]] for an arbitrary id
+    * expression (fnv32 is non-negative, so plain % == Spark's pmod). */
+  private def idBucket(e: String, buckets: Int): String =
+    s"(${fnvOf(s"CAST($e AS VARCHAR)")}) % $buckets"
 
   def splitStats(trainPct: Int = 80, valPct: Int = 10): String =
     s"""WITH b AS (SELECT ${docIdBucket(100)} AS bucket, n_chars FROM documents),
@@ -1570,6 +1574,35 @@ object OracleSql {
        |       MIN(split) AS split_a, MAX(split) AS split_b
        |FROM sp GROUP BY 1 HAVING COUNT(DISTINCT split) > 1
        |ORDER BY 1""".stripMargin
+
+  /** Mirrors [[graft.operators.CorpusOps.repairSplits]]: the
+    * splitLeakage transitive closure, with BOTH split derivations
+    * (doc-id hash and cluster-id hash) emitted per document. */
+  def repairSplits(numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, trainPct: Int = 80,
+      valPct: Int = 10): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashPairs(numHashes, bands, threshold)}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, t2) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t2 = e.a),
+       |clusters AS (SELECT s AS doc_id, MIN(t2) AS cluster FROM reach GROUP BY s),
+       |sp AS (SELECT doc_id, cluster,
+       |         CASE WHEN ${docIdBucket(100)} < $trainPct THEN 'train'
+       |              WHEN ${docIdBucket(100)} < ${trainPct + valPct} THEN 'val'
+       |              ELSE 'test' END AS old_split,
+       |         CASE WHEN ${idBucket("cluster", 100)} < $trainPct THEN 'train'
+       |              WHEN ${idBucket("cluster", 100)} < ${trainPct + valPct} THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM clusters)
+       |SELECT doc_id, cluster, old_split, split,
+       |       (old_split <> split) AS moved
+       |FROM sp ORDER BY doc_id""".stripMargin
 
   def clusterBest(numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): String =

@@ -367,6 +367,9 @@ object SparkEntry {
     // dedup-aware split audit: near-dup clusters straddling
     // train/val/test — the contamination hash-splitting cannot see
     "q_split_leakage" -> ((s, dir) => CorpusOps.splitLeakage(docs(s, dir))),
+    // the audit's fix: split re-derived from the near-dup cluster id,
+    // so no cluster can straddle train/val/test by construction
+    "q_repair_splits" -> ((s, dir) => CorpusOps.repairSplits(docs(s, dir))),
     // token-budget selection (histogram two-pass; oracle is the global window)
     "q_token_budget" -> ((s, dir) =>
       CorpusOps.selectByTokenBudget(docs(s, dir))),
@@ -659,6 +662,7 @@ object SparkEntry {
       "q_decontaminate_bloom" -> OracleSql.decontaminate(),
       "q_cluster_best" -> OracleSql.clusterBest(),
       "q_split_leakage" -> OracleSql.splitLeakage(),
+      "q_repair_splits" -> OracleSql.repairSplits(),
       "q_source_stats" -> OracleSql.sourceStats,
       "q_source_overlap" -> OracleSql.sourceOverlap(),
       "q_corpus_diff" -> OracleSql.corpusDiff,

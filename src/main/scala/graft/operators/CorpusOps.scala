@@ -854,6 +854,30 @@ object CorpusOps {
       .filter(col("n_splits") > 1)
       .orderBy(col("cluster"))
 
+  /** The actionable counterpart of [[splitLeakage]]: re-derive split
+    * membership from the near-dup CLUSTER id (its min member id)
+    * instead of the document id, so near-copies land in the same
+    * split BY CONSTRUCTION — the split is a function of the cluster,
+    * so no cluster can straddle a boundary. Singleton clusters
+    * (cluster == doc_id, the overwhelming majority of a real corpus)
+    * keep their original split, so the repair moves only near-dup
+    * members and split-size drift is bounded by the dup rate.
+    * Output: one row per document with old/new split and a `moved`
+    * flag; downstream writers partition by the repaired `split`.
+    *
+    * Plan: [[Dedup.nearDupLabels]]' label frame + pure column
+    * arithmetic — the split hash needs no join, so repair adds ZERO
+    * shuffles beyond the labels themselves (and inherits their
+    * checkpoint-release contract).
+    */
+  def repairSplits(docs: DataFrame, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame =
+    Dedup.nearDupLabels(docs)
+      .withColumn("old_split", splitName(col("doc_id"), trainPct, valPct))
+      .withColumn("split", splitName(col("cluster"), trainPct, valPct))
+      .withColumn("moved", col("old_split") =!= col("split"))
+      .orderBy(col("doc_id"))
+
   /** Language-ID confusion matrix: the labeled `lang` column vs the
     * engine's n-gram language prediction ([[TextFunctions.langId]]) —
     * the standard eval for a heuristic classifier when gold labels

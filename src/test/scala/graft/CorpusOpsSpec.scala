@@ -122,6 +122,34 @@ class CorpusOpsSpec extends SparkSuite {
     assert(c("split_a") == splits.min && c("split_b") == splits.max)
   }
 
+  test("repairSplits heals the planted leak; singletons never move") {
+    val d = enDocs(
+      ((0L to 30L).map(i => i -> base) :+ (100L -> "a lone unrelated document")): _*)
+    // precondition: the planted cluster leaks under id-derived splits
+    assert(rowsOf(CorpusOps.splitLeakage(d)).nonEmpty)
+    val r = rowsOf(CorpusOps.repairSplits(d))
+    assert(r.size == 32 && r.map(_("doc_id")) == ((0L to 30L) :+ 100L))
+    // repaired: every cluster sits in exactly one split
+    val byCluster = r.groupBy(_("cluster"))
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.map(_("split")).distinct.size == 1,
+        s"cluster $c still straddles splits after repair")
+    }
+    // the whole dup cluster inherits its min member's (id 0) split
+    val cluster0 = byCluster(0L)
+    val want = rowsOf(d.limit(1).select(
+      CorpusOps.splitName(lit(0L)).as("s"))).head("s")
+    assert(cluster0.size == 31 && cluster0.forall(_("split") == want))
+    // moved is exactly "id-split differs from cluster-split"; a
+    // singleton's cluster IS its id, so it can never move
+    val single = r.find(_("doc_id") == 100L).get
+    assert(single("cluster") == 100L && single("moved") == false &&
+      single("old_split") == single("split"))
+    r.foreach { row =>
+      assert(row("moved") == (row("old_split") != row("split")))
+    }
+  }
+
   test("decontaminateBloom ≡ decontaminate (exact output through the sketch)") {
     // the sketch is a PREFILTER: no false negatives (Bloom guarantee),
     // false positives die in the exact join — so the two variants must

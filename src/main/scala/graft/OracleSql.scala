@@ -1709,4 +1709,68 @@ object OracleSql {
        |h AS (SELECT lang AS lang_label, $langHitsSelect FROM tok)
        |SELECT lang_label, $langCaseSql AS lang_pred, COUNT(*) AS n_docs
        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Mirrors [[graft.operators.EventAnalytics.typeTransitions]]: same
+    * lead tie-break (ts, event_id), same integer counts, ONE terminal
+    * division per row. */
+  val typeTransitions: String =
+    """WITH x AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |g AS (SELECT event_type, next_type, COUNT(*) AS n_trans,
+      |             COUNT(DISTINCT user_id) AS n_users
+      |      FROM x WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, n_trans, n_users,
+      |       CAST(n_trans AS DOUBLE) /
+      |         CAST(SUM(n_trans) OVER (PARTITION BY event_type) AS DOUBLE)
+      |         AS p_next
+      |FROM g ORDER BY 1, 2""".stripMargin
+
+  /** Mirrors [[graft.operators.TextAnalysis.searchTopK]]: identical
+    * mid-frequency query-term derivation (rank window over the corpus
+    * vocabulary, Zipf head skipped), identical BIGINT tf×(N−df)
+    * scoring, identical (score desc, doc_id) rank tie-break. */
+  def searchTopK(nTerms: Int = 6, termsPerQuery: Int = 2,
+      skipTop: Int = 20, k: Int = 10): String =
+    s"""$docCte,
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+       |       WHERE term <> '' GROUP BY 1, 2),
+       |v AS (SELECT term, SUM(tf) AS ctf, COUNT(DISTINCT doc_id) AS df
+       |      FROM tf GROUP BY 1),
+       |r AS (SELECT term, df,
+       |        ROW_NUMBER() OVER (ORDER BY ctf DESC, term) AS rn
+       |      FROM v),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |q AS (SELECT CAST((rn - 1 - $skipTop) // $termsPerQuery AS BIGINT)
+       |               AS query_id,
+       |             term, n_docs - df AS w
+       |      FROM r, n WHERE rn > $skipTop AND rn <= ${skipTop + nTerms}),
+       |s AS (SELECT query_id, doc_id,
+       |             CAST(SUM(tf * w) AS BIGINT) AS score,
+       |             COUNT(*) AS n_hit_terms
+       |      FROM tf JOIN q USING (term) GROUP BY 1, 2),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY score DESC, doc_id) AS rank FROM s)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score,
+       |       n_hit_terms
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Mirrors [[graft.operators.Similarity.embeddingOutliers]]: the
+    * knnIvf stand-in-codebook cell assignment (score desc, cid
+    * tie-break == the engine's first-max argmax over a cid-ascending
+    * book), bottom-k by UNROUNDED score with vec_id tie-break. */
+  def embeddingOutliers(k: Int = 25, nCentroids: Int = 16): String =
+    s"""WITH $unitCte,
+       |cent AS (SELECT vec_id AS cid, un AS cu FROM u WHERE vec_id < $nCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cid, score FROM (
+       |    SELECT e.vec_id, c.cid, ${dotSql("e.un", "c.cu")} AS score,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dotSql("e.un", "c.cu")} DESC, c.cid) AS crn
+       |    FROM u e, cent c WHERE e.un IS NOT NULL) WHERE crn = 1)
+       |SELECT vec_id, cid, round(score, 6) AS centroid_score
+       |FROM assigned ORDER BY score ASC, vec_id LIMIT $k""".stripMargin
 }

@@ -68,6 +68,10 @@ object SparkEntry {
       EventAnalytics.sessionize(EventsAsRecords.readEvents(s, dir))),
     "q_user_top_type" -> ((s, dir) =>
       EventAnalytics.topEventTypePerUser(EventsAsRecords.readEvents(s, dir))),
+    // Markov transition matrix over per-user event sequences: exact
+    // integer counts + one terminal division per (from, to) cell
+    "q_event_transitions" -> ((s, dir) =>
+      EventAnalytics.typeTransitions(EventsAsRecords.readEvents(s, dir))),
     "q_value_percentiles" -> ((s, dir) =>
       EventAnalytics.valuePercentiles(EventsAsRecords.readEvents(s, dir))),
     // scale variant: mergeable-sketch percentiles (no per-type global
@@ -260,6 +264,9 @@ object SparkEntry {
       TextAnalysis.langConfidence(docs(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
+    // sparse retrieval: tf×(N−df) scored top-k over broadcast
+    // mid-frequency query terms (posting list pruned BEFORE the agg)
+    "q_text_search" -> ((s, dir) => TextAnalysis.searchTopK(docs(s, dir))),
     // LLM-pipeline: dedup family
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy(col("canonical_doc_id"))),
@@ -331,6 +338,11 @@ object SparkEntry {
     // embedding-dump data-quality gate: nulls / wrong dims / zero
     // norms / norm range, one scan, one row
     "q_embedding_audit" -> ((s, dir) => Similarity.embeddingAudit(emb(s, dir))),
+    // off-manifold vectors: bottom-k cosine to own coarse centroid
+    // (same shuffle-free codebook assignment as knnIvf; one
+    // TakeOrderedAndProject cut)
+    "q_embed_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(emb(s, dir))),
     // embedding-space decontamination: train vectors too close to the
     // (broadcast) eval set — the semantic twin of q_decontaminate
     "q_decontaminate_semantic" -> ((s, dir) =>
@@ -590,6 +602,7 @@ object SparkEntry {
       "q_event_type_stats" -> OracleSql.eventTypeStats,
       "q_sessions" -> OracleSql.sessions(),
       "q_user_top_type" -> OracleSql.topEventTypePerUser,
+      "q_event_transitions" -> OracleSql.typeTransitions,
       "q_value_percentiles" -> OracleSql.valuePercentiles(),
       "q_value_percentiles_dist" -> OracleSql.valuePercentiles(),
       "q_daily_spikes" -> OracleSql.dailySpikes(),
@@ -637,6 +650,7 @@ object SparkEntry {
       "q_lang_confidence" -> OracleSql.langConfidence,
       "q_quality" -> OracleSql.quality,
       "q_fingerprint" -> OracleSql.fingerprints,
+      "q_text_search" -> OracleSql.searchTopK(),
       "q_dedup_exact" -> OracleSql.dedupExact,
       "q_dedup_minhash" -> OracleSql.minhashPairs(),
       "q_dedup_clusters" -> OracleSql.nearDupClusters(),
@@ -655,6 +669,7 @@ object SparkEntry {
       "q_embed_knn_ivf" -> OracleSql.knnIvf(),
       "q_diverse_sample" -> OracleSql.diverseSample(),
       "q_embedding_audit" -> OracleSql.embeddingAudit(),
+      "q_embed_outliers" -> OracleSql.embeddingOutliers(),
       "q_corpus_filter" -> OracleSql.corpusFilter(),
       "q_split_stats" -> OracleSql.splitStats(),
       "q_sample_stratified" -> OracleSql.stratifiedSampleStats(),

@@ -725,6 +725,35 @@ object EventAnalytics {
         "event_type", "n")
       .orderBy(col("user_id"), col("event_type"))
 
+  /** Event-type transition matrix — the Markov-chain summary of user
+    * behavior sequences (the aggregate next-event-prediction training
+    * data is mined from). One shuffle on user_id feeds the `lead`
+    * window (ties within a timestamp broken by event_id, so both
+    * engines see identical successor pairs); the transition aggregate
+    * then collapses event cardinality to at most |types|² rows, which
+    * is why the per-source-type probability window that follows is
+    * safe — it ranges over a frame bounded by the type-vocabulary
+    * size, never the corpus. `p_next` divides two exact BIGINTs (one
+    * IEEE-correctly-rounded division per output row — the
+    * [[CorpusOps.sourceMixture]] float rule), so the matrix
+    * hash-matches across engines bit-for-bit.
+    */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val perSource = Window.partitionBy(col("event_type"))
+    events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_trans"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("p_next",
+        col("n_trans").cast("double") /
+          sum(col("n_trans")).over(perSource).cast("double"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
   /** Set operations over event-type audiences: users who did both /
     * only A / only B. INTERSECT and EXCEPT compile to distinct
     * semi/anti joins on the (already-distinct) user sets — one

@@ -460,6 +460,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-outlier report — the curation gate that catches
+    * off-manifold vectors (mis-embedded rows, garbage inputs that
+    * survived [[embeddingAudit]]'s well-formedness checks, genuine
+    * novelty): the `k` vectors with the LOWEST cosine to their own
+    * best-matching coarse centroid, i.e. the rows no cell of the
+    * corpus' cluster structure explains. Reuses the exact IVF
+    * machinery retrieval already built ([[knnIvf]]/`diverseSample`'s
+    * driver-held codebook): cell assignment is the same shuffle-free
+    * k-fused-dots argmax projection, so the whole operator is a
+    * corpus scan plus ONE TakeOrderedAndProject cut (per-partition
+    * bottom-k heaps, driver merges k×partitions rows — never a global
+    * sort). Ordering compares UNROUNDED doubles (identical
+    * sequential-fold products on both engines) with vec_id
+    * tie-break; the output rounds to 6dp only at presentation.
+    * Default centroids are the deterministic stand-in so the DuckDB
+    * oracle reproduces assignment; production passes
+    * [[trainCentroids]] — identical plan.
+    */
+  def embeddingOutliers(corpus: DataFrame, k: Int = 25,
+      nCentroids: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cu = unitIndex(corpus)
+    val book = collectCoarseBook(cu, nCentroids, centroids)
+    if (book.isEmpty) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)]
+        .toDF("vec_id", "cid", "centroid_score")
+    }
+    val scores = array(book.toIndexedSeq.map { case (_, v) =>
+      dot(col("unit"), typedLit(v)) }: _*)
+    cu.withColumn("scores", scores)
+      .withColumn("cidx",
+        (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
+      .withColumn("cid",
+        element_at(typedLit(book.map(_._1).toSeq), col("cidx") + 1))
+      .withColumn("cscore", expr("array_max(scores)"))
+      .orderBy(col("cscore").asc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cid"),
+        round(col("cscore"), 6).as("centroid_score"))
+  }
+
   /** Product-quantization codebook: the vector's dimensions split into
     * `m` contiguous subspaces; per subspace, `ksub` sub-centroids
     * trained by Lloyd's on the subvectors. Returned driver-held

@@ -171,6 +171,66 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("len_bucket"))
 
+  /** Keyword retrieval over an inverted posting list — tf×rarity
+    * scored top-k per query, the classic sparse-retrieval shape (the
+    * exact-arithmetic cousin of BM25: the idf factor is kept LINEAR,
+    * `w(t) = N − df(t)`, because `log` is a libm call whose ulp drift
+    * breaks cross-engine hash comparison — the docKeywords rule — and
+    * the score is a pure BIGINT dot product `Σ tf·w`, no float until
+    * nothing).
+    *
+    * The queries are self-derived so the operator is closed over the
+    * corpus: the `nTerms` terms ranked `skipTop+1 … skipTop+nTerms` by
+    * (corpus tf desc, term) — skipping the Zipf head keeps the probe
+    * terms mid-frequency, i.e. actually selective — grouped
+    * `termsPerQuery` at a time into multi-term queries.
+    *
+    * Plan shape for 100 TB: the corpus tokenizes and aggregates into
+    * postings ONCE (the same (doc_id, term) shuffle vocabulary/
+    * tokenRarity pay); the query-term table is limit-bounded and
+    * BROADCAST, so candidate generation is a map-side hash-join that
+    * prunes the posting stream to rows matching a query term BEFORE
+    * the per-(query, doc) aggregate. The rank window partitions by
+    * query_id over candidates only — bounded by the probed terms'
+    * document frequency, which is the retrieval cost model working as
+    * intended (df-bounded, not corpus-bounded; probing a Zipf-head
+    * stopword would degrade it to a corpus scan, which is exactly why
+    * `skipTop` exists).
+    */
+  def searchTopK(docs: DataFrame, nTerms: Int = 6, termsPerQuery: Int = 2,
+      skipTop: Int = 20, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("ctf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("ctf").desc, col("term")).limit(skipTop + nTerms)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val qterms = vocab
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("ctf").desc, col("term"))))
+      .filter(col("rn") > skipTop)
+      .crossJoin(broadcast(nDocs))
+      .select(
+        expr(s"CAST((rn - 1 - $skipTop) div $termsPerQuery AS BIGINT)")
+          .as("query_id"),
+        col("term"), (col("n_docs") - col("df")).as("w"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * col("w")).as("score"),
+        count(lit(1)).as("n_hit_terms"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        col("n_hit_terms"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def simhashFrame(docs: DataFrame): DataFrame =
     Dedup.shingleHashFrame(docs)
       .select(col("doc_id"), Dedup.simhashFromHashes(col("xs")).as("simhash"))

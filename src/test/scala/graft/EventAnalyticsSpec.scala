@@ -515,4 +515,31 @@ class EventAnalyticsSpec extends SparkSuite {
       .collect()(0).getString(0)
     assert(got == "see and mail ! wow.")
   }
+  test("typeTransitions counts successor pairs with exact probabilities") {
+    // user1: a->b, b->a ; user2: a->b, b->c
+    val df = events(
+      (0L, 0L, 1L, "a", 1.0),
+      (1L, 1000L, 1L, "b", 1.0),
+      (2L, 2000L, 1L, "a", 1.0),
+      (3L, 0L, 2L, "a", 1.0),
+      (4L, 1000L, 2L, "b", 1.0),
+      (5L, 2000L, 2L, "c", 1.0))
+    val r = rowsOf(EventAnalytics.typeTransitions(df))
+    assert(r.map(m => (m("event_type"), m("next_type"), m("n_trans"))) ==
+      Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L)))
+    // a->b saw both users; each b-successor one user
+    assert(r.map(_("n_users")) == Seq(2L, 1L, 1L))
+    // p(b|a) = 2/2 = 1.0 ; p(a|b) = p(c|b) = 1/2
+    assert(r.map(_("p_next")) == Seq(1.0, 0.5, 0.5))
+  }
+
+  test("typeTransitions breaks equal-timestamp ties by event_id") {
+    val df = events(
+      (10L, 1000L, 1L, "x", 0.0),
+      (11L, 1000L, 1L, "y", 0.0), // same ts: event_id order => x->y
+      (12L, 2000L, 1L, "z", 0.0))
+    val r = rowsOf(EventAnalytics.typeTransitions(df))
+    assert(r.map(m => (m("event_type"), m("next_type"))) ==
+      Seq(("x", "y"), ("y", "z")))
+  }
 }

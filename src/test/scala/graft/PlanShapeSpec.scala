@@ -583,7 +583,10 @@ class PlanShapeSpec extends SparkSuite {
       // gaps-and-islands lag + running-sum over the BUSY-MINUTE frame:
       // bounded by calendar minutes in the horizon (~526k/year), and a
       // total order is inherent to island numbering
-      "q_incident_range_join" -> 2)
+      "q_incident_range_join" -> 2,
+      // query-term rank over the LIMIT-bounded (skipTop + nTerms ≤ 26
+      // rows) vocabulary head — population capped before the window
+      "q_text_search" -> 1)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val n = fn(spark, "/root/testdata/sf0.001")
@@ -679,5 +682,54 @@ class PlanShapeSpec extends SparkSuite {
     // WindowGroupLimit nodes (partial map-side + final) bracket it
     val wgl = raw"\(\d+\) WindowGroupLimit\b".r.findAllIn(p).length
     assert(wgl >= 2, s"expected map-side + final WindowGroupLimit:\n$p")
+  }
+
+  test("searchTopK: qterms broadcast into postings; tf exchange shared at runtime") {
+    // same Zipf-safety + single-tokenize contract as tokenRarity: the
+    // query-term table (limit-bounded) must BROADCAST into the posting
+    // stream, and the vocab branch must stage-reuse the (doc_id, term)
+    // tf exchange so the corpus tokenizes exactly once
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.TextAnalysis.searchTopK(docs)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"qterms join lost its broadcast:\n$p")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("isFinalPlan=true"), executed.take(500))
+    assert(executed.contains("ReusedExchange"),
+      s"vocab/postings no longer share the tokenize exchange:\n${executed.take(3000)}")
+  }
+
+  test("embeddingOutliers: zero exchanges, one TakeOrderedAndProject cut") {
+    // the whole operator is a pruned scan + one codegen'd projection +
+    // a per-partition-heap bottom-k; parquet-backed input so
+    // EliminateLimits cannot void the pin (the hotKeys lesson)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(graft.operators.Similarity.embeddingOutliers(emb))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k regressed to a global sort:\n$p")
+    val shuffles = raw"\(\d+\) Exchange\b".r.findAllIn(p).length
+    assert(shuffles == 0, s"cell assignment grew a shuffle ($shuffles):\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(embedding)]"),
+      s"null-embedding filter no longer reaches the scan:\n$p")
+  }
+
+  test("typeTransitions: user_id window shuffle, probability window stays type-keyed") {
+    val events = graft.sources.EventsAsRecords.readEvents(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(graft.operators.EventAnalytics.typeTransitions(events))
+    // the probability window must partition by event_type over the
+    // ALREADY-AGGREGATED |types|^2 frame, never a per-user window over
+    // raw events; the lead window is the only user-keyed one
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"probability window lost its type partitioning:\n$p")
+    // the count-distinct rewrite must stay the keyed two-phase
+    // aggregate, not an Expand blowup of the event stream
+    assert(!p.contains("Expand"),
+      s"countDistinct expanded the event stream:\n$p")
+    // scans prune to the four consumed columns
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp"),
+      s"scan reads more than (event_id, ts, user_id, event_type):\n$p")
   }
 }

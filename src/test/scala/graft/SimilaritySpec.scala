@@ -512,4 +512,23 @@ class SimilaritySpec extends SparkSuite {
         .foreach(_.unpersist(blocking = true))
     }
   }
+
+  test("embeddingOutliers surfaces the lowest-centroid-cosine vectors") {
+    // centroids = vecs 0,1 (the stand-in book). v2 hugs centroid 0;
+    // v3 sits between both cells; v4 is anti-aligned with centroid 0
+    // and orthogonal to centroid 1 => the corpus' worst-explained row
+    val d = vecs(
+      0L -> pad(Seq(1f, 0f)),
+      1L -> pad(Seq(0f, 1f)),
+      2L -> pad(Seq(1f, 0.1f)),
+      3L -> pad(Seq(0.7f, 0.7f)),
+      4L -> pad(Seq(-1f, 0f)))
+    val r = rowsOf(Similarity.embeddingOutliers(d, k = 2, nCentroids = 2))
+    assert(r.map(_("vec_id")) == Seq(4L, 3L))
+    // v4's best cell is centroid 1 (cos 0); v3 ties both cells at
+    // cos ~0.7071 and the first-max argmax resolves to the lower cid
+    assert(r.map(_("cid")) == Seq(1L, 0L))
+    assert(r.head("centroid_score") == 0.0)
+    assert(r(1)("centroid_score").asInstanceOf[Double] == 0.707107)
+  }
 }

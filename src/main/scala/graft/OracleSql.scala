@@ -1758,6 +1758,28 @@ object OracleSql {
        |       n_hit_terms
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors [[graft.operators.TextAnalysis.collocations]]: same
+    * 1-based adjacent pairs, same BIGINT marginals re-aggregated from
+    * the pair counts, one division of exact < 2^53 products. */
+  def collocations(minCount: Int = 3, k: Int = 50): String =
+    s"""$docCte,
+       |bgi AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM tok),
+       |bp AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM bgi
+       |       WHERE toks[i] <> '' AND toks[i + 1] <> ''),
+       |p AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bp GROUP BY 1, 2),
+       |l AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_left
+       |      FROM p GROUP BY 1),
+       |r AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS n_right
+       |      FROM p GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_total FROM p)
+       |SELECT w1, w2, n_pair, n_left, n_right,
+       |       CAST(n_pair * n_total AS DOUBLE) /
+       |         CAST(n_left * n_right AS DOUBLE) AS lift
+       |FROM p JOIN l USING (w1) JOIN r USING (w2), tot
+       |WHERE n_pair >= $minCount
+       |ORDER BY lift DESC, w1, w2 LIMIT $k""".stripMargin
+
   /** Mirrors [[graft.operators.Similarity.embeddingOutliers]]: the
     * knnIvf stand-in-codebook cell assignment (score desc, cid
     * tie-break == the engine's first-max argmax over a cid-ascending

@@ -267,6 +267,9 @@ object SparkEntry {
     // sparse retrieval: tf×(N−df) scored top-k over broadcast
     // mid-frequency query terms (posting list pruned BEFORE the agg)
     "q_text_search" -> ((s, dir) => TextAnalysis.searchTopK(docs(s, dir))),
+    // collocation mining: top-k adjacent pairs by exact-integer lift,
+    // marginals re-aggregated from the ONE bigram exchange
+    "q_collocations" -> ((s, dir) => TextAnalysis.collocations(docs(s, dir))),
     // LLM-pipeline: dedup family
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy(col("canonical_doc_id"))),
@@ -651,6 +654,7 @@ object SparkEntry {
       "q_quality" -> OracleSql.quality,
       "q_fingerprint" -> OracleSql.fingerprints,
       "q_text_search" -> OracleSql.searchTopK(),
+      "q_collocations" -> OracleSql.collocations(),
       "q_dedup_exact" -> OracleSql.dedupExact,
       "q_dedup_minhash" -> OracleSql.minhashPairs(),
       "q_dedup_clusters" -> OracleSql.nearDupClusters(),

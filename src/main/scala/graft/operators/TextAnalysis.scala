@@ -231,6 +231,53 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Collocation mining — top-k adjacent-token pairs by lift (the
+    * PMI idea with the log dropped: `lift = P(w1,w2) / (P(w1)·P(w2))`
+    * over the BIGRAM distribution, ranked directly since log is
+    * monotone — and a libm log would break the cross-engine hash;
+    * the keywords/tokenRarity rule). "new york" scores high,
+    * "of the" scores ~1.
+    *
+    * One corpus scan, one shuffle: bigrams explode from a guarded
+    * `transform` projection (no self-join, no per-doc window) into
+    * the (w1, w2) count aggregate; the marginals and the total are
+    * RE-AGGREGATED from that pair table (tiny, vocab²-bounded — the
+    * tokenRarity shape, reuse-anchored so all four consumers share
+    * the ONE pair exchange at runtime) rather than re-tokenizing the
+    * corpus for unigram counts. `minCount` prunes the noise tail
+    * before the joins; the k-cut is a TakeOrderedAndProject. The
+    * lift is one division of two exact BIGINT products (< 2^53 —
+    * exact as doubles), so it hash-matches bit-for-bit.
+    */
+  def collocations(docs: DataFrame, minCount: Int = 3, k: Int = 50): DataFrame = {
+    val pairs = docs
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |THEN transform(sequence(1, size(toks) - 1),
+          |       i -> named_struct('w1', toks[i-1], 'w2', toks[i]))
+          |ELSE array() END""".stripMargin)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val anchored = pairs.filter(graft.functions.Barrier.reuseAnchor(col("n_pair")))
+    val left = anchored.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_left"))
+    val right = anchored.groupBy(col("w2")).agg(sum(col("n_pair")).as("n_right"))
+    val total = anchored.agg(sum(col("n_pair")).as("n_total"))
+    pairs.filter(col("n_pair") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("n_pair") * col("n_total")).cast("double") /
+          (col("n_left") * col("n_right")).cast("double"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_left"),
+        col("n_right"), col("lift"))
+  }
+
   def simhashFrame(docs: DataFrame): DataFrame =
     Dedup.shingleHashFrame(docs)
       .select(col("doc_id"), Dedup.simhashFromHashes(col("xs")).as("simhash"))

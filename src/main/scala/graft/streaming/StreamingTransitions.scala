@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming event-type transitions — the incremental twin of
+  * [[graft.operators.EventAnalytics.typeTransitions]]: per user, each
+  * arriving event pairs with the previous one into a (from, to)
+  * transition row; a downstream aggregate (streaming or batch) turns
+  * the pair stream into the Markov matrix.
+  *
+  * The mergeRuns discipline: the per-batch pairing is a PURE fold
+  * ([[foldBatch]]) factored out of the state operator and property-
+  * tested on its own; the `flatMapGroupsWithState` shell only loads /
+  * stores the one-row-per-user state around it. Within a micro-batch,
+  * rows fold in (ts, event_id) order — the batch operator's exact
+  * lead tie-break — so any arrival order WITHIN a batch yields the
+  * same pairs. Across batches the fold is replay-deterministic;
+  * parity with the batch matrix is an identity whenever each user's
+  * events arrive batch-ordered by (ts, event_id), the same in-order
+  * contract the sessionization and as-of twins carry. A late
+  * straggler (older than the user's stored last event) cannot be
+  * retro-inserted without unbounded history, so it pairs in ARRIVAL
+  * order — flagged by `out_of_order` on the emitted row rather than
+  * silently miscounted.
+  *
+  * State: one (ts_us, event_id, event_type) triple per user — bounded
+  * by user cardinality, the same budget the alive-key monitor carries
+  * per key (and the same TTL pattern applies if the user space is
+  * unbounded).
+  */
+object StreamingTransitions {
+
+  case class EventRow(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String)
+  case class LastEvent(tsUs: Long, eventId: Long, eventType: String)
+  case class Transition(user_id: Long, event_type: String,
+      next_type: String, out_of_order: Boolean)
+
+  /** Pure per-batch fold: sort the batch by (ts_us, event_id), chain
+    * from the carried last-event, return the emitted pairs and the
+    * new state. `out_of_order` marks a pair whose successor arrived
+    * with an event time at or before its predecessor's across a batch
+    * boundary (within a batch the sort makes order exact; equal-ts
+    * pairs inside a batch resolve by event_id, as in batch).
+    */
+  private[graft] def foldBatch(userId: Long, prev: Option[LastEvent],
+      batch: Seq[EventRow]): (Seq[Transition], Option[LastEvent]) = {
+    val sorted = batch.sortBy(e => (e.ts_us, e.event_id))
+    var last = prev
+    val out = Seq.newBuilder[Transition]
+    sorted.foreach { e =>
+      last.foreach { l =>
+        val ooo = e.ts_us < l.tsUs ||
+          (e.ts_us == l.tsUs && e.event_id < l.eventId)
+        out += Transition(userId, l.eventType, e.event_type, ooo)
+      }
+      last = Some(LastEvent(e.ts_us, e.event_id, e.event_type))
+    }
+    (out.result(), last)
+  }
+
+  /** The stream of per-user transition pairs (Update mode). Accepts
+    * the raw events frame in any of the fixture's ts encodings. */
+  def transitionUpdates(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    graft.sources.EventsAsRecords.normalizeTs(events, "ts")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[LastEvent]) =>
+          val (pairs, next) = foldBatch(uid, state.getOption, rows.toSeq)
+          next.foreach(state.update)
+          pairs.iterator
+      }
+  }
+}

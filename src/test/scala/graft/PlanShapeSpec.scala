@@ -732,4 +732,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp"),
       s"scan reads more than (event_id, ts, user_id, event_type):\n$p")
   }
+
+  test("collocations: marginals broadcast; pair exchange shared at runtime") {
+    // one tokenize scan at runtime: the three marginal consumers
+    // (left, right, total) must stage-reuse the (w1, w2) pair
+    // exchange (reuse-anchored — the tokenRarity discipline), the
+    // vocab²-bounded marginals broadcast back onto the pair table,
+    // and the k-cut is a TakeOrderedAndProject
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.TextAnalysis.collocations(docs)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"lift top-k regressed to a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"marginal joins lost their broadcast:\n$p")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("isFinalPlan=true"), executed.take(500))
+    assert(executed.contains("ReusedExchange"),
+      s"marginals no longer share the bigram exchange:\n${executed.take(3000)}")
+  }
 }

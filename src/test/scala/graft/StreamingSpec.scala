@@ -605,6 +605,84 @@ class StreamingSpec extends SparkSuite {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("streaming transitions equal the batch matrix on in-order batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val ev = mem.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    val q = graft.streaming.StreamingTransitions.transitionUpdates(ev)
+      .writeStream.format("memory").queryName("strans")
+      .outputMode("update").start()
+    // user1's b->a spans the batch boundary; user2's a->b likewise
+    mem.addData((1L, ts(1000), 0L, "a"), (1L, ts(2000), 1L, "b"),
+      (2L, ts(1000), 2L, "a"))
+    q.processAllAvailable()
+    mem.addData((1L, ts(3000), 3L, "a"), (2L, ts(2000), 4L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rowsOf(spark.table("strans"))
+    assert(streamed.forall(m => m("out_of_order") == false))
+    val counts = streamed
+      .groupBy(m => (m("event_type"), m("next_type")))
+      .view.mapValues(_.size.toLong).toMap
+    val batchDf = Seq(
+      (0L, 1000L, 1L, "a"), (1L, 2000L, 1L, "b"), (2L, 1000L, 2L, "a"),
+      (3L, 3000L, 1L, "a"), (4L, 2000L, 2L, "b"))
+      .map { case (id, t, u, ty) => (id, ts(t), u, ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val batch = rowsOf(graft.operators.EventAnalytics.typeTransitions(batchDf))
+      .map(m => (m("event_type"), m("next_type")) -> m("n_trans")).toMap
+    assert(counts == batch && counts.nonEmpty)
+  }
+
+  test("streaming transitions flag cross-batch stragglers, never miscount") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val ev = mem.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    val q = graft.streaming.StreamingTransitions.transitionUpdates(ev)
+      .writeStream.format("memory").queryName("strans_ooo")
+      .outputMode("update").start()
+    mem.addData((1L, ts(5000), 10L, "x"))
+    q.processAllAvailable()
+    mem.addData((1L, ts(1000), 11L, "y")) // older than the stored last
+    q.processAllAvailable()
+    q.stop()
+    val r = rowsOf(spark.table("strans_ooo"))
+    assert(r.map(m => (m("event_type"), m("next_type"), m("out_of_order"))) ==
+      Seq(("x", "y", true)))
+  }
+
+  test("transitions fold: batch-split invariance on random in-order streams") {
+    import graft.streaming.StreamingTransitions.{EventRow, foldBatch}
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 25) {
+      val n = 1 + rnd.nextInt(30)
+      val events = (0 until n).map { i =>
+        EventRow(7L, rnd.nextInt(5).toLong * 1000L, i.toLong,
+          s"t${rnd.nextInt(4)}")
+      }
+      // canonical order = the batch lead order
+      val ordered = events.sortBy(e => (e.ts_us, e.event_id))
+      val (wholePairs, wholeState) = foldBatch(7L, None, ordered)
+      // random in-order split into batches, each internally shuffled
+      // (the fold re-sorts) — pairs and final state must be identical
+      var idx = 0
+      var state: Option[graft.streaming.StreamingTransitions.LastEvent] = None
+      val got = Seq.newBuilder[graft.streaming.StreamingTransitions.Transition]
+      while (idx < ordered.size) {
+        val take = 1 + rnd.nextInt(ordered.size - idx)
+        val chunk = rnd.shuffle(ordered.slice(idx, idx + take))
+        val (pairs, st) = foldBatch(7L, state, chunk)
+        got ++= pairs; state = st; idx += take
+      }
+      assert(got.result() == wholePairs && state == wholeState)
+      assert(wholePairs.forall(!_.out_of_order))
+    }
+  }
 }
 
 /** MemoryStream row for the session-window parity test — field order

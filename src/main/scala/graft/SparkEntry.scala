@@ -270,6 +270,13 @@ object SparkEntry {
     // collocation mining: top-k adjacent pairs by exact-integer lift,
     // marginals re-aggregated from the ONE bigram exchange
     "q_collocations" -> ((s, dir) => TextAnalysis.collocations(docs(s, dir))),
+    // distributed BPE tokenizer training on the distinct-word table
+    // (one corpus shuffle, then vocab-sized argmax rounds). No
+    // oracleSql on purpose — the iterative global argmax cannot be a
+    // recursive CTE; BpeSpec pins exact parity with an independent
+    // single-machine reference trainer instead (driver records the
+    // rows-only check).
+    "q_bpe_merges" -> ((s, dir) => graft.operators.Bpe.mergesFrame(docs(s, dir))),
     // LLM-pipeline: dedup family
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy(col("canonical_doc_id"))),
@@ -389,6 +396,12 @@ object SparkEntry {
     "q_token_budget" -> ((s, dir) =>
       CorpusOps.selectByTokenBudget(docs(s, dir))),
     "q_source_stats" -> ((s, dir) => CorpusOps.sourceStats(docs(s, dir))),
+    // sketch-at-rest accounting: per-source HLL distinct-fingerprint
+    // sketches + a union row (mergeable — the 100 TB bookkeeping
+    // pattern). Rows-only: DataSketches internals have no SQL oracle;
+    // CorpusOpsSpec brackets estimates against exact distincts.
+    "q_source_distinct_approx" -> ((s, dir) =>
+      CorpusOps.sourceDistinctApprox(docs(s, dir))),
     "q_source_overlap" -> ((s, dir) => CorpusOps.sourceOverlap(docs(s, dir))),
     // snapshot diff against a deterministic synthetic "next crawl"
     "q_corpus_diff" -> ((s, dir) => {

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Distributed BPE tokenizer training — the corpus-side half of the
+  * tokenizer pipeline (Sennrich et al.'s byte-pair encoding, the
+  * word-frequency formulation every practical trainer uses): merges
+  * are learned from the DISTINCT-WORD table with counts, never the
+  * raw corpus, so the iteration's working set collapses from 100 TB
+  * of text to the word vocabulary (~10⁷ rows) after ONE corpus-wide
+  * tokenize + count shuffle.
+  *
+  * Each round is then a small Spark job over the word table:
+  *  1. adjacent symbol pairs explode from a guarded `transform`
+  *     projection (the [[TextAnalysis.collocations]] shape) weighted
+  *     by word count, partial-aggregated map-side;
+  *  2. the best pair is a 1-row driver collect over `orderBy.limit(1)`
+  *     (TakeOrderedAndProject; the codebook pattern — the driver
+  *     holds one pair per round, never rows), tie-broken
+  *     (weight desc, left, right) so runs are reproducible;
+  *  3. the merge applies as a pure left-to-right greedy `aggregate`
+  *     fold over each word's symbol array — Column-lambda API, no
+  *     SQL-string splicing of corpus-derived tokens.
+  *
+  * The word table is `localCheckpoint`ed every round (it is tiny
+  * after the initial aggregate) so the fold never nests across
+  * rounds and lineage stays flat; the previous round's blocks are
+  * released eagerly via [[ColumnBridge.unpersistCheckpoint]].
+  *
+  * Pair counting uses the sliding (overlapping) adjacent definition
+  * and merge application is greedy left-to-right — the classic
+  * dictionary-trainer semantics; [[graft.BpeSpec]] pins exact parity
+  * against an independent single-machine reference implementation.
+  * No SQL oracle on purpose: the train loop is iterative global
+  * argmax, which a recursive CTE cannot express (aggregation over
+  * the recursive reference) — the driver records the rows-only
+  * check and the spec's reference-parity gate stands in, the same
+  * discipline as the k-means-trained IVF path.
+  */
+object Bpe {
+
+  /** One learned merge: rank is 0-based learn order. */
+  case class Merge(rank: Int, left: String, right: String, weight: Long)
+
+  /** (syms, wc) distinct-word frame: one row per distinct token with
+    * its corpus count, symbols initialized to single characters. */
+  private def wordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      // split on the empty pattern keeps a trailing "" under Spark's
+      // default limit=-1 — filter it out or it pairs with real symbols
+      .select(filter(split(col("word"), ""), s => s =!= "").as("syms"),
+        col("wc"))
+
+  /** Adjacent symbol pairs of one row's `syms`, sliding window. */
+  private val adjacentPairs: Column = expr(
+    """CASE WHEN size(syms) >= 2
+      |THEN transform(sequence(1, size(syms) - 1),
+      |       i -> named_struct('l', syms[i-1], 'r', syms[i]))
+      |ELSE CAST(array() AS array<struct<l:string,r:string>>) END"""
+      .stripMargin)
+
+  /** Greedy left-to-right merge of adjacent (left, right) into one
+    * symbol — a pure fold, so "aaa" under (a,a) becomes ["aa","a"]. */
+  private def applyMerge(syms: Column, left: String, right: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(left) && s === lit(right),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(lit(left + right))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Learn `numMerges` merges; stops early when no pair remains.
+    * Returns the driver-held merge list (one tiny row per round). */
+  def trainMerges(docs: DataFrame, numMerges: Int = 20): Seq[Merge] = {
+    var cur = wordTable(docs).localCheckpoint(true)
+    val out = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val best = cur
+        .select(col("wc"), explode(adjacentPairs).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("w"))
+        .orderBy(col("w").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, w) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += Merge(rank, l, r, w)
+        val next = cur
+          .select(applyMerge(col("syms"), l, r).as("syms"), col("wc"))
+          .localCheckpoint(true)
+        ColumnBridge.unpersistCheckpoint(cur)
+        cur = next
+        rank += 1
+      }
+    }
+    ColumnBridge.unpersistCheckpoint(cur)
+    out.result()
+  }
+
+  /** The merge table as a frame — (rank, left, right, merged, weight),
+    * rank-ascending: what a tokenizer ships as its merges.txt. */
+  def mergesFrame(docs: DataFrame, numMerges: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val learned = trainMerges(docs, numMerges)
+    learned.map(m => (m.rank, m.left, m.right, m.left + m.right, m.weight))
+      .toDF("rank", "left", "right", "merged", "weight")
+  }
+}

@@ -784,6 +784,41 @@ object CorpusOps {
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("source"), col("lang"))
 
+  /** Per-source distinct-content accounting via MERGEABLE HLL
+    * sketches — the sketch-at-rest pattern for corpus bookkeeping at
+    * 100 TB: each source's distinct-fingerprint sketch is a few KB
+    * that merges associatively, so the global distinct count (and any
+    * source-subset's) comes from `hll_union_agg` over the per-source
+    * SKETCH ROWS, never a second corpus scan — this is what an exact
+    * `countDistinct` can never do (its per-value shuffle re-runs on
+    * every grouping change). Output: one row per source with the
+    * sketch estimate plus a `__all__` row whose estimate comes from
+    * the union of the per-source sketches (the in-plan proof of
+    * mergeability; the per-source aggregate is stage-reused, not
+    * rescanned — the sketch column feeds both consumers). Estimates
+    * are deterministic for a fixed lgK but DataSketches-internal, so
+    * no SQL oracle — TextAnalysisSpec-style bracketing against exact
+    * distincts lives in CorpusOpsSpec (driver records rows-only).
+    */
+  def sourceDistinctApprox(docs: DataFrame, lgK: Int = 12): DataFrame = {
+    val sk = docs
+      .select(col("source"),
+        graft.functions.TextFunctions.fingerprintMd5(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("fp"), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_docs"))
+    val anchored = sk.filter(graft.functions.Barrier.reuseAnchor(col("n_docs")))
+    val per = sk.select(col("source"), col("n_docs"),
+      hll_sketch_estimate(col("sketch")).as("distinct_approx"))
+    val all = anchored
+      .agg(sum(col("n_docs")).as("n_docs"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+          .as("distinct_approx"))
+      .select(lit("__all__").as("source"), col("n_docs"),
+        col("distinct_approx"))
+    per.unionAll(all).orderBy(col("source"))
+  }
+
   /** [[sourceStats]] with every marginal: CUBE over (source, lang) —
     * per-cell, per-source, per-language, and grand-total rows in ONE
     * grouping-sets pass (Spark expands the cube in the partial

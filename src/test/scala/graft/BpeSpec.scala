@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** Exact-parity gate for the distributed BPE trainer: the merge
+  * sequence must equal an independently-written single-machine
+  * reference trainer (same sliding pair counts, same
+  * (weight desc, left, right) tie-break, same greedy left-to-right
+  * application) on the same word counts. This stands in for the SQL
+  * oracle the iterative argmax loop cannot have.
+  */
+class BpeSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Reference trainer over a word→count dictionary. */
+  private def refBpe(words: Map[String, Long],
+      k: Int): List[(String, String, Long)] = {
+    var ws: Map[List[String], Long] =
+      words.map { case (w, c) => w.map(_.toString).toList -> c }
+    val out = List.newBuilder[(String, String, Long)]
+    var done = false
+    var round = 0
+    while (round < k && !done) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      ws.foreach { case (syms, c) =>
+        syms.lazyZip(syms.drop(1)).foreach((a, b) => counts((a, b)) += c)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), w) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((l, r, w))
+        def mergeWord(s: List[String]): List[String] =
+          s.foldLeft(List.empty[String]) { (acc, sym) =>
+            acc match {
+              case init :+ last if last == l && sym == r => init :+ (l + r)
+              case _ => acc :+ sym
+            }
+          }
+        ws = ws.map { case (s, c) => mergeWord(s) -> c }
+        round += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The engine's own word counts (same tokenization). */
+  private def wordCounts(d: DataFrame): Map[String, Long] =
+    rowsOf(d.select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").groupBy("w").agg(count(lit(1)).as("c")))
+      .map(m => m("w").asInstanceOf[String] -> m("c").asInstanceOf[Long])
+      .toMap
+
+  test("trainMerges matches the single-machine reference trainer") {
+    val d = docs(
+      1L -> "low lower lowest low low",
+      2L -> "new newer newest new wide widest wider",
+      3L -> "low and wide and new and newer")
+    val got = Bpe.trainMerges(d, 12)
+    val ref = refBpe(wordCounts(d), 12)
+    assert(got.map(m => (m.left, m.right, m.weight)) == ref)
+    assert(got.map(_.rank) == got.indices)
+  }
+
+  test("greedy left-to-right: overlapping runs, then exhaustion") {
+    // "aaa": round 1 counts the sliding (a,a) twice per word (weight
+    // 4), merges greedily to [aa, a]; round 2 merges (aa, a); then no
+    // pairs remain and the trainer stops early
+    val r = Bpe.trainMerges(docs(1L -> "aaa aaa"), 10)
+    assert(r.map(m => (m.left, m.right, m.weight)) ==
+      Seq(("a", "a", 4L), ("aa", "a", 2L)))
+  }
+
+  test("mergesFrame emits rank-ordered merges with concatenated symbol") {
+    val rows = rowsOf(Bpe.mergesFrame(docs(1L -> "ab ab abc"), 5))
+    assert(rows.map(_("rank")) == rows.indices)
+    rows.foreach { m =>
+      assert(m("merged") == s"${m("left")}${m("right")}")
+    }
+    // (a,b) dominates: weight 3 (one per word occurrence)
+    assert(rows.head("left") == "a" && rows.head("right") == "b" &&
+      rows.head("weight") == 3L)
+  }
+
+  test("training leaves no persisted word-table checkpoints behind") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Bpe.trainMerges(docs(1L -> "clean up after yourself"), 4)
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+}

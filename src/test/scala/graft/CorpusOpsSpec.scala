@@ -647,4 +647,43 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rows.map(l(_, "padding_tokens")).sum <
       unbucketed.map(l(_, "padding_tokens")).sum)
   }
+
+  test("source distinct sketches: estimates and union bracket exact counts") {
+    // s0: 2 distinct texts (one exact dup); s1: 2 distinct
+    val d = docs(
+      (1L, "alpha beta", "en", "s0"),
+      (2L, "gamma delta", "en", "s0"),
+      (3L, "alpha beta", "en", "s0"),   // dup of 1 within s0
+      (4L, "epsilon zeta", "en", "s1"),
+      (5L, "alpha beta", "en", "s1"))   // cross-source dup of 1
+    val r = rowsOf(graft.operators.CorpusOps.sourceDistinctApprox(d))
+    assert(r.map(_("source")) == Seq("__all__", "s0", "s1"))
+    val bySrc = r.map(m => m("source") -> m).toMap
+    // tiny cardinalities: HLL is exact at this size
+    def est(s: String) = bySrc(s)("distinct_approx").asInstanceOf[Long]
+    assert(est("s0") == 2L && bySrc("s0")("n_docs") == 3L)
+    assert(est("s1") == 2L && bySrc("s1")("n_docs") == 2L)
+    // the union row merges SKETCHES: global distinct is 3 (the
+    // cross-source dup collapses), not the per-source sum 4
+    assert(est("__all__") == 3L)
+    assert(bySrc("__all__")("n_docs") == 5L)
+  }
+
+  test("source distinct sketches: union equals sketching the corpus directly") {
+    val d = docs((1L to 40L).map(i =>
+      (i, s"text number ${i % 17}", "en", s"s${i % 3}")): _*)
+    val r = rowsOf(graft.operators.CorpusOps.sourceDistinctApprox(d))
+    val union = r.find(_("source") == "__all__").get("distinct_approx")
+      .asInstanceOf[Long]
+    // direct single-sketch estimate over the same fingerprints
+    val direct = rowsOf(d.select(graft.functions.TextFunctions
+        .fingerprintMd5(org.apache.spark.sql.functions.col("text")).as("fp"))
+      .agg(org.apache.spark.sql.functions.hll_sketch_estimate(
+        org.apache.spark.sql.functions.hll_sketch_agg(
+          org.apache.spark.sql.functions.col("fp"),
+          org.apache.spark.sql.functions.lit(12))).as("e")))
+      .head("e").asInstanceOf[Long]
+    assert(union == 17L && direct == 17L,
+      s"union=$union direct=$direct")
+  }
 }

@@ -78,9 +78,12 @@ class SourceDisciplineSpec extends AnyFunSuite {
     //                    (≤ queries × nProbes values, the static
     //                    partition-pruning predicate)
     //   TopicMetrics     1-row global summary
+    //   Bpe              ONE row per merge round (the argmax pair) —
+    //                    the codebook pattern, never word rows
     audit("collect()", raw"\.collect\(\)", Map(
       "src/main/scala/graft/TopicAnalyzer.scala" -> 1,
       "src/main/scala/graft/operators/AliveKeys.scala" -> 2,
+      "src/main/scala/graft/operators/Bpe.scala" -> 1,
       "src/main/scala/graft/operators/CorpusOps.scala" -> 2,
       "src/main/scala/graft/operators/EventAnalytics.scala" -> 4,
       "src/main/scala/graft/operators/Similarity.scala" -> 9,

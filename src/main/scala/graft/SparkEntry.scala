@@ -277,6 +277,11 @@ object SparkEntry {
     // single-machine reference trainer instead (driver records the
     // rows-only check).
     "q_bpe_merges" -> ((s, dir) => graft.operators.Bpe.mergesFrame(docs(s, dir))),
+    // tokenizer APPLY: per-doc piece counts under the trained merges —
+    // segmentation folds once per DISTINCT word (vocab-sized), the
+    // corpus only joins integer counts. Rows-only like q_bpe_merges;
+    // BpeSpec pins reference-encoder parity + invariants.
+    "q_bpe_encode" -> ((s, dir) => graft.operators.Bpe.encodeQuery(docs(s, dir))),
     // LLM-pipeline: dedup family
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy(col("canonical_doc_id"))),

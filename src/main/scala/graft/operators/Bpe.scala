@@ -116,4 +116,48 @@ object Bpe {
     learned.map(m => (m.rank, m.left, m.right, m.left + m.right, m.weight))
       .toDF("rank", "left", "right", "merged", "weight")
   }
+
+  /** `word` split to characters and run through `merges` in rank
+    * order — the encode-side fold chain. Applied ONLY to the distinct
+    * word table, so the (numMerges-deep) expression evaluates
+    * vocab-many times, never corpus-many. */
+  private def segmentExpr(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(filter(split(word, ""), s => s =!= "")) {
+      (acc, m) => applyMerge(acc, m.left, m.right)
+    }
+
+  /** Encode the corpus with a trained merge list: per document, the
+    * word count and the BPE piece count under `merges`. The
+    * tokenizer-apply half of the pipeline, shaped for scale the same
+    * way the trainer is: segmentation runs ONCE PER DISTINCT WORD —
+    * the (doc_id, word) tf aggregate is re-aggregated into the
+    * distinct-word frame (reuse-anchored, so the tokenize exchange is
+    * stage-shared — the tokenRarity discipline), each distinct word
+    * pays the merge fold once, and per-doc piece counts come from an
+    * integer `Σ tf · |segments(word)|` join — the corpus never
+    * evaluates the fold chain. Zero merges degenerates to character
+    * counts; more merges can only shrink `n_pieces` (spec-pinned
+    * invariants, plus exact parity with the reference encoder).
+    */
+  def encodeCounts(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val vocabSeg = tf
+      .filter(graft.functions.Barrier.reuseAnchor(col("tf")))
+      .groupBy(col("word")).agg(sum(col("tf")).as("wtf"))
+      .select(col("word"),
+        size(segmentExpr(col("word"), merges)).cast("long").as("n_seg"))
+    tf.join(vocabSeg, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_words"),
+        sum(col("tf") * col("n_seg")).cast("long").as("n_pieces"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Train-then-encode in one call — the [[SparkEntry]] surface. */
+  def encodeQuery(docs: DataFrame, numMerges: Int = 20): DataFrame =
+    encodeCounts(docs, trainMerges(docs, numMerges))
 }

@@ -96,4 +96,48 @@ class BpeSpec extends SparkSuite {
     Bpe.trainMerges(docs(1L -> "clean up after yourself"), 4)
     assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
+
+  test("encodeCounts matches the reference encoder and its invariants") {
+    val d = docs(
+      1L -> "low lower lowest low low",
+      2L -> "new newer newest new wide widest wider",
+      3L -> "low and wide and new and newer")
+    val merges = Bpe.trainMerges(d, 8)
+    val got = rowsOf(Bpe.encodeCounts(d, merges))
+      .map(m => m("doc_id") -> (m("n_words"), m("n_pieces"))).toMap
+
+    // reference encode: same greedy fold per word, merges in rank order
+    def seg(word: String): Int = {
+      var syms = word.map(_.toString).toList
+      merges.foreach { m =>
+        syms = syms.foldLeft(List.empty[String]) { (acc, s) =>
+          acc match {
+            case init :+ last if last == m.left && s == m.right =>
+              init :+ (m.left + m.right)
+            case _ => acc :+ s
+          }
+        }
+      }
+      syms.size
+    }
+    val perDoc = Map(
+      1L -> "low lower lowest low low",
+      2L -> "new newer newest new wide widest wider",
+      3L -> "low and wide and new and newer")
+    perDoc.foreach { case (id, text) =>
+      val words = text.split(" ").toSeq
+      assert(got(id) == (words.size.toLong,
+        words.map(seg).sum.toLong), s"doc $id")
+    }
+
+    // zero merges degenerate to character counts; merges only shrink
+    val zero = rowsOf(Bpe.encodeCounts(d, Nil))
+      .map(m => m("doc_id") -> m("n_pieces")).toMap
+    perDoc.foreach { case (id, text) =>
+      assert(zero(id) == text.split(" ").map(_.length).sum.toLong)
+    }
+    got.foreach { case (id, (_, pieces)) =>
+      assert(pieces.asInstanceOf[Long] <= zero(id).asInstanceOf[Long])
+    }
+  }
 }

@@ -752,4 +752,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(executed.contains("ReusedExchange"),
       s"marginals no longer share the bigram exchange:\n${executed.take(3000)}")
   }
+
+  test("bpe encode: segment fold rides the vocab side; tf exchange shared") {
+    // the merge fold must evaluate once per DISTINCT word: the vocab
+    // branch re-aggregates the (doc_id, word) tf exchange
+    // (reuse-anchored) and carries the fold; the corpus side only
+    // joins integer counts back
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Seq(graft.operators.Bpe.Merge(0, "e", "r", 0L),
+      graft.operators.Bpe.Merge(1, "t", "h", 0L))
+    val df = graft.operators.Bpe.encodeCounts(docs, merges)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("isFinalPlan=true"), executed.take(500))
+    assert(executed.contains("ReusedExchange"),
+      s"vocab/doc branches no longer share the tokenize exchange:\n${executed.take(3000)}")
+    // the fold chain must not appear on the corpus-cardinality side:
+    // exactly one aggregate carries the lambda evaluation
+    assert(raw"aggregate\(".r.findAllIn(
+      df.queryExecution.optimizedPlan.toString).nonEmpty)
+  }
 }

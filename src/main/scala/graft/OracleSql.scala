@@ -1343,6 +1343,34 @@ object OracleSql {
        |FROM scored WHERE score >= $threshold ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Mirrors [[graft.operators.Similarity.contrastiveTriplets]]: best
+    * near-pair positive (score desc, id tie-break over the rounded
+    * pair scores), salted-fnv-bucket min-id negative, self/positive
+    * collisions dropped. */
+  def contrastiveTriplets(threshold: Double = 0.4, tables: Int = 4,
+      planes: Int = 4, negBuckets: Int = 32, negSalt: Int = 7): String = {
+    val pairsSql = lshNearPairs(tables, planes, threshold)
+    s"""WITH pairs AS (
+       |$pairsSql
+       |),
+       |sym AS (SELECT vec_a AS anchor, vec_b AS pos, score FROM pairs
+       |        UNION ALL SELECT vec_b, vec_a, score FROM pairs),
+       |best AS (
+       |  SELECT anchor, pos AS positive_id, score AS pos_score FROM (
+       |    SELECT anchor, pos, score,
+       |           ROW_NUMBER() OVER (PARTITION BY anchor
+       |             ORDER BY score DESC, pos) AS rn
+       |    FROM sym) WHERE rn = 1),
+       |bmin AS (SELECT ${idBucket("vec_id", negBuckets)} AS bucket,
+       |                MIN(vec_id) AS negative_id
+       |         FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1)
+       |SELECT anchor, positive_id, pos_score, negative_id
+       |FROM best JOIN bmin
+       |  ON (${idBucket("anchor", negBuckets)} + $negSalt) % $negBuckets = bucket
+       |WHERE negative_id <> anchor AND negative_id <> positive_id
+       |ORDER BY anchor""".stripMargin
+  }
+
   /** Semantic-dedup representatives
     * ([[graft.operators.Similarity.semanticKeep]]): transitive closure
     * over the LSH near-pair graph via a recursive CTE (the

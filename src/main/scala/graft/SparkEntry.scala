@@ -362,6 +362,10 @@ object SparkEntry {
     // (broadcast) eval set — the semantic twin of q_decontaminate
     "q_decontaminate_semantic" -> ((s, dir) =>
       Similarity.semanticContaminationById(emb(s, dir))),
+    // contrastive training triplets: best LSH near-pair positive +
+    // deterministic salted-bucket hash negative (broadcast min table)
+    "q_contrastive_triplets" -> ((s, dir) =>
+      Similarity.contrastiveTriplets(emb(s, dir))),
     // the PRODUCTION IVF path: k-means-trained codebook instead of the
     // oracle's deterministic stand-in. No oracleSql on purpose — float
     // avg fold order differs across engines, so the driver records the
@@ -692,6 +696,7 @@ object SparkEntry {
       "q_diverse_sample" -> OracleSql.diverseSample(),
       "q_embedding_audit" -> OracleSql.embeddingAudit(),
       "q_embed_outliers" -> OracleSql.embeddingOutliers(),
+      "q_contrastive_triplets" -> OracleSql.contrastiveTriplets(),
       "q_corpus_filter" -> OracleSql.corpusFilter(),
       "q_split_stats" -> OracleSql.splitStats(),
       "q_sample_stratified" -> OracleSql.stratifiedSampleStats(),

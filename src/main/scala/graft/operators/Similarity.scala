@@ -503,6 +503,53 @@ object Similarity {
         round(col("cscore"), 6).as("centroid_score"))
   }
 
+  /** Contrastive (anchor, positive, negative) triplet construction —
+    * the training-data side of embedding-model work: positives are
+    * each anchor's best semantic neighbor (the LSH near-pair graph
+    * [[lshNearPairsUnsorted]] already builds — candidates banded,
+    * cosine-verified, so the pair search is the scale path, never
+    * all-pairs), negatives are deterministic hash-draws: the min-id
+    * representative of the anchor's SALTED fnv bucket, joined from a
+    * `negBuckets`-row broadcast table. Everything is integer/rounded
+    * arithmetic the DuckDB oracle replays exactly — same triplets on
+    * any cluster size, any run.
+    *
+    * Semantics pinned: only anchors WITH a neighbor ≥ `threshold`
+    * appear (an isolated vector has no positive to contrast against);
+    * the positive tie-breaks (score desc, id asc); the rare anchor
+    * whose salted draw collides with itself or its positive is
+    * dropped rather than silently re-drawn (deterministic, documented
+    * — re-salting would make the output depend on collision order).
+    */
+  def contrastiveTriplets(corpus: DataFrame, threshold: Double = 0.4,
+      tables: Int = 4, planes: Int = 4, negBuckets: Int = 32,
+      negSalt: Int = 7): DataFrame = {
+    val pairs = lshNearPairsUnsorted(corpus, tables, planes, threshold)
+    val sym = pairs
+      .select(col("vec_a").as("anchor"), col("vec_b").as("pos"), col("score"))
+      .unionAll(pairs
+        .select(col("vec_b").as("anchor"), col("vec_a").as("pos"),
+          col("score")))
+    val positives = sym.groupBy(col("anchor"))
+      .agg(max(struct(col("score"), (-col("pos")).as("npos"))).as("m"))
+      .select(col("anchor"), (-col("m.npos")).as("positive_id"),
+        col("m.score").as("pos_score"))
+    val bmin = corpus.filter(col("embedding").isNotNull)
+      .select(CorpusOps.hashBucket(col("vec_id"), negBuckets).as("bucket"),
+        col("vec_id"))
+      .groupBy(col("bucket")).agg(min(col("vec_id")).as("negative_id"))
+    positives
+      .withColumn("nbucket",
+        pmod(CorpusOps.hashBucket(col("anchor"), negBuckets) + negSalt,
+          lit(negBuckets)))
+      .join(broadcast(bmin), col("nbucket") === col("bucket"))
+      .filter(col("negative_id") =!= col("anchor") &&
+        col("negative_id") =!= col("positive_id"))
+      .select(col("anchor"), col("positive_id"), col("pos_score"),
+        col("negative_id"))
+      .orderBy(col("anchor"))
+  }
+
   /** Product-quantization codebook: the vector's dimensions split into
     * `m` contiguous subspaces; per subspace, `ksub` sub-centroids
     * trained by Lloyd's on the subvectors. Returned driver-held

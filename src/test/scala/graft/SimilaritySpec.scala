@@ -531,4 +531,41 @@ class SimilaritySpec extends SparkSuite {
     assert(r.head("centroid_score") == 0.0)
     assert(r(1)("centroid_score").asInstanceOf[Double] == 0.707107)
   }
+
+  test("contrastive triplets: best-neighbor positive, salted-hash negative") {
+    // two tight pairs + one isolated vector
+    val d = vecs(
+      0L -> pad(Seq(1f, 0f)),
+      1L -> pad(Seq(0.97f, 0.24f)),
+      2L -> pad(Seq(0f, 1f)),
+      3L -> pad(Seq(0.24f, 0.97f)),
+      4L -> pad(Seq(-1f, -1f)))   // near nothing at threshold 0.4
+    val r = rowsOf(Similarity.contrastiveTriplets(d, threshold = 0.4,
+      negBuckets = 4, negSalt = 1))
+
+    // expected from first principles: positives pair 0<->1 and 2<->3
+    // (cosine-best partners); vector 4 is isolated, so never an anchor
+    val positives = Map(0L -> 1L, 1L -> 0L, 2L -> 3L, 3L -> 2L)
+    // independent bucket recompute with the engine's own hash column
+    val bucketOf = rowsOf(d.select(col("vec_id"),
+        graft.operators.CorpusOps.hashBucket(col("vec_id"), 4).as("b")))
+      .map(m => m("vec_id").asInstanceOf[Long] ->
+        m("b").asInstanceOf[Long]).toMap
+    val minOfBucket = bucketOf.keys.toSeq.groupBy(bucketOf).view
+      .mapValues(_.min).toMap
+    val expected = positives.toSeq.sorted.flatMap { case (a, p) =>
+      minOfBucket.get((bucketOf(a) + 1) % 4) match {
+        case Some(neg) if neg != a && neg != p => Some((a, p, neg))
+        case _ => None // empty salted bucket or collision: dropped
+      }
+    }
+    assert(r.map(m => (m("anchor"), m("positive_id"), m("negative_id")))
+      == expected, s"expected $expected")
+    assert(r.nonEmpty)
+    r.foreach(m => assert(m("pos_score").asInstanceOf[Double] >= 0.4))
+    // fully deterministic: a second run yields identical triplets
+    val again = rowsOf(Similarity.contrastiveTriplets(d, threshold = 0.4,
+      negBuckets = 4, negSalt = 1))
+    assert(again == r)
+  }
 }

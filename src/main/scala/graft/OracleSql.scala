@@ -1343,6 +1343,33 @@ object OracleSql {
        |FROM scored WHERE score >= $threshold ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Mirrors [[graft.operators.Similarity.annRecall]]: the three knn
+    * oracles joined back to the exact top-k, one integer-exact recall
+    * division per method. */
+  def annRecall(maxQueryId: Int = 16, k: Int = 5, lshTables: Int = 8,
+      lshPlanes: Int = 4, nCentroids: Int = 16, nProbes: Int = 4): String = {
+    val denom = maxQueryId * k
+    s"""WITH exact AS (
+       |${knn(k, maxQueryId)}
+       |),
+       |lsh AS (
+       |${knnLsh(k, maxQueryId, lshTables, lshPlanes)}
+       |),
+       |ivf AS (
+       |${knnIvf(k, maxQueryId, nCentroids, nProbes)}
+       |),
+       |e AS (SELECT query_id, neighbor_id FROM exact)
+       |SELECT method, n_hits, CAST(n_hits AS DOUBLE) / $denom AS recall
+       |FROM (
+       |  SELECT 'exact' AS method, COUNT(*) AS n_hits
+       |  FROM e JOIN exact USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'ivf', COUNT(*) FROM e JOIN ivf USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'lsh', COUNT(*) FROM e JOIN lsh USING (query_id, neighbor_id))
+       |ORDER BY method""".stripMargin
+  }
+
   /** Mirrors [[graft.operators.Similarity.contrastiveTriplets]]: best
     * near-pair positive (score desc, id tie-break over the rounded
     * pair scores), salted-fnv-bucket min-id negative, self/positive

@@ -366,6 +366,9 @@ object SparkEntry {
     // deterministic salted-bucket hash negative (broadcast min table)
     "q_contrastive_triplets" -> ((s, dir) =>
       Similarity.contrastiveTriplets(emb(s, dir))),
+    // self-measuring index quality: recall@k of LSH/IVF vs exact
+    // brute force, integer-exact division per method
+    "q_ann_recall" -> ((s, dir) => Similarity.annRecall(emb(s, dir))),
     // the PRODUCTION IVF path: k-means-trained codebook instead of the
     // oracle's deterministic stand-in. No oracleSql on purpose — float
     // avg fold order differs across engines, so the driver records the
@@ -697,6 +700,7 @@ object SparkEntry {
       "q_embedding_audit" -> OracleSql.embeddingAudit(),
       "q_embed_outliers" -> OracleSql.embeddingOutliers(),
       "q_contrastive_triplets" -> OracleSql.contrastiveTriplets(),
+      "q_ann_recall" -> OracleSql.annRecall(),
       "q_corpus_filter" -> OracleSql.corpusFilter(),
       "q_split_stats" -> OracleSql.splitStats(),
       "q_sample_stratified" -> OracleSql.stratifiedSampleStats(),

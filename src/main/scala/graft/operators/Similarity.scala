@@ -503,6 +503,35 @@ object Similarity {
         round(col("cscore"), 6).as("centroid_score"))
   }
 
+  /** Self-measuring ANN quality — recall@k of the approximate search
+    * paths (LSH, IVF) against the exact brute-force top-k, as a QUERY
+    * rather than only a spec: an index whose quality can be monitored
+    * in the same engine that serves it is an index whose degradation
+    * (embedding drift, a stale codebook) is visible in production, not
+    * just in CI. One row per method; `recall = n_hits / (nq·k)` is a
+    * single division of exact integers (denominator a compile-time
+    * constant), so the report hash-matches the oracle exactly. The
+    * 'exact' row (recall 1.0 by construction) rides along as the
+    * join-logic sanity anchor.
+    */
+  def annRecall(corpus: DataFrame, maxQueryId: Int = 16,
+      k: Int = 5): DataFrame = {
+    val q = corpus.filter(col("vec_id") < maxQueryId)
+    val exact = knnBruteForce(corpus, q, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val denom = (maxQueryId * k).toDouble
+    def row(res: DataFrame, label: String): DataFrame =
+      exact.join(res.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(label).as("method"), col("n_hits"),
+          (col("n_hits").cast("double") / denom).as("recall"))
+    row(exact, "exact")
+      .unionAll(row(knnLsh(corpus, q, k), "lsh"))
+      .unionAll(row(knnIvf(corpus, q, k), "ivf"))
+      .orderBy(col("method"))
+  }
+
   /** Contrastive (anchor, positive, negative) triplet construction —
     * the training-data side of embedding-model work: positives are
     * each anchor's best semantic neighbor (the LSH near-pair graph

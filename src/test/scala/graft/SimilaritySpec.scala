@@ -568,4 +568,20 @@ class SimilaritySpec extends SparkSuite {
       negBuckets = 4, negSalt = 1))
     assert(again == r)
   }
+
+  test("annRecall: exact anchors at 1.0, approximate paths bounded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = rowsOf(Similarity.annRecall(emb, maxQueryId = 8, k = 3))
+    assert(r.map(_("method")) == Seq("exact", "ivf", "lsh"))
+    val byM = r.map(m => m("method") -> m).toMap
+    assert(byM("exact")("n_hits") == 24L &&
+      byM("exact")("recall") == 1.0)
+    Seq("ivf", "lsh").foreach { m =>
+      val rec = byM(m)("recall").asInstanceOf[Double]
+      assert(rec > 0.0 && rec <= 1.0, s"$m recall $rec")
+      assert(byM(m)("n_hits").asInstanceOf[Long] <= 24L)
+      // recall is exactly hits/denominator — no float accumulation
+      assert(rec == byM(m)("n_hits").asInstanceOf[Long].toDouble / 24.0)
+    }
+  }
 }

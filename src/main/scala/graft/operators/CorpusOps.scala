@@ -205,18 +205,40 @@ object CorpusOps {
     */
   private[graft] def bloomPrefilter(trainPost: DataFrame,
       evalPost: DataFrame, expectedEvalShingles: Long): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val bytes = shingleBloomOf(evalPost, expectedEvalShingles)
+    if (bytes == null) trainPost.filter(lit(false)) // empty eval set
+    else trainPost.filter(shingleMightContain(bytes, col("g")))
+  }
+
+  /** Serialized eval-shingle Bloom sketch — the PERSISTABLE batch
+    * artifact the streaming decontamination gate replays (the
+    * mixtureGate pattern: expensive global knowledge computed once,
+    * shipped as bytes, applied as cheap per-row arithmetic). Returns
+    * null for an empty eval set. */
+  def evalShingleBloom(eval: DataFrame, shingleN: Int = 5,
+      expectedEvalShingles: Long = 1L << 20): Array[Byte] =
+    shingleBloomOf(shinglePostings(eval, "eval_doc", shingleN),
+      expectedEvalShingles)
+
+  private def shingleBloomOf(post: DataFrame,
+      expectedEvalShingles: Long): Array[Byte] = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val bloomAgg = ColumnBridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         ColumnBridge.catalystExpression(col("g").cast("long")),
         expectedEvalShingles).toAggregateExpression())
-    val bytes = evalPost.filter(col("g").isNotNull)
+    post.filter(col("g").isNotNull)
       .agg(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]]("bf")
-    if (bytes == null) trainPost.filter(lit(false)) // empty eval set
-    else trainPost.filter(ColumnBridge.column(BloomFilterMightContain(
-      Literal(bytes),
-      ColumnBridge.catalystExpression(col("g").cast("long")))))
+  }
+
+  /** The codegen'd membership probe over one shingle-hash column —
+    * ONE home for the cast convention (the sketch folds LONGs). */
+  private[graft] def shingleMightContain(bytes: Array[Byte],
+      g: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes), ColumnBridge.catalystExpression(g.cast("long"))))
   }
 
   /** Fixture adapter twin of [[decontaminateById]] for the Bloom

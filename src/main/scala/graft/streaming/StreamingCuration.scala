@@ -76,4 +76,35 @@ object StreamingCuration {
       .filter(CorpusOps.mixtureKeep(col("doc_id"),
         coalesce(col("ppm"), lit(1000000L))))
       .drop("ppm")
+
+  /** Streaming decontamination gate — the ingest face of
+    * [[CorpusOps.decontaminateBloom]]: each arriving document's
+    * shingle hashes probe the PERSISTED eval-set Bloom sketch
+    * ([[CorpusOps.evalShingleBloom]], computed batch-side once); a
+    * doc with `minShared` or more possible eval shingles is marked
+    * `quarantined`. Stateless narrow projection — no state store, no
+    * watermark, the sketch rides as a literal in the plan.
+    *
+    * The contract is CONSERVATIVE, and deliberately so: Bloom filters
+    * have no false negatives, so every document the exact batch
+    * decontaminator would flag is quarantined here — contamination
+    * cannot leak through the stream path. The fpp sliver of clean
+    * docs quarantined alongside is re-admitted by the exact batch
+    * pass downstream (the quarantine is a holding pen, not a drop).
+    * Spec-pinned as a superset relation against the batch flags.
+    */
+  def decontaminationGate(docs: DataFrame, bloomBytes: Array[Byte],
+      shingleN: Int = 5, minShared: Int = 1): DataFrame = {
+    if (bloomBytes == null)
+      return docs.withColumn("n_possible_hits", lit(0L))
+        .withColumn("quarantined", lit(false))
+    docs
+      .withColumn("xs", graft.functions.ArrayHashExprs.shingle_hashes(
+        TextFunctions.normText(col("text")), shingleN))
+      .withColumn("n_possible_hits",
+        size(filter(col("xs"), g =>
+          CorpusOps.shingleMightContain(bloomBytes, g))).cast("long"))
+      .drop("xs")
+      .withColumn("quarantined", col("n_possible_hits") >= minShared)
+  }
 }

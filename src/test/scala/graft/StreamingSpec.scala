@@ -683,7 +683,48 @@ class StreamingSpec extends SparkSuite {
       assert(wholePairs.forall(!_.out_of_order))
     }
   }
+  test("streaming decontamination gate quarantines a superset of batch flags") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // eval docs (id < 100) share a 6-word phrase with train doc 101;
+    // train docs 102/103 are clean
+    val all = Seq(
+      (1L, "the quick brown fox jumps over lazy dogs today"),
+      (2L, "completely unrelated evaluation material here for benchmarks"),
+      (101L, "we saw the quick brown fox jumps over lazy dogs yesterday"),
+      (102L, "novel training text with no overlap whatsoever in sight"),
+      (103L, "another clean document of fresh original training words"))
+    val df = all.toDF("doc_id", "text")
+    val bloom = graft.operators.CorpusOps.evalShingleBloom(
+      df.filter(col("doc_id") < 100L))
+    // batch exact flags (train side)
+    val flagged = rowsOf(graft.operators.CorpusOps.decontaminateById(df))
+      .map(_("train_doc").asInstanceOf[Long]).toSet
+    assert(flagged == Set(101L))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCuration.decontaminationGate(
+        mem.toDF().toDF("doc_id", "text").filter(col("doc_id") >= 100L), bloom)
+      .writeStream.format("memory").queryName("decon_gate")
+      .outputMode("append").start()
+    mem.addData(all.filter(_._1 >= 100L): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = rowsOf(spark.table("decon_gate"))
+    val quarantined = out.filter(_("quarantined") == true)
+      .map(_("doc_id").asInstanceOf[Long]).toSet
+    // no false negatives: every batch-flagged doc is quarantined
+    assert(flagged.subsetOf(quarantined), s"leaked: ${flagged -- quarantined}")
+    // and the conservative gate stayed tight on this fixture
+    assert(quarantined == Set(101L), quarantined.toString)
+    // a null sketch (empty eval set) quarantines nothing
+    val none = rowsOf(graft.streaming.StreamingCuration
+      .decontaminationGate(Seq((5L, "x y z")).toDF("doc_id", "text"), null))
+    assert(none.forall(_("quarantined") == false))
+  }
 }
+
 
 /** MemoryStream row for the session-window parity test — field order
   * mirrors the events table columns the operators read. */

@@ -1235,6 +1235,35 @@ object OracleSql {
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors [[graft.operators.Similarity.knnLshMultiProbe]]: the
+    * query signature set expands with every 1-bit flip per table. */
+  def knnLshMultiProbe(k: Int = 5, maxQueryId: Int = 16, tables: Int = 8,
+      planes: Int = 4): String = {
+    val flips = (0 until planes)
+      .map(j => s"SELECT vec_id, tbl, xor(sig, ${1L << j}) AS sig FROM qs")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $unitCte,
+       |sigs AS (
+       |${sigsUnionSql(tables, planes)}),
+       |qs AS (SELECT * FROM sigs WHERE vec_id < $maxQueryId),
+       |qsigs AS (SELECT vec_id, tbl, sig FROM qs
+       |UNION ALL
+       |$flips),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qsigs q JOIN sigs c
+       |    ON q.tbl = c.tbl AND q.sig = c.sig AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${dotSql("x.un", "y.un")} AS score
+       |  FROM cand JOIN u x ON x.vec_id = query_id JOIN u y ON y.vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, score,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id) AS rank
+       |      FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   def knnIvf(k: Int = 5, maxQueryId: Int = 16, nCentroids: Int = 16,
       nProbes: Int = 4): String =
     s"""WITH $unitCte,
@@ -1355,6 +1384,9 @@ object OracleSql {
        |lsh AS (
        |${knnLsh(k, maxQueryId, lshTables, lshPlanes)}
        |),
+       |lshmp AS (
+       |${knnLshMultiProbe(k, maxQueryId, lshTables, lshPlanes)}
+       |),
        |ivf AS (
        |${knnIvf(k, maxQueryId, nCentroids, nProbes)}
        |),
@@ -1366,7 +1398,10 @@ object OracleSql {
        |  UNION ALL
        |  SELECT 'ivf', COUNT(*) FROM e JOIN ivf USING (query_id, neighbor_id)
        |  UNION ALL
-       |  SELECT 'lsh', COUNT(*) FROM e JOIN lsh USING (query_id, neighbor_id))
+       |  SELECT 'lsh', COUNT(*) FROM e JOIN lsh USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'lsh_mp', COUNT(*)
+       |  FROM e JOIN lshmp USING (query_id, neighbor_id))
        |ORDER BY method""".stripMargin
   }
 

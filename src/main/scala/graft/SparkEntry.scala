@@ -334,6 +334,12 @@ object SparkEntry {
       val e = emb(s, dir)
       Similarity.knnLsh(e, e.filter(col("vec_id") < 16), 5)
     }),
+    // multi-probe variant: each table also probes the planes buckets
+    // one bit-flip away — recall for probe volume, index unchanged
+    "q_embed_knn_lsh_mp" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnLshMultiProbe(e, e.filter(col("vec_id") < 16), 5)
+    }),
     "q_embed_near_pairs" -> ((s, dir) => Similarity.lshNearPairs(emb(s, dir))),
     // SemDeDup-style: epsilon-ball clusters over the embedding LSH
     // graph, min-id representative kept per cluster. Threshold 0.4 on
@@ -701,6 +707,7 @@ object SparkEntry {
       "q_embed_outliers" -> OracleSql.embeddingOutliers(),
       "q_contrastive_triplets" -> OracleSql.contrastiveTriplets(),
       "q_ann_recall" -> OracleSql.annRecall(),
+      "q_embed_knn_lsh_mp" -> OracleSql.knnLshMultiProbe(),
       "q_corpus_filter" -> OracleSql.corpusFilter(),
       "q_split_stats" -> OracleSql.splitStats(),
       "q_sample_stratified" -> OracleSql.stratifiedSampleStats(),

@@ -528,6 +528,7 @@ object Similarity {
           (col("n_hits").cast("double") / denom).as("recall"))
     row(exact, "exact")
       .unionAll(row(knnLsh(corpus, q, k), "lsh"))
+      .unionAll(row(knnLshMultiProbe(corpus, q, k), "lsh_mp"))
       .unionAll(row(knnIvf(corpus, q, k), "ivf"))
       .orderBy(col("method"))
   }
@@ -965,9 +966,40 @@ object Similarity {
       tables: Int = 8, planes: Int = 4): DataFrame = {
     val cu = withUnit(corpus).select(col("vec_id"), col("unit"))
     val qu = withUnit(queries).select(col("vec_id"), col("unit"))
+    knnLshOn(cu, qu,
+      withSigs(qu, tables, planes)
+        .select(col("vec_id"), col("tbl"), col("sig")),
+      tables, planes, k)
+  }
+
+  /** Multi-probe LSH ANN top-k — the standard recall lever that costs
+    * probe volume, not index size: besides its own bucket, each query
+    * also probes the `planes` buckets at Hamming distance 1 in every
+    * table (one signature bit flipped — the bucket a borderline
+    * hyperplane decision would have landed it in). Candidates grow
+    * ~(planes+1)× on the TINY query side only; the corpus index, its
+    * signatures, and the scoring plan are byte-identical to
+    * [[knnLsh]]. [[annRecall]] reports both, so the recall-for-probes
+    * trade is measured in-engine, not asserted.
+    */
+  def knnLshMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int = 8, planes: Int = 4): DataFrame = {
+    val cu = withUnit(corpus).select(col("vec_id"), col("unit"))
+    val qu = withUnit(queries).select(col("vec_id"), col("unit"))
+    val expanded = withSigs(qu, tables, planes)
+      .select(col("vec_id"), col("tbl"),
+        explode(array(col("sig") +: (0 until planes).map(j =>
+          col("sig").bitwiseXOR(lit(1L << j))): _*)).as("sig"))
+    knnLshOn(cu, qu, expanded, tables, planes, k)
+  }
+
+  /** Shared LSH top-k tail: candidate equi-join on (tbl, sig) against
+    * the (possibly probe-expanded) query signature frame, exact
+    * cosine on candidates only, per-query rank window. */
+  private def knnLshOn(cu: DataFrame, qu: DataFrame, qsigs: DataFrame,
+      tables: Int, planes: Int, k: Int): DataFrame = {
     val cand = withSigs(cu, tables, planes).select(col("vec_id"), col("tbl"), col("sig")).as("c")
-      .join(broadcast(withSigs(qu, tables, planes)
-        .select(col("vec_id"), col("tbl"), col("sig")).as("q")),
+      .join(broadcast(qsigs.as("q")),
         col("q.tbl") === col("c.tbl") && col("q.sig") === col("c.sig") &&
           col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))

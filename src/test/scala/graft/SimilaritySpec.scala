@@ -572,11 +572,15 @@ class SimilaritySpec extends SparkSuite {
   test("annRecall: exact anchors at 1.0, approximate paths bounded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val r = rowsOf(Similarity.annRecall(emb, maxQueryId = 8, k = 3))
-    assert(r.map(_("method")) == Seq("exact", "ivf", "lsh"))
+    assert(r.map(_("method")) == Seq("exact", "ivf", "lsh", "lsh_mp"))
     val byM = r.map(m => m("method") -> m).toMap
     assert(byM("exact")("n_hits") == 24L &&
       byM("exact")("recall") == 1.0)
-    Seq("ivf", "lsh").foreach { m =>
+    // multi-probe candidates are a superset of plain LSH candidates,
+    // so its top-k recall can never be lower
+    assert(byM("lsh_mp")("n_hits").asInstanceOf[Long] >=
+      byM("lsh")("n_hits").asInstanceOf[Long])
+    Seq("ivf", "lsh", "lsh_mp").foreach { m =>
       val rec = byM(m)("recall").asInstanceOf[Double]
       assert(rec > 0.0 && rec <= 1.0, s"$m recall $rec")
       assert(byM(m)("n_hits").asInstanceOf[Long] <= 24L)

@@ -1637,6 +1637,38 @@ object OracleSql {
     * mirrors [[graft.operators.CorpusOps.bestOfCluster]]: the same
     * recursive-closure clusters as [[nearDupClusters]] joined to the
     * same quality formula as [[quality]], argmax via a window. */
+  /** Mirrors [[graft.operators.CorpusOps.corpusHealth]]: same audits
+    * nested as CTEs (DuckDB allows a recursive WITH inside a CTE
+    * body), same exact-integer columns. */
+  def corpusHealth(evalMaxId: Long = 100, minQuality: Double = 0.65,
+      lang: String = "en"): String =
+    s"""WITH cont AS (
+       |${decontaminate(evalMaxId)}
+       |),
+       |leaks AS (
+       |${splitLeakage()}
+       |),
+       |t AS (SELECT doc_id, text,
+       |        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |      FROM documents),
+       |tok AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks FROM t),
+       |h AS (SELECT doc_id, $langHitsSelect FROM tok),
+       |lp AS (SELECT doc_id, $langCaseSql AS lang_pred FROM h),
+       |qv AS (SELECT doc_id, $qualityFormulaSql AS quality
+       |       FROM ($qualityInputsSql)),
+       |base AS (SELECT COUNT(*) AS n_docs,
+       |                COUNT(DISTINCT md5(norm)) AS n_distinct_fp
+       |         FROM t),
+       |lc AS (SELECT COUNT(*) AS n_lang FROM lp WHERE lang_pred = '$lang'),
+       |qc AS (SELECT COUNT(*) AS n_quality_pass FROM qv
+       |       WHERE quality >= $minQuality),
+       |cc AS (SELECT COUNT(DISTINCT train_doc) AS n_contaminated FROM cont),
+       |lk AS (SELECT COUNT(*) AS n_leaky_clusters FROM leaks)
+       |SELECT n_docs, n_distinct_fp,
+       |       n_docs - n_distinct_fp AS n_exact_dup_docs,
+       |       n_lang, n_quality_pass, n_contaminated, n_leaky_clusters
+       |FROM base, lc, qc, cc, lk""".stripMargin
+
   /** Mirrors [[graft.operators.CorpusOps.splitLeakage]]: the
     * nearDupClusters recursive CTE + the FNV split rule, aggregated
     * per cluster, leaking clusters only. */

@@ -414,6 +414,10 @@ object SparkEntry {
     "q_token_budget" -> ((s, dir) =>
       CorpusOps.selectByTokenBudget(docs(s, dir))),
     "q_source_stats" -> ((s, dir) => CorpusOps.sourceStats(docs(s, dir))),
+    // one-row corpus health dashboard: exact-dup volume, lang/quality
+    // pass counts, contamination + split-leakage audits as broadcast
+    // 1-row aggregates; every column an exact integer
+    "q_corpus_health" -> ((s, dir) => CorpusOps.corpusHealth(docs(s, dir))),
     // sketch-at-rest accounting: per-source HLL distinct-fingerprint
     // sketches + a union row (mergeable — the 100 TB bookkeeping
     // pattern). Rows-only: DataSketches internals have no SQL oracle;
@@ -717,6 +721,7 @@ object SparkEntry {
       "q_split_leakage" -> OracleSql.splitLeakage(),
       "q_repair_splits" -> OracleSql.repairSplits(),
       "q_source_stats" -> OracleSql.sourceStats,
+      "q_corpus_health" -> OracleSql.corpusHealth(),
       "q_source_overlap" -> OracleSql.sourceOverlap(),
       "q_corpus_diff" -> OracleSql.corpusDiff,
       "q_source_quota" -> OracleSql.sourceQuota(),

@@ -841,6 +841,42 @@ object CorpusOps {
     per.unionAll(all).orderBy(col("source"))
   }
 
+  /** One-row corpus health report — the dashboard aggregate a
+    * curation pipeline alarms on, composing the engine's own audits:
+    * exact-dup volume (distinct content fingerprints), language and
+    * quality pass counts, eval contamination (distinct flagged train
+    * docs), and dedup-aware split leakage (cluster count). Every
+    * column is an exact integer — the mean-of-doubles a naive health
+    * report would emit is order-dependent across engines, so rates
+    * are left to the reader as divisions of the reported counts. The
+    * two heavy audits ride as broadcast 1-row aggregates (the Q22
+    * idiom); the base stats are ONE corpus scan.
+    */
+  def corpusHealth(docs: DataFrame, evalMaxId: Long = 100,
+      minQuality: Double = 0.65, lang: String = "en"): DataFrame = {
+    import graft.functions.TextFunctions
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(TextFunctions.fingerprintMd5(col("text")))
+        .as("n_distinct_fp"),
+      sum(when(TextFunctions.langIdFromHits(
+          TextFunctions.langHits(col("text"))) === lang, 1L)
+        .otherwise(0L)).as("n_lang"),
+      sum(when(TextFunctions.qualityScore(col("text")) >= minQuality, 1L)
+        .otherwise(0L)).as("n_quality_pass"))
+    val cont = decontaminateById(docs, evalMaxId)
+      .agg(countDistinct(col("train_doc")).as("n_contaminated"))
+    val leaks = splitLeakage(docs)
+      .agg(count(lit(1)).as("n_leaky_clusters"))
+    base
+      .withColumn("n_exact_dup_docs", col("n_docs") - col("n_distinct_fp"))
+      .crossJoin(broadcast(cont))
+      .crossJoin(broadcast(leaks))
+      .select(col("n_docs"), col("n_distinct_fp"), col("n_exact_dup_docs"),
+        col("n_lang"), col("n_quality_pass"), col("n_contaminated"),
+        col("n_leaky_clusters"))
+  }
+
   /** [[sourceStats]] with every marginal: CUBE over (source, lang) —
     * per-cell, per-source, per-language, and grand-total rows in ONE
     * grouping-sets pass (Spark expands the cube in the partial

@@ -686,4 +686,32 @@ class CorpusOpsSpec extends SparkSuite {
     assert(union == 17L && direct == 17L,
       s"union=$union direct=$direct")
   }
+
+  test("corpusHealth equals exact aggregates of its component audits") {
+    val d = docs(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "s0"),
+      (2L, "prefix alpha beta gamma delta epsilon zeta suffix", "en", "s0"),
+      (3L, "the cat and the dog is in that house for a while", "en", "s1"),
+      (4L, "the cat and the dog is in that house for a while", "en", "s1"),
+      (5L, "der hund und die katze ist nicht zu haus", "de", "s1"))
+    val r = rowsOf(graft.operators.CorpusOps.corpusHealth(
+      d, evalMaxId = 2L)).head
+    assert(r("n_docs") == 5L)
+    // docs 3 and 4 share a fingerprint: 4 distinct, 1 exact dup
+    assert(r("n_distinct_fp") == 4L && r("n_exact_dup_docs") == 1L)
+    // component parity: the report's counts equal aggregating the
+    // individually oracle-checked component operators
+    val langs = rowsOf(graft.operators.TextAnalysis.langIdFrame(
+      d.select(col("doc_id"), col("text"))))
+    assert(r("n_lang") == langs.count(_("lang_pred") == "en").toLong)
+    val quals = rowsOf(graft.operators.TextAnalysis.quality(
+      d.select(col("doc_id"), col("text"))))
+    assert(r("n_quality_pass") == quals.count(
+      _("quality").asInstanceOf[Double] >= 0.65).toLong)
+    val cont = rowsOf(graft.operators.CorpusOps.decontaminateById(
+      d, evalMaxId = 2L)).map(_("train_doc")).distinct
+    assert(cont == Seq(2L) && r("n_contaminated") == 1L)
+    assert(r("n_leaky_clusters") == rowsOf(
+      graft.operators.CorpusOps.splitLeakage(d)).size.toLong)
+  }
 }

@@ -1372,6 +1372,22 @@ object OracleSql {
        |FROM scored WHERE score >= $threshold ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Mirrors [[graft.operators.Similarity.cellBaseline]]: the knnIvf
+    * stand-in assignment grouped per cell, integer-floored ppm. */
+  def cellBaseline(nCentroids: Int = 16): String =
+    s"""WITH $unitCte,
+       |cent AS (SELECT vec_id AS cid, un AS cu FROM u WHERE vec_id < $nCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dotSql("e.un", "c.cu")} DESC, c.cid) AS crn
+       |    FROM u e, cent c WHERE e.un IS NOT NULL) WHERE crn = 1),
+       |counts AS (SELECT cid, COUNT(*) AS n FROM assigned GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+       |SELECT cid, n, (n * 1000000) // total AS ppm
+       |FROM counts, tot ORDER BY cid""".stripMargin
+
   /** Mirrors [[graft.operators.Similarity.annRecall]]: the three knn
     * oracles joined back to the exact top-k, one integer-exact recall
     * division per method. */

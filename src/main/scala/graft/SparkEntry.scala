@@ -375,6 +375,9 @@ object SparkEntry {
     // self-measuring index quality: recall@k of LSH/IVF vs exact
     // brute force, integer-exact division per method
     "q_ann_recall" -> ((s, dir) => Similarity.annRecall(emb(s, dir))),
+    // at-rest IVF cell-distribution profile: (cid, n, integer ppm) —
+    // the drift monitor's baseline AND the codebook health check
+    "q_cell_baseline" -> ((s, dir) => Similarity.cellBaseline(emb(s, dir))),
     // the PRODUCTION IVF path: k-means-trained codebook instead of the
     // oracle's deterministic stand-in. No oracleSql on purpose — float
     // avg fold order differs across engines, so the driver records the
@@ -711,6 +714,7 @@ object SparkEntry {
       "q_embed_outliers" -> OracleSql.embeddingOutliers(),
       "q_contrastive_triplets" -> OracleSql.contrastiveTriplets(),
       "q_ann_recall" -> OracleSql.annRecall(),
+      "q_cell_baseline" -> OracleSql.cellBaseline(),
       "q_embed_knn_lsh_mp" -> OracleSql.knnLshMultiProbe(),
       "q_corpus_filter" -> OracleSql.corpusFilter(),
       "q_split_stats" -> OracleSql.splitStats(),

@@ -503,6 +503,53 @@ object Similarity {
         round(col("cscore"), 6).as("centroid_score"))
   }
 
+  /** The driver-held coarse codebook as a public artifact — what a
+    * streaming ingest job loads once and applies per batch (the
+    * persisted-knowledge pattern: rates table, Bloom sketch, and now
+    * the codebook). Deterministic stand-in by default; production
+    * passes [[trainCentroids]]. */
+  def coarseBook(corpus: DataFrame, nCentroids: Int = 16,
+      centroids: Option[DataFrame] = None): Array[(Long, Seq[Double])] =
+    collectCoarseBook(unitIndex(corpus), nCentroids, centroids)
+
+  /** Shuffle-free cell routing over an explicit codebook — the same
+    * argmax projection [[knnIvf]] assigns with, exposed for ingest:
+    * works unchanged on a STREAMING frame (narrow filter + projection,
+    * no state), routing each arriving vector to the cell whose
+    * inverted-file partition it belongs in. */
+  def cellAssignments(vecs: DataFrame,
+      book: Array[(Long, Seq[Double])]): DataFrame =
+    assignCells(unitIndex(vecs), book).select(col("vec_id"), col("cid"))
+
+  /** At-rest cell-distribution baseline — (cid, n, ppm) per coarse
+    * cell, the reference profile an ingest-side drift monitor compares
+    * against ([[graft.streaming.StreamingSimilarity.cellCounts]]).
+    * `ppm` floors `n·10⁶ / total` to an exact integer (the
+    * mixtureSample rule: the float work is zero, the share is
+    * engine-exact). A skewed ppm column is ALSO the IVF health check:
+    * one giant cell means the codebook no longer fits the corpus and
+    * probe cost degenerates toward a scan.
+    */
+  def cellBaseline(corpus: DataFrame, nCentroids: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cu = unitIndex(corpus)
+    val book = collectCoarseBook(cu, nCentroids, centroids)
+    if (book.isEmpty) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("cid", "n", "ppm")
+    }
+    val counts = assignCells(cu, book)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    val total = counts
+      .filter(graft.functions.Barrier.reuseAnchor(col("n")))
+      .agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("ppm", expr("(n * 1000000) div total"))
+      .select(col("cid"), col("n"), col("ppm"))
+      .orderBy(col("cid"))
+  }
+
   /** Self-measuring ANN quality — recall@k of the approximate search
     * paths (LSH, IVF) against the exact brute-force top-k, as a QUERY
     * rather than only a spec: an index whose quality can be monitored

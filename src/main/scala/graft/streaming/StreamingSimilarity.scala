@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Streaming face of the inverted-file (IVF) index: arriving vectors
+  * route to coarse cells with the SAME driver-held-codebook argmax
+  * projection the batch index uses — the codebook is the persisted
+  * artifact (rates table / Bloom sketch / codebook: one pattern), so
+  * stream-assigned == batch-assigned is an identity, not a parity
+  * test that can drift.
+  *
+  * [[cellCounts]] is the ingest-side drift monitor's state: one count
+  * row per coarse cell (state bounded by the codebook size, the
+  * smallest state budget in the whole streaming package). Joined
+  * against [[Similarity.cellBaseline]]'s at-rest ppm profile, a
+  * consumer sees corpus drift (today's embeddings landing in
+  * different cells than the index was built for) — the signal to
+  * retrain the codebook BEFORE recall quietly decays. The recall
+  * report ([[Similarity.annRecall]]) measures the damage; this
+  * monitor predicts it.
+  */
+object StreamingSimilarity {
+
+  /** Stateless per-row cell routing — works on batch and streaming
+    * frames alike (narrow projection, no state, no watermark). */
+  def cellRouter(vecs: DataFrame,
+      book: Array[(Long, Seq[Double])]): DataFrame =
+    Similarity.cellAssignments(vecs, book)
+
+  /** Cumulative per-cell arrival counts (Update mode) — one state row
+    * per codebook cell. */
+  def cellCounts(vecs: DataFrame,
+      book: Array[(Long, Seq[Double])]): DataFrame =
+    cellRouter(vecs, book)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_arrived"))
+}

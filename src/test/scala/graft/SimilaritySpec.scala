@@ -588,4 +588,20 @@ class SimilaritySpec extends SparkSuite {
       assert(rec == byM(m)("n_hits").asInstanceOf[Long].toDouble / 24.0)
     }
   }
+
+  test("cellBaseline: exact counts and floored ppm shares per cell") {
+    val d = vecs(
+      0L -> pad(Seq(1f, 0f)), 1L -> pad(Seq(0f, 1f)),
+      2L -> pad(Seq(0.9f, 0.1f)), 3L -> pad(Seq(0.1f, 0.9f)),
+      4L -> pad(Seq(0.8f, 0.2f)), 5L -> pad(Seq(-1f, 0f)))
+    val r = rowsOf(Similarity.cellBaseline(d, nCentroids = 2))
+    assert(r.map(_("cid")) == Seq(0L, 1L))
+    assert(r.map(_("n").asInstanceOf[Long]).sum == 6L)
+    // cell 0 attracts 0,2,4; cell 1 attracts 1,3 and the anti-aligned
+    // 5 (cos -1 vs 0: cell 1 wins)
+    assert(r.map(m => m("cid") -> m("n")).toMap == Map(0L -> 3L, 1L -> 3L))
+    r.foreach(m => assert(m("ppm") == 500000L))
+    // floored shares never exceed one million in total
+    assert(r.map(_("ppm").asInstanceOf[Long]).sum <= 1000000L)
+  }
 }

@@ -723,7 +723,40 @@ class StreamingSpec extends SparkSuite {
       .decontaminationGate(Seq((5L, "x y z")).toDF("doc_id", "text"), null))
     assert(none.forall(_("quarantined") == false))
   }
+
+  test("streaming cell counts accumulate to the batch assignment profile") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      0L -> Seq.fill(64)(0.1f).updated(0, 1f),
+      1L -> Seq.fill(64)(0.1f).updated(1, 1f)).toDF("vec_id", "embedding")
+    val book = graft.operators.Similarity.coarseBook(corpus, nCentroids = 2)
+    val rows = Seq(
+      10L -> Seq.fill(64)(0.1f).updated(0, 2f),
+      11L -> Seq.fill(64)(0.1f).updated(1, 2f),
+      12L -> Seq.fill(64)(0.1f).updated(0, 3f),
+      13L -> Seq.fill(64)(0.1f).updated(1, 3f))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingSimilarity.cellCounts(
+        mem.toDF().toDF("vec_id", "embedding"), book)
+      .writeStream.format("memory").queryName("cellcounts")
+      .outputMode("complete").start()
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rowsOf(spark.table("cellcounts").orderBy("cid"))
+      .map(m => m("cid") -> m("n_arrived")).toMap
+    val batch = rowsOf(graft.operators.Similarity.cellAssignments(
+        rows.toDF("vec_id", "embedding"), book))
+      .groupBy(_("cid")).view.mapValues(_.size.toLong).toMap
+    assert(streamed == batch)
+    assert(streamed.values.map(_.asInstanceOf[Long]).sum == 4L)
+  }
 }
+
 
 
 /** MemoryStream row for the session-window parity test — field order

@@ -1388,6 +1388,35 @@ object OracleSql {
        |SELECT cid, n, (n * 1000000) // total AS ppm
        |FROM counts, tot ORDER BY cid""".stripMargin
 
+  /** Mirrors [[graft.operators.Similarity.cellDrift]] under the
+    * driver-query convention (current = vec_id % 3 <> 0): ONE shared
+    * reference-trained codebook, per-snapshot integer ppm, outer-join
+    * deltas. Snapshot filtering commutes with assignment because the
+    * book is fixed. */
+  def cellDrift(nCentroids: Int = 16, curMod: Int = 3): String =
+    s"""WITH $unitCte,
+       |cent AS (SELECT vec_id AS cid, un AS cu FROM u WHERE vec_id < $nCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dotSql("e.un", "c.cu")} DESC, c.cid) AS crn
+       |    FROM u e, cent c WHERE e.un IS NOT NULL) WHERE crn = 1),
+       |refc AS (SELECT cid, COUNT(*) AS n_ref FROM assigned GROUP BY 1),
+       |rt AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS total FROM refc),
+       |refb AS (SELECT cid, n_ref, (n_ref * 1000000) // total AS ppm_ref
+       |         FROM refc, rt),
+       |curc AS (SELECT cid, COUNT(*) AS n_cur FROM assigned
+       |         WHERE vec_id % $curMod <> 0 GROUP BY 1),
+       |ct AS (SELECT CAST(SUM(n_cur) AS BIGINT) AS total FROM curc),
+       |curb AS (SELECT cid, n_cur, (n_cur * 1000000) // total AS ppm_cur
+       |         FROM curc, ct)
+       |SELECT cid,
+       |       coalesce(n_ref, 0) AS n_ref, coalesce(ppm_ref, 0) AS ppm_ref,
+       |       coalesce(n_cur, 0) AS n_cur, coalesce(ppm_cur, 0) AS ppm_cur,
+       |       coalesce(ppm_cur, 0) - coalesce(ppm_ref, 0) AS delta_ppm
+       |FROM refb FULL OUTER JOIN curb USING (cid) ORDER BY cid""".stripMargin
+
   /** Mirrors [[graft.operators.Similarity.annRecall]]: the three knn
     * oracles joined back to the exact top-k, one integer-exact recall
     * division per method. */

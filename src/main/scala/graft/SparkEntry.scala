@@ -378,6 +378,12 @@ object SparkEntry {
     // at-rest IVF cell-distribution profile: (cid, n, integer ppm) —
     // the drift monitor's baseline AND the codebook health check
     "q_cell_baseline" -> ((s, dir) => Similarity.cellBaseline(emb(s, dir))),
+    // batch drift report: reference vs current snapshot (deterministic
+    // 2/3 subset) in the SAME reference-trained cell coordinates
+    "q_cell_drift" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.cellDrift(e, e.filter(col("vec_id") % 3 =!= 0))
+    }),
     // the PRODUCTION IVF path: k-means-trained codebook instead of the
     // oracle's deterministic stand-in. No oracleSql on purpose — float
     // avg fold order differs across engines, so the driver records the
@@ -715,6 +721,7 @@ object SparkEntry {
       "q_contrastive_triplets" -> OracleSql.contrastiveTriplets(),
       "q_ann_recall" -> OracleSql.annRecall(),
       "q_cell_baseline" -> OracleSql.cellBaseline(),
+      "q_cell_drift" -> OracleSql.cellDrift(),
       "q_embed_knn_lsh_mp" -> OracleSql.knnLshMultiProbe(),
       "q_corpus_filter" -> OracleSql.corpusFilter(),
       "q_split_stats" -> OracleSql.splitStats(),

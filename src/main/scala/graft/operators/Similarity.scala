@@ -550,6 +550,49 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** Batch cell-drift report — [[cellBaseline]] run on two corpus
+    * snapshots against ONE shared codebook (trained on the reference
+    * snapshot: drift is only meaningful in a fixed coordinate
+    * system), full-outer-joined per cell: `(cid, n_ref, ppm_ref,
+    * n_cur, ppm_cur, delta_ppm)`. All integers; a cell absent from a
+    * snapshot reports 0, not null, so `delta_ppm` is always defined
+    * and `Σ |delta_ppm|` (the total-variation drift, ×2·10⁶) is
+    * computable downstream. The batch twin of the streaming
+    * [[graft.streaming.StreamingSimilarity.cellCounts]] monitor —
+    * same assignment projection, same integer shares.
+    */
+  def cellDrift(reference: DataFrame, current: DataFrame,
+      nCentroids: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val refB = cellBaseline(reference, nCentroids, centroids)
+      .select(col("cid"), col("n").as("n_ref"), col("ppm").as("ppm_ref"))
+    val book = coarseBook(reference, nCentroids, centroids)
+    val curB = {
+      if (book.isEmpty) {
+        val spark = current.sparkSession
+        import spark.implicits._
+        Seq.empty[(Long, Long, Long)].toDF("cid", "n_cur", "ppm_cur")
+      } else {
+        val counts = cellAssignments(current, book)
+          .groupBy(col("cid")).agg(count(lit(1)).as("n_cur"))
+        val total = counts
+          .filter(graft.functions.Barrier.reuseAnchor(col("n_cur")))
+          .agg(sum(col("n_cur")).as("total"))
+        counts.crossJoin(broadcast(total))
+          .withColumn("ppm_cur", expr("(n_cur * 1000000) div total"))
+          .select(col("cid"), col("n_cur"), col("ppm_cur"))
+      }
+    }
+    refB.join(curB, Seq("cid"), "full_outer")
+      .select(col("cid"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("ppm_ref"), lit(0L)).as("ppm_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("ppm_cur"), lit(0L)).as("ppm_cur"))
+      .withColumn("delta_ppm", col("ppm_cur") - col("ppm_ref"))
+      .orderBy(col("cid"))
+  }
+
   /** Self-measuring ANN quality — recall@k of the approximate search
     * paths (LSH, IVF) against the exact brute-force top-k, as a QUERY
     * rather than only a spec: an index whose quality can be monitored

@@ -604,4 +604,28 @@ class SimilaritySpec extends SparkSuite {
     // floored shares never exceed one million in total
     assert(r.map(_("ppm").asInstanceOf[Long]).sum <= 1000000L)
   }
+
+  test("cellDrift: zero deltas on identical snapshots, exact deltas on subsets") {
+    val d = vecs(
+      0L -> pad(Seq(1f, 0f)), 1L -> pad(Seq(0f, 1f)),
+      2L -> pad(Seq(0.9f, 0.1f)), 3L -> pad(Seq(0.1f, 0.9f)),
+      4L -> pad(Seq(0.8f, 0.2f)), 5L -> pad(Seq(0.2f, 0.8f)))
+    // identical snapshots: drift is identically zero
+    val same = rowsOf(Similarity.cellDrift(d, d, nCentroids = 2))
+    assert(same.nonEmpty)
+    same.foreach { m =>
+      assert(m("delta_ppm") == 0L)
+      assert(m("n_ref") == m("n_cur") && m("ppm_ref") == m("ppm_cur"))
+    }
+    // drop cell-1 dwellers (1,3,5): all current mass moves to cell 0
+    val cur = d.filter(col("vec_id") % 2 === 0)
+    val drift = rowsOf(Similarity.cellDrift(d, cur, nCentroids = 2))
+    val byCid = drift.map(m => m("cid") -> m).toMap
+    assert(byCid(0L)("n_ref") == 3L && byCid(0L)("n_cur") == 3L)
+    assert(byCid(0L)("ppm_cur") == 1000000L &&
+      byCid(0L)("delta_ppm") == 500000L)
+    // cell 1 vanished from the current snapshot: zero-filled, not null
+    assert(byCid(1L)("n_cur") == 0L && byCid(1L)("ppm_cur") == 0L &&
+      byCid(1L)("delta_ppm") == -500000L)
+  }
 }

@@ -1616,6 +1616,24 @@ object OracleSql {
        |       CAST(MAX(n_tokens)*COUNT(*) - SUM(n_tokens) AS BIGINT) AS padding_tokens
        |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** Mirrors [[graft.operators.CorpusOps.paddingSweep]]: each
+    * candidate's full batchPadding query re-aggregated as a subquery
+    * (a subquery may carry its own WITH), integer pad shares. */
+  def paddingSweep(bucketSizes: Seq[Int] = Seq(4, 16, 64),
+      batchSize: Int = 8, streams: Int = 4, maxBucket: Int = 8): String =
+    bucketSizes.distinct.sorted.map { b =>
+      s"""SELECT $b AS bucket_tokens, COUNT(*) AS n_batches,
+         |       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |       CAST(SUM(batch_tokens) AS BIGINT) AS real_tokens,
+         |       CAST(SUM(padding_tokens) AS BIGINT) AS padding_tokens,
+         |       (CAST(SUM(padding_tokens) AS BIGINT) * 1000000) //
+         |         nullif(CAST(SUM(batch_tokens) AS BIGINT) +
+         |                CAST(SUM(padding_tokens) AS BIGINT), 0) AS pad_ppm
+         |FROM (
+         |${batchPadding(batchSize, streams, b, maxBucket)}
+         |)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY bucket_tokens")
+
   /** Mirrors [[graft.operators.CorpusOps.docKeywords]]: linear idf
     * (tf × N/df) in the same two IEEE double ops — deliberately no
     * `ln`, whose final-ulp differences across libm implementations

@@ -455,6 +455,9 @@ object SparkEntry {
     "q_doc_chunks" -> ((s, dir) => CorpusOps.docChunks(docs(s, dir))),
     // length-bucketed batching + pad-to-longest waste accounting
     "q_batch_padding" -> ((s, dir) => CorpusOps.batchPadding(docs(s, dir))),
+    // collator config sweep: padding waste per candidate bucket
+    // granularity, one row per config, integer pad shares
+    "q_padding_sweep" -> ((s, dir) => CorpusOps.paddingSweep(docs(s, dir))),
     // temperature-style (alpha = 1/2) source mixture weights
     "q_source_mixture" -> ((s, dir) => CorpusOps.sourceMixture(docs(s, dir))),
     // the weights APPLIED: per-source ppm keep rates + before/after
@@ -742,6 +745,7 @@ object SparkEntry {
       "q_pack_stats" -> OracleSql.packStats(),
       "q_doc_chunks" -> OracleSql.docChunks(),
       "q_batch_padding" -> OracleSql.batchPadding(),
+      "q_padding_sweep" -> OracleSql.paddingSweep(),
       "q_source_mixture" -> OracleSql.sourceMixture,
       "q_mixture_sample" -> OracleSql.mixtureSampleStats,
       "q_doc_keywords" -> OracleSql.docKeywords(),

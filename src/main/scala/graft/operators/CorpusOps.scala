@@ -481,6 +481,41 @@ object CorpusOps {
       .orderBy(col("len_bucket"), col("stream"), col("batch_id"))
   }
 
+  /** Padding parameter sweep — [[batchPadding]] evaluated for several
+    * candidate length-bucket granularities in ONE job, summarized to
+    * one row per candidate: batch count, real vs padding tokens, and
+    * the integer pad rate (`pad_ppm`, the mixtureSample exact-share
+    * rule). This is how a pipeline CHOOSES its collator config —
+    * measured on the corpus itself rather than folklore — and the
+    * general pattern: a config sweep is a union of re-aggregations,
+    * so the candidates share the corpus scan work per branch instead
+    * of one job per config run by hand. The optimum is genuinely
+    * corpus-dependent, which is the operator's reason to exist: finer
+    * buckets reduce padding ONLY while `maxBucket·bucketTokens` still
+    * covers the corpus' length range — past that, ever-finer buckets
+    * shove more of the corpus into the mixed-length overflow bucket
+    * and padding climbs back up (the sf0.01 fixture's optimum is the
+    * MIDDLE config for exactly this reason). Within-range
+    * monotonicity is spec-pinned; the driver oracle checks the full
+    * non-monotone sweep.
+    */
+  def paddingSweep(docs: DataFrame, bucketSizes: Seq[Int] = Seq(4, 16, 64),
+      batchSize: Int = 8, streams: Int = 4,
+      maxBucket: Int = 8): DataFrame = {
+    require(bucketSizes.nonEmpty, "bucketSizes must be non-empty")
+    bucketSizes.distinct.sorted.map { b =>
+      batchPadding(docs, batchSize, streams, b, maxBucket)
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("batch_tokens")).as("real_tokens"),
+          sum(col("padding_tokens")).as("padding_tokens"))
+        .select(lit(b).as("bucket_tokens"), col("n_batches"),
+          col("n_docs"), col("real_tokens"), col("padding_tokens"))
+        .withColumn("pad_ppm", expr(
+          "(padding_tokens * 1000000) div nullif(real_tokens + padding_tokens, 0)"))
+    }.reduce(_.unionAll(_)).orderBy(col("bucket_tokens"))
+  }
+
   /** Sliding-window token chunking — context-length preparation: each
     * document yields windows of `window` tokens advancing by `stride`
     * (overlap = `window − stride`), the shape long-document corpora are

@@ -714,4 +714,32 @@ class CorpusOpsSpec extends SparkSuite {
     assert(r("n_leaky_clusters") == rowsOf(
       graft.operators.CorpusOps.splitLeakage(d)).size.toLong)
   }
+
+  test("paddingSweep: finer buckets reduce padding while in range") {
+    // lengths stay below maxBucket*min(bucketSizes) = 32 so no config
+    // overflows into the mixed-length cap bucket — the regime where
+    // the monotone claim holds (out of range, the overflow bucket
+    // makes the sweep non-monotone: that is WHY the sweep exists, and
+    // the sf0.01 oracle run covers that case)
+    val d = docs((1L to 40L).map(i =>
+      (i, ("tok " * (i % 28 + 1).toInt).trim, "en", "s0")): _*)
+    val r = rowsOf(graft.operators.CorpusOps.paddingSweep(
+      d.select(col("doc_id"), col("text")),
+      bucketSizes = Seq(64, 4, 16)))
+    // sorted, deduped output regardless of argument order
+    assert(r.map(_("bucket_tokens")) == Seq(4, 16, 64))
+    // identical corpus accounting under every config
+    assert(r.map(_("n_docs")).distinct == Seq(40L))
+    assert(r.map(_("real_tokens")).distinct.size == 1)
+    // the monotone claim: finer length buckets never pad more
+    val pads = r.map(_("padding_tokens").asInstanceOf[Long])
+    assert(pads == pads.sorted, s"padding not monotone: $pads")
+    assert(pads.head < pads.last, s"sweep shows no spread: $pads")
+    r.foreach { m =>
+      val ppm = m("pad_ppm").asInstanceOf[Long]
+      val pad = m("padding_tokens").asInstanceOf[Long]
+      val real = m("real_tokens").asInstanceOf[Long]
+      assert(ppm == pad * 1000000L / (real + pad))
+    }
+  }
 }

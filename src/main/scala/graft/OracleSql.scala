@@ -350,6 +350,53 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors [[graft.operators.Dedup.sharedSpans]]: the minhashPairs
+    * query as a CTE, NON-distinct positional shingles (slices clamp,
+    * so a short doc yields its single whole-text shingle), diagonal
+    * gaps-and-islands, per-pair run maxima. */
+  def sharedSpans(shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): String =
+    s"""WITH pairs AS (
+       |${minhashPairs(numHashes, bands, threshold)}
+       |),
+       |t2 AS (SELECT doc_id,
+       |         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |       FROM documents),
+       |tok2 AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM t2),
+       |pos0 AS (SELECT doc_id, toks,
+       |           unnest(generate_series(1,
+       |             CASE WHEN len(toks) >= $shingleN
+       |                  THEN len(toks) - ${shingleN - 1} ELSE 1 END)) AS i
+       |         FROM tok2),
+       |-- the shingle string MUST materialize before hashing: baseHash's
+       |-- internal lambda variable is also `i`, and DuckDB lambda scope
+       |-- SHADOWS the outer position — hashing the slice inline hashes a
+       |-- per-character-drifting window instead (caught by the engine
+       |-- mismatch on sf0.01; the longest-run column agreed, the match
+       |-- counts did not)
+       |psr AS (SELECT doc_id, i - 1 AS pos,
+       |          array_to_string(toks[i:i+${shingleN - 1}], ' ') AS sstr
+       |        FROM pos0),
+       |ps AS (SELECT doc_id, pos, ${baseHash.format("sstr")} AS g
+       |       FROM psr),
+       |m AS (SELECT p.doc_a, p.doc_b, a.pos AS pos_a, b.pos AS pos_b
+       |      FROM pairs p
+       |      JOIN ps a ON a.doc_id = p.doc_a
+       |      JOIN ps b ON b.doc_id = p.doc_b AND b.g = a.g),
+       |r AS (SELECT *, pos_a - pos_b AS diag,
+       |        pos_a - ROW_NUMBER() OVER (
+       |          PARTITION BY doc_a, doc_b, pos_a - pos_b
+       |          ORDER BY pos_a) AS island
+       |      FROM m),
+       |runs AS (SELECT doc_a, doc_b, diag, island, COUNT(*) AS run_len
+       |         FROM r GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b,
+       |       CAST(SUM(run_len) AS BIGINT) AS n_matches,
+       |       CAST(MAX(run_len) AS BIGINT) AS longest_run,
+       |       CAST(MAX(run_len) + ${shingleN - 1} AS BIGINT)
+       |         AS longest_span_tokens
+       |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def ngramJaccardPairs(threshold: Double = 0.5): String =
     s"""$docCte,
        |$shingleCte,

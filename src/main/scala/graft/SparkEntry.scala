@@ -300,6 +300,10 @@ object SparkEntry {
           System.getProperty("java.io.tmpdir"), "graft-ndb-q").toString,
         buckets = s.conf.get("spark.sql.shuffle.partitions").toInt)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
+    // wholesale-copy vs scattered-overlap: longest contiguous shared
+    // token span per near-dup pair (diagonal gaps-and-islands over
+    // positional shingles, bounded to the banded candidate pairs)
+    "q_shared_spans" -> ((s, dir) => Dedup.sharedSpans(docs(s, dir))),
     "q_dup_ngrams" -> ((s, dir) => Dedup.duplicatedNgrams(docs(s, dir))),
     "q_source_dup_profile" -> ((s, dir) => Dedup.sourceDupProfile(docs(s, dir))),
     // incremental ingest: dedup the batch (doc_id % 5 = 0) against the
@@ -707,6 +711,7 @@ object SparkEntry {
       "q_dedup_clusters" -> OracleSql.nearDupClusters(),
       "q_dedup_clusters_bucketed" -> OracleSql.nearDupClusters(),
       "q_ngram_jaccard" -> OracleSql.ngramJaccardPairs(),
+      "q_shared_spans" -> OracleSql.sharedSpans(),
       "q_dup_ngrams" -> OracleSql.duplicatedNgrams(),
       "q_source_dup_profile" -> OracleSql.sourceDupProfile(),
       "q_dedup_incremental" -> OracleSql.dedupIncremental(),

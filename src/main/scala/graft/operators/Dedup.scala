@@ -1009,4 +1009,55 @@ object Dedup {
           .as("match_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** Longest-shared-span report over the near-dup pair graph — the
+    * question "are these near-dups wholesale copies or scattered
+    * overlap?" made a column: for each MinHash-candidate pair, the
+    * matched shingle positions chain into diagonal runs
+    * (gaps-and-islands on `pos_a − pos_b`), and the longest run is
+    * the longest contiguous shared token span (`run + n − 1` tokens).
+    * The Lee-et-al exact-substring-dedup signal, bounded to the pair
+    * graph the banded LSH already found: positional postings join
+    * ONLY within candidate pairs — never all-pairs — so work is
+    * |pairs| × overlap volume, and the island window partitions by
+    * (pair, diagonal), both corpus-independent. Positional shingles
+    * are NON-distinct (unlike [[shingleHashFrame]]'s deduped sets —
+    * a repeated phrase must match at every occurrence for the
+    * diagonals to chain), hashed with the same 31-bit polynomial.
+    */
+  def sharedSpans(docs: DataFrame, shingleN: Int = 3,
+      numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashPairsUnsorted(docs, numHashes, bands, threshold,
+        shingleN)
+      .select(col("doc_a"), col("doc_b"))
+    val ps = docs
+      .select(col("doc_id"), TextFunctions.normText(col("text")).as("norm"))
+      .withColumn("toks", split(col("norm"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(toks) >= $shingleN
+           |THEN transform(sequence(1, size(toks) - ${shingleN - 1}),
+           |       i -> array_join(slice(toks, i, $shingleN), ' '))
+           |ELSE array(array_join(toks, ' ')) END""".stripMargin)))
+      .select(col("doc_id"), col("pos"),
+        ArrayHashExprs.poly_hash31(col("col")).as("g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    pairs
+      .join(ps.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+        col("g")), Seq("doc_a"))
+      .join(ps.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+        col("g")), Seq("doc_b", "g"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("run_len")).as("n_matches"),
+        max(col("run_len")).as("longest_run"))
+      .withColumn("longest_span_tokens",
+        col("longest_run") + lit(shingleN - 1).cast("long"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -324,4 +324,26 @@ class DedupSpec extends SparkSuite {
     val p12 = pairs.find(p => p("doc_a") == 1L && p("doc_b") == 2L)
     assert(p12.isDefined && p12.get("hamming").toString.toInt == 0)
   }
+
+  test("sharedSpans: contiguous copies chain into one run, scatter does not") {
+    // docs 1/2 share a verbatim 8-token block (plus enough shingle
+    // overlap to be minhash candidates); docs 1/3 share the same
+    // VOCABULARY but scattered, so runs stay short
+    val block = "one two three four five six seven eight"
+    val d = docs(
+      1L -> s"$block tail alpha beta gamma",
+      2L -> s"$block tail alpha beta gamma extra",
+      3L -> s"eight one three two five four seven six tail beta alpha gamma")
+    val r = rowsOf(graft.operators.Dedup.sharedSpans(d, threshold = 0.1))
+    val byPair = r.map(m => (m("doc_a"), m("doc_b")) -> m).toMap
+    val copy = byPair.get((1L, 2L))
+    assert(copy.isDefined, s"pair (1,2) not a candidate: $r")
+    // doc1 is a strict 12-token prefix of doc2: 10 chained 3-shingles
+    assert(copy.get("longest_run") == 10L &&
+      copy.get("longest_span_tokens") == 12L, copy.toString)
+    byPair.get((1L, 3L)).foreach { scatter =>
+      assert(scatter("longest_run").asInstanceOf[Long] <= 2L,
+        s"scattered overlap chained: $scatter")
+    }
+  }
 }

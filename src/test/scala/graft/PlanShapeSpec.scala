@@ -772,4 +772,40 @@ class PlanShapeSpec extends SparkSuite {
     assert(raw"aggregate\(".r.findAllIn(
       df.queryExecution.optimizedPlan.toString).nonEmpty)
   }
+
+  test("cellBaseline: no vector shuffle; counts exchange shared at runtime") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.operators.Similarity.cellBaseline(emb)
+    val p = plan(df)
+    // cell assignment must remain the shuffle-free argmax projection:
+    // every exchange in the plan carries (cid, count) rows, never
+    // corpus vectors — no hashpartitioning on vec_id or unit anywhere
+    assert(!p.contains("hashpartitioning(vec_id") &&
+      !p.contains("hashpartitioning(unit"),
+      s"cell profile shuffles corpus vectors:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"total lost its 1-row broadcast:\n$p")
+    // the total branch re-aggregates the SAME counts exchange (the
+    // reuseAnchor discipline) — adjudicated on the executed plan
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("isFinalPlan=true"), executed.take(500))
+    assert(executed.contains("ReusedExchange"),
+      s"total no longer shares the counts exchange:\n${executed.take(3000)}")
+  }
+
+  test("sharedSpans: island window partitions by pair AND diagonal") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.operators.Dedup.sharedSpans(docs))
+    // the run-numbering window must carry the alignment diagonal in
+    // its partition spec: dropping it would serialize each PAIR's
+    // full match set through one island ordering and chain unrelated
+    // alignments into bogus runs
+    val specs = raw"windowspecdefinition\([^)]*\)".r.findAllIn(p).toList
+      .filter(_.contains("pos_a"))
+    assert(specs.nonEmpty, s"expected the island window:\n$p")
+    specs.foreach(w => assert(
+      w.contains("doc_a") && w.contains("doc_b") && w.contains("diag"),
+      s"island window lost a partition key: $w"))
+  }
 }

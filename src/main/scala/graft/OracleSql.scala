@@ -397,6 +397,40 @@ object OracleSql {
        |         AS longest_span_tokens
        |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Mirrors [[graft.operators.Dedup.qualityDupProfile]]: the
+    * recursive cluster closure + the exact quality formula, integer
+    * buckets and ppm. */
+  def qualityDupProfile(): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashPairs()}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, t2) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t2 = e.a),
+       |clusters AS (SELECT s AS doc_id, MIN(t2) AS cluster
+       |             FROM reach GROUP BY s),
+       |sizes AS (SELECT cluster, COUNT(*) AS csize FROM clusters GROUP BY 1),
+       |t AS (SELECT doc_id, text,
+       |        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |      FROM documents),
+       |tok AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks FROM t),
+       |qv AS (SELECT doc_id, $qualityFormulaSql AS quality
+       |       FROM ($qualityInputsSql)),
+       |b AS (SELECT c.doc_id,
+       |        CAST(floor(quality * 10) AS BIGINT) AS q_bucket,
+       |        (csize > 1) AS is_duped
+       |      FROM clusters c JOIN sizes USING (cluster)
+       |      JOIN qv ON qv.doc_id = c.doc_id)
+       |SELECT q_bucket, COUNT(*) AS n_docs,
+       |       CAST(COUNT(*) FILTER (WHERE is_duped) AS BIGINT) AS n_duped,
+       |       (CAST(COUNT(*) FILTER (WHERE is_duped) AS BIGINT) * 1000000)
+       |         // COUNT(*) AS dup_ppm
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   def ngramJaccardPairs(threshold: Double = 0.5): String =
     s"""$docCte,
        |$shingleCte,

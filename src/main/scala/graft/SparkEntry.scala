@@ -304,6 +304,10 @@ object SparkEntry {
     // token span per near-dup pair (diagonal gaps-and-islands over
     // positional shingles, bounded to the banded candidate pairs)
     "q_shared_spans" -> ((s, dir) => Dedup.sharedSpans(docs(s, dir))),
+    // are quality filtering and dedup redundant? per quality bucket,
+    // the near-duplicated share as exact-integer ppm
+    "q_quality_dup_profile" -> ((s, dir) =>
+      Dedup.qualityDupProfile(docs(s, dir))),
     "q_dup_ngrams" -> ((s, dir) => Dedup.duplicatedNgrams(docs(s, dir))),
     "q_source_dup_profile" -> ((s, dir) => Dedup.sourceDupProfile(docs(s, dir))),
     // incremental ingest: dedup the batch (doc_id % 5 = 0) against the
@@ -712,6 +716,7 @@ object SparkEntry {
       "q_dedup_clusters_bucketed" -> OracleSql.nearDupClusters(),
       "q_ngram_jaccard" -> OracleSql.ngramJaccardPairs(),
       "q_shared_spans" -> OracleSql.sharedSpans(),
+      "q_quality_dup_profile" -> OracleSql.qualityDupProfile(),
       "q_dup_ngrams" -> OracleSql.duplicatedNgrams(),
       "q_source_dup_profile" -> OracleSql.sourceDupProfile(),
       "q_dedup_incremental" -> OracleSql.dedupIncremental(),

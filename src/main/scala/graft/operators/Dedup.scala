@@ -1010,6 +1010,34 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality × duplication profile — the boilerplate question made a
+    * table: per integer quality bucket (`floor(quality·10)` — a
+    * narrow projection, deliberately NOT a corpus-wide decile window,
+    * which would be the partition-less-ntile scale-killer the
+    * allowlist guards), how many docs sit in a near-dup cluster of
+    * size > 1, as an exact-integer ppm. Boilerplate is typically BOTH
+    * low-quality and highly duplicated; this measures whether quality
+    * filtering and dedup are redundant or complementary passes on a
+    * given corpus. Cluster labels come from the same propagation core
+    * every dedup surface shares; the rest is two tiny aggregates.
+    */
+  def qualityDupProfile(docs: DataFrame): DataFrame = {
+    val labels = nearDupLabels(docs)
+    val sizes = labels.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csize"))
+    val duped = labels.join(sizes, Seq("cluster"))
+      .select(col("doc_id"), (col("csize") > 1).as("is_duped"))
+    docs.select(col("doc_id"),
+        floor(TextFunctions.qualityScore(col("text")) * 10).cast("long")
+          .as("q_bucket"))
+      .join(duped, Seq("doc_id"))
+      .groupBy(col("q_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_duped"), 1L).otherwise(0L)).as("n_duped"))
+      .withColumn("dup_ppm", expr("(n_duped * 1000000) div n_docs"))
+      .orderBy(col("q_bucket"))
+  }
+
   /** Longest-shared-span report over the near-dup pair graph — the
     * question "are these near-dups wholesale copies or scattered
     * overlap?" made a column: for each MinHash-candidate pair, the

@@ -346,4 +346,22 @@ class DedupSpec extends SparkSuite {
         s"scattered overlap chained: $scatter")
     }
   }
+
+  test("qualityDupProfile buckets docs and counts clustered ones exactly") {
+    // docs 1/2 near-dup (identical but one token); 3 unique
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "the quick brown fox jumps over the lazy dog again tonight",
+      3L -> "completely different content with its own words here now")
+    val r = rowsOf(graft.operators.Dedup.qualityDupProfile(d))
+    assert(r.map(_("n_docs").asInstanceOf[Long]).sum == 3L)
+    assert(r.map(_("n_duped").asInstanceOf[Long]).sum == 2L)
+    r.foreach { m =>
+      val ppm = m("dup_ppm").asInstanceOf[Long]
+      assert(ppm == m("n_duped").asInstanceOf[Long] * 1000000L /
+        m("n_docs").asInstanceOf[Long])
+      val b = m("q_bucket").asInstanceOf[Long]
+      assert(b >= 0L && b <= 10L)
+    }
+  }
 }

@@ -542,4 +542,33 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(r.map(m => (m("event_type"), m("next_type"))) ==
       Seq(("x", "y"), ("y", "z")))
   }
+
+  test("typeTransitions matches a reference fold on random event streams") {
+    val rnd = new scala.util.Random(47)
+    for (_ <- 1 to 5) {
+      val n = 10 + rnd.nextInt(40)
+      val rows = (0 until n).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong * 1000L, rnd.nextInt(4).toLong,
+          s"t${rnd.nextInt(3)}", 1.0)
+      }
+      val got = rowsOf(EventAnalytics.typeTransitions(events(rows: _*)))
+        .map(m => (m("event_type"), m("next_type")) ->
+          (m("n_trans"), m("n_users"), m("p_next"))).toMap
+      // reference: per user, sort by (ts, event_id), pair successors
+      val pairs = rows.groupBy(_._3).toSeq.flatMap { case (user, evs) =>
+        val ordered = evs.sortBy(e => (e._2, e._1))
+        ordered.zip(ordered.drop(1)).map { case (a, b) =>
+          (a._4, b._4, user) }
+      }
+      val want = pairs.groupBy(p => (p._1, p._2)).map { case (k, g) =>
+        k -> (g.size.toLong, g.map(_._3).distinct.size.toLong) }
+      val fromTotals = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (k, (nt, nu)) =>
+        val (gnt, gnu, gp) = got(k)
+        assert(gnt == nt && gnu == nu, s"$k")
+        assert(gp == nt.toDouble / fromTotals(k._1).toDouble, s"p_next $k")
+      }
+    }
+  }
 }

@@ -409,6 +409,19 @@ object SparkEntry {
       val e = emb(s, dir)
       Similarity.knnIvfPq(e, e.filter(col("vec_id") < 16), 5, nProbes = 8)
     }),
+    // steady-state twin: the SAME search against a writePqIndex built
+    // once per JVM+dir (Bench warmup / Verify first call), so the
+    // timed passes measure probe cost — static cid partition pruning +
+    // ADC scan + exact re-rank — separated from codebook training,
+    // which the inline twin deliberately includes. Deterministic
+    // seeding makes both paths' books identical, so results match the
+    // inline twin row-for-row (SimilaritySpec pins it).
+    "q_embed_knn_ivfpq_indexed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val ix = ensureBuilt("pqidx", dir)(d => Similarity.writePqIndex(e, d))
+      Similarity.knnIvfPqIndexed(ix, e, e.filter(col("vec_id") < 16), 5,
+        nProbes = 8)
+    }),
     // corpus-curation ops: deterministic split / sampling /
     // decontamination / canonical selection / dataset accounting
     "q_split_stats" -> ((s, dir) => CorpusOps.splitStats(docs(s, dir))),
@@ -427,6 +440,24 @@ object SparkEntry {
     // the audit's fix: split re-derived from the near-dup cluster id,
     // so no cluster can straddle train/val/test by construction
     "q_repair_splits" -> ((s, dir) => CorpusOps.repairSplits(docs(s, dir))),
+    // write-once/derive-many: the SAME audits over the persisted label
+    // table (Dedup.writeDedupLabels, built once per JVM+dir by the
+    // first caller — Bench's untimed warmup / Verify's single pass).
+    // Each derived query is a parquet scan + cheap aggregate with ZERO
+    // propagation rounds (PlanShapeSpec pins it); output is
+    // hash-identical to the recomputing twins, so they share oracles.
+    "q_split_leakage_indexed" -> ((s, dir) =>
+      CorpusOps.splitLeakageFromLabels(
+        Dedup.readDedupLabels(s, labelsDir(s, dir)))),
+    "q_repair_splits_indexed" -> ((s, dir) =>
+      CorpusOps.repairSplitsFromLabels(
+        Dedup.readDedupLabels(s, labelsDir(s, dir)))),
+    "q_cluster_best_indexed" -> ((s, dir) =>
+      CorpusOps.bestOfClusterFromLabels(docs(s, dir),
+        Dedup.readDedupLabels(s, labelsDir(s, dir)))),
+    "q_quality_dup_profile_indexed" -> ((s, dir) =>
+      Dedup.qualityDupProfileFromLabels(docs(s, dir),
+        Dedup.readDedupLabels(s, labelsDir(s, dir)))),
     // token-budget selection (histogram two-pass; oracle is the global window)
     "q_token_budget" -> ((s, dir) =>
       CorpusOps.selectByTokenBudget(docs(s, dir))),
@@ -524,6 +555,30 @@ object SparkEntry {
         length(col("t")).cast("long").as(s"${prefix}_len"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-JVM build-once guard for persisted-artifact scratch dirs
+    * (dedup label table, IVF-PQ index): the FIRST invocation per
+    * (artifact, data dir) — Bench's untimed warmup, Verify's single
+    * pass — builds the artifact; every later call probes it. Timed
+    * bench passes therefore measure the steady-state query, not index
+    * construction (the train/probe split a deployment actually has). A
+    * fresh JVM always rebuilds, so staleness cannot cross runs; the
+    * scratch path is keyed by the data dir so different SFs never
+    * share an index.
+    */
+  private val builtOnce =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureBuilt(tag: String, dir: String)(
+      build: String => Unit): String =
+    builtOnce.getOrElseUpdate(s"$tag|$dir", {
+      val d = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft-$tag-${Integer.toHexString(dir.hashCode)}").toString
+      build(d)
+      d
+    })
+
+  private def labelsDir(s: SparkSession, dir: String): String =
+    ensureBuilt("labels", dir)(d => Dedup.writeDedupLabels(docs(s, dir), d))
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -744,6 +799,12 @@ object SparkEntry {
       "q_cluster_best" -> OracleSql.clusterBest(),
       "q_split_leakage" -> OracleSql.splitLeakage(),
       "q_repair_splits" -> OracleSql.repairSplits(),
+      // the indexed twins are hash-identical to the recomputing
+      // queries by construction, so they share the same oracles
+      "q_cluster_best_indexed" -> OracleSql.clusterBest(),
+      "q_split_leakage_indexed" -> OracleSql.splitLeakage(),
+      "q_repair_splits_indexed" -> OracleSql.repairSplits(),
+      "q_quality_dup_profile_indexed" -> OracleSql.qualityDupProfile(),
       "q_source_stats" -> OracleSql.sourceStats,
       "q_corpus_health" -> OracleSql.corpusHealth(),
       "q_source_overlap" -> OracleSql.sourceOverlap(),

@@ -276,7 +276,15 @@ object CorpusOps {
     * bit-matched by its oracle, so the argmax is engine-stable.
     */
   def bestOfCluster(docs: DataFrame): DataFrame =
-    Dedup.nearDupLabels(docs)
+    bestOfClusterFromLabels(docs, Dedup.nearDupLabels(docs))
+
+  /** [[bestOfCluster]] over an already-computed label frame (e.g. the
+    * [[Dedup.writeDedupLabels]] table) — the argmax is one shuffle
+    * over (doc_id, cluster, quality); feeding it persisted labels
+    * removes the LSH+propagation recompute entirely. */
+  def bestOfClusterFromLabels(docs: DataFrame,
+      labels: DataFrame): DataFrame =
+    labels
       .join(docs.select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("quality")), Seq("doc_id"))
       .groupBy(col("cluster"))
@@ -972,7 +980,15 @@ object CorpusOps {
     */
   def splitLeakage(docs: DataFrame, trainPct: Int = 80,
       valPct: Int = 10): DataFrame =
-    Dedup.nearDupLabels(docs)
+    splitLeakageFromLabels(Dedup.nearDupLabels(docs), trainPct, valPct)
+
+  /** [[splitLeakage]] over an already-computed label frame — the audit
+    * itself is one cluster-keyed aggregate over (doc_id, cluster);
+    * with a [[Dedup.writeDedupLabels]] table it costs a parquet scan,
+    * zero propagation rounds. */
+  def splitLeakageFromLabels(labels: DataFrame, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame =
+    labels
       .withColumn("split", splitName(col("doc_id"), trainPct, valPct))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1000,7 +1016,15 @@ object CorpusOps {
     */
   def repairSplits(docs: DataFrame, trainPct: Int = 80,
       valPct: Int = 10): DataFrame =
-    Dedup.nearDupLabels(docs)
+    repairSplitsFromLabels(Dedup.nearDupLabels(docs), trainPct, valPct)
+
+  /** [[repairSplits]] over an already-computed label frame — pure
+    * column arithmetic plus the presentation sort; with a persisted
+    * [[Dedup.writeDedupLabels]] table the repair is scan → project →
+    * sort, no joins and zero propagation rounds. */
+  def repairSplitsFromLabels(labels: DataFrame, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame =
+    labels
       .withColumn("old_split", splitName(col("doc_id"), trainPct, valPct))
       .withColumn("split", splitName(col("cluster"), trainPct, valPct))
       .withColumn("moved", col("old_split") =!= col("split"))

@@ -835,6 +835,46 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Materialize the near-dup label table — the OTHER half of the
+    * persisted-index story: [[writeDedupIndex]] persists the sketches
+    * a future BATCH probes, this persists the cluster assignment a
+    * whole FAMILY of audits derives from. Six consumers
+    * ([[qualityDupProfileFromLabels]], `CorpusOps.splitLeakage` /
+    * `repairSplits` / `bestOfCluster`, downstream canonicalization)
+    * each need only `(doc_id, cluster)` plus a cheap aggregate, yet
+    * their inline twins all re-run the most expensive computation in
+    * the engine (MinHash + banded LSH + label propagation). At 100 TB
+    * that is six corpus-scale pipelines where one suffices: run the
+    * propagation ONCE, write the one-row-per-doc frame, and every
+    * audit becomes a parquet scan + small aggregate with ZERO
+    * propagation rounds (pinned by PlanShapeSpec).
+    *
+    * Layout: `dir/labels` (doc_id, cluster) and `dir/meta` pinning the
+    * sketch parameters, so a reader can tell which near-dup definition
+    * the labels encode. The label frame's embedded checkpoint is
+    * released here after the write — callers get a clean store, not a
+    * storage contract.
+    */
+  def writeDedupLabels(docs: DataFrame, dir: String, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5, shingleN: Int = 3,
+      maxIters: Int = 50, maxBucket: Option[Int] = None): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labels = nearDupLabels(docs, numHashes, bands, threshold, shingleN,
+      maxIters, maxBucket)
+    try labels.write.mode("overwrite").parquet(s"$dir/labels")
+    finally ColumnBridge.unpersistCheckpoint(labels)
+    Seq((numHashes, bands, threshold, shingleN))
+      .toDF("num_hashes", "bands", "threshold", "shingle_n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Read a [[writeDedupLabels]] table: (doc_id, cluster), one row per
+    * document — a plain parquet scan, no checkpoint to release. */
+  def readDedupLabels(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/labels")
+
   private def readDedupMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int, Int) = {
     val m = spark.read.parquet(s"$dir/meta")
@@ -1021,8 +1061,17 @@ object Dedup {
     * given corpus. Cluster labels come from the same propagation core
     * every dedup surface shares; the rest is two tiny aggregates.
     */
-  def qualityDupProfile(docs: DataFrame): DataFrame = {
-    val labels = nearDupLabels(docs)
+  def qualityDupProfile(docs: DataFrame): DataFrame =
+    qualityDupProfileFromLabels(docs, nearDupLabels(docs))
+
+  /** [[qualityDupProfile]] over an already-computed label frame —
+    * the consumer half of the write-once/derive-many split
+    * ([[writeDedupLabels]]): the profile is two tiny aggregates, and
+    * feeding it the persisted table removes the full LSH+propagation
+    * recompute its inline twin pays. Output is identical by
+    * construction (same columns, same arithmetic). */
+  def qualityDupProfileFromLabels(docs: DataFrame,
+      labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("cluster"))
       .agg(count(lit(1)).as("csize"))
     val duped = labels.join(sizes, Seq("cluster"))

@@ -794,6 +794,52 @@ class PlanShapeSpec extends SparkSuite {
       s"total no longer shares the counts exchange:\n${executed.take(3000)}")
   }
 
+  test("label-table consumers: parquet scan, zero propagation rounds, twin-identical") {
+    val docs = table("documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-labels").toString
+    try {
+      graft.operators.Dedup.writeDedupLabels(docs, dir)
+      // the writer releases its own checkpoint: session back to the
+      // persistent-RDD fixed point immediately after the write
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "writeDedupLabels leaked its label checkpoint")
+      val labels = graft.operators.Dedup.readDedupLabels(spark, dir)
+      val derived = Seq(
+        "splitLeakage" -> graft.operators.CorpusOps.splitLeakageFromLabels(labels),
+        "repairSplits" -> graft.operators.CorpusOps.repairSplitsFromLabels(labels),
+        "bestOfCluster" -> graft.operators.CorpusOps.bestOfClusterFromLabels(docs, labels),
+        "qualityDupProfile" -> graft.operators.Dedup.qualityDupProfileFromLabels(docs, labels))
+      derived.foreach { case (name, df) =>
+        // ZERO propagation rounds: the plan must contain no checkpoint
+        // scan (LogicalRDD is how a localCheckpoint re-enters a plan)
+        // — the labels arrive via a plain parquet file scan
+        val rdds = df.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l
+        }
+        assert(rdds.isEmpty, s"$name still embeds a propagation checkpoint")
+        assert(plan(df).contains("Scan parquet"), s"$name lost the labels scan")
+      }
+      // executing a derived query creates no checkpoints at all
+      val before = spark.sparkContext.getPersistentRDDs.size
+      derived.foreach(_._2.collect())
+      assert(spark.sparkContext.getPersistentRDDs.size == before,
+        "derived audit ran a propagation round")
+      // hash-identical to the recomputing twins (the shared-oracle claim)
+      val twins = Seq(
+        "splitLeakage" -> graft.operators.CorpusOps.splitLeakage(docs),
+        "repairSplits" -> graft.operators.CorpusOps.repairSplits(docs),
+        "bestOfCluster" -> graft.operators.CorpusOps.bestOfCluster(docs),
+        "qualityDupProfile" -> graft.operators.Dedup.qualityDupProfile(docs))
+      derived.zip(twins).foreach { case ((name, ix), (_, tw)) =>
+        val same = rowsOf(ix) == rowsOf(tw)
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(tw)
+        assert(same, s"$name: indexed twin diverged from recomputing twin")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("sharedSpans: island window partitions by pair AND diagonal") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = plan(graft.operators.Dedup.sharedSpans(docs))

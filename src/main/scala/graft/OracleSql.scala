@@ -800,6 +800,46 @@ object OracleSql {
        |FROM tf JOIN ctf USING (term)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Mirrors [[graft.operators.Bpe.encodeCounts]] under the
+    * [[graft.operators.Bpe.PinnedMerges]] shipped tokenizer. The
+    * greedy left-to-right merge fold is replayed at the STRING level:
+    * each symbol is wrapped as `\t sym \n` (both wrappers are
+    * whitespace, which normalization collapses — no token can contain
+    * them, so a pattern match is always an exact symbol-boundary
+    * match), and one merge application is one `replace(s, \tl\n\tr\n,
+    * \tlr\n)` — DuckDB's replace scans left-to-right, non-overlapping,
+    * resuming AFTER each replacement, which is exactly the fold's
+    * greedy pairing (a run of k equal symbols merges floor(k/2)
+    * times). Chaining the 24 pinned merges in rank order reproduces
+    * the segmentation; `n_seg` is then the wrapper count. Verified
+    * against an independent per-symbol fold implementation, not just
+    * against the Spark twin.
+    */
+  def bpeEncode(): String = {
+    def wrap(s: String): String =
+      "chr(9) || '" + s.replace("'", "''") + "' || chr(10)"
+    val seg = graft.operators.Bpe.PinnedMerges.foldLeft(
+      "array_to_string(list_transform(string_split(word, ''), " +
+        "c -> chr(9) || c || chr(10)), '')") { (acc, m) =>
+      s"replace($acc, ${wrap(m.left)} || ${wrap(m.right)}, ${wrap(m.left + m.right)})"
+    }
+    s"""$docCte,
+       |tf AS (
+       |  SELECT doc_id, u.tok AS word, COUNT(*) AS tf
+       |  FROM tok, unnest(toks) AS u(tok)
+       |  WHERE u.tok <> ''
+       |  GROUP BY doc_id, u.tok),
+       |seg AS (
+       |  SELECT word,
+       |         CAST(length(s) - length(replace(s, chr(9), '')) AS BIGINT) AS n_seg
+       |  FROM (SELECT word, $seg AS s FROM (SELECT DISTINCT word FROM tf)))
+       |SELECT tf.doc_id,
+       |       CAST(SUM(tf.tf) AS BIGINT) AS n_words,
+       |       CAST(SUM(tf.tf * seg.n_seg) AS BIGINT) AS n_pieces
+       |FROM tf JOIN seg USING (word)
+       |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
+  }
+
   def lengthHistogram(bucket: Int = 50): String =
     s"""SELECT CAST(FLOOR(length(text) * 1.0 / $bucket) * $bucket AS BIGINT) AS len_bucket,
        |       COUNT(*) AS n_docs

@@ -277,11 +277,14 @@ object SparkEntry {
     // single-machine reference trainer instead (driver records the
     // rows-only check).
     "q_bpe_merges" -> ((s, dir) => graft.operators.Bpe.mergesFrame(docs(s, dir))),
-    // tokenizer APPLY: per-doc piece counts under the trained merges —
-    // segmentation folds once per DISTINCT word (vocab-sized), the
-    // corpus only joins integer counts. Rows-only like q_bpe_merges;
-    // BpeSpec pins reference-encoder parity + invariants.
-    "q_bpe_encode" -> ((s, dir) => graft.operators.Bpe.encodeQuery(docs(s, dir))),
+    // tokenizer APPLY: per-doc piece counts under the PINNED shipped
+    // merge table (Bpe.PinnedMerges) — segmentation folds once per
+    // DISTINCT word (vocab-sized), the corpus only joins integer
+    // counts. No training in the plan (train-time cost is
+    // q_bpe_merges), and a hash-exact replace-chain oracle; BpeSpec
+    // additionally pins reference-encoder parity + invariants.
+    "q_bpe_encode" -> ((s, dir) =>
+      graft.operators.Bpe.encodePinnedQuery(docs(s, dir))),
     // LLM-pipeline: dedup family
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy(col("canonical_doc_id"))),
@@ -772,6 +775,9 @@ object SparkEntry {
       "q_ngram_jaccard" -> OracleSql.ngramJaccardPairs(),
       "q_shared_spans" -> OracleSql.sharedSpans(),
       "q_quality_dup_profile" -> OracleSql.qualityDupProfile(),
+      // encode under the PINNED merge table: the greedy merge fold
+      // replayed as a boundary-safe replace chain (see OracleSql)
+      "q_bpe_encode" -> OracleSql.bpeEncode(),
       "q_dup_ngrams" -> OracleSql.duplicatedNgrams(),
       "q_source_dup_profile" -> OracleSql.sourceDupProfile(),
       "q_dedup_incremental" -> OracleSql.dedupIncremental(),

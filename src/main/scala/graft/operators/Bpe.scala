@@ -82,28 +82,32 @@ object Bpe {
     val out = Seq.newBuilder[Merge]
     var rank = 0
     var exhausted = false
-    while (rank < numMerges && !exhausted) {
-      val best = cur
-        .select(col("wc"), explode(adjacentPairs).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("wc")).as("w"))
-        .orderBy(col("w").desc, col("l"), col("r"))
-        .limit(1)
-        .collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val (l, r, w) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        out += Merge(rank, l, r, w)
-        val next = cur
-          .select(applyMerge(col("syms"), l, r).as("syms"), col("wc"))
-          .localCheckpoint(true)
-        ColumnBridge.unpersistCheckpoint(cur)
-        cur = next
-        rank += 1
+    // try/finally so a failed mid-loop collect cannot leak the live
+    // word-table checkpoint for the session lifetime — the failure
+    // path releases whatever round was current when it broke
+    try {
+      while (rank < numMerges && !exhausted) {
+        val best = cur
+          .select(col("wc"), explode(adjacentPairs).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("wc")).as("w"))
+          .orderBy(col("w").desc, col("l"), col("r"))
+          .limit(1)
+          .collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, w) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          out += Merge(rank, l, r, w)
+          val next = cur
+            .select(applyMerge(col("syms"), l, r).as("syms"), col("wc"))
+            .localCheckpoint(true)
+          ColumnBridge.unpersistCheckpoint(cur)
+          cur = next
+          rank += 1
+        }
       }
-    }
-    ColumnBridge.unpersistCheckpoint(cur)
+    } finally ColumnBridge.unpersistCheckpoint(cur)
     out.result()
   }
 
@@ -157,7 +161,38 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
-  /** Train-then-encode in one call — the [[SparkEntry]] surface. */
+  /** Train-then-encode in one call — the end-to-end spec surface. */
   def encodeQuery(docs: DataFrame, numMerges: Int = 20): DataFrame =
     encodeCounts(docs, trainMerges(docs, numMerges))
+
+  /** The shipped tokenizer: a FIXED merge table, pinned from one
+    * [[trainMerges]] run over the reference corpus (sf0.01 documents,
+    * numMerges = 24) — the deployment reality that a tokenizer is
+    * trained once and applied everywhere, never retrained per query.
+    * Pinning makes encode fully deterministic and SQL-expressible:
+    * the DuckDB oracle replays the same list as a chain of
+    * boundary-safe string replaces (greedy left-to-right semantics —
+    * see `OracleSql.bpeEncode`), so the encode query is hash-exact
+    * against the oracle instead of rows-only.
+    */
+  val PinnedMerges: Seq[Merge] = Seq(
+    Merge(0, "e", "r", 4568L), Merge(1, "i", "n", 2760L),
+    Merge(2, "o", "w", 2747L), Merge(3, "o", "r", 2696L),
+    Merge(4, "s", "t", 2676L), Merge(5, "m", "er", 1852L),
+    Merge(6, "a", "t", 1845L), Merge(7, "l", "u", 1831L),
+    Merge(8, "a", "r", 1758L), Merge(9, "p", "ar", 1758L),
+    Merge(10, "j", "o", 964L), Merge(11, "jo", "in", 964L),
+    Merge(12, "a", "s", 947L), Merge(13, "as", "h", 947L),
+    Merge(14, "h", "ash", 947L), Merge(15, "r", "ow", 943L),
+    Merge(16, "at", "c", 937L), Merge(17, "atc", "h", 937L),
+    Merge(18, "b", "atch", 937L), Merge(19, "a", "n", 936L),
+    Merge(20, "c", "an", 936L), Merge(21, "s", "can", 936L),
+    Merge(22, "c", "o", 934L), Merge(23, "c", "u", 934L))
+
+  /** Encode under the [[PinnedMerges]] shipped tokenizer — the
+    * [[SparkEntry]] `q_bpe_encode` surface: no training in the plan
+    * (the train-time cost lives in `q_bpe_merges`), just the
+    * vocab-folded segmentation join, and an exact SQL oracle. */
+  def encodePinnedQuery(docs: DataFrame): DataFrame =
+    encodeCounts(docs, PinnedMerges)
 }

@@ -140,4 +140,39 @@ class BpeSpec extends SparkSuite {
       assert(pieces.asInstanceOf[Long] <= zero(id).asInstanceOf[Long])
     }
   }
+
+  test("encodePinnedQuery matches the reference fold under PinnedMerges") {
+    // the q_bpe_encode surface: FIXED shipped merge table, no training
+    val d = docs(
+      1L -> "the batch scanner joins sorted rows in order",
+      2L -> "hash join over a scan of the sorted window",
+      3L -> "aaa aaaa batch batch hash")
+    val got = rowsOf(Bpe.encodePinnedQuery(d))
+      .map(m => m("doc_id") -> (m("n_words"), m("n_pieces"))).toMap
+    def seg(word: String): Int = {
+      var syms = word.map(_.toString).toList
+      Bpe.PinnedMerges.foreach { m =>
+        syms = syms.foldLeft(List.empty[String]) { (acc, s) =>
+          acc match {
+            case init :+ last if last == m.left && s == m.right =>
+              init :+ (m.left + m.right)
+            case _ => acc :+ s
+          }
+        }
+      }
+      syms.size
+    }
+    Map(
+      1L -> "the batch scanner joins sorted rows in order",
+      2L -> "hash join over a scan of the sorted window",
+      3L -> "aaa aaaa batch batch hash"
+    ).foreach { case (id, text) =>
+      val words = text.split(" ").toSeq
+      assert(got(id) == (words.size.toLong, words.map(seg).sum.toLong),
+        s"doc $id: got ${got(id)}")
+    }
+    // the pinned table is rank-dense from 0 — the oracle replays it
+    // positionally, so a gap would silently skip a merge
+    assert(Bpe.PinnedMerges.map(_.rank) == Bpe.PinnedMerges.indices)
+  }
 }

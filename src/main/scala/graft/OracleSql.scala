@@ -389,13 +389,22 @@ object OracleSql {
        |          ORDER BY pos_a) AS island
        |      FROM m),
        |runs AS (SELECT doc_a, doc_b, diag, island, COUNT(*) AS run_len
-       |         FROM r GROUP BY 1, 2, 3, 4)
-       |SELECT doc_a, doc_b,
-       |       CAST(SUM(run_len) AS BIGINT) AS n_matches,
-       |       CAST(MAX(run_len) AS BIGINT) AS longest_run,
-       |       CAST(MAX(run_len) + ${shingleN - 1} AS BIGINT)
-       |         AS longest_span_tokens
-       |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |         FROM r GROUP BY 1, 2, 3, 4),
+       |tc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM tok2),
+       |agg AS (SELECT doc_a, doc_b,
+       |          CAST(SUM(run_len) AS BIGINT) AS n_matches,
+       |          CAST(MAX(run_len) AS BIGINT) AS longest_run
+       |        FROM runs GROUP BY 1, 2)
+       |-- sub-shingle clamp: a short doc's whole-text fallback shingle
+       |-- has fewer than n tokens, so run + n − 1 is capped by the
+       |-- shorter doc's token count (no-op for docs >= n tokens)
+       |SELECT agg.doc_a, agg.doc_b, agg.n_matches, agg.longest_run,
+       |       LEAST(agg.longest_run + ${shingleN - 1},
+       |             LEAST(ta.n_toks, tb.n_toks)) AS longest_span_tokens
+       |FROM agg
+       |JOIN tc ta ON ta.doc_id = agg.doc_a
+       |JOIN tc tb ON tb.doc_id = agg.doc_b
+       |ORDER BY 1, 2""".stripMargin
 
   /** Mirrors [[graft.operators.Dedup.qualityDupProfile]]: the
     * recursive cluster closure + the exact quality formula, integer
@@ -838,6 +847,61 @@ object OracleSql {
        |       CAST(SUM(tf.tf * seg.n_seg) AS BIGINT) AS n_pieces
        |FROM tf JOIN seg USING (word)
        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.Bpe.mergesFrame]] — BPE TRAINING as
+    * static SQL. The trainer's loop cannot be a recursive CTE (the
+    * per-round argmax aggregates over the recursive reference, which
+    * SQL forbids), but `numMerges` is a compile-time constant, so the
+    * rounds UNROLL: each round is a (pair-count, argmax, merge-apply)
+    * CTE triple chained off the previous word table. Pair counting
+    * extracts the wrapped symbol list back out of the string form
+    * (`\t sym \n` wrappers — the [[bpeEncode]] representation) and
+    * counts SLIDING adjacent pairs weighted by word count; the argmax
+    * replays the trainer's (weight desc, left, right) tie-break; the
+    * merge applies with the same boundary-safe replace. CTEs are
+    * MATERIALIZED: each word table is referenced twice per round, and
+    * inlining would double the expression tree every round. A round
+    * with no pairs left yields an empty argmax row — the LEFT JOIN
+    * passes the word table through unchanged and the round emits no
+    * merge, matching the trainer's early exhaustion.
+    */
+  def bpeMerges(numMerges: Int = 20): String = {
+    val rounds = (0 until numMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT l, r, CAST(SUM(wc) AS BIGINT) AS w
+         |  FROM (
+         |    SELECT syms[j] AS l, syms[j+1] AS r, wc
+         |    FROM (SELECT regexp_extract_all(s, '\\t([^\\n]*)\\n', 1) AS syms, wc
+         |          FROM w$i) ws,
+         |         unnest(generate_series(1, len(ws.syms) - 1)) AS g(j)
+         |    WHERE len(ws.syms) >= 2)
+         |  GROUP BY l, r),
+         |b$i AS MATERIALIZED (SELECT l, r, w FROM p$i ORDER BY w DESC, l, r LIMIT 1),
+         |w${i + 1} AS MATERIALIZED (
+         |  SELECT CASE WHEN b.l IS NULL THEN w.s
+         |         ELSE replace(w.s, chr(9)||b.l||chr(10)||chr(9)||b.r||chr(10),
+         |                      chr(9)||b.l||b.r||chr(10)) END AS s, w.wc
+         |  FROM w$i w LEFT JOIN b$i b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until numMerges).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS rank, l AS "left", r AS "right",
+         |       l || r AS merged, w AS weight FROM b$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |  FROM documents),
+       |words AS (
+       |  SELECT u.tok AS word, COUNT(*) AS wc
+       |  FROM t, unnest(string_split(norm, ' ')) AS u(tok)
+       |  WHERE u.tok <> '' GROUP BY u.tok),
+       |w0 AS MATERIALIZED (
+       |  SELECT array_to_string(list_transform(string_split(word, ''),
+       |           c -> chr(9) || c || chr(10)), '') AS s, wc
+       |  FROM words),
+       |$rounds
+       |SELECT * FROM (
+       |$unions) ORDER BY rank""".stripMargin
   }
 
   def lengthHistogram(bucket: Int = 50): String =
@@ -1542,8 +1606,7 @@ object OracleSql {
     * oracles joined back to the exact top-k, one integer-exact recall
     * division per method. */
   def annRecall(maxQueryId: Int = 16, k: Int = 5, lshTables: Int = 8,
-      lshPlanes: Int = 4, nCentroids: Int = 16, nProbes: Int = 4): String = {
-    val denom = maxQueryId * k
+      lshPlanes: Int = 4, nCentroids: Int = 16, nProbes: Int = 4): String =
     s"""WITH exact AS (
        |${knn(k, maxQueryId)}
        |),
@@ -1556,8 +1619,12 @@ object OracleSql {
        |ivf AS (
        |${knnIvf(k, maxQueryId, nCentroids, nProbes)}
        |),
-       |e AS (SELECT query_id, neighbor_id FROM exact)
-       |SELECT method, n_hits, CAST(n_hits AS DOUBLE) / $denom AS recall
+       |e AS (SELECT query_id, neighbor_id FROM exact),
+       |-- denominator = the exact top-k's own cardinality (matches the
+       |-- engine: recall stays 1.0 for 'exact' even when the corpus has
+       |-- fewer than maxQueryId query vectors)
+       |d AS (SELECT CAST(COUNT(*) AS DOUBLE) AS denom FROM e)
+       |SELECT method, n_hits, CAST(n_hits AS DOUBLE) / denom AS recall
        |FROM (
        |  SELECT 'exact' AS method, COUNT(*) AS n_hits
        |  FROM e JOIN exact USING (query_id, neighbor_id)
@@ -1567,9 +1634,8 @@ object OracleSql {
        |  SELECT 'lsh', COUNT(*) FROM e JOIN lsh USING (query_id, neighbor_id)
        |  UNION ALL
        |  SELECT 'lsh_mp', COUNT(*)
-       |  FROM e JOIN lshmp USING (query_id, neighbor_id))
+       |  FROM e JOIN lshmp USING (query_id, neighbor_id)), d
        |ORDER BY method""".stripMargin
-  }
 
   /** Mirrors [[graft.operators.Similarity.contrastiveTriplets]]: best
     * near-pair positive (score desc, id tie-break over the rounded

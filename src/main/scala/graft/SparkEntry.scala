@@ -320,6 +320,18 @@ object SparkEntry {
       Dedup.dedupIncremental(
         d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
     }),
+    // the production shape of the same ingest: corpus sketches come
+    // from a writeDedupIndex table built once per JVM (Bench warmup /
+    // Verify first call), so timed passes measure the delta probe —
+    // batch×bands band joins against the persisted index — never a
+    // corpus re-hash. Identical core ⇒ identical verdicts ⇒ shares
+    // the inline twin's oracle.
+    "q_dedup_incremental_indexed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ix = ensureBuilt("dedupidx", dir)(p =>
+        Dedup.writeDedupIndex(d.filter(col("doc_id") % 5 =!= 0), p))
+      Dedup.dedupIncrementalIndexed(ix, d.filter(col("doc_id") % 5 === 0))
+    }),
     "q_simhash" -> ((s, dir) => TextAnalysis.simhashFrame(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     // LLM-pipeline: multimodal binary-column plumbing (stubbed decode)
@@ -778,9 +790,14 @@ object SparkEntry {
       // encode under the PINNED merge table: the greedy merge fold
       // replayed as a boundary-safe replace chain (see OracleSql)
       "q_bpe_encode" -> OracleSql.bpeEncode(),
+      // training unrolled: numMerges is a constant, so the iterative
+      // argmax a recursive CTE cannot express becomes 20 chained
+      // (count, argmax, merge) CTE rounds — hash-exact, not rows-only
+      "q_bpe_merges" -> OracleSql.bpeMerges(),
       "q_dup_ngrams" -> OracleSql.duplicatedNgrams(),
       "q_source_dup_profile" -> OracleSql.sourceDupProfile(),
       "q_dedup_incremental" -> OracleSql.dedupIncremental(),
+      "q_dedup_incremental_indexed" -> OracleSql.dedupIncremental(),
       "q_simhash" -> OracleSql.simhash,
       "q_simhash_pairs" -> OracleSql.simhashPairs(),
       "q_multimodal_features" -> OracleSql.multimodalFeatures,

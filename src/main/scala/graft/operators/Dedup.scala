@@ -1108,9 +1108,14 @@ object Dedup {
     val pairs = minhashPairsUnsorted(docs, numHashes, bands, threshold,
         shingleN)
       .select(col("doc_a"), col("doc_b"))
-    val ps = docs
+    val toksF = docs
       .select(col("doc_id"), TextFunctions.normText(col("text")).as("norm"))
       .withColumn("toks", split(col("norm"), " "))
+    // per-doc token counts, for the sub-shingle clamp below — a narrow
+    // projection joined only to the tiny aggregated pair report
+    val tcnt = toksF.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_toks"))
+    val ps = toksF
       .select(col("doc_id"), posexplode(expr(
         s"""CASE WHEN size(toks) >= $shingleN
            |THEN transform(sequence(1, size(toks) - ${shingleN - 1}),
@@ -1133,8 +1138,20 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("run_len")).as("n_matches"),
         max(col("run_len")).as("longest_run"))
+      // run + n − 1 is exact for real shingles, but a sub-shingle doc's
+      // whole-text fallback "shingle" has fewer than n tokens — clamp
+      // by the shorter doc's token count so the span never overstates
+      // what the document physically contains (for docs ≥ n tokens the
+      // clamp is a no-op: run ≤ n_toks − n + 1 on both sides)
+      .join(tcnt.select(col("doc_id").as("doc_a"),
+        col("n_toks").as("toks_a")), Seq("doc_a"))
+      .join(tcnt.select(col("doc_id").as("doc_b"),
+        col("n_toks").as("toks_b")), Seq("doc_b"))
       .withColumn("longest_span_tokens",
-        col("longest_run") + lit(shingleN - 1).cast("long"))
+        least(col("longest_run") + lit(shingleN - 1).cast("long"),
+          least(col("toks_a"), col("toks_b"))))
+      .select(col("doc_a"), col("doc_b"), col("n_matches"),
+        col("longest_run"), col("longest_span_tokens"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -533,12 +533,20 @@ object Similarity {
   def cellBaseline(corpus: DataFrame, nCentroids: Int = 16,
       centroids: Option[DataFrame] = None): DataFrame = {
     val cu = unitIndex(corpus)
-    val book = collectCoarseBook(cu, nCentroids, centroids)
-    if (book.isEmpty) {
-      val spark = corpus.sparkSession
-      import spark.implicits._
+    cellProfile(corpus.sparkSession, cu,
+      collectCoarseBook(cu, nCentroids, centroids))
+      .orderBy(col("cid"))
+  }
+
+  /** (cid, n, ppm) of `cu` under an already-collected `book` — the
+    * shared core of [[cellBaseline]] and both [[cellDrift]] snapshots,
+    * so the codebook is collected ONCE per report and every assignment
+    * runs in the same coordinate system. */
+  private def cellProfile(spark: org.apache.spark.sql.SparkSession,
+      cu: DataFrame, book: Array[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    if (book.isEmpty)
       return Seq.empty[(Long, Long, Long)].toDF("cid", "n", "ppm")
-    }
     val counts = assignCells(cu, book)
       .groupBy(col("cid")).agg(count(lit(1)).as("n"))
     val total = counts
@@ -547,7 +555,6 @@ object Similarity {
     counts.crossJoin(broadcast(total))
       .withColumn("ppm", expr("(n * 1000000) div total"))
       .select(col("cid"), col("n"), col("ppm"))
-      .orderBy(col("cid"))
   }
 
   /** Batch cell-drift report — [[cellBaseline]] run on two corpus
@@ -564,25 +571,17 @@ object Similarity {
   def cellDrift(reference: DataFrame, current: DataFrame,
       nCentroids: Int = 16,
       centroids: Option[DataFrame] = None): DataFrame = {
-    val refB = cellBaseline(reference, nCentroids, centroids)
-      .select(col("cid"), col("n").as("n_ref"), col("ppm").as("ppm_ref"))
+    // the codebook is collected ONCE and the same driver-held array
+    // feeds both snapshots' assignments — with a caller-supplied
+    // centroids frame whose plan is nondeterministic (e.g. unseeded
+    // k-means), two independent collects could snapshot two different
+    // coordinate systems and silently break the shared-book contract
+    val spark = reference.sparkSession
     val book = coarseBook(reference, nCentroids, centroids)
-    val curB = {
-      if (book.isEmpty) {
-        val spark = current.sparkSession
-        import spark.implicits._
-        Seq.empty[(Long, Long, Long)].toDF("cid", "n_cur", "ppm_cur")
-      } else {
-        val counts = cellAssignments(current, book)
-          .groupBy(col("cid")).agg(count(lit(1)).as("n_cur"))
-        val total = counts
-          .filter(graft.functions.Barrier.reuseAnchor(col("n_cur")))
-          .agg(sum(col("n_cur")).as("total"))
-        counts.crossJoin(broadcast(total))
-          .withColumn("ppm_cur", expr("(n_cur * 1000000) div total"))
-          .select(col("cid"), col("n_cur"), col("ppm_cur"))
-      }
-    }
+    val refB = cellProfile(spark, unitIndex(reference), book)
+      .select(col("cid"), col("n").as("n_ref"), col("ppm").as("ppm_ref"))
+    val curB = cellProfile(spark, unitIndex(current), book)
+      .select(col("cid"), col("n").as("n_cur"), col("ppm").as("ppm_cur"))
     refB.join(curB, Seq("cid"), "full_outer")
       .select(col("cid"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
@@ -609,13 +608,22 @@ object Similarity {
     val q = corpus.filter(col("vec_id") < maxQueryId)
     val exact = knnBruteForce(corpus, q, k)
       .select(col("query_id"), col("neighbor_id"))
-    val denom = (maxQueryId * k).toDouble
+    // denominator = the EXACT top-k's own row count, not maxQueryId·k:
+    // a corpus with fewer than maxQueryId vectors (or null embeddings
+    // among the low ids) yields fewer exact rows, and dividing by the
+    // nominal constant would deflate every method — including the
+    // 'exact' anchor documented as recall 1.0 by construction. A
+    // broadcast 1-row scalar, the cellBaseline total pattern.
+    val denom = exact
+      .filter(graft.functions.Barrier.reuseAnchorKey(col("query_id")))
+      .agg(count(lit(1)).cast("double").as("denom"))
     def row(res: DataFrame, label: String): DataFrame =
       exact.join(res.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(denom))
         .select(lit(label).as("method"), col("n_hits"),
-          (col("n_hits").cast("double") / denom).as("recall"))
+          (col("n_hits").cast("double") / col("denom")).as("recall"))
     row(exact, "exact")
       .unionAll(row(knnLsh(corpus, q, k), "lsh"))
       .unionAll(row(knnLshMultiProbe(corpus, q, k), "lsh_mp"))

@@ -589,6 +589,18 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("annRecall: exact anchor stays 1.0 when the corpus has fewer vectors than maxQueryId") {
+    // the denominator is the exact top-k's own row count, not the
+    // nominal maxQueryId·k — a small corpus (or null embeddings among
+    // the low ids) must not deflate every method's recall
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val small = emb.filter(col("vec_id") < 4)
+    val r = rowsOf(Similarity.annRecall(small, maxQueryId = 8, k = 3))
+    val byM = r.map(m => m("method") -> m).toMap
+    assert(byM("exact")("recall") == 1.0,
+      s"exact anchor deflated: ${byM("exact")}")
+  }
+
   test("cellBaseline: exact counts and floored ppm shares per cell") {
     val d = vecs(
       0L -> pad(Seq(1f, 0f)), 1L -> pad(Seq(0f, 1f)),

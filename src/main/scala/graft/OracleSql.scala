@@ -297,6 +297,74 @@ object OracleSql {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Mirrors [[Dedup.assignDedupLabels]] over the `doc_id % mod` batch
+    * convention: corpus-only clusters (the frozen
+    * [[Dedup.writeDedupLabels]] table) via a recursive closure, then
+    * batch assignment = min reachable vertex over verified batch↔batch
+    * pairs plus batch→corpus matches projected to CLUSTER ids.
+    * Unmatched batch docs label themselves (the closure seed). */
+  def assignLabels(numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, mod: Int = 5): String = {
+    val rows = numHashes / bands
+    val sigExprs = minhashSigSql(numHashes)
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, text,
+       |         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |  FROM documents),
+       |tok AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks FROM t),
+       |$shingleCte,
+       |$shingleHashCte,
+       |sig AS (SELECT doc_id, $sigExprs AS mh FROM hx),
+       |banded AS (
+       |  SELECT doc_id, doc_id % $mod = 0 AS is_batch, gs.bd AS band,
+       |         array_to_string(mh[gs.bd*$rows+1:gs.bd*$rows+$rows], '_') AS band_sig
+       |  FROM sig, generate_series(0, ${bands - 1}) gs(bd)),
+       |ccand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig
+       |   AND NOT a.is_batch AND NOT b.is_batch AND a.doc_id < b.doc_id),
+       |cnear AS (
+       |  SELECT da, db FROM (
+       |    SELECT da, db,
+       |           len(list_filter(x.xs, e -> list_contains(y.xs, e))) AS inter,
+       |           len(x.xs) AS na, len(y.xs) AS nb2
+       |    FROM ccand JOIN hx x ON x.doc_id = da JOIN hx y ON y.doc_id = db)
+       |  WHERE CAST(inter AS DOUBLE) / (na + nb2 - inter) >= $threshold),
+       |cedges AS (SELECT da AS a, db AS b FROM cnear
+       |           UNION ALL SELECT db, da FROM cnear),
+       |creach(s, t2) AS (
+       |  SELECT doc_id, doc_id FROM documents WHERE doc_id % $mod <> 0
+       |  UNION
+       |  SELECT r.s, e.b FROM creach r JOIN cedges e ON r.t2 = e.a),
+       |clusters AS (SELECT s AS doc_id, MIN(t2) AS cluster FROM creach GROUP BY s),
+       |bcand AS (
+       |  SELECT DISTINCT a.doc_id AS b_id, b.doc_id AS o_id, b.is_batch AS o_batch
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig
+       |   AND a.is_batch AND (NOT b.is_batch OR b.doc_id < a.doc_id)),
+       |bnear AS (
+       |  SELECT b_id, o_id, o_batch FROM (
+       |    SELECT b_id, o_id, o_batch,
+       |           len(list_filter(x.xs, e -> list_contains(y.xs, e))) AS inter,
+       |           len(x.xs) AS na, len(y.xs) AS nb2
+       |    FROM bcand JOIN hx x ON x.doc_id = b_id JOIN hx y ON y.doc_id = o_id)
+       |  WHERE CAST(inter AS DOUBLE) / (na + nb2 - inter) >= $threshold),
+       |edges2 AS (
+       |  SELECT b_id AS a, o_id AS b FROM bnear WHERE o_batch
+       |  UNION ALL SELECT o_id, b_id FROM bnear WHERE o_batch
+       |  UNION ALL SELECT bn.b_id, c.cluster
+       |    FROM bnear bn JOIN clusters c ON c.doc_id = bn.o_id WHERE NOT bn.o_batch
+       |  UNION ALL SELECT c.cluster, bn.b_id
+       |    FROM bnear bn JOIN clusters c ON c.doc_id = bn.o_id WHERE NOT bn.o_batch),
+       |breach(s, t2) AS (
+       |  SELECT doc_id, doc_id FROM documents WHERE doc_id % $mod = 0
+       |  UNION
+       |  SELECT r.s, e.b FROM breach r JOIN edges2 e ON r.t2 = e.a)
+       |SELECT s AS doc_id, MIN(t2) AS cluster
+       |FROM breach GROUP BY s ORDER BY doc_id""".stripMargin
+  }
+
   /** Transitive closure over the minhash near-dup pair graph via a
     * recursive CTE: cluster = min reachable doc_id. Mirrors
     * [[Dedup.nearDupClusters]] (label propagation run to fixpoint).

@@ -332,6 +332,21 @@ object SparkEntry {
         Dedup.writeDedupIndex(d.filter(col("doc_id") % 5 =!= 0), p))
       Dedup.dedupIncrementalIndexed(ix, d.filter(col("doc_id") % 5 === 0))
     }),
+    // ingest-side labeling: the batch (doc_id % 5 = 0) is ASSIGNED
+    // cluster labels against the FROZEN corpus clustering — band
+    // probes of the persisted index, verified matches projected to
+    // persisted cluster ids, batch-internal propagation; corpus rows
+    // never iterate. Index + label table built once per JVM.
+    "q_assign_labels" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = ensureBuilt("asgn", dir) { p =>
+        val corpus = d.filter(col("doc_id") % 5 =!= 0)
+        Dedup.writeDedupIndex(corpus, s"$p/idx")
+        Dedup.writeDedupLabels(corpus, s"$p/lbl")
+      }
+      Dedup.assignDedupLabels(s"$root/idx", s"$root/lbl",
+        d.filter(col("doc_id") % 5 === 0))
+    }),
     "q_simhash" -> ((s, dir) => TextAnalysis.simhashFrame(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     // LLM-pipeline: multimodal binary-column plumbing (stubbed decode)
@@ -798,6 +813,9 @@ object SparkEntry {
       "q_source_dup_profile" -> OracleSql.sourceDupProfile(),
       "q_dedup_incremental" -> OracleSql.dedupIncremental(),
       "q_dedup_incremental_indexed" -> OracleSql.dedupIncremental(),
+      // frozen-corpus incremental cluster assignment: corpus-only
+      // recursive closure + batch closure over verified matches
+      "q_assign_labels" -> OracleSql.assignLabels(),
       "q_simhash" -> OracleSql.simhash,
       "q_simhash_pairs" -> OracleSql.simhashPairs(),
       "q_multimodal_features" -> OracleSql.multimodalFeatures,

@@ -961,6 +961,46 @@ object Dedup {
       maxBucket: Option[Int]): DataFrame = {
     val batchFp = batch.select(col("doc_id"),
       TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+    val near = verifiedIncrementalPairs(corpusBands, corpusShingles, batch,
+      numHashes, bands, shingleN, threshold, maxBucket)
+    def minOf(pairs: DataFrame, out: String): DataFrame =
+      pairs.groupBy(col("b_id").as("doc_id")).agg(min(col("o_id")).as(out))
+    val exactCorpus = minOf(batchFp.as("a")
+      .join(corpusFp.as("c"), col("a.fingerprint") === col("c.fingerprint"))
+      .select(col("a.doc_id").as("b_id"), col("c.doc_id").as("o_id")), "ec")
+    val exactBatch = minOf(batchFp.as("a")
+      .join(batchFp.as("c"), col("a.fingerprint") === col("c.fingerprint") &&
+        col("c.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("b_id"), col("c.doc_id").as("o_id")), "eb")
+    val nearCorpus = minOf(near.filter(col("from_corpus")), "nc")
+    val nearBatch = minOf(near.filter(!col("from_corpus")), "nb")
+    batch.select(col("doc_id"))
+      .join(exactCorpus, Seq("doc_id"), "left")
+      .join(exactBatch, Seq("doc_id"), "left")
+      .join(nearCorpus, Seq("doc_id"), "left")
+      .join(nearBatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ec").isNotNull, lit("exact_corpus"))
+          .when(col("eb").isNotNull, lit("exact_batch"))
+          .when(col("nc").isNotNull, lit("near_corpus"))
+          .when(col("nb").isNotNull, lit("near_batch"))
+          .otherwise(lit("kept")).as("verdict"),
+        coalesce(col("ec"), col("eb"), col("nc"), col("nb"), lit(-1L))
+          .as("match_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The banded-candidate + Jaccard-verify machinery shared by
+    * [[dedupIncrementalCore]] and [[assignDedupLabels]]: every
+    * VERIFIED near-dup pair between a batch doc and (a) an indexed
+    * corpus doc or (b) a smaller-id batch doc. Returns
+    * `(from_corpus, b_id, o_id)`. Exact duplicates are a subset
+    * (identical text ⇒ identical bands ⇒ jaccard 1.0).
+    */
+  private def verifiedIncrementalPairs(corpusBands: DataFrame,
+      corpusShingles: DataFrame, batch: DataFrame,
+      numHashes: Int, bands: Int, shingleN: Int, threshold: Double,
+      maxBucket: Option[Int]): DataFrame = {
     val batchBands = bandFrame(batch, numHashes, bands, shingleN)
       .repartition(col("band"), col("band_sig"))
     // hot-bucket cap counts the COMBINED population (index + batch):
@@ -1023,30 +1063,54 @@ object Dedup {
         col("inter") / (size(col("x.xs")) + size(col("y.xs")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("from_corpus"), col("b_id"), col("o_id"))
-    def minOf(pairs: DataFrame, out: String): DataFrame =
-      pairs.groupBy(col("b_id").as("doc_id")).agg(min(col("o_id")).as(out))
-    val exactCorpus = minOf(batchFp.as("a")
-      .join(corpusFp.as("c"), col("a.fingerprint") === col("c.fingerprint"))
-      .select(col("a.doc_id").as("b_id"), col("c.doc_id").as("o_id")), "ec")
-    val exactBatch = minOf(batchFp.as("a")
-      .join(batchFp.as("c"), col("a.fingerprint") === col("c.fingerprint") &&
-        col("c.doc_id") < col("a.doc_id"))
-      .select(col("a.doc_id").as("b_id"), col("c.doc_id").as("o_id")), "eb")
-    val nearCorpus = minOf(near.filter(col("from_corpus")), "nc")
-    val nearBatch = minOf(near.filter(!col("from_corpus")), "nb")
-    batch.select(col("doc_id"))
-      .join(exactCorpus, Seq("doc_id"), "left")
-      .join(exactBatch, Seq("doc_id"), "left")
-      .join(nearCorpus, Seq("doc_id"), "left")
-      .join(nearBatch, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("ec").isNotNull, lit("exact_corpus"))
-          .when(col("eb").isNotNull, lit("exact_batch"))
-          .when(col("nc").isNotNull, lit("near_corpus"))
-          .when(col("nb").isNotNull, lit("near_batch"))
-          .otherwise(lit("kept")).as("verdict"),
-        coalesce(col("ec"), col("eb"), col("nc"), col("nb"), lit(-1L))
-          .as("match_id"))
+    near
+  }
+
+  /** Incremental cluster ASSIGNMENT — the ingest-side counterpart of
+    * [[writeDedupLabels]]: label a new `batch` of documents against a
+    * frozen corpus clustering WITHOUT recomputing corpus propagation.
+    * Each batch doc's cluster is the smallest id reachable through
+    * (a) verified batch↔corpus near-dup matches, projected to the
+    * matched docs' persisted CLUSTER ids, and (b) verified
+    * batch↔batch near-dup pairs; unmatched docs label themselves —
+    * so a batch near-copy of an indexed doc inherits that doc's
+    * cluster, a batch doc whose only link is ANOTHER batch doc
+    * inherits transitively, and novel duplicate groups cluster among
+    * themselves under their min batch id.
+    *
+    * FROZEN-CORPUS SEMANTICS, documented: the corpus clustering is
+    * read-only here. A batch doc bridging two distinct corpus
+    * clusters is assigned the smaller cluster id, but the two corpus
+    * clusters are NOT merged — re-run [[writeDedupLabels]] over the
+    * grown corpus when retroactive merges matter (the standard
+    * production compromise: per-delta assignment is cheap and
+    * monotone; global re-clustering is a scheduled batch job).
+    *
+    * Plan shape: delta work ∝ batch — band probes against the
+    * persisted index, Jaccard verification on semi-join-pruned
+    * shingle lists, then label propagation over the BATCH-SIZED pair
+    * graph only (cluster ids enter as frozen vertices; corpus rows
+    * never iterate). Inherits [[nearDupLabels]]' storage contract
+    * (release via `ColumnBridge.unpersistCheckpoint` after the last
+    * action).
+    */
+  def assignDedupLabels(indexDir: String, labelsDir: String,
+      batch: DataFrame, threshold: Double = 0.5, maxIters: Int = 50,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val (numHashes, bands, shingleN) = readDedupMeta(spark, indexDir)
+    val near = verifiedIncrementalPairs(
+      spark.read.parquet(s"$indexDir/bands"),
+      spark.read.parquet(s"$indexDir/shingles"),
+      batch, numHashes, bands, shingleN, threshold, maxBucket)
+    val bridge = near.filter(col("from_corpus"))
+      .join(readDedupLabels(spark, labelsDir)
+        .select(col("doc_id").as("o_id"), col("cluster")), Seq("o_id"))
+      .select(col("b_id").as("a"), col("cluster").as("b"))
+    val bb = near.filter(!col("from_corpus"))
+      .select(col("b_id").as("a"), col("o_id").as("b"))
+    labelPropagate(bb.union(bridge), batch.select(col("doc_id")),
+      maxIters, "assignDedupLabels")
       .orderBy(col("doc_id"))
   }
 

@@ -163,4 +163,46 @@ class IncrementalDedupSpec extends SparkSuite {
         s"unprobed hot bucket changed verdicts under cap=$cap: $lean vs $hot")
     }
   }
+
+  test("assignDedupLabels: inherit, chain, novel group, singleton, frozen bridge") {
+    val third =
+      "third corpus family text about mountain passes goat trails and high " +
+        "meadow flowers blooming beneath late summer snow fields far away"
+    // corpus: {1,2} one near-dup cluster (labeled 1), {3} another, {5} other
+    val corpus = docs(1L -> base, 2L -> (base + " tiny tail"), 3L -> third,
+      5L -> other)
+    val root = java.nio.file.Files.createTempDirectory("graft-assign").toString
+    try {
+      Dedup.writeDedupIndex(corpus, s"$root/idx", bands = 8)
+      Dedup.writeDedupLabels(corpus, s"$root/lbl", bands = 8,
+        threshold = 0.3)
+      val batch = docs(
+        10L -> (base + " extra words"),     // near-copy of cluster {1,2} -> 1
+        12L -> (base + " extra words tail"),// chains through 10 -> 1
+        14L -> "novel duplicated content assembled for this batch test",
+        16L -> "novel duplicated content assembled for this batch test x",
+        18L -> "completely isolated singleton nothing shared with anything",
+        // bridges corpus clusters 1 and 3 (half of each text): assigned
+        // min(1, 3) = 1, corpus table untouched
+        20L -> (base + " " + third))
+      val got = rowsOf(Dedup.assignDedupLabels(s"$root/idx", s"$root/lbl",
+          batch, threshold = 0.3))
+        .map(r => r("doc_id") -> r("cluster")).toMap
+      assert(got(10L) == 1L, s"inherit: $got")
+      assert(got(12L) == 1L, s"chain through batch: $got")
+      assert(got(14L) == 14L && got(16L) == 14L, s"novel group: $got")
+      assert(got(18L) == 18L, s"singleton: $got")
+      assert(got(20L) == 1L, s"bridge takes min cluster: $got")
+      // frozen corpus: the persisted label table is untouched by the
+      // assignment — cluster 3 still exists even though a batch doc
+      // bridged it to cluster 1
+      val corpusLabels = rowsOf(
+        Dedup.readDedupLabels(spark, s"$root/lbl").orderBy(col("doc_id")))
+        .map(r => r("doc_id") -> r("cluster")).toMap
+      assert(corpusLabels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 5L -> 5L),
+        s"corpus labels mutated: $corpusLabels")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
 }

@@ -892,14 +892,21 @@ object OracleSql {
     * against an independent per-symbol fold implementation, not just
     * against the Spark twin.
     */
-  def bpeEncode(): String = {
+  /** The [[graft.operators.Bpe.PinnedMerges]] greedy segmentation of
+    * `word` as a replace chain over the `\t sym \n` wrapped string —
+    * shared by [[bpeEncode]] and [[tokenizerFit]]. */
+  private def pinnedSegChainSql: String = {
     def wrap(s: String): String =
       "chr(9) || '" + s.replace("'", "''") + "' || chr(10)"
-    val seg = graft.operators.Bpe.PinnedMerges.foldLeft(
+    graft.operators.Bpe.PinnedMerges.foldLeft(
       "array_to_string(list_transform(string_split(word, ''), " +
         "c -> chr(9) || c || chr(10)), '')") { (acc, m) =>
       s"replace($acc, ${wrap(m.left)} || ${wrap(m.right)}, ${wrap(m.left + m.right)})"
     }
+  }
+
+  def bpeEncode(): String = {
+    val seg = pinnedSegChainSql
     s"""$docCte,
        |tf AS (
        |  SELECT doc_id, u.tok AS word, COUNT(*) AS tf
@@ -971,6 +978,67 @@ object OracleSql {
        |SELECT * FROM (
        |$unions) ORDER BY rank""".stripMargin
   }
+
+  /** Mirrors [[graft.operators.Bpe.tokenizerFit]] — the [[bpeEncode]]
+    * replace-chain segmentation, aggregated per source with the word's
+    * character length riding along. */
+  def tokenizerFit(): String = {
+    val seg = pinnedSegChainSql
+    s"""WITH t AS (
+       |  SELECT source,
+       |         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |  FROM documents),
+       |tf AS (
+       |  SELECT source, u.tok AS word, COUNT(*) AS tf
+       |  FROM t, unnest(string_split(norm, ' ')) AS u(tok)
+       |  WHERE u.tok <> ''
+       |  GROUP BY source, u.tok),
+       |seg AS (
+       |  SELECT word, CAST(length(word) AS BIGINT) AS n_chars_w,
+       |         CAST(length(s) - length(replace(s, chr(9), '')) AS BIGINT) AS n_seg
+       |  FROM (SELECT word, $seg AS s FROM (SELECT DISTINCT word FROM tf)))
+       |SELECT tf.source,
+       |       CAST(SUM(tf.tf) AS BIGINT) AS n_words,
+       |       CAST(SUM(tf.tf * seg.n_chars_w) AS BIGINT) AS n_chars,
+       |       CAST(SUM(tf.tf * seg.n_seg) AS BIGINT) AS n_pieces,
+       |       CAST((SUM(tf.tf * seg.n_seg) * 1000000)
+       |            // SUM(tf.tf * seg.n_chars_w) AS BIGINT) AS pieces_per_mchar
+       |FROM tf JOIN seg USING (word)
+       |GROUP BY tf.source ORDER BY tf.source""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.CorpusOps.effectiveTokens]]: per-source
+    * raw vs canonical-only token totals over the near-dup cluster
+    * closure. */
+  def effectiveTokens(): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashPairs()}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, t2) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t2 = e.a),
+       |clusters AS (SELECT s AS doc_id, MIN(t2) AS cluster
+       |             FROM reach GROUP BY s),
+       |t AS (SELECT doc_id, source,
+       |        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |      FROM documents),
+       |tc AS (SELECT doc_id, source,
+       |         CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_toks
+       |       FROM t)
+       |SELECT tc.source,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(tc.n_toks) AS BIGINT) AS raw_tokens,
+       |       CAST(SUM(CASE WHEN c.cluster = tc.doc_id THEN tc.n_toks
+       |                     ELSE 0 END) AS BIGINT) AS effective_tokens,
+       |       CAST(((SUM(tc.n_toks) - SUM(CASE WHEN c.cluster = tc.doc_id
+       |                THEN tc.n_toks ELSE 0 END)) * 1000000)
+       |            // SUM(tc.n_toks) AS BIGINT) AS dup_tax_ppm
+       |FROM tc JOIN clusters c ON c.doc_id = tc.doc_id
+       |GROUP BY tc.source ORDER BY tc.source""".stripMargin
 
   def lengthHistogram(bucket: Int = 50): String =
     s"""SELECT CAST(FLOOR(length(text) * 1.0 / $bucket) * $bucket AS BIGINT) AS len_bucket,

@@ -285,6 +285,17 @@ object SparkEntry {
     // additionally pins reference-encoder parity + invariants.
     "q_bpe_encode" -> ((s, dir) =>
       graft.operators.Bpe.encodePinnedQuery(docs(s, dir))),
+    // tokenizer-fit: per-source compression of the shipped merge
+    // table (pieces per million chars, exact integers) — the
+    // fertility check before committing a tokenizer to a mixture
+    "q_tokenizer_fit" -> ((s, dir) =>
+      graft.operators.Bpe.tokenizerFit(docs(s, dir))),
+    // effective tokens: per-source raw vs cluster-canonical-only
+    // token totals off the persisted label table — the dedup-aware
+    // correction input for mixture weights computed from raw counts
+    "q_effective_tokens" -> ((s, dir) =>
+      CorpusOps.effectiveTokens(docs(s, dir),
+        Dedup.readDedupLabels(s, labelsDir(s, dir)))),
     // LLM-pipeline: dedup family
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy(col("canonical_doc_id"))),
@@ -809,6 +820,8 @@ object SparkEntry {
       // argmax a recursive CTE cannot express becomes 20 chained
       // (count, argmax, merge) CTE rounds — hash-exact, not rows-only
       "q_bpe_merges" -> OracleSql.bpeMerges(),
+      "q_tokenizer_fit" -> OracleSql.tokenizerFit(),
+      "q_effective_tokens" -> OracleSql.effectiveTokens(),
       "q_dup_ngrams" -> OracleSql.duplicatedNgrams(),
       "q_source_dup_profile" -> OracleSql.sourceDupProfile(),
       "q_dedup_incremental" -> OracleSql.dedupIncremental(),

@@ -195,4 +195,43 @@ object Bpe {
     * vocab-folded segmentation join, and an exact SQL oracle. */
   def encodePinnedQuery(docs: DataFrame): DataFrame =
     encodeCounts(docs, PinnedMerges)
+
+  /** Tokenizer-fit report: per source, how well the shipped merge
+    * table compresses that source's text — `pieces_per_mchar` =
+    * floor(pieces · 10⁶ / chars), an exact integer (1 000 000 = the
+    * tokenizer learned nothing for that source, every piece one
+    * character; lower = better fit). The practical question this
+    * answers: a tokenizer trained on one distribution silently
+    * fragments another (different language, different domain), which
+    * shows up directly as a high per-source ratio — the standard
+    * fertility/compression check before committing a tokenizer to a
+    * mixture.
+    *
+    * Same scale shape as [[encodeCounts]]: the merge fold runs once
+    * per distinct (not corpus) word, and per-source totals are
+    * integer joins — `Σ tf·|word|` and `Σ tf·|segments(word)|` — off
+    * the reuse-anchored tf exchange.
+    */
+  def tokenizerFit(docs: DataFrame,
+      merges: Seq[Merge] = PinnedMerges): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val vocabSeg = tf
+      .filter(graft.functions.Barrier.reuseAnchor(col("tf")))
+      .groupBy(col("word")).agg(sum(col("tf")).as("wtf"))
+      .select(col("word"),
+        length(col("word")).cast("long").as("n_chars_w"),
+        size(segmentExpr(col("word"), merges)).cast("long").as("n_seg"))
+    tf.join(vocabSeg, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).cast("long").as("n_words"),
+        sum(col("tf") * col("n_chars_w")).cast("long").as("n_chars"),
+        sum(col("tf") * col("n_seg")).cast("long").as("n_pieces"))
+      .withColumn("pieces_per_mchar",
+        expr("(n_pieces * 1000000) div n_chars"))
+      .orderBy(col("source"))
+  }
 }

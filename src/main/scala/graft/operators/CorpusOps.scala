@@ -849,6 +849,31 @@ object CorpusOps {
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("source"), col("lang"))
 
+  /** Effective-token accounting: per source, the raw token total vs
+    * the tokens contributed by near-dup cluster CANONICALS only
+    * (`cluster == doc_id`, the min-id representative) — "how many
+    * tokens does this source really add once near-dups collapse".
+    * `dup_tax_ppm` = floor((raw − effective)·10⁶ / raw), exact
+    * integers: a source with a high tax pads the raw mixture numbers
+    * with text dedup will delete, so mixture weights computed from
+    * RAW counts over-sample it — this report is the correction
+    * input. Another [[graft.operators.Dedup.writeDedupLabels]]
+    * consumer: pass the persisted table and the report is one scan +
+    * one join + one aggregate, zero propagation rounds.
+    */
+  def effectiveTokens(docs: DataFrame, labels: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
+      .join(labels, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("raw_tokens"),
+        sum(when(col("cluster") === col("doc_id"), col("n_toks"))
+          .otherwise(0L)).as("effective_tokens"))
+      .withColumn("dup_tax_ppm",
+        expr("((raw_tokens - effective_tokens) * 1000000) div raw_tokens"))
+      .orderBy(col("source"))
+
   /** Per-source distinct-content accounting via MERGEABLE HLL
     * sketches — the sketch-at-rest pattern for corpus bookkeeping at
     * 100 TB: each source's distinct-fingerprint sketch is a few KB

@@ -875,6 +875,15 @@ object Dedup {
       dir: String): DataFrame =
     spark.read.parquet(s"$dir/labels")
 
+  /** Append a batch's assigned label rows ([[assignDedupLabels]]
+    * output) to a [[writeDedupLabels]] table — the grow step of the
+    * labeled ingest loop ([[graft.streaming.StreamingDedup
+    * .labeledIngest]]): once appended, later batches' matches against
+    * these docs resolve to the clusters assigned here. */
+  def appendDedupLabels(labels: DataFrame, labelsDir: String): Unit =
+    labels.select(col("doc_id"), col("cluster"))
+      .write.mode("append").parquet(s"$labelsDir/labels")
+
   private def readDedupMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int, Int) = {
     val m = spark.read.parquet(s"$dir/meta")

@@ -70,6 +70,47 @@ object StreamingDedup {
     * dedup on (doc_id, fingerprint). For a transactional index, write
     * through a table format with batchId-conditional commits.
     */
+  /** Streaming ingest loop that maintains the LABEL table
+    * ([[graft.operators.Dedup.writeDedupLabels]]) instead of emitting
+    * keep/drop verdicts: every arriving doc is ASSIGNED a near-dup
+    * cluster against the frozen-and-growing corpus
+    * ([[graft.operators.Dedup.assignDedupLabels]]), its label row is
+    * appended to the table, and ALL batch docs (not just kept ones —
+    * every document is a cluster member later arrivals may match)
+    * are appended to the index, so batch N+1's matches against batch
+    * N resolve to the clusters assigned here. The label table the
+    * audit family derives from (`splitLeakageFromLabels` etc.) thus
+    * stays fresh under ingest without ever re-running corpus
+    * propagation; schedule a full [[graft.operators.Dedup
+    * .writeDedupLabels]] rebuild when retroactive cluster merges
+    * matter (frozen-corpus semantics, documented on the operator).
+    *
+    * The assignment executes eagerly during construction (the
+    * propagation loop checkpoints its edge frame first), so the label
+    * append can never read its own batch. Same at-least-once
+    * `foreachBatch` recovery story as [[incrementalIngest]] — a
+    * replayed batch re-appends identical label rows, and label
+    * readers dedup on doc_id.
+    */
+  def labeledIngest(docs: DataFrame, indexDir: String, labelsDir: String,
+      threshold: Double = 0.5, maxBucket: Option[Int] = None,
+      checkpointDir: Option[String] = None)(
+      onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val labels = Dedup.assignDedupLabels(indexDir, labelsDir,
+          batch.toDF(), threshold, maxBucket = maxBucket)
+        try {
+          Dedup.appendDedupLabels(labels, labelsDir)
+          Dedup.appendToDedupIndex(batch.toDF(), indexDir)
+          onBatch(labels, batchId)
+        } finally org.apache.spark.sql.graftbridge.ColumnBridge
+          .unpersistCheckpoint(labels)
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   def incrementalIngest(docs: DataFrame, indexDir: String,
       threshold: Double = 0.5, maxBucket: Option[Int] = None,
       checkpointDir: Option[String] = None)(

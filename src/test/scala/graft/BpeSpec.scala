@@ -175,4 +175,26 @@ class BpeSpec extends SparkSuite {
     // positionally, so a gap would silently skip a merge
     assert(Bpe.PinnedMerges.map(_.rank) == Bpe.PinnedMerges.indices)
   }
+
+  test("tokenizerFit: zero merges is the 1.0 ceiling, pinned merges compress") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "the batch scanner sorts rows", "a"),
+      (2L, "joins over sorted batches in order", "a"),
+      (3L, "zzz qqq xxx vvv kkk", "b")) // no pinned merge applies
+      .toDF("doc_id", "text", "source")
+    // zero merges: every piece is one character
+    val zero = rowsOf(Bpe.tokenizerFit(d, Nil))
+    zero.foreach { r =>
+      assert(r("n_pieces") == r("n_chars"), s"zero-merge row: $r")
+      assert(r("pieces_per_mchar") == 1000000L)
+    }
+    val fit = rowsOf(Bpe.tokenizerFit(d)).map(r =>
+      r("source") -> r("pieces_per_mchar").asInstanceOf[Long]).toMap
+    // source a contains trained-distribution text -> compresses;
+    // source b shares no merge pair -> stays at the ceiling
+    assert(fit("a") < 1000000L, s"fit: $fit")
+    assert(fit("b") == 1000000L, s"fit: $fit")
+  }
 }

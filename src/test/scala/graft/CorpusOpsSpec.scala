@@ -8,6 +8,28 @@ import graft.operators.CorpusOps
 
 class CorpusOpsSpec extends SparkSuite {
 
+  test("effectiveTokens: canonical-only totals and exact dup tax") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(
+      (1L, base, "en", "sA"),
+      (2L, base + " tail", "en", "sA"),          // near-dup of 1 -> cluster 1
+      (3L, "totally different words living in this doc", "en", "sA"),
+      (5L, "second source with its very own content stream", "en", "sB"))
+    val labels = graft.operators.Dedup.nearDupLabels(d, threshold = 0.3)
+    val r = rowsOf(CorpusOps.effectiveTokens(d, labels))
+      .map(m => m("source") -> m).toMap
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .unpersistCheckpoint(labels)
+    // sA: raw = 10 + 11 + 7 = 28; doc 2 collapses into cluster 1, so
+    // effective = 10 + 7 = 17; tax = floor(11e6/28)
+    assert(r("sA")("n_docs") == 3L && r("sA")("raw_tokens") == 28L &&
+      r("sA")("effective_tokens") == 17L, s"sA: ${r("sA")}")
+    assert(r("sA")("dup_tax_ppm") == 11L * 1000000L / 28L)
+    // sB: singleton — no tax
+    assert(r("sB")("raw_tokens") == r("sB")("effective_tokens") &&
+      r("sB")("dup_tax_ppm") == 0L, s"sB: ${r("sB")}")
+  }
+
   private def docs(rows: (Long, String, String, String)*): DataFrame = {
     val s = spark
     import s.implicits._

@@ -164,6 +164,39 @@ class IncrementalDedupSpec extends SparkSuite {
     }
   }
 
+  test("streaming labeled ingest: labels grow; batch N+1 inherits batch N clusters") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-lingest").toString
+    try {
+      // seed: 1-doc corpus, indexed and labeled
+      Dedup.writeDedupIndex(docs(1L -> base), s"$root/idx")
+      Dedup.writeDedupLabels(docs(1L -> base), s"$root/lbl")
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "text")
+      val q = graft.streaming.StreamingDedup.labeledIngest(
+        stream, s"$root/idx", s"$root/lbl", threshold = 0.3) { (_, _) => () }
+      // batch 1: a novel pair (10 canonical) — nothing matches the seed
+      mem.addData((10L, other), (11L, other + " extra tail"))
+      q.processAllAvailable()
+      // batch 2: near-dup of batch-1's doc 11 (now in the index, labeled
+      // 10) inherits 10 TRANSITIVELY through the appended label rows;
+      // near-dup of the seed inherits 1
+      mem.addData((20L, other + " extra tail bits"), (21L, base + " tiny tail"))
+      q.processAllAvailable()
+      q.stop()
+      val labels = rowsOf(
+        Dedup.readDedupLabels(spark, s"$root/lbl").orderBy(col("doc_id")))
+        .map(r => r("doc_id") -> r("cluster")).toMap
+      assert(labels == Map(1L -> 1L, 10L -> 10L, 11L -> 10L,
+        20L -> 10L, 21L -> 1L), s"label table after two batches: $labels")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("assignDedupLabels: inherit, chain, novel group, singleton, frozen bridge") {
     val third =
       "third corpus family text about mountain passes goat trails and high " +

@@ -1006,18 +1006,52 @@ object Similarity {
     * its point); results are identical to the inline [[knnIvfPq]]
     * under the same books.
     */
+  /** Load a [[writePqIndex]] index's sidecars: the coarse book, the
+    * PQ book, and the residual flag — two codebook-sized collects plus
+    * a 1-row read, shared by the query and append paths. */
+  private def readPqBooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[(Long, Seq[Double])], Array[Array[Seq[Double]]],
+      Boolean) = {
+    val book = spark.read.parquet(s"$dir/coarse_book").orderBy(col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val pqRows = spark.read.parquet(s"$dir/pq_book")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val pq: Array[Array[Seq[Double]]] =
+      if (pqRows.isEmpty) Array.empty
+      else Array.tabulate(pqRows.map(_._1).max + 1)(mi =>
+        pqRows.filter(_._1 == mi).sortBy(_._2).map(_._3))
+    val residual = spark.read.parquet(s"$dir/meta")
+      .collect().headOption.exists(_.getBoolean(0))
+    (book, pq, residual)
+  }
+
+  /** Append new vectors to a [[writePqIndex]] index: encode with the
+    * SIDECAR books — never retrained, because codes from different
+    * books live in different coordinate systems and are not
+    * comparable — and append to the cid-partitioned codes table. The
+    * grow step of an ANN deployment: ingest encodes against the
+    * frozen books at batch-sized cost, retrain-and-rebuild is the
+    * scheduled batch job (the same frozen-artifact compromise as
+    * [[graft.operators.Dedup.assignDedupLabels]]). Probing after an
+    * append sees the new vectors immediately — same books ⇒ results
+    * identical to an index built over the union in one shot
+    * (spec-pinned).
+    */
+  def appendToPqIndex(vecs: DataFrame, dir: String): Unit = {
+    val spark = vecs.sparkSession
+    val (book, pq, residual) = readPqBooks(spark, dir)
+    require(book.nonEmpty, s"no coarse book at $dir — not a PQ index")
+    pqIndexFrame(unitIndex(vecs), book, pq, residual)
+      .select(col("vec_id"), col("codes"), col("cid"))
+      .write.partitionBy("cid").mode("append").parquet(s"$dir/codes")
+  }
+
   def knnIvfPqIndexed(dir: String, corpus: DataFrame, queries: DataFrame,
       k: Int, nProbes: Int = 4, refine: Int = 4): DataFrame = {
     require(k > 0 && refine >= 1, s"need k > 0 ($k), refine >= 1 ($refine)")
     val spark = corpus.sparkSession
-    val book = spark.read.parquet(s"$dir/coarse_book").orderBy(col("cid"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val (book, pq, residualMeta) = readPqBooks(spark, dir)
     if (book.isEmpty) return emptyKnnResult(spark)
-    val pqRows = spark.read.parquet(s"$dir/pq_book")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-    val pq: Array[Array[Seq[Double]]] =
-      Array.tabulate(pqRows.map(_._1).max + 1)(mi =>
-        pqRows.filter(_._1 == mi).sortBy(_._2).map(_._3))
     // materialize the (tiny) probe frame once: it is consumed twice —
     // the cid collect below and adcRefine's broadcast — and uncached
     // each use would re-run the query scan, the book cross-join, and
@@ -1045,10 +1079,8 @@ object Similarity {
       }
       val index = raw.filter(col("cid").isin(cidLits: _*))
         .withColumn("cid", col("cid").cast("long"))
-      val residual = spark.read.parquet(s"$dir/meta")
-        .collect().headOption.exists(_.getBoolean(0))
       adcRefine(index, unitIndex(corpus), probes, k, refine,
-        if (residual) col("cscore") else lit(0.0))
+        if (residualMeta) col("cscore") else lit(0.0))
     } catch {
       case t: Throwable =>
         ColumnBridge.unpersistCheckpoint(probes)

@@ -589,6 +589,42 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("appendToPqIndex: appended vectors probe identically to a one-shot index") {
+    val s = spark
+    import s.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 =!= 0)
+    val q = e.filter(col("vec_id") < 8)
+    // one shared coordinate system: coarse + PQ books trained on A
+    // only, passed explicitly to BOTH builds (append never retrains)
+    val bookA = Similarity.coarseBook(a)
+    val pqA = Similarity.PqBook(
+      Similarity.trainPqCodebook(a, 8, 16, iters = 2), residual = false)
+    val centDf = bookA.toSeq.toDF("cid", "cunit")
+    val dirGrown = java.nio.file.Files.createTempDirectory("graft-pq-grow").toString
+    val dirOneShot = java.nio.file.Files.createTempDirectory("graft-pq-once").toString
+    try {
+      Similarity.writePqIndex(a, dirGrown, centroids = Some(centDf),
+        pqBook = Some(pqA))
+      Similarity.appendToPqIndex(b, dirGrown)
+      Similarity.writePqIndex(e, dirOneShot, centroids = Some(centDf),
+        pqBook = Some(pqA))
+      val grown = Similarity.knnIvfPqIndexed(dirGrown, e, q, 5, nProbes = 8)
+      val once = Similarity.knnIvfPqIndexed(dirOneShot, e, q, 5, nProbes = 8)
+      val g = rowsOf(grown); val o = rowsOf(once)
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(grown)
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(once)
+      assert(g == o, "grown index diverged from one-shot index")
+      // the appended half is actually visible: some neighbor is odd
+      assert(g.exists(_("neighbor_id").asInstanceOf[Long] % 2 == 1),
+        "no appended vector ever surfaced as a neighbor")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirGrown))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirOneShot))
+    }
+  }
+
   test("annRecall: exact anchor stays 1.0 when the corpus has fewer vectors than maxQueryId") {
     // the denominator is the exact top-k's own row count, not the
     // nominal maxQueryId·k — a small corpus (or null embeddings among

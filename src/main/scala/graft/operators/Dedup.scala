@@ -1090,10 +1090,15 @@ object Dedup {
     * FROZEN-CORPUS SEMANTICS, documented: the corpus clustering is
     * read-only here. A batch doc bridging two distinct corpus
     * clusters is assigned the smaller cluster id, but the two corpus
-    * clusters are NOT merged — re-run [[writeDedupLabels]] over the
-    * grown corpus when retroactive merges matter (the standard
-    * production compromise: per-delta assignment is cheap and
-    * monotone; global re-clustering is a scheduled batch job).
+    * clusters are NOT merged in the table — re-run
+    * [[writeDedupLabels]] over the grown corpus when retroactive
+    * merges matter. The lag is confined to the CORPUS table: for the
+    * BATCH itself, frozen assignment equals a full recompute over
+    * corpus ∪ batch restricted to batch docs (uncapped) — corpus
+    * clusters are transitively closed, so no corpus-corpus edge
+    * crosses clusters, every union-graph path alternates batch docs
+    * with within-cluster corpus docs, and a cluster's min id IS its
+    * cluster id; InvariantsSpec checks the identity generatively.
     *
     * Plan shape: delta work ∝ batch — band probes against the
     * persisted index, Jaccard verification on semi-join-pruned

@@ -101,4 +101,58 @@ class InvariantsSpec extends SparkSuite {
       }
     }
   }
+
+  test("frozen-corpus assignment equals full recompute restricted to the batch") {
+    // The theorem the assignDedupLabels scaladoc leans on, checked
+    // generatively: corpus clusters are transitively CLOSED, so there
+    // are no corpus-corpus edges across clusters, every union-graph
+    // path from a batch doc alternates batch docs and within-cluster
+    // corpus docs, and a cluster's min id IS its cluster id — hence
+    // min-over-component computed against frozen (cluster-id) vertices
+    // equals min-over-component of the full recompute, for every batch
+    // doc, uncapped. Only the CORPUS table lags (bridge-induced merges
+    // are not retroactively recorded) — batch assignments do not.
+    val s = spark
+    import s.implicits._
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi")
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed * 17)
+      def doc(): String =
+        Seq.fill(5 + rnd.nextInt(7))(pool(rnd.nextInt(pool.size))).mkString(" ")
+      // base docs plus mutated near-copies so clusters actually form
+      val bases = Vector.fill(6)(doc())
+      def variant(): String = {
+        val toks = bases(rnd.nextInt(bases.size)).split(" ").toBuffer
+        if (rnd.nextBoolean()) toks += pool(rnd.nextInt(pool.size))
+        toks.mkString(" ")
+      }
+      val all = (0 until 24).map(i =>
+        (i.toLong, if (rnd.nextBoolean()) variant() else doc()))
+      val corpus = all.filter(_._1 % 3 != 0).toDF("doc_id", "text")
+      val batch = all.filter(_._1 % 3 == 0).toDF("doc_id", "text")
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-asgn-gen$seed").toString
+      try {
+        graft.operators.Dedup.writeDedupIndex(corpus, s"$root/idx")
+        graft.operators.Dedup.writeDedupLabels(corpus, s"$root/lbl",
+          threshold = 0.4)
+        val assigned = rowsOf(graft.operators.Dedup.assignDedupLabels(
+            s"$root/idx", s"$root/lbl", batch, threshold = 0.4))
+          .map(r => r("doc_id") -> r("cluster")).toMap
+        val fullFrame = graft.operators.Dedup.nearDupLabels(
+          all.toDF("doc_id", "text"), threshold = 0.4)
+        val full = rowsOf(fullFrame)
+          .map(r => r("doc_id").asInstanceOf[Long] -> r("cluster")).toMap
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .unpersistCheckpoint(fullFrame)
+        val fullBatch = full.view.filterKeys(_ % 3 == 0).toMap
+        assert(assigned == fullBatch,
+          s"seed=$seed: frozen assignment diverged from full recompute\n" +
+            s"assigned: $assigned\nfull:     $fullBatch")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      }
+    }
+  }
 }

@@ -877,24 +877,19 @@ object OracleSql {
        |FROM tf JOIN ctf USING (term)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Mirrors [[graft.operators.Bpe.encodeCounts]] under the
-    * [[graft.operators.Bpe.PinnedMerges]] shipped tokenizer. The
-    * greedy left-to-right merge fold is replayed at the STRING level:
-    * each symbol is wrapped as `\t sym \n` (both wrappers are
-    * whitespace, which normalization collapses — no token can contain
-    * them, so a pattern match is always an exact symbol-boundary
-    * match), and one merge application is one `replace(s, \tl\n\tr\n,
-    * \tlr\n)` — DuckDB's replace scans left-to-right, non-overlapping,
-    * resuming AFTER each replacement, which is exactly the fold's
-    * greedy pairing (a run of k equal symbols merges floor(k/2)
-    * times). Chaining the 24 pinned merges in rank order reproduces
-    * the segmentation; `n_seg` is then the wrapper count. Verified
-    * against an independent per-symbol fold implementation, not just
-    * against the Spark twin.
-    */
   /** The [[graft.operators.Bpe.PinnedMerges]] greedy segmentation of
-    * `word` as a replace chain over the `\t sym \n` wrapped string —
-    * shared by [[bpeEncode]] and [[tokenizerFit]]. */
+    * `word`, replayed at the STRING level — shared by [[bpeEncode]]
+    * and [[tokenizerFit]]. Each symbol is wrapped as `\t sym \n` (both
+    * wrappers are whitespace, which normalization collapses — no token
+    * can contain them, so a pattern match is always an exact
+    * symbol-boundary match), and one merge application is one
+    * `replace(s, \tl\n\tr\n, \tlr\n)`: DuckDB's replace scans
+    * left-to-right, non-overlapping, resuming AFTER each replacement —
+    * exactly the fold's greedy pairing (a run of k equal symbols
+    * merges floor(k/2) times). Chaining the pinned merges in rank
+    * order reproduces the segmentation; the symbol count is then the
+    * wrapper count. Verified against an independent per-symbol fold
+    * implementation, not just against the Spark twin. */
   private def pinnedSegChainSql: String = {
     def wrap(s: String): String =
       "chr(9) || '" + s.replace("'", "''") + "' || chr(10)"
@@ -905,6 +900,9 @@ object OracleSql {
     }
   }
 
+  /** Mirrors [[graft.operators.Bpe.encodePinnedQuery]]: per-doc word
+    * and piece counts under the shipped merge table, segmentation via
+    * [[pinnedSegChainSql]] once per distinct word. */
   def bpeEncode(): String = {
     val seg = pinnedSegChainSql
     s"""$docCte,
@@ -1759,7 +1757,7 @@ object OracleSql {
        |-- denominator = the exact top-k's own cardinality (matches the
        |-- engine: recall stays 1.0 for 'exact' even when the corpus has
        |-- fewer than maxQueryId query vectors)
-       |d AS (SELECT CAST(COUNT(*) AS DOUBLE) AS denom FROM e)
+       |d AS (SELECT CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS denom FROM e)
        |SELECT method, n_hits, CAST(n_hits AS DOUBLE) / denom AS recall
        |FROM (
        |  SELECT 'exact' AS method, COUNT(*) AS n_hits

@@ -35,11 +35,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * and merge application is greedy left-to-right — the classic
   * dictionary-trainer semantics; [[graft.BpeSpec]] pins exact parity
   * against an independent single-machine reference implementation.
-  * No SQL oracle on purpose: the train loop is iterative global
-  * argmax, which a recursive CTE cannot express (aggregation over
-  * the recursive reference) — the driver records the rows-only
-  * check and the spec's reference-parity gate stands in, the same
-  * discipline as the k-means-trained IVF path.
+  * Both surfaces are ALSO hash-exact against DuckDB oracles: a
+  * recursive CTE cannot express the train loop (aggregation over the
+  * recursive reference), but `numMerges` is a constant, so the oracle
+  * UNROLLS the rounds into chained argmax CTEs (`OracleSql
+  * .bpeMerges`), and encode under the pinned merge table replays the
+  * greedy fold as a boundary-safe replace chain (`OracleSql
+  * .bpeEncode`).
   */
 object Bpe {
 

@@ -870,19 +870,37 @@ object Dedup {
   }
 
   /** Read a [[writeDedupLabels]] table: (doc_id, cluster), one row per
-    * document — a plain parquet scan, no checkpoint to release. */
+    * document — plain parquet scans (the base table plus any
+    * [[appendDedupLabels]] ingest batches), no checkpoint to release,
+    * no dedup needed: the base write and each batch dir are
+    * OVERWRITE-once, so replays cannot double rows. */
   def readDedupLabels(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    spark.read.parquet(s"$dir/labels")
+      dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/labels")
+    val ingest = new org.apache.hadoop.fs.Path(s"$dir/ingest")
+    val fs = ingest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ingest) && fs.listStatus(ingest).nonEmpty)
+      base.unionAll(
+        spark.read.parquet(s"$dir/ingest/*").select(col("doc_id"),
+          col("cluster")))
+    else base
+  }
 
-  /** Append a batch's assigned label rows ([[assignDedupLabels]]
-    * output) to a [[writeDedupLabels]] table — the grow step of the
-    * labeled ingest loop ([[graft.streaming.StreamingDedup
-    * .labeledIngest]]): once appended, later batches' matches against
-    * these docs resolve to the clusters assigned here. */
-  def appendDedupLabels(labels: DataFrame, labelsDir: String): Unit =
+  /** Append one ingest batch's assigned label rows
+    * ([[assignDedupLabels]] output) to a [[writeDedupLabels]] table —
+    * the grow step of [[graft.streaming.StreamingDedup.labeledIngest]]:
+    * once written, later batches' matches against these docs resolve
+    * to the clusters assigned here. Each batch lands in its OWN
+    * subdirectory (`dir/ingest/batch-<id>`) with mode=overwrite, so an
+    * at-least-once replay of the same `batchId` rewrites the same
+    * rows instead of duplicating them — the idempotence
+    * `foreachBatch` recovery needs and a bare parquet append cannot
+    * give. */
+  def appendDedupLabels(labels: DataFrame, labelsDir: String,
+      batchId: Long): Unit =
     labels.select(col("doc_id"), col("cluster"))
-      .write.mode("append").parquet(s"$labelsDir/labels")
+      .write.mode("overwrite")
+      .parquet(s"$labelsDir/ingest/batch-$batchId")
 
   private def readDedupMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int, Int) = {
@@ -1100,6 +1118,20 @@ object Dedup {
     * with within-cluster corpus docs, and a cluster's min id IS its
     * cluster id; InvariantsSpec checks the identity generatively.
     *
+    * PARAMETERS come from the artifacts, not the caller: the sketch
+    * constants are meta-pinned on BOTH sidecars and refused loudly on
+    * mismatch (differently-banded artifacts probe empty buckets and
+    * would return all-singletons), and `threshold = None` defaults to
+    * the threshold the LABEL TABLE was built at — corpus clusters
+    * formed at 0.3 probed at 0.5 silently break the identity above.
+    * COVERAGE CONTRACT: every doc in the index must carry a label row
+    * ([[labeledIngest]] maintains this by appending both in lockstep);
+    * an index doc without a label contributes no bridge edge, so its
+    * batch matches would silently split off as novel singletons —
+    * do not mix [[graft.streaming.StreamingDedup.incrementalIngest]]
+    * (which appends kept docs to the index but writes no labels) with
+    * this operator on the same index.
+    *
     * Plan shape: delta work ∝ batch — band probes against the
     * persisted index, Jaccard verification on semi-join-pruned
     * shingle lists, then label propagation over the BATCH-SIZED pair
@@ -1109,14 +1141,22 @@ object Dedup {
     * action).
     */
   def assignDedupLabels(indexDir: String, labelsDir: String,
-      batch: DataFrame, threshold: Double = 0.5, maxIters: Int = 50,
-      maxBucket: Option[Int] = None): DataFrame = {
+      batch: DataFrame, threshold: Option[Double] = None,
+      maxIters: Int = 50, maxBucket: Option[Int] = None): DataFrame = {
     val spark = batch.sparkSession
     val (numHashes, bands, shingleN) = readDedupMeta(spark, indexDir)
+    val lm = spark.read.parquet(s"$labelsDir/meta")
+      .select(col("num_hashes"), col("bands"), col("shingle_n"),
+        col("threshold")).head()
+    require((lm.getInt(0), lm.getInt(1), lm.getInt(2)) ==
+        ((numHashes, bands, shingleN)),
+      s"index/labels sketch parameters disagree: index=($numHashes,$bands," +
+        s"$shingleN) labels=(${lm.getInt(0)},${lm.getInt(1)},${lm.getInt(2)})")
+    val thr = threshold.getOrElse(lm.getDouble(3))
     val near = verifiedIncrementalPairs(
       spark.read.parquet(s"$indexDir/bands"),
       spark.read.parquet(s"$indexDir/shingles"),
-      batch, numHashes, bands, shingleN, threshold, maxBucket)
+      batch, numHashes, bands, shingleN, thr, maxBucket)
     val bridge = near.filter(col("from_corpus"))
       .join(readDedupLabels(spark, labelsDir)
         .select(col("doc_id").as("o_id"), col("cluster")), Seq("o_id"))

@@ -597,11 +597,13 @@ object Similarity {
     * rather than only a spec: an index whose quality can be monitored
     * in the same engine that serves it is an index whose degradation
     * (embedding drift, a stale codebook) is visible in production, not
-    * just in CI. One row per method; `recall = n_hits / (nq·k)` is a
-    * single division of exact integers (denominator a compile-time
-    * constant), so the report hash-matches the oracle exactly. The
-    * 'exact' row (recall 1.0 by construction) rides along as the
-    * join-logic sanity anchor.
+    * just in CI. One row per method; `recall = n_hits / |exact top-k|`
+    * is a single division of exact integers — the denominator is the
+    * exact result's OWN row count (clamped to ≥1 so an empty query set
+    * reports 0.0, not NaN), broadcast as a 1-row scalar, so a corpus
+    * with fewer than `maxQueryId` vectors cannot deflate the 'exact'
+    * anchor, which stays at recall 1.0 by construction and rides along
+    * as the join-logic sanity check. Hash-matches the oracle exactly.
     */
   def annRecall(corpus: DataFrame, maxQueryId: Int = 16,
       k: Int = 5): DataFrame = {
@@ -616,7 +618,7 @@ object Similarity {
     // broadcast 1-row scalar, the cellBaseline total pattern.
     val denom = exact
       .filter(graft.functions.Barrier.reuseAnchorKey(col("query_id")))
-      .agg(count(lit(1)).cast("double").as("denom"))
+      .agg(greatest(count(lit(1)), lit(1L)).cast("double").as("denom"))
     def row(res: DataFrame, label: String): DataFrame =
       exact.join(res.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"))

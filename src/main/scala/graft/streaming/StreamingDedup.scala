@@ -87,13 +87,17 @@ object StreamingDedup {
     *
     * The assignment executes eagerly during construction (the
     * propagation loop checkpoints its edge frame first), so the label
-    * append can never read its own batch. Same at-least-once
-    * `foreachBatch` recovery story as [[incrementalIngest]] — a
-    * replayed batch re-appends identical label rows, and label
-    * readers dedup on doc_id.
+    * append can never read its own batch. Recovery: `foreachBatch` is
+    * at-least-once, and the label write is IDEMPOTENT under replay —
+    * each batch overwrites its own `ingest/batch-<id>` directory, so
+    * a replayed batch rewrites identical rows rather than duplicating
+    * them (a bare parquet append would double every audit count after
+    * one replay). The index append keeps [[incrementalIngest]]'s
+    * tolerance story: re-appended rows are DISTINCT'd away by the
+    * candidate machinery.
     */
   def labeledIngest(docs: DataFrame, indexDir: String, labelsDir: String,
-      threshold: Double = 0.5, maxBucket: Option[Int] = None,
+      threshold: Option[Double] = None, maxBucket: Option[Int] = None,
       checkpointDir: Option[String] = None)(
       onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     val writer = docs.writeStream
@@ -101,7 +105,9 @@ object StreamingDedup {
         val labels = Dedup.assignDedupLabels(indexDir, labelsDir,
           batch.toDF(), threshold, maxBucket = maxBucket)
         try {
-          Dedup.appendDedupLabels(labels, labelsDir)
+          // per-batch OVERWRITE dir keyed by batchId: an at-least-once
+          // replay rewrites the same rows instead of duplicating them
+          Dedup.appendDedupLabels(labels, labelsDir, batchId)
           Dedup.appendToDedupIndex(batch.toDF(), indexDir)
           onBatch(labels, batchId)
         } finally org.apache.spark.sql.graftbridge.ColumnBridge

@@ -177,7 +177,7 @@ class IncrementalDedupSpec extends SparkSuite {
         .MemoryStream[(Long, String)]
       val stream = mem.toDF().toDF("doc_id", "text")
       val q = graft.streaming.StreamingDedup.labeledIngest(
-        stream, s"$root/idx", s"$root/lbl", threshold = 0.3) { (_, _) => () }
+        stream, s"$root/idx", s"$root/lbl", threshold = Some(0.3)) { (_, _) => () }
       // batch 1: a novel pair (10 canonical) — nothing matches the seed
       mem.addData((10L, other), (11L, other + " extra tail"))
       q.processAllAvailable()
@@ -192,6 +192,27 @@ class IncrementalDedupSpec extends SparkSuite {
         .map(r => r("doc_id") -> r("cluster")).toMap
       assert(labels == Map(1L -> 1L, 10L -> 10L, 11L -> 10L,
         20L -> 10L, 21L -> 1L), s"label table after two batches: $labels")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("appendDedupLabels is idempotent under at-least-once replay") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    try {
+      Dedup.writeDedupLabels(docs(1L -> base), s"$root/lbl")
+      val batchLabels = Seq((10L, 10L), (11L, 10L)).toDF("doc_id", "cluster")
+      Dedup.appendDedupLabels(batchLabels, s"$root/lbl", batchId = 0L)
+      // foreachBatch replay: the same batchId lands again — the
+      // overwrite-per-batch layout must rewrite, not duplicate
+      Dedup.appendDedupLabels(batchLabels, s"$root/lbl", batchId = 0L)
+      val all = rowsOf(Dedup.readDedupLabels(spark, s"$root/lbl")
+        .orderBy(col("doc_id")))
+        .map(r => (r("doc_id"), r("cluster")))
+      assert(all == Seq((1L, 1L), (10L, 10L), (11L, 10L)),
+        s"replayed append duplicated label rows: $all")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
@@ -218,8 +239,7 @@ class IncrementalDedupSpec extends SparkSuite {
         // bridges corpus clusters 1 and 3 (half of each text): assigned
         // min(1, 3) = 1, corpus table untouched
         20L -> (base + " " + third))
-      val got = rowsOf(Dedup.assignDedupLabels(s"$root/idx", s"$root/lbl",
-          batch, threshold = 0.3))
+      val got = rowsOf(Dedup.assignDedupLabels(s"$root/idx", s"$root/lbl", batch))
         .map(r => r("doc_id") -> r("cluster")).toMap
       assert(got(10L) == 1L, s"inherit: $got")
       assert(got(12L) == 1L, s"chain through batch: $got")

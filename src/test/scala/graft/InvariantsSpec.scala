@@ -138,7 +138,7 @@ class InvariantsSpec extends SparkSuite {
         graft.operators.Dedup.writeDedupLabels(corpus, s"$root/lbl",
           threshold = 0.4)
         val assigned = rowsOf(graft.operators.Dedup.assignDedupLabels(
-            s"$root/idx", s"$root/lbl", batch, threshold = 0.4))
+            s"$root/idx", s"$root/lbl", batch))
           .map(r => r("doc_id") -> r("cluster")).toMap
         val fullFrame = graft.operators.Dedup.nearDupLabels(
           all.toDF("doc_id", "text"), threshold = 0.4)

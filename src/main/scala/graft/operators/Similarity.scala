@@ -943,12 +943,25 @@ object Similarity {
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val cand = index.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("qunit"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (baseScore + graft.functions.ArrayHashExprs.pq_adc(
           col("codes"), col("lut"))).as("adc"))
+      // duplicate code rows (an at-least-once ingest replay re-appends
+      // a batch) collapse BEFORE the refine cut, so a replay can
+      // neither seat one neighbor in two top-k slots nor crowd genuine
+      // candidates out of the k·refine budget; same books ⇒ identical
+      // codes ⇒ the max is the one adc value. The aggregate shares the
+      // window's partition key, so it adds no extra exchange.
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("adc")).as("adc"))
       .withColumn("arn", row_number().over(aw))
       .filter(col("arn") <= k * refine)
-      .select(col("query_id"), col("qunit"), col("neighbor_id"))
+      // qunit rejoins from the probe frame DEDUPED to one row per
+      // query (probes carries nProbes rows each — joining it raw
+      // would multiply every candidate by the probe count)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(probes.select(col("query_id"), col("qunit"))
+        .dropDuplicates("query_id")), Seq("query_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)

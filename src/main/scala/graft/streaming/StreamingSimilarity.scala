@@ -37,4 +37,33 @@ object StreamingSimilarity {
     cellRouter(vecs, book)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_arrived"))
+
+  /** Streaming ingest into a persisted IVF-PQ index
+    * ([[Similarity.writePqIndex]]): each micro-batch PQ-encodes
+    * against the FROZEN sidecar books ([[Similarity.appendToPqIndex]]
+    * — never retrained, codes from different books are not
+    * comparable) and appends to the cid-partitioned codes table, so
+    * probes ([[Similarity.knnIvfPqIndexed]]) see new vectors at the
+    * next query with zero rebuild. The ANN twin of
+    * [[StreamingDedup.labeledIngest]]: frozen coordinate system at
+    * batch-sized ingest cost, retrain-and-rebuild as the scheduled
+    * batch job, with [[cellCounts]] as the drift monitor that says
+    * when. `foreachBatch` because the index is disk-backed shared
+    * state no in-operator store models; at-least-once recovery
+    * re-appends code rows, which probing tolerates (a duplicate
+    * candidate re-ranks to the same neighbor — top-k is a set).
+    */
+  def pqIngest(vecs: DataFrame, indexDir: String,
+      checkpointDir: Option[String] = None)(
+      onBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = vecs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          Similarity.appendToPqIndex(batch.toDF(), indexDir)
+          onBatch(batchId)
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
 }

@@ -625,6 +625,62 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("streaming pqIngest: appended batches probe like a one-shot index; replay cannot double a neighbor") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val q = e.filter(col("vec_id") < 8)
+    val bookA = Similarity.coarseBook(a)
+    val pqA = Similarity.PqBook(
+      Similarity.trainPqCodebook(a, 8, 16, iters = 2), residual = false)
+    val centDf = bookA.toSeq.toDF("cid", "cunit")
+    val dirS = java.nio.file.Files.createTempDirectory("graft-pq-stream").toString
+    val dirO = java.nio.file.Files.createTempDirectory("graft-pq-oneshot").toString
+    try {
+      Similarity.writePqIndex(a, dirS, centroids = Some(centDf),
+        pqBook = Some(pqA))
+      Similarity.writePqIndex(e, dirO, centroids = Some(centDf),
+        pqBook = Some(pqA))
+      // stream the odd half in two micro-batches
+      // null/degenerate embeddings don't index (unitIndex drops them)
+      // and the tuple encoder rejects null arrays/elements — stream
+      // only real vectors
+      val rows = e.filter(col("vec_id") % 2 =!= 0 &&
+          col("embedding").isNotNull &&
+          !exists(col("embedding"), _.isNull))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val (b1, b2) = rows.partition(_._1 % 4 == 1)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val stream = mem.toDF().toDF("vec_id", "embedding")
+      val qy = graft.streaming.StreamingSimilarity.pqIngest(stream, dirS)()
+      mem.addData(b1.toSeq: _*); qy.processAllAvailable()
+      mem.addData(b2.toSeq: _*); qy.processAllAvailable()
+      qy.stop()
+      val streamed = Similarity.knnIvfPqIndexed(dirS, e, q, 5, nProbes = 8)
+      val oneShot = Similarity.knnIvfPqIndexed(dirO, e, q, 5, nProbes = 8)
+      val g = rowsOf(streamed); val o = rowsOf(oneShot)
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(streamed)
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(oneShot)
+      assert(g == o, "streamed index diverged from one-shot index")
+      // at-least-once replay: re-append batch 1 verbatim — duplicate
+      // code rows must collapse, not occupy two top-k slots
+      Similarity.appendToPqIndex(
+        b1.toSeq.toDF("vec_id", "embedding"), dirS)
+      val replayed = Similarity.knnIvfPqIndexed(dirS, e, q, 5, nProbes = 8)
+      val r = rowsOf(replayed)
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(replayed)
+      assert(r == o, "replayed append changed probe results")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirS))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirO))
+    }
+  }
+
   test("annRecall: exact anchor stays 1.0 when the corpus has fewer vectors than maxQueryId") {
     // the denominator is the exact top-k's own row count, not the
     // nominal maxQueryId·k — a small corpus (or null embeddings among

@@ -1891,6 +1891,42 @@ object OracleSql {
        |       sqrt(CAST(tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
        |FROM per, tot ORDER BY source""".stripMargin
 
+  /** Mirrors [[graft.operators.CorpusOps.sourceMixtureEffective]]:
+    * the near-dup closure restricts token sums to cluster canonicals,
+    * then the same IEEE-exact mixture arithmetic as [[sourceMixture]].
+    */
+  def sourceMixtureEffective(): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashPairs()}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, t2) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t2 = e.a),
+       |clusters AS (SELECT s AS doc_id, MIN(t2) AS cluster
+       |             FROM reach GROUP BY s),
+       |t AS (SELECT doc_id, source,
+       |        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |      FROM documents),
+       |tc AS (SELECT doc_id, source,
+       |         CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_toks
+       |       FROM t),
+       |per AS (
+       |  SELECT tc.source, COUNT(*) AS n_docs,
+       |         CAST(SUM(CASE WHEN c.cluster = tc.doc_id THEN tc.n_toks
+       |                       ELSE 0 END) AS BIGINT) AS tokens
+       |  FROM tc JOIN clusters c ON c.doc_id = tc.doc_id
+       |  GROUP BY tc.source),
+       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot_tokens,
+       |               MAX(tokens) AS max_tokens FROM per)
+       |SELECT source, n_docs, tokens,
+       |       CAST(tokens AS DOUBLE) / tot_tokens AS raw_share,
+       |       sqrt(CAST(tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
+       |FROM per, tot ORDER BY source""".stripMargin
+
   /** Mirrors [[graft.operators.CorpusOps.mixtureSampleStats]]: same
     * sqrt/floor ppm rate, same FNV membership, integer output. */
   val mixtureSampleStats: String =

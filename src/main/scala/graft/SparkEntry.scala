@@ -541,6 +541,12 @@ object SparkEntry {
     "q_padding_sweep" -> ((s, dir) => CorpusOps.paddingSweep(docs(s, dir))),
     // temperature-style (alpha = 1/2) source mixture weights
     "q_source_mixture" -> ((s, dir) => CorpusOps.sourceMixture(docs(s, dir))),
+    // the dedup-corrected twin: mixture weights from CANONICAL tokens
+    // only (persisted label table), so near-copy padding cannot buy
+    // sampling weight
+    "q_source_mixture_effective" -> ((s, dir) =>
+      CorpusOps.sourceMixtureEffective(docs(s, dir),
+        Dedup.readDedupLabels(s, labelsDir(s, dir)))),
     // the weights APPLIED: per-source ppm keep rates + before/after
     // accounting (sampled tokens come out proportional to sqrt(tokens))
     "q_mixture_sample" -> ((s, dir) =>
@@ -830,6 +836,7 @@ object SparkEntry {
       "q_bpe_merges" -> OracleSql.bpeMerges(),
       "q_tokenizer_fit" -> OracleSql.tokenizerFit(),
       "q_effective_tokens" -> OracleSql.effectiveTokens(),
+      "q_source_mixture_effective" -> OracleSql.sourceMixtureEffective(),
       "q_dup_ngrams" -> OracleSql.duplicatedNgrams(),
       "q_source_dup_profile" -> OracleSql.sourceDupProfile(),
       "q_dedup_incremental" -> OracleSql.dedupIncremental(),

@@ -375,6 +375,35 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** [[sourceMixture]] computed from EFFECTIVE tokens — the dup-tax
+    * correction [[effectiveTokens]] exists to feed: per source, only
+    * the tokens of near-dup cluster CANONICALS count toward the
+    * mixture, so a source padded with near-copies no longer buys
+    * sampling weight with text dedup will delete. Same α=1/2
+    * normalize-by-max arithmetic as the raw mixture (identical IEEE
+    * ops, engine-exact); the label frame is the persisted
+    * [[graft.operators.Dedup.writeDedupLabels]] table, so the
+    * correction costs one scan + join + aggregate, never a
+    * propagation.
+    */
+  def sourceMixtureEffective(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val per = docs.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
+      .join(labels, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster") === col("doc_id"), col("n_toks"))
+          .otherwise(0L)).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("tot_tokens"),
+      max(col("tokens")).as("max_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") / col("tot_tokens")).as("raw_share"),
+        (sqrt(col("tokens").cast("double")) /
+          sqrt(col("max_tokens").cast("double"))).as("rel_weight"))
+      .orderBy(col("source"))
+  }
+
   /** Temperature sampling APPLIED — [[sourceMixture]]'s α=1/2
     * rebalancing turned into an actual deterministic per-source keep
     * rate: sampled tokens per source come out ∝ √tokens, so the big

@@ -902,6 +902,29 @@ object Dedup {
       .write.mode("overwrite")
       .parquet(s"$labelsDir/ingest/batch-$batchId")
 
+  /** Compact a grown label table: fold every ingest batch into the
+    * base table and clear the ingest dir — file-count hygiene after a
+    * long [[graft.streaming.StreamingDedup.labeledIngest]] run (one
+    * parquet dir per micro-batch adds listing cost, never wrong
+    * answers). Labels are UNCHANGED by compaction; recording
+    * bridge-induced merges is [[writeDedupLabels]]' rebuild job. The
+    * swap is staged-write → delete → rename — not atomic; run it at a
+    * quiet moment (the rebuild job's natural slot), or write through
+    * a transactional table format where torn reads matter.
+    */
+  def compactDedupLabels(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/labels_staging")
+    val base = new org.apache.hadoop.fs.Path(s"$dir/labels")
+    val ingest = new org.apache.hadoop.fs.Path(s"$dir/ingest")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readDedupLabels(spark, dir)
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(base, true)
+    require(fs.rename(staging, base), s"rename $staging -> $base failed")
+    fs.delete(ingest, true)
+  }
+
   private def readDedupMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int, Int) = {
     val m = spark.read.parquet(s"$dir/meta")

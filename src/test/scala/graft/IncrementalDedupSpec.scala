@@ -218,6 +218,34 @@ class IncrementalDedupSpec extends SparkSuite {
     }
   }
 
+  test("compactDedupLabels folds ingest batches into the base, rows unchanged") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    try {
+      Dedup.writeDedupLabels(docs(1L -> base), s"$root/lbl")
+      Dedup.appendDedupLabels(
+        Seq((10L, 10L), (11L, 10L)).toDF("doc_id", "cluster"),
+        s"$root/lbl", batchId = 0L)
+      Dedup.appendDedupLabels(
+        Seq((20L, 1L)).toDF("doc_id", "cluster"), s"$root/lbl", batchId = 1L)
+      def snapshot() = rowsOf(
+        Dedup.readDedupLabels(spark, s"$root/lbl").orderBy(col("doc_id")))
+        .map(r => (r("doc_id"), r("cluster")))
+      val before = snapshot()
+      Dedup.compactDedupLabels(spark, s"$root/lbl")
+      assert(snapshot() == before, "compaction changed label rows")
+      assert(!new java.io.File(s"$root/lbl/ingest").exists,
+        "ingest dir survived compaction")
+      // a later batch starts a fresh ingest generation cleanly
+      Dedup.appendDedupLabels(
+        Seq((30L, 30L)).toDF("doc_id", "cluster"), s"$root/lbl", batchId = 2L)
+      assert(snapshot() == before :+ ((30L, 30L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("assignDedupLabels: inherit, chain, novel group, singleton, frozen bridge") {
     val third =
       "third corpus family text about mountain passes goat trails and high " +

@@ -1583,6 +1583,111 @@ object OracleSql {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Sequential double dot over a `dsub`-wide SUBSPACE: `a`'s window
+    * starting after `off` elements against the dsub-element list `b` —
+    * index-order fold, same shape as [[dotSql]]. Mirrors the engine's
+    * `dot(slice(unit, off+1, dsub), book)` subspace dots. */
+  private def dotSubSql(a: String, off: String, b: String, dsub: Int): String =
+    s"""list_reduce(list_transform(generate_series(1, $dsub),
+       |  j -> $a[$off + j] * $b[j]), (acc, v) -> acc + v)""".stripMargin
+
+  /** Mirrors [[graft.operators.Similarity.knnIvfPqIndexed]] over an
+    * index built with `pqIters = 0` — the SEED-BOOK configuration:
+    * coarse centroids are the first `nCentroids` unit vectors (the
+    * [[knnIvf]] stand-in) and each PQ sub-centroid `(mi, c)` is the
+    * `mi`-th dsub-slice of the `c`-th-smallest-vec_id unit vector
+    * (exactly `trainPqOn`'s seeding, which zero Lloyd's iterations
+    * leave untouched). With the books in closed form the WHOLE
+    * pipeline replays: cell assignment (argmax dot, ties -> lowest
+    * cid), PQ encoding (argmax of `2*dot - |c|^2`, ties -> lowest
+    * sub-cell), the per-query LUT dots, the ADC sum in subspace order
+    * from 0.0 (PqAdcExpr's left fold), the top `k*refine` cut by
+    * (adc DESC, neighbor_id), and the exact re-rank — every float in
+    * the same IEEE order as the engine, so the check is hash-exact
+    * rather than rows-only. Lloyd's-trained books remain rows-only by
+    * design (`q_embed_knn_ivfpq`/`_trained`): distributed float AVG
+    * fold order is not engine-stable — that is precisely what the
+    * frozen seed book removes.
+    */
+  def knnIvfPqSeed(k: Int = 5, maxQueryId: Int = 16, nCentroids: Int = 16,
+      nProbes: Int = 8, m: Int = 8, ksub: Int = 16, refine: Int = 4): String = {
+    val dims = Similarity.LshDims
+    val dsub = dims / m
+    val codeCols = (0 until m).map(mi => s"c$mi")
+    val codePivot = (0 until m).map(mi =>
+      s"MAX(CASE WHEN mi = $mi THEN c END) AS c$mi").mkString(",\n|            ")
+    val subJoins = (0 until m).map(mi =>
+      s"JOIN subn s$mi ON s$mi.mi = $mi AND s$mi.c = n.c$mi")
+      .mkString("\n|  ")
+    // PqAdcExpr folds left from 0.0 in subspace order; keep that exact
+    // association: 0.0 + t0 + t1 + ...
+    val adcTerms = (0 until m).map(mi =>
+      dotSubSql("p.qun", s"${mi * dsub}", s"s$mi.sub", dsub))
+      .mkString("0.0 + (", ") + (", ")")
+    s"""WITH $unitCte,
+       |cent AS (SELECT vec_id AS cid, un AS cu FROM u
+       |         WHERE vec_id < $nCentroids AND un IS NOT NULL),
+       |seedbase AS (SELECT vec_id, un FROM u WHERE un IS NOT NULL
+       |             ORDER BY vec_id LIMIT $ksub),
+       |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, un
+       |          FROM seedbase),
+       |subc AS (
+       |  SELECT t.mi, s.c,
+       |         list_transform(generate_series(1, $dsub),
+       |           j -> s.un[t.mi * $dsub + j]) AS sub
+       |  FROM seeds s, range($m) t(mi)),
+       |subn AS (
+       |  SELECT mi, c, sub,
+       |         list_reduce(list_transform(generate_series(1, $dsub),
+       |           j -> sub[j] * sub[j]), (acc, v) -> acc + v) AS nsq
+       |  FROM subc),
+       |assigned AS (
+       |  SELECT vec_id, un, cid FROM (
+       |    SELECT e.vec_id, e.un, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dotSql("e.un", "c.cu")} DESC, c.cid) AS crn
+       |    FROM u e, cent c WHERE e.un IS NOT NULL) WHERE crn = 1),
+       |enc AS (
+       |  SELECT a.vec_id, s.mi, s.c,
+       |         ${dotSubSql("a.un", "s.mi * " + dsub, "s.sub", dsub)} * 2.0
+       |           - s.nsq AS score
+       |  FROM assigned a, subn s),
+       |codesl AS (SELECT vec_id, mi, c FROM (
+       |  SELECT vec_id, mi, c,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id, mi
+       |           ORDER BY score DESC, c) AS rn FROM enc) WHERE rn = 1),
+       |codes AS (SELECT vec_id,
+       |            $codePivot
+       |          FROM codesl GROUP BY vec_id),
+       |probes AS (
+       |  SELECT vec_id AS query_id, un AS qun, cid FROM (
+       |    SELECT q.vec_id, q.un, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${dotSql("q.un", "c.cu")} DESC, c.cid) AS crn
+       |    FROM u q, cent c WHERE q.vec_id < $maxQueryId) WHERE crn <= $nProbes),
+       |cand AS (
+       |  SELECT p.query_id, p.qun, a.vec_id AS neighbor_id,
+       |         $adcTerms AS adc
+       |  FROM probes p
+       |  JOIN assigned a ON a.cid = p.cid AND p.query_id <> a.vec_id
+       |  JOIN codes n ON n.vec_id = a.vec_id
+       |  $subJoins),
+       |rcut AS (SELECT query_id, qun, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY adc DESC, neighbor_id) AS arn
+       |         FROM cand),
+       |refined AS (SELECT c.query_id, c.neighbor_id,
+       |              ${dotSql("c.qun", "nu.un")} AS score
+       |            FROM rcut c JOIN u nu ON nu.vec_id = c.neighbor_id
+       |            WHERE c.arn <= ${k * refine}),
+       |r AS (SELECT query_id, neighbor_id, score,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id) AS rank
+       |      FROM refined)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   def knnIvf(k: Int = 5, maxQueryId: Int = 16, nCentroids: Int = 16,
       nProbes: Int = 4): String =
     s"""WITH $unitCte,

@@ -455,12 +455,18 @@ object SparkEntry {
     // once per JVM+dir (Bench warmup / Verify first call), so the
     // timed passes measure probe cost — static cid partition pruning +
     // ADC scan + exact re-rank — separated from codebook training,
-    // which the inline twin deliberately includes. Deterministic
-    // seeding makes both paths' books identical, so results match the
-    // inline twin row-for-row (SimilaritySpec pins it).
+    // which the inline twin deliberately includes. The index is built
+    // with pqIters = 0: the SEED books (first-ksub unit-vector slices,
+    // exactly k-means init) are closed-form, so unlike the
+    // Lloyd's-trained twins this query is DuckDB-replayable end to end
+    // (OracleSql.knnIvfPqSeed) and hash-exact, not rows-only — the
+    // probe-side plan (partition-pruned ADC scan + exact re-rank) is
+    // byte-identical either way, so the steady-state timing it exists
+    // to measure is unchanged.
     "q_embed_knn_ivfpq_indexed" -> ((s, dir) => {
       val e = emb(s, dir)
-      val ix = ensureBuilt("pqidx", dir)(d => Similarity.writePqIndex(e, d))
+      val ix = ensureBuilt("pqidx", dir)(d =>
+        Similarity.writePqIndex(e, d, pqIters = 0))
       Similarity.knnIvfPqIndexed(ix, e, e.filter(col("vec_id") < 16), 5,
         nProbes = 8)
     }),
@@ -616,6 +622,21 @@ object SparkEntry {
     */
   private val builtOnce =
     scala.collection.mutable.Map.empty[String, String]
+  // the PID-keyed scratch dirs are deleted on JVM exit — without this
+  // every bench/verify JVM would leak its multi-table parquet
+  // artifacts (dedup index, label table, PQ index) in tmpdir forever
+  private val scratchReaper: Thread = {
+    val t = new Thread(() =>
+      builtOnce.synchronized {
+        builtOnce.values.foreach { d =>
+          try org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(d))
+          catch { case _: java.io.IOException => () } // exit-time best effort
+        }
+      }, "graft-scratch-reaper")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
   private def ensureBuilt(tag: String, dir: String)(
       build: String => Unit): String =
     // synchronized: the side-effecting build must run at most once per
@@ -852,6 +873,10 @@ object SparkEntry {
       "q_multimodal_audio" -> OracleSql.multimodalAudio,
       "q_embed_knn" -> OracleSql.knn(),
       "q_embed_knn_ivf" -> OracleSql.knnIvf(),
+      // the persisted-index probe replays exactly because its books
+      // are the closed-form SEEDS (pqIters = 0); the Lloyd's-trained
+      // twins stay rows-only by design
+      "q_embed_knn_ivfpq_indexed" -> OracleSql.knnIvfPqSeed(),
       "q_diverse_sample" -> OracleSql.diverseSample(),
       "q_embedding_audit" -> OracleSql.embeddingAudit(),
       "q_embed_outliers" -> OracleSql.embeddingOutliers(),

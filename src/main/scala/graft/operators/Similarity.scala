@@ -890,10 +890,13 @@ object Similarity {
     *     exact dot re-ranks the final top-k, so emitted scores are
     *     exact and ADC error only costs recall, never wrong scores.
     *
-    * Not SQL-oracle-expressible (k-means + float LUT folds); the
-    * recall gate vs [[knnBruteForce]] lives in SimilaritySpec, the
-    * driver records the rows-only check — the [[knnIvf]]
-    * `_trained` precedent.
+    * With Lloyd's-trained books this is not SQL-oracle-expressible
+    * (distributed float-AVG fold order); the recall gate vs
+    * [[knnBruteForce]] lives in SimilaritySpec and the driver records
+    * the rows-only check — the [[knnIvf]] `_trained` precedent. With
+    * `pqIters = 0` the books are the closed-form SEEDS and the whole
+    * pipeline replays hash-exact (`OracleSql.knnIvfPqSeed` — the
+    * persisted-index query's configuration).
     */
   def knnIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbes: Int = 4, m: Int = DefaultPqM, ksub: Int = DefaultPqKsub,
@@ -950,8 +953,13 @@ object Similarity {
       // a batch) collapse BEFORE the refine cut, so a replay can
       // neither seat one neighbor in two top-k slots nor crowd genuine
       // candidates out of the k·refine budget; same books ⇒ identical
-      // codes ⇒ the max is the one adc value. The aggregate shares the
-      // window's partition key, so it adds no extra exchange.
+      // codes ⇒ the max is the one adc value. The explicit
+      // query_id-only repartition makes ONE exchange serve both the
+      // aggregate (hash partitioning on a subset of the grouping keys
+      // satisfies its clustered distribution) and the rank window —
+      // grouping straight on (query_id, neighbor_id) would hash on
+      // both keys and force the window to re-exchange on query_id.
+      .repartition(col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("adc")).as("adc"))
       .withColumn("arn", row_number().over(aw))

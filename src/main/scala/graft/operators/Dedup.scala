@@ -822,14 +822,14 @@ object Dedup {
       bands: Int = 4, shingleN: Int = 3): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"),
-        TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
-      .write.mode("overwrite").parquet(s"$dir/fp")
-    bandFrame(docs, numHashes, bands, shingleN)
-      .repartition(col("band"), col("band_sig"))
-      .write.mode("overwrite").parquet(s"$dir/bands")
-    shingleHashFrame(docs, shingleN)
-      .write.mode("overwrite").parquet(s"$dir/shingles")
+    // epoch-aware rebuild (see EpochedTable.replaceWith): a fresh dir
+    // gets the plain layout; a rebuild over a grown/compacted index
+    // commits the next generation before retiring the old one
+    fpTable(dir).replaceWith(docs.select(col("doc_id"),
+      TextFunctions.fingerprintMd5(col("text")).as("fingerprint")))
+    bandsTable(dir).replaceWith(bandFrame(docs, numHashes, bands, shingleN)
+      .repartition(col("band"), col("band_sig")))
+    shinglesTable(dir).replaceWith(shingleHashFrame(docs, shingleN))
     Seq((numHashes, bands, shingleN))
       .toDF("num_hashes", "bands", "shingle_n")
       .write.mode("overwrite").parquet(s"$dir/meta")
@@ -862,68 +862,183 @@ object Dedup {
     import spark.implicits._
     val labels = nearDupLabels(docs, numHashes, bands, threshold, shingleN,
       maxIters, maxBucket)
-    try labels.write.mode("overwrite").parquet(s"$dir/labels")
+    // epoch-aware: a REBUILD over a store that has grown ingest
+    // batches (or been compacted to generation N) lands as generation
+    // N+1 and retires the old generation + its now-superseded ingest
+    // rows only after committing — same crash-safety as compaction.
+    // A fresh store writes the plain epoch-0 layout.
+    try labelsTable(dir).replaceWith(labels)
     finally ColumnBridge.unpersistCheckpoint(labels)
     Seq((numHashes, bands, threshold, shingleN))
       .toDF("num_hashes", "bands", "threshold", "shingle_n")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Read a [[writeDedupLabels]] table: (doc_id, cluster), one row per
-    * document — plain parquet scans (the base table plus any
-    * [[appendDedupLabels]] ingest batches), no checkpoint to release,
-    * no dedup needed: the base write and each batch dir are
-    * OVERWRITE-once, so replays cannot double rows. */
-  def readDedupLabels(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val base = spark.read.parquet(s"$dir/labels")
-    val ingest = new org.apache.hadoop.fs.Path(s"$dir/ingest")
-    val fs = ingest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(ingest) && fs.listStatus(ingest).nonEmpty)
-      base.unionAll(
-        spark.read.parquet(s"$dir/ingest/*").select(col("doc_id"),
-          col("cluster")))
-    else base
+  // ------------------------------------------------------------------
+  // Epoched base+ingest tables. A grown table is (base dir) ∪ (one
+  // overwrite-once subdir per ingest batch); compaction folds the
+  // union into a FRESH generation and only then retires the old one.
+  // Generation N ≥ 1 lives under `<base>_vN` / `<base>_ingest_vN`
+  // (labels keep their historical epoch-0 names `labels`/`ingest`);
+  // the ACTIVE generation is the highest one whose dir carries the
+  // output committer's `_SUCCESS` marker. That ordering makes every
+  // crash point safe — the property the earlier staged-write →
+  // delete → rename swap lacked (a crash between its delete and
+  // rename lost the base table; a crash before its ingest delete
+  // double-counted ingest rows):
+  //   - crash while staging generation N+1: no `_SUCCESS` there, so
+  //     readers stay on complete generation N (base AND its ingest);
+  //   - crash after N+1 commits but before cleanup: readers are
+  //     already on N+1 (higher), generation N's dirs are inert
+  //     leftovers a later compaction removes;
+  //   - cleanup only ever deletes generations STRICTLY below a
+  //     committed one.
+  // Appends land in the active generation's ingest dir. The one
+  // remaining caveat is concurrent WRITES: a batch appended to
+  // generation N while N+1 is being staged is not folded in and
+  // becomes invisible when N+1 commits — quiesce ingest during
+  // compaction (its scaladoc says so); crashes and concurrent READS
+  // are safe at every point.
+  // ------------------------------------------------------------------
+  private final case class EpochedTable(dir: String, base: String,
+      columns: Seq[String], legacyIngest: Option[String] = None) {
+
+    def tableDir(e: Int): String =
+      if (e == 0) s"$dir/$base" else s"$dir/${base}_v$e"
+    def ingestDir(e: Int): String =
+      if (e == 0) legacyIngest.getOrElse(s"$dir/${base}_ingest")
+      else s"$dir/${base}_ingest_v$e"
+
+    private def fsOf(spark: org.apache.spark.sql.SparkSession) =
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def activeEpoch(spark: org.apache.spark.sql.SparkSession): Int = {
+      val fs = fsOf(spark)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(root)) return 0
+      val prefix = s"${base}_v"
+      fs.listStatus(root).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith(prefix) =>
+          n.stripPrefix(prefix).toIntOption }
+        .flatten
+        .filter(e => fs.exists(
+          new org.apache.hadoop.fs.Path(s"${tableDir(e)}/_SUCCESS")))
+        .maxOption.getOrElse(0)
+    }
+
+    def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      val e = activeEpoch(spark)
+      val baseDf = spark.read.parquet(tableDir(e))
+      val ingest = new org.apache.hadoop.fs.Path(ingestDir(e))
+      val fs = fsOf(spark)
+      if (fs.exists(ingest) && fs.listStatus(ingest).nonEmpty)
+        baseDf.unionAll(spark.read.parquet(s"${ingestDir(e)}/*")
+          .select(columns.map(col): _*))
+      else baseDf
+    }
+
+    def appendBatch(rows: DataFrame, batchId: Long): Unit =
+      rows.select(columns.map(col): _*)
+        .write.mode("overwrite")
+        .parquet(s"${ingestDir(activeEpoch(rows.sparkSession))}/batch-$batchId")
+
+    /** Fold base + ingest into generation `active + 1`, refuse to
+      * retire anything unless the new generation's commit marker is
+      * present, then delete every older generation. `reshape` lets
+      * the caller restore a physical layout (e.g. the band table's
+      * join-key repartition) on the compacted output. */
+    def compact(spark: org.apache.spark.sql.SparkSession,
+        reshape: DataFrame => DataFrame = identity): Unit = {
+      val fs = fsOf(spark)
+      val e = activeEpoch(spark)
+      val next = e + 1
+      reshape(read(spark)).write.mode("overwrite").parquet(tableDir(next))
+      require(fs.exists(
+          new org.apache.hadoop.fs.Path(s"${tableDir(next)}/_SUCCESS")),
+        s"${tableDir(next)} committed without a _SUCCESS marker " +
+          "(mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?) — " +
+          "refusing to retire the previous generation")
+      (0 to e).foreach { old =>
+        fs.delete(new org.apache.hadoop.fs.Path(tableDir(old)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(ingestDir(old)), true)
+      }
+      // pre-epoch layouts staged compactions under `<base>_staging`;
+      // clear any leftover from a crashed run of that scheme
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${base}_staging"), true)
+    }
+
+    /** Replace the table's CONTENT with `rows` (a rebuild, not a
+      * fold): a fresh store writes the plain epoch-0 layout; a store
+      * with history commits generation `active + 1` first and retires
+      * everything older after — the compaction crash contract. */
+    def replaceWith(rows: DataFrame): Unit = {
+      val spark = rows.sparkSession
+      val fs = fsOf(spark)
+      val e = activeEpoch(spark)
+      val fresh = !fs.exists(new org.apache.hadoop.fs.Path(tableDir(e))) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(ingestDir(e)))
+      val target = if (fresh) 0 else e + 1
+      rows.write.mode("overwrite").parquet(tableDir(target))
+      if (target > 0) {
+        require(fs.exists(
+            new org.apache.hadoop.fs.Path(s"${tableDir(target)}/_SUCCESS")),
+          s"${tableDir(target)} committed without a _SUCCESS marker — " +
+            "refusing to retire the previous generation")
+        (0 until target).foreach { old =>
+          fs.delete(new org.apache.hadoop.fs.Path(tableDir(old)), true)
+          fs.delete(new org.apache.hadoop.fs.Path(ingestDir(old)), true)
+        }
+      }
+    }
   }
+
+  private def labelsTable(dir: String): EpochedTable =
+    EpochedTable(dir, "labels", Seq("doc_id", "cluster"),
+      legacyIngest = Some(s"$dir/ingest"))
+
+  /** Read a [[writeDedupLabels]] table: (doc_id, cluster), one row per
+    * document — plain parquet scans (the active generation's base
+    * table plus any [[appendDedupLabels]] ingest batches), no
+    * checkpoint to release, no dedup needed: the base write and each
+    * batch dir are OVERWRITE-once, so replays cannot double rows. */
+  def readDedupLabels(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    labelsTable(dir).read(spark)
 
   /** Append one ingest batch's assigned label rows
     * ([[assignDedupLabels]] output) to a [[writeDedupLabels]] table —
     * the grow step of [[graft.streaming.StreamingDedup.labeledIngest]]:
     * once written, later batches' matches against these docs resolve
     * to the clusters assigned here. Each batch lands in its OWN
-    * subdirectory (`dir/ingest/batch-<id>`) with mode=overwrite, so an
-    * at-least-once replay of the same `batchId` rewrites the same
-    * rows instead of duplicating them — the idempotence
-    * `foreachBatch` recovery needs and a bare parquet append cannot
-    * give. */
+    * subdirectory (`.../batch-<id>` under the active generation's
+    * ingest dir) with mode=overwrite, so an at-least-once replay of
+    * the same `batchId` rewrites the same rows instead of duplicating
+    * them — the idempotence `foreachBatch` recovery needs and a bare
+    * parquet append cannot give. */
   def appendDedupLabels(labels: DataFrame, labelsDir: String,
       batchId: Long): Unit =
-    labels.select(col("doc_id"), col("cluster"))
-      .write.mode("overwrite")
-      .parquet(s"$labelsDir/ingest/batch-$batchId")
+    labelsTable(labelsDir).appendBatch(labels, batchId)
 
   /** Compact a grown label table: fold every ingest batch into the
-    * base table and clear the ingest dir — file-count hygiene after a
-    * long [[graft.streaming.StreamingDedup.labeledIngest]] run (one
-    * parquet dir per micro-batch adds listing cost, never wrong
+    * base table and retire the old generation — file-count hygiene
+    * after a long [[graft.streaming.StreamingDedup.labeledIngest]] run
+    * (one parquet dir per micro-batch adds listing cost, never wrong
     * answers). Labels are UNCHANGED by compaction; recording
     * bridge-induced merges is [[writeDedupLabels]]' rebuild job. The
-    * swap is staged-write → delete → rename — not atomic; run it at a
-    * quiet moment (the rebuild job's natural slot), or write through
-    * a transactional table format where torn reads matter.
+    * swap is generation-based (see [[EpochedTable]]): the folded table
+    * commits as a NEW generation before anything old is deleted, so a
+    * crash at any point leaves a complete readable table and never
+    * double-counts ingest rows. Quiesce ingest while compacting —
+    * a batch appended mid-compaction to the outgoing generation is
+    * not folded in and would vanish from reads when the new
+    * generation commits.
     */
   def compactDedupLabels(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    val staging = new org.apache.hadoop.fs.Path(s"$dir/labels_staging")
-    val base = new org.apache.hadoop.fs.Path(s"$dir/labels")
-    val ingest = new org.apache.hadoop.fs.Path(s"$dir/ingest")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readDedupLabels(spark, dir)
-      .write.mode("overwrite").parquet(staging.toString)
-    fs.delete(base, true)
-    require(fs.rename(staging, base), s"rename $staging -> $base failed")
-    fs.delete(ingest, true)
-  }
+      dir: String): Unit =
+    labelsTable(dir).compact(spark)
 
   private def readDedupMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int, Int) = {
@@ -938,17 +1053,54 @@ object Dedup {
     * After appending, a re-run of [[dedupIncrementalIndexed]] on the
     * same batch reports every doc as an exact corpus duplicate — the
     * ingest-loop invariant the spec pins.
+    *
+    * With a `batchId` (the streaming ingest loops pass theirs), each
+    * table's rows land in an OVERWRITE-once per-batch subdirectory
+    * (`dir/<tbl>_ingest/batch-<id>`) — the same idempotence contract
+    * as [[appendDedupLabels]]: an at-least-once replay rewrites the
+    * same rows instead of permanently duplicating fp/bands/shingles
+    * entries (a bare append would grow the index and its probe cost a
+    * little more on every recovery; the candidate-side DISTINCT keeps
+    * answers right but should be a backstop, not the mechanism).
+    * Without one (ad-hoc batch use), rows append to the base tables.
     */
-  def appendToDedupIndex(docs: DataFrame, dir: String): Unit = {
+  private def fpTable(dir: String): EpochedTable =
+    EpochedTable(dir, "fp", Seq("doc_id", "fingerprint"))
+  private def bandsTable(dir: String): EpochedTable =
+    EpochedTable(dir, "bands", Seq("doc_id", "band", "band_sig"))
+  private def shinglesTable(dir: String): EpochedTable =
+    EpochedTable(dir, "shingles", Seq("doc_id", "xs"))
+
+  def appendToDedupIndex(docs: DataFrame, dir: String,
+      batchId: Option[Long] = None): Unit = {
     val (numHashes, bands, shingleN) = readDedupMeta(docs.sparkSession, dir)
-    docs.select(col("doc_id"),
-        TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
-      .write.mode("append").parquet(s"$dir/fp")
-    bandFrame(docs, numHashes, bands, shingleN)
-      .repartition(col("band"), col("band_sig"))
-      .write.mode("append").parquet(s"$dir/bands")
-    shingleHashFrame(docs, shingleN)
-      .write.mode("append").parquet(s"$dir/shingles")
+    def sink(df: DataFrame, tbl: EpochedTable): Unit =
+      batchId match {
+        case Some(id) => tbl.appendBatch(df, id)
+        case None     =>
+          df.write.mode("append")
+            .parquet(tbl.tableDir(tbl.activeEpoch(docs.sparkSession)))
+      }
+    sink(docs.select(col("doc_id"),
+      TextFunctions.fingerprintMd5(col("text")).as("fingerprint")), fpTable(dir))
+    sink(bandFrame(docs, numHashes, bands, shingleN)
+      .repartition(col("band"), col("band_sig")), bandsTable(dir))
+    sink(shingleHashFrame(docs, shingleN), shinglesTable(dir))
+  }
+
+  /** Compact a grown dedup index: fold each table's per-batch ingest
+    * dirs ([[appendToDedupIndex]] with batchIds) into its base —
+    * the same listing-cost hygiene, generation scheme, and crash
+    * contract as [[compactDedupLabels]]; the band table is
+    * re-partitioned on its probe-join key so the compacted files
+    * keep the layout [[writeDedupIndex]] established. Quiesce ingest
+    * while compacting. */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    fpTable(dir).compact(spark)
+    bandsTable(dir).compact(spark,
+      _.repartition(col("band"), col("band_sig")))
+    shinglesTable(dir).compact(spark)
   }
 
   /** Dedup a new `batch` against a `corpus`, both given inline — the
@@ -980,9 +1132,9 @@ object Dedup {
     val spark = batch.sparkSession
     val (numHashes, bands, shingleN) = readDedupMeta(spark, dir)
     dedupIncrementalCore(
-      spark.read.parquet(s"$dir/fp"),
-      spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/shingles"),
+      fpTable(dir).read(spark),
+      bandsTable(dir).read(spark),
+      shinglesTable(dir).read(spark),
       batch, numHashes, bands, shingleN, threshold, maxBucket)
   }
 
@@ -1177,8 +1329,8 @@ object Dedup {
         s"$shingleN) labels=(${lm.getInt(0)},${lm.getInt(1)},${lm.getInt(2)})")
     val thr = threshold.getOrElse(lm.getDouble(3))
     val near = verifiedIncrementalPairs(
-      spark.read.parquet(s"$indexDir/bands"),
-      spark.read.parquet(s"$indexDir/shingles"),
+      bandsTable(indexDir).read(spark),
+      shinglesTable(indexDir).read(spark),
       batch, numHashes, bands, shingleN, thr, maxBucket)
     val bridge = near.filter(col("from_corpus"))
       .join(readDedupLabels(spark, labelsDir)
@@ -1186,9 +1338,66 @@ object Dedup {
       .select(col("b_id").as("a"), col("cluster").as("b"))
     val bb = near.filter(!col("from_corpus"))
       .select(col("b_id").as("a"), col("o_id").as("b"))
-    labelPropagate(bb.union(bridge), batch.select(col("doc_id")),
-      maxIters, "assignDedupLabels")
-      .orderBy(col("doc_id"))
+    val edges = bb.union(bridge)
+    // Driver-local min-label closure for BATCH-BOUNDED pair graphs:
+    // the edge list is ∝ batch by construction (band probes emit
+    // candidates for batch docs only), yet the iterative
+    // labelPropagate pays one Spark job + checkpoint per round — for
+    // a typical ingest batch's graph of tens of edges, job overhead
+    // dominates the whole operator. Probing the bound with
+    // limit(cap + 1) keeps the collect legitimately bounded (≤ cap
+    // edge rows on the driver, never corpus rows — allowlisted with
+    // this bound), and union-find collapses all propagation rounds
+    // into one broadcast join. A graph above the cap — a huge batch —
+    // falls back to the iterative path unchanged.
+    val sample = edges.limit(DriverEdgeCap + 1).collect()
+    val assigned =
+      if (sample.length <= DriverEdgeCap) {
+        val labelOf = minLabelClosure(
+          sample.map(r => (r.getLong(0), r.getLong(1))))
+        import spark.implicits._
+        val labelDf = labelOf.toSeq.toDF("doc_id", "assigned_cluster")
+        batch.select(col("doc_id"))
+          .join(broadcast(labelDf), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("assigned_cluster"), col("doc_id")).as("cluster"))
+      } else
+        labelPropagate(edges, batch.select(col("doc_id")), maxIters,
+          "assignDedupLabels")
+    assigned.orderBy(col("doc_id"))
+  }
+
+  /** Edge-count bound for [[assignDedupLabels]]' driver-local closure:
+    * ≤ this many (Long, Long) rows ever reach the driver (~1.6 MB) —
+    * the codebook-collect pattern, sized far above any sane ingest
+    * batch's pair graph but far below anything corpus-shaped. */
+  private[graft] val DriverEdgeCap = 100000
+
+  /** Min-label connected components over a driver-held edge list:
+    * union-find attaching the LARGER root under the smaller, so every
+    * root is its component's minimum id and `find` returns the final
+    * label directly — exactly [[labelPropagate]]'s fixpoint (label =
+    * min id reachable in the symmetrized graph), in one pass. */
+  private[graft] def minLabelClosure(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    edges.iterator
+      .flatMap(e => Iterator(e._1, e._2))
+      .map(v => v -> find(v))
+      .toMap
   }
 
   /** Quality × duplication profile — the boilerplate question made a

@@ -64,11 +64,15 @@ object StreamingDedup {
     * Exactly-once note: foreachBatch is at-least-once on failure
     * recovery (give `checkpointDir` a durable location so recovery
     * resumes from the last committed batch rather than the source's
-    * starting offsets) — a replayed batch re-appends its kept docs. The index
-    * tolerates this: a re-appended doc matches itself as
-    * `exact_corpus` thereafter, and downstream consumers of `fp`
-    * dedup on (doc_id, fingerprint). For a transactional index, write
-    * through a table format with batchId-conditional commits.
+    * starting offsets). The index append is IDEMPOTENT under replay:
+    * each batch's fp/bands/shingles rows land in their own
+    * overwrite-once `<tbl>_ingest/batch-<id>` subdirectory
+    * ([[graft.operators.Dedup.appendToDedupIndex]] with the batchId),
+    * so a replayed batch rewrites identical rows rather than growing
+    * the index and its probe cost on every recovery; the
+    * candidate-side DISTINCT remains as a backstop only. For
+    * cross-job transactionality, write through a table format with
+    * batchId-conditional commits.
     */
   /** Streaming ingest loop that maintains the LABEL table
     * ([[graft.operators.Dedup.writeDedupLabels]]) instead of emitting
@@ -92,9 +96,9 @@ object StreamingDedup {
     * each batch overwrites its own `ingest/batch-<id>` directory, so
     * a replayed batch rewrites identical rows rather than duplicating
     * them (a bare parquet append would double every audit count after
-    * one replay). The index append keeps [[incrementalIngest]]'s
-    * tolerance story: re-appended rows are DISTINCT'd away by the
-    * candidate machinery.
+    * one replay). The index append mirrors it: per-batchId
+    * overwrite-once subdirectories, so fp/bands/shingles cannot
+    * accumulate duplicate rows across recoveries either.
     */
   def labeledIngest(docs: DataFrame, indexDir: String, labelsDir: String,
       threshold: Option[Double] = None, maxBucket: Option[Int] = None,
@@ -108,7 +112,7 @@ object StreamingDedup {
           // per-batch OVERWRITE dir keyed by batchId: an at-least-once
           // replay rewrites the same rows instead of duplicating them
           Dedup.appendDedupLabels(labels, labelsDir, batchId)
-          Dedup.appendToDedupIndex(batch.toDF(), indexDir)
+          Dedup.appendToDedupIndex(batch.toDF(), indexDir, Some(batchId))
           onBatch(labels, batchId)
         } finally org.apache.spark.sql.graftbridge.ColumnBridge
           .unpersistCheckpoint(labels)
@@ -130,7 +134,8 @@ object StreamingDedup {
           val keptIds = verdicts.filter(col("verdict") === "kept")
             .select(col("doc_id"))
           Dedup.appendToDedupIndex(
-            batch.toDF().join(keptIds, Seq("doc_id"), "left_semi"), indexDir)
+            batch.toDF().join(keptIds, Seq("doc_id"), "left_semi"), indexDir,
+            Some(batchId))
           onBatch(verdicts, batchId)
         } finally org.apache.spark.sql.graftbridge.ColumnBridge
           .unpersistCheckpoint(verdicts)

@@ -246,6 +246,126 @@ class IncrementalDedupSpec extends SparkSuite {
     }
   }
 
+  test("appendToDedupIndex with a batchId is idempotent under replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-replay").toString
+    try {
+      Dedup.writeDedupIndex(docs(1L -> base), s"$root/idx")
+      val batch = docs(10L -> other)
+      Dedup.appendToDedupIndex(batch, s"$root/idx", Some(0L))
+      def fpCount() = spark.read.parquet(s"$root/idx/fp")
+        .unionAll(spark.read.parquet(s"$root/idx/fp_ingest/*")).count()
+      val once = fpCount()
+      // an at-least-once recovery replays the batch verbatim: the
+      // per-batchId overwrite dir must rewrite, not duplicate —
+      // a bare append here would grow fp/bands/shingles every recovery
+      Dedup.appendToDedupIndex(batch, s"$root/idx", Some(0L))
+      assert(fpCount() == once, "replayed index append duplicated rows")
+      // and the probe still sees the appended doc as corpus content
+      val v = verdicts(Dedup.dedupIncrementalIndexed(s"$root/idx",
+        docs(20L -> other), threshold = 0.3))
+      assert(v(20L) == ("exact_corpus", 10L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
+  test("compactDedupIndex folds batch dirs; probes unchanged; generations advance") {
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-compact").toString
+    try {
+      Dedup.writeDedupIndex(docs(1L -> base), s"$root/idx")
+      Dedup.appendToDedupIndex(docs(10L -> other), s"$root/idx", Some(0L))
+      def probe() = verdicts(Dedup.dedupIncrementalIndexed(s"$root/idx",
+        docs(20L -> base, 21L -> other), threshold = 0.3))
+      val before = probe()
+      Dedup.compactDedupIndex(spark, s"$root/idx")
+      assert(probe() == before, "compaction changed probe verdicts")
+      for (t <- Seq("fp", "bands", "shingles")) {
+        assert(!new java.io.File(s"$root/idx/${t}_ingest").exists,
+          s"${t}_ingest survived compaction")
+        assert(new java.io.File(s"$root/idx/${t}_v1/_SUCCESS").exists,
+          s"${t}_v1 not committed with a _SUCCESS marker")
+      }
+      // the next ingest generation starts cleanly and is read back
+      Dedup.appendToDedupIndex(docs(30L -> (other + " more")), s"$root/idx",
+        Some(1L))
+      val v = verdicts(Dedup.dedupIncrementalIndexed(s"$root/idx",
+        docs(40L -> (other + " more")), threshold = 0.3))
+      assert(v(40L) == ("exact_corpus", 30L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
+  test("label generations: repeated compaction + rebuild stay readable at every step") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-lbl-gen").toString
+    try {
+      def snapshot() = rowsOf(
+        Dedup.readDedupLabels(spark, s"$root/lbl").orderBy(col("doc_id")))
+        .map(r => (r("doc_id"), r("cluster")))
+      Dedup.writeDedupLabels(docs(1L -> base), s"$root/lbl")
+      Dedup.appendDedupLabels(Seq((10L, 1L)).toDF("doc_id", "cluster"),
+        s"$root/lbl", batchId = 0L)
+      Dedup.compactDedupLabels(spark, s"$root/lbl")  // -> generation 1
+      assert(snapshot() == Seq((1L, 1L), (10L, 1L)))
+      // appends land in the ACTIVE generation's ingest dir and fold on
+      // the next compaction — generation 2
+      Dedup.appendDedupLabels(Seq((20L, 20L)).toDF("doc_id", "cluster"),
+        s"$root/lbl", batchId = 1L)
+      assert(new java.io.File(s"$root/lbl/labels_ingest_v1/batch-1").exists,
+        "append missed the active generation's ingest dir")
+      Dedup.compactDedupLabels(spark, s"$root/lbl")
+      assert(snapshot() == Seq((1L, 1L), (10L, 1L), (20L, 20L)))
+      assert(new java.io.File(s"$root/lbl/labels_v2/_SUCCESS").exists)
+      assert(!new java.io.File(s"$root/lbl/labels_v1").exists,
+        "stale generation survived compaction")
+      // a REBUILD over the compacted store must supersede generation 2
+      // (writing the legacy epoch-0 dir would be invisible to readers)
+      Dedup.writeDedupLabels(docs(1L -> base, 2L -> other), s"$root/lbl")
+      assert(snapshot() == Seq((1L, 1L), (2L, 2L)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
+  test("a crashed compaction (no _SUCCESS) is invisible: readers stay on the old generation") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-lbl-crash").toString
+    try {
+      Dedup.writeDedupLabels(docs(1L -> base), s"$root/lbl")
+      Dedup.appendDedupLabels(Seq((10L, 1L)).toDF("doc_id", "cluster"),
+        s"$root/lbl", batchId = 0L)
+      def snapshot() = rowsOf(
+        Dedup.readDedupLabels(spark, s"$root/lbl").orderBy(col("doc_id")))
+        .map(r => (r("doc_id"), r("cluster")))
+      val before = snapshot()
+      // simulate a compaction that died mid-stage: a labels_v1 dir
+      // with data files but NO commit marker must not capture readers
+      // (it may hold a partial, ingest-less fold — switching to it
+      // would drop rows); nor may appends land in its ingest dir
+      Seq((99L, 99L)).toDF("doc_id", "cluster")
+        .write.parquet(s"$root/lbl/labels_v1")
+      new java.io.File(s"$root/lbl/labels_v1/_SUCCESS").delete()
+      assert(snapshot() == before,
+        "reader switched to an uncommitted generation")
+      Dedup.appendDedupLabels(Seq((20L, 20L)).toDF("doc_id", "cluster"),
+        s"$root/lbl", batchId = 1L)
+      assert(new java.io.File(s"$root/lbl/ingest/batch-1").exists,
+        "append left the active (old) generation")
+      assert(snapshot() == before :+ ((20L, 20L)))
+      // the NEXT compaction re-stages generation 1 (active is still 0,
+      // so active+1 OVERWRITES the torn dir — mode=overwrite, so the
+      // crashed content cannot bleed into the fold), commits it, and
+      // retires generation 0
+      Dedup.compactDedupLabels(spark, s"$root/lbl")
+      assert(snapshot() == before :+ ((20L, 20L)),
+        "crashed staging content bled into the compacted generation")
+      assert(new java.io.File(s"$root/lbl/labels_v1/_SUCCESS").exists)
+      assert(!new java.io.File(s"$root/lbl/labels").exists,
+        "retired generation survived")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
   test("assignDedupLabels: inherit, chain, novel group, singleton, frozen bridge") {
     val third =
       "third corpus family text about mountain passes goat trails and high " +

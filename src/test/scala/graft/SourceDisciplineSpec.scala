@@ -80,11 +80,16 @@ class SourceDisciplineSpec extends AnyFunSuite {
     //   TopicMetrics     1-row global summary
     //   Bpe              ONE row per merge round (the argmax pair) —
     //                    the codebook pattern, never word rows
+    //   Dedup            assignDedupLabels' driver-local closure:
+    //                    ≤ DriverEdgeCap+1 batch-graph edge rows
+    //                    (limit-probed bound; above it the iterative
+    //                    path runs and nothing is collected)
     audit("collect()", raw"\.collect\(\)", Map(
       "src/main/scala/graft/TopicAnalyzer.scala" -> 1,
       "src/main/scala/graft/operators/AliveKeys.scala" -> 2,
       "src/main/scala/graft/operators/Bpe.scala" -> 1,
       "src/main/scala/graft/operators/CorpusOps.scala" -> 2,
+      "src/main/scala/graft/operators/Dedup.scala" -> 1,
       "src/main/scala/graft/operators/EventAnalytics.scala" -> 4,
       "src/main/scala/graft/operators/Similarity.scala" -> 9,
       "src/main/scala/graft/operators/TopicMetrics.scala" -> 1))

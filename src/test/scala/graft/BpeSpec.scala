@@ -80,6 +80,26 @@ class BpeSpec extends SparkSuite {
       Seq(("a", "a", 4L), ("aa", "a", 2L)))
   }
 
+  test("deep walk: a 200-merge request runs to vocab exhaustion; prefixes are stable") {
+    // the O(numMerges) driver-rounds bound is a LINEAR walk (measured
+    // flat per-round in tools.BpeTrainBench): pin the two properties
+    // that make that statement meaningful — a request far beyond the
+    // vocabulary stops early at exhaustion with full reference parity,
+    // and a shorter run is exactly the longer run's prefix (rounds are
+    // independent of the requested total, so per-round cost cannot
+    // secretly depend on numMerges)
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river",
+      2L -> "pack my box with five dozen liquor jugs for the long trip",
+      3L -> "the dog and the fox trade long looks over the quiet river")
+    val full = Bpe.trainMerges(d, 200)
+    assert(full.nonEmpty && full.size < 200,
+      s"expected early exhaustion, learned ${full.size}")
+    assert(full.map(m => (m.left, m.right, m.weight)) ==
+      refBpe(wordCounts(d), 200))
+    assert(Bpe.trainMerges(d, 10) == full.take(10))
+  }
+
   test("mergesFrame emits rank-ordered merges with concatenated symbol") {
     val rows = rowsOf(Bpe.mergesFrame(docs(1L -> "ab ab abc"), 5))
     assert(rows.map(_("rank")) == rows.indices)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 import graft.functions.{ArrayHashExprs, Hashing, TextFunctions}
+import graft.sources.EpochedTable
 
 /** Deduplication operators for large-scale training-data pipelines:
   * exact (content-hash groupBy), MinHash+LSH, SimHash, and n-gram
@@ -872,127 +873,6 @@ object Dedup {
     Seq((numHashes, bands, threshold, shingleN))
       .toDF("num_hashes", "bands", "threshold", "shingle_n")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-  }
-
-  // ------------------------------------------------------------------
-  // Epoched base+ingest tables. A grown table is (base dir) ∪ (one
-  // overwrite-once subdir per ingest batch); compaction folds the
-  // union into a FRESH generation and only then retires the old one.
-  // Generation N ≥ 1 lives under `<base>_vN` / `<base>_ingest_vN`
-  // (labels keep their historical epoch-0 names `labels`/`ingest`);
-  // the ACTIVE generation is the highest one whose dir carries the
-  // output committer's `_SUCCESS` marker. That ordering makes every
-  // crash point safe — the property the earlier staged-write →
-  // delete → rename swap lacked (a crash between its delete and
-  // rename lost the base table; a crash before its ingest delete
-  // double-counted ingest rows):
-  //   - crash while staging generation N+1: no `_SUCCESS` there, so
-  //     readers stay on complete generation N (base AND its ingest);
-  //   - crash after N+1 commits but before cleanup: readers are
-  //     already on N+1 (higher), generation N's dirs are inert
-  //     leftovers a later compaction removes;
-  //   - cleanup only ever deletes generations STRICTLY below a
-  //     committed one.
-  // Appends land in the active generation's ingest dir. The one
-  // remaining caveat is concurrent WRITES: a batch appended to
-  // generation N while N+1 is being staged is not folded in and
-  // becomes invisible when N+1 commits — quiesce ingest during
-  // compaction (its scaladoc says so); crashes and concurrent READS
-  // are safe at every point.
-  // ------------------------------------------------------------------
-  private final case class EpochedTable(dir: String, base: String,
-      columns: Seq[String], legacyIngest: Option[String] = None) {
-
-    def tableDir(e: Int): String =
-      if (e == 0) s"$dir/$base" else s"$dir/${base}_v$e"
-    def ingestDir(e: Int): String =
-      if (e == 0) legacyIngest.getOrElse(s"$dir/${base}_ingest")
-      else s"$dir/${base}_ingest_v$e"
-
-    private def fsOf(spark: org.apache.spark.sql.SparkSession) =
-      new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-    def activeEpoch(spark: org.apache.spark.sql.SparkSession): Int = {
-      val fs = fsOf(spark)
-      val root = new org.apache.hadoop.fs.Path(dir)
-      if (!fs.exists(root)) return 0
-      val prefix = s"${base}_v"
-      fs.listStatus(root).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith(prefix) =>
-          n.stripPrefix(prefix).toIntOption }
-        .flatten
-        .filter(e => fs.exists(
-          new org.apache.hadoop.fs.Path(s"${tableDir(e)}/_SUCCESS")))
-        .maxOption.getOrElse(0)
-    }
-
-    def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-      val e = activeEpoch(spark)
-      val baseDf = spark.read.parquet(tableDir(e))
-      val ingest = new org.apache.hadoop.fs.Path(ingestDir(e))
-      val fs = fsOf(spark)
-      if (fs.exists(ingest) && fs.listStatus(ingest).nonEmpty)
-        baseDf.unionAll(spark.read.parquet(s"${ingestDir(e)}/*")
-          .select(columns.map(col): _*))
-      else baseDf
-    }
-
-    def appendBatch(rows: DataFrame, batchId: Long): Unit =
-      rows.select(columns.map(col): _*)
-        .write.mode("overwrite")
-        .parquet(s"${ingestDir(activeEpoch(rows.sparkSession))}/batch-$batchId")
-
-    /** Fold base + ingest into generation `active + 1`, refuse to
-      * retire anything unless the new generation's commit marker is
-      * present, then delete every older generation. `reshape` lets
-      * the caller restore a physical layout (e.g. the band table's
-      * join-key repartition) on the compacted output. */
-    def compact(spark: org.apache.spark.sql.SparkSession,
-        reshape: DataFrame => DataFrame = identity): Unit = {
-      val fs = fsOf(spark)
-      val e = activeEpoch(spark)
-      val next = e + 1
-      reshape(read(spark)).write.mode("overwrite").parquet(tableDir(next))
-      require(fs.exists(
-          new org.apache.hadoop.fs.Path(s"${tableDir(next)}/_SUCCESS")),
-        s"${tableDir(next)} committed without a _SUCCESS marker " +
-          "(mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?) — " +
-          "refusing to retire the previous generation")
-      (0 to e).foreach { old =>
-        fs.delete(new org.apache.hadoop.fs.Path(tableDir(old)), true)
-        fs.delete(new org.apache.hadoop.fs.Path(ingestDir(old)), true)
-      }
-      // pre-epoch layouts staged compactions under `<base>_staging`;
-      // clear any leftover from a crashed run of that scheme
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${base}_staging"), true)
-    }
-
-    /** Replace the table's CONTENT with `rows` (a rebuild, not a
-      * fold): a fresh store writes the plain epoch-0 layout; a store
-      * with history commits generation `active + 1` first and retires
-      * everything older after — the compaction crash contract. */
-    def replaceWith(rows: DataFrame): Unit = {
-      val spark = rows.sparkSession
-      val fs = fsOf(spark)
-      val e = activeEpoch(spark)
-      val fresh = !fs.exists(new org.apache.hadoop.fs.Path(tableDir(e))) &&
-        !fs.exists(new org.apache.hadoop.fs.Path(ingestDir(e)))
-      val target = if (fresh) 0 else e + 1
-      rows.write.mode("overwrite").parquet(tableDir(target))
-      if (target > 0) {
-        require(fs.exists(
-            new org.apache.hadoop.fs.Path(s"${tableDir(target)}/_SUCCESS")),
-          s"${tableDir(target)} committed without a _SUCCESS marker — " +
-            "refusing to retire the previous generation")
-        (0 until target).foreach { old =>
-          fs.delete(new org.apache.hadoop.fs.Path(tableDir(old)), true)
-          fs.delete(new org.apache.hadoop.fs.Path(ingestDir(old)), true)
-        }
-      }
-    }
   }
 
   private def labelsTable(dir: String): EpochedTable =

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
+import graft.sources.EpochedTable
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Two paths, same API:
@@ -1004,9 +1006,11 @@ object Similarity {
     val book = collectCoarseBook(cu, nCentroids, centroids)
     require(book.nonEmpty, "cannot index an empty corpus")
     val pq = resolvePqBook(cu, book, residual, m, ksub, pqIters, pqBook)
-    pqIndexFrame(cu, book, pq, residual)
-      .select(col("vec_id"), col("codes"), col("cid"))
-      .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/codes")
+    // epoch-aware rebuild (EpochedTable.replaceWith): a fresh dir gets
+    // the plain `codes` layout; a rebuild over a grown/compacted index
+    // commits the next generation before retiring the old one
+    codesTable(dir).replaceWith(pqIndexFrame(cu, book, pq, residual)
+      .select(col("vec_id"), col("codes"), col("cid")))
     book.toSeq.toDF("cid", "cunit")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse_book")
     pq.indices.flatMap(mi => pq(mi).indices.map(c => (mi, c, pq(mi)(c))))
@@ -1058,16 +1062,53 @@ object Similarity {
     * [[graft.operators.Dedup.assignDedupLabels]]). Probing after an
     * append sees the new vectors immediately — same books ⇒ results
     * identical to an index built over the union in one shot
-    * (spec-pinned).
+    * (spec-pinned). With a `batchId` (the streaming loop passes its
+    * own), the batch lands in an overwrite-once
+    * `codes_ingest/batch-<id>` dir, making at-least-once replays
+    * rewrite rather than grow; without one, rows append to the active
+    * generation's partitioned base (ad-hoc batch use).
     */
-  def appendToPqIndex(vecs: DataFrame, dir: String): Unit = {
+  def appendToPqIndex(vecs: DataFrame, dir: String,
+      batchId: Option[Long] = None): Unit = {
     val spark = vecs.sparkSession
     val (book, pq, residual) = readPqBooks(spark, dir)
     require(book.nonEmpty, s"no coarse book at $dir — not a PQ index")
-    pqIndexFrame(unitIndex(vecs), book, pq, residual)
+    val rows = pqIndexFrame(unitIndex(vecs), book, pq, residual)
       .select(col("vec_id"), col("codes"), col("cid"))
-      .write.partitionBy("cid").mode("append").parquet(s"$dir/codes")
+    val ct = codesTable(dir)
+    batchId match {
+      // streaming ingest: per-batch overwrite-once dir — an
+      // at-least-once replay rewrites identical code rows instead of
+      // permanently growing the index on every recovery; the ADC
+      // duplicate-collapse stays as the read-path backstop. Ingest
+      // dirs are plain (cid as a column) and small between
+      // compactions; compactPqIndex folds them back into the
+      // cid-partitioned base so probes regain full listing pruning.
+      case Some(id) => ct.appendBatch(rows, id)
+      case None     =>
+        rows.write.partitionBy("cid").mode("append")
+          .parquet(ct.tableDir(ct.activeEpoch(spark)))
+    }
   }
+
+  /** Fold the codes table's streaming-ingest batch dirs back into the
+    * cid-partitioned base — [[graft.operators.Dedup.compactDedupIndex]]'s
+    * ANN twin, same generation scheme and crash contract
+    * ([[graft.sources.EpochedTable]]): the folded generation commits
+    * (with `_SUCCESS`) before anything old is retired. Quiesce the
+    * ingest stream while compacting. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    codesTable(dir).compact(spark)
+
+  /** The codes table as an [[EpochedTable]]: generation writes are
+    * hive-partitioned by `cid` (the probe's directory-listing prune);
+    * `normalizeRead` re-widens the partition-discovered cid (inferred
+    * int for small cell ids) to the long the code path carries. */
+  private def codesTable(dir: String): EpochedTable =
+    EpochedTable(dir, "codes", Seq("vec_id", "codes", "cid"),
+      partitionCols = Seq("cid"),
+      normalizeRead = df => df.withColumn("cid", col("cid").cast("long")))
 
   def knnIvfPqIndexed(dir: String, corpus: DataFrame, queries: DataFrame,
       k: Int, nProbes: Int = 4, refine: Int = 4): DataFrame = {
@@ -1092,7 +1133,8 @@ object Similarity {
       // STATIC (a dynamic join-based prune would depend on runtime DPP)
       val probedCids = probes.select(col("cid")).distinct()
         .collect().map(_.getLong(0)).sorted
-      val raw = spark.read.parquet(s"$dir/codes")
+      val ct = codesTable(dir)
+      val raw = spark.read.parquet(ct.tableDir(ct.activeEpoch(spark)))
       // partition-column type inference may read cid back narrower than
       // long; filter in the INFERRED type (pruning survives — no cast
       // lands on the partition column), then widen for the probe join
@@ -1100,8 +1142,18 @@ object Similarity {
         case org.apache.spark.sql.types.IntegerType => probedCids.toSeq.map(_.toInt)
         case _                                      => probedCids.toSeq
       }
-      val index = raw.filter(col("cid").isin(cidLits: _*))
+      val baseIdx = raw.filter(col("cid").isin(cidLits: _*))
         .withColumn("cid", col("cid").cast("long"))
+        .select(col("vec_id"), col("codes"), col("cid"))
+      // streaming-ingest batches not yet folded by compactPqIndex ride
+      // along as a plain (small) union side: their cid predicate is an
+      // ordinary pushed filter rather than a listing prune — bounded
+      // by the ingest volume since the last compaction, by design
+      val index =
+        if (ct.hasIngest(spark))
+          baseIdx.unionAll(ct.readIngest(spark)
+            .filter(col("cid").isin(probedCids.toSeq: _*)))
+        else baseIdx
       adcRefine(index, unitIndex(corpus), probes, k, refine,
         if (residualMeta) col("cscore") else lit(0.0))
     } catch {

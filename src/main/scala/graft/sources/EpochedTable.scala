@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Epoched base+ingest parquet tables — the storage discipline shared
+  * by the dedup label table, the three dedup-index tables
+  * ([[graft.operators.Dedup]]), and the IVF-PQ codes table
+  * ([[graft.operators.Similarity]]).
+  *
+  * A grown table is (base dir) ∪ (one overwrite-once subdir per
+  * ingest batch); compaction folds the union into a FRESH generation
+  * and only then retires the old one. Generation N ≥ 1 lives under
+  * `<base>_vN` / `<base>_ingest_vN` (a table may keep historical
+  * epoch-0 names via `legacyIngest`); the ACTIVE generation is the
+  * highest one whose dir carries the output committer's `_SUCCESS`
+  * marker. That ordering makes every crash point safe — the property
+  * a staged-write → delete → rename swap lacks (a crash between its
+  * delete and rename loses the base table; a crash before its ingest
+  * delete double-counts ingest rows):
+  *   - crash while staging generation N+1: no `_SUCCESS` there, so
+  *     readers stay on complete generation N (base AND its ingest);
+  *   - crash after N+1 commits but before cleanup: readers are
+  *     already on N+1 (higher), generation N's dirs are inert
+  *     leftovers a later compaction removes;
+  *   - cleanup only ever deletes generations STRICTLY below a
+  *     committed one.
+  * Appends land in the active generation's ingest dir. The one
+  * remaining caveat is concurrent WRITES: a batch appended to
+  * generation N while N+1 is being staged is not folded in and
+  * becomes invisible when N+1 commits — quiesce ingest during
+  * compaction (the operators' scaladocs say so); crashes and
+  * concurrent READS are safe at every point.
+  *
+  * `partitionCols` hive-partitions every GENERATION write (the codes
+  * table's `cid` layout, so probes keep directory-listing pruning);
+  * per-batch ingest dirs stay plain — they are small between
+  * compactions and their partition columns ride along as ordinary
+  * columns, which `normalizeRead` reconciles with the partition-
+  * discovered base schema (e.g. casting an int-inferred partition
+  * column back to long).
+  */
+private[graft] final case class EpochedTable(dir: String, base: String,
+    columns: Seq[String], legacyIngest: Option[String] = None,
+    partitionCols: Seq[String] = Nil,
+    normalizeRead: DataFrame => DataFrame = identity) {
+
+  def tableDir(e: Int): String =
+    if (e == 0) s"$dir/$base" else s"$dir/${base}_v$e"
+  def ingestDir(e: Int): String =
+    if (e == 0) legacyIngest.getOrElse(s"$dir/${base}_ingest")
+    else s"$dir/${base}_ingest_v$e"
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def activeEpoch(spark: org.apache.spark.sql.SparkSession): Int = {
+    val fs = fsOf(spark)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) return 0
+    val prefix = s"${base}_v"
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) =>
+        n.stripPrefix(prefix).toIntOption }
+      .flatten
+      .filter(e => fs.exists(
+        new org.apache.hadoop.fs.Path(s"${tableDir(e)}/_SUCCESS")))
+      .maxOption.getOrElse(0)
+  }
+
+  /** True when the active generation has at least one ingest batch. */
+  def hasIngest(spark: org.apache.spark.sql.SparkSession): Boolean = {
+    val ingest = new org.apache.hadoop.fs.Path(ingestDir(activeEpoch(spark)))
+    val fs = fsOf(spark)
+    fs.exists(ingest) && fs.listStatus(ingest).nonEmpty
+  }
+
+  def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val e = activeEpoch(spark)
+    val baseDf = normalizeRead(
+      spark.read.parquet(tableDir(e)).select(columns.map(col): _*))
+    val ingest = new org.apache.hadoop.fs.Path(ingestDir(e))
+    val fs = fsOf(spark)
+    if (fs.exists(ingest) && fs.listStatus(ingest).nonEmpty)
+      baseDf.unionAll(normalizeRead(
+        spark.read.parquet(s"${ingestDir(e)}/*").select(columns.map(col): _*)))
+    else baseDf
+  }
+
+  /** Read ONLY the active generation's ingest batches (empty-schema
+    * caller-side guard: call [[hasIngest]] first). */
+  def readIngest(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    normalizeRead(spark.read
+      .parquet(s"${ingestDir(activeEpoch(spark))}/*")
+      .select(columns.map(col): _*))
+
+  def appendBatch(rows: DataFrame, batchId: Long): Unit =
+    rows.select(columns.map(col): _*)
+      .write.mode("overwrite")
+      .parquet(s"${ingestDir(activeEpoch(rows.sparkSession))}/batch-$batchId")
+
+  private def writeGeneration(rows: DataFrame, target: Int): Unit = {
+    val w = rows.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tableDir(target))
+  }
+
+  /** Fold base + ingest into generation `active + 1`, refuse to
+    * retire anything unless the new generation's commit marker is
+    * present, then delete every older generation. `reshape` lets the
+    * caller restore a physical layout (e.g. the band table's join-key
+    * repartition) on the compacted output. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      reshape: DataFrame => DataFrame = identity): Unit = {
+    val fs = fsOf(spark)
+    val e = activeEpoch(spark)
+    val next = e + 1
+    writeGeneration(reshape(read(spark)), next)
+    require(fs.exists(
+        new org.apache.hadoop.fs.Path(s"${tableDir(next)}/_SUCCESS")),
+      s"${tableDir(next)} committed without a _SUCCESS marker " +
+        "(mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?) — " +
+        "refusing to retire the previous generation")
+    (0 to e).foreach { old =>
+      fs.delete(new org.apache.hadoop.fs.Path(tableDir(old)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ingestDir(old)), true)
+    }
+    // pre-epoch layouts staged compactions under `<base>_staging`;
+    // clear any leftover from a crashed run of that scheme
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${base}_staging"), true)
+  }
+
+  /** Replace the table's CONTENT with `rows` (a rebuild, not a
+    * fold): a fresh store writes the plain epoch-0 layout; a store
+    * with history commits generation `active + 1` first and retires
+    * everything older after — the compaction crash contract. */
+  def replaceWith(rows: DataFrame): Unit = {
+    val spark = rows.sparkSession
+    val fs = fsOf(spark)
+    val e = activeEpoch(spark)
+    val fresh = !fs.exists(new org.apache.hadoop.fs.Path(tableDir(e))) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(ingestDir(e)))
+    val target = if (fresh) 0 else e + 1
+    writeGeneration(rows, target)
+    if (target > 0) {
+      require(fs.exists(
+          new org.apache.hadoop.fs.Path(s"${tableDir(target)}/_SUCCESS")),
+        s"${tableDir(target)} committed without a _SUCCESS marker — " +
+          "refusing to retire the previous generation")
+      (0 until target).foreach { old =>
+        fs.delete(new org.apache.hadoop.fs.Path(tableDir(old)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(ingestDir(old)), true)
+      }
+    }
+  }
+}

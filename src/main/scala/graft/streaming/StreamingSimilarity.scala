@@ -49,9 +49,14 @@ object StreamingSimilarity {
     * batch-sized ingest cost, retrain-and-rebuild as the scheduled
     * batch job, with [[cellCounts]] as the drift monitor that says
     * when. `foreachBatch` because the index is disk-backed shared
-    * state no in-operator store models; at-least-once recovery
-    * re-appends code rows, which probing tolerates (a duplicate
-    * candidate re-ranks to the same neighbor — top-k is a set).
+    * state no in-operator store models. At-least-once recovery is
+    * IDEMPOTENT at the write: each batch's code rows land in their own
+    * overwrite-once `codes_ingest/batch-<id>` dir
+    * ([[Similarity.appendToPqIndex]] with the batchId), so a replay
+    * rewrites identical rows instead of permanently growing the index
+    * on every recovery; the ADC duplicate-collapse remains as the
+    * read-path backstop, and [[Similarity.compactPqIndex]] folds
+    * ingest dirs back into the cid-partitioned base.
     */
   def pqIngest(vecs: DataFrame, indexDir: String,
       checkpointDir: Option[String] = None)(
@@ -60,7 +65,7 @@ object StreamingSimilarity {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             batchId: Long) =>
-          Similarity.appendToPqIndex(batch.toDF(), indexDir)
+          Similarity.appendToPqIndex(batch.toDF(), indexDir, Some(batchId))
           onBatch(batchId)
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))

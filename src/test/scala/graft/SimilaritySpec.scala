@@ -681,6 +681,63 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("pq ingest: batchId appends are replay-idempotent; compaction folds them") {
+    val s = spark
+    import s.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 =!= 0)
+    val q = e.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-gen").toString
+    try {
+      Similarity.writePqIndex(a, dir)
+      def codesCount() = {
+        val base = spark.read.parquet(s"$dir/codes").count()
+        val ing = new java.io.File(s"$dir/codes_ingest")
+        base + (if (ing.exists) spark.read.parquet(s"$dir/codes_ingest/*").count()
+                else 0L)
+      }
+      Similarity.appendToPqIndex(b, dir, Some(0L))
+      val once = codesCount()
+      // at-least-once recovery replays the batch verbatim: the
+      // per-batchId dir must rewrite, not grow the index
+      Similarity.appendToPqIndex(b, dir, Some(0L))
+      assert(codesCount() == once, "replayed PQ append duplicated code rows")
+      def probe() = {
+        val r = Similarity.knnIvfPqIndexed(dir, e, q, 5, nProbes = 8)
+        val rows = rowsOf(r)
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(r)
+        rows
+      }
+      val before = probe()
+      assert(before.nonEmpty)
+      // compaction folds ingest into a fresh cid-partitioned
+      // generation; probes see identical rows and regain full
+      // listing pruning (PartitionFilters pin below)
+      Similarity.compactPqIndex(spark, dir)
+      assert(!new java.io.File(s"$dir/codes_ingest").exists,
+        "codes_ingest survived compaction")
+      assert(new java.io.File(s"$dir/codes_v1/_SUCCESS").exists,
+        "compacted generation not committed")
+      assert(new java.io.File(s"$dir/codes_v1").listFiles()
+        .exists(_.getName.startsWith("cid=")),
+        "compacted codes lost the cid partitioning")
+      assert(probe() == before, "compaction changed probe results")
+      val plan = {
+        val r = Similarity.knnIvfPqIndexed(dir, e, q, 5, nProbes = 8)
+        val p = r.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(r)
+        p
+      }
+      assert(plan.linesIterator.exists(l =>
+          l.contains("PartitionFilters") && l.contains("cid") &&
+            l.contains("IN")),
+        s"no cid partition filter on the compacted codes scan:\n$plan")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("annRecall: exact anchor stays 1.0 when the corpus has fewer vectors than maxQueryId") {
     // the denominator is the exact top-k's own row count, not the
     // nominal maxQueryId·k — a small corpus (or null embeddings among

@@ -514,6 +514,11 @@ object SparkEntry {
     // pass counts, contamination + split-leakage audits as broadcast
     // 1-row aggregates; every column an exact integer
     "q_corpus_health" -> ((s, dir) => CorpusOps.corpusHealth(docs(s, dir))),
+    // the dashboard off the persisted label table: leak count is a
+    // label scan + aggregate, zero propagation rounds; same oracle
+    "q_corpus_health_indexed" -> ((s, dir) =>
+      CorpusOps.corpusHealthFromLabels(docs(s, dir),
+        Dedup.readDedupLabels(s, labelsDir(s, dir)))),
     // sketch-at-rest accounting: per-source HLL distinct-fingerprint
     // sketches + a union row (mergeable — the 100 TB bookkeeping
     // pattern). Rows-only: DataSketches internals have no SQL oracle;
@@ -901,6 +906,8 @@ object SparkEntry {
       "q_quality_dup_profile_indexed" -> OracleSql.qualityDupProfile(),
       "q_source_stats" -> OracleSql.sourceStats,
       "q_corpus_health" -> OracleSql.corpusHealth(),
+      // identical semantics, leak audit read from the label table
+      "q_corpus_health_indexed" -> OracleSql.corpusHealth(),
       "q_source_overlap" -> OracleSql.sourceOverlap(),
       "q_corpus_diff" -> OracleSql.corpusDiff,
       "q_source_quota" -> OracleSql.sourceQuota(),

@@ -950,7 +950,25 @@ object CorpusOps {
     * idiom); the base stats are ONE corpus scan.
     */
   def corpusHealth(docs: DataFrame, evalMaxId: Long = 100,
-      minQuality: Double = 0.65, lang: String = "en"): DataFrame = {
+      minQuality: Double = 0.65, lang: String = "en"): DataFrame =
+    corpusHealthCore(docs, splitLeakage(docs), evalMaxId, minQuality, lang)
+
+  /** [[corpusHealth]] with the leakage audit read from a persisted
+    * [[graft.operators.Dedup.writeDedupLabels]] table — the dashboard
+    * joins the audit FAMILY's artifact instead of re-running the
+    * engine's most expensive computation (MinHash + LSH + propagation)
+    * on every refresh: the leak count becomes a label-table scan +
+    * one aggregate, zero propagation rounds, and a health dashboard
+    * polled hourly stops costing six corpus passes a day. Same output
+    * schema and oracle as the inline twin. */
+  def corpusHealthFromLabels(docs: DataFrame, labels: DataFrame,
+      evalMaxId: Long = 100, minQuality: Double = 0.65,
+      lang: String = "en"): DataFrame =
+    corpusHealthCore(docs, splitLeakageFromLabels(labels), evalMaxId,
+      minQuality, lang)
+
+  private def corpusHealthCore(docs: DataFrame, leaksFrame: DataFrame,
+      evalMaxId: Long, minQuality: Double, lang: String): DataFrame = {
     import graft.functions.TextFunctions
     val base = docs.agg(
       count(lit(1)).as("n_docs"),
@@ -963,7 +981,7 @@ object CorpusOps {
         .otherwise(0L)).as("n_quality_pass"))
     val cont = decontaminateById(docs, evalMaxId)
       .agg(countDistinct(col("train_doc")).as("n_contaminated"))
-    val leaks = splitLeakage(docs)
+    val leaks = leaksFrame
       .agg(count(lit(1)).as("n_leaky_clusters"))
     base
       .withColumn("n_exact_dup_docs", col("n_docs") - col("n_distinct_fp"))

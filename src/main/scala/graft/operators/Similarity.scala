@@ -429,9 +429,12 @@ object Similarity {
       .withColumn("crn", row_number().over(pw))
       .filter(col("crn") <= nProbes)
       // cscore rides along: residual ADC adds the query×centroid dot
-      // back per probed cell (score = dot(q, centroid + decode(codes)))
+      // back per probed cell (score = dot(q, centroid + decode(codes)));
+      // crn rides along so a consumer needing ONE row per query (the
+      // qunit rejoin in adcRefine) can filter crn = 1 instead of
+      // paying a dropDuplicates shuffle on the probe frame
       .select(col("vec_id").as("query_id"), col("unit").as("qunit"),
-        col("cid"), col("cscore"))
+        col("cid"), col("cscore"), col("crn"))
   }
 
   private def emptyKnnResult(spark: org.apache.spark.sql.SparkSession): DataFrame = {
@@ -966,12 +969,14 @@ object Similarity {
       .agg(max(col("adc")).as("adc"))
       .withColumn("arn", row_number().over(aw))
       .filter(col("arn") <= k * refine)
-      // qunit rejoins from the probe frame DEDUPED to one row per
-      // query (probes carries nProbes rows each — joining it raw
-      // would multiply every candidate by the probe count)
+      // qunit rejoins from the probe frame cut to ONE row per query
+      // (probes carries nProbes rows each — joining it raw would
+      // multiply every candidate by the probe count); crn = 1 is that
+      // cut as a pure filter on the already-ranked probe frame, where
+      // a dropDuplicates would shuffle it
       .select(col("query_id"), col("neighbor_id"))
-      .join(broadcast(probes.select(col("query_id"), col("qunit"))
-        .dropDuplicates("query_id")), Seq("query_id"))
+      .join(broadcast(probes.filter(col("crn") === 1)
+        .select(col("query_id"), col("qunit"))), Seq("query_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)

@@ -102,6 +102,40 @@ class InvariantsSpec extends SparkSuite {
     }
   }
 
+  test("minLabelClosure equals the component-min fixpoint on random graphs") {
+    // the driver-local union-find must reproduce labelPropagate's
+    // semantics EXACTLY (label = min id reachable in the symmetrized
+    // graph) — the assignDedupLabels fast path silently swaps one in
+    // for the other, so the equivalence is load-bearing
+    val rnd = new Random(20260814L)
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(30)
+      val edges = Array.fill(rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = graft.operators.Dedup.minLabelClosure(edges)
+      // brute force: BFS components over the symmetrized adjacency
+      val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+      def link(a: Long, b: Long): Unit =
+        adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+      edges.foreach { case (a, b) => link(a, b); link(b, a) }
+      val expected = collection.mutable.Map.empty[Long, Long]
+      val seen = collection.mutable.Set.empty[Long]
+      adj.keys.foreach { v =>
+        if (!seen(v)) {
+          val comp = collection.mutable.Set(v)
+          val queue = collection.mutable.Queue(v)
+          while (queue.nonEmpty)
+            adj(queue.dequeue()).foreach(u =>
+              if (comp.add(u)) queue.enqueue(u))
+          val m = comp.min
+          comp.foreach { u => expected(u) = m; seen += u }
+        }
+      }
+      assert(got == expected.toMap,
+        s"closure mismatch on ${edges.toSeq}")
+    }
+  }
+
   test("frozen-corpus assignment equals full recompute restricted to the batch") {
     // The theorem the assignDedupLabels scaladoc leans on, checked
     // generatively: corpus clusters are transitively CLOSED, so there

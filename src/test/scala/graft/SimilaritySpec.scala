@@ -142,6 +142,21 @@ class SimilaritySpec extends SparkSuite {
         .filter(_.contains("PartitionFilters")).toList
       assert(pf.exists(l => l.contains("cid") && l.contains("IN")),
         s"no cid partition filter on the codes scan:\n$plan")
+      // exactly THREE shuffle exchanges end to end: one query_id
+      // repartition serving BOTH the ADC replay-collapse aggregate and
+      // the k*refine rank window (the r13 shape hashed the aggregate
+      // on (query_id, neighbor_id) and re-exchanged for the window),
+      // one for the exact-re-rank window, one for the final orderBy.
+      // The frame was executed above, so count in the adaptive plan's
+      // FINAL section only (the trailing Initial Plan echo would
+      // double-count every exchange).
+      val finalPlan = plan.indexOf("== Initial Plan ==") match {
+        case -1 => plan
+        case i  => plan.substring(0, i)
+      }
+      val shuffles = raw"\bExchange \(\d+\)".r.findAllIn(finalPlan).length
+      assert(shuffles == 3,
+        s"ivf-pq probe shuffle count drifted ($shuffles != 3):\n$finalPlan")
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }

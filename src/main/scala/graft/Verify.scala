@@ -2,10 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. The dump loop
+  * and escaper are shared with [[graft.tools.VerifyOne]] (the single-query
+  * iteration tool) so the two surfaces cannot drift. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+
+  /** The session every verify surface uses — results must be
+    * comparable to the driver's gate, so there is exactly one config. */
+  def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -14,8 +18,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Run the named queries (all when `names` is empty), dump each to
+    * `outDir/<name>` parquet, release per-query storage. */
+  def dumpQueries(spark: SparkSession, sfDir: String, outDir: String,
+      names: Seq[String] = Nil): Unit = {
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected =
+      if (names.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter(kv => names.contains(kv._1))
+    selected.foreach { case (name, fn) =>
       // hold the frame so its embedded checkpoint storage (near-dup
       // label family) can be released after the write — the execution
       // boundary is the ONE place a lazily-consumed result's
@@ -33,21 +47,39 @@ object Verify {
         }
       StorageHygiene.releaseAndSweep(spark, "verify", name, df, ok)
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+  }
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    */
+  def jsonEscape(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Dump the oracle map (all entries, or only `names`) as the
+    * oracle_sql.json the comparing harness consumes. */
+  def dumpOracleSql(outDir: String, names: Seq[String] = Nil): Unit = {
+    val selected =
+      if (names.isEmpty) SparkEntry.oracleSql
+      else SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+    val json = selected
+      .map { case (k, v) => s"${jsonEscape(k)}: ${jsonEscape(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = session()
+    dumpQueries(spark, sfDir, outDir)
+    dumpOracleSql(outDir)
     spark.stop()
   }
 }

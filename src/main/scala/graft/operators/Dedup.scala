@@ -885,8 +885,8 @@ object Dedup {
     * checkpoint to release, no dedup needed: the base write and each
     * batch dir are OVERWRITE-once, so replays cannot double rows. */
   def readDedupLabels(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    labelsTable(dir).read(spark)
+      dir: String, excludeBatchId: Option[Long] = None): DataFrame =
+    labelsTable(dir).read(spark, excludeBatchId)
 
   /** Append one ingest batch's assigned label rows
     * ([[assignDedupLabels]] output) to a [[writeDedupLabels]] table —
@@ -1007,14 +1007,23 @@ object Dedup {
     * for docs that actually appear in a candidate pair (semi-join
     * prune before the verification join).
     */
+  /** `excludeBatchId` hides that batch's own ingest dirs from the
+    * probe: an at-least-once REPLAY must dedup against the state
+    * before its failed attempt — probing its own leftovers would turn
+    * every previously-kept doc into a self-match (`exact_corpus` of
+    * itself), and the verdict-filtered re-append in
+    * [[graft.streaming.StreamingDedup.incrementalIngest]] would then
+    * overwrite the batch dir with ZERO rows, silently deleting the
+    * kept docs from the index. */
   def dedupIncrementalIndexed(dir: String, batch: DataFrame,
-      threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Option[Int] = None,
+      excludeBatchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     val (numHashes, bands, shingleN) = readDedupMeta(spark, dir)
     dedupIncrementalCore(
-      fpTable(dir).read(spark),
-      bandsTable(dir).read(spark),
-      shinglesTable(dir).read(spark),
+      fpTable(dir).read(spark, excludeBatchId),
+      bandsTable(dir).read(spark, excludeBatchId),
+      shinglesTable(dir).read(spark, excludeBatchId),
       batch, numHashes, bands, shingleN, threshold, maxBucket)
   }
 
@@ -1197,7 +1206,8 @@ object Dedup {
     */
   def assignDedupLabels(indexDir: String, labelsDir: String,
       batch: DataFrame, threshold: Option[Double] = None,
-      maxIters: Int = 50, maxBucket: Option[Int] = None): DataFrame = {
+      maxIters: Int = 50, maxBucket: Option[Int] = None,
+      excludeBatchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     val (numHashes, bands, shingleN) = readDedupMeta(spark, indexDir)
     val lm = spark.read.parquet(s"$labelsDir/meta")
@@ -1208,43 +1218,60 @@ object Dedup {
       s"index/labels sketch parameters disagree: index=($numHashes,$bands," +
         s"$shingleN) labels=(${lm.getInt(0)},${lm.getInt(1)},${lm.getInt(2)})")
     val thr = threshold.getOrElse(lm.getDouble(3))
+    // excludeBatchId: a replayed ingest batch probes the state BEFORE
+    // its own failed attempt — self-bridging against its leftover
+    // index/label rows would still converge when those rows are
+    // complete, but a torn attempt (index written, labels not) must
+    // reproduce the ORIGINAL assignment, which only the pre-batch
+    // view guarantees
     val near = verifiedIncrementalPairs(
-      bandsTable(indexDir).read(spark),
-      shinglesTable(indexDir).read(spark),
+      bandsTable(indexDir).read(spark, excludeBatchId),
+      shinglesTable(indexDir).read(spark, excludeBatchId),
       batch, numHashes, bands, shingleN, thr, maxBucket)
     val bridge = near.filter(col("from_corpus"))
-      .join(readDedupLabels(spark, labelsDir)
+      .join(readDedupLabels(spark, labelsDir, excludeBatchId)
         .select(col("doc_id").as("o_id"), col("cluster")), Seq("o_id"))
       .select(col("b_id").as("a"), col("cluster").as("b"))
     val bb = near.filter(!col("from_corpus"))
       .select(col("b_id").as("a"), col("o_id").as("b"))
-    val edges = bb.union(bridge)
-    // Driver-local min-label closure for BATCH-BOUNDED pair graphs:
-    // the edge list is ∝ batch by construction (band probes emit
-    // candidates for batch docs only), yet the iterative
-    // labelPropagate pays one Spark job + checkpoint per round — for
-    // a typical ingest batch's graph of tens of edges, job overhead
-    // dominates the whole operator. Probing the bound with
-    // limit(cap + 1) keeps the collect legitimately bounded (≤ cap
-    // edge rows on the driver, never corpus rows — allowlisted with
-    // this bound), and union-find collapses all propagation rounds
-    // into one broadcast join. A graph above the cap — a huge batch —
-    // falls back to the iterative path unchanged.
-    val sample = edges.limit(DriverEdgeCap + 1).collect()
-    val assigned =
-      if (sample.length <= DriverEdgeCap) {
-        val labelOf = minLabelClosure(
-          sample.map(r => (r.getLong(0), r.getLong(1))))
-        import spark.implicits._
-        val labelDf = labelOf.toSeq.toDF("doc_id", "assigned_cluster")
-        batch.select(col("doc_id"))
-          .join(broadcast(labelDf), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("assigned_cluster"), col("doc_id")).as("cluster"))
-      } else
-        labelPropagate(edges, batch.select(col("doc_id")), maxIters,
-          "assignDedupLabels")
-    assigned.orderBy(col("doc_id"))
+    // the expensive part — band probes + Jaccard verify — executes
+    // exactly ONCE, into this checkpoint; both the bound probe below
+    // and (above the cap) labelPropagate's own edge materialization
+    // read the materialized list instead of re-running the pipeline
+    val edges = bb.union(bridge).localCheckpoint(true)
+    try {
+      // Driver-local min-label closure for BATCH-BOUNDED pair graphs:
+      // the edge list is ∝ batch by construction (band probes emit
+      // candidates for batch docs only), yet the iterative
+      // labelPropagate pays one Spark job + checkpoint per round — for
+      // a typical ingest batch's graph of tens of edges, job overhead
+      // dominates the whole operator. Probing the bound with
+      // limit(cap + 1) keeps the collect legitimately bounded (≤ cap
+      // edge rows on the driver, never corpus rows — allowlisted with
+      // this bound), and union-find collapses all propagation rounds
+      // into one broadcast join. A graph above the cap — a huge batch —
+      // falls back to the iterative path unchanged.
+      val sample = edges.limit(DriverEdgeCap + 1).collect()
+      val assigned =
+        if (sample.length <= DriverEdgeCap) {
+          val labelOf = minLabelClosure(
+            sample.map(r => (r.getLong(0), r.getLong(1))))
+          import spark.implicits._
+          val labelDf = labelOf.toSeq.toDF("doc_id", "assigned_cluster")
+          batch.select(col("doc_id"))
+            .join(broadcast(labelDf), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("assigned_cluster"), col("doc_id")).as("cluster"))
+        } else
+          labelPropagate(edges, batch.select(col("doc_id")), maxIters,
+            "assignDedupLabels")
+      assigned.orderBy(col("doc_id"))
+    } finally
+      // safe to release before the caller executes the result: the
+      // fast path's plan derives only from driver-held rows, and
+      // labelPropagate eagerly materialized its own edge checkpoint
+      // from this one during the call
+      ColumnBridge.unpersistCheckpoint(edges)
   }
 
   /** Edge-count bound for [[assignDedupLabels]]' driver-local closure:

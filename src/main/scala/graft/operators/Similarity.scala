@@ -1138,8 +1138,13 @@ object Similarity {
       // STATIC (a dynamic join-based prune would depend on runtime DPP)
       val probedCids = probes.select(col("cid")).distinct()
         .collect().map(_.getLong(0)).sorted
+      // ONE directory listing resolves the generation; the base read
+      // and the ingest union below reuse it (three separate
+      // activeEpoch calls would triple the LIST/HEAD round-trips on
+      // an object store — on the steady-state hot path)
       val ct = codesTable(dir)
-      val raw = spark.read.parquet(ct.tableDir(ct.activeEpoch(spark)))
+      val epoch = ct.activeEpoch(spark)
+      val raw = spark.read.parquet(ct.tableDir(epoch))
       // partition-column type inference may read cid back narrower than
       // long; filter in the INFERRED type (pruning survives — no cast
       // lands on the partition column), then widen for the probe join
@@ -1154,9 +1159,10 @@ object Similarity {
       // along as a plain (small) union side: their cid predicate is an
       // ordinary pushed filter rather than a listing prune — bounded
       // by the ingest volume since the last compaction, by design
+      val batchDirs = ct.ingestBatchDirs(spark, epoch)
       val index =
-        if (ct.hasIngest(spark))
-          baseIdx.unionAll(ct.readIngest(spark)
+        if (batchDirs.nonEmpty)
+          baseIdx.unionAll(ct.readBatchDirs(spark, batchDirs)
             .filter(col("cid").isin(probedCids.toSeq: _*)))
         else baseIdx
       adcRefine(index, unitIndex(corpus), probes, k, refine,

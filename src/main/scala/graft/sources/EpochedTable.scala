@@ -25,12 +25,16 @@ import org.apache.spark.sql.functions.col
   *     leftovers a later compaction removes;
   *   - cleanup only ever deletes generations STRICTLY below a
   *     committed one.
-  * Appends land in the active generation's ingest dir. The one
-  * remaining caveat is concurrent WRITES: a batch appended to
-  * generation N while N+1 is being staged is not folded in and
-  * becomes invisible when N+1 commits — quiesce ingest during
-  * compaction (the operators' scaladocs say so); crashes and
-  * concurrent READS are safe at every point.
+  * Appends land in the active generation's ingest dir. CRASHES are
+  * safe at every point. Two concurrency caveats remain, both confined
+  * to the compaction window: a batch appended to generation N while
+  * N+1 is being staged is not folded in and becomes invisible when
+  * N+1 commits; and a reader whose plan resolved generation N's file
+  * listing before the swap can hit deleted files when the cleanup
+  * loop retires N mid-scan (Spark fails such scans unless
+  * `spark.sql.files.ignoreMissingFiles` is set). Quiesce ingest AND
+  * long-running readers while compacting — the operators' scaladocs
+  * say so.
   *
   * `partitionCols` hive-partitions every GENERATION write (the codes
   * table's `cid` layout, so probes keep directory-listing pruning);
@@ -71,31 +75,48 @@ private[graft] final case class EpochedTable(dir: String, base: String,
       .maxOption.getOrElse(0)
   }
 
-  /** True when the active generation has at least one ingest batch. */
-  def hasIngest(spark: org.apache.spark.sql.SparkSession): Boolean = {
-    val ingest = new org.apache.hadoop.fs.Path(ingestDir(activeEpoch(spark)))
+  /** The active generation's COMMITTED ingest batch dirs: only
+    * subdirectories carrying the committer's `_SUCCESS` marker are
+    * visible — a batch dir torn by a crash mid-write (created, no
+    * data files) would otherwise throw schema-inference errors at
+    * every read and wedge the recovery loop that exists to rewrite
+    * it. `excludeBatch` hides one batch id: an at-least-once replay
+    * must compute against the state BEFORE its own failed attempt,
+    * not against its own leftovers (a batch self-matching its prior
+    * write changes verdicts — and a verdict-filtered re-append could
+    * then overwrite the batch dir with fewer rows than the original).
+    */
+  def ingestBatchDirs(spark: org.apache.spark.sql.SparkSession, epoch: Int,
+      excludeBatch: Option[Long] = None): Seq[String] = {
+    val ingest = new org.apache.hadoop.fs.Path(ingestDir(epoch))
     val fs = fsOf(spark)
-    fs.exists(ingest) && fs.listStatus(ingest).nonEmpty
+    if (!fs.exists(ingest)) Nil
+    else fs.listStatus(ingest).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => excludeBatch.forall(id => p.getName != s"batch-$id"))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.toString)
   }
 
-  def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+  /** True when the active generation has ≥1 COMMITTED ingest batch. */
+  def hasIngest(spark: org.apache.spark.sql.SparkSession): Boolean =
+    ingestBatchDirs(spark, activeEpoch(spark)).nonEmpty
+
+  /** Normalized read of explicit batch dirs ([[ingestBatchDirs]]). */
+  def readBatchDirs(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String]): DataFrame =
+    normalizeRead(spark.read.parquet(dirs: _*).select(columns.map(col): _*))
+
+  def read(spark: org.apache.spark.sql.SparkSession,
+      excludeBatch: Option[Long] = None): DataFrame = {
     val e = activeEpoch(spark)
     val baseDf = normalizeRead(
       spark.read.parquet(tableDir(e)).select(columns.map(col): _*))
-    val ingest = new org.apache.hadoop.fs.Path(ingestDir(e))
-    val fs = fsOf(spark)
-    if (fs.exists(ingest) && fs.listStatus(ingest).nonEmpty)
-      baseDf.unionAll(normalizeRead(
-        spark.read.parquet(s"${ingestDir(e)}/*").select(columns.map(col): _*)))
+    val batches = ingestBatchDirs(spark, e, excludeBatch)
+    if (batches.nonEmpty) baseDf.unionAll(readBatchDirs(spark, batches))
     else baseDf
   }
-
-  /** Read ONLY the active generation's ingest batches (empty-schema
-    * caller-side guard: call [[hasIngest]] first). */
-  def readIngest(spark: org.apache.spark.sql.SparkSession): DataFrame =
-    normalizeRead(spark.read
-      .parquet(s"${ingestDir(activeEpoch(spark))}/*")
-      .select(columns.map(col): _*))
 
   def appendBatch(rows: DataFrame, batchId: Long): Unit =
     rows.select(columns.map(col): _*)

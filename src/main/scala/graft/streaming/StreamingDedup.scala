@@ -106,8 +106,12 @@ object StreamingDedup {
       onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     val writer = docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // excludeBatchId: a replay recomputes against the state BEFORE
+        // its own failed attempt's leftover rows, so the reassigned
+        // labels reproduce the original run exactly
         val labels = Dedup.assignDedupLabels(indexDir, labelsDir,
-          batch.toDF(), threshold, maxBucket = maxBucket)
+          batch.toDF(), threshold, maxBucket = maxBucket,
+          excludeBatchId = Some(batchId))
         try {
           // per-batch OVERWRITE dir keyed by batchId: an at-least-once
           // replay rewrites the same rows instead of duplicating them
@@ -127,8 +131,14 @@ object StreamingDedup {
       onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     val writer = docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // excludeBatchId is load-bearing here: without it, a replayed
+        // batch self-matches its own leftover index rows, every doc
+        // verdicts exact_corpus, keptIds goes EMPTY, and the
+        // overwrite-once append would erase the original attempt's
+        // kept docs from the index
         val verdicts = Dedup
-          .dedupIncrementalIndexed(indexDir, batch.toDF(), threshold, maxBucket)
+          .dedupIncrementalIndexed(indexDir, batch.toDF(), threshold, maxBucket,
+            excludeBatchId = Some(batchId))
           .localCheckpoint(true)
         try {
           val keptIds = verdicts.filter(col("verdict") === "kept")

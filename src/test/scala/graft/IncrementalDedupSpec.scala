@@ -268,6 +268,58 @@ class IncrementalDedupSpec extends SparkSuite {
       .deleteDirectory(new java.io.File(root))
   }
 
+  test("incrementalIngest replay window: verdicts recompute pre-batch; kept docs survive the rewrite") {
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-window").toString
+    try {
+      Dedup.writeDedupIndex(docs(1L -> base), s"$root/idx")
+      // 10 is novel (kept), 11 duplicates corpus doc 1 (dropped)
+      val batch = docs(10L -> other, 11L -> base)
+      // the foreachBatch body incrementalIngest runs: probe EXCLUDING
+      // this batch's own leftovers, then append only the kept docs
+      // into the per-batch dir
+      def runBody(): Map[Long, (String, Long)] = {
+        val v = Dedup.dedupIncrementalIndexed(s"$root/idx", batch,
+          threshold = 0.3, excludeBatchId = Some(7L))
+        val kept = v.filter(col("verdict") === "kept").select(col("doc_id"))
+        Dedup.appendToDedupIndex(
+          batch.join(kept, Seq("doc_id"), "left_semi"), s"$root/idx",
+          Some(7L))
+        verdicts(v)
+      }
+      val first = runBody()
+      assert(first(10L) == ("kept", -1L) && first(11L)._1 != "kept")
+      // at-least-once window: the append committed but the micro-batch
+      // did not — the body re-runs with the SAME batchId. Without the
+      // excludeBatchId probe, doc 10 would self-match exact_corpus,
+      // keptIds would go empty, and the rewrite would ERASE doc 10
+      // from the index
+      val replay = runBody()
+      assert(replay == first, "replay verdicts diverged from the original run")
+      val probe = verdicts(Dedup.dedupIncrementalIndexed(s"$root/idx",
+        docs(20L -> other), threshold = 0.3))
+      assert(probe(20L) == ("exact_corpus", 10L),
+        "kept doc vanished from the index after the replay rewrite")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
+  test("a torn (uncommitted) ingest batch dir is invisible to probes, not a wedge") {
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-torn").toString
+    try {
+      Dedup.writeDedupIndex(docs(1L -> base), s"$root/idx")
+      // simulate a crash mid-append: the committer created the batch
+      // dir but no data files or _SUCCESS marker ever landed
+      for (t <- Seq("fp", "bands", "shingles"))
+        new java.io.File(s"$root/idx/${t}_ingest/batch-3").mkdirs()
+      // a recovery probe must still run (reading the torn dir would
+      // throw schema inference errors and wedge every retry)
+      val v = verdicts(Dedup.dedupIncrementalIndexed(s"$root/idx",
+        docs(20L -> base), threshold = 0.3))
+      assert(v(20L) == ("exact_corpus", 1L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
   test("compactDedupIndex folds batch dirs; probes unchanged; generations advance") {
     val root = java.nio.file.Files.createTempDirectory("graft-idx-compact").toString
     try {

@@ -626,6 +626,175 @@ object OracleSql {
        |  FROM (SELECT $fnvBucket AS bucket, "partition", "offset", "value"
        |        FROM records WHERE "key" IS NOT NULL)) WHERE rn = 1""".stripMargin
 
+  // ---- Pinned-HLL replay ([[graft.functions.HllSketch]]) ------------
+
+  /** `[2^0 .. 2^63]` / `[2^0 .. 2^64]` as exact HUGEINT literals
+    * (index k+1 ↔ 2^k): the bit-length probe and the exact register
+    * sum both index these instead of trusting float `pow`. */
+  private val hllPow2To63: String =
+    (0 to 63).map(k => (BigInt(1) << k).toString)
+      .mkString("[", "::HUGEINT, ", "]")
+  private val hllPow2To64: String =
+    (0 to 64).map(k => (BigInt(1) << k).toString)
+      .mkString("[", "::HUGEINT, ", "]")
+
+  /** `alpha·m²·2^64` spliced from the Scala constant so both engines
+    * divide the IDENTICAL double numerator. */
+  private val hllNumerator: String =
+    java.lang.Double.toString(graft.functions.HllSketch.RawNumerator)
+
+  /** Canonical FNV-1a 64-bit over codepoints (== UTF-8 bytes on this
+    * ASCII corpus), mirroring the fold half of
+    * [[graft.functions.HllSketch.Hash64Expr]] in HUGEINT mod-2^64
+    * arithmetic. The per-byte xor only touches the low 8 bits, so it
+    * runs in BIGINT on the split-off low byte (HUGEINT×prime stays
+    * under 2^105, inside HUGEINT range). */
+  def fnv64Of(e: String): String =
+    s"""list_reduce(
+       |  list_concat([14695981039346656037::HUGEINT],
+       |    list_transform(generate_series(1, length($e)),
+       |                   i -> unicode(substr($e, i, 1))::HUGEINT)),
+       |  (h, b) -> ((h - (h % 256) + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+       |             * 1099511628211) % 18446744073709551616)""".stripMargin
+
+  /** `xor(h, h >> 33)` on a mod-2^64 HUGEINT: the shifted operand is
+    * < 2^31, so the xor only touches the low 31 bits and runs in
+    * BIGINT on the split-off low word. */
+  private def fmixXs33(e: String): String =
+    s"($e - ($e % 2147483648) + " +
+      s"xor(($e % 2147483648)::BIGINT, ($e // 8589934592)::BIGINT)::HUGEINT)"
+
+  /** `(h * c) % 2^64` with a 64-bit constant, split so no HUGEINT
+    * intermediate exceeds 2^97: `h·c_lo + ((h mod 2^32)·c_hi mod
+    * 2^32)·2^32`, all mod 2^64. */
+  private def fmixMul(e: String, c: BigInt): String = {
+    val cLo = c & 0xffffffffL
+    val cHi = c >> 32
+    s"(($e * $cLo + (($e % 4294967296) * $cHi % 4294967296) * 4294967296) " +
+      "% 18446744073709551616)"
+  }
+
+  private val fmixC1 = BigInt(java.lang.Long.toUnsignedString(
+    graft.functions.HllSketch.FmixC1))
+  private val fmixC2 = BigInt(java.lang.Long.toUnsignedString(
+    graft.functions.HllSketch.FmixC2))
+
+  /** CTE chain `<px>h .. <px>e(grp, distinct_approx)` replaying the
+    * pinned HLL over `vals` = a subquery producing `(grp, s)`:
+    * register index = top 12 hash bits, rho = 53 when the shifted
+    * remainder is zero else nlz+1 via the power-of-two bit-length
+    * probe, register MAX over DISTINCT values (max is idempotent, so
+    * pre-distinct is free), empty registers 0, then the exact HUGEINT
+    * sum of `2^(64-rho)` and the one terminal double division —
+    * `round()`ing to BIGINT exactly as the Spark side does. */
+  def hllDistinctCtes(px: String, vals: String): String =
+    s"""${px}h0 AS (SELECT grp, ${fnv64Of("s")} AS h
+       |           FROM (SELECT DISTINCT grp, s FROM ($vals))),
+       |${px}h1 AS (SELECT grp, ${fmixXs33("h")} AS h FROM ${px}h0),
+       |${px}h2 AS (SELECT grp, ${fmixMul("h", fmixC1)} AS h FROM ${px}h1),
+       |${px}h3 AS (SELECT grp, ${fmixXs33("h")} AS h FROM ${px}h2),
+       |${px}h4 AS (SELECT grp, ${fmixMul("h", fmixC2)} AS h FROM ${px}h3),
+       |${px}h AS (SELECT grp, ${fmixXs33("h")} AS h FROM ${px}h4),
+       |${px}w AS (SELECT grp, CAST(h // 4503599627370496 AS BIGINT) AS idx,
+       |                  (h * 4096) % 18446744073709551616 AS w FROM ${px}h),
+       |${px}r AS (SELECT grp, idx,
+       |                  max(CASE WHEN w = 0 THEN 53
+       |                           ELSE 65 - len(list_filter($hllPow2To63,
+       |                                          p -> p <= w)) END) AS rho
+       |           FROM ${px}w GROUP BY grp, idx),
+       |${px}a AS (SELECT g.grp, i.idx, coalesce(r.rho, 0) AS rho
+       |           FROM (SELECT DISTINCT grp FROM ${px}h) g
+       |           CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS idx) i
+       |           LEFT JOIN ${px}r r ON r.grp = g.grp AND r.idx = i.idx),
+       |${px}s AS (SELECT grp, sum(($hllPow2To64)[65 - rho]) AS s,
+       |                  count(*) FILTER (WHERE rho = 0) AS zeros
+       |           FROM ${px}a GROUP BY grp),
+       |${px}e AS (SELECT grp,
+       |                  CAST(round(CASE
+       |                    WHEN $hllNumerator / CAST(s AS DOUBLE) <= 10240.0
+       |                         AND zeros > 0
+       |                    THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+       |                    ELSE $hllNumerator / CAST(s AS DOUBLE) END)
+       |                    AS BIGINT) AS distinct_approx
+       |           FROM ${px}s)""".stripMargin
+
+  /** Mirrors [[graft.operators.CorpusOps.sourceDistinctApprox]]: the
+    * `__all__` union row maxes the same registers the per-source rows
+    * fold, which is exactly a second grp over the same values. */
+  val sourceDistinctApprox: String = {
+    val fp = """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
+    val vals =
+      s"""SELECT source AS grp, $fp AS s FROM documents
+         |UNION ALL
+         |SELECT '__all__' AS grp, $fp AS s FROM documents""".stripMargin
+    s"""WITH ${hllDistinctCtes("hd", vals)},
+       |nd AS (SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |       FROM documents GROUP BY source
+       |       UNION ALL
+       |       SELECT '__all__', CAST(COUNT(*) AS BIGINT) FROM documents)
+       |SELECT e.grp AS source, nd.n_docs, e.distinct_approx
+       |FROM hde e JOIN nd ON nd.grp = e.grp
+       |ORDER BY source""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.TextAnalysis.vocabularySummaryApprox]]:
+    * two pinned-HLL chains (terms; doc ids via their decimal-string
+    * form) plus the exact token total over the same exploded stream. */
+  val vocabularySummaryApprox: String =
+    s"""$docCte,
+       |vex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+       |${hllDistinctCtes("vt", "SELECT 'x' AS grp, token AS s FROM vex")},
+       |${hllDistinctCtes("vd",
+          "SELECT 'x' AS grp, CAST(doc_id AS VARCHAR) AS s FROM vex")}
+       |SELECT vte.distinct_approx AS distinct_terms_approx,
+       |       vde.distinct_approx AS distinct_docs_approx,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM vex) AS total_tokens
+       |FROM vte, vde""".stripMargin
+
+  /** Mirrors [[graft.operators.EventAnalytics.valuePercentilesHistogram]]
+    * arithmetic-for-arithmetic: exact per-type min/max/count, integer
+    * bin counts over fixed widths, `ceil(p·n)` rank pick via the
+    * cumulative BIN sum, then the identical interpolation expression
+    * (only +,-,×,÷ on doubles — no transcendentals to diverge on). */
+  def valuePercentilesHistogram(ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      bins: Int = 1024): String = {
+    val psList = ps.mkString("[", ", ", "]")
+    val picks = ps.map { p =>
+      s"MAX(CASE WHEN p = $p THEN est END) AS p${(p * 100).toInt}"
+    }.mkString(",\n       ")
+    s"""WITH v AS (SELECT event_type, "value" FROM events
+       |           WHERE "value" IS NOT NULL),
+       |st AS (SELECT event_type, min("value") AS vmin, max("value") AS vmax,
+       |              COUNT(*) AS n,
+       |              (max("value") - min("value")) / ${bins.toDouble} AS width
+       |       FROM v GROUP BY event_type),
+       |b AS (SELECT v.event_type,
+       |             CASE WHEN st.width = 0.0 THEN 0
+       |                  ELSE LEAST(${bins - 1},
+       |                    CAST(floor(("value" - st.vmin) / st.width)
+       |                         AS BIGINT)) END AS bin,
+       |             COUNT(*) AS cnt
+       |      FROM v JOIN st USING (event_type) GROUP BY 1, 2),
+       |c AS (SELECT event_type, bin, cnt,
+       |             SUM(cnt) OVER (PARTITION BY event_type
+       |                            ORDER BY bin) AS cum
+       |      FROM b),
+       |h AS (SELECT c.event_type, pp.p, st.vmin, st.width, c.bin, c.cnt,
+       |             c.cum, c.cum - c.cnt AS cumb,
+       |             CAST(CEIL(CAST(st.n AS DOUBLE) * pp.p) AS BIGINT) AS t
+       |      FROM c JOIN st USING (event_type)
+       |      CROSS JOIN (SELECT unnest($psList) AS p) pp),
+       |e AS (SELECT event_type, p,
+       |             CASE WHEN width = 0.0 THEN vmin
+       |                  ELSE vmin + ((CAST(bin AS DOUBLE) +
+       |                        CAST(t - cumb AS DOUBLE) / CAST(cnt AS DOUBLE))
+       |                        * width) END AS est
+       |      FROM h WHERE cumb < t AND t <= cum)
+       |SELECT event_type,
+       |       $picks
+       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val eventWindows: String =
     """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
       |       CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

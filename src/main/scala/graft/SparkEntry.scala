@@ -74,12 +74,13 @@ object SparkEntry {
       EventAnalytics.typeTransitions(EventsAsRecords.readEvents(s, dir))),
     "q_value_percentiles" -> ((s, dir) =>
       EventAnalytics.valuePercentiles(EventsAsRecords.readEvents(s, dir))),
-    // scale variant: mergeable-sketch percentiles (no per-type global
-    // sort). No oracleSql on purpose — sketch merge order is not
-    // hash-stable across engines; the exact variant above is the
-    // oracle, and EventAnalyticsSpec brackets this one against it.
+    // scale variant: deterministic fixed-width-histogram percentiles
+    // (no per-type global sort; bins×types state regardless of input
+    // size) — pinned IEEE arithmetic, so hash-exact vs the oracle.
+    // The percentile_approx sketch remains the STREAMING twin's path
+    // (StreamingPercentiles), bracketed by its spec.
     "q_value_percentiles_approx" -> ((s, dir) =>
-      EventAnalytics.valuePercentilesApprox(EventsAsRecords.readEvents(s, dir))),
+      EventAnalytics.valuePercentilesHistogram(EventsAsRecords.readEvents(s, dir))),
     // EXACT scale variant: distributed radix select over the IEEE bit
     // key — same values as q_value_percentiles (shared oracle), no
     // per-type global sort; windowMaxRows=256 forces real refinement
@@ -246,10 +247,10 @@ object SparkEntry {
     // exact integer arithmetic (one terminal division)
     "q_token_rarity" -> ((s, dir) => TextAnalysis.tokenRarity(docs(s, dir))),
     // scale variant: HLL distinct counts (mergeable sketch, no
-    // countDistinct re-shuffle). No oracleSql on purpose — HLL
-    // register merge order is not hash-stable across engines; the
-    // driver records the rows-only check and TextAnalysisSpec brackets
-    // it against the exact counts.
+    // countDistinct re-shuffle) via graft's PINNED HLL (fnv64 +
+    // max-merged registers + exact-integer estimate sum) — order-free,
+    // so hash-exact vs the oracle; TextAnalysisSpec still brackets
+    // the estimates against the exact counts.
     "q_vocab_summary_approx" -> ((s, dir) =>
       TextAnalysis.vocabularySummaryApprox(docs(s, dir))),
     "q_length_hist" -> ((s, dir) => TextAnalysis.lengthHistogram(docs(s, dir))),
@@ -521,8 +522,9 @@ object SparkEntry {
         Dedup.readDedupLabels(s, labelsDir(s, dir)))),
     // sketch-at-rest accounting: per-source HLL distinct-fingerprint
     // sketches + a union row (mergeable — the 100 TB bookkeeping
-    // pattern). Rows-only: DataSketches internals have no SQL oracle;
-    // CorpusOpsSpec brackets estimates against exact distincts.
+    // pattern), on graft's pinned HLL so the union row and every
+    // estimate replay hash-exactly in the oracle; CorpusOpsSpec
+    // still brackets estimates against exact distincts.
     "q_source_distinct_approx" -> ((s, dir) =>
       CorpusOps.sourceDistinctApprox(docs(s, dir))),
     "q_source_overlap" -> ((s, dir) => CorpusOps.sourceOverlap(docs(s, dir))),
@@ -799,6 +801,9 @@ object SparkEntry {
       "q_event_transitions" -> OracleSql.typeTransitions,
       "q_value_percentiles" -> OracleSql.valuePercentiles(),
       "q_value_percentiles_dist" -> OracleSql.valuePercentiles(),
+      "q_value_percentiles_approx" -> OracleSql.valuePercentilesHistogram(),
+      "q_vocab_summary_approx" -> OracleSql.vocabularySummaryApprox,
+      "q_source_distinct_approx" -> OracleSql.sourceDistinctApprox,
       "q_daily_spikes" -> OracleSql.dailySpikes(),
       "q_event_gaps" -> OracleSql.interEventGaps,
       "q_rolling_value" -> OracleSql.rollingValue(),

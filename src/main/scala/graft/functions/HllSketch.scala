@@ -1,0 +1,316 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, GraftInputTypes}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
+
+/** PINNED HyperLogLog: an order-independent distinct-count sketch with
+  * a wire format any engine can replay, replacing the engine-internal
+  * sketches (`approx_count_distinct` / DataSketches `hll_sketch_agg`)
+  * the approx queries previously rode on. Those are excellent at
+  * scale but their register layout and hash are engine-private, so
+  * the driver could only rows-check them. This sketch pins every
+  * ingredient as public arithmetic:
+  *
+  *   - hash: canonical FNV-1a 64-bit over the value's UTF-8 bytes,
+  *     finished with murmur3's `fmix64` avalanche ([[Hash64Expr]],
+  *     codegen'd — the engine-portable choice: a byte fold + three
+  *     xorshift-multiply steps any SQL engine can replay in mod-2^64
+  *     arithmetic, unlike xxhash64's block/rotate structure);
+  *   - registers: `m = 2^12` buckets, index = top 12 hash bits,
+  *     rho = leading-zero count of the remaining 52 bits + 1
+  *     (capped at 53 when they are all zero);
+  *   - merge: elementwise register MAX — commutative, associative,
+  *     idempotent, so the result is IDENTICAL for every partitioning,
+  *     shuffle order, and replay (the property the engine-internal
+  *     sketches also have, here made externally checkable);
+  *   - estimate: `alpha·m²·2^64 / Σ_j 2^(64-r_j)` with the register
+  *     sum in EXACT integer arithmetic (≤ 2^76, fits decimal/HUGEINT
+  *     on both engines) and ONE terminal double division, plus the
+  *     standard small-range linear-counting correction
+  *     `m·ln(m/V)` below `2.5m` when V registers are empty.
+  *
+  * The single cross-engine float hazard is `ln` (libm vs Math.log may
+  * differ in the last ulp); estimates are therefore surfaced as
+  * `round(est)::long` — a distinct COUNT — which a 1-ulp wobble
+  * cannot move off its integer. Everything else is IEEE-exact, so
+  * the DuckDB oracle ([[graft.OracleSql]]) reproduces the estimate
+  * hash-for-hash.
+  *
+  * Scale shape: [[HllSketchAgg]] is a `TypedImperativeAggregate`
+  * whose buffer is the 4 KiB register array — map-side partials fold
+  * every input row locally and ONE buffer per group per partition
+  * crosses the wire (the `countDistinct` rewrite would exchange the
+  * full value stream). Sketches persist as plain BINARY columns and
+  * union via [[HllUnionAgg]] without rescanning the corpus — the
+  * sketch-at-rest bookkeeping pattern at 100 TB.
+  */
+object HllSketch {
+
+  /** Register-index bits: m = 4096 registers, 4 KiB per sketch. */
+  val P: Int = 12
+  val M: Int = 1 << P
+  /** Max rho: all 52 post-index bits zero → 52 leading zeros + 1. */
+  val MaxRho: Int = 64 - P + 1
+
+  /** Bias factor for m ≥ 128 (Flajolet et al., HLL 2007). */
+  val Alpha: Double = 0.7213 / (1.0 + 1.079 / M)
+
+  /** The whole numerator `alpha·m²·2^64` folded to ONE double
+    * constant, spliced verbatim into the oracle SQL so both engines
+    * divide the identical numerator by the identical sum. */
+  val RawNumerator: Double = Alpha * M * M * math.pow(2.0, 64)
+
+  /** Small-range threshold 2.5m (exact in double). */
+  val SmallRange: Double = 2.5 * M
+
+  // ---- The pinned 64-bit hash: FNV-1a 64 (canonical basis/prime —
+  // unlike graft.functions.Fnv32, the reference's quirky 32-bit
+  // variant kept for bit-compat) followed by the murmur3 `fmix64`
+  // finalizer. The finalizer is NOT optional: raw FNV-1a leaves its
+  // TOP bits badly clustered on short similar strings (measured: 5000
+  // decimal doc-id strings hit only ~170 of 4096 top-12-bit register
+  // indexes, collapsing the estimate 30×), and HLL indexes by exactly
+  // those bits. fmix64's xorshift+multiply avalanche fixes the
+  // distribution; every constant is public domain and the whole chain
+  // stays replayable in mod-2^64 SQL arithmetic.
+  val Fnv64Basis: Long = 0xcbf29ce484222325L
+  val Fnv64Prime: Long = 0x100000001b3L
+  val FmixC1: Long = 0xff51afd7ed558ccdL
+  val FmixC2: Long = 0xc4ceb9fe1a85ec53L
+
+  def fmix64(v: Long): Long = {
+    var h = v
+    h ^= h >>> 33
+    h *= FmixC1
+    h ^= h >>> 33
+    h *= FmixC2
+    h ^= h >>> 33
+    h
+  }
+
+  def hash64Bytes(bytes: Array[Byte]): Long = {
+    var h = Fnv64Basis
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * Fnv64Prime
+      i += 1
+    }
+    fmix64(h)
+  }
+
+  /** Codegen'd fmix64∘fnv1a64 over a BINARY column (strings cast
+    * first — UTF-8 bytes, which the ASCII-corpus oracle replays as
+    * codepoints). */
+  case class Hash64Expr(child: Expression) extends UnaryExpression
+    with GraftInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(v: Any): Any =
+      hash64Bytes(v.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val h = ctx.freshName("h")
+        val i = ctx.freshName("i")
+        s"""
+           |long $h = ${Fnv64Basis}L;
+           |for (int $i = 0; $i < $c.length; $i++) {
+           |  $h = ($h ^ ($c[$i] & 0xffL)) * ${Fnv64Prime}L;
+           |}
+           |$h ^= $h >>> 33;
+           |$h *= ${FmixC1}L;
+           |$h ^= $h >>> 33;
+           |$h *= ${FmixC2}L;
+           |$h ^= $h >>> 33;
+           |${ev.value} = $h;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Hash64Expr =
+      copy(child = newChild)
+  }
+
+  /** Fold one hashed value into the register array. */
+  def add(regs: Array[Byte], h: Long): Unit = {
+    val idx = (h >>> (64 - P)).toInt
+    val w = h << P
+    val rho = if (w == 0L) MaxRho else java.lang.Long.numberOfLeadingZeros(w) + 1
+    if (rho > (regs(idx) & 0xff)) regs(idx) = rho.toByte
+  }
+
+  /** Elementwise-max merge of `other` into `into`. */
+  def maxInto(into: Array[Byte], other: Array[Byte]): Unit = {
+    var j = 0
+    while (j < M) {
+      if ((other(j) & 0xff) > (into(j) & 0xff)) into(j) = other(j)
+      j += 1
+    }
+  }
+
+  /** The HLL estimate over a register array. The register sum is
+    * EXACT (BigInt; the oracle's HUGEINT) — the only doubles are the
+    * final division and the ln of the small-range branch. */
+  def estimate(regs: Array[Byte]): Double = {
+    var zeros = 0
+    var sum = BigInt(0)
+    var j = 0
+    while (j < M) {
+      val r = regs(j) & 0xff
+      if (r == 0) zeros += 1
+      sum += BigInt(1) << (64 - r)
+      j += 1
+    }
+    val raw = RawNumerator / sum.toDouble
+    if (raw <= SmallRange && zeros > 0) M * math.log(M.toDouble / zeros)
+    else raw
+  }
+
+  /** Register-array aggregate over a 64-bit-hash column. Buffer = the
+    * 4 KiB byte array; partial aggregation folds rows map-side and
+    * ships one buffer per (group × partition). Deterministic under
+    * any partitioning/replay: max-merge is order-free. */
+  case class HllSketchAgg(
+      child: Expression,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with GraftInputTypes {
+
+    override def graftInputTypes: Seq[DataType] = Seq(LongType)
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_hll_sketch"
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) add(buf, v.asInstanceOf[Long])
+      buf
+    }
+
+    override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+      maxInto(buf, other)
+      buf
+    }
+
+    override def eval(buf: Array[Byte]): Any = buf
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+    override def withNewMutableAggBufferOffset(n: Int): HllSketchAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): HllSketchAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): HllSketchAgg = copy(child = c(0))
+  }
+
+  /** Union of persisted sketches (BINARY register arrays) — the
+    * merge-at-rest half of the pattern: any source subset's distinct
+    * count comes from maxing its sketch ROWS, never a corpus rescan. */
+  case class HllUnionAgg(
+      child: Expression,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with GraftInputTypes {
+
+    override def graftInputTypes: Seq[DataType] = Seq(BinaryType)
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_hll_union"
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val other = v.asInstanceOf[Array[Byte]]
+        require(other.length == M,
+          s"graft_hll_union: sketch of ${other.length} registers, expected $M")
+        maxInto(buf, other)
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+      maxInto(buf, other)
+      buf
+    }
+
+    override def eval(buf: Array[Byte]): Any = buf
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+    override def withNewMutableAggBufferOffset(n: Int): HllUnionAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): HllUnionAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): HllUnionAgg = copy(child = c(0))
+  }
+
+  /** Estimate a BINARY register array → double (runs once per GROUP
+    * row, so CodegenFallback costs nothing measurable). Callers round
+    * to long — see the ln caveat in the object scaladoc. */
+  case class HllEstimateExpr(child: Expression) extends UnaryExpression
+    with GraftInputTypes with CodegenFallback {
+    override def graftInputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(v: Any): Any = {
+      val regs = v.asInstanceOf[Array[Byte]]
+      require(regs.length == M,
+        s"graft_hll_estimate: sketch of ${regs.length} registers, expected $M")
+      estimate(regs)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): HllEstimateExpr =
+      copy(child = newChild)
+  }
+
+  // ---- Column surface -------------------------------------------------
+
+  /** fmix64∘fnv64 of a column's bytes (strings hash their UTF-8
+    * bytes). */
+  def hash64(c: Column): Column =
+    ColumnBridge.column(Hash64Expr(ColumnBridge.catalystExpression(c.cast("binary"))))
+
+  /** Sketch-build aggregate over any column (hashed via [[hash64]];
+    * non-string inputs should be cast to their canonical string form
+    * first so the oracle can replay the bytes).
+    *
+    * PERF: prefer hashing in a PROJECTION and aggregating the long
+    * with [[hllSketchOfHash]] — an aggregate child evaluates
+    * interpreted inside the update loop, a projected [[hash64]] runs
+    * in whole-stage codegen (measured ~1.7× on the md5-fingerprint
+    * query). This convenience form is for small inputs. */
+  def hllSketch(c: Column): Column = hllSketchOfHash(hash64(c))
+
+  /** Sketch-build aggregate over an ALREADY-[[hash64]]-ed long
+    * column — the hot-path form: keep the hash in the codegen'd
+    * projection, leave the aggregate child a bound reference. */
+  def hllSketchOfHash(c: Column): Column =
+    ColumnBridge.column(
+      HllSketchAgg(ColumnBridge.catalystExpression(c))
+        .toAggregateExpression())
+
+  /** Union aggregate over persisted sketch rows. */
+  def hllUnion(c: Column): Column =
+    ColumnBridge.column(
+      HllUnionAgg(ColumnBridge.catalystExpression(c)).toAggregateExpression())
+
+  /** Rounded distinct-count estimate of a sketch column. */
+  def hllDistinct(c: Column): Column = {
+    import org.apache.spark.sql.functions.round
+    round(ColumnBridge.column(
+      HllEstimateExpr(ColumnBridge.catalystExpression(c)))).cast("long")
+  }
+}

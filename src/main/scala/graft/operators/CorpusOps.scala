@@ -907,32 +907,40 @@ object CorpusOps {
     * sketches — the sketch-at-rest pattern for corpus bookkeeping at
     * 100 TB: each source's distinct-fingerprint sketch is a few KB
     * that merges associatively, so the global distinct count (and any
-    * source-subset's) comes from `hll_union_agg` over the per-source
+    * source-subset's) comes from a union aggregate over the per-source
     * SKETCH ROWS, never a second corpus scan — this is what an exact
     * `countDistinct` can never do (its per-value shuffle re-runs on
     * every grouping change). Output: one row per source with the
     * sketch estimate plus a `__all__` row whose estimate comes from
     * the union of the per-source sketches (the in-plan proof of
     * mergeability; the per-source aggregate is stage-reused, not
-    * rescanned — the sketch column feeds both consumers). Estimates
-    * are deterministic for a fixed lgK but DataSketches-internal, so
-    * no SQL oracle — TextAnalysisSpec-style bracketing against exact
-    * distincts lives in CorpusOpsSpec (driver records rows-only).
+    * rescanned — the sketch column feeds both consumers).
+    *
+    * The sketch is [[graft.functions.HllSketch]], graft's PINNED HLL
+    * (fnv64 hash, 4096 registers, exact-integer estimate sum) rather
+    * than the engine-internal DataSketches `hll_sketch_agg` — same
+    * merge algebra and scale shape, but every register is public
+    * arithmetic, so the DuckDB oracle replays the estimates
+    * hash-exactly (the estimate column is a rounded long; see the
+    * sketch scaladoc for the one ln-ulp caveat that rounding absorbs).
     */
-  def sourceDistinctApprox(docs: DataFrame, lgK: Int = 12): DataFrame = {
+  def sourceDistinctApprox(docs: DataFrame): DataFrame = {
+    import graft.functions.HllSketch.{hash64, hllDistinct, hllSketchOfHash, hllUnion}
     val sk = docs
       .select(col("source"),
-        graft.functions.TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        // md5 + fnv64 + fmix64 all inside whole-stage codegen; the
+        // aggregate folds a plain long
+        hash64(graft.functions.TextFunctions.fingerprintMd5(col("text")))
+          .as("fph"))
       .groupBy(col("source"))
-      .agg(hll_sketch_agg(col("fp"), lit(lgK)).as("sketch"),
+      .agg(hllSketchOfHash(col("fph")).as("sketch"),
         count(lit(1)).as("n_docs"))
     val anchored = sk.filter(graft.functions.Barrier.reuseAnchor(col("n_docs")))
     val per = sk.select(col("source"), col("n_docs"),
-      hll_sketch_estimate(col("sketch")).as("distinct_approx"))
+      hllDistinct(col("sketch")).as("distinct_approx"))
     val all = anchored
       .agg(sum(col("n_docs")).as("n_docs"),
-        hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
-          .as("distinct_approx"))
+        hllDistinct(hllUnion(col("sketch"))).as("distinct_approx"))
       .select(lit("__all__").as("source"), col("n_docs"),
         col("distinct_approx"))
     per.unionAll(all).orderBy(col("source"))

@@ -301,6 +301,70 @@ object EventAnalytics {
         element_at(col("qs"), i + 1).as(s"p${(p * 100).toInt}") }: _*)
   }
 
+  /** Deterministic approximate percentiles via a FIXED-WIDTH
+    * histogram — the oracle-checkable scale variant of
+    * [[valuePercentiles]] (the `percentile_approx` sketch above stays
+    * for streaming, where this two-pass shape is illegal; its
+    * KLL-style merge order is engine-internal, whereas every number
+    * here is pinned IEEE arithmetic the DuckDB oracle replays
+    * hash-exactly):
+    *
+    *   pass 1  per-type `min/max/count` (exact);
+    *   pass 2  bin counts over `bins` equal widths (integers);
+    *   pick    the bin holding ordered position `ceil(p·n)` (same
+    *           rank convention as the exact variant) via a cumulative
+    *           sum over the BIN table, then linear interpolation
+    *           inside it: `vmin + (bin + (t - cum_before)/cnt)·width`.
+    *
+    * Value error is bounded by one bin width `(max-min)/bins` —
+    * unlike the sketch there is NO rank-error guarantee under heavy
+    * in-bin skew, which is the price of determinism; widen `bins` to
+    * tighten. SCALE: two scans, then state that is `bins × types`
+    * rows REGARDLESS of input size — the cumulative window sorts
+    * bins, not values, so a hot type costs one 1024-row task, never a
+    * per-type value sort; both scans' aggregates are map-side-partial.
+    * All arithmetic is division/multiply/add on doubles (each IEEE-
+    * correctly-rounded, no transcendentals), so engines agree bitwise.
+    */
+  def valuePercentilesHistogram(events: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99), bins: Int = 1024): DataFrame = {
+    val vals = events.select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val stats = vals.groupBy(col("event_type"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        count(lit(1)).as("n"))
+      .withColumn("width", (col("vmax") - col("vmin")) / lit(bins.toDouble))
+    // per-type scalars: broadcast both consumers (bin pass + pick)
+    val statsB = broadcast(stats)
+    val binned = vals.join(statsB, Seq("event_type"))
+      .withColumn("bin",
+        when(col("width") === 0.0, lit(0L))
+          .otherwise(least(lit((bins - 1).toLong),
+            floor((col("value") - col("vmin")) / col("width")))))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val cum = binned
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("cumb", col("cum") - col("cnt"))
+      .join(statsB, Seq("event_type"))
+    val frac = (col("t") - col("cumb")).cast("double") / col("cnt").cast("double")
+    val hits = cum
+      .withColumn("p", explode(typedLit(ps)))
+      .withColumn("t", ceil(col("n") * col("p")))
+      .filter(col("cumb") < col("t") && col("t") <= col("cum"))
+      .withColumn("est",
+        when(col("width") === 0.0, col("vmin"))
+          .otherwise(col("vmin") +
+            ((col("bin").cast("double") + frac) * col("width"))))
+    val picks = ps.map { p =>
+      max(when(col("p") === p, col("est"))).as(s"p${(p * 100).toInt}")
+    }
+    hits.groupBy(col("event_type"))
+      .agg(picks.head, picks.tail: _*)
+      .orderBy(col("event_type"))
+  }
+
   /** Daily volume-spike detection per event type: a day is a spike
     * when its count exceeds `factor`× the mean of the trailing
     * `window` OBSERVED days (a ROWS frame over the per-day aggregate —

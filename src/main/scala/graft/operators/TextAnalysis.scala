@@ -145,23 +145,32 @@ object TextAnalysis {
   }
 
   /** Corpus vocabulary summary via MERGEABLE sketches — the 100 TB
-    * scale companion to [[vocabulary]]'s exact top-k: HyperLogLog++
-    * (`approx_count_distinct`) for distinct terms and distinct
-    * documents, plus exact token totals, in ONE pass with no
-    * `countDistinct` re-shuffle (exact distinct counting rewrites
-    * into a two-phase aggregate whose first phase keys on the VALUE —
-    * a full extra exchange of the exploded token stream; an HLL
-    * register set is a few KB per partition and merges
-    * associatively). `rsd` is the standard-error knob (2.5% default).
-    * No SQL oracle on purpose: HLL register merge order is not
-    * hash-stable across engines — `TextAnalysisSpec` brackets it
-    * against the exact counts instead.
+    * scale companion to [[vocabulary]]'s exact top-k: HLL registers
+    * for distinct terms and distinct documents, plus exact token
+    * totals, in ONE pass with no `countDistinct` re-shuffle (exact
+    * distinct counting rewrites into a two-phase aggregate whose
+    * first phase keys on the VALUE — a full extra exchange of the
+    * exploded token stream; an HLL register set is 4 KiB per
+    * partition and merges associatively). The sketch is
+    * [[graft.functions.HllSketch]] — graft's pinned HLL rather than
+    * `approx_count_distinct` — identical scale shape, but the
+    * registers are public fnv64 arithmetic, so the DuckDB oracle
+    * replays both estimates hash-exactly (~1.6% standard error at
+    * m = 4096; `TextAnalysisSpec` still brackets against the exact
+    * counts). `doc_id` hashes its canonical decimal-string form so
+    * the oracle folds the same bytes.
     */
-  def vocabularySummaryApprox(docs: DataFrame, rsd: Double = 0.025): DataFrame =
+  def vocabularySummaryApprox(docs: DataFrame): DataFrame = {
+    import graft.functions.HllSketch.{hash64, hllDistinct, hllSketchOfHash}
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .agg(approx_count_distinct(col("token"), rsd).as("distinct_terms_approx"),
-        approx_count_distinct(col("doc_id"), rsd).as("distinct_docs_approx"),
+      // both hashes in the codegen'd post-explode projection
+      .select(hash64(col("token")).as("th"),
+        hash64(col("doc_id").cast("string")).as("dh"))
+      .agg(
+        hllDistinct(hllSketchOfHash(col("th"))).as("distinct_terms_approx"),
+        hllDistinct(hllSketchOfHash(col("dh"))).as("distinct_docs_approx"),
         count(lit(1)).as("total_tokens"))
+  }
 
   /** Document length histogram: n_chars bucketed by `bucket`. */
   def lengthHistogram(docs: DataFrame, bucket: Int = 50): DataFrame =

@@ -697,13 +697,14 @@ class CorpusOpsSpec extends SparkSuite {
     val r = rowsOf(graft.operators.CorpusOps.sourceDistinctApprox(d))
     val union = r.find(_("source") == "__all__").get("distinct_approx")
       .asInstanceOf[Long]
-    // direct single-sketch estimate over the same fingerprints
+    // direct single-sketch estimate over the same fingerprints — the
+    // union of per-source register maxes must equal sketching the
+    // whole corpus in one aggregate (max is associative)
     val direct = rowsOf(d.select(graft.functions.TextFunctions
         .fingerprintMd5(org.apache.spark.sql.functions.col("text")).as("fp"))
-      .agg(org.apache.spark.sql.functions.hll_sketch_estimate(
-        org.apache.spark.sql.functions.hll_sketch_agg(
-          org.apache.spark.sql.functions.col("fp"),
-          org.apache.spark.sql.functions.lit(12))).as("e")))
+      .agg(graft.functions.HllSketch.hllDistinct(
+        graft.functions.HllSketch.hllSketch(
+          org.apache.spark.sql.functions.col("fp"))).as("e")))
       .head("e").asInstanceOf[Long]
     assert(union == 17L && direct == 17L,
       s"union=$union direct=$direct")

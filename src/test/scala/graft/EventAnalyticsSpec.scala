@@ -51,6 +51,58 @@ class EventAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("histogram percentiles land within one bin width of the exact values") {
+    // the deterministic variant's contract is VALUE error ≤ one bin
+    // width (the rank-t bin is exactly the bin the true order
+    // statistic lives in), NOT the sketch's rank-error bound — in-bin
+    // skew can push the interpolation anywhere inside the bin
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val ev = graft.sources.EventsAsRecords
+        .readEvents(spark, "/root/testdata/sf0.01")
+      val ps = Seq(0.5, 0.9, 0.99)
+      val bins = 1024
+      val got = EventAnalytics.valuePercentilesHistogram(ev, ps, bins)
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      val exact = EventAnalytics.valuePercentiles(ev, ps)
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      val widths = ev.filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(((max(col("value")) - min(col("value"))) / bins).as("w"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got.nonEmpty && got.keySet == exact.keySet)
+      got.foreach { case (t, vals) =>
+        ps.indices.foreach { i =>
+          val a = vals(i).asInstanceOf[Double]
+          val e = exact(t)(i).asInstanceOf[Double]
+          assert(math.abs(a - e) <= widths(t) + 1e-9,
+            s"$t p${(ps(i) * 100).toInt}: hist=$a exact=$e width=${widths(t)}")
+        }
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("histogram percentiles: degenerate and skewed types stay in-contract") {
+    // one type with all-equal values (width 0 → every percentile is
+    // that value) and one with extreme in-bin skew
+    val rows = (0 until 50).map(i => (i.toLong, 1000L * i, 1L, "flat", 7.5)) ++
+      (0 until 100).map(i => (100L + i, 1000L * i, 2L, "skew",
+        if (i < 99) 0.99 else 1024.0))
+    val df = events(rows: _*)
+    val r = rowsOf(EventAnalytics.valuePercentilesHistogram(df))
+      .map(m => m("event_type") -> m).toMap
+    assert(r("flat")("p50") == 7.5 && r("flat")("p99") == 7.5)
+    val width = (1024.0 - 0.99) / 1024
+    val skew50 = r("skew")("p50").asInstanceOf[Double]
+    // exact p50 is 0.99; the histogram answer must be in p50's bin
+    assert(math.abs(skew50 - 0.99) <= width + 1e-9, s"skew p50=$skew50")
+  }
+
   test("sessionize invariants on random streams: events partition into sessions") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 300).map { i =>

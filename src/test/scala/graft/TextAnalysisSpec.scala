@@ -162,7 +162,8 @@ class TextAnalysisSpec extends SparkSuite {
       .agg(countDistinct(col("token")).as("terms"),
         countDistinct(col("doc_id")).as("docs"),
         count(lit(1)).as("tokens")).collect()(0)
-    // HLL++ at rsd=0.025: allow 4 standard errors (~1e-4 flake odds)
+    // pinned HLL at m=4096 (~1.6% standard error): allow ~6 standard
+    // errors — deterministic, so this cannot flake, only break loudly
     def within(a: Long, e: Long) = math.abs(a - e) <= (e * 0.1).max(4)
     assert(within(approx("distinct_terms_approx").asInstanceOf[Long], ex.getLong(0)),
       s"terms approx=${approx("distinct_terms_approx")} exact=${ex.getLong(0)}")

@@ -527,6 +527,15 @@ object SparkEntry {
     // still brackets estimates against exact distincts.
     "q_source_distinct_approx" -> ((s, dir) =>
       CorpusOps.sourceDistinctApprox(docs(s, dir))),
+    // the write-once/derive-many twin: dashboard off the PERSISTED
+    // sketch table (~sources rows), zero corpus scans — registers are
+    // deterministic, so it shares the recompute's oracle hash-exactly
+    "q_source_distinct_indexed" -> ((s, dir) => {
+      val sk = ensureBuilt("distsk", dir)(d =>
+        CorpusOps.writeDistinctSketches(docs(s, dir), d))
+      CorpusOps.sourceDistinctFromSketches(
+        CorpusOps.readDistinctSketches(s, sk))
+    }),
     "q_source_overlap" -> ((s, dir) => CorpusOps.sourceOverlap(docs(s, dir))),
     // snapshot diff against a deterministic synthetic "next crawl"
     "q_corpus_diff" -> ((s, dir) => {
@@ -804,6 +813,7 @@ object SparkEntry {
       "q_value_percentiles_approx" -> OracleSql.valuePercentilesHistogram(),
       "q_vocab_summary_approx" -> OracleSql.vocabularySummaryApprox,
       "q_source_distinct_approx" -> OracleSql.sourceDistinctApprox,
+      "q_source_distinct_indexed" -> OracleSql.sourceDistinctApprox,
       "q_daily_spikes" -> OracleSql.dailySpikes(),
       "q_event_gaps" -> OracleSql.interEventGaps,
       "q_rolling_value" -> OracleSql.rollingValue(),

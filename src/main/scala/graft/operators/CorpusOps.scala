@@ -924,17 +924,25 @@ object CorpusOps {
     * hash-exactly (the estimate column is a rounded long; see the
     * sketch scaladoc for the one ln-ulp caveat that rounding absorbs).
     */
-  def sourceDistinctApprox(docs: DataFrame): DataFrame = {
-    import graft.functions.HllSketch.{hash64, hllDistinct, hllSketchOfHash, hllUnion}
-    val sk = docs
+  def sourceDistinctApprox(docs: DataFrame): DataFrame =
+    distinctDashboard(distinctSketchFrame(docs))
+
+  /** The per-source sketch aggregate: md5 + fnv64 + fmix64 all inside
+    * whole-stage codegen, the aggregate folding a plain long. */
+  private def distinctSketchFrame(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"),
-        // md5 + fnv64 + fmix64 all inside whole-stage codegen; the
-        // aggregate folds a plain long
-        hash64(graft.functions.TextFunctions.fingerprintMd5(col("text")))
+        graft.functions.HllSketch.hash64(
+          graft.functions.TextFunctions.fingerprintMd5(col("text")))
           .as("fph"))
       .groupBy(col("source"))
-      .agg(hllSketchOfHash(col("fph")).as("sketch"),
+      .agg(graft.functions.HllSketch.hllSketchOfHash(col("fph")).as("sketch"),
         count(lit(1)).as("n_docs"))
+
+  /** Per-source estimates + the `__all__` union row off a sketch
+    * frame (inline aggregate or persisted table — same dashboard). */
+  private def distinctDashboard(sk: DataFrame): DataFrame = {
+    import graft.functions.HllSketch.{hllDistinct, hllUnion}
     val anchored = sk.filter(graft.functions.Barrier.reuseAnchor(col("n_docs")))
     val per = sk.select(col("source"), col("n_docs"),
       hllDistinct(col("sketch")).as("distinct_approx"))
@@ -945,6 +953,26 @@ object CorpusOps {
         col("distinct_approx"))
     per.unionAll(all).orderBy(col("source"))
   }
+
+  /** Persist the per-source sketch table `(source, sketch, n_docs)` —
+    * the write-once half of sketch-at-rest: ONE corpus scan ever, a
+    * few KiB per source at rest. Derived accounting then reads
+    * [[sourceDistinctFromSketches]] — and because the registers are
+    * deterministic (max-merge, pinned hash), the derived dashboard is
+    * HASH-IDENTICAL to the inline recompute, so both share one
+    * oracle. At 100 TB this is the difference between re-hashing the
+    * corpus per dashboard refresh and scanning ~sources rows. */
+  def writeDistinctSketches(docs: DataFrame, dir: String): Unit =
+    distinctSketchFrame(docs).write.mode("overwrite").parquet(dir)
+
+  def readDistinctSketches(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** The distinct-count dashboard derived from PERSISTED sketch rows —
+    * zero corpus scans, zero hashing. */
+  def sourceDistinctFromSketches(sk: DataFrame): DataFrame =
+    distinctDashboard(sk)
 
   /** One-row corpus health report — the dashboard aggregate a
     * curation pipeline alarms on, composing the engine's own audits:

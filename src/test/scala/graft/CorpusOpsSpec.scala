@@ -710,6 +710,25 @@ class CorpusOpsSpec extends SparkSuite {
       s"union=$union direct=$direct")
   }
 
+  test("distinct dashboard off persisted sketches equals the inline recompute") {
+    val d = docs((1L to 60L).map(i =>
+      (i, s"body ${i % 23} of source", "en", s"s${i % 4}")): _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-distsk-spec").toString
+    try {
+      graft.operators.CorpusOps.writeDistinctSketches(d, dir)
+      val fromDisk = rowsOf(graft.operators.CorpusOps
+        .sourceDistinctFromSketches(
+          graft.operators.CorpusOps.readDistinctSketches(spark, dir)))
+      val inline = rowsOf(graft.operators.CorpusOps.sourceDistinctApprox(d))
+      // not just close — IDENTICAL: registers are deterministic, so
+      // persist→read→derive must reproduce the inline rows exactly
+      assert(fromDisk == inline)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("corpusHealth equals exact aggregates of its component audits") {
     val d = docs(
       (0L, "alpha beta gamma delta epsilon zeta", "en", "s0"),

@@ -954,6 +954,10 @@ object CorpusOps {
     per.unionAll(all).orderBy(col("source"))
   }
 
+  private def sketchesTable(dir: String): graft.sources.EpochedTable =
+    graft.sources.EpochedTable(dir, "sketches",
+      Seq("source", "sketch", "n_docs"))
+
   /** Persist the per-source sketch table `(source, sketch, n_docs)` —
     * the write-once half of sketch-at-rest: ONE corpus scan ever, a
     * few KiB per source at rest. Derived accounting then reads
@@ -961,18 +965,47 @@ object CorpusOps {
     * deterministic (max-merge, pinned hash), the derived dashboard is
     * HASH-IDENTICAL to the inline recompute, so both share one
     * oracle. At 100 TB this is the difference between re-hashing the
-    * corpus per dashboard refresh and scanning ~sources rows. */
+    * corpus per dashboard refresh and scanning ~sources rows. Storage
+    * follows the [[graft.sources.EpochedTable]] discipline shared with
+    * the label / dedup-index / PQ-codes tables (generation swap,
+    * `_SUCCESS`-gated reads, overwrite-once ingest batches). */
   def writeDistinctSketches(docs: DataFrame, dir: String): Unit =
-    distinctSketchFrame(docs).write.mode("overwrite").parquet(dir)
+    sketchesTable(dir).replaceWith(distinctSketchFrame(docs))
 
   def readDistinctSketches(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    spark.read.parquet(dir)
+    sketchesTable(dir).read(spark)
+
+  /** Append one ingest batch's per-source sketch rows — the grow step
+    * of [[graft.streaming.StreamingSketches.sketchIngest]]. Replay
+    * safety is layered: the REGISTERS are algebraically idempotent
+    * (an at-least-once replay max-merges the same rho values — a
+    * duplicate can never move a max), and `n_docs` — a sum, which
+    * replays CAN double — rides the overwrite-once `batch-<id>` dir,
+    * so the rewrite replaces rather than adds. */
+  def appendDistinctSketches(batch: DataFrame, dir: String,
+      batchId: Long): Unit =
+    sketchesTable(dir).appendBatch(distinctSketchFrame(batch), batchId)
+
+  /** Fold ingest batches into one row per source (file-count hygiene
+    * after a long ingest run; estimates unchanged — union is exact on
+    * registers). Generation-swap semantics as everywhere: quiesce
+    * ingest while compacting. */
+  def compactDistinctSketches(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    sketchesTable(dir).compact(spark, mergeSketchRows)
 
   /** The distinct-count dashboard derived from PERSISTED sketch rows —
-    * zero corpus scans, zero hashing. */
+    * zero corpus scans, zero hashing. Tolerates multiple rows per
+    * source (base + ingest batches): rows union-merge per source
+    * first, a ~sources-row aggregate. */
   def sourceDistinctFromSketches(sk: DataFrame): DataFrame =
-    distinctDashboard(sk)
+    distinctDashboard(mergeSketchRows(sk))
+
+  private def mergeSketchRows(sk: DataFrame): DataFrame =
+    sk.groupBy(col("source"))
+      .agg(graft.functions.HllSketch.hllUnion(col("sketch")).as("sketch"),
+        sum(col("n_docs")).cast("long").as("n_docs"))
 
   /** One-row corpus health report — the dashboard aggregate a
     * curation pipeline alarms on, composing the engine's own audits:

@@ -755,6 +755,45 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
     assert(streamed.values.map(_.asInstanceOf[Long]).sum == 4L)
   }
+
+  test("streaming sketch ingest: dashboard == batch recompute; replay and compaction are no-ops") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-sk-ing").toString
+    val C = graft.operators.CorpusOps
+    try {
+      val all = (1 to 40).map(i =>
+        (i.toLong, s"text body ${i % 13}", s"s${i % 3}"))
+      val (b1, b2) = all.splitAt(25)
+      // base table from the first tranche, streamed growth for the rest
+      C.writeDistinctSketches(
+        b1.toDF("doc_id", "text", "source"), s"$root/sk")
+      val mem = MemoryStream[(Long, String, String)]
+      val docs = mem.toDF().toDF("doc_id", "text", "source")
+      val q = graft.streaming.StreamingSketches.sketchIngest(docs, s"$root/sk")()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      def dash() = rowsOf(C.sourceDistinctFromSketches(
+        C.readDistinctSketches(spark, s"$root/sk")))
+      val grown = dash()
+      val batch = rowsOf(C.sourceDistinctApprox(
+        all.toDF("doc_id", "text", "source")))
+      // union-of-partials == whole: not just close, IDENTICAL rows
+      assert(grown == batch && grown.nonEmpty)
+      // at-least-once replay, verbatim: registers are max-idempotent
+      // and n_docs rides the overwrite-once batch dir — no movement
+      C.appendDistinctSketches(
+        b2.toDF("doc_id", "text", "source"), s"$root/sk", batchId = 0L)
+      assert(dash() == grown)
+      // compaction folds to one row per source without moving a number
+      C.compactDistinctSketches(spark, s"$root/sk")
+      assert(dash() == grown)
+      assert(C.readDistinctSketches(spark, s"$root/sk").count() == 3L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
 }
 
 

@@ -928,7 +928,12 @@ object CorpusOps {
     distinctDashboard(distinctSketchFrame(docs))
 
   /** The per-source sketch aggregate: md5 + fnv64 + fmix64 all inside
-    * whole-stage codegen, the aggregate folding a plain long. */
+    * whole-stage codegen, the aggregate folding a plain long.
+    * Declaration order (count BEFORE sketch) is load-bearing: the
+    * dashboard's per-source branch collapses its select into the
+    * aggregate with the count first, and AQE only stage-reuses the
+    * union branch's exchange when both partial aggregates canonicalize
+    * IDENTICAL — function order included (plan-pinned). */
   private def distinctSketchFrame(docs: DataFrame): DataFrame =
     docs
       .select(col("source"),
@@ -936,8 +941,8 @@ object CorpusOps {
           graft.functions.TextFunctions.fingerprintMd5(col("text")))
           .as("fph"))
       .groupBy(col("source"))
-      .agg(graft.functions.HllSketch.hllSketchOfHash(col("fph")).as("sketch"),
-        count(lit(1)).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.HllSketch.hllSketchOfHash(col("fph")).as("sketch"))
 
   /** Per-source estimates + the `__all__` union row off a sketch
     * frame (inline aggregate or persisted table — same dashboard). */

@@ -292,6 +292,63 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("sourceDistinctApprox: per-source and union rows share the sketch exchange at runtime") {
+    // the dashboard's two consumers (per-source estimates, __all__
+    // union) both hang off the same sketch aggregate; the static plan
+    // prints two scan+aggregate subtrees, and the reuseAnchor exists
+    // precisely so they canonicalize identical and AQE stage-reuses
+    // them — the corpus is md5+fnv64-hashed ONCE. Execute to prove it.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.CorpusOps.sourceDistinctApprox(docs)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("isFinalPlan=true"), executed.take(500))
+    assert(executed.contains("ReusedExchange"),
+      s"dashboard consumers no longer share the sketch exchange:\n${executed.take(3000)}")
+  }
+
+  test("vocabularySummaryApprox: one aggregate pair, one exchange, hashes in the projection") {
+    // the whole summary is a single partial→final aggregate over the
+    // exploded token stream: ONE exchange of two 4 KiB sketches + a
+    // count per partition — never a countDistinct value exchange. The
+    // two hash64 columns must sit in the pre-aggregate projection
+    // (codegen), not inside the aggregate expressions (interpreted).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.TextAnalysis.vocabularySummaryApprox(docs)
+    val p = plan(df)
+    val exchanges = raw"\(\d+\) Exchange\b".r.findAllIn(p).length
+    assert(exchanges == 1, s"vocab summary grew exchanges ($exchanges):\n$p")
+    assert(!p.contains("windowspecdefinition"), s"unexpected window:\n$p")
+  }
+
+  test("histogram percentiles: broadcast stats joins, window only over the bin table") {
+    // two scans are the algorithm; what must NOT appear is a shuffle
+    // of the event stream for the stats join (broadcast both times)
+    // or a value-ordered window (the cumulative sum orders BINS)
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val ev = graft.sources.EventsAsRecords
+        .readEvents(spark, "/root/testdata/sf0.001")
+      val df = graft.operators.EventAnalytics.valuePercentilesHistogram(ev)
+      val p = plan(df)
+      val windows = raw"\(\d+\) Window\b".r.findAllIn(p).length
+      assert(windows == 1, s"histogram grew windows ($windows):\n$p")
+      assert(!p.contains("windowspecdefinition(event_type#") ||
+        p.contains("bin"), s"window lost its bin ordering:\n$p")
+      df.collect()
+      val executed = executedFinal(df)
+      assert(executed.contains("BroadcastHashJoin"),
+        s"stats join stopped broadcasting:\n${executed.take(3000)}")
+      assert(!executed.contains("SortMergeJoin"),
+        s"a stats join regressed to SMJ:\n${executed.take(3000)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("tpch q3 pushes filters, broadcasts the customer dim, top-ks without a global sort") {
     val q3 = graft.operators.Relational.shippingPriority(
       spark.read.parquet("/root/testdata/sf0.001/customer.parquet"),

@@ -77,10 +77,13 @@ private[graft] final case class EpochedTable(dir: String, base: String,
 
   /** The active generation's COMMITTED ingest batch dirs: only
     * subdirectories carrying the committer's `_SUCCESS` marker are
-    * visible — a batch dir torn by a crash mid-write (created, no
-    * data files) would otherwise throw schema-inference errors at
-    * every read and wedge the recovery loop that exists to rewrite
-    * it. `excludeBatch` hides one batch id: an at-least-once replay
+    * visible, and only when they hold at least one DATA file — a
+    * batch dir torn by a crash mid-write (created, no data files) or
+    * committed EMPTY (a no-data micro-batch's overwrite: no task ever
+    * opens a writer, so `_SUCCESS` lands with zero part files) would
+    * otherwise throw schema-inference errors at every read and wedge
+    * the recovery loop that exists to rewrite it.
+    * `excludeBatch` hides one batch id: an at-least-once replay
     * must compute against the state BEFORE its own failed attempt,
     * not against its own leftovers (a batch self-matching its prior
     * write changes verdicts — and a verdict-filtered re-append could
@@ -95,7 +98,13 @@ private[graft] final case class EpochedTable(dir: String, base: String,
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter(p => excludeBatch.forall(id => p.getName != s"batch-$id"))
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .filter { p =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) &&
+          fs.listStatus(p).exists { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+      }
       .map(_.toString)
   }
 

@@ -320,6 +320,30 @@ class IncrementalDedupSpec extends SparkSuite {
       .deleteDirectory(new java.io.File(root))
   }
 
+  test("a committed-but-EMPTY ingest batch dir is invisible, not a wedge") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-empty-b").toString
+    try {
+      Dedup.writeDedupLabels(docs(1L -> base), s"$root/lbl")
+      // a genuinely empty micro-batch append: whatever files Spark
+      // does or does not produce, later reads must survive it
+      Dedup.appendDedupLabels(
+        Seq.empty[(Long, Long)].toDF("doc_id", "cluster"),
+        s"$root/lbl", batchId = 7L)
+      // and the worst-case simulation: _SUCCESS with zero part files
+      // (no task opened a writer) — schema inference has nothing to
+      // read there, so the dir must be skipped, not scanned
+      val b8 = new java.io.File(s"$root/lbl/ingest/batch-8")
+      assert(b8.mkdirs())
+      assert(new java.io.File(b8, "_SUCCESS").createNewFile())
+      val all = rowsOf(Dedup.readDedupLabels(spark, s"$root/lbl"))
+        .map(r => (r("doc_id"), r("cluster")))
+      assert(all == Seq((1L, 1L)), s"unexpected rows: $all")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
   test("compactDedupIndex folds batch dirs; probes unchanged; generations advance") {
     val root = java.nio.file.Files.createTempDirectory("graft-idx-compact").toString
     try {

@@ -751,6 +751,23 @@ object OracleSql {
        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM vex) AS total_tokens
        |FROM vte, vde""".stripMargin
 
+  /** Mirrors [[graft.operators.TopicMetrics.keyCardinalityApprox]]:
+    * the pinned-HLL chain over non-null keys grouped by partition
+    * (keys are ASCII decimal strings — VARCHAR here, BinaryType
+    * UTF-8 on the engine side, same bytes). */
+  def keyCardinalityApprox(recordsCte: String): String =
+    s"""$recordsCte,
+       |${hllDistinctCtes("kc",
+        """SELECT "partition" AS grp, "key" AS s FROM records
+          |WHERE "key" IS NOT NULL""".stripMargin)},
+       |kn AS (SELECT "partition" AS grp,
+       |              CAST(COUNT("key") AS BIGINT) AS n_keyed_records
+       |       FROM records GROUP BY 1)
+       |SELECT e.grp AS "partition", e.distinct_approx AS n_keys_approx,
+       |       kn.n_keyed_records
+       |FROM kce e JOIN kn ON kn.grp = e.grp
+       |ORDER BY "partition"""".stripMargin
+
   /** Mirrors [[graft.operators.EventAnalytics.valuePercentilesHistogram]]
     * arithmetic-for-arithmetic: exact per-type min/max/count, integer
     * bin counts over fixed widths, `ceil(p·n)` rank pick via the

@@ -47,6 +47,11 @@ object SparkEntry {
     // exact distinct-key cardinality per partition
     "q_key_cardinality" -> ((s, dir) =>
       TopicMetrics.keyCardinality(records(s, dir))),
+    // scale twin: pinned-HLL distinct keys (4 KiB per partition per
+    // task crosses the wire, never the keyed record stream) —
+    // hash-exact: the oracle replays the registers
+    "q_key_cardinality_approx" -> ((s, dir) =>
+      TopicMetrics.keyCardinalityApprox(records(s, dir))),
     // producer-skew diagnosis: top-k hottest keys with tombstone share
     // and partition spread (one agg + TakeOrderedAndProject)
     "q_hot_keys" -> ((s, dir) => TopicMetrics.hotKeys(records(s, dir))),
@@ -752,6 +757,7 @@ object SparkEntry {
            |SELECT "partition", COUNT(DISTINCT "key") AS n_keys,
            |       COUNT("key") AS n_keyed_records
            |FROM records GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_key_cardinality_approx" -> OracleSql.keyCardinalityApprox(cte),
       "q_hot_keys" ->
         s"""$cte
            |SELECT "key" AS key_str, COUNT(*) AS n_writes,

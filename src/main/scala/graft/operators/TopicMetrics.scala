@@ -281,6 +281,27 @@ object TopicMetrics {
         count(col("key")).as("n_keyed_records"))
       .orderBy(col("partition"))
 
+  /** Scale variant of [[keyCardinality]]: per-partition distinct keys
+    * via [[graft.functions.HllSketch]] (pinned HLL — oracle-replayable
+    * estimates, rounded longs). The exact `countDistinct` rewrites to
+    * a two-phase aggregate whose first phase keys on (partition, key)
+    * — at 100 TB the full keyed record stream crosses the wire; the
+    * sketch ships one 4 KiB register buffer per partition per map
+    * task instead (~1.6% standard error). Key bytes hash directly
+    * (binary, ASCII in the fixture so the oracle's codepoint fold
+    * agrees); partitions with zero keyed records carry no sketch and
+    * are absent, mirrored by the oracle's join.
+    */
+  def keyCardinalityApprox(records: DataFrame): DataFrame = {
+    import graft.functions.HllSketch.{hash64, hllDistinct, hllSketchOfHash}
+    records.filter(col("key").isNotNull)
+      .select(col("partition"), hash64(col("key")).as("kh"))
+      .groupBy(col("partition"))
+      .agg(hllDistinct(hllSketchOfHash(col("kh"))).as("n_keys_approx"),
+        count(lit(1)).as("n_keyed_records"))
+      .orderBy(col("partition"))
+  }
+
   /** Hot-key report: the `k` most-written keys with their skew
     * signature — total writes, tombstone share, and how many
     * partitions the key landed on (> 1 means a non-default or changed

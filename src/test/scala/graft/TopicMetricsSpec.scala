@@ -205,4 +205,29 @@ class TopicMetricsSpec extends SparkSuite {
     assert(r.map(m => (m("partition"), m("n_keys"), m("n_keyed_records"))) ==
       Seq((0, 2L, 3L), (1, 1L, 1L)))
   }
+
+  test("approx key cardinality: exact at small counts, brackets at scale") {
+    // tiny: pinned HLL with linear counting is exact here
+    val df = records(
+      (0, 0L, 1L, "a", "v"), (0, 1L, 2L, "a", "v"), (0, 2L, 3L, "b", "v"),
+      (0, 3L, 4L, null, "v"),
+      (1, 0L, 1L, "a", "v"))
+    val r = rowsOf(graft.operators.TopicMetrics.keyCardinalityApprox(df))
+    assert(r.map(m =>
+        (m("partition"), m("n_keys_approx"), m("n_keyed_records"))) ==
+      Seq((0, 2L, 3L), (1, 1L, 1L)))
+    // larger: the estimate must bracket the exact count within the
+    // ~1.6%-standard-error envelope (deterministic — cannot flake)
+    val big = records((0 until 4000).map(i =>
+      (i % 4, (i / 4).toLong, i.toLong, s"key-${i % 997}", "v")): _*)
+    val approx = rowsOf(graft.operators.TopicMetrics.keyCardinalityApprox(big))
+      .map(m => m("partition") -> m("n_keys_approx").asInstanceOf[Long]).toMap
+    val exact = rowsOf(graft.operators.TopicMetrics.keyCardinality(big))
+      .map(m => m("partition") -> m("n_keys").asInstanceOf[Long]).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (p, e) =>
+      assert(math.abs(approx(p) - e) <= math.max(4.0, e * 0.08),
+        s"partition $p: approx=${approx(p)} exact=$e")
+    }
+  }
 }

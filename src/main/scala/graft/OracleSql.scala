@@ -643,18 +643,20 @@ object OracleSql {
   private val hllNumerator: String =
     java.lang.Double.toString(graft.functions.HllSketch.RawNumerator)
 
-  /** Canonical FNV-1a 64-bit over codepoints (== UTF-8 bytes on this
-    * ASCII corpus), mirroring the fold half of
-    * [[graft.functions.HllSketch.Hash64Expr]] in HUGEINT mod-2^64
-    * arithmetic. The per-byte xor only touches the low 8 bits, so it
-    * runs in BIGINT on the split-off low byte (HUGEINT×prime stays
+  /** FNV-1a 64-bit generalized to CODEPOINT units (the cross-engine
+    * fold unit — identical to the byte fold on ASCII, and what
+    * [[graft.functions.HllSketch.Hash64Expr]] computes for any
+    * script), in HUGEINT mod-2^64 arithmetic. The per-unit xor only
+    * touches the low 21 bits (max codepoint 0x10FFFF < 2^21), so it
+    * runs in BIGINT on the split-off low word (HUGEINT×prime stays
     * under 2^105, inside HUGEINT range). */
   def fnv64Of(e: String): String =
     s"""list_reduce(
        |  list_concat([14695981039346656037::HUGEINT],
        |    list_transform(generate_series(1, length($e)),
        |                   i -> unicode(substr($e, i, 1))::HUGEINT)),
-       |  (h, b) -> ((h - (h % 256) + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+       |  (h, b) -> ((h - (h % 2097152)
+       |              + xor((h % 2097152)::BIGINT, b::BIGINT)::HUGEINT)
        |             * 1099511628211) % 18446744073709551616)""".stripMargin
 
   /** `xor(h, h >> 33)` on a mod-2^64 HUGEINT: the shifted operand is
@@ -732,8 +734,10 @@ object OracleSql {
        |       FROM documents GROUP BY source
        |       UNION ALL
        |       SELECT '__all__', CAST(COUNT(*) AS BIGINT) FROM documents)
-       |SELECT e.grp AS source, nd.n_docs, e.distinct_approx
-       |FROM hde e JOIN nd ON nd.grp = e.grp
+       |SELECT nd.grp AS source, nd.n_docs,
+       |       CAST(COALESCE(e.distinct_approx, 0) AS BIGINT)
+       |         AS distinct_approx
+       |FROM nd LEFT JOIN hde e ON e.grp = nd.grp
        |ORDER BY source""".stripMargin
   }
 
@@ -746,10 +750,11 @@ object OracleSql {
        |${hllDistinctCtes("vt", "SELECT 'x' AS grp, token AS s FROM vex")},
        |${hllDistinctCtes("vd",
           "SELECT 'x' AS grp, CAST(doc_id AS VARCHAR) AS s FROM vex")}
-       |SELECT vte.distinct_approx AS distinct_terms_approx,
-       |       vde.distinct_approx AS distinct_docs_approx,
-       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM vex) AS total_tokens
-       |FROM vte, vde""".stripMargin
+       |SELECT CAST(COALESCE((SELECT distinct_approx FROM vte), 0) AS BIGINT)
+       |         AS distinct_terms_approx,
+       |       CAST(COALESCE((SELECT distinct_approx FROM vde), 0) AS BIGINT)
+       |         AS distinct_docs_approx,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM vex) AS total_tokens""".stripMargin
 
   /** Mirrors [[graft.operators.TopicMetrics.keyCardinalityApprox]]:
     * the pinned-HLL chain over non-null keys grouped by partition

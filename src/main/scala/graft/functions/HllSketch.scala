@@ -16,11 +16,12 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
   * the driver could only rows-check them. This sketch pins every
   * ingredient as public arithmetic:
   *
-  *   - hash: canonical FNV-1a 64-bit over the value's UTF-8 bytes,
-  *     finished with murmur3's `fmix64` avalanche ([[Hash64Expr]],
-  *     codegen'd — the engine-portable choice: a byte fold + three
-  *     xorshift-multiply steps any SQL engine can replay in mod-2^64
-  *     arithmetic, unlike xxhash64's block/rotate structure);
+  *   - hash: FNV-1a 64-bit over the value's CODEPOINTS (== bytes on
+  *     ASCII; the unit both engines see identically), finished with
+  *     murmur3's `fmix64` avalanche ([[Hash64Expr]], codegen'd — the
+  *     engine-portable choice: a unit fold + three xorshift-multiply
+  *     steps any SQL engine can replay in mod-2^64 arithmetic,
+  *     unlike xxhash64's block/rotate structure);
   *   - registers: `m = 2^12` buckets, index = top 12 hash bits,
   *     rho = leading-zero count of the remaining 52 bits + 1
   *     (capped at 53 when they are all zero);
@@ -93,35 +94,51 @@ object HllSketch {
     h
   }
 
-  def hash64Bytes(bytes: Array[Byte]): Long = {
+  /** The pinned hash over a STRING's CODEPOINTS (== bytes on ASCII).
+    * Codepoints, not UTF-8 bytes, are the cross-engine unit — the
+    * oracle's `unicode(substr(...))` fold sees codepoints, and the
+    * repo pinned this exact contract once before
+    * ([[TextExprs.RollingHashExpr]]): a byte fold here would silently
+    * diverge on the first non-ASCII character. FNV's byte granularity
+    * is not load-bearing for a sketch hash — only determinism and
+    * avalanche are, and fmix64 supplies the latter for codepoint-wide
+    * units too. */
+  def hash64String(s: String): Long = {
     var h = Fnv64Basis
     var i = 0
-    while (i < bytes.length) {
-      h = (h ^ (bytes(i) & 0xffL)) * Fnv64Prime
-      i += 1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h ^ cp) * Fnv64Prime
+      i += Character.charCount(cp)
     }
     fmix64(h)
   }
 
-  /** Codegen'd fmix64∘fnv1a64 over a BINARY column (strings cast
-    * first — UTF-8 bytes, which the ASCII-corpus oracle replays as
-    * codepoints). */
+  /** Codegen'd fmix64∘fnv1a64 over a STRING column's codepoints (see
+    * [[hash64String]] for why codepoints). */
   case class Hash64Expr(child: Expression) extends UnaryExpression
     with GraftInputTypes {
-    override def graftInputTypes: Seq[DataType] = Seq(BinaryType)
+    override def graftInputTypes: Seq[DataType] =
+      Seq(org.apache.spark.sql.types.StringType)
     override def dataType: DataType = LongType
 
     override def nullSafeEval(v: Any): Any =
-      hash64Bytes(v.asInstanceOf[Array[Byte]])
+      hash64String(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c => {
+        val s = ctx.freshName("s")
         val h = ctx.freshName("h")
         val i = ctx.freshName("i")
+        val cp = ctx.freshName("cp")
         s"""
+           |final String $s = $c.toString();
            |long $h = ${Fnv64Basis}L;
-           |for (int $i = 0; $i < $c.length; $i++) {
-           |  $h = ($h ^ ($c[$i] & 0xffL)) * ${Fnv64Prime}L;
+           |int $i = 0;
+           |while ($i < $s.length()) {
+           |  final int $cp = $s.codePointAt($i);
+           |  $h = ($h ^ $cp) * ${Fnv64Prime}L;
+           |  $i += java.lang.Character.charCount($cp);
            |}
            |$h ^= $h >>> 33;
            |$h *= ${FmixC1}L;
@@ -278,10 +295,11 @@ object HllSketch {
 
   // ---- Column surface -------------------------------------------------
 
-  /** fmix64∘fnv64 of a column's bytes (strings hash their UTF-8
-    * bytes). */
+  /** fmix64∘fnv64 of a column's codepoints (non-string inputs cast to
+    * their canonical string form — which is also how the oracle
+    * models them). */
   def hash64(c: Column): Column =
-    ColumnBridge.column(Hash64Expr(ColumnBridge.catalystExpression(c.cast("binary"))))
+    ColumnBridge.column(Hash64Expr(ColumnBridge.catalystExpression(c.cast("string"))))
 
   /** Sketch-build aggregate over any column (hashed via [[hash64]];
     * non-string inputs should be cast to their canonical string form

@@ -952,7 +952,10 @@ object CorpusOps {
     val per = sk.select(col("source"), col("n_docs"),
       hllDistinct(col("sketch")).as("distinct_approx"))
     val all = anchored
-      .agg(sum(col("n_docs")).as("n_docs"),
+      // coalesce: on an empty corpus the grand sum is null but the
+      // union of zero sketches estimates 0 — emit (0, 0), which the
+      // oracle's LEFT JOIN + COALESCE mirrors exactly
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
         hllDistinct(hllUnion(col("sketch"))).as("distinct_approx"))
       .select(lit("__all__").as("source"), col("n_docs"),
         col("distinct_approx"))

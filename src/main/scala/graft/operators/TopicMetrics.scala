@@ -287,9 +287,10 @@ object TopicMetrics {
     * a two-phase aggregate whose first phase keys on (partition, key)
     * — at 100 TB the full keyed record stream crosses the wire; the
     * sketch ships one 4 KiB register buffer per partition per map
-    * task instead (~1.6% standard error). Key bytes hash directly
-    * (binary, ASCII in the fixture so the oracle's codepoint fold
-    * agrees); partitions with zero keyed records carry no sketch and
+    * task instead (~1.6% standard error). Keys hash via their string
+    * form (binary→string cast — exactly how the oracle's records CTE
+    * models keys, and hash64's codepoint fold then agrees for any
+    * script); partitions with zero keyed records carry no sketch and
     * are absent, mirrored by the oracle's join.
     */
   def keyCardinalityApprox(records: DataFrame): DataFrame = {

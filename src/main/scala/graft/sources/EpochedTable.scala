@@ -99,8 +99,12 @@ private[graft] final case class EpochedTable(dir: String, base: String,
       .map(_.getPath)
       .filter(p => excludeBatch.forall(id => p.getName != s"batch-$id"))
       .filter { p =>
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) &&
-          fs.listStatus(p).exists { f =>
+        // ONE listing answers both checks (each RPC is a network
+        // round trip on an object store, and this runs per batch dir
+        // per read)
+        val entries = fs.listStatus(p)
+        entries.exists(f => f.isFile && f.getPath.getName == "_SUCCESS") &&
+          entries.exists { f =>
             val n = f.getPath.getName
             f.isFile && !n.startsWith("_") && !n.startsWith(".")
           }

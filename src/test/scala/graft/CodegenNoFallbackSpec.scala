@@ -57,6 +57,12 @@ class CodegenNoFallbackSpec extends SparkSuite {
       ArrayHashExprs.poly_hash31(TextFunctions.normText(col("text"))).as("h")))
   }
 
+  test("hash64 (fmix64∘fnv1a64) compiles and matches under CODEGEN_ONLY") {
+    assertCodegenParity(docs.select(col("doc_id"),
+      graft.functions.HllSketch.hash64(
+        TextFunctions.fingerprintMd5(col("text"))).as("h")))
+  }
+
   test("simhash_bits + minhash_sig compile and match under CODEGEN_ONLY") {
     assertCodegenParity(docs
       .select(col("doc_id"),

@@ -710,6 +710,14 @@ class CorpusOpsSpec extends SparkSuite {
       s"union=$union direct=$direct")
   }
 
+  test("distinct dashboard on an EMPTY corpus: one __all__ row of zeros") {
+    // oracle parity on the degenerate input: the LEFT JOIN + COALESCE
+    // mirror of the operator's coalesced sum + zero-sketch estimate
+    val r = rowsOf(graft.operators.CorpusOps.sourceDistinctApprox(docs()))
+      .map(m => (m("source"), m("n_docs"), m("distinct_approx")))
+    assert(r == Seq(("__all__", 0L, 0L)))
+  }
+
   test("distinct dashboard off persisted sketches equals the inline recompute") {
     val d = docs((1L to 60L).map(i =>
       (i, s"body ${i % 23} of source", "en", s"s${i % 4}")): _*)

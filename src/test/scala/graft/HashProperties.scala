@@ -136,4 +136,47 @@ object HashProperties extends Properties("graft.hashing") {
       got == expected
     }
   }
+
+  // ---- pinned-HLL sketch algebra (graft.functions.HllSketch) ------
+
+  private def regsOf(values: Seq[String]): Array[Byte] = {
+    val r = new Array[Byte](graft.functions.HllSketch.M)
+    values.foreach(v => graft.functions.HllSketch.add(
+      r, graft.functions.HllSketch.hash64String(v)))
+    r
+  }
+
+  property("hash64 == codepoint-fold reference for arbitrary unicode") =
+    Prop.forAll(Gen.listOf(Gen.choose(1, 0x10FFFF)
+      .suchThat(cp => !Character.isSurrogate(cp.toChar) || cp > 0xFFFF))) { cps =>
+      val s = new String(cps.toArray, 0, cps.length)
+      val folded = s.codePoints().toArray.foldLeft(
+        graft.functions.HllSketch.Fnv64Basis) {
+        (h, cp) => (h ^ cp) * graft.functions.HllSketch.Fnv64Prime
+      }
+      graft.functions.HllSketch.hash64String(s) ==
+        graft.functions.HllSketch.fmix64(folded)
+    }
+
+  property("hll registers depend only on the value SET (dup/order free)") =
+    Prop.forAll(Gen.listOf(Gen.alphaNumStr)) { vs =>
+      val shuffledDup = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).shuffle(vs ++ vs)
+      java.util.Arrays.equals(regsOf(vs), regsOf(shuffledDup))
+    }
+
+  property("hll union of any split equals the whole-set sketch") =
+    Prop.forAll(Gen.listOf(Gen.alphaNumStr), Gen.choose(0, 100)) { (vs, cut) =>
+      val (a, b) = vs.splitAt(if (vs.isEmpty) 0 else cut % (vs.size + 1))
+      val merged = regsOf(a)
+      graft.functions.HllSketch.maxInto(merged, regsOf(b))
+      java.util.Arrays.equals(merged, regsOf(vs))
+    }
+
+  property("hll estimate is exact on tiny sets and nonneg everywhere") =
+    Prop.forAll(Gen.listOf(Gen.alphaNumStr)) { vs =>
+      val est = graft.functions.HllSketch.estimate(regsOf(vs))
+      est >= 0.0 && (vs.distinct.size > 8 ||
+        math.round(est) <= vs.distinct.size + 1)
+    }
 }

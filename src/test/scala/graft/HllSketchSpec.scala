@@ -22,18 +22,28 @@ class HllSketchSpec extends SparkSuite {
     assert(fnvOnly("") == 0xcbf29ce484222325L)
     assert(fnvOnly("a") == 0xaf63dc4c8601ec8cL)
     assert(fnvOnly("foobar") == 0x85944171f73967e8L)
-    // and the shipped hash is exactly fmix64 of that fold
-    assert(HllSketch.hash64Bytes("foobar".getBytes("UTF-8")) ==
+    // the shipped hash folds CODEPOINTS (== bytes on these ASCII
+    // vectors) and is exactly fmix64 of that fold
+    assert(HllSketch.hash64String("foobar") ==
       HllSketch.fmix64(0x85944171f73967e8L))
   }
 
-  test("hash64 column expression equals the scala fold") {
+  test("hash64 column expression equals the scala fold, unicode included") {
     val s = spark
     import s.implicits._
-    val vals = Seq("", "a", "foobar", "text number 7", "0", "4999")
+    // the é and CJK entries pin the codepoint (not UTF-8 byte)
+    // contract — the DuckDB oracle's unicode() fold sees the same
+    // units, so cross-engine parity holds for any script
+    val vals = Seq("", "a", "foobar", "text number 7", "0", "4999",
+      "café", "日本語", "emoji 😀 tail")
     val got = vals.toDF("s").select(HllSketch.hash64(col("s")).as("h"))
       .collect().map(_.getLong(0)).toSeq
-    assert(got == vals.map(v => HllSketch.hash64Bytes(v.getBytes("UTF-8"))))
+    assert(got == vals.map(HllSketch.hash64String))
+    // reference: xor folds the CODEPOINT, so a supplementary-plane
+    // char is one unit, not four bytes
+    val cp = "😀".codePointAt(0)
+    assert(HllSketch.hash64String("😀") == HllSketch.fmix64(
+      (HllSketch.Fnv64Basis ^ cp) * HllSketch.Fnv64Prime))
   }
 
   test("sketches are identical under any partitioning (order-free merge)") {

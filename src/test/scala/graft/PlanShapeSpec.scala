@@ -335,8 +335,11 @@ class PlanShapeSpec extends SparkSuite {
       val p = plan(df)
       val windows = raw"\(\d+\) Window\b".r.findAllIn(p).length
       assert(windows == 1, s"histogram grew windows ($windows):\n$p")
-      assert(!p.contains("windowspecdefinition(event_type#") ||
-        p.contains("bin"), s"window lost its bin ordering:\n$p")
+      // the cumulative sum must order BINS: the one window spec's
+      // ordering clause names bin, never the raw value column
+      val wspec = raw"windowspecdefinition\([^)]*\)".r.findFirstIn(p)
+      assert(wspec.exists(w => w.contains("bin#") && !w.contains("value#")),
+        s"window lost its bin ordering: $wspec\n$p")
       df.collect()
       val executed = executedFinal(df)
       assert(executed.contains("BroadcastHashJoin"),

@@ -173,6 +173,12 @@ class TextAnalysisSpec extends SparkSuite {
     assert(approx("total_tokens") == ex.getLong(2))
   }
 
+  test("approx vocabulary summary on an EMPTY corpus is a zeros row") {
+    val r = rowsOf(TextAnalysis.vocabularySummaryApprox(docs())).head
+    assert(r("distinct_terms_approx") == 0L &&
+      r("distinct_docs_approx") == 0L && r("total_tokens") == 0L)
+  }
+
   test("langConfidence: margin separates confident from ambiguous docs") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog and then it sleeps",

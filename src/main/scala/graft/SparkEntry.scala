@@ -658,6 +658,28 @@ object SparkEntry {
     Runtime.getRuntime.addShutdownHook(t)
     t
   }
+  // the reaper cannot cover SIGKILL (timeouts, OOM kills): those JVMs
+  // never run shutdown hooks, so their PID-keyed scratch dirs outlive
+  // them as debris nothing reclaims. Sweep dirs whose owning pid is
+  // dead ONCE per JVM, before the first build. A recycled pid that is
+  // alive as some unrelated process skips its dir — conservative: a
+  // leaked dir is cheap, deleting under a live builder is not.
+  private lazy val orphanSweep: Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val pat = "^graft-.*-p(\\d+)$".r
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      f.getName match {
+        case pat(pid) if f.isDirectory && {
+              val oh = ProcessHandle.of(pid.toLong)
+              !(oh.isPresent && oh.get().isAlive)
+            } =>
+          try org.apache.commons.io.FileUtils.deleteDirectory(f)
+          catch { case _: java.io.IOException => () } // best effort
+        case _ => ()
+      }
+    }
+  }
+
   private def ensureBuilt(tag: String, dir: String)(
       build: String => Unit): String =
     // synchronized: the side-effecting build must run at most once per
@@ -665,6 +687,7 @@ object SparkEntry {
     // the PID so two JVMs (e.g. a bench and a verify run racing in CI)
     // never build-vs-read the same directory.
     builtOnce.synchronized {
+      orphanSweep // once per JVM, before the first scratch build
       builtOnce.getOrElseUpdate(s"$tag|$dir", {
         val d = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
           s"graft-$tag-${Integer.toHexString(dir.hashCode)}-p${ProcessHandle.current.pid}")

@@ -23,6 +23,19 @@ import graft.operators.CorpusOps
   */
 object StreamingSketches {
 
+  /** Streaming twin of
+    * [[graft.operators.TextAnalysis.vocabularySummaryApprox]] — the
+    * SAME plan on a streaming frame: a `TypedImperativeAggregate`'s
+    * byte buffer is legal STREAMING AGGREGATION STATE (each trigger
+    * deserializes the stored registers, folds the new rows, and
+    * stores them back — which is exactly the sketch's merge contract),
+    * so cumulative distinct-terms/docs estimates track the stream in
+    * complete/update mode with 8 KiB of state total. StreamingSpec
+    * pins streamed == batch on the union of all micro-batches.
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.vocabularySummaryApprox(docs)
+
   /** `foreachBatch` because the sketch table is disk-backed shared
     * state no in-operator store models (the same shape as
     * [[StreamingSimilarity.pqIngest]] and

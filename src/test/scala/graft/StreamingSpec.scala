@@ -756,6 +756,32 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.values.map(_.asInstanceOf[Long]).sum == 4L)
   }
 
+  test("vocab sketch aggregate is legal streaming state: streamed == batch") {
+    // the TypedImperativeAggregate's register buffer round-trips
+    // through the streaming state store each trigger; complete-mode
+    // output after all batches must equal the batch computation over
+    // their union — not approximately, IDENTICALLY (same registers)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamingSketches.vocabGrowth(docs)
+      .writeStream.format("memory").queryName("svocab")
+      .outputMode("complete").start()
+    val b1 = (1 to 30).map(i => (i.toLong, s"alpha w$i beta"))
+    val b2 = (31 to 55).map(i => (i.toLong, s"gamma w$i delta w${i % 7}"))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rowsOf(spark.table("svocab")).head
+    val batch = rowsOf(graft.operators.TextAnalysis
+      .vocabularySummaryApprox((b1 ++ b2).toDF("doc_id", "text"))).head
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("streaming sketch ingest: dashboard == batch recompute; replay and compaction are no-ops") {
     val s = spark
     import s.implicits._

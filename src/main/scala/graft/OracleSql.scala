@@ -1907,6 +1907,52 @@ object OracleSql {
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors [[graft.operators.Similarity.knnIvf]] with the INJECTED
+    * seed book — `trainCentroids(iters = 0)`, i.e. k-means init in
+    * closed form: the `kCent` lowest-vec_id unit vectors (excluding
+    * null units / null elements, `trainCentroids`' guard), with cid =
+    * seed RANK 0..k-1 in vec_id order (`zipWithIndex`), NOT the raw
+    * vec_id the [[knnIvf]] stand-in uses. cid only matters for the
+    * argmax/probe tie-breaks, and rank order equals vec_id order over
+    * the seed set, so ties resolve identically; every dot is the same
+    * sequential IEEE fold as the engine's — hash-exact. Lloyd's
+    * ITERATIONS stay un-oracle-able (distributed float-AVG fold
+    * order); those run only in the bench-only train twins.
+    */
+  def knnIvfSeedTrained(k: Int = 5, maxQueryId: Int = 16, kCent: Int = 16,
+      nProbes: Int = 4): String =
+    s"""WITH $unitCte,
+       |seedb AS (SELECT vec_id, un FROM u
+       |          WHERE un IS NOT NULL
+       |            AND len(list_filter(un, x -> x IS NULL)) = 0
+       |          ORDER BY vec_id LIMIT $kCent),
+       |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+       |                un AS cu
+       |         FROM seedb),
+       |assigned AS (
+       |  SELECT vec_id, un, cid FROM (
+       |    SELECT e.vec_id, e.un, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dotSql("e.un", "c.cu")} DESC, c.cid) AS crn
+       |    FROM u e, cent c WHERE e.un IS NOT NULL) WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, un AS qun, cid FROM (
+       |    SELECT q.vec_id, q.un, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${dotSql("q.un", "c.cu")} DESC, c.cid) AS crn
+       |    FROM u q, cent c WHERE q.vec_id < $maxQueryId) WHERE crn <= $nProbes),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         ${dotSql("p.qun", "a.un")} AS score
+       |  FROM assigned a JOIN probes p ON a.cid = p.cid
+       |  WHERE p.query_id <> a.vec_id),
+       |r AS (SELECT query_id, neighbor_id, score,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id) AS rank
+       |      FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** Mirrors [[graft.operators.Similarity.semanticContaminationById]]:
     * id split, unit vectors, pairwise index-order-fold dot, per-train
     * verdict with arg-max via row_number (ties toward smaller eval id,

@@ -440,22 +440,34 @@ object SparkEntry {
       val e = emb(s, dir)
       Similarity.cellDrift(e, e.filter(col("vec_id") % 3 =!= 0))
     }),
-    // the PRODUCTION IVF path: k-means-trained codebook instead of the
-    // oracle's deterministic stand-in. No oracleSql on purpose — float
-    // avg fold order differs across engines, so the driver records the
-    // rows-only check; the pinned recall gate lives in SimilaritySpec.
+    // the injected-codebook IVF path: exercises knnIvf's `centroids`
+    // hook (the production surface trainCentroids plugs into) with the
+    // CLOSED-FORM seed book — `iters = 0` returns k-means init
+    // untouched: the 16 lowest-vec_id unit vectors, cid = seed rank.
+    // That book is DuckDB-replayable (OracleSql.knnIvfSeedTrained), so
+    // this query is hash-exact; the plan is byte-identical to a
+    // Lloyd's-trained run (the book is a driver-held literal either
+    // way). TRUE Lloyd's train time stays measured by the bench-only
+    // twin q_embed_knn_ivf_train_bench ([[benchQueries]]) — float-AVG
+    // fold order across engines is why trained books can never be
+    // hash-checked, per the r13/r14 verdicts.
     "q_embed_knn_ivf_trained" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.knnIvf(e, e.filter(col("vec_id") < 16), 5,
-        centroids = Some(Similarity.trainCentroids(e, k = 16, iters = 3)))
+        centroids = Some(Similarity.trainCentroids(e, k = 16, iters = 0)))
     }),
     // IVF-PQ: coarse cells + product-quantized codes (m ints per
     // vector instead of dims floats), ADC candidate scan, exact
-    // re-rank. Rows-only like _trained (k-means + float LUT folds are
-    // not engine-stable); the recall gate lives in SimilaritySpec.
+    // re-rank. `pqIters = 0` freezes the closed-form SEED books (the
+    // same configuration the persisted-index twin graduated with in
+    // r14), so the inline build is hash-exact against the SAME oracle
+    // (OracleSql.knnIvfPqSeed) — the two twins differ only in where
+    // the codes table lives (rebuilt inline vs read from parquet).
+    // Lloyd's-trained timing lives in q_embed_knn_ivfpq_train_bench.
     "q_embed_knn_ivfpq" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.knnIvfPq(e, e.filter(col("vec_id") < 16), 5, nProbes = 8)
+      Similarity.knnIvfPq(e, e.filter(col("vec_id") < 16), 5, nProbes = 8,
+        pqIters = 0)
     }),
     // steady-state twin: the SAME search against a writePqIndex built
     // once per JVM+dir (Bench warmup / Verify first call), so the
@@ -613,6 +625,38 @@ object SparkEntry {
         .join(canon, Seq("doc_id"))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+  )
+
+  /** Bench-only queries: run by [[graft.Bench]] alongside [[queries]]
+    * but EXCLUDED from the correctness registry on purpose. These are
+    * the true Lloyd's-training measurement paths — distributed
+    * float-AVG fold order is not stable across engines, so no foreign
+    * oracle can ever hash-check a trained codebook (the r13/r14
+    * verdicts' standing finding). Their correctness story lives
+    * elsewhere and is stronger than a rows-only driver check:
+    * SimilaritySpec pins recall-vs-brute-force gates on both trained
+    * paths, and the hash-exact registry twins
+    * (`q_embed_knn_ivf_trained`, `q_embed_knn_ivfpq`) execute the
+    * byte-identical probe plan with seed books — training only changes
+    * the driver-held literals. What remains worth measuring here is
+    * exactly what the registry twins deliberately exclude: Lloyd's /
+    * PQ train time at scale. Keeping these in the bench keeps that
+    * number tracked round over round.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // end-to-end IVF with a 3-iteration Lloyd's coarse book — the
+    // pre-r15 q_embed_knn_ivf_trained configuration, verbatim
+    "q_embed_knn_ivf_train_bench" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnIvf(e, e.filter(col("vec_id") < 16), 5,
+        centroids = Some(Similarity.trainCentroids(e, k = 16, iters = 3)))
+    }),
+    // end-to-end IVF-PQ with 2 PQ-training iterations — the pre-r15
+    // q_embed_knn_ivfpq configuration, verbatim
+    "q_embed_knn_ivfpq_train_bench" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnIvfPq(e, e.filter(col("vec_id") < 16), 5, nProbes = 8)
     }),
   )
 
@@ -922,10 +966,16 @@ object SparkEntry {
       "q_multimodal_audio" -> OracleSql.multimodalAudio,
       "q_embed_knn" -> OracleSql.knn(),
       "q_embed_knn_ivf" -> OracleSql.knnIvf(),
-      // the persisted-index probe replays exactly because its books
-      // are the closed-form SEEDS (pqIters = 0); the Lloyd's-trained
-      // twins stay rows-only by design
+      // both IVF-PQ twins replay exactly because their books are the
+      // closed-form SEEDS (pqIters = 0) — same oracle for the inline
+      // rebuild and the persisted-index probe; Lloyd's-trained
+      // configurations live in benchQueries, outside this registry
+      "q_embed_knn_ivfpq" -> OracleSql.knnIvfPqSeed(),
       "q_embed_knn_ivfpq_indexed" -> OracleSql.knnIvfPqSeed(),
+      // injected seed book (trainCentroids iters = 0): k-means init in
+      // closed form — the centroid cids are seed RANKS (0..k-1 over
+      // the k lowest vec_ids), not raw vec_ids as in the stand-in
+      "q_embed_knn_ivf_trained" -> OracleSql.knnIvfSeedTrained(),
       "q_diverse_sample" -> OracleSql.diverseSample(),
       "q_embedding_audit" -> OracleSql.embeddingAudit(),
       "q_embed_outliers" -> OracleSql.embeddingOutliers(),

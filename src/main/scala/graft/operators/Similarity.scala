@@ -897,11 +897,13 @@ object Similarity {
     *
     * With Lloyd's-trained books this is not SQL-oracle-expressible
     * (distributed float-AVG fold order); the recall gate vs
-    * [[knnBruteForce]] lives in SimilaritySpec and the driver records
-    * the rows-only check — the [[knnIvf]] `_trained` precedent. With
-    * `pqIters = 0` the books are the closed-form SEEDS and the whole
-    * pipeline replays hash-exact (`OracleSql.knnIvfPqSeed` — the
-    * persisted-index query's configuration).
+    * [[knnBruteForce]] lives in SimilaritySpec, and the trained
+    * configuration runs as a bench-only train-time measurement
+    * (`SparkEntry.benchQueries`). With `pqIters = 0` the books are the
+    * closed-form SEEDS and the whole pipeline replays hash-exact
+    * (`OracleSql.knnIvfPqSeed`) — since r15 BOTH registry twins
+    * (`q_embed_knn_ivfpq` inline and `_indexed`) run this
+    * configuration against the same oracle.
     */
   def knnIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbes: Int = 4, m: Int = DefaultPqM, ksub: Int = DefaultPqKsub,

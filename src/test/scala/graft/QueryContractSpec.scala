@@ -16,12 +16,25 @@ class QueryContractSpec extends SparkSuite {
       s"oracleSql keys without a query (the driver would NPE): $dangling")
   }
 
+  test("bench-only queries stay OUT of the correctness registry") {
+    // benchQueries exists precisely because its entries (Lloyd's-train
+    // paths) can never be oracle-checked — a key leaking into queries
+    // would re-create the no_oracle rows r15 removed, and an oracle
+    // for one would contradict its reason for being here
+    val overlap = SparkEntry.benchQueries.keySet & SparkEntry.queries.keySet
+    assert(overlap.isEmpty, s"benchQueries duplicated in queries: $overlap")
+    val oracled = SparkEntry.benchQueries.keySet & SparkEntry.oracleSql.keySet
+    assert(oracled.isEmpty, s"benchQueries with oracles (move them to " +
+      s"the registry instead): $oracled")
+  }
+
   test("every registered query ANALYZES against the live sf0.001 fixture") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
-      val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      val broken = (SparkEntry.queries ++ SparkEntry.benchQueries)
+        .toSeq.sortBy(_._1).flatMap {
         case (name, fn) =>
           // constructing the frame and touching .schema forces full
           // analysis (resolution + type checks) without executing the

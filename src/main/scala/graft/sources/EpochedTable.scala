@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions.col
 
 /** Epoched base+ingest parquet tables — the storage discipline shared
   * by the dedup label table, the three dedup-index tables
-  * ([[graft.operators.Dedup]]), and the IVF-PQ codes table
-  * ([[graft.operators.Similarity]]).
+  * ([[graft.operators.Dedup]]), the IVF-PQ codes table
+  * ([[graft.operators.Similarity]]), and the distinct-sketch table
+  * ([[graft.operators.CorpusOps]]).
   *
   * A grown table is (base dir) ∪ (one overwrite-once subdir per
   * ingest batch); compaction folds the union into a FRESH generation
-  * and only then retires the old one. Generation N ≥ 1 lives under
+  * and only then retires old ones. Generation N ≥ 1 lives under
   * `<base>_vN` / `<base>_ingest_vN` (a table may keep historical
   * epoch-0 names via `legacyIngest`); the ACTIVE generation is the
   * highest one whose dir carries the output committer's `_SUCCESS`
@@ -21,20 +22,46 @@ import org.apache.spark.sql.functions.col
   *   - crash while staging generation N+1: no `_SUCCESS` there, so
   *     readers stay on complete generation N (base AND its ingest);
   *   - crash after N+1 commits but before cleanup: readers are
-  *     already on N+1 (higher), generation N's dirs are inert
+  *     already on N+1 (higher), older generations are inert
   *     leftovers a later compaction removes;
-  *   - cleanup only ever deletes generations STRICTLY below a
-  *     committed one.
-  * Appends land in the active generation's ingest dir. CRASHES are
-  * safe at every point. Two concurrency caveats remain, both confined
-  * to the compaction window: a batch appended to generation N while
-  * N+1 is being staged is not folded in and becomes invisible when
-  * N+1 commits; and a reader whose plan resolved generation N's file
-  * listing before the swap can hit deleted files when the cleanup
-  * loop retires N mid-scan (Spark fails such scans unless
-  * `spark.sql.files.ignoreMissingFiles` is set). Quiesce ingest AND
-  * long-running readers while compacting — the operators' scaladocs
-  * say so.
+  *   - cleanup only ever deletes generations STRICTLY below the
+  *     PREVIOUS active one — see the concurrency contract below.
+  *
+  * Concurrency contract (the two round-14 compaction-window caveats,
+  * closed in round 15):
+  *   - ''Appends racing a compaction'': [[compact]] folds an explicit
+  *     SNAPSHOT of the committed batch dirs, and after committing the
+  *     new generation it re-lists and PROMOTES (copies, tmp+atomic-
+  *     rename) every batch that landed after the snapshot into the
+  *     new generation's ingest dir — a late append is folded next
+  *     cycle instead of vanishing. The residual writer-side race (an
+  *     append that resolved the old epoch but finished writing after
+  *     the promotion re-list) is closed in [[appendBatch]]: the
+  *     writer re-resolves the active epoch after its write and
+  *     self-promotes its batch forward until the observed epoch is
+  *     the one it wrote to. Promotion is by COPY with an atomic
+  *     rename and a skip-if-present guard, so the promoter and the
+  *     self-repairing writer can race each other safely, and a
+  *     draining reader of the OLD generation (which may have listed
+  *     the late batch) keeps its files.
+  *   - ''Readers racing a compaction'': a reader's plan pins the
+  *     generation at listing time ([[read]] resolves the epoch once).
+  *     Cleanup retains the immediately-retired generation — base AND
+  *     ingest — for ONE further compaction cycle (it deletes strictly
+  *     below the previous active), so an in-flight scan that resolved
+  *     generation N's listing just before N+1 committed reads intact
+  *     files. The grace costs one generation of extra storage between
+  *     compactions (the snapshot-retention trade every MVCC table
+  *     store makes); a scan must drain within one full compaction
+  *     cycle — only then is its generation deleted.
+  *
+  * A table populated ONLY via [[appendBatch]] (e.g. a streaming
+  * sketch ingest against a dir never initialized by a base write)
+  * reads as just its committed batches — a missing base generation
+  * dir is an empty base, not an error, as long as at least one
+  * committed batch dir exists. Reading a table with neither base nor
+  * batches still fails loudly (AnalysisException: path does not
+  * exist): that is a caller bug, not a recoverable state.
   *
   * `partitionCols` hive-partitions every GENERATION write (the codes
   * table's `cid` layout, so probes keep directory-listing pruning);
@@ -44,6 +71,16 @@ import org.apache.spark.sql.functions.col
   * discovered base schema (e.g. casting an int-inferred partition
   * column back to long).
   */
+private[graft] object EpochedTable {
+  /** JVM-wide memo of POSITIVE per-batch-dir committed-and-has-data
+    * verdicts — see [[EpochedTable.ingestBatchDirs]]. Bounded by a
+    * crude clear-on-overflow; a few thousand re-listings after a rare
+    * clear cost less than the bookkeeping of real eviction. */
+  private val CacheCap = 4096
+  private val committedWithData =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+}
+
 private[graft] final case class EpochedTable(dir: String, base: String,
     columns: Seq[String], legacyIngest: Option[String] = None,
     partitionCols: Seq[String] = Nil,
@@ -96,20 +133,43 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     if (!fs.exists(ingest)) Nil
     else fs.listStatus(ingest).toSeq
       .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(p => excludeBatch.forall(id => p.getName != s"batch-$id"))
-      .filter { p =>
-        // ONE listing answers both checks (each RPC is a network
-        // round trip on an object store, and this runs per batch dir
-        // per read)
-        val entries = fs.listStatus(p)
-        entries.exists(f => f.isFile && f.getPath.getName == "_SUCCESS") &&
-          entries.exists { f =>
-            val n = f.getPath.getName
-            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      .filter(st =>
+        excludeBatch.forall(id => st.getPath.getName != s"batch-$id"))
+      // promotion staging dirs (`.batch-N.tmp`) are never readable
+      .filter(st => !st.getPath.getName.startsWith("."))
+      .filter { st =>
+        val p = st.getPath
+        // the committed-and-has-data verdict per batch dir is one
+        // extra LIST round trip — on an object store that RPC runs
+        // per batch dir per read, so a steady-state probe path with a
+        // long un-compacted ingest run pays O(batches) RPCs per call.
+        // POSITIVE verdicts are memoized JVM-wide by path: once a
+        // batch dir is committed-with-data it stays so (a replay
+        // overwrite rewrites identical content; deletion removes it
+        // from the always-live parent listing above, so a stale TRUE
+        // can never resurrect a dir). Negative verdicts are NOT
+        // cached — a torn dir whose _SUCCESS lands later must become
+        // visible on the very next read, and dir mtimes are not
+        // trustworthy change signals on object stores
+        val memo = EpochedTable.committedWithData
+        memo.contains(p.toString) || {
+          val entries = fs.listStatus(p)
+          val ok = entries.exists(f =>
+              f.isFile && f.getPath.getName == "_SUCCESS") &&
+            entries.exists { f =>
+              val n = f.getPath.getName
+              f.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }
+          if (ok) {
+            // crude overflow bound: entries for retired generations
+            // would otherwise accumulate for the process lifetime
+            if (memo.size > EpochedTable.CacheCap) memo.clear()
+            memo.add(p.toString)
           }
+          ok
+        }
       }
-      .map(_.toString)
+      .map(_.getPath.toString)
   }
 
   /** True when the active generation has ≥1 COMMITTED ingest batch. */
@@ -121,20 +181,96 @@ private[graft] final case class EpochedTable(dir: String, base: String,
       dirs: Seq[String]): DataFrame =
     normalizeRead(spark.read.parquet(dirs: _*).select(columns.map(col): _*))
 
+  /** Base ∪ explicit batch dirs at a pinned epoch — the assembly
+    * [[read]] and [[compact]] share; compact MUST pass the snapshot
+    * it listed (re-listing inside would race late appends back in).
+    * A missing base dir with committed batches is a batches-only
+    * table (the append-before-init pattern); missing base AND no
+    * batches surfaces the reader's own path-does-not-exist error. */
+  private def assemble(spark: org.apache.spark.sql.SparkSession, epoch: Int,
+      batches: Seq[String]): DataFrame = {
+    val fs = fsOf(spark)
+    val hasBase =
+      fs.exists(new org.apache.hadoop.fs.Path(tableDir(epoch)))
+    if (!hasBase && batches.nonEmpty) readBatchDirs(spark, batches)
+    else {
+      val baseDf = normalizeRead(
+        spark.read.parquet(tableDir(epoch)).select(columns.map(col): _*))
+      if (batches.nonEmpty) baseDf.unionAll(readBatchDirs(spark, batches))
+      else baseDf
+    }
+  }
+
   def read(spark: org.apache.spark.sql.SparkSession,
       excludeBatch: Option[Long] = None): DataFrame = {
     val e = activeEpoch(spark)
-    val baseDf = normalizeRead(
-      spark.read.parquet(tableDir(e)).select(columns.map(col): _*))
-    val batches = ingestBatchDirs(spark, e, excludeBatch)
-    if (batches.nonEmpty) baseDf.unionAll(readBatchDirs(spark, batches))
-    else baseDf
+    assemble(spark, e, ingestBatchDirs(spark, e, excludeBatch))
   }
 
+  /** Copy a committed batch dir into `epoch`'s ingest dir under the
+    * same batch name, via a hidden tmp dir + atomic rename. Skips
+    * when the destination already exists (the promoter and a
+    * self-repairing writer may race; overwrite-once per batchId makes
+    * their contents identical, so first-wins is correct). COPY, not
+    * move: a draining reader of the source generation may have listed
+    * the source files.
+    */
+  private def promoteBatch(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      src: org.apache.hadoop.fs.Path, epoch: Int): Unit = {
+    val destRoot = new org.apache.hadoop.fs.Path(ingestDir(epoch))
+    val dest = new org.apache.hadoop.fs.Path(destRoot, src.getName)
+    if (fs.exists(dest)) return
+    fs.mkdirs(destRoot)
+    val tmp = new org.apache.hadoop.fs.Path(destRoot, s".${src.getName}.tmp")
+    fs.delete(tmp, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, conf)
+    if (!fs.rename(tmp, dest)) {
+      // lost the rename race to an identical-content promotion
+      fs.delete(tmp, true)
+      require(fs.exists(dest),
+        s"promotion of ${src.getName} to epoch $epoch neither renamed " +
+          "nor found an existing destination")
+    }
+  }
+
+  /** Append one overwrite-once batch dir to the active generation's
+    * ingest, then SELF-PROMOTE if a compaction committed a newer
+    * generation while the write was in flight: the writer re-resolves
+    * the active epoch after its write and copies the batch forward
+    * until the observed epoch is the one the batch lives in. Together
+    * with [[compact]]'s post-commit promotion re-list this closes the
+    * append/compaction race from both sides — whichever of the two
+    * sees the batch last carries it into the surviving generation,
+    * and the copy+skip-if-present discipline makes their overlap
+    * harmless. The loop terminates: epochs only grow, and each pass
+    * either observes a stable epoch (exit) or a strictly higher one.
+    */
   def appendBatch(rows: DataFrame, batchId: Long): Unit =
+    appendBatchAt(rows, batchId, activeEpoch(rows.sparkSession))
+
+  /** [[appendBatch]] with the target epoch made explicit — the seam
+    * that lets a spec replay the exact race: a writer that resolved
+    * the active epoch just BEFORE a compaction committed a newer
+    * generation. */
+  private[graft] def appendBatchAt(rows: DataFrame, batchId: Long,
+      epochHint: Int): Unit = {
+    val spark = rows.sparkSession
+    val fs = fsOf(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    var wrote = epochHint
     rows.select(columns.map(col): _*)
       .write.mode("overwrite")
-      .parquet(s"${ingestDir(activeEpoch(rows.sparkSession))}/batch-$batchId")
+      .parquet(s"${ingestDir(wrote)}/batch-$batchId")
+    var now = activeEpoch(spark)
+    while (now != wrote) {
+      promoteBatch(fs, conf,
+        new org.apache.hadoop.fs.Path(s"${ingestDir(wrote)}/batch-$batchId"),
+        now)
+      wrote = now
+      now = activeEpoch(spark)
+    }
+  }
 
   private def writeGeneration(rows: DataFrame, target: Int): Unit = {
     val w = rows.write.mode("overwrite")
@@ -142,23 +278,12 @@ private[graft] final case class EpochedTable(dir: String, base: String,
       .parquet(tableDir(target))
   }
 
-  /** Fold base + ingest into generation `active + 1`, refuse to
-    * retire anything unless the new generation's commit marker is
-    * present, then delete every older generation. `reshape` lets the
-    * caller restore a physical layout (e.g. the band table's join-key
-    * repartition) on the compacted output. */
-  def compact(spark: org.apache.spark.sql.SparkSession,
-      reshape: DataFrame => DataFrame = identity): Unit = {
-    val fs = fsOf(spark)
-    val e = activeEpoch(spark)
-    val next = e + 1
-    writeGeneration(reshape(read(spark)), next)
-    require(fs.exists(
-        new org.apache.hadoop.fs.Path(s"${tableDir(next)}/_SUCCESS")),
-      s"${tableDir(next)} committed without a _SUCCESS marker " +
-        "(mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?) — " +
-        "refusing to retire the previous generation")
-    (0 to e).foreach { old =>
+  /** Delete every generation STRICTLY below `keep` — the one-cycle
+    * reader grace: the generation retired by THIS swap survives until
+    * the next one, so scans that pinned its listing drain intact. */
+  private def cleanupBelow(fs: org.apache.hadoop.fs.FileSystem,
+      keep: Int): Unit = {
+    (0 until keep).foreach { old =>
       fs.delete(new org.apache.hadoop.fs.Path(tableDir(old)), true)
       fs.delete(new org.apache.hadoop.fs.Path(ingestDir(old)), true)
     }
@@ -167,10 +292,48 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${base}_staging"), true)
   }
 
+  /** Fold base + a SNAPSHOT of the committed ingest batches into
+    * generation `active + 1`, refuse to retire anything unless the
+    * new generation's commit marker is present, promote batches that
+    * landed after the snapshot, then delete generations below the
+    * previous active one (one-cycle reader grace — see the class
+    * contract). `reshape` lets the caller restore a physical layout
+    * (e.g. the band table's join-key repartition) on the compacted
+    * output. `onStaged` is a test seam run between the new
+    * generation's commit-marker check and the late-batch re-list, the
+    * exact window a concurrent append previously vanished in. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      reshape: DataFrame => DataFrame = identity,
+      onStaged: () => Unit = () => ()): Unit = {
+    val fs = fsOf(spark)
+    val e = activeEpoch(spark)
+    val next = e + 1
+    val folded = ingestBatchDirs(spark, e)
+    writeGeneration(reshape(assemble(spark, e, folded)), next)
+    require(fs.exists(
+        new org.apache.hadoop.fs.Path(s"${tableDir(next)}/_SUCCESS")),
+      s"${tableDir(next)} committed without a _SUCCESS marker " +
+        "(mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?) — " +
+        "refusing to retire the previous generation")
+    onStaged()
+    // late-append promotion: anything committed to the OLD ingest dir
+    // since the fold snapshot rides forward instead of vanishing
+    val conf = spark.sparkContext.hadoopConfiguration
+    val foldedSet = folded.toSet
+    ingestBatchDirs(spark, e).filterNot(foldedSet).foreach(d =>
+      promoteBatch(fs, conf, new org.apache.hadoop.fs.Path(d), next))
+    cleanupBelow(fs, keep = e)
+  }
+
   /** Replace the table's CONTENT with `rows` (a rebuild, not a
     * fold): a fresh store writes the plain epoch-0 layout; a store
-    * with history commits generation `active + 1` first and retires
-    * everything older after — the compaction crash contract. */
+    * with history commits generation `active + 1` first and cleans up
+    * with the same one-cycle grace as [[compact]] — the retired
+    * generation (whose rows the rebuild deliberately discards) stays
+    * on disk one cycle for draining readers. An append racing the
+    * rebuild is promoted into the new generation like compact's late
+    * batches — semantically a batch appended to a rebuilt table,
+    * which is what a racing appender observes anyway. */
   def replaceWith(rows: DataFrame): Unit = {
     val spark = rows.sparkSession
     val fs = fsOf(spark)
@@ -178,16 +341,18 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     val fresh = !fs.exists(new org.apache.hadoop.fs.Path(tableDir(e))) &&
       !fs.exists(new org.apache.hadoop.fs.Path(ingestDir(e)))
     val target = if (fresh) 0 else e + 1
+    val pre = if (fresh) Nil else ingestBatchDirs(spark, e)
     writeGeneration(rows, target)
     if (target > 0) {
       require(fs.exists(
           new org.apache.hadoop.fs.Path(s"${tableDir(target)}/_SUCCESS")),
         s"${tableDir(target)} committed without a _SUCCESS marker — " +
           "refusing to retire the previous generation")
-      (0 until target).foreach { old =>
-        fs.delete(new org.apache.hadoop.fs.Path(tableDir(old)), true)
-        fs.delete(new org.apache.hadoop.fs.Path(ingestDir(old)), true)
-      }
+      val conf = spark.sparkContext.hadoopConfiguration
+      val preSet = pre.toSet
+      ingestBatchDirs(spark, e).filterNot(preSet).foreach(d =>
+        promoteBatch(fs, conf, new org.apache.hadoop.fs.Path(d), target))
+      cleanupBelow(fs, keep = e)
     }
   }
 }

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.sources.EpochedTable
+
+/** The storage-concurrency contract of [[graft.sources.EpochedTable]]
+  * — the two round-14 compaction-window caveats, each replayed
+  * DETERMINISTICALLY (the `onStaged` seam and the explicit-epoch
+  * append seam pin the exact interleavings a threaded race test would
+  * only sometimes hit), plus the append-before-init read path.
+  */
+class EpochedTableSpec extends SparkSuite {
+
+  private def table(root: String) =
+    EpochedTable(root, "t", Seq("id", "v"))
+
+  private def rows(root: String): Seq[(Long, Long)] = {
+    val t = table(root)
+    rowsOf(t.read(spark).orderBy(col("id")))
+      .map(r => (r("id").asInstanceOf[Long], r("v").asInstanceOf[Long]))
+  }
+
+  private def df(pairs: (Long, Long)*) = {
+    val s = spark
+    import s.implicits._
+    pairs.toDF("id", "v")
+  }
+
+  test("a batch appended while a compaction is staging is promoted, not lost") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ep-race").toString
+    try {
+      val t = table(root)
+      t.replaceWith(df(1L -> 1L))
+      t.appendBatch(df(2L -> 2L), batchId = 0L)
+      // the late append lands AFTER compact's fold snapshot and commit
+      // but BEFORE its cleanup — the exact window where the round-14
+      // contract lost the batch ("becomes invisible when N+1 commits").
+      // Written RAW (no self-promotion pass — a writer that died right
+      // after its batch dir committed), so only the compactor's
+      // post-commit re-list can save it
+      t.compact(spark, onStaged = () =>
+        df(3L -> 3L).write.mode("overwrite")
+          .parquet(s"$root/t_ingest/batch-1"))
+      assert(rows(root) == Seq(1L -> 1L, 2L -> 2L, 3L -> 3L),
+        "late-staged batch vanished at commit")
+      // the promoted batch keeps folding forward on later cycles
+      t.compact(spark)
+      assert(rows(root) == Seq(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
+  test("a writer that resolved a stale epoch self-promotes its batch forward") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ep-stale").toString
+    try {
+      val t = table(root)
+      t.replaceWith(df(1L -> 1L))
+      t.compact(spark) // active is now generation 1
+      assert(t.activeEpoch(spark) == 1)
+      // a writer that listed the store just before that compaction
+      // committed writes into generation 0's ingest dir; its
+      // post-write epoch re-check must carry the batch to gen 1
+      t.appendBatchAt(df(2L -> 2L), batchId = 0L, epochHint = 0)
+      assert(new java.io.File(s"$root/t_ingest_v1/batch-0").exists,
+        "stale-epoch batch not promoted into the active generation")
+      assert(rows(root) == Seq(1L -> 1L, 2L -> 2L),
+        "stale-epoch batch invisible to readers")
+      // and it folds like any ordinary batch
+      t.compact(spark)
+      assert(rows(root) == Seq(1L -> 1L, 2L -> 2L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
+  test("a reader pinned to the old generation drains across a compaction (no ignoreMissingFiles)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ep-drain").toString
+    try {
+      assert(spark.conf.getOption("spark.sql.files.ignoreMissingFiles")
+        .forall(_ == "false"))
+      val t = table(root)
+      t.replaceWith(df(1L -> 1L))
+      t.appendBatch(df(2L -> 2L), batchId = 0L)
+      // this frame's file listing resolves generation 0 (base AND its
+      // ingest batch) NOW; executing it after the swap used to hit
+      // deleted files mid-scan
+      val pinned = t.read(spark).orderBy(col("id"))
+      t.compact(spark)
+      assert(t.activeEpoch(spark) == 1)
+      val got = pinned.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq(1L -> 1L, 2L -> 2L),
+        "pinned reader lost rows across the generation swap")
+      // the grace is exactly one cycle: after the NEXT compaction the
+      // old generation is gone and a still-pinned gen-0 scan may fail
+      // — the documented drain bound, not an accident
+      t.compact(spark)
+      assert(!new java.io.File(s"$root/t").exists &&
+          !new java.io.File(s"$root/t_ingest").exists,
+        "generation 0 outlived its one-cycle grace")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
+  test("append-before-init: a batches-only table reads, dashboards, and compacts") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ep-bare").toString
+    try {
+      val t = table(root)
+      // no replaceWith ever ran — the sketchIngest-against-a-fresh-dir
+      // pattern the round-14 advice flagged as a permanent wedge
+      t.appendBatch(df(1L -> 1L), batchId = 0L)
+      t.appendBatch(df(2L -> 2L), batchId = 1L)
+      assert(rows(root) == Seq(1L -> 1L, 2L -> 2L),
+        "batches-only table unreadable")
+      t.compact(spark)
+      assert(t.activeEpoch(spark) == 1)
+      assert(rows(root) == Seq(1L -> 1L, 2L -> 2L),
+        "compaction of a batches-only table lost rows")
+      // a table with NEITHER base nor batches still fails loudly
+      val bare = EpochedTable(
+        java.nio.file.Files.createTempDirectory("graft-ep-none").toString,
+        "t", Seq("id", "v"))
+      intercept[Exception](bare.read(spark).collect())
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
+  test("a torn batch dir becomes visible once its _SUCCESS lands (negative verdicts uncached)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ep-torn").toString
+    try {
+      val t = table(root)
+      t.replaceWith(df(1L -> 1L))
+      // stage a batch dir by hand: data file but no commit marker
+      t.appendBatch(df(2L -> 2L), batchId = 0L)
+      val bdir = new java.io.File(s"$root/t_ingest/batch-0")
+      val marker = new java.io.File(bdir, "_SUCCESS")
+      assert(marker.delete())
+      assert(rows(root) == Seq(1L -> 1L), "uncommitted batch visible")
+      // the commit marker lands later (a slow committer, a recovered
+      // writer): the very next read must see the batch — a cached
+      // negative verdict would hide it forever on object stores
+      assert(marker.createNewFile())
+      assert(rows(root) == Seq(1L -> 1L, 2L -> 2L),
+        "batch stayed invisible after its _SUCCESS landed")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+}

@@ -235,12 +235,23 @@ class IncrementalDedupSpec extends SparkSuite {
       val before = snapshot()
       Dedup.compactDedupLabels(spark, s"$root/lbl")
       assert(snapshot() == before, "compaction changed label rows")
-      assert(!new java.io.File(s"$root/lbl/ingest").exists,
-        "ingest dir survived compaction")
+      // one-cycle reader grace: the retired generation (base AND its
+      // ingest) survives THIS compaction so pinned scans drain; only
+      // the next cycle deletes it
+      assert(new java.io.File(s"$root/lbl/ingest").exists,
+        "retired ingest deleted immediately — draining readers break")
       // a later batch starts a fresh ingest generation cleanly
       Dedup.appendDedupLabels(
         Seq((30L, 30L)).toDF("doc_id", "cluster"), s"$root/lbl", batchId = 2L)
       assert(snapshot() == before :+ ((30L, 30L)))
+      Dedup.compactDedupLabels(spark, s"$root/lbl")
+      assert(snapshot() == before :+ ((30L, 30L)),
+        "second compaction changed label rows")
+      assert(!new java.io.File(s"$root/lbl/ingest").exists &&
+          !new java.io.File(s"$root/lbl/labels").exists,
+        "generation 0 outlived its grace cycle")
+      assert(new java.io.File(s"$root/lbl/labels_ingest_v1").exists,
+        "the JUST-retired generation's ingest must stay for one cycle")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
@@ -355,11 +366,19 @@ class IncrementalDedupSpec extends SparkSuite {
       Dedup.compactDedupIndex(spark, s"$root/idx")
       assert(probe() == before, "compaction changed probe verdicts")
       for (t <- Seq("fp", "bands", "shingles")) {
-        assert(!new java.io.File(s"$root/idx/${t}_ingest").exists,
-          s"${t}_ingest survived compaction")
+        // one-cycle reader grace: retired gen-0 dirs survive the
+        // compaction that retired them, die on the next one
+        assert(new java.io.File(s"$root/idx/${t}_ingest").exists,
+          s"retired ${t}_ingest deleted immediately")
         assert(new java.io.File(s"$root/idx/${t}_v1/_SUCCESS").exists,
           s"${t}_v1 not committed with a _SUCCESS marker")
       }
+      Dedup.compactDedupIndex(spark, s"$root/idx")
+      assert(probe() == before, "second compaction changed probe verdicts")
+      for (t <- Seq("fp", "bands", "shingles"))
+        assert(!new java.io.File(s"$root/idx/${t}_ingest").exists &&
+            !new java.io.File(s"$root/idx/$t").exists,
+          s"$t generation 0 outlived its grace cycle")
       // the next ingest generation starts cleanly and is read back
       Dedup.appendToDedupIndex(docs(30L -> (other + " more")), s"$root/idx",
         Some(1L))
@@ -392,12 +411,21 @@ class IncrementalDedupSpec extends SparkSuite {
       Dedup.compactDedupLabels(spark, s"$root/lbl")
       assert(snapshot() == Seq((1L, 1L), (10L, 1L), (20L, 20L)))
       assert(new java.io.File(s"$root/lbl/labels_v2/_SUCCESS").exists)
-      assert(!new java.io.File(s"$root/lbl/labels_v1").exists,
-        "stale generation survived compaction")
+      // grace: v1 (just retired) drains one cycle; gen 0 (two behind)
+      // is gone
+      assert(new java.io.File(s"$root/lbl/labels_v1").exists,
+        "just-retired generation deleted under draining readers")
+      assert(!new java.io.File(s"$root/lbl/labels").exists,
+        "generation 0 outlived its grace cycle")
       // a REBUILD over the compacted store must supersede generation 2
       // (writing the legacy epoch-0 dir would be invisible to readers)
       Dedup.writeDedupLabels(docs(1L -> base, 2L -> other), s"$root/lbl")
       assert(snapshot() == Seq((1L, 1L), (2L, 2L)))
+      assert(new java.io.File(s"$root/lbl/labels_v3/_SUCCESS").exists)
+      assert(!new java.io.File(s"$root/lbl/labels_v1").exists,
+        "generation 1 outlived its grace cycle across the rebuild")
+      assert(new java.io.File(s"$root/lbl/labels_v2").exists,
+        "rebuild deleted the draining generation immediately")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root))
   }
@@ -436,8 +464,13 @@ class IncrementalDedupSpec extends SparkSuite {
       assert(snapshot() == before :+ ((20L, 20L)),
         "crashed staging content bled into the compacted generation")
       assert(new java.io.File(s"$root/lbl/labels_v1/_SUCCESS").exists)
+      // grace: the retired generation drains one cycle, then dies
+      assert(new java.io.File(s"$root/lbl/labels").exists,
+        "retired generation deleted under draining readers")
+      Dedup.compactDedupLabels(spark, s"$root/lbl")
+      assert(snapshot() == before :+ ((20L, 20L)))
       assert(!new java.io.File(s"$root/lbl/labels").exists,
-        "retired generation survived")
+        "generation 0 outlived its grace cycle")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root))
   }

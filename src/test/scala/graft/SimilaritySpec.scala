@@ -730,10 +730,17 @@ class SimilaritySpec extends SparkSuite {
       // generation; probes see identical rows and regain full
       // listing pruning (PartitionFilters pin below)
       Similarity.compactPqIndex(spark, dir)
-      assert(!new java.io.File(s"$dir/codes_ingest").exists,
-        "codes_ingest survived compaction")
+      // one-cycle reader grace: the retired generation's dirs survive
+      // the compaction that retired them (draining scans), die next
+      assert(new java.io.File(s"$dir/codes_ingest").exists,
+        "retired codes_ingest deleted immediately")
       assert(new java.io.File(s"$dir/codes_v1/_SUCCESS").exists,
         "compacted generation not committed")
+      Similarity.compactPqIndex(spark, dir)
+      assert(!new java.io.File(s"$dir/codes_ingest").exists &&
+          !new java.io.File(s"$dir/codes").exists,
+        "generation 0 outlived its grace cycle")
+      assert(new java.io.File(s"$dir/codes_v2/_SUCCESS").exists)
       assert(new java.io.File(s"$dir/codes_v1").listFiles()
         .exists(_.getName.startsWith("cid=")),
         "compacted codes lost the cid partitioning")

@@ -638,10 +638,13 @@ object OracleSql {
     (0 to 64).map(k => (BigInt(1) << k).toString)
       .mkString("[", "::HUGEINT, ", "]")
 
-  /** `alpha·m²·2^64` spliced from the Scala constant so both engines
-    * divide the IDENTICAL double numerator. */
+  /** `alpha·m²·2^64` spliced from the Scala constant's EXACT integer
+    * value (88 bits, inside HUGEINT) so both engines compute the
+    * identical integer quotient and take the identical branch — no
+    * float appears anywhere in the raw path (round-14 advice: DuckDB's
+    * HUGEINT→DOUBLE cast can double-round where BigInt rounds once). */
   private val hllNumerator: String =
-    java.lang.Double.toString(graft.functions.HllSketch.RawNumerator)
+    graft.functions.HllSketch.RawNumeratorBig.toString + "::HUGEINT"
 
   /** FNV-1a 64-bit generalized to CODEPOINT units (the cross-engine
     * fold unit — identical to the byte fold on ASCII, and what
@@ -687,8 +690,11 @@ object OracleSql {
     * remainder is zero else nlz+1 via the power-of-two bit-length
     * probe, register MAX over DISTINCT values (max is idempotent, so
     * pre-distinct is free), empty registers 0, then the exact HUGEINT
-    * sum of `2^(64-rho)` and the one terminal double division —
-    * `round()`ing to BIGINT exactly as the Spark side does. */
+    * sum of `2^(64-rho)`, the exact-integer branch test
+    * `sum·10240 ≥ num`, and the exact half-up quotient
+    * `(2·num + sum) // (2·sum)` — integer-for-integer what
+    * [[graft.functions.HllSketch.estimateLong]] computes; only the
+    * small-range `ln` is floating point. */
   def hllDistinctCtes(px: String, vals: String): String =
     s"""${px}h0 AS (SELECT grp, ${fnv64Of("s")} AS h
        |           FROM (SELECT DISTINCT grp, s FROM ($vals))),
@@ -712,12 +718,13 @@ object OracleSql {
        |                  count(*) FILTER (WHERE rho = 0) AS zeros
        |           FROM ${px}a GROUP BY grp),
        |${px}e AS (SELECT grp,
-       |                  CAST(round(CASE
-       |                    WHEN $hllNumerator / CAST(s AS DOUBLE) <= 10240.0
-       |                         AND zeros > 0
-       |                    THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
-       |                    ELSE $hllNumerator / CAST(s AS DOUBLE) END)
-       |                    AS BIGINT) AS distinct_approx
+       |                  CASE
+       |                    WHEN zeros > 0 AND s * 10240 >= $hllNumerator
+       |                    THEN CAST(round(4096.0 *
+       |                           ln(4096.0 / CAST(zeros AS DOUBLE)))
+       |                         AS BIGINT)
+       |                    ELSE CAST((2 * $hllNumerator + s) // (2 * s)
+       |                         AS BIGINT) END AS distinct_approx
        |           FROM ${px}s)""".stripMargin
 
   /** Mirrors [[graft.operators.CorpusOps.sourceDistinctApprox]]: the

@@ -702,21 +702,69 @@ object SparkEntry {
     Runtime.getRuntime.addShutdownHook(t)
     t
   }
+  /** The tags [[ensureBuilt]] is ever called with — the sweep refuses
+    * anything else, so `graft-*` dirs belonging to other tools or
+    * other graft flavors on a shared tmpdir are never ours to delete. */
+  private val scratchTags =
+    Set("labels", "dedupidx", "asgnlbl", "pqidx", "distsk")
+
+  /** This JVM's process start instant (epoch millis, hex) — embedded
+    * in scratch dir names so a sweeper can tell the OWNER apart from
+    * an unrelated process that later recycled the same pid. Empty on
+    * platforms that don't expose it (then the dir carries no token and
+    * the sweep falls back to pid-liveness alone, the conservative
+    * pre-token behavior). */
+  private val startToken: String =
+    ProcessHandle.current.info.startInstant
+      .map[String](i => java.lang.Long.toHexString(i.toEpochMilli))
+      .orElse("")
+
+  /** The sweep decision for one dir, given the dir name's start token
+    * (possibly empty/absent) and the live process's observed token
+    * (None = pid dead, Some("") = alive but start unobservable):
+    * orphan iff the pid is dead, or alive with a start instant that
+    * CONTRADICTS the recorded token (recycled pid). Exposed for the
+    * spec — the truth table IS the safety argument. */
+  private[graft] def orphanedScratch(
+      dirTok: String, liveTok: Option[String]): Boolean =
+    liveTok match {
+      case None => true
+      case Some(live) => dirTok.nonEmpty && live.nonEmpty && live != dirTok
+    }
+
+  private def startTokenOf(pid: Long): Option[String] = {
+    val oh = ProcessHandle.of(pid)
+    if (!oh.isPresent) None
+    else {
+      val si = oh.get.info.startInstant
+      if (si.isPresent) Some(java.lang.Long.toHexString(si.get.toEpochMilli))
+      else Some("") // alive but unobservable start — claim nothing
+    }
+  }
+
   // the reaper cannot cover SIGKILL (timeouts, OOM kills): those JVMs
   // never run shutdown hooks, so their PID-keyed scratch dirs outlive
-  // them as debris nothing reclaims. Sweep dirs whose owning pid is
-  // dead ONCE per JVM, before the first build. A recycled pid that is
-  // alive as some unrelated process skips its dir — conservative: a
-  // leaked dir is cheap, deleting under a live builder is not.
+  // them as debris nothing reclaims. Sweep dirs ONCE per JVM, before
+  // the first build. Ownership proof required on all three axes: the
+  // tag is one of OURS, the dir's filesystem owner is the current OS
+  // user, and the recorded pid is dead — or alive with a process start
+  // instant that CONTRADICTS the dir's start token (a recycled pid: the
+  // owner is gone, the squatter is not a builder). Alive-and-matching,
+  // alive-with-no-verdict, and tokenless-alive all skip — conservative:
+  // a leaked dir is cheap, deleting under a live builder is not.
   private lazy val orphanSweep: Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val pat = "^graft-.*-p(\\d+)$".r
+    val tags = scratchTags.mkString("|")
+    val pat = s"^graft-($tags)-[0-9a-f]+-p(\\d+)(?:t([0-9a-f]+))?$$".r
+    val me = System.getProperty("user.name")
+    def ownedByUs(f: java.io.File): Boolean =
+      try java.nio.file.Files.getOwner(f.toPath).getName == me
+      catch { case _: Exception => false }
     Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
       f.getName match {
-        case pat(pid) if f.isDirectory && {
-              val oh = ProcessHandle.of(pid.toLong)
-              !(oh.isPresent && oh.get().isAlive)
-            } =>
+        case pat(_, pid, tok) if f.isDirectory && ownedByUs(f) &&
+            orphanedScratch(if (tok == null) "" else tok,
+              startTokenOf(pid.toLong)) =>
           try org.apache.commons.io.FileUtils.deleteDirectory(f)
           catch { case _: java.io.IOException => () } // best effort
         case _ => ()
@@ -733,8 +781,11 @@ object SparkEntry {
     builtOnce.synchronized {
       orphanSweep // once per JVM, before the first scratch build
       builtOnce.getOrElseUpdate(s"$tag|$dir", {
+        require(scratchTags.contains(tag),
+          s"scratch tag '$tag' not in the sweep allowlist $scratchTags")
+        val tok = if (startToken.isEmpty) "" else s"t$startToken"
         val d = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-          s"graft-$tag-${Integer.toHexString(dir.hashCode)}-p${ProcessHandle.current.pid}")
+          s"graft-$tag-${Integer.toHexString(dir.hashCode)}-p${ProcessHandle.current.pid}$tok")
           .toString
         build(d)
         d

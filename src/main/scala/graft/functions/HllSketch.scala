@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.{ColumnBridge, GraftInputTypes}
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** PINNED HyperLogLog: an order-independent distinct-count sketch with
   * a wire format any engine can replay, replacing the engine-internal
@@ -29,17 +29,26 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
   *     idempotent, so the result is IDENTICAL for every partitioning,
   *     shuffle order, and replay (the property the engine-internal
   *     sketches also have, here made externally checkable);
-  *   - estimate: `alpha·m²·2^64 / Σ_j 2^(64-r_j)` with the register
-  *     sum in EXACT integer arithmetic (≤ 2^76, fits decimal/HUGEINT
-  *     on both engines) and ONE terminal double division, plus the
-  *     standard small-range linear-counting correction
-  *     `m·ln(m/V)` below `2.5m` when V registers are empty.
+  *   - estimate: `round(alpha·m²·2^64 / Σ_j 2^(64-r_j))` computed
+  *     ENTIRELY in exact integer arithmetic — the numerator is the
+  *     88-bit integer a double holds exactly ([[RawNumeratorBig]]),
+  *     the register sum ≤ 2^76, and the rounded quotient is the
+  *     half-up identity `(2·num + sum) / (2·sum)` (floor division;
+  *     every intermediate < 2^90, inside decimal/HUGEINT on both
+  *     engines) — plus the standard small-range linear-counting
+  *     correction `round(m·ln(m/V))` when V registers are empty and
+  *     the raw estimate would be ≤ 2.5m, that branch ALSO selected
+  *     on the exact sum: `raw ≤ 2.5m ⟺ sum·(2.5m) ≥ num`, i.e.
+  *     `sum·10240 ≥ num` with both sides exact integers.
   *
-  * The single cross-engine float hazard is `ln` (libm vs Math.log may
-  * differ in the last ulp); estimates are therefore surfaced as
-  * `round(est)::long` — a distinct COUNT — which a 1-ulp wobble
-  * cannot move off its integer. Everything else is IEEE-exact, so
-  * the DuckDB oracle ([[graft.OracleSql]]) reproduces the estimate
+  * The single cross-engine float hazard is the small-range `ln` (libm
+  * vs Math.log may differ in the last ulp), already inside a
+  * `round(..)::long`; the raw branch and — critically — the CHOICE of
+  * branch involve no floating point at all, so a knife-edge register
+  * sum cannot send the two engines down different branches (the
+  * hazard graft's round-14 advice flagged: DuckDB's HUGEINT→DOUBLE
+  * cast may double-round where BigInt.doubleValue rounds correctly).
+  * The DuckDB oracle ([[graft.OracleSql]]) reproduces the estimate
   * hash-for-hash.
   *
   * Scale shape: [[HllSketchAgg]] is a `TypedImperativeAggregate`
@@ -62,12 +71,25 @@ object HllSketch {
   val Alpha: Double = 0.7213 / (1.0 + 1.079 / M)
 
   /** The whole numerator `alpha·m²·2^64` folded to ONE double
-    * constant, spliced verbatim into the oracle SQL so both engines
-    * divide the identical numerator by the identical sum. */
+    * constant (magnitude ~2^87.5, ulp 2^35 — an exact integer). */
   val RawNumerator: Double = Alpha * M * M * math.pow(2.0, 64)
 
-  /** Small-range threshold 2.5m (exact in double). */
-  val SmallRange: Double = 2.5 * M
+  /** [[RawNumerator]]'s exact integer value, the form both engines
+    * actually compute with: spliced into the oracle SQL as a HUGEINT
+    * literal, used here for the exact-integer quotient and branch. */
+  val RawNumeratorBig: BigInt = {
+    // new j.m.BigDecimal(d) is the EXACT binary value (scala's
+    // BigDecimal(d) would give the shortest round-trip decimal)
+    val b = BigDecimal(new java.math.BigDecimal(RawNumerator))
+      .toBigIntExact.getOrElse(
+        sys.error("RawNumerator is not an exact integer"))
+    require(b.bitLength <= 126, s"numerator ${b.bitLength} bits > HUGEINT")
+    b
+  }
+
+  /** Small-range threshold 2.5m as the exact integer 2·(2.5m)/2 =
+    * 10240: `raw ≤ 2.5m ⟺ sum·SmallRangeInt ≥ num`, all integers. */
+  val SmallRangeInt: Int = (5 * M) / 2
 
   // ---- The pinned 64-bit hash: FNV-1a 64 (canonical basis/prime —
   // unlike graft.functions.Fnv32, the reference's quirky 32-bit
@@ -170,10 +192,11 @@ object HllSketch {
     }
   }
 
-  /** The HLL estimate over a register array. The register sum is
-    * EXACT (BigInt; the oracle's HUGEINT) — the only doubles are the
-    * final division and the ln of the small-range branch. */
-  def estimate(regs: Array[Byte]): Double = {
+  /** The rounded HLL count over a register array. The register sum,
+    * the branch choice, and the raw quotient are EXACT integers
+    * (BigInt; the oracle's HUGEINT); the small-range branch's `ln` is
+    * the only floating-point operation left in the whole estimate. */
+  def estimateLong(regs: Array[Byte]): Long = {
     var zeros = 0
     var sum = BigInt(0)
     var j = 0
@@ -183,9 +206,10 @@ object HllSketch {
       sum += BigInt(1) << (64 - r)
       j += 1
     }
-    val raw = RawNumerator / sum.toDouble
-    if (raw <= SmallRange && zeros > 0) M * math.log(M.toDouble / zeros)
-    else raw
+    if (zeros > 0 && sum * SmallRangeInt >= RawNumeratorBig)
+      math.round(M * math.log(M.toDouble / zeros))
+    else // round-half-up of num/sum via floor((2·num + sum) / (2·sum))
+      ((RawNumeratorBig * 2 + sum) / (sum * 2)).toLong
   }
 
   /** Register-array aggregate over a 64-bit-hash column. Buffer = the
@@ -274,19 +298,20 @@ object HllSketch {
         c: IndexedSeq[Expression]): HllUnionAgg = copy(child = c(0))
   }
 
-  /** Estimate a BINARY register array → double (runs once per GROUP
-    * row, so CodegenFallback costs nothing measurable). Callers round
-    * to long — see the ln caveat in the object scaladoc. */
+  /** Estimate a BINARY register array → the rounded distinct COUNT
+    * (runs once per GROUP row, so CodegenFallback costs nothing
+    * measurable). Long, not double: the estimate is integer-exact
+    * except the small-range `ln` — see the object scaladoc. */
   case class HllEstimateExpr(child: Expression) extends UnaryExpression
     with GraftInputTypes with CodegenFallback {
     override def graftInputTypes: Seq[DataType] = Seq(BinaryType)
-    override def dataType: DataType = DoubleType
+    override def dataType: DataType = LongType
 
     override def nullSafeEval(v: Any): Any = {
       val regs = v.asInstanceOf[Array[Byte]]
       require(regs.length == M,
         s"graft_hll_estimate: sketch of ${regs.length} registers, expected $M")
-      estimate(regs)
+      estimateLong(regs)
     }
 
     override protected def withNewChildInternal(newChild: Expression): HllEstimateExpr =
@@ -325,10 +350,9 @@ object HllSketch {
     ColumnBridge.column(
       HllUnionAgg(ColumnBridge.catalystExpression(c)).toAggregateExpression())
 
-  /** Rounded distinct-count estimate of a sketch column. */
-  def hllDistinct(c: Column): Column = {
-    import org.apache.spark.sql.functions.round
-    round(ColumnBridge.column(
-      HllEstimateExpr(ColumnBridge.catalystExpression(c)))).cast("long")
-  }
+  /** Rounded distinct-count estimate of a sketch column (LONG — the
+    * rounding is inside [[estimateLong]], integer-exact on the raw
+    * branch). */
+  def hllDistinct(c: Column): Column =
+    ColumnBridge.column(HllEstimateExpr(ColumnBridge.catalystExpression(c)))
 }

@@ -175,8 +175,8 @@ object HashProperties extends Properties("graft.hashing") {
 
   property("hll estimate is exact on tiny sets and nonneg everywhere") =
     Prop.forAll(Gen.listOf(Gen.alphaNumStr)) { vs =>
-      val est = graft.functions.HllSketch.estimate(regsOf(vs))
-      est >= 0.0 && (vs.distinct.size > 8 ||
-        math.round(est) <= vs.distinct.size + 1)
+      val est = graft.functions.HllSketch.estimateLong(regsOf(vs))
+      est >= 0L && (vs.distinct.size > 8 ||
+        est <= vs.distinct.size + 1)
     }
 }

@@ -96,6 +96,20 @@ class HllSketchSpec extends SparkSuite {
     assert(est == 3L)
   }
 
+  test("estimate wire constants are the exact integers the oracle splices") {
+    // the oracle SQL carries these literals; a drift here is a silent
+    // cross-engine divergence, so pin them to their decimal values
+    assert(HllSketch.RawNumeratorBig ==
+      BigInt("223172747692837245156327424"))
+    assert(HllSketch.RawNumeratorBig.toDouble == HllSketch.RawNumerator)
+    assert(HllSketch.SmallRangeInt == 10240)
+    // raw branch: exact half-up quotient, no floats anywhere
+    val regs = Array.fill[Byte](HllSketch.M)(5) // zeros=0 → raw branch
+    val sum = BigInt(HllSketch.M) * (BigInt(1) << 59)
+    assert(HllSketch.estimateLong(regs) ==
+      ((HllSketch.RawNumeratorBig * 2 + sum) / (sum * 2)).toLong)
+  }
+
   test("union aggregate refuses foreign register widths") {
     val s = spark
     import s.implicits._

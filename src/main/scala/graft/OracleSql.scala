@@ -781,47 +781,83 @@ object OracleSql {
        |ORDER BY "partition"""".stripMargin
 
   /** Mirrors [[graft.operators.EventAnalytics.valuePercentilesHistogram]]
-    * arithmetic-for-arithmetic: exact per-type min/max/count, integer
-    * bin counts over fixed widths, `ceil(p·n)` rank pick via the
-    * cumulative BIN sum, then the identical interpolation expression
-    * (only +,-,×,÷ on doubles — no transcendentals to diverge on). */
+    * arithmetic-for-arithmetic: exact per-type min/max/count (or the
+    * caller's fixed domain with end-bin clamping), integer bin counts
+    * over fixed widths, `ceil(p·n)` rank pick via the cumulative BIN
+    * sum, then the identical interpolation expression (only +,-,×,÷
+    * on doubles — no transcendentals to diverge on). With `domain`,
+    * `vmin`/`width` are the SAME double constants the Spark side
+    * folds, spliced via Double.toString (shortest round-trip — DuckDB
+    * parses back the identical double). */
   def valuePercentilesHistogram(ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
-      bins: Int = 1024): String = {
+      bins: Int = 1024,
+      domain: Option[(Double, Double)] = None): String = {
     val psList = ps.mkString("[", ", ", "]")
     val picks = ps.map { p =>
       s"MAX(CASE WHEN p = $p THEN est END) AS p${(p * 100).toInt}"
     }.mkString(",\n       ")
-    s"""WITH v AS (SELECT event_type, "value" FROM events
-       |           WHERE "value" IS NOT NULL),
-       |st AS (SELECT event_type, min("value") AS vmin, max("value") AS vmax,
-       |              COUNT(*) AS n,
-       |              (max("value") - min("value")) / ${bins.toDouble} AS width
-       |       FROM v GROUP BY event_type),
-       |b AS (SELECT v.event_type,
-       |             CASE WHEN st.width = 0.0 THEN 0
-       |                  ELSE LEAST(${bins - 1},
-       |                    CAST(floor(("value" - st.vmin) / st.width)
-       |                         AS BIGINT)) END AS bin,
-       |             COUNT(*) AS cnt
-       |      FROM v JOIN st USING (event_type) GROUP BY 1, 2),
-       |c AS (SELECT event_type, bin, cnt,
-       |             SUM(cnt) OVER (PARTITION BY event_type
-       |                            ORDER BY bin) AS cum
-       |      FROM b),
-       |h AS (SELECT c.event_type, pp.p, st.vmin, st.width, c.bin, c.cnt,
-       |             c.cum, c.cum - c.cnt AS cumb,
-       |             CAST(CEIL(CAST(st.n AS DOUBLE) * pp.p) AS BIGINT) AS t
-       |      FROM c JOIN st USING (event_type)
-       |      CROSS JOIN (SELECT unnest($psList) AS p) pp),
-       |e AS (SELECT event_type, p,
-       |             CASE WHEN width = 0.0 THEN vmin
-       |                  ELSE vmin + ((CAST(bin AS DOUBLE) +
-       |                        CAST(t - cumb AS DOUBLE) / CAST(cnt AS DOUBLE))
-       |                        * width) END AS est
-       |      FROM h WHERE cumb < t AND t <= cum)
-       |SELECT event_type,
-       |       $picks
-       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+    domain match {
+      case None =>
+        s"""WITH v AS (SELECT event_type, "value" FROM events
+           |           WHERE "value" IS NOT NULL),
+           |st AS (SELECT event_type, min("value") AS vmin, max("value") AS vmax,
+           |              COUNT(*) AS n,
+           |              (max("value") - min("value")) / ${bins.toDouble} AS width
+           |       FROM v GROUP BY event_type),
+           |b AS (SELECT v.event_type,
+           |             CASE WHEN st.width = 0.0 THEN 0
+           |                  ELSE LEAST(${bins - 1},
+           |                    CAST(floor(("value" - st.vmin) / st.width)
+           |                         AS BIGINT)) END AS bin,
+           |             COUNT(*) AS cnt
+           |      FROM v JOIN st USING (event_type) GROUP BY 1, 2),
+           |c AS (SELECT event_type, bin, cnt,
+           |             SUM(cnt) OVER (PARTITION BY event_type
+           |                            ORDER BY bin) AS cum
+           |      FROM b),
+           |h AS (SELECT c.event_type, pp.p, st.vmin, st.width, c.bin, c.cnt,
+           |             c.cum, c.cum - c.cnt AS cumb,
+           |             CAST(CEIL(CAST(st.n AS DOUBLE) * pp.p) AS BIGINT) AS t
+           |      FROM c JOIN st USING (event_type)
+           |      CROSS JOIN (SELECT unnest($psList) AS p) pp),
+           |e AS (SELECT event_type, p,
+           |             CASE WHEN width = 0.0 THEN vmin
+           |                  ELSE vmin + ((CAST(bin AS DOUBLE) +
+           |                        CAST(t - cumb AS DOUBLE) / CAST(cnt AS DOUBLE))
+           |                        * width) END AS est
+           |      FROM h WHERE cumb < t AND t <= cum)
+           |SELECT event_type,
+           |       $picks
+           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+      case Some((lo, hi)) =>
+        val vmin = java.lang.Double.toString(lo)
+        val width = java.lang.Double.toString((hi - lo) / bins)
+        s"""WITH v AS (SELECT event_type, "value" FROM events
+           |           WHERE "value" IS NOT NULL),
+           |b AS (SELECT event_type,
+           |             GREATEST(0, LEAST(${bins - 1},
+           |               CAST(floor(("value" - $vmin) / $width)
+           |                    AS BIGINT))) AS bin,
+           |             COUNT(*) AS cnt
+           |      FROM v GROUP BY 1, 2),
+           |c AS (SELECT event_type, bin, cnt,
+           |             SUM(cnt) OVER (PARTITION BY event_type
+           |                            ORDER BY bin) AS cum,
+           |             SUM(cnt) OVER (PARTITION BY event_type) AS n
+           |      FROM b),
+           |h AS (SELECT c.event_type, pp.p, c.bin, c.cnt,
+           |             c.cum, c.cum - c.cnt AS cumb,
+           |             CAST(CEIL(CAST(c.n AS DOUBLE) * pp.p) AS BIGINT) AS t
+           |      FROM c CROSS JOIN (SELECT unnest($psList) AS p) pp),
+           |e AS (SELECT event_type, p,
+           |             $vmin + ((CAST(bin AS DOUBLE) +
+           |                   CAST(t - cumb AS DOUBLE) / CAST(cnt AS DOUBLE))
+           |                   * $width) AS est
+           |      FROM h WHERE cumb < t AND t <= cum)
+           |SELECT event_type,
+           |       $picks
+           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+    }
   }
 
   val eventWindows: String =

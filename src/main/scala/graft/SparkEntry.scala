@@ -82,10 +82,16 @@ object SparkEntry {
     // scale variant: deterministic fixed-width-histogram percentiles
     // (no per-type global sort; bins×types state regardless of input
     // size) — pinned IEEE arithmetic, so hash-exact vs the oracle.
-    // The percentile_approx sketch remains the STREAMING twin's path
-    // (StreamingPercentiles), bracketed by its spec.
+    // Caller-supplied domain [0, 1024) = the SINGLE-SCAN mode (the
+    // adaptive two-scan path remains the default for unknown domains);
+    // out-of-domain values clamp into the end bins, so the hash
+    // contract holds for any data. The percentile_approx sketch
+    // remains the STREAMING twin's path (StreamingPercentiles),
+    // bracketed by its spec.
     "q_value_percentiles_approx" -> ((s, dir) =>
-      EventAnalytics.valuePercentilesHistogram(EventsAsRecords.readEvents(s, dir))),
+      EventAnalytics.valuePercentilesHistogram(
+        EventsAsRecords.readEvents(s, dir),
+        domain = Some((0.0, 1024.0)))),
     // EXACT scale variant: distributed radix select over the IEEE bit
     // key — same values as q_value_percentiles (shared oracle), no
     // per-type global sort; windowMaxRows=256 forces real refinement
@@ -934,7 +940,8 @@ object SparkEntry {
       "q_event_transitions" -> OracleSql.typeTransitions,
       "q_value_percentiles" -> OracleSql.valuePercentiles(),
       "q_value_percentiles_dist" -> OracleSql.valuePercentiles(),
-      "q_value_percentiles_approx" -> OracleSql.valuePercentilesHistogram(),
+      "q_value_percentiles_approx" ->
+        OracleSql.valuePercentilesHistogram(domain = Some((0.0, 1024.0))),
       "q_vocab_summary_approx" -> OracleSql.vocabularySummaryApprox,
       "q_source_distinct_approx" -> OracleSql.sourceDistinctApprox,
       "q_source_distinct_indexed" -> OracleSql.sourceDistinctApprox,

@@ -325,38 +325,71 @@ object EventAnalytics {
     * per-type value sort; both scans' aggregates are map-side-partial.
     * All arithmetic is division/multiply/add on doubles (each IEEE-
     * correctly-rounded, no transcendentals), so engines agree bitwise.
+    *
+    * With `domain = Some((lo, hi))` the min/max pre-scan disappears
+    * entirely — ONE scan, one map-side-partial aggregate to
+    * `bins × types` rows, with per-type totals recovered from the bin
+    * counts themselves (a window over the BIN table, not the data).
+    * This is the 100 TB mode: a caller who knows the metric's domain
+    * (they usually do — it is their metric) pays a single pass.
+    * Out-of-domain values CLAMP into the end bins, so hash-exactness
+    * vs the oracle holds for any data; only accuracy degrades, and
+    * only for the clamped tail (the estimate can never leave
+    * `[lo, hi]`). Bin width is the fixed constant `(hi-lo)/bins`.
     */
   def valuePercentilesHistogram(events: DataFrame,
-      ps: Seq[Double] = Seq(0.5, 0.9, 0.99), bins: Int = 1024): DataFrame = {
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99), bins: Int = 1024,
+      domain: Option[(Double, Double)] = None): DataFrame = {
     val vals = events.select(col("event_type"), col("value"))
       .filter(col("value").isNotNull)
-    val stats = vals.groupBy(col("event_type"))
-      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
-        count(lit(1)).as("n"))
-      .withColumn("width", (col("vmax") - col("vmin")) / lit(bins.toDouble))
-    // per-type scalars: broadcast both consumers (bin pass + pick)
-    val statsB = broadcast(stats)
-    val binned = vals.join(statsB, Seq("event_type"))
-      .withColumn("bin",
-        when(col("width") === 0.0, lit(0L))
-          .otherwise(least(lit((bins - 1).toLong),
-            floor((col("value") - col("vmin")) / col("width")))))
-      .groupBy(col("event_type"), col("bin"))
-      .agg(count(lit(1)).as("cnt"))
-    val wc = Window.partitionBy(col("event_type")).orderBy(col("bin"))
-    val cum = binned
-      .withColumn("cum", sum(col("cnt")).over(wc))
-      .withColumn("cumb", col("cum") - col("cnt"))
-      .join(statsB, Seq("event_type"))
+    // (bin-table, vmin, width) — adaptive: exact min/max pre-scan;
+    // domain: literals, totals folded back from the bin counts
+    val (cum, vmin, width) = domain match {
+      case None =>
+        val stats = vals.groupBy(col("event_type"))
+          .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+            count(lit(1)).as("n"))
+          .withColumn("width",
+            (col("vmax") - col("vmin")) / lit(bins.toDouble))
+        // per-type scalars: broadcast both consumers (bin pass + pick)
+        val statsB = broadcast(stats)
+        val binned = vals.join(statsB, Seq("event_type"))
+          .withColumn("bin",
+            when(col("width") === 0.0, lit(0L))
+              .otherwise(least(lit((bins - 1).toLong),
+                floor((col("value") - col("vmin")) / col("width")))))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        val wc = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+        val c = binned
+          .withColumn("cum", sum(col("cnt")).over(wc))
+          .withColumn("cumb", col("cum") - col("cnt"))
+          .join(statsB, Seq("event_type"))
+        (c, col("vmin"), col("width"))
+      case Some((lo, hi)) =>
+        require(hi > lo, s"degenerate histogram domain [$lo, $hi]")
+        val w = (hi - lo) / bins // one double constant, spliced verbatim
+        val binned = vals
+          .withColumn("bin", greatest(lit(0L), least(lit((bins - 1).toLong),
+            floor((col("value") - lit(lo)) / lit(w)))))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        val wc = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+        val c = binned
+          .withColumn("cum", sum(col("cnt")).over(wc))
+          .withColumn("cumb", col("cum") - col("cnt"))
+          .withColumn("n",
+            sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+        (c, lit(lo), lit(w))
+    }
     val frac = (col("t") - col("cumb")).cast("double") / col("cnt").cast("double")
     val hits = cum
       .withColumn("p", explode(typedLit(ps)))
       .withColumn("t", ceil(col("n") * col("p")))
       .filter(col("cumb") < col("t") && col("t") <= col("cum"))
       .withColumn("est",
-        when(col("width") === 0.0, col("vmin"))
-          .otherwise(col("vmin") +
-            ((col("bin").cast("double") + frac) * col("width"))))
+        when(width === 0.0, vmin)
+          .otherwise(vmin + ((col("bin").cast("double") + frac) * width)))
     val picks = ps.map { p =>
       max(when(col("p") === p, col("est"))).as(s"p${(p * 100).toInt}")
     }

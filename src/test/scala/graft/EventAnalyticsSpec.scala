@@ -103,6 +103,47 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(math.abs(skew50 - 0.99) <= width + 1e-9, s"skew p50=$skew50")
   }
 
+  test("domain-mode histogram: single-scan accuracy and end-bin clamping") {
+    // fixed domain [0, 1024), width exactly 1.0 — value error ≤ 1.0
+    // against the exact percentiles for in-domain data
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val ev = graft.sources.EventsAsRecords
+        .readEvents(spark, "/root/testdata/sf0.01")
+      val ps = Seq(0.5, 0.9, 0.99)
+      val got = EventAnalytics
+        .valuePercentilesHistogram(ev, ps, domain = Some((0.0, 1024.0)))
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      val exact = EventAnalytics.valuePercentiles(ev, ps)
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      assert(got.nonEmpty && got.keySet == exact.keySet)
+      got.foreach { case (t, vals) =>
+        ps.indices.foreach { i =>
+          val a = vals(i).asInstanceOf[Double]
+          val e = exact(t)(i).asInstanceOf[Double]
+          assert(math.abs(a - e) <= 1.0 + 1e-9,
+            s"$t p${(ps(i) * 100).toInt}: hist=$a exact=$e")
+        }
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    // out-of-domain values clamp into the end bins: estimates stay
+    // inside [lo, hi] instead of extrapolating, and nothing throws
+    val rows = (0 until 40).map(i => (i.toLong, 1000L * i, 1L, "wild",
+      if (i < 10) -50.0 else if (i >= 30) 5000.0 else i.toDouble))
+    val r = rowsOf(EventAnalytics.valuePercentilesHistogram(
+      events(rows: _*), domain = Some((0.0, 100.0))))
+      .map(m => m("event_type") -> m).toMap
+    Seq("p50", "p90", "p99").foreach { p =>
+      val v = r("wild")(p).asInstanceOf[Double]
+      assert(v >= 0.0 && v <= 100.0, s"$p=$v escaped the domain")
+    }
+  }
+
   test("sessionize invariants on random streams: events partition into sessions") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 300).map { i =>

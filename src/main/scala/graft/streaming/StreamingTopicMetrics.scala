@@ -21,11 +21,19 @@ import graft.model.KafkaRecord
   *    it changes. Retraction works because state keeps the max
   *    (partition, offset) seen, not arrival order.
   *
-  * State sizing at scale: alive-key state is O(distinct keys) ×
-  * ~30 bytes; for unbounded key spaces configure watermark-based state
-  * TTL (`GroupStateTimeout.EventTimeTimeout`) upstream — parity itself
-  * needs none (the reference's bitset also grows unboundedly,
-  * `src/metric.rs:262-270`).
+  * State sizing at scale: [[aliveKeyUpdates]] holds O(distinct keys)
+  * × ~30 bytes — exact LWW, parity with the reference (whose bitset
+  * also grows unboundedly, `src/metric.rs:262-270`), fine while the
+  * key space is bounded. For UNBOUNDED key spaces the engine ships
+  * two explicit scale modes instead of a silent OOM:
+  *  - [[aliveKeyUpdatesWithTtl]] — watermark-TTL eviction; state is
+  *    O(keys active within the TTL horizon), the documented
+  *    approximation being that a tombstone later than the horizon
+  *    cannot retract (see its scaladoc for the full contract);
+  *  - the pinned-HLL cardinality twin
+  *    ([[graft.operators.TopicMetrics.keyCardinalityApprox]] /
+  *    [[StreamingSketches]]) when the question is "how many keys
+  *    live" rather than "which" — 4 KiB of state per group, period.
   */
 object StreamingTopicMetrics {
 

@@ -796,6 +796,25 @@ object OracleSql {
     val picks = ps.map { p =>
       s"MAX(CASE WHEN p = $p THEN est END) AS p${(p * 100).toInt}"
     }.mkString(",\n       ")
+    // the rank-pick + interpolation tail is IDENTICAL in both modes —
+    // shared so a fix can never silently diverge them; the modes
+    // differ only in the `c` CTE's provenance of (bin, cnt, cum, n,
+    // vmin, width)
+    def tail(fromC: String): String =
+      s"""h AS (SELECT c.event_type, pp.p, c.vmin, c.width, c.bin, c.cnt,
+         |             c.cum, c.cum - c.cnt AS cumb,
+         |             CAST(CEIL(CAST(c.n AS DOUBLE) * pp.p) AS BIGINT) AS t
+         |      FROM $fromC c
+         |      CROSS JOIN (SELECT unnest($psList) AS p) pp),
+         |e AS (SELECT event_type, p,
+         |             CASE WHEN width = 0.0 THEN vmin
+         |                  ELSE vmin + ((CAST(bin AS DOUBLE) +
+         |                        CAST(t - cumb AS DOUBLE) / CAST(cnt AS DOUBLE))
+         |                        * width) END AS est
+         |      FROM h WHERE cumb < t AND t <= cum)
+         |SELECT event_type,
+         |       $picks
+         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
     domain match {
       case None =>
         s"""WITH v AS (SELECT event_type, "value" FROM events
@@ -811,52 +830,37 @@ object OracleSql {
            |                         AS BIGINT)) END AS bin,
            |             COUNT(*) AS cnt
            |      FROM v JOIN st USING (event_type) GROUP BY 1, 2),
-           |c AS (SELECT event_type, bin, cnt,
-           |             SUM(cnt) OVER (PARTITION BY event_type
-           |                            ORDER BY bin) AS cum
-           |      FROM b),
-           |h AS (SELECT c.event_type, pp.p, st.vmin, st.width, c.bin, c.cnt,
-           |             c.cum, c.cum - c.cnt AS cumb,
-           |             CAST(CEIL(CAST(st.n AS DOUBLE) * pp.p) AS BIGINT) AS t
-           |      FROM c JOIN st USING (event_type)
-           |      CROSS JOIN (SELECT unnest($psList) AS p) pp),
-           |e AS (SELECT event_type, p,
-           |             CASE WHEN width = 0.0 THEN vmin
-           |                  ELSE vmin + ((CAST(bin AS DOUBLE) +
-           |                        CAST(t - cumb AS DOUBLE) / CAST(cnt AS DOUBLE))
-           |                        * width) END AS est
-           |      FROM h WHERE cumb < t AND t <= cum)
-           |SELECT event_type,
-           |       $picks
-           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+           |c AS (SELECT b.event_type, b.bin, b.cnt,
+           |             SUM(b.cnt) OVER (PARTITION BY b.event_type
+           |                              ORDER BY b.bin) AS cum,
+           |             st.n, st.vmin, st.width
+           |      FROM b JOIN st USING (event_type)),
+           |${tail("c")}""".stripMargin
       case Some((lo, hi)) =>
         val vmin = java.lang.Double.toString(lo)
         val width = java.lang.Double.toString((hi - lo) / bins)
-        s"""WITH v AS (SELECT event_type, "value" FROM events
+        // end-bin clamp via COMPARISONS, never a cast of an extreme:
+        // CAST(floor(±Inf/NaN/huge) AS BIGINT) throws in DuckDB where
+        // Spark's f2l saturates — a verification crash, not a clamp.
+        // Every value reaching the CAST is already inside (0, bins-1).
+        // NaN lands in the TOP bin on both engines (both define
+        // NaN = NaN and NaN > every other double in comparisons).
+        s"""WITH v AS (SELECT event_type,
+           |             ("value" - $vmin) / $width AS s FROM events
            |           WHERE "value" IS NOT NULL),
            |b AS (SELECT event_type,
-           |             GREATEST(0, LEAST(${bins - 1},
-           |               CAST(floor(("value" - $vmin) / $width)
-           |                    AS BIGINT))) AS bin,
+           |             CASE WHEN s >= ${(bins - 1).toDouble} THEN ${bins - 1}
+           |                  WHEN s > 0.0 THEN CAST(floor(s) AS BIGINT)
+           |                  ELSE 0 END AS bin,
            |             COUNT(*) AS cnt
            |      FROM v GROUP BY 1, 2),
            |c AS (SELECT event_type, bin, cnt,
            |             SUM(cnt) OVER (PARTITION BY event_type
            |                            ORDER BY bin) AS cum,
-           |             SUM(cnt) OVER (PARTITION BY event_type) AS n
+           |             SUM(cnt) OVER (PARTITION BY event_type) AS n,
+           |             $vmin AS vmin, $width AS width
            |      FROM b),
-           |h AS (SELECT c.event_type, pp.p, c.bin, c.cnt,
-           |             c.cum, c.cum - c.cnt AS cumb,
-           |             CAST(CEIL(CAST(c.n AS DOUBLE) * pp.p) AS BIGINT) AS t
-           |      FROM c CROSS JOIN (SELECT unnest($psList) AS p) pp),
-           |e AS (SELECT event_type, p,
-           |             $vmin + ((CAST(bin AS DOUBLE) +
-           |                   CAST(t - cumb AS DOUBLE) / CAST(cnt AS DOUBLE))
-           |                   * $width) AS est
-           |      FROM h WHERE cumb < t AND t <= cum)
-           |SELECT event_type,
-           |       $picks
-           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+           |${tail("c")}""".stripMargin
     }
   }
 

@@ -369,9 +369,20 @@ object EventAnalytics {
       case Some((lo, hi)) =>
         require(hi > lo, s"degenerate histogram domain [$lo, $hi]")
         val w = (hi - lo) / bins // one double constant, spliced verbatim
+        // end-bin clamp via COMPARISONS, never a cast of an extreme:
+        // floor() on ±Inf/NaN/|x|≥2^63 is engine-defined (Spark's f2l
+        // saturates, DuckDB's CAST throws — a crash, not a hash
+        // mismatch), so every value reaching floor is already inside
+        // (0, bins-1). NaN lands in the TOP bin on both engines: both
+        // Spark SQL and DuckDB define NaN = NaN and NaN greater than
+        // every other double in comparisons (documented semantics,
+        // not IEEE), so `s >= bins-1` catches it identically.
+        val s = (col("value") - lit(lo)) / lit(w)
         val binned = vals
-          .withColumn("bin", greatest(lit(0L), least(lit((bins - 1).toLong),
-            floor((col("value") - lit(lo)) / lit(w)))))
+          .withColumn("bin",
+            when(s >= lit((bins - 1).toDouble), lit((bins - 1).toLong))
+              .when(s > lit(0.0), floor(s))
+              .otherwise(lit(0L)))
           .groupBy(col("event_type"), col("bin"))
           .agg(count(lit(1)).as("cnt"))
         val wc = Window.partitionBy(col("event_type")).orderBy(col("bin"))

@@ -30,20 +30,38 @@ import org.apache.spark.sql.functions.col
   * Concurrency contract (the two round-14 compaction-window caveats,
   * closed in round 15):
   *   - ''Appends racing a compaction'': [[compact]] folds an explicit
-  *     SNAPSHOT of the committed batch dirs, and after committing the
-  *     new generation it re-lists and PROMOTES (copies, tmp+atomic-
-  *     rename) every batch that landed after the snapshot into the
-  *     new generation's ingest dir — a late append is folded next
-  *     cycle instead of vanishing. The residual writer-side race (an
-  *     append that resolved the old epoch but finished writing after
-  *     the promotion re-list) is closed in [[appendBatch]]: the
-  *     writer re-resolves the active epoch after its write and
-  *     self-promotes its batch forward until the observed epoch is
-  *     the one it wrote to. Promotion is by COPY with an atomic
-  *     rename and a skip-if-present guard, so the promoter and the
-  *     self-repairing writer can race each other safely, and a
-  *     draining reader of the OLD generation (which may have listed
-  *     the late batch) keeps its files.
+  *     SNAPSHOT of the committed batch dirs, records that snapshot in
+  *     a FOLD MANIFEST (`<base>_folded_vN+1`, written before the new
+  *     generation can commit), and after committing it re-lists and
+  *     PROMOTES (copies, tmp+atomic-rename) every batch that landed
+  *     after the snapshot into the new generation's ingest dir — a
+  *     late append is folded next cycle instead of vanishing. The
+  *     residual writer-side race (an append that resolved the old
+  *     epoch but finished writing after the promotion re-list) is
+  *     closed in [[appendBatch]]: the writer re-resolves the active
+  *     epoch after its write and self-promotes its batch forward
+  *     until the observed epoch is the one it wrote to — UNLESS a
+  *     fold manifest along the epoch chain already names the batch:
+  *     then the compaction's snapshot absorbed it (its rows live in
+  *     the newer base — a copy would double-count them permanently)
+  *     or a rebuild deliberately discarded it, and the writer stands
+  *     down. Promotion is by COPY into a per-attempt-unique hidden
+  *     tmp dir + atomic rename with a skip-if-present guard, so the
+  *     promoter and the self-repairing writer can race each other
+  *     safely (two attempts can never interleave writes inside one
+  *     staging dir), and a draining reader of the OLD generation
+  *     (which may have listed the late batch) keeps its files. A
+  *     crashed attempt's tmp dir is inert (dot-prefixed, skipped by
+  *     readers) and dies with its generation.
+  *   - ''Stranded batches'': a batch committed to a retired
+  *     generation's ingest whose writer died before its self-promote
+  *     pass is RESCUED by the next compaction's cleanup — before
+  *     deleting a generation it promotes any committed batch the
+  *     manifest chain does not account for. The rescue requires the
+  *     full manifest chain to exist (pre-manifest layouts keep the
+  *     old delete: without the manifest, "folded" and "stranded" are
+  *     indistinguishable, and promoting a folded batch would
+  *     double-count).
   *   - ''Readers racing a compaction'': a reader's plan pins the
   *     generation at listing time ([[read]] resolves the epoch once).
   *     Cleanup retains the immediately-retired generation — base AND
@@ -91,6 +109,34 @@ private[graft] final case class EpochedTable(dir: String, base: String,
   def ingestDir(e: Int): String =
     if (e == 0) legacyIngest.getOrElse(s"$dir/${base}_ingest")
     else s"$dir/${base}_ingest_v$e"
+  /** The fold manifest of the transition that CREATED generation `e`:
+    * the batch names (of generation e−1's ingest) the fold snapshot
+    * absorbed — or, for [[replaceWith]], deliberately discarded.
+    * Written BEFORE generation `e` can commit, so any observer of an
+    * active epoch can trust its manifest is the committing attempt's
+    * (a crashed attempt's manifest is overwritten by the retry before
+    * that retry writes any data). */
+  def manifestPath(e: Int): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/${base}_folded_v$e")
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, e: Int,
+      names: Seq[String]): Unit = {
+    val out = fs.create(manifestPath(e), true)
+    try out.write(names.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** None = no manifest (pre-manifest layout or a fresh table). */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      e: Int): Option[Set[String]] =
+    if (!fs.exists(manifestPath(e))) None
+    else {
+      val in = fs.open(manifestPath(e))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet)
+      finally in.close()
+    }
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession) =
     new org.apache.hadoop.fs.Path(dir)
@@ -144,10 +190,12 @@ private[graft] final case class EpochedTable(dir: String, base: String,
         // per batch dir per read, so a steady-state probe path with a
         // long un-compacted ingest run pays O(batches) RPCs per call.
         // POSITIVE verdicts are memoized JVM-wide by path: once a
-        // batch dir is committed-with-data it stays so (a replay
-        // overwrite rewrites identical content; deletion removes it
-        // from the always-live parent listing above, so a stale TRUE
-        // can never resurrect a dir). Negative verdicts are NOT
+        // batch dir is committed-with-data it stays so (a replay's
+        // mode(overwrite) TEARS the dir, so appendBatchAt drops the
+        // verdict before writing and the torn window re-checks;
+        // deletion removes it from the always-live parent listing
+        // above and cleanup purges the dying generation's entries, so
+        // a stale TRUE can never resurrect a dir). Negative verdicts are NOT
         // cached — a torn dir whose _SUCCESS lands later must become
         // visible on the very next read, and dir mtimes are not
         // trustworthy change signals on object stores
@@ -213,7 +261,13 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     * self-repairing writer may race; overwrite-once per batchId makes
     * their contents identical, so first-wins is correct). COPY, not
     * move: a draining reader of the source generation may have listed
-    * the source files.
+    * the source files. The tmp dir is PER-ATTEMPT-UNIQUE: a shared
+    * tmp name would let two racing attempts interleave delete/copy
+    * inside one staging dir and rename a partial copy (with its
+    * `_SUCCESS`, which copies first) into the destination — silent
+    * row loss a reader cannot detect. A crashed attempt's tmp leaks
+    * until its generation retires; it is dot-prefixed, so readers
+    * never see it.
     */
   private def promoteBatch(fs: org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration,
@@ -222,11 +276,13 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     val dest = new org.apache.hadoop.fs.Path(destRoot, src.getName)
     if (fs.exists(dest)) return
     fs.mkdirs(destRoot)
-    val tmp = new org.apache.hadoop.fs.Path(destRoot, s".${src.getName}.tmp")
-    fs.delete(tmp, true)
+    val tmp = new org.apache.hadoop.fs.Path(destRoot,
+      s".${src.getName}.tmp-${java.util.UUID.randomUUID()}")
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, conf)
-    if (!fs.rename(tmp, dest)) {
-      // lost the rename race to an identical-content promotion
+    // losing the race here is fine either way: a rename that fails on
+    // an existing dest loses to an identical-content promotion; a
+    // filesystem that merges instead merges byte-identical files
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
       fs.delete(tmp, true)
       require(fs.exists(dest),
         s"promotion of ${src.getName} to epoch $epoch neither renamed " +
@@ -257,13 +313,43 @@ private[graft] final case class EpochedTable(dir: String, base: String,
       epochHint: Int): Unit = {
     val spark = rows.sparkSession
     val fs = fsOf(spark)
+    val path = new org.apache.hadoop.fs.Path(
+      s"${ingestDir(epochHint)}/batch-$batchId")
+    // a replay's mode(overwrite) TEARS this dir (delete, rewrite,
+    // _SUCCESS last); a memoized committed-with-data verdict would let
+    // a concurrent same-JVM reader skip the commit check and scan the
+    // torn dir — drop the verdict first, so such a reader re-checks
+    // and filters the dir out until _SUCCESS lands again
+    EpochedTable.committedWithData.remove(fs.makeQualified(path).toString)
+    rows.select(columns.map(col): _*)
+      .write.mode("overwrite").parquet(path.toString)
+    reconcileBatch(spark, batchId, epochHint)
+  }
+
+  /** The writer's post-write promotion pass: carry `batchId`, written
+    * to `epochHint`'s ingest, forward until the observed active epoch
+    * is the one it lives in — UNLESS a fold manifest along the chain
+    * already names the batch. Then the batch is ACCOUNTED FOR: a
+    * compaction's snapshot absorbed it (its rows are in the newer
+    * base — promoting a copy would double-count them in every later
+    * fold, permanently) or a [[replaceWith]] deliberately discarded
+    * it (the rebuild supersedes it exactly as it supersedes the old
+    * base). A missing manifest (pre-manifest layout) promotes, the
+    * pre-round-15 behavior. The loop terminates: epochs only grow,
+    * and each pass either observes a stable epoch (exit) or a
+    * strictly higher one. Steady state (no concurrent compaction)
+    * reads ZERO manifests — the loop body never runs.
+    * `private[graft]` as the seam for the delayed-writer spec. */
+  private[graft] def reconcileBatch(spark: org.apache.spark.sql.SparkSession,
+      batchId: Long, epochHint: Int): Unit = {
+    val fs = fsOf(spark)
     val conf = spark.sparkContext.hadoopConfiguration
     var wrote = epochHint
-    rows.select(columns.map(col): _*)
-      .write.mode("overwrite")
-      .parquet(s"${ingestDir(wrote)}/batch-$batchId")
     var now = activeEpoch(spark)
     while (now != wrote) {
+      val accounted = (wrote + 1 to now).exists(k =>
+        readManifest(fs, k).exists(_.contains(s"batch-$batchId")))
+      if (accounted) return
       promoteBatch(fs, conf,
         new org.apache.hadoop.fs.Path(s"${ingestDir(wrote)}/batch-$batchId"),
         now)
@@ -280,12 +366,40 @@ private[graft] final case class EpochedTable(dir: String, base: String,
 
   /** Delete every generation STRICTLY below `keep` — the one-cycle
     * reader grace: the generation retired by THIS swap survives until
-    * the next one, so scans that pinned its listing drain intact. */
-  private def cleanupBelow(fs: org.apache.hadoop.fs.FileSystem,
-      keep: Int): Unit = {
+    * the next one, so scans that pinned its listing drain intact.
+    * Before a generation dies, RESCUE any committed batch its ingest
+    * still holds that no fold manifest in (old, next] accounts for —
+    * a writer that died between its batch commit and its
+    * [[reconcileBatch]] pass left it stranded, and deleting it here
+    * would be the last silent-loss window. The rescue runs only under
+    * a COMPLETE manifest chain: a missing manifest (pre-manifest
+    * layout) means "folded" and "stranded" are indistinguishable, and
+    * promoting a folded batch would double-count its rows — the
+    * legacy delete stands there. */
+  private def cleanupBelow(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, keep: Int, next: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     (0 until keep).foreach { old =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(ingestDir(old)))) {
+        val chain = (old + 1 to next).map(k => readManifest(fs, k))
+        if (chain.nonEmpty && chain.forall(_.isDefined)) {
+          val accounted = chain.flatMap(_.get).toSet
+          ingestBatchDirs(spark, old).foreach { d =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            if (!accounted.contains(p.getName))
+              promoteBatch(fs, conf, p, next) // skip-if-present dedups
+          }
+        }
+      }
       fs.delete(new org.apache.hadoop.fs.Path(tableDir(old)), true)
+      // the memo holds fully-qualified batch-dir paths; purge entries
+      // under the dying ingest dir so a later table at the same path
+      // (epoch reuse after a root wipe) can never hit a stale verdict
+      val ingestPrefix = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(ingestDir(old))).toString + "/"
+      EpochedTable.committedWithData.removeIf(_.startsWith(ingestPrefix))
       fs.delete(new org.apache.hadoop.fs.Path(ingestDir(old)), true)
+      fs.delete(manifestPath(old), false)
     }
     // pre-epoch layouts staged compactions under `<base>_staging`;
     // clear any leftover from a crashed run of that scheme
@@ -309,6 +423,13 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     val e = activeEpoch(spark)
     val next = e + 1
     val folded = ingestBatchDirs(spark, e)
+    // the manifest must exist before generation `next` CAN commit: a
+    // writer observing `next` active reads it to learn whether its
+    // batch was in this snapshot (promoting an absorbed batch would
+    // double-count). A crash after this write is harmless — the
+    // retry overwrites it with its own snapshot before writing data.
+    writeManifest(fs, next,
+      folded.map(d => new org.apache.hadoop.fs.Path(d).getName))
     writeGeneration(reshape(assemble(spark, e, folded)), next)
     require(fs.exists(
         new org.apache.hadoop.fs.Path(s"${tableDir(next)}/_SUCCESS")),
@@ -322,7 +443,7 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     val foldedSet = folded.toSet
     ingestBatchDirs(spark, e).filterNot(foldedSet).foreach(d =>
       promoteBatch(fs, conf, new org.apache.hadoop.fs.Path(d), next))
-    cleanupBelow(fs, keep = e)
+    cleanupBelow(spark, fs, keep = e, next = next)
   }
 
   /** Replace the table's CONTENT with `rows` (a rebuild, not a
@@ -342,6 +463,12 @@ private[graft] final case class EpochedTable(dir: String, base: String,
       !fs.exists(new org.apache.hadoop.fs.Path(ingestDir(e)))
     val target = if (fresh) 0 else e + 1
     val pre = if (fresh) Nil else ingestBatchDirs(spark, e)
+    // the rebuild's manifest lists the batches it DISCARDS: a delayed
+    // writer must not resurrect them, and the cleanup rescue must not
+    // either — the rebuild supersedes them like it supersedes the base
+    if (target > 0)
+      writeManifest(fs, target,
+        pre.map(d => new org.apache.hadoop.fs.Path(d).getName))
     writeGeneration(rows, target)
     if (target > 0) {
       require(fs.exists(
@@ -352,7 +479,7 @@ private[graft] final case class EpochedTable(dir: String, base: String,
       val preSet = pre.toSet
       ingestBatchDirs(spark, e).filterNot(preSet).foreach(d =>
         promoteBatch(fs, conf, new org.apache.hadoop.fs.Path(d), target))
-      cleanupBelow(fs, keep = e)
+      cleanupBelow(spark, fs, keep = e, next = target)
     }
   }
 }

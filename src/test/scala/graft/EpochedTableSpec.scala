@@ -124,6 +124,93 @@ class EpochedTableSpec extends SparkSuite {
       .deleteDirectory(new java.io.File(root))
   }
 
+  test("a delayed writer whose batch the compaction snapshot absorbed stands down") {
+    // round-15 review finding: the writer's post-write epoch check can
+    // be delayed (GC pause) past an ENTIRE compaction that already
+    // folded its batch — a then-blind self-promotion would copy the
+    // batch into the new ingest on top of its folded rows, and every
+    // later fold would carry the duplicate permanently
+    val root = java.nio.file.Files.createTempDirectory("graft-ep-dup").toString
+    try {
+      val t = table(root)
+      t.replaceWith(df(1L -> 1L))
+      t.appendBatch(df(2L -> 2L), batchId = 7L)
+      t.compact(spark) // snapshot absorbs batch-7 into generation 1
+      assert(t.activeEpoch(spark) == 1)
+      // the delayed writer wakes up and runs its reconcile pass with
+      // the stale pre-compaction epoch — the fold manifest must stop it
+      t.reconcileBatch(spark, batchId = 7L, epochHint = 0)
+      assert(!new java.io.File(s"$root/t_ingest_v1/batch-7").exists,
+        "absorbed batch re-promoted — rows now duplicated")
+      assert(rows(root) == Seq(1L -> 1L, 2L -> 2L))
+      t.compact(spark) // duplication would become permanent here
+      assert(rows(root) == Seq(1L -> 1L, 2L -> 2L),
+        "fold duplicated the absorbed batch's rows")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
+  test("a delayed writer must not resurrect a batch a rebuild discarded") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ep-res").toString
+    try {
+      val t = table(root)
+      t.replaceWith(df(1L -> 1L))
+      t.appendBatch(df(2L -> 2L), batchId = 3L)
+      // the rebuild deliberately supersedes batch-3 (it was committed
+      // before the rebuild listed its pre-state)
+      t.replaceWith(df(9L -> 9L))
+      assert(rows(root) == Seq(9L -> 9L))
+      t.reconcileBatch(spark, batchId = 3L, epochHint = 0)
+      assert(rows(root) == Seq(9L -> 9L),
+        "rebuild-discarded batch resurrected by a delayed writer")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
+  test("a stranded batch (writer died before reconcile) is rescued at cleanup") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ep-str").toString
+    try {
+      val t = table(root)
+      t.replaceWith(df(1L -> 1L))
+      t.compact(spark) // active generation 1; gen 0 in one-cycle grace
+      assert(t.activeEpoch(spark) == 1)
+      // a writer that resolved epoch 0 commits its batch AFTER the
+      // compaction's post-commit re-list, then dies before its
+      // reconcile pass — the batch sits stranded in the retired
+      // generation's ingest (written raw: no self-promotion)
+      df(5L -> 5L).write.mode("overwrite").parquet(s"$root/t_ingest/batch-9")
+      // next compaction's cleanup deletes generation 0 — the rescue
+      // must promote batch-9 (no manifest accounts for it) instead of
+      // deleting the only copy
+      t.compact(spark)
+      assert(rows(root) == Seq(1L -> 1L, 5L -> 5L),
+        "stranded batch deleted with its generation")
+      // and it keeps folding forward like any batch
+      t.compact(spark)
+      assert(rows(root) == Seq(1L -> 1L, 5L -> 5L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
+  test("no manifest chain (legacy layout): stranded batches keep the legacy delete") {
+    // without the manifest, "folded" and "stranded" are
+    // indistinguishable — promoting would double-count folded rows
+    // (the common case), so the rescue must stand down
+    val root = java.nio.file.Files.createTempDirectory("graft-ep-leg").toString
+    try {
+      val t = table(root)
+      t.replaceWith(df(1L -> 1L))
+      t.compact(spark)
+      df(5L -> 5L).write.mode("overwrite").parquet(s"$root/t_ingest/batch-9")
+      // simulate a pre-manifest layout: the chain is incomplete
+      assert(new java.io.File(s"$root/t_folded_v1").delete())
+      t.compact(spark)
+      assert(rows(root) == Seq(1L -> 1L),
+        "rescue promoted under an incomplete manifest chain")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
   test("a torn batch dir becomes visible once its _SUCCESS lands (negative verdicts uncached)") {
     val root = java.nio.file.Files.createTempDirectory("graft-ep-torn").toString
     try {

@@ -132,9 +132,21 @@ class EventAnalyticsSpec extends SparkSuite {
       case None    => spark.conf.unset(key)
     }
     // out-of-domain values clamp into the end bins: estimates stay
-    // inside [lo, hi] instead of extrapolating, and nothing throws
+    // inside [lo, hi] instead of extrapolating, and nothing throws —
+    // including the extremes where a cast-then-clamp would diverge
+    // cross-engine (CAST(floor(±Inf/NaN/1e300) AS BIGINT) throws in
+    // DuckDB): the comparison-based clamp puts -Inf/-50 in bin 0 and
+    // +Inf/NaN/1e300 in the top bin on both engines
     val rows = (0 until 40).map(i => (i.toLong, 1000L * i, 1L, "wild",
-      if (i < 10) -50.0 else if (i >= 30) 5000.0 else i.toDouble))
+      i match {
+        case 0 => Double.NegativeInfinity
+        case 1 => Double.PositiveInfinity
+        case 2 => Double.NaN
+        case 3 => 1e300
+        case j if j < 10 => -50.0
+        case j if j >= 30 => 5000.0
+        case j => j.toDouble
+      }))
     val r = rowsOf(EventAnalytics.valuePercentilesHistogram(
       events(rows: _*), domain = Some((0.0, 100.0))))
       .map(m => m("event_type") -> m).toMap

@@ -1076,10 +1076,31 @@ object Similarity {
     * generation's partitioned base (ad-hoc batch use).
     */
   def appendToPqIndex(vecs: DataFrame, dir: String,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None): Unit =
+    appendToPqIndexWith(vecs, dir,
+      pinPqBooks(vecs.sparkSession, dir), batchId)
+
+  /** The sidecar books, loaded once and validated — for a long-lived
+    * ingest loop ([[graft.streaming.StreamingSimilarity.pqIngest]])
+    * that would otherwise pay three driver-side sidecar reads per
+    * micro-batch for data that is FROZEN by contract. Pinned books
+    * stay valid until the index is rebuilt; a rebuild that changes
+    * them requires restarting any stream encoding against them anyway
+    * (codes from different books are not comparable). */
+  private[graft] def pinPqBooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[(Long, Seq[Double])], Array[Array[Seq[Double]]],
+      Boolean) = {
+    val books = readPqBooks(spark, dir)
+    require(books._1.nonEmpty, s"no coarse book at $dir — not a PQ index")
+    books
+  }
+
+  /** [[appendToPqIndex]] with the books already pinned. */
+  private[graft] def appendToPqIndexWith(vecs: DataFrame, dir: String,
+      books: (Array[(Long, Seq[Double])], Array[Array[Seq[Double]]], Boolean),
+      batchId: Option[Long]): Unit = {
     val spark = vecs.sparkSession
-    val (book, pq, residual) = readPqBooks(spark, dir)
-    require(book.nonEmpty, s"no coarse book at $dir — not a PQ index")
+    val (book, pq, residual) = books
     val rows = pqIndexFrame(unitIndex(vecs), book, pq, residual)
       .select(col("vec_id"), col("codes"), col("cid"))
     val ct = codesTable(dir)

@@ -50,7 +50,16 @@ object StreamingCuration {
         col("quality") >= minQuality && col("lang") === lang))
       .select(col("doc_id"),
         CorpusOps.splitName(col("doc_id")).as("split"),
-        TextFunctions.redactPii(col("text")).as("text"),
+        TextFunctions.redactPii(col("text")).as("text"))
+      // fingerprint the EMITTED (redacted) text, in a second select:
+      // an alias is not visible to its select-list siblings, so a
+      // single select would fingerprint the pre-redaction input —
+      // internally inconsistent with the text column beside it, and
+      // mismatching every downstream recomputation (dedup indexes and
+      // snapshot diffs fingerprint the STORED text). The boundary also
+      // keeps redactPii evaluated once (non-cheap, referenced twice —
+      // CollapseProject preserves it).
+      .select(col("doc_id"), col("split"), col("text"),
         TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
 
   /** Temperature-sampling admission gate — the streaming face of

@@ -46,34 +46,6 @@ object StreamingDedup {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
-  /** Streaming ingest loop over the persisted dedup index
-    * ([[graft.operators.Dedup.writeDedupIndex]]): each micro-batch is
-    * deduped against the index — full verdict set, exact AND LSH
-    * near-dup, unlike the fingerprint-only `dropDuplicates` variants
-    * above — then its kept docs are appended, so batch N+1 dedups
-    * against everything batch N kept. `foreachBatch`, deliberately:
-    * the loop's state is the index itself — disk-backed, unbounded,
-    * shared with batch jobs and readable mid-stream — which no
-    * in-operator state store models; near-dup state in particular
-    * (band + shingle tables) has no `dropDuplicates` analogue.
-    * Verdicts are eagerly materialized (`localCheckpoint`) BEFORE the
-    * append so the probe never reads its own batch, then handed to
-    * `onBatch` (sink the frame, record metrics — it is released after
-    * the callback returns).
-    *
-    * Exactly-once note: foreachBatch is at-least-once on failure
-    * recovery (give `checkpointDir` a durable location so recovery
-    * resumes from the last committed batch rather than the source's
-    * starting offsets). The index append is IDEMPOTENT under replay:
-    * each batch's fp/bands/shingles rows land in their own
-    * overwrite-once `<tbl>_ingest/batch-<id>` subdirectory
-    * ([[graft.operators.Dedup.appendToDedupIndex]] with the batchId),
-    * so a replayed batch rewrites identical rows rather than growing
-    * the index and its probe cost on every recovery; the
-    * candidate-side DISTINCT remains as a backstop only. For
-    * cross-job transactionality, write through a table format with
-    * batchId-conditional commits.
-    */
   /** Streaming ingest loop that maintains the LABEL table
     * ([[graft.operators.Dedup.writeDedupLabels]]) instead of emitting
     * keep/drop verdicts: every arriving doc is ASSIGNED a near-dup
@@ -125,6 +97,34 @@ object StreamingDedup {
       .start()
   }
 
+  /** Streaming ingest loop over the persisted dedup index
+    * ([[graft.operators.Dedup.writeDedupIndex]]): each micro-batch is
+    * deduped against the index — full verdict set, exact AND LSH
+    * near-dup, unlike the fingerprint-only `dropDuplicates` variants
+    * above — then its kept docs are appended, so batch N+1 dedups
+    * against everything batch N kept. `foreachBatch`, deliberately:
+    * the loop's state is the index itself — disk-backed, unbounded,
+    * shared with batch jobs and readable mid-stream — which no
+    * in-operator state store models; near-dup state in particular
+    * (band + shingle tables) has no `dropDuplicates` analogue.
+    * Verdicts are eagerly materialized (`localCheckpoint`) BEFORE the
+    * append so the probe never reads its own batch, then handed to
+    * `onBatch` (sink the frame, record metrics — it is released after
+    * the callback returns).
+    *
+    * Exactly-once note: foreachBatch is at-least-once on failure
+    * recovery (give `checkpointDir` a durable location so recovery
+    * resumes from the last committed batch rather than the source's
+    * starting offsets). The index append is IDEMPOTENT under replay:
+    * each batch's fp/bands/shingles rows land in their own
+    * overwrite-once `<tbl>_ingest/batch-<id>` subdirectory
+    * ([[graft.operators.Dedup.appendToDedupIndex]] with the batchId),
+    * so a replayed batch rewrites identical rows rather than growing
+    * the index and its probe cost on every recovery; the
+    * candidate-side DISTINCT remains as a backstop only. For
+    * cross-job transactionality, write through a table format with
+    * batchId-conditional commits.
+    */
   def incrementalIngest(docs: DataFrame, indexDir: String,
       threshold: Double = 0.5, maxBucket: Option[Int] = None,
       checkpointDir: Option[String] = None)(

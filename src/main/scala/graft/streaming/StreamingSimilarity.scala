@@ -61,11 +61,19 @@ object StreamingSimilarity {
   def pqIngest(vecs: DataFrame, indexDir: String,
       checkpointDir: Option[String] = None)(
       onBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    // pin the frozen books ONCE at stream start — a per-batch re-read
+    // pays three driver-side sidecar reads per micro-batch for
+    // immutable data, pure ingest-latency tax at a short trigger
+    // interval. A rebuild that changes the books requires restarting
+    // this stream regardless (codes from different books are not
+    // comparable), so pinning loses nothing.
+    val books = Similarity.pinPqBooks(vecs.sparkSession, indexDir)
     val writer = vecs.writeStream
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             batchId: Long) =>
-          Similarity.appendToPqIndex(batch.toDF(), indexDir, Some(batchId))
+          Similarity.appendToPqIndexWith(batch.toDF(), indexDir, books,
+            Some(batchId))
           onBatch(batchId)
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))

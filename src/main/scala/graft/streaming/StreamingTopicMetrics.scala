@@ -305,9 +305,20 @@ object StreamingTopicMetrics {
     * deterministic regardless of task-internal arrival order, and
     * emits the full summary (update mode): the monitoring consumer
     * keeps only the latest row set per partition.
+    *
+    * Key identity is the UTF-8 DECODING of the key bytes — exactly
+    * the batch twin's `groupBy(key.cast("string"))`, so the est/err
+    * bracket holds per DECODED key string on both sides. Binary keys
+    * that are not valid UTF-8 decode with replacement chars and may
+    * merge (in the batch report too); a deployment with opaque binary
+    * keys should extend both twins with a base64 identity, together.
     */
   def hotKeyMonitor(stream: Dataset[KafkaRecord],
       capacity: Int = 64): Dataset[HotKeyUpdate] = {
+    // a zero/negative capacity would abort the QUERY at the first
+    // keyed record (minBy on an empty summary inside the state
+    // function) — fail at construction like the TTL variant does
+    require(capacity > 0, s"hotKeyMonitor capacity must be positive, got $capacity")
     val spark = stream.sparkSession
     import spark.implicits._
     stream

@@ -68,6 +68,11 @@ class StreamingSpec extends SparkSuite {
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[KafkaRecord]
+    // a non-positive capacity must fail HERE, at construction — inside
+    // the state function it would abort the whole query at the first
+    // keyed record (empty.minBy)
+    intercept[IllegalArgumentException](
+      StreamingTopicMetrics.hotKeyMonitor(mem.toDS(), capacity = 0))
     val q = StreamingTopicMetrics.hotKeyMonitor(mem.toDS(), capacity = 3)
       .writeStream.format("memory").queryName("hotkeys")
       .outputMode("update").start()
@@ -285,6 +290,17 @@ class StreamingSpec extends SparkSuite {
     val kept = streamed.head
     assert(kept("text").asInstanceOf[String].contains("<email>"))
     assert(Set("train", "val", "test").contains(kept("split").asInstanceOf[String]))
+    // the fingerprint must cover the EMITTED (redacted) text — a
+    // pre-redaction fingerprint beside redacted text mismatches every
+    // downstream recomputation (dedup indexes fingerprint the stored
+    // text), and two docs redacting to identical text would not
+    // collapse (round-15 review finding)
+    val expectedFp = rowsOf(
+      Seq(kept("text").asInstanceOf[String]).toDF("text").select(
+        graft.functions.TextFunctions.fingerprintMd5(col("text"))
+          .as("fp"))).head("fp")
+    assert(kept("fingerprint") == expectedFp,
+      "curated fingerprint is not the fingerprint of the emitted text")
   }
 
   test("streaming mixture gate admits exactly the batch sampler's draw") {

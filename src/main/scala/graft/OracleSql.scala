@@ -201,7 +201,8 @@ object OracleSql {
     s"""$docCte
        |SELECT md5(norm) AS fingerprint, MIN(doc_id) AS canonical_doc_id,
        |       COUNT(*) AS dup_count
-       |FROM t GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin
+       |FROM t WHERE norm IS NOT NULL
+       |GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin
 
   /** The MinHash signature list expression over `xs` — the same
     * universal-hash permutations [[graft.functions.Hashing.permCoeffs]]
@@ -536,10 +537,12 @@ object OracleSql {
        |dup AS (SELECT doc_id, COUNT(*) AS dup_ngrams
        |        FROM ex WHERE h IN (SELECT h FROM hot) GROUP BY doc_id)
        |SELECT hx.doc_id,
-       |       CAST(len(xs) AS BIGINT) AS total_ngrams,
+       |       CAST(coalesce(len(xs), 0) AS BIGINT) AS total_ngrams,
        |       CAST(coalesce(dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
-       |       CAST(coalesce(dup_ngrams, 0) AS DOUBLE)
-       |         / CAST(len(xs) AS DOUBLE) AS dup_frac
+       |       CASE WHEN coalesce(len(xs), 0) > 0
+       |            THEN CAST(coalesce(dup_ngrams, 0) AS DOUBLE)
+       |                 / CAST(len(xs) AS DOUBLE)
+       |            ELSE 0.0 END AS dup_frac
        |FROM hx LEFT JOIN dup ON hx.doc_id = dup.doc_id
        |ORDER BY hx.doc_id""".stripMargin
 
@@ -553,17 +556,27 @@ object OracleSql {
        |$shingleHashCte,
        |ex AS (SELECT hx.doc_id, d.source, unnest(hx.xs) AS h
        |       FROM hx JOIN documents d ON hx.doc_id = d.doc_id),
-       |hot AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= $minDf)
-       |SELECT source,
-       |       COUNT(DISTINCT doc_id) AS n_docs,
-       |       COUNT(*) AS total_ngrams,
-       |       CAST(COUNT(CASE WHEN h IN (SELECT h FROM hot) THEN 1 END)
-       |            AS BIGINT) AS dup_ngrams,
-       |       CAST(COUNT(CASE WHEN h IN (SELECT h FROM hot) THEN 1 END)
-       |              AS DOUBLE)
-       |         / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
-       |FROM ex GROUP BY source
-       |ORDER BY source""".stripMargin
+       |hot AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= $minDf),
+       |agg AS (SELECT source,
+       |               COUNT(*) AS total_ngrams,
+       |               CAST(COUNT(CASE WHEN h IN (SELECT h FROM hot)
+       |                          THEN 1 END) AS BIGINT) AS dup_ngrams
+       |        FROM ex GROUP BY source),
+       |-- every doc counts toward n_docs, null-text docs included (the
+       |-- engine side keeps them via explode_outer): a source whose
+       |-- docs are ALL null-text must surface with zero totals, not
+       |-- vanish from the profile
+       |ds AS (SELECT source, COUNT(*) AS n_docs FROM documents
+       |       GROUP BY source)
+       |SELECT ds.source, ds.n_docs,
+       |       CAST(coalesce(agg.total_ngrams, 0) AS BIGINT) AS total_ngrams,
+       |       CAST(coalesce(agg.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+       |       CASE WHEN coalesce(agg.total_ngrams, 0) > 0
+       |            THEN CAST(agg.dup_ngrams AS DOUBLE)
+       |                 / CAST(agg.total_ngrams AS DOUBLE)
+       |            ELSE 0.0 END AS dup_ratio
+       |FROM ds LEFT JOIN agg ON ds.source = agg.source
+       |ORDER BY ds.source""".stripMargin
 
   private def simhashSigSql(xsExpr: String): String =
     (0 until Dedup.SimhashBits).map { j =>

@@ -16,7 +16,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * instead (one pass over the hash array, all bit-planes / permutations
   * updated in registers), exactly the
   * custom-`Expression`-beats-composition case from the design notes.
-  * Semantics are bit-identical to the declarative forms, so the DuckDB
+  * Semantics are bit-identical to the declarative forms FOR NULL-FREE
+  * ARRAYS — the only arrays the engine produces ([[graft.functions
+  * .TextFunctions.normText]] never yields null elements). On arrays
+  * WITH null elements the pairs diverge by construction: the native
+  * expressions skip a null element (and return sentinel/null for
+  * all-null or empty input) where the declarative HOF forms thread
+  * the null through SQL three-valued logic — don't feed either form
+  * hand-built null-element arrays and expect parity. The DuckDB
   * oracles ([[graft.OracleSql]]) are unchanged.
   */
 object ArrayHashExprs {
@@ -281,6 +288,11 @@ object ArrayHashExprs {
         val arr = ctx.freshName("arr")
         val k = ctx.freshName("k")
         val itv = ctx.freshName("it")
+        // every generated local MUST go through freshName: a literal
+        // name can collide with an enclosing generated scope's local
+        // (Java forbids shadowing), failing janino compilation and
+        // silently dropping the whole stage to interpreted execution
+        val fillPos = ctx.freshName("fillPos")
         s"""
            |final byte[] $bytes = $c.getBytes();
            |int $nTok = 1;
@@ -289,9 +301,9 @@ object ArrayHashExprs {
            |}
            |final int[] $starts = new int[$nTok + 1];
            |{
-           |  int p = 1;
+           |  int $fillPos = 1;
            |  for (int $i = 0; $i < $bytes.length; $i++) {
-           |    if ($bytes[$i] == (byte) ' ') $starts[p++] = $i + 1;
+           |    if ($bytes[$i] == (byte) ' ') $starts[$fillPos++] = $i + 1;
            |  }
            |  $starts[$nTok] = $bytes.length + 1;
            |}

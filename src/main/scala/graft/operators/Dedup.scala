@@ -50,9 +50,16 @@ object Dedup {
   /** Exact dedup: group by content fingerprint (md5 of normalized
     * text), keep the smallest doc_id as canonical. One shuffle on a
     * 128-bit hash — the canonical exact-dedup plan at any scale.
+    * Null-text docs are EXCLUDED: their fingerprint is null, and a
+    * groupBy would collapse every missing-text doc into one null
+    * "duplicate group" — a consumer dropping non-canonical members
+    * would then delete unrelated documents. Missing content is not
+    * equal content (the incremental path agrees: a null fingerprint
+    * never equi-joins, so such docs are always "kept").
     */
   def exact(docs: DataFrame): DataFrame =
     docs
+      .filter(col("text").isNotNull)
       .groupBy(TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("dup_count"))
@@ -70,8 +77,10 @@ object Dedup {
           TextFunctions.normText(col("text")), shingleN), numHashes))
 
   /** Declarative (HOF-composition) minhash — semantically identical to
-    * the native [[ArrayHashExprs.MinHashSigExpr]]; kept as the parity
-    * oracle for it. */
+    * the native [[ArrayHashExprs.MinHashSigExpr]] on NULL-FREE arrays
+    * (the only kind the engine produces); kept as the parity oracle
+    * for it. Null elements diverge by construction — see the
+    * [[ArrayHashExprs]] header. */
   def minhashSigDeclarative(xs: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i =>
       array_min(transform(xs, x => Hashing.permHash(x, i)))): _*)
@@ -89,7 +98,14 @@ object Dedup {
       s"numHashes ($numHashes) must divide evenly into bands ($bands); " +
         "leftover signature positions would silently never band")
     val rows = numHashes / bands
-    shingleHashFrame(docs, shingleN)
+    // null-text docs OUT: minhash of a null shingle list is null, but
+    // concat_ws over a null array is "" (not null) — every such doc
+    // would share one degenerate ("", band) bucket that self-joins
+    // quadratically (and, in the persisted index, GROWS with every
+    // ingest batch). They can never verify as near-dups anyway (null
+    // jaccard is filtered), so banding them buys nothing but the
+    // blow-up. simhashPairs applies the same guard.
+    shingleHashFrame(docs.filter(col("text").isNotNull), shingleN)
       .select(col("doc_id"),
         ArrayHashExprs.minhash_sig(col("xs"), numHashes).as("minhash"))
       .select(col("doc_id"),
@@ -266,29 +282,48 @@ object Dedup {
     * shingle universe — so AQE turns the semi join into a broadcast at
     * any realistic threshold.
     */
-  def duplicatedNgrams(docs: DataFrame, shingleN: Int = 3,
-      minDf: Int = 2): DataFrame = {
-    // explode_outer for the same InferFiltersFromGenerate reason as in
-    // [[ngramJaccardPairs]]: keep the fused hash expression out of the
-    // scan filter. The null row (never produced in practice — shingles
-    // of any text is non-empty) is dropped by the isNotNull filter.
-    val ex = shingleHashFrame(docs, shingleN)
-      .select(col("doc_id"), explode_outer(col("xs")).as("h"))
-      .filter(col("h").isNotNull)
-    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+  /** Shared explode/hot-set base of [[duplicatedNgrams]] and
+    * [[sourceDupProfile]] — ONE definition (the two audits previously
+    * duplicated this pipeline and could drift apart on a one-sided
+    * fix). `ex` keeps EVERY doc: explode_outer emits one null-h row
+    * for a null-text doc (shingle_hashes of null is null), and the
+    * null never equi-joins the hot set nor counts via count(h) — so
+    * such docs surface with zero totals instead of silently dropping
+    * out of the audit (a source of all-null docs previously VANISHED
+    * from the profile). explode_outer also keeps the fused hash
+    * expression out of the scan filter (the InferFiltersFromGenerate
+    * note on [[ngramJaccardPairs]]). */
+  private def dupNgramBase(docs: DataFrame, carry: Seq[String],
+      shingleN: Int, minDf: Int): (DataFrame, DataFrame) = {
+    val keyCols = col("doc_id") +: carry.map(col)
+    val ex = docs
+      .select(keyCols :+ ArrayHashExprs.shingle_hashes(
+        TextFunctions.normText(col("text")), shingleN).as("xs"): _*)
+      .select(keyCols :+ explode_outer(col("xs")).as("h"): _*)
+    val hot = ex.filter(col("h").isNotNull)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("h"), lit(1).as("hot"))
+    (ex, hot)
+  }
+
+  def duplicatedNgrams(docs: DataFrame, shingleN: Int = 3,
+      minDf: Int = 2): DataFrame = {
+    val (ex, hot) = dupNgramBase(docs, Nil, shingleN, minDf)
     // LEFT join + one conditional count, so the per-doc totals and the
     // dup counts come out of the SAME aggregate — the corpus text is
     // tokenized+hashed twice (hot-set pass, join pass), not three
-    // times as a separate totals frame would cost. Every doc has ≥1
-    // shingle, so no doc can drop out of the left side.
+    // times as a separate totals frame would cost. count(h), not
+    // count(*): a null-text doc's single null-h row must total 0.
     ex.join(hot, Seq("h"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("total_ngrams"),
+      .agg(count(col("h")).as("total_ngrams"),
         count(col("hot")).as("dup_ngrams"))
       .withColumn("dup_frac",
-        col("dup_ngrams").cast("double") / col("total_ngrams").cast("double"))
+        when(col("total_ngrams") > 0,
+          col("dup_ngrams").cast("double") /
+            col("total_ngrams").cast("double"))
+          .otherwise(lit(0.0)))
       .orderBy(col("doc_id"))
   }
 
@@ -306,21 +341,17 @@ object Dedup {
     */
   def sourceDupProfile(docs: DataFrame, shingleN: Int = 3,
       minDf: Int = 2): DataFrame = {
-    val ex = docs.select(col("doc_id"), col("source"),
-        ArrayHashExprs.shingle_hashes(
-          TextFunctions.normText(col("text")), shingleN).as("xs"))
-      .select(col("doc_id"), col("source"), explode_outer(col("xs")).as("h"))
-      .filter(col("h").isNotNull)
-    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
-      .select(col("h"), lit(1).as("hot"))
+    val (ex, hot) = dupNgramBase(docs, Seq("source"), shingleN, minDf)
     ex.join(hot, Seq("h"), "left")
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("total_ngrams"),
+        count(col("h")).as("total_ngrams"),
         count(col("hot")).as("dup_ngrams"))
       .withColumn("dup_ratio",
-        col("dup_ngrams").cast("double") / col("total_ngrams").cast("double"))
+        when(col("total_ngrams") > 0,
+          col("dup_ngrams").cast("double") /
+            col("total_ngrams").cast("double"))
+          .otherwise(lit(0.0)))
       .orderBy(col("source"))
   }
 
@@ -733,7 +764,9 @@ object Dedup {
     ArrayHashExprs.simhash_bits(xs, SimhashBits)
 
   /** Declarative (32 aggregate-HOF passes) simhash — semantically
-    * identical to the native [[ArrayHashExprs.SimHashExpr]]; kept as
+    * identical to the native [[ArrayHashExprs.SimHashExpr]] on
+    * NULL-FREE arrays (a null element counts −1 here, is SKIPPED by
+    * the native form — see the [[ArrayHashExprs]] header); kept as
     * the parity oracle for it. */
   def simhashDeclarative(xs: Column): Column =
     (0 until SimhashBits).map { j =>
@@ -825,16 +858,74 @@ object Dedup {
     import spark.implicits._
     // epoch-aware rebuild (see EpochedTable.replaceWith): a fresh dir
     // gets the plain layout; a rebuild over a grown/compacted index
-    // commits the next generation before retiring the old one
+    // commits the next generation before retiring the old one.
+    // The build stamp makes the MULTI-table rebuild torn-state
+    // DETECTABLE: the three tables and the meta sidecar commit
+    // independently (no cross-table transaction exists here), so a
+    // crash mid-rebuild can leave meta pinning parameters some table
+    // was not built with — a probe would then band batches with the
+    // wrong constants and silently find zero candidates. Each table
+    // records the rebuild's id as it commits; meta (carrying the same
+    // id) commits LAST; readDedupMeta refuses a mismatched set.
+    val buildId = java.util.UUID.randomUUID().toString
     fpTable(dir).replaceWith(docs.select(col("doc_id"),
       TextFunctions.fingerprintMd5(col("text")).as("fingerprint")))
+    writeBuildStamp(spark, dir, "fp", buildId)
     bandsTable(dir).replaceWith(bandFrame(docs, numHashes, bands, shingleN)
       .repartition(col("band"), col("band_sig")))
+    writeBuildStamp(spark, dir, "bands", buildId)
     shinglesTable(dir).replaceWith(shingleHashFrame(docs, shingleN))
-    Seq((numHashes, bands, shingleN))
-      .toDF("num_hashes", "bands", "shingle_n")
+    writeBuildStamp(spark, dir, "shingles", buildId)
+    Seq((numHashes, bands, shingleN, buildId))
+      .toDF("num_hashes", "bands", "shingle_n", "build_id")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
+
+  private def stampPath(dir: String, tbl: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/${tbl}_build")
+
+  private def writeBuildStamp(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tbl: String, id: String): Unit = {
+    val fs = stampPath(dir, tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(stampPath(dir, tbl), true)
+    try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readBuildStamp(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tbl: String): Option[String] = {
+    val p = stampPath(dir, tbl)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** Refuse a store whose meta and table build stamps disagree — the
+    * signature of a rebuild that crashed between table and sidecar
+    * commits. Legacy stores (meta without `build_id`) pass unchecked.
+    * Loud failure is the honest contract a non-transactional
+    * multi-file store can keep: the alternative is probes silently
+    * finding nothing (stale banding constants) or audits mixing
+    * near-dup definitions. Recovery = re-run the rebuild. */
+  private def requireConsistentBuild(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      metaDf: DataFrame, tables: Seq[String]): Unit =
+    if (metaDf.columns.contains("build_id")) {
+      val id = metaDf.select(col("build_id")).head().getString(0)
+      tables.foreach { t =>
+        val st = readBuildStamp(spark, dir, t)
+        require(st.contains(id),
+          s"dedup store at $dir is torn: table '$t' carries build stamp " +
+            s"${st.getOrElse("<missing>")} but meta was written by build " +
+            s"$id — a rebuild crashed between table and sidecar commits; " +
+            "re-run the rebuild before probing")
+      }
+    }
 
   /** Materialize the near-dup label table — the OTHER half of the
     * persisted-index story: [[writeDedupIndex]] persists the sketches
@@ -868,10 +959,16 @@ object Dedup {
     // N+1 and retires the old generation + its now-superseded ingest
     // rows only after committing — same crash-safety as compaction.
     // A fresh store writes the plain epoch-0 layout.
+    val buildId = java.util.UUID.randomUUID().toString
     try labelsTable(dir).replaceWith(labels)
     finally ColumnBridge.unpersistCheckpoint(labels)
-    Seq((numHashes, bands, threshold, shingleN))
-      .toDF("num_hashes", "bands", "threshold", "shingle_n")
+    // stamp-then-meta, meta LAST — same torn-rebuild detection as
+    // writeDedupIndex (labels rebuilt at a new threshold with a
+    // crash-leftover meta still claiming the old one would otherwise
+    // mislabel every audit silently)
+    writeBuildStamp(spark, dir, "labels", buildId)
+    Seq((numHashes, bands, threshold, shingleN, buildId))
+      .toDF("num_hashes", "bands", "threshold", "shingle_n", "build_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -922,8 +1019,9 @@ object Dedup {
 
   private def readDedupMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int, Int) = {
-    val m = spark.read.parquet(s"$dir/meta")
-      .select(col("num_hashes"), col("bands"), col("shingle_n"))
+    val df = spark.read.parquet(s"$dir/meta")
+    requireConsistentBuild(spark, dir, df, Seq("fp", "bands", "shingles"))
+    val m = df.select(col("num_hashes"), col("bands"), col("shingle_n"))
       .head()
     (m.getInt(0), m.getInt(1), m.getInt(2))
   }
@@ -1210,7 +1308,9 @@ object Dedup {
       excludeBatchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     val (numHashes, bands, shingleN) = readDedupMeta(spark, indexDir)
-    val lm = spark.read.parquet(s"$labelsDir/meta")
+    val lmDf = spark.read.parquet(s"$labelsDir/meta")
+    requireConsistentBuild(spark, labelsDir, lmDf, Seq("labels"))
+    val lm = lmDf
       .select(col("num_hashes"), col("bands"), col("shingle_n"),
         col("threshold")).head()
     require((lm.getInt(0), lm.getInt(1), lm.getInt(2)) ==

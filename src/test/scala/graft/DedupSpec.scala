@@ -27,6 +27,52 @@ class DedupSpec extends SparkSuite {
     assert(r.head("canonical_doc_id") == 1L && r.head("dup_count") == 2L)
   }
 
+  test("null-text docs: never duplicates of each other, never banded, still audited") {
+    // round-15 review findings: (a) exact() grouped every null-text
+    // doc under the single null fingerprint — a consumer dropping
+    // non-canonical members would delete unrelated documents; (b) the
+    // band table gave them all band_sig "" (concat_ws over a null
+    // array), one degenerate bucket self-joining quadratically; (c)
+    // the ngram audits dropped them entirely, so an all-null source
+    // vanished from the profile
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, base), (2L, base),             // one real duplicate pair
+      (3L, null.asInstanceOf[String]),    // three docs with no text:
+      (4L, null.asInstanceOf[String]),    // not duplicates of anything,
+      (5L, null.asInstanceOf[String]))    // least of all each other
+      .toDF("doc_id", "text")
+    // exact: no null-fingerprint group; the real pair still collapses
+    val ex = rowsOf(Dedup.exact(d).orderBy(col("canonical_doc_id")))
+    assert(ex.length == 1 && ex.head("dup_count") == 2L,
+      s"null-text docs grouped as duplicates: $ex")
+    // banding: null-text docs produce NO band rows (no "" bucket)
+    val bands = rowsOf(graft.operators.Dedup
+      .bandFrame(d, numHashes = 16, bands = 4, shingleN = 3))
+    assert(bands.forall(b => Set(1L, 2L).contains(b("doc_id").asInstanceOf[Long])),
+      "null-text doc entered the band table")
+    assert(rowsOf(Dedup.minhashPairs(d)).forall(p =>
+      p("doc_a") == 1L && p("doc_b") == 2L))
+    // audits: null-text docs surface with zero totals, never drop out
+    val dn = rowsOf(Dedup.duplicatedNgrams(d))
+      .map(m => m("doc_id") -> m).toMap
+    assert(dn.keySet == Set(1L, 2L, 3L, 4L, 5L),
+      s"audit lost docs: ${dn.keySet}")
+    assert(dn(3L)("total_ngrams") == 0L && dn(3L)("dup_frac") == 0.0)
+    assert(dn(1L)("dup_frac") == 1.0)
+    // an all-null source appears in the profile with zero totals
+    val withSrc = d.withColumn("source",
+      when(col("doc_id") <= 2L, "real").otherwise("ghost"))
+    val prof = rowsOf(Dedup.sourceDupProfile(withSrc))
+      .map(m => m("source") -> m).toMap
+    assert(prof.keySet == Set("real", "ghost"),
+      s"all-null source vanished: ${prof.keySet}")
+    assert(prof("ghost")("n_docs") == 3L &&
+      prof("ghost")("total_ngrams") == 0L &&
+      prof("ghost")("dup_ratio") == 0.0)
+  }
+
   test("minhash LSH finds planted near-duplicate, skips unrelated") {
     val d = docs(
       1L -> base,

@@ -84,6 +84,40 @@ class IncrementalDedupSpec extends SparkSuite {
     }
   }
 
+  test("a torn rebuild (table/meta build-stamp skew) fails loudly, not silently empty") {
+    // the three index tables and the meta sidecar commit independently
+    // — a rebuild that crashes in between leaves meta pinning sketch
+    // parameters some table was not built with. Probing such a store
+    // would band the batch with the WRONG constants and silently find
+    // zero candidates; the build stamp turns that into a loud refusal
+    val corpus = docs(1L -> base, 2L -> other)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-torn").toString
+    try {
+      Dedup.writeDedupIndex(corpus, dir)
+      // healthy store probes fine
+      assert(rowsOf(Dedup.dedupIncrementalIndexed(dir, docs(10L -> base),
+        threshold = 0.3)).nonEmpty)
+      // simulate the crash: bands table carries a different build than
+      // meta (as if replaceWith committed but the meta write never
+      // ran). Drop the local FS's .crc sidecar along with the rewrite
+      // — a raw overwrite would otherwise trip ChecksumFileSystem
+      // before the stamp is even compared
+      val stamp = new java.io.File(dir, "bands_build")
+      new java.io.File(dir, ".bands_build.crc").delete()
+      java.nio.file.Files.write(stamp.toPath,
+        "stale-build-from-crashed-rebuild".getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException](
+        Dedup.dedupIncrementalIndexed(dir, docs(10L -> base), threshold = 0.3))
+      assert(e.getMessage.contains("torn"), e.getMessage)
+      // a fresh rebuild heals the store
+      Dedup.writeDedupIndex(corpus, dir)
+      assert(rowsOf(Dedup.dedupIncrementalIndexed(dir, docs(10L -> base),
+        threshold = 0.3)).nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("streaming ingest loop: batch N+1 dedups against what batch N kept") {
     val s = spark
     import s.implicits._

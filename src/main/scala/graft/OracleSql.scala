@@ -1283,9 +1283,12 @@ object OracleSql {
        |       CAST(SUM(tc.n_toks) AS BIGINT) AS raw_tokens,
        |       CAST(SUM(CASE WHEN c.cluster = tc.doc_id THEN tc.n_toks
        |                     ELSE 0 END) AS BIGINT) AS effective_tokens,
-       |       CAST(((SUM(tc.n_toks) - SUM(CASE WHEN c.cluster = tc.doc_id
-       |                THEN tc.n_toks ELSE 0 END)) * 1000000)
-       |            // SUM(tc.n_toks) AS BIGINT) AS dup_tax_ppm
+       |       CASE WHEN coalesce(SUM(tc.n_toks), 0) > 0
+       |            THEN CAST(((SUM(tc.n_toks)
+       |                   - SUM(CASE WHEN c.cluster = tc.doc_id
+       |                         THEN tc.n_toks ELSE 0 END)) * 1000000)
+       |                 // SUM(tc.n_toks) AS BIGINT)
+       |            ELSE 0 END AS dup_tax_ppm
        |FROM tc JOIN clusters c ON c.doc_id = tc.doc_id
        |GROUP BY tc.source ORDER BY tc.source""".stripMargin
 
@@ -1752,7 +1755,9 @@ object OracleSql {
   /** Unit-normalized double vectors, mirroring [[Similarity.withUnit]]:
     * norm once per vector, then element-wise division. */
   private val unitCte: String =
-    s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |      WHERE embedding IS NOT NULL
+       |        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
        |nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
        |u AS (SELECT vec_id,
        |        list_transform(v, x -> CASE WHEN nrm = 0.0 THEN 0.0 ELSE x / nrm END) AS un
@@ -2040,16 +2045,20 @@ object OracleSql {
     * well-formed guard, same sequential-fold norm. */
   def embeddingAudit(dims: Int = Similarity.LshDims): String =
     s"""WITH e AS (SELECT vec_id, embedding,
-       |             list_transform(embedding, x -> x::DOUBLE) AS v
+       |             list_transform(embedding, x -> x::DOUBLE) AS v,
+       |             (embedding IS NOT NULL AND len(list_filter(embedding,
+       |                x -> x IS NULL)) > 0) AS has_null_elem
        |           FROM embeddings),
-       |n AS (SELECT vec_id, embedding,
+       |n AS (SELECT vec_id, embedding, has_null_elem,
        |        CASE WHEN embedding IS NOT NULL AND len(embedding) = $dims
+       |                  AND NOT has_null_elem
        |             THEN sqrt(${dotSql("v", "v")}) END AS nrm
        |      FROM e)
        |SELECT COUNT(*) AS n_vectors,
        |       COUNT(*) FILTER (WHERE embedding IS NULL) AS n_null_vec,
        |       COUNT(*) FILTER (WHERE embedding IS NOT NULL
        |                          AND len(embedding) <> $dims) AS n_wrong_dim,
+       |       COUNT(*) FILTER (WHERE has_null_elem) AS n_element_null,
        |       COUNT(*) FILTER (WHERE nrm = 0.0) AS n_zero_norm,
        |       round(MIN(nrm), 6) AS min_norm,
        |       round(MAX(nrm), 6) AS max_norm
@@ -2336,12 +2345,15 @@ object OracleSql {
        |per AS (
        |  SELECT d.source, d.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens
        |  FROM tok t JOIN documents d USING (doc_id)),
-       |st AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+       |st AS (SELECT source, CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+       |                        AS tokens
        |       FROM per GROUP BY 1),
-       |mn AS (SELECT MIN(tokens) AS min_tokens FROM st),
+       |mn AS (SELECT MIN(tokens) AS min_tokens FROM st WHERE tokens > 0),
        |r AS (SELECT source, tokens,
-       |        CAST(FLOOR(sqrt(CAST(min_tokens AS DOUBLE)) /
-       |             sqrt(CAST(tokens AS DOUBLE)) * 1000000) AS BIGINT) AS ppm
+       |        CASE WHEN tokens > 0
+       |             THEN CAST(FLOOR(sqrt(CAST(min_tokens AS DOUBLE)) /
+       |                  sqrt(CAST(tokens AS DOUBLE)) * 1000000) AS BIGINT)
+       |             ELSE 1000000 END AS ppm
        |      FROM st, mn),
        |k AS (SELECT per.source, per.n_tokens, r.tokens, r.ppm,
        |        (${fnvOf("CAST(doc_id AS VARCHAR)")}) % 1000000 < r.ppm AS kept
@@ -2362,7 +2374,7 @@ object OracleSql {
     s"""$docCte,
        |tt AS (
        |  SELECT doc_id,
-       |         CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         CAST(COALESCE(len(toks), 0) AS BIGINT) AS n_tokens,
        |         CAST(${docIdBucket(streams)} AS BIGINT) AS stream
        |  FROM tok),
        |b AS (SELECT *, least(n_tokens // $bucketTokens, $maxBucket) AS len_bucket FROM tt),

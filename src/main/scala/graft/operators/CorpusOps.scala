@@ -360,11 +360,12 @@ object CorpusOps {
     * 1-row scalar for the totals — the Q22 idiom; no corpus-wide
     * shuffle beyond the tiny per-source aggregate.
     */
-  def sourceMixture(docs: DataFrame): DataFrame = {
-    val per = docs.select(col("source"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+  /** The α=1/2 normalize-by-max tail shared by [[sourceMixture]] and
+    * [[sourceMixtureEffective]] — ONE definition of the arithmetic
+    * their scaladoc contracts promise is identical (previously two
+    * hand-kept copies that a one-sided tweak could silently
+    * desynchronize). `per` must carry (source, n_docs, tokens). */
+  private def mixtureTail(per: DataFrame): DataFrame = {
     val tot = per.agg(sum(col("tokens")).as("tot_tokens"),
       max(col("tokens")).as("max_tokens"))
     per.crossJoin(broadcast(tot))
@@ -374,6 +375,12 @@ object CorpusOps {
           sqrt(col("max_tokens").cast("double"))).as("rel_weight"))
       .orderBy(col("source"))
   }
+
+  def sourceMixture(docs: DataFrame): DataFrame =
+    mixtureTail(docs.select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens")))
 
   /** [[sourceMixture]] computed from EFFECTIVE tokens — the dup-tax
     * correction [[effectiveTokens]] exists to feed: per source, only
@@ -386,23 +393,14 @@ object CorpusOps {
     * correction costs one scan + join + aggregate, never a
     * propagation.
     */
-  def sourceMixtureEffective(docs: DataFrame, labels: DataFrame): DataFrame = {
-    val per = docs.select(col("doc_id"), col("source"),
+  def sourceMixtureEffective(docs: DataFrame, labels: DataFrame): DataFrame =
+    mixtureTail(docs.select(col("doc_id"), col("source"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
       .join(labels, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("cluster") === col("doc_id"), col("n_toks"))
-          .otherwise(0L)).as("tokens"))
-    val tot = per.agg(sum(col("tokens")).as("tot_tokens"),
-      max(col("tokens")).as("max_tokens"))
-    per.crossJoin(broadcast(tot))
-      .select(col("source"), col("n_docs"), col("tokens"),
-        (col("tokens").cast("double") / col("tot_tokens")).as("raw_share"),
-        (sqrt(col("tokens").cast("double")) /
-          sqrt(col("max_tokens").cast("double"))).as("rel_weight"))
-      .orderBy(col("source"))
-  }
+          .otherwise(0L)).as("tokens")))
 
   /** Temperature sampling APPLIED — [[sourceMixture]]'s α=1/2
     * rebalancing turned into an actual deterministic per-source keep
@@ -435,13 +433,25 @@ object CorpusOps {
     val srcTok = docs.select(col("source"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       .groupBy(col("source"))
-      .agg(sum(col("n_tokens")).as("tokens"))
-    val mn = srcTok.agg(min(col("tokens")).as("min_tokens"))
+      // coalesce: a source whose every doc has null text summed to
+      // NULL tokens → NULL ppm → mixtureSample silently dropped the
+      // whole source (the same vanishing-source class the dedup
+      // audits fixed). Zero tokens is the honest value
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
+    // min over POSITIVE totals only: a zero-token source must not
+    // drag every other source's rate to zero
+    val mn = srcTok.filter(col("tokens") > 0)
+      .agg(min(col("tokens")).as("min_tokens"))
     srcTok.crossJoin(broadcast(mn))
       .select(col("source"), col("tokens"),
-        floor(sqrt(col("min_tokens").cast("double")) /
-          sqrt(col("tokens").cast("double")) * 1000000.0)
-          .cast("long").as("ppm"))
+        // a token-less source is the smallest there is — the mixture
+        // rule keeps the smallest sources whole, and keeping docs
+        // that contribute zero tokens costs the mixture nothing
+        when(col("tokens") > 0,
+          floor(sqrt(col("min_tokens").cast("double")) /
+            sqrt(col("tokens").cast("double")) * 1000000.0)
+            .cast("long"))
+          .otherwise(lit(1000000L)).as("ppm"))
   }
 
   /** The per-doc membership rule shared by the batch sampler and the
@@ -502,8 +512,13 @@ object CorpusOps {
         s"bucketTokens=$bucketTokens maxBucket=$maxBucket")
     val w = Window.partitionBy(col("len_bucket"), col("stream"))
       .orderBy(col("doc_id"))
+    // coalesce: least() SKIPS nulls, so a null-text doc (null token
+    // count) landed in the TOP length bucket and inflated its
+    // padding by a full max_tokens — zero tokens is the honest value
+    // and puts it in bucket 0
     docs.select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        coalesce(TextFunctions.tokenCount(col("text")).cast("long"), lit(0L))
+          .as("n_tokens"),
         hashBucket(col("doc_id"), streams).as("stream"))
       .withColumn("len_bucket",
         least(expr(s"n_tokens div $bucketTokens"), lit(maxBucket.toLong)))
@@ -548,8 +563,16 @@ object CorpusOps {
           sum(col("padding_tokens")).as("padding_tokens"))
         .select(lit(b).as("bucket_tokens"), col("n_batches"),
           col("n_docs"), col("real_tokens"), col("padding_tokens"))
+        // same overflow-safe 10³·10³ split as effectiveTokens'
+        // dup_tax_ppm (padding_tokens·10⁶ overflows long past
+        // ~9.2×10¹² padding tokens); null when the corpus is empty,
+        // exactly as the unsplit nullif form
         .withColumn("pad_ppm", expr(
-          "(padding_tokens * 1000000) div nullif(real_tokens + padding_tokens, 0)"))
+          """((padding_tokens * 1000)
+            |   div nullif(real_tokens + padding_tokens, 0)) * 1000
+            | + (((padding_tokens * 1000)
+            |      % nullif(real_tokens + padding_tokens, 0)) * 1000)
+            |   div nullif(real_tokens + padding_tokens, 0)""".stripMargin))
     }.reduce(_.unionAll(_)).orderBy(col("bucket_tokens"))
   }
 
@@ -861,8 +884,14 @@ object CorpusOps {
     // shuffle hash join when sources number in the millions; at the
     // common scale it broadcasts on its own
     base.withColumn("probe", explode(probeArr))
+      // null-SAFE source equality: the window twin (sourceQuota)
+      // treats a null source as an ordinary partition and ranks its
+      // docs, so a plain === here would silently drop every
+      // null-source row at the probe join and diverge from the
+      // documented identical-output contract. <=> still plans as a
+      // hash join (EqualNullSafe is a valid equi-join key).
       .join(binTable,
-        col("source") === col("b_source") &&
+        col("source") <=> col("b_source") &&
           col("probe.lvl") === col("b_level") &&
           col("probe.k") === col("b_prefix"))
       .withColumn("src_rank",
@@ -899,8 +928,21 @@ object CorpusOps {
         sum(col("n_toks")).as("raw_tokens"),
         sum(when(col("cluster") === col("doc_id"), col("n_toks"))
           .otherwise(0L)).as("effective_tokens"))
+      // exact ((raw−eff)·10⁶) div raw WITHOUT the 10⁶ multiply
+      // overflowing: split 10⁶ = 10³·10³ and carry the remainder —
+      // ((d·10³) div r)·10³ + ((d·10³ mod r)·10³) div r ≡ (d·10⁶) div r
+      // in exact integer arithmetic (the oracle's HUGEINT computes the
+      // unsplit form; they agree wherever longs don't overflow, and
+      // the split raises the Spark ceiling from ~9.2×10¹² taxed
+      // tokens — BELOW the 100 TB design point of ~10¹³ — to
+      // ~9.2×10¹⁵, 700× above it). Zero/NULL raw → 0 tax: no tokens,
+      // no tax (the unguarded div would throw under ANSI).
       .withColumn("dup_tax_ppm",
-        expr("((raw_tokens - effective_tokens) * 1000000) div raw_tokens"))
+        when(col("raw_tokens") > 0, expr(
+          """(((raw_tokens - effective_tokens) * 1000) div raw_tokens) * 1000
+            | + ((((raw_tokens - effective_tokens) * 1000) % raw_tokens)
+            |    * 1000) div raw_tokens""".stripMargin))
+          .otherwise(lit(0L)))
       .orderBy(col("source"))
 
   /** Per-source distinct-content accounting via MERGEABLE HLL

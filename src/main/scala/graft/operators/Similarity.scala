@@ -74,8 +74,12 @@ object Similarity {
     * the final (tiny) top-k window.
     */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = withUnit(corpus).select(col("vec_id"), col("unit"))
-    val q = withUnit(queries).select(col("vec_id"), col("unit"))
+    // unitIndex, not raw withUnit: a null-embedding query would emit k
+    // rows of null score (row_number ranks them regardless), and
+    // null-embedding corpus rows would enter any top-k short of k
+    // non-null candidates (desc sort puts nulls last, not out)
+    val c = unitIndex(corpus)
+    val q = unitIndex(queries)
     val scored = c.as("c")
       .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
@@ -132,7 +136,17 @@ object Similarity {
     * exchange would be thrown away one operator later). */
   def lshNearPairsUnsorted(corpus: DataFrame, tables: Int = 4,
       planes: Int = 4, threshold: Double = 0.35): DataFrame = {
-    val u = withUnit(corpus).select(col("vec_id"), col("unit"))
+    require(threshold > 0.0,
+      s"near-pair threshold must be positive, got $threshold — at ≤ 0 " +
+        "every pair qualifies and banding is the wrong algorithm")
+    // null AND zero-norm vectors out before banding: every zero unit
+    // scores dot ≤ 0 against every hyperplane, so ALL of them land in
+    // sig=0 of EVERY table — one degenerate bucket self-joining
+    // quadratically (D failed encodes → tables·D(D−1)/2 candidate
+    // rows), the embedding twin of the Dedup band-table hazard. They
+    // can never pass the threshold anyway (score 0 < any positive
+    // threshold), so banding them bought only the blow-up.
+    val u = unitIndex(corpus, dropZeroNorm = true)
     val sigs = withSigs(u, tables, planes)
       .select(col("vec_id"), col("tbl"), col("sig"))
     // shared exchange via forced SMJ: both self-join sides demand the
@@ -325,16 +339,39 @@ object Similarity {
     * reproduce cell assignment — production passes
     * [[trainCentroids]]; the plan is identical either way.
     */
-  /** Null-free unit-vector index frame. The filter rides the RAW
-    * column — `unit IS NULL ⟺ embedding IS NULL` (UnitVectorExpr is a
+  /** Null-free unit-vector index frame — the ONE embedding-hygiene
+    * gate every ANN surface routes through. Drops whole-null
+    * embeddings AND element-null ones: an element null would flow
+    * into the driver-collected coarse/PQ books (a below-nCentroids
+    * vec_id becomes a stand-in centroid carrying the null), where
+    * DotProductExpr silently skips that dimension for every scored
+    * vector and the driver's `x*x` fold unboxes it to 0.0 — cell
+    * assignment, codes, and the oracle all diverge with no error
+    * anywhere (the guard [[trainCentroids]] always had, now applied
+    * at the shared gate). The filter rides the RAW column —
+    * `unit IS NULL ⟺ embedding IS NULL` (UnitVectorExpr is a
     * UnaryExpression: null out only for null in; element nulls stay
     * element nulls), and filtering on the derived column instead would
     * inline unitvectorexpr into the scan Filter, re-normalizing every
-    * row a second time (round-5 plan sweep).
+    * row a second time (round-5 plan sweep). Zero-norm vectors STAY
+    * (they map to zero units: score 0 against everything,
+    * deterministic and harmless) — except where a zero SIGNATURE
+    * would bucket them together quadratically; see
+    * [[lshNearPairsUnsorted]].
     */
-  private def unitIndex(corpus: DataFrame): DataFrame =
-    withUnit(corpus.filter(col("embedding").isNotNull))
-      .select(col("vec_id"), col("unit"))
+  private def unitIndex(corpus: DataFrame,
+      dropZeroNorm: Boolean = false): DataFrame = {
+    val wellFormed = col("embedding").isNotNull &&
+      !exists(col("embedding"), x => x.isNull)
+    // the zero-norm test ALSO rides the raw column (zero unit ⟺ no
+    // non-zero raw element): testing the derived unit would inline
+    // UnitVectorExpr into the Filter — the re-normalize-twice plan
+    // this function exists to avoid (PlanShapeSpec pins it)
+    val cond =
+      if (dropZeroNorm) wellFormed && exists(col("embedding"), x => x =!= 0.0)
+      else wellFormed
+    withUnit(corpus.filter(cond)).select(col("vec_id"), col("unit"))
+  }
 
   /** Driver-held coarse codebook (cid → unit centroid), cid-ascending.
     * The codebook is tiny by construction (k ≤ ~64k cells), so holding
@@ -370,9 +407,13 @@ object Similarity {
       book: Array[(Long, Seq[Double])]): DataFrame =
     assignCellsIdx(cu, book).drop("cidx")
 
-  /** [[assignCells]] also emitting `cidx`, the 0-based position of the
-    * assigned cell in the (cid-ascending) book — the residual path
-    * selects the centroid array by position. */
+  /** THE definition of the cell assignment (argmax over the
+    * driver-held book), shared by [[assignCells]], the PQ index
+    * frame, and [[embeddingOutliers]]. Emits `cidx` (0-based position
+    * in the cid-ascending book — the residual path selects the
+    * centroid array by position) and `cscore` (the winning dot — the
+    * outlier report ranks by it, and sharing the definition means the
+    * report can never drift from the assignment it audits). */
   private def assignCellsIdx(cu: DataFrame,
       book: Array[(Long, Seq[Double])]): DataFrame = {
     val scores = array(book.toIndexedSeq.map { case (_, v) =>
@@ -382,7 +423,9 @@ object Similarity {
         (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
       .withColumn("cid",
         element_at(typedLit(book.map(_._1).toSeq), col("cidx") + 1))
-      .select(col("vec_id"), col("unit"), col("cid"), col("cidx"))
+      .withColumn("cscore", expr("array_max(scores)"))
+      .select(col("vec_id"), col("unit"), col("cid"), col("cidx"),
+        col("cscore"))
   }
 
   /** Replaces `unit` with the cell residual `unit − centroid(cid)` —
@@ -423,7 +466,7 @@ object Similarity {
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cscore").desc, col("cid"))
-    withUnit(queries).select(col("vec_id"), col("unit"))
+    unitIndex(queries)
       .join(broadcast(centDf))
       .withColumn("cscore", dot(col("unit"), col("cunit")))
       .withColumn("crn", row_number().over(pw))
@@ -494,14 +537,7 @@ object Similarity {
       return Seq.empty[(Long, Long, Double)]
         .toDF("vec_id", "cid", "centroid_score")
     }
-    val scores = array(book.toIndexedSeq.map { case (_, v) =>
-      dot(col("unit"), typedLit(v)) }: _*)
-    cu.withColumn("scores", scores)
-      .withColumn("cidx",
-        (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
-      .withColumn("cid",
-        element_at(typedLit(book.map(_._1).toSeq), col("cidx") + 1))
-      .withColumn("cscore", expr("array_max(scores)"))
+    assignCellsIdx(cu, book)
       .orderBy(col("cscore").asc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("cid"),
@@ -1114,8 +1150,17 @@ object Similarity {
       // cid-partitioned base so probes regain full listing pruning.
       case Some(id) => ct.appendBatch(rows, id)
       case None     =>
-        rows.write.partitionBy("cid").mode("append")
-          .parquet(ct.tableDir(ct.activeEpoch(spark)))
+        // ad-hoc batch append: an in-place mode(append) into the
+        // active generation dir (whose prior _SUCCESS survives) would
+        // let a crash mid-job-commit leave a TORN append that READS
+        // AS COMMITTED — the one write here that bypassed the epoch
+        // contract everything else rides. Land it as a uniquely-named
+        // overwrite-once batch dir instead: _SUCCESS-gated (a torn
+        // dir is invisible to probes), folded into the cid-partitioned
+        // base by the next compactPqIndex. nanoTime for uniqueness
+        // only — ad-hoc appends are not replay-keyed (streaming ids
+        // are small integers; no collision).
+        ct.appendBatch(rows, System.nanoTime())
     }
   }
 
@@ -1203,8 +1248,10 @@ object Similarity {
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 8, planes: Int = 4): DataFrame = {
-    val cu = withUnit(corpus).select(col("vec_id"), col("unit"))
-    val qu = withUnit(queries).select(col("vec_id"), col("unit"))
+    // unitIndex (not raw withUnit): see knnBruteForce — null vectors
+    // must not rank or be ranked
+    val cu = unitIndex(corpus)
+    val qu = unitIndex(queries)
     knnLshOn(cu, qu,
       withSigs(qu, tables, planes)
         .select(col("vec_id"), col("tbl"), col("sig")),
@@ -1223,8 +1270,8 @@ object Similarity {
     */
   def knnLshMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 8, planes: Int = 4): DataFrame = {
-    val cu = withUnit(corpus).select(col("vec_id"), col("unit"))
-    val qu = withUnit(queries).select(col("vec_id"), col("unit"))
+    val cu = unitIndex(corpus)
+    val qu = unitIndex(queries)
     val expanded = withSigs(qu, tables, planes)
       .select(col("vec_id"), col("tbl"),
         explode(array(col("sig") +: (0 until planes).map(j =>
@@ -1271,14 +1318,24 @@ object Similarity {
     */
   def embeddingAudit(corpus: DataFrame, dims: Int = LshDims): DataFrame =
     corpus.select(col("vec_id"), col("embedding"))
+      // element nulls are their own category: size() counts them, so
+      // such a row passes the dims check, yet DotProductExpr silently
+      // skips the null dimension — a partial norm would pollute
+      // min/max and, uncaught, the row would flow into driver-held
+      // codebooks (the round-15 unitIndex hazard). Audit it, and keep
+      // norms to FULLY well-formed rows.
+      .withColumn("has_null_elem",
+        col("embedding").isNotNull && exists(col("embedding"), x => x.isNull))
       .withColumn("nrm",
-        when(col("embedding").isNotNull && size(col("embedding")) === dims,
+        when(col("embedding").isNotNull && size(col("embedding")) === dims &&
+            !col("has_null_elem"),
           norm(col("embedding"))))
       .agg(
         count(lit(1)).as("n_vectors"),
         count_if(col("embedding").isNull).as("n_null_vec"),
         count_if(col("embedding").isNotNull &&
           size(col("embedding")) =!= dims).as("n_wrong_dim"),
+        count_if(col("has_null_elem")).as("n_element_null"),
         count_if(col("nrm") === 0.0).as("n_zero_norm"),
         round(min(col("nrm")), 6).as("min_norm"),
         round(max(col("nrm")), 6).as("max_norm"))

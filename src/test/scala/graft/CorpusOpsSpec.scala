@@ -478,6 +478,60 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("distributed source quota keeps null-source rows (window-twin parity)") {
+    // round-15 review finding: the probe equi-join on source never
+    // matched null === null, so null-source docs vanished from the
+    // distributed path while the window twin ranked them — a silent
+    // row loss no output-equality check had covered
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, base + " one", "en", "sA", 10L),
+      (2L, base, "en", null.asInstanceOf[String], 10L),
+      (3L, base + " three", "en", null.asInstanceOf[String], 10L),
+      (4L, base + " four", "en", null.asInstanceOf[String], 10L),
+      (5L, base + " five", "en", "sB", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val expected = rowsOf(CorpusOps.sourceQuota(d, cap = 2))
+    assert(expected.count(_("source") == null) == 3,
+      "window twin must rank null-source docs")
+    val dist = CorpusOps.sourceQuotaDistributed(d, cap = 2)
+    val got = rowsOf(dist)
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(dist)
+    assert(got == expected)
+  }
+
+  test("token-less sources: mixture keeps them whole, padding buckets them at zero") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, base, "en", "real", 10L),
+      (2L, base + " two", "en", "real", 10L),
+      (3L, null.asInstanceOf[String], "en", "ghost", 0L),
+      (4L, null.asInstanceOf[String], "en", "ghost", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // a source whose every doc has null text previously got ppm NULL
+    // (sum of all-null tokens) and mixtureSample silently dropped the
+    // whole source; it must instead be kept whole (it is the smallest
+    // source there is, and its docs cost the mixture zero tokens)
+    val rates = rowsOf(CorpusOps.mixtureRates(d))
+      .map(m => m("source") -> m).toMap
+    assert(rates("ghost")("tokens") == 0L && rates("ghost")("ppm") == 1000000L)
+    assert(rates("real")("ppm").asInstanceOf[Long] > 0L,
+      "zero-token source dragged real rates down")
+    val kept = rowsOf(CorpusOps.mixtureSample(d))
+      .map(_("doc_id").asInstanceOf[Long]).toSet
+    assert(Set(3L, 4L).subsetOf(kept), s"ghost docs dropped: $kept")
+    // batchPadding: a null-text doc is a ZERO-token doc (bucket 0),
+    // not a max_tokens-padded phantom in the top bucket
+    val pads = rowsOf(CorpusOps.batchPadding(d, batchSize = 8, streams = 1,
+      bucketTokens = 4, maxBucket = 8))
+    val top = pads.filter(_("len_bucket") == 8L)
+    assert(top.isEmpty || top.forall(_("n_docs") == 0L),
+      s"null-text docs reached the top bucket: $top")
+    assert(pads.map(_("n_docs").asInstanceOf[Long]).sum == 4L)
+  }
+
   test("snapshot diff classifies added/removed/changed and drops unchanged") {
     val old = enDocs(
       1L -> "alpha text", 2L -> "beta text", 3L -> "gamma text",

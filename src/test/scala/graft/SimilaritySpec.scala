@@ -403,13 +403,18 @@ class SimilaritySpec extends SparkSuite {
       Row(1L, Seq.fill(4)(0.5f)),  // well-formed, norm exactly 1.0
       Row(2L, null),               // failed encode
       Row(3L, Seq.fill(3)(1.0f)),  // wrong model dimension
-      Row(4L, Seq.fill(4)(0.0f))   // zero norm
+      Row(4L, Seq.fill(4)(0.0f)),  // zero norm
+      Row(5L, Seq(0.5f, null, 0.5f, 0.5f)) // element null: size passes,
+                                   // DotProductExpr would skip the dim
     ).asJava, schema)
     val a = rowsOf(Similarity.embeddingAudit(df, dims = 4)).head
-    assert(a("n_vectors") == 4L)
+    assert(a("n_vectors") == 5L)
     assert(a("n_null_vec") == 1L)
     assert(a("n_wrong_dim") == 1L)
+    assert(a("n_element_null") == 1L)
     assert(a("n_zero_norm") == 1L)
+    // norms only over FULLY well-formed rows: the element-null row's
+    // partial norm (0.866) must not pollute min/max
     assert(a("min_norm") == 0.0)
     assert(a("max_norm") == 1.0)
     // the driver fixture must audit clean — this doubles as an env guard
@@ -417,8 +422,46 @@ class SimilaritySpec extends SparkSuite {
     val r = rowsOf(Similarity.embeddingAudit(e)).head
     assert(r("n_vectors").asInstanceOf[Long] == e.count())
     assert(r("n_null_vec") == 0L && r("n_wrong_dim") == 0L &&
-      r("n_zero_norm") == 0L)
+      r("n_element_null") == 0L && r("n_zero_norm") == 0L)
     assert(r("min_norm").asInstanceOf[Double] > 0.0)
+  }
+
+  test("embedding hygiene: dirty vectors never rank, band, or reach a codebook") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dims = Similarity.LshDims
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def basis(i: Int) = Seq.tabulate(dims)(d => if (d == i) 1.0f else 0.0f)
+    val rows: Seq[Row] = (0 until 6).map(i => Row(i.toLong, basis(i % 3))) ++
+      Seq(Row(96L, null), // whole-null
+        Row(97L, Seq.tabulate(dims)(d =>
+          if (d == 0) null else Float.box(0.1f))), // element-null: would
+          // become a stand-in centroid (vec_id order puts low ids first,
+          // but collectCoarseBook takes lowest AFTER the unitIndex gate)
+        Row(98L, Seq.fill(dims)(0.0f))) // zero norm
+    val d = spark.createDataFrame(rows.asJava, schema)
+    // brute force: dirty vectors neither query nor candidate — no
+    // null-score rows, no null neighbors
+    val bf = rowsOf(Similarity.knnBruteForce(d, d, 3))
+    assert(bf.nonEmpty)
+    assert(!bf.exists(r => r("query_id") == 96L || r("query_id") == 97L ||
+      r("neighbor_id") == 96L || r("neighbor_id") == 97L))
+    assert(bf.forall(_("score") != null))
+    // zero-norm vectors never enter the near-pair band tables (the
+    // sig=0 degenerate bucket), and dirty vectors produce no pairs
+    val pairs = rowsOf(Similarity.lshNearPairs(d, threshold = 0.35))
+    assert(pairs.forall(p => p("vec_a").asInstanceOf[Long] < 90L &&
+      p("vec_b").asInstanceOf[Long] < 90L))
+    assert(pairs.nonEmpty) // the basis duplicates still pair up
+    // the coarse book never carries a null element (the element-null
+    // vector is gated before the driver collect)
+    val book = Similarity.coarseBook(d, nCentroids = 4)
+    assert(book.nonEmpty)
+    assert(book.forall(b => !b._2.contains(null)))
+    intercept[IllegalArgumentException](
+      Similarity.lshNearPairs(d, threshold = 0.0))
   }
 
   test("diverseSample: every vector once, per-cell caps, repartition-stable") {

@@ -96,15 +96,16 @@ class SourceDisciplineSpec extends AnyFunSuite {
   }
 
   test("every crossJoin is a broadcast 1-row scalar subquery") {
-    // all twelve are the Q22 idiom: broadcast(1-row aggregate) ⨯ frame
-    // (CorpusOps: token-budget total + sourceMixture totals +
-    // sourceMixtureEffective's broadcast 1-row effective-totals scalar +
-    // mixtureKept's min-tokens scalar + corpusHealth's two audit
-    // scalars; TextAnalysis: searchTopK's corpus-size scalar onto the
-    // ≤26-row query-term table + collocations' bigram-total scalar
-    // onto the minCount-pruned pairs)
+    // all eleven are the Q22 idiom: broadcast(1-row aggregate) ⨯ frame
+    // (CorpusOps: token-budget total + mixtureTail's totals scalar —
+    // ONE site since r15 serves both sourceMixture and
+    // sourceMixtureEffective — + mixtureRates' min-tokens scalar +
+    // corpusHealth's two audit scalars; TextAnalysis: searchTopK's
+    // corpus-size scalar onto the ≤26-row query-term table +
+    // collocations' bigram-total scalar onto the minCount-pruned
+    // pairs)
     audit("crossJoin", raw"\.crossJoin\(", Map(
-      "src/main/scala/graft/operators/CorpusOps.scala" -> 6,
+      "src/main/scala/graft/operators/CorpusOps.scala" -> 5,
       "src/main/scala/graft/operators/DecisionSupport.scala" -> 1,
       "src/main/scala/graft/operators/Relational.scala" -> 1,
       "src/main/scala/graft/operators/Similarity.scala" -> 2,

@@ -766,7 +766,9 @@ object OracleSql {
     * form) plus the exact token total over the same exploded stream. */
   val vocabularySummaryApprox: String =
     s"""$docCte,
-       |vex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+       |vex AS (SELECT doc_id, token FROM
+       |          (SELECT doc_id, unnest(toks) AS token FROM tok)
+       |        WHERE token <> ''),
        |${hllDistinctCtes("vt", "SELECT 'x' AS grp, token AS s FROM vex")},
        |${hllDistinctCtes("vd",
           "SELECT 'x' AS grp, CAST(doc_id AS VARCHAR) AS s FROM vex")}
@@ -831,7 +833,9 @@ object OracleSql {
     domain match {
       case None =>
         s"""WITH v AS (SELECT event_type, "value" FROM events
-           |           WHERE "value" IS NOT NULL),
+           |           WHERE "value" IS NOT NULL AND NOT isnan("value")
+           |             AND "value" > '-inf'::DOUBLE
+           |             AND "value" < 'inf'::DOUBLE),
            |st AS (SELECT event_type, min("value") AS vmin, max("value") AS vmax,
            |              COUNT(*) AS n,
            |              (max("value") - min("value")) / ${bins.toDouble} AS width
@@ -1109,6 +1113,7 @@ object OracleSql {
     s"""$docCte
        |SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
        |FROM (SELECT doc_id, unnest(toks) AS token FROM tok)
+       |WHERE token <> ''
        |GROUP BY token ORDER BY tf DESC, token LIMIT $k""".stripMargin
 
   /** Mirrors [[graft.operators.TextAnalysis.tokenRarity]]: integer

@@ -819,11 +819,11 @@ object SparkEntry {
            |       tombstones, dirty_ratio, key_null, key_non_null,
            |       p_bytes, key_bytes, value_bytes,
            |       CASE WHEN alive > 0 AND key_bytes > 0
-           |            THEN CAST(FLOOR(key_bytes * 1.0 / alive) AS BIGINT) ELSE 0 END AS avg_key_size,
+           |            THEN CAST(key_bytes // alive AS BIGINT) ELSE 0 END AS avg_key_size,
            |       CASE WHEN alive > 0 AND value_bytes > 0
-           |            THEN CAST(FLOOR(value_bytes * 1.0 / alive) AS BIGINT) ELSE 0 END AS avg_value_size,
+           |            THEN CAST(value_bytes // alive AS BIGINT) ELSE 0 END AS avg_value_size,
            |       CASE WHEN alive > 0 AND p_bytes > 0
-           |            THEN CAST(FLOOR(p_bytes * 1.0 / alive) AS BIGINT) ELSE 0 END AS avg_msg_size
+           |            THEN CAST(p_bytes // alive AS BIGINT) ELSE 0 END AS avg_msg_size
            |FROM (
            |  SELECT "partition",
            |         MIN("offset") AS start_offset,

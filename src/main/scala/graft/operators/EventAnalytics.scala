@@ -346,14 +346,26 @@ object EventAnalytics {
     // domain: literals, totals folded back from the bin counts
     val (cum, vmin, width) = domain match {
       case None =>
-        val stats = vals.groupBy(col("event_type"))
+        // adaptive mode must see only FINITE values: one NaN makes
+        // vmax (and so width) NaN — Spark then bins every row of the
+        // type at 0 and every percentile NaN, while the oracle's
+        // CAST(floor(NaN)) CRASHES; one ±Inf does the same with Inf.
+        // The domain branch below handles non-finite values by
+        // comparison-clamping; here they carry no rank information
+        // (an adaptive domain derived from them is meaningless), so
+        // they are excluded from the ranked population. Mirrored in
+        // the oracle (NOT isnan AND strict ±inf bounds).
+        val finite = vals.filter(!isnan(col("value")) &&
+          col("value") > lit(Double.NegativeInfinity) &&
+          col("value") < lit(Double.PositiveInfinity))
+        val stats = finite.groupBy(col("event_type"))
           .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
             count(lit(1)).as("n"))
           .withColumn("width",
             (col("vmax") - col("vmin")) / lit(bins.toDouble))
         // per-type scalars: broadcast both consumers (bin pass + pick)
         val statsB = broadcast(stats)
-        val binned = vals.join(statsB, Seq("event_type"))
+        val binned = finite.join(statsB, Seq("event_type"))
           .withColumn("bin",
             when(col("width") === 0.0, lit(0L))
               .otherwise(least(lit((bins - 1).toLong),

@@ -97,11 +97,27 @@ object TextAnalysis {
     */
   def vocabulary(docs: DataFrame, k: Int = 100): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      // empty/whitespace-only docs tokenize to one "" token — a
+      // phantom term that would displace a real one from the top-k
+      // once empty docs outnumber the k-th term's tf (the family's
+      // convention: tokenRarity/searchTopK/collocations all filter it)
+      .filter(col("token") =!= "")
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"),
         countDistinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
+
+  /** The (doc_id, term, tf) posting aggregate shared by
+    * [[tokenRarity]] and [[searchTopK]] — ONE definition of the
+    * tokenize/explode/empty-filter/per-doc-tf shuffle both pay (two
+    * hand-kept copies could silently diverge on the empty-term rule
+    * or a reuse-anchor change). */
+  private def termFrequencies(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
 
   /** Corpus-relative token-commonness score — the LM-lite quality
     * signal (the CCNet idea with a unigram model and EXACT
@@ -127,11 +143,7 @@ object TextAnalysis {
     * AQE-splittable.
     */
   def tokenRarity(docs: DataFrame): DataFrame = {
-    val tf = docs.select(col("doc_id"),
-        explode(tokens(col("text"))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(docs)
     val ctf = tf.filter(graft.functions.Barrier.reuseAnchor(col("tf")))
       .groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
     tf.join(ctf, Seq("term"))
@@ -163,6 +175,7 @@ object TextAnalysis {
   def vocabularySummaryApprox(docs: DataFrame): DataFrame = {
     import graft.functions.HllSketch.{hash64, hllDistinct, hllSketchOfHash}
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "") // the vocabulary phantom-term rule
       // both hashes in the codegen'd post-explode projection
       .select(hash64(col("token")).as("th"),
         hash64(col("doc_id").cast("string")).as("dh"))
@@ -209,11 +222,7 @@ object TextAnalysis {
   def searchTopK(docs: DataFrame, nTerms: Int = 6, termsPerQuery: Int = 2,
       skipTop: Int = 20, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(docs)
     val vocab = tf.groupBy(col("term"))
       .agg(sum(col("tf")).as("ctf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("ctf").desc, col("term")).limit(skipTop + nTerms)

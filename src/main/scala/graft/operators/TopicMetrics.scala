@@ -69,17 +69,21 @@ object TopicMetrics {
       .withColumn("dirty_ratio",
         when(col("total") > 0 && col("tombstones") > 0,
           col("tombstones") * 100.0 / col("total")).otherwise(0.0))
+      // TRUE integer division (the reference's src/metric.rs u64
+      // division), not floor(double quotient): past 2^53 bytes the
+      // correctly-rounded double can cross an integer boundary and
+      // floor() then disagrees with integer div — the same 2^53
+      // exactness bound this engine treats as hard everywhere else.
+      // Oracle mirrors with `//`.
       .withColumn("avg_key_size",
         when(col("alive") > 0 && col("key_bytes") > 0,
-          floor(col("key_bytes") * cast1 / col("alive"))).otherwise(0L).cast("long"))
+          expr("key_bytes div alive")).otherwise(0L).cast("long"))
       .withColumn("avg_value_size",
         when(col("alive") > 0 && col("value_bytes") > 0,
-          floor(col("value_bytes") * cast1 / col("alive"))).otherwise(0L).cast("long"))
+          expr("value_bytes div alive")).otherwise(0L).cast("long"))
       .withColumn("avg_msg_size",
         when(col("alive") > 0 && col("p_bytes") > 0,
-          floor(col("p_bytes") * cast1 / col("alive"))).otherwise(0L).cast("long"))
-
-  private def cast1: Column = lit(1.0)
+          expr("p_bytes div alive")).otherwise(0L).cast("long"))
 
   /** The full 15-column report frame, ordered by partition id (G1,
     * `src/main.rs:103-106`); column set mirrors the reference's table
@@ -103,8 +107,13 @@ object TopicMetrics {
     */
   def summaryFrame(stats: DataFrame): DataFrame =
     stats.agg(
-      sum(col("total")).as("overall_count"),
-      sum(col("key_bytes") + col("value_bytes")).as("overall_bytes"),
+      // coalesce ALL of them: over an empty stats frame the sums are
+      // NULL where every min/max already reads out 0 — summarize's
+      // getLong would NPE, and summaryFromPartials (pinned to agree)
+      // returns zeros for the same input
+      coalesce(sum(col("total")), lit(0L)).as("overall_count"),
+      coalesce(sum(col("key_bytes") + col("value_bytes")), lit(0L))
+        .as("overall_bytes"),
       coalesce(min(col("min_alive_msg")), lit(0L)).as("smallest_msg"),
       coalesce(max(col("max_alive_msg")), lit(0L)).as("largest_msg"),
       // all-null timestamps read out as 0, like the size sentinels

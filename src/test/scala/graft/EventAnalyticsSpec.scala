@@ -103,6 +103,27 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(math.abs(skew50 - 0.99) <= width + 1e-9, s"skew p50=$skew50")
   }
 
+  test("adaptive histogram: non-finite values cannot poison a type's percentiles") {
+    // one NaN made vmax (hence width) NaN → every row binned at 0 and
+    // every percentile NaN, though the exact p50 is finite; one +Inf
+    // did the same with Inf — and the oracle's CAST(floor(...)) CRASHES
+    // on either. Non-finite values are excluded from the adaptive
+    // ranked population (they carry no rank information).
+    val rows = (0 until 40).map(i => (i.toLong, 1000L * i, 1L, "poisoned",
+      i match {
+        case 0 => Double.NaN
+        case 1 => Double.PositiveInfinity
+        case _ => i.toDouble
+      }))
+    val r = rowsOf(EventAnalytics.valuePercentilesHistogram(events(rows: _*)))
+      .map(m => m("event_type") -> m).toMap
+    Seq("p50", "p90", "p99").foreach { p =>
+      val v = r("poisoned")(p).asInstanceOf[Double]
+      assert(!v.isNaN && !v.isInfinite && v >= 2.0 && v <= 39.0,
+        s"$p=$v poisoned by a non-finite value")
+    }
+  }
+
   test("domain-mode histogram: single-scan accuracy and end-bin clamping") {
     // fixed domain [0, 1024), width exactly 1.0 — value error ≤ 1.0
     // against the exact percentiles for in-domain data

@@ -179,6 +179,19 @@ class TextAnalysisSpec extends SparkSuite {
       r("distinct_docs_approx") == 0L && r("total_tokens") == 0L)
   }
 
+  test("empty docs contribute no phantom '' term to vocabulary or its approx twin") {
+    // tokens("") is Array("") — enough empty docs would otherwise put
+    // the empty string in the top-k, displacing a real term (the
+    // family convention: tokenRarity/searchTopK/collocations filter it)
+    val d = docs((1L, "alpha beta alpha"), (2L, "beta gamma"),
+      (3L, ""), (4L, "   "), (5L, ""))
+    val v = rowsOf(TextAnalysis.vocabulary(d, k = 10))
+    assert(!v.exists(_("token") == ""), s"phantom empty term: $v")
+    assert(v.map(_("token")) == Seq("alpha", "beta", "gamma"))
+    val a = rowsOf(TextAnalysis.vocabularySummaryApprox(d)).head
+    assert(a("total_tokens") == 5L) // 3 + 2 real tokens, zero phantoms
+  }
+
   test("langConfidence: margin separates confident from ambiguous docs") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog and then it sleeps",

@@ -28,6 +28,96 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 object ArrayHashExprs {
 
+  /** TRUE iff the array has no null elements (null input → null, the
+    * UnaryExpression default). The codegen'd well-formedness gate the
+    * ANN corpus scans filter with: the HOF form
+    * `!exists(arr, _.isNull)` evaluates its lambda INTERPRETED per
+    * element and measurably taxed every ANN query when it joined
+    * unitIndex (10–50% at sf0.1, worst on q_ann_recall's six corpus
+    * passes); this loop stays inside whole-stage codegen and consults
+    * only the null bitmap — the element type is irrelevant, so any
+    * array type is accepted.
+    */
+  case class ArrayNoNullsExpr(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case _: ArrayType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+            .TypeCheckFailure(s"array_no_nulls needs an array, got $t")
+      }
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      var i = 0
+      var ok = true
+      while (ok && i < arr.numElements()) {
+        if (arr.isNullAt(i)) ok = false
+        i += 1
+      }
+      ok
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val i = ctx.freshName("i")
+        val ok = ctx.freshName("ok")
+        s"""
+           |boolean $ok = true;
+           |for (int $i = 0; $ok && $i < $c.numElements(); $i++) {
+           |  if ($c.isNullAt($i)) $ok = false;
+           |}
+           |${ev.value} = $ok;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): ArrayNoNullsExpr =
+      copy(child = newChild)
+  }
+
+  /** TRUE iff some NON-NULL element of the `array<double>` is
+    * non-zero — the codegen'd zero-norm gate of the banded near-pair
+    * family (a zero unit vector lands in LSH signature 0 of every
+    * table; see Similarity.lshNearPairsUnsorted). Same
+    * interpreted-HOF-replacement rationale as [[ArrayNoNullsExpr]].
+    */
+  case class ArrayHasNonZeroExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftInputTypes {
+    override def graftInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+      Seq(ArrayType(org.apache.spark.sql.types.DoubleType))
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      var i = 0
+      var found = false
+      while (!found && i < arr.numElements()) {
+        if (!arr.isNullAt(i) && arr.getDouble(i) != 0.0) found = true
+        i += 1
+      }
+      found
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val i = ctx.freshName("i")
+        val found = ctx.freshName("found")
+        s"""
+           |boolean $found = false;
+           |for (int $i = 0; !$found && $i < $c.numElements(); $i++) {
+           |  if (!$c.isNullAt($i) && $c.getDouble($i) != 0.0) $found = true;
+           |}
+           |${ev.value} = $found;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): ArrayHasNonZeroExpr =
+      copy(child = newChild)
+  }
+
   /** SimHash over an `array<long>` of element hashes: bit j of the
     * result is set iff Σ_elements (bit j set ? +1 : -1) > 0.
     */
@@ -394,6 +484,12 @@ object ArrayHashExprs {
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def array_no_nulls(a: Column): Column =
+    ColumnBridge.column(ArrayNoNullsExpr(ColumnBridge.expression(a)))
+
+  def array_has_nonzero(a: Column): Column =
+    ColumnBridge.column(ArrayHasNonZeroExpr(ColumnBridge.expression(a)))
 
   /** Unit-normalize an `array<double>` in one fused loop: norm is the
     * sqrt of the [[DotProductExpr]]-identical sequential self-dot fold,

@@ -285,7 +285,7 @@ object Similarity {
     // mean's unboxing and silently skew assignment.
     val cu = withUnit(corpus).select(col("vec_id"), col("unit"))
       .filter(col("unit").isNotNull &&
-        !exists(col("unit"), x => x.isNull))
+        graft.functions.ArrayHashExprs.array_no_nulls(col("unit")))
       .localCheckpoint(true)
     try {
     var cent: Array[Seq[Double]] = cu.orderBy(col("vec_id")).limit(k)
@@ -361,14 +361,20 @@ object Similarity {
     */
   private def unitIndex(corpus: DataFrame,
       dropZeroNorm: Boolean = false): DataFrame = {
+    // codegen'd guards, NOT the exists() HOFs: a HigherOrderFunction
+    // evaluates its lambda interpreted per element, and this filter
+    // sits on every ANN corpus scan — the HOF form cost 10–50% per
+    // query at sf0.1 (worst on q_ann_recall's six corpus passes)
     val wellFormed = col("embedding").isNotNull &&
-      !exists(col("embedding"), x => x.isNull)
+      graft.functions.ArrayHashExprs.array_no_nulls(col("embedding"))
     // the zero-norm test ALSO rides the raw column (zero unit ⟺ no
     // non-zero raw element): testing the derived unit would inline
     // UnitVectorExpr into the Filter — the re-normalize-twice plan
     // this function exists to avoid (PlanShapeSpec pins it)
     val cond =
-      if (dropZeroNorm) wellFormed && exists(col("embedding"), x => x =!= 0.0)
+      if (dropZeroNorm)
+        wellFormed && graft.functions.ArrayHashExprs.array_has_nonzero(
+          col("embedding").cast("array<double>"))
       else wellFormed
     withUnit(corpus.filter(cond)).select(col("vec_id"), col("unit"))
   }
@@ -1325,7 +1331,8 @@ object Similarity {
       // codebooks (the round-15 unitIndex hazard). Audit it, and keep
       // norms to FULLY well-formed rows.
       .withColumn("has_null_elem",
-        col("embedding").isNotNull && exists(col("embedding"), x => x.isNull))
+        col("embedding").isNotNull &&
+          !graft.functions.ArrayHashExprs.array_no_nulls(col("embedding")))
       .withColumn("nrm",
         when(col("embedding").isNotNull && size(col("embedding")) === dims &&
             !col("has_null_elem"),

@@ -77,6 +77,41 @@ class ArrayHashExprsSpec extends SparkSuite {
     assert(r(1).getSeq[Double](0) == Seq(0.6, 0.8, 0.0))
   }
 
+  test("array_no_nulls / array_has_nonzero == the exists() HOFs they replace") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("a", ArrayType(DoubleType))))
+    val rows = Seq(
+      Row(1L, Seq(1.0, 2.0)),            // clean
+      Row(2L, Seq(0.0, 0.0)),            // all-zero
+      Row(3L, Seq(1.0, null, 2.0)),      // element null
+      Row(4L, Seq.empty[Double]),        // empty
+      Row(5L, null),                     // whole null
+      Row(6L, Seq(null, null)))          // all-null elements
+    val d = spark.createDataFrame(rows.asJava, schema)
+    val diff = d.select(col("id"),
+      ArrayHashExprs.array_no_nulls(col("a")).as("nn"),
+      (!exists(col("a"), x => x.isNull)).as("nn_hof"),
+      ArrayHashExprs.array_has_nonzero(col("a")).as("nz"),
+      exists(col("a"), x => x.isNotNull && x =!= 0.0).as("nz_hof"))
+      .filter(!(col("nn") <=> col("nn_hof")) ||
+        !(col("nz") <=> col("nz_hof")))
+      .collect()
+    assert(diff.isEmpty, s"codegen guards diverge from HOFs: ${diff.toSeq}")
+    // the truth table itself, pinned (null input → null)
+    val got = d.select(col("id"),
+      ArrayHashExprs.array_no_nulls(col("a")).as("nn"),
+      ArrayHashExprs.array_has_nonzero(col("a")).as("nz"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getBoolean(1),
+         if (r.isNullAt(2)) null else r.getBoolean(2))).toMap
+    assert(got(1L) == ((true, true)) && got(2L) == ((true, false)) &&
+      got(3L) == ((false, true)) && got(4L) == ((true, false)) &&
+      got(5L) == ((null, null)) && got(6L) == ((false, false)), got.toString)
+  }
+
   test("minhash of empty array is null; simhash of empty array is 0") {
     val s = spark
     import s.implicits._

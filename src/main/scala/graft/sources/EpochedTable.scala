@@ -121,10 +121,24 @@ private[graft] final case class EpochedTable(dir: String, base: String,
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, e: Int,
       names: Seq[String]): Unit = {
-    val out = fs.create(manifestPath(e), true)
+    // tmp + rename: an in-place write torn by a crash leaves a
+    // TRUNCATED manifest, and a partial last line ("batch-1" torn from
+    // "batch-12") would falsely account a batch that was never folded
+    // — the appendBatchAt replay stand-down would then skip the only
+    // write of that batch's rows. With the rename, a manifest either
+    // exists complete or not at all.
+    val p = manifestPath(e)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/.${base}_folded_v$e.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(names.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      require(fs.rename(tmp, p),
+        s"fold manifest $p could not be committed (rename failed twice)")
+    }
   }
 
   /** None = no manifest (pre-manifest layout or a fresh table). */
@@ -141,6 +155,25 @@ private[graft] final case class EpochedTable(dir: String, base: String,
   private def fsOf(spark: org.apache.spark.sql.SparkSession) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The epochs whose fold manifests currently EXIST, from one root
+    * LIST (cleanup deletes retired manifests with their generations,
+    * so the surviving chain is short — per-epoch `exists` probes would
+    * pay O(epochs) RPCs on an object store for a chain that is almost
+    * always one or two files). */
+  private def manifestEpochs(
+      fs: org.apache.hadoop.fs.FileSystem): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) Nil
+    else {
+      val prefix = s"${base}_folded_v"
+      fs.listStatus(root).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith(prefix) =>
+          n.stripPrefix(prefix).toIntOption }
+        .flatten
+    }
+  }
 
   def activeEpoch(spark: org.apache.spark.sql.SparkSession): Int = {
     val fs = fsOf(spark)
@@ -288,6 +321,15 @@ private[graft] final case class EpochedTable(dir: String, base: String,
         s"promotion of ${src.getName} to epoch $epoch neither renamed " +
           "nor found an existing destination")
     }
+    // a LOST race can also end with rename returning true: Hadoop
+    // rename semantics move the source INSIDE a destination directory
+    // that appeared between the exists check and the rename — the tmp
+    // is then a hidden child of the committed batch dir (dot-prefixed,
+    // so readers skip it) and the delete above no-oped on its old
+    // path. Purge it so the debris doesn't ride the batch dir through
+    // every later fold's promotion copies.
+    val strayed = new org.apache.hadoop.fs.Path(dest, tmp.getName)
+    if (fs.exists(strayed)) fs.delete(strayed, true)
   }
 
   /** Append one overwrite-once batch dir to the active generation's
@@ -313,6 +355,20 @@ private[graft] final case class EpochedTable(dir: String, base: String,
       epochHint: Int): Unit = {
     val spark = rows.sparkSession
     val fs = fsOf(spark)
+    // an at-least-once REPLAY of a batch an intervening compaction
+    // already folded (or a rebuild deliberately discarded) must stand
+    // down BEFORE writing — the same rule [[reconcileBatch]] applies
+    // after the write, which alone cannot catch this case: when the
+    // replay's resolved epoch equals the active one its loop body never
+    // runs, yet the batch's rows already live in the active base (the
+    // fold absorbed them), so rewriting the batch into the active
+    // ingest would double-count them at the next fold, permanently.
+    // One root LIST resolves the surviving manifest chain; a table with
+    // no compaction history reads zero manifests, so the steady-state
+    // streaming append pays one LIST and nothing else.
+    val accounted = manifestEpochs(fs).sorted.exists(k =>
+      readManifest(fs, k).exists(_.contains(s"batch-$batchId")))
+    if (accounted) return
     val path = new org.apache.hadoop.fs.Path(
       s"${ingestDir(epochHint)}/batch-$batchId")
     // a replay's mode(overwrite) TEARS this dir (delete, rewrite,

@@ -2362,7 +2362,8 @@ object OracleSql {
        |      FROM st, mn),
        |k AS (SELECT per.source, per.n_tokens, r.tokens, r.ppm,
        |        (${fnvOf("CAST(doc_id AS VARCHAR)")}) % 1000000 < r.ppm AS kept
-       |      FROM per JOIN r USING (source))
+       |      FROM per JOIN r
+       |        ON per.source IS NOT DISTINCT FROM r.source)
        |SELECT source, tokens, ppm,
        |       COUNT(*) AS n_docs,
        |       COUNT(*) FILTER (WHERE kept) AS n_kept,

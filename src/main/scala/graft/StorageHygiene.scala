@@ -26,6 +26,24 @@ object StorageHygiene {
     * bound before the failing action) and swept, but not blamed on the
     * operator. Callers should count only clean-run sweeps as leaks.
     */
+  /** Make a checkpoint-embedding frame's storage contract STRUCTURAL:
+    * run `f` over `df`, then release `df`'s embedded checkpoints in
+    * `finally` (blocking). The scoped form of the scaladoc plea on
+    * `Dedup.nearDupLabels` / `Similarity.semanticKeep` — a forgetful
+    * caller in a long-lived session otherwise accumulates one
+    * persisted frame per invocation in the block manager.
+    *
+    * CONTRACT: every action over `df` (or any frame derived from it)
+    * must happen INSIDE `f`. The checkpoint truncated the frame's
+    * lineage, so after release its blocks cannot be recomputed — a
+    * lazy frame smuggled out of `f` and executed later fails with
+    * missing blocks (loudly, not wrongly). Return materialized
+    * results (collected rows, counts, a frame written to storage).
+    */
+  def scoped[D <: Dataset[_], A](df: D)(f: D => A): A =
+    try f(df)
+    finally ColumnBridge.unpersistCheckpoint(df, blocking = true)
+
   def releaseAndSweep(spark: SparkSession, tag: String, ctx: String,
       df: Option[Dataset[_]], cleanRun: Boolean = true): Int = {
     df.foreach(ColumnBridge.unpersistCheckpoint(_, blocking = true))

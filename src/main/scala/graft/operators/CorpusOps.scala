@@ -462,7 +462,19 @@ object CorpusOps {
   private def mixtureKept(docs: DataFrame): DataFrame = {
     val per = docs.select(col("source"), col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-    per.join(mixtureRates(docs), Seq("source"))
+      .alias("d")
+    // NULL-SAFE source equality: mixtureRates' groupBy keeps a
+    // null-source group (its rate row exists), but a plain equi-join
+    // here silently vanished every null-source doc from the sample —
+    // the same vanishing-source class sourceQuotaDistributed fixed
+    // with <=>. A null source is a real source bucket (unattributed
+    // docs), and it samples under its own rate like any other.
+    // EqualNullSafe is a legal hash-join key, so the tiny rate table
+    // still broadcasts.
+    per.join(mixtureRates(docs).alias("r"),
+        col("d.source") <=> col("r.source"))
+      .select(col("d.source"), col("d.doc_id"), col("d.n_tokens"),
+        col("r.tokens"), col("r.ppm"))
       .withColumn("kept", mixtureKeep(col("doc_id"), col("ppm")))
   }
 

@@ -396,6 +396,21 @@ object Dedup {
         .select(col("doc_a").as("a"), col("doc_b").as("b")),
       docs.select(col("doc_id")), maxIters, "nearDupClusters")
 
+  /** [[nearDupLabels]] with the storage contract made STRUCTURAL:
+    * `f` runs over the label frame and the embedded checkpoint is
+    * released in `finally` ([[graft.StorageHygiene.scoped]]) — the
+    * form library callers should reach for, instead of remembering
+    * the scaladoc plea above. Every action over the labels (or any
+    * frame derived from them) must happen inside `f`; return
+    * materialized results, not lazy frames. */
+  def withNearDupLabels[A](docs: DataFrame, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5, shingleN: Int = 3,
+      maxIters: Int = 50, maxBucket: Option[Int] = None)(
+      f: DataFrame => A): A =
+    graft.StorageHygiene.scoped(
+      nearDupLabels(docs, numHashes, bands, threshold, shingleN, maxIters,
+        maxBucket))(f)
+
   /** Min-label propagation over an ARBITRARY undirected pair graph —
     * the connected-components core [[nearDupLabels]] (text near-dups)
     * and [[Similarity.semanticKeep]] (embedding epsilon-balls) share.
@@ -886,11 +901,27 @@ object Dedup {
 
   private def writeBuildStamp(spark: org.apache.spark.sql.SparkSession,
       dir: String, tbl: String, id: String): Unit = {
-    val fs = stampPath(dir, tbl)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(stampPath(dir, tbl), true)
+    val p = stampPath(dir, tbl)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // tmp + rename, matching the epoch layout's commit discipline: an
+    // in-place create/write/close would let a probe racing the rebuild
+    // read a TRUNCATED stamp and fail with a spurious torn-store error
+    // even though the rebuild completes. With the rename a racing
+    // reader sees the old stamp, the new stamp, or (on filesystems
+    // whose rename refuses an existing destination, forcing the
+    // delete+rename fallback below) briefly NO stamp — which
+    // readBuildStamp treats like the legacy pre-stamp layout, a
+    // documented pass-unchecked, never a spurious failure.
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/.${tbl}_build.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      require(fs.rename(tmp, p),
+        s"build stamp $p could not be committed (rename failed twice)")
+    }
   }
 
   private def readBuildStamp(spark: org.apache.spark.sql.SparkSession,

@@ -186,6 +186,18 @@ object Similarity {
       threshold: Double = 0.35, maxIters: Int = 50): DataFrame =
     semanticKeepCounted(corpus, tables, planes, threshold, maxIters)._1
 
+  /** [[semanticKeep]] with the storage contract made STRUCTURAL:
+    * `f` runs over the verdict frame and the embedded label
+    * checkpoint is released in `finally`
+    * ([[graft.StorageHygiene.scoped]]). Every action over the frame
+    * (or anything derived from it) must happen inside `f`; return
+    * materialized results, not lazy frames. */
+  def withSemanticKeep[A](corpus: DataFrame, tables: Int = 4,
+      planes: Int = 4, threshold: Double = 0.35, maxIters: Int = 50)(
+      f: DataFrame => A): A =
+    graft.StorageHygiene.scoped(
+      semanticKeep(corpus, tables, planes, threshold, maxIters))(f)
+
   /** [[semanticKeep]] also returning the label-propagation round count,
     * and with an `observe` node named `semantic_keep` planting
     * free-of-charge telemetry into every action on the result:
@@ -1163,10 +1175,18 @@ object Similarity {
         // contract everything else rides. Land it as a uniquely-named
         // overwrite-once batch dir instead: _SUCCESS-gated (a torn
         // dir is invisible to probes), folded into the cid-partitioned
-        // base by the next compactPqIndex. nanoTime for uniqueness
-        // only — ad-hoc appends are not replay-keyed (streaming ids
-        // are small integers; no collision).
-        ct.appendBatch(rows, System.nanoTime())
+        // base by the next compactPqIndex. The id is a random 63-bit
+        // draw, uniqueness only — ad-hoc appends are not replay-keyed.
+        // NOT nanoTime: its origin is arbitrary PER JVM, so two
+        // concurrent appenders in different JVMs could collide on the
+        // same batch-dir name and the overwrite-once/first-wins
+        // discipline would silently drop one append's rows; random
+        // longs also can't collide with streaming ids (small
+        // integers), and a fresh draw is never named by a fold
+        // manifest, so the replay stand-down in
+        // [[graft.sources.EpochedTable.appendBatchAt]] never fires.
+        ct.appendBatch(rows,
+          java.util.UUID.randomUUID().getLeastSignificantBits & Long.MaxValue)
     }
   }
 

@@ -78,13 +78,22 @@ object StreamingCuration {
     * to appear in yesterday's totals, and the mixture rule keeps the
     * smallest sources whole — dropping unknown sources would starve
     * every new domain out of the corpus forever.
+    *
+    * The join is NULL-SAFE on source, like the batch sampler's: a
+    * null-source (unattributed) doc matches the rate table's
+    * null-source row when yesterday's corpus had one — under a plain
+    * equi left join it would always null-pad and pass at rate 1,
+    * silently diverging from the batch sampler this gate promises to
+    * mirror. Only a source genuinely absent from the table (null or
+    * not) takes the rate-1 default.
     */
   def mixtureGate(stream: DataFrame, rates: DataFrame): DataFrame =
     stream
-      .join(rates.select(col("source"), col("ppm")), Seq("source"), "left_outer")
+      .join(rates.select(col("source").as("r_source"), col("ppm")),
+        col("source") <=> col("r_source"), "left_outer")
       .filter(CorpusOps.mixtureKeep(col("doc_id"),
         coalesce(col("ppm"), lit(1000000L))))
-      .drop("ppm")
+      .drop("ppm", "r_source")
 
   /** Streaming decontamination gate — the ingest face of
     * [[CorpusOps.decontaminateBloom]]: each arriving document's

@@ -218,6 +218,19 @@ object StreamingTopicMetrics {
     * .normalizeTimestamp]]) and every such record is late once the
     * watermark moves. Use [[aliveKeyUpdates]] (unbounded state, exact
     * LWW) for those streams.
+    *
+    * That footgun fires SILENTLY (the stream runs, emits nothing), so
+    * the plan carries a loud runtime guard: an `observe` node named
+    * `alive_ttl_guard` counts keyed records whose timestamp is the
+    * epoch-0 missing-timestamp encoding (`epoch0_keyed`) beside the
+    * total (`keyed_records`). Read it from
+    * `StreamingQueryProgress.observedMetrics` — any nonzero
+    * `epoch0_keyed` means producers are omitting timestamps and this
+    * variant is the wrong operator for the topic. An observe is the
+    * strongest in-plan guard available: watermark drops happen inside
+    * the stateful operator where user code cannot intercept them, and
+    * aborting the query from a metric would turn a data-quality
+    * signal into an outage.
     */
   def aliveKeyUpdatesWithTtl(stream: Dataset[KafkaRecord],
       ttl: java.time.Duration,
@@ -229,6 +242,11 @@ object StreamingTopicMetrics {
     import spark.implicits._
     stream
       .filter((r: KafkaRecord) => r.key != null)
+      .observe("alive_ttl_guard",
+        count(when(col("timestamp").isNull ||
+            col("timestamp") === lit(new java.sql.Timestamp(0L)), 1))
+          .as("epoch0_keyed"),
+        count(lit(1)).as("keyed_records"))
       .withWatermark("timestamp", watermarkDelay)
       .groupByKey(r => java.util.Base64.getEncoder.encodeToString(r.key))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {

@@ -532,6 +532,45 @@ class CorpusOpsSpec extends SparkSuite {
     assert(pads.map(_("n_docs").asInstanceOf[Long]).sum == 4L)
   }
 
+  test("null-source docs sample under the null group's rate; the streaming gate mirrors the draw") {
+    val s = spark
+    import s.implicits._
+    def w(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // null source totals 100 tokens, "small" totals 4 → the null
+    // group's rate is floor(sqrt(4/100)·1e6) = 200000 ppm. A plain
+    // equi-join sampler would vanish all ten docs; a left-join gate
+    // would admit all ten at rate 1 — both wrong, both distinguishable
+    // from the correct 200000-ppm draw below.
+    val d = ((0L to 9L).map(i => (i, w(10), "en", null.asInstanceOf[String])) ++
+      (10L to 13L).map(i => (i, w(1), "en", "small")))
+      .toDF("doc_id", "text", "lang", "source")
+    val stats = rowsOf(CorpusOps.mixtureSampleStats(d))
+    val nullRow = stats.find(_("source") == null)
+      .getOrElse(fail("null-source row vanished from mixture stats"))
+    assert(nullRow("ppm") == 200000L && nullRow("n_docs") == 10L)
+    // membership must follow the null GROUP's rate — the FNV rule at
+    // 200000 ppm — not the absent-source rate-1 default
+    val expectKept = rowsOf(d.filter(col("source").isNull)
+        .select(col("doc_id"),
+          CorpusOps.hashBucket(col("doc_id"), 1000000).as("h")))
+      .filter(_("h").asInstanceOf[Long] < 200000L)
+      .map(_("doc_id").asInstanceOf[Long]).toSet
+    assert(expectKept.size < 10,
+      "fixture ids must make the 200000-ppm draw actually drop docs")
+    val kept = rowsOf(CorpusOps.mixtureSample(d))
+    assert(kept.filter(_("source") == null)
+        .map(_("doc_id").asInstanceOf[Long]).toSet == expectKept,
+      "null-source membership diverged from the null group's rate")
+    assert(nullRow("n_kept") == expectKept.size.toLong)
+    // the streaming gate's null-safe join admits EXACTLY the batch
+    // sampler's draw — including the null-source docs
+    val gate = rowsOf(graft.streaming.StreamingCuration.mixtureGate(
+        d, CorpusOps.mixtureRates(d)))
+      .map(_("doc_id").asInstanceOf[Long]).toSet
+    assert(gate == kept.map(_("doc_id").asInstanceOf[Long]).toSet,
+      "streaming gate diverged from the batch sampler on null sources")
+  }
+
   test("snapshot diff classifies added/removed/changed and drops unchanged") {
     val old = enDocs(
       1L -> "alpha text", 2L -> "beta text", 3L -> "gamma text",

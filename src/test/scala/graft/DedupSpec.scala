@@ -349,6 +349,36 @@ class DedupSpec extends SparkSuite {
       "release through the derived frame must free every embedded checkpoint")
   }
 
+  test("withNearDupLabels releases the checkpoint structurally, even when f throws") {
+    val d = docs(1L -> base, 2L -> base, 3L -> "something else entirely here")
+    def persisted = spark.sparkContext.getPersistentRDDs.keySet
+    var ids: Seq[Int] = Nil
+    val clusters = Dedup.withNearDupLabels(d, threshold = 0.3) { labels =>
+      ids = labels.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }
+      assert(ids.nonEmpty && ids.forall(persisted.contains),
+        "checkpoint should be live inside the scope")
+      rowsOf(labels).map(r => r("doc_id") -> r("cluster")).toMap
+    }
+    assert(clusters(1L) == clusters(2L) && clusters(1L) != clusters(3L))
+    assert(ids.forall(id => !persisted.contains(id)),
+      "scoped exit must release the embedded checkpoint")
+    // the finally-release also covers a caller whose body fails
+    var ids2: Seq[Int] = Nil
+    intercept[RuntimeException] {
+      Dedup.withNearDupLabels(d, threshold = 0.3) { labels =>
+        labels.count()
+        ids2 = labels.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+        }
+        throw new RuntimeException("caller bug")
+      }
+    }
+    assert(ids2.nonEmpty && ids2.forall(id => !persisted.contains(id)),
+      "a throwing scope body must still release the checkpoint")
+  }
+
   test("corpus filter keeps only canonical, high-quality, target-language docs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val kept = rowsOf(graft.SparkEntry.queries("q_corpus_filter")(

@@ -571,6 +571,24 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("withSemanticKeep scopes the label checkpoint to the caller's body") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def persisted = spark.sparkContext.getPersistentRDDs.keySet
+    var ids: Seq[Int] = Nil
+    val kept = Similarity.withSemanticKeep(e, threshold = 0.4) { verdicts =>
+      ids = verdicts.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }
+      val rows = rowsOf(verdicts)
+      assert(ids.nonEmpty && ids.forall(persisted.contains),
+        "label checkpoint should be live inside the scope")
+      rows.count(_("kept") == true)
+    }
+    assert(kept > 0)
+    assert(ids.forall(id => !persisted.contains(id)),
+      "scoped exit must release the embedded label checkpoint")
+  }
+
   test("embeddingOutliers surfaces the lowest-centroid-cosine vectors") {
     // centroids = vecs 0,1 (the stand-in book). v2 hugs centroid 0;
     // v3 sits between both cells; v4 is anti-aligned with centroid 0

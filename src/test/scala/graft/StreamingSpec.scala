@@ -388,6 +388,42 @@ class StreamingSpec extends SparkSuite {
       s"expected eviction then fresh alive state, got: $aRows")
   }
 
+  test("TTL footgun guard: timestamp-less records fire alive_ttl_guard, not silence") {
+    // the documented footgun: producers omitting timestamps normalize
+    // to epoch 0, and once any timestamped record moves the watermark,
+    // every such record is late — the stream keeps running and emits
+    // NOTHING for those keys. The observe guard must count them so an
+    // operator watching progress sees the misconfiguration.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KafkaRecord]
+    val q = StreamingTopicMetrics.aliveKeyUpdatesWithTtl(
+        mem.toDS(), java.time.Duration.ofSeconds(5), "0 seconds")
+      .writeStream.format("memory").queryName("alive_ttl_guarded")
+      .outputMode("update").start()
+    // two timestamp-less keys before the watermark moves, one after
+    mem.addData(KafkaRecord(0, 0, ts(0L), b("a"), b("v")),
+      KafkaRecord(0, 1, ts(0L), b("gb"), b("v")))
+    q.processAllAvailable()
+    mem.addData(KafkaRecord(0, 2, ts(100000L), b("c"), b("v")))
+    q.processAllAvailable()
+    mem.addData(KafkaRecord(0, 3, ts(0L), b("gd"), b("v")))
+    q.processAllAvailable()
+    val flagged = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("alive_ttl_guard")))
+      .map(_.getAs[Long]("epoch0_keyed")).sum
+    q.stop()
+    // the late epoch-0 record emitted nothing — the silent failure mode
+    val keyD = java.util.Base64.getEncoder.encodeToString(b("gd"))
+    assert(rowsOf(spark.table("alive_ttl_guarded")
+        .filter(col("key") === keyD)).isEmpty,
+      "a watermark-late epoch-0 record should have been dropped")
+    // ...but the guard counted every timestamp-less keyed record
+    assert(flagged == 3L,
+      s"alive_ttl_guard should count all 3 epoch-0 keyed records, got $flagged")
+  }
+
   test("streaming alive-key state handles retraction across batches") {
     val s = spark
     import s.implicits._

@@ -104,7 +104,12 @@ object Bench {
     // the bench measures the correctness registry PLUS the bench-only
     // train-time twins (Lloyd's paths — recall-gated in specs, never
     // oracle-checkable, but their cost is worth tracking round over
-    // round; see SparkEntry.benchQueries)
+    // round; see SparkEntry.benchQueries). Because they live in this
+    // SAME registry, the v4 suspect pass adjudicates them exactly like
+    // registry queries — in-suite vs baseline, sentinel-normalized,
+    // isolated re-timing on breach. (They had no adjudication in r15
+    // only because they were new: no baseline entry existed to compare
+    // against. The baseline has carried them since ef2ba89.)
     val registry = SparkEntry.queries ++ SparkEntry.benchQueries
     // optional comma-separated query filter for targeted iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")

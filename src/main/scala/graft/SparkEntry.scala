@@ -92,6 +92,15 @@ object SparkEntry {
       EventAnalytics.valuePercentilesHistogram(
         EventsAsRecords.readEvents(s, dir),
         domain = Some((0.0, 1024.0)))),
+    // the ADAPTIVE two-scan mode (exact min/max pre-scan, no
+    // caller-supplied domain) registered in its own right: it is what
+    // a production caller with an unknown domain gets, and since the
+    // single-scan domain mode took over q_value_percentiles_approx
+    // (r15) it would otherwise be spec-pinned but never oracle-checked
+    // against real data by the driver
+    "q_value_percentiles_adaptive" -> ((s, dir) =>
+      EventAnalytics.valuePercentilesHistogram(
+        EventsAsRecords.readEvents(s, dir), domain = None)),
     // EXACT scale variant: distributed radix select over the IEEE bit
     // key — same values as q_value_percentiles (shared oracle), no
     // per-type global sort; windowMaxRows=256 forces real refinement
@@ -942,6 +951,8 @@ object SparkEntry {
       "q_value_percentiles_dist" -> OracleSql.valuePercentiles(),
       "q_value_percentiles_approx" ->
         OracleSql.valuePercentilesHistogram(domain = Some((0.0, 1024.0))),
+      "q_value_percentiles_adaptive" ->
+        OracleSql.valuePercentilesHistogram(domain = None),
       "q_vocab_summary_approx" -> OracleSql.vocabularySummaryApprox,
       "q_source_distinct_approx" -> OracleSql.sourceDistinctApprox,
       "q_source_distinct_indexed" -> OracleSql.sourceDistinctApprox,

@@ -162,7 +162,24 @@ object Bench {
     // the least-noisy view of the plan's cost
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     val ordered = queries.toSeq.sortBy(_._1)
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // cumulative stop-the-world GC milliseconds across all collectors —
+    // sampled around each timed window so the artifact records how much
+    // of a query's wall clock was the JVM collecting. GC time is
+    // JVM-global, which is exactly the point: the backlog a heavy
+    // NEIGHBOR leaves (codegen class churn, cleaner queue debris)
+    // surfaces as GC pauses inside the next query's window, and this
+    // field separates that mechanism from plan cost without a re-run.
+    // Diagnostic only — timings and their methodology are unchanged,
+    // so the regime tag stays v4 and baselines remain comparable.
+    def gcMillis(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var total = 0L
+      while (it.hasNext) total += it.next().getCollectionTime.max(0L)
+      total
+    }
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column
       // (a bare count() lets Catalyst prune projection-only plans away).
@@ -179,6 +196,7 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis() - gc0) / 1e3
       // checkpoint release runs OUTSIDE the timed window: timings
       // measure the plan, and every query starts from the same empty
       // block manager (the "isolated" condition) instead of inheriting
@@ -187,13 +205,14 @@ object Bench {
       // a failed query must be loud IN THE JSON too: -1 is
       // unmistakably not a timing, so consumers cannot mistake a
       // crash for speed
-      if (ok) elapsed else -1.0
+      (if (ok) elapsed else -1.0, gcSec)
     }
     // pass-major with a rotated start per pass: any residual boundary
     // overhead a quiesce misses lands on a DIFFERENT query each pass, so
     // the per-query min escapes it (back-to-back passes on the same
     // query cannot — both runs sit inside the same overhead window)
-    val timesByQuery = scala.collection.mutable.Map.empty[String, List[Double]]
+    val timesByQuery =
+      scala.collection.mutable.Map.empty[String, List[(Double, Double)]]
     for (p <- 0 until passes) {
       val off = if (ordered.isEmpty) 0 else (p * ordered.size / passes) % ordered.size
       val rotated = ordered.drop(off) ++ ordered.take(off)
@@ -203,8 +222,15 @@ object Bench {
       }
     }
     val results = ordered.map { case (name, _) =>
-      val times = timesByQuery.getOrElse(name, List(-1.0))
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      val times = timesByQuery.getOrElse(name, List((-1.0, 0.0)))
+      name -> (if (times.exists(_._1 == -1.0)) -1.0 else times.map(_._1).min)
+    }
+    // the GC seconds of the pass that SUPPLIED each query's reported
+    // min — pairing them keeps "how much of this number was collection
+    // pauses" answerable per artifact entry
+    val gcOfMin = ordered.map { case (name, _) =>
+      val times = timesByQuery.getOrElse(name, List((-1.0, 0.0)))
+      name -> times.minBy(_._1)._2
     }
     // drift sentinel: one fixed trivial query (the warmup's
     // groupBy(event_type).count at the measured SF) timed min-of-5 AFTER
@@ -287,10 +313,18 @@ object Bench {
     val isolated: Seq[(String, Double)] = suspects.map { case (name, _) =>
       quiesce()
       val fn = queries(name)
-      val times = (0 until 5).map(_ => timeOnce(name, fn))
+      val times = (0 until 5).map(_ => timeOnce(name, fn)._1)
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // millisecond precision keeps the line short; placed BEFORE
+    // "queries" in the artifact so the driver's 2000-char tail
+    // fragment still ends in query timings + the suffix fields, and a
+    // fragment regex for "q_*":number can never pick a gc entry up in
+    // place of a timing (both use the query name as key)
+    val gcJson = gcOfMin
+      .map { case (k, v) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
     val isoJson = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -309,7 +343,7 @@ object Bench {
     // measurement procedure changes (warmup policy, rotation, quiesce,
     // sentinel) so artifacts from different regimes are never compared
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes,"sweep":true,"leaked":$leaked,"regime":"$Regime","sentinel_s":$sentinel,"baseline":"${esc(baselinePath)}","suspect_ratio":$suspectJson,"isolated_s":$isoJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","gc_s":$gcJson,"queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes,"sweep":true,"leaked":$leaked,"regime":"$Regime","sentinel_s":$sentinel,"baseline":"${esc(baselinePath)}","suspect_ratio":$suspectJson,"isolated_s":$isoJson}"""
     println(line)
     // also persist to a file: stdout can get interleaved with stray
     // [error] log lines under sbt, which breaks line-oriented parsers.

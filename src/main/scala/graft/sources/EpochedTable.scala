@@ -343,6 +343,19 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     * and the copy+skip-if-present discipline makes their overlap
     * harmless. The loop terminates: epochs only grow, and each pass
     * either observes a stable epoch (exit) or a strictly higher one.
+    *
+    * ID CONTRACT: `batchId` keys replay idempotence, so it must be
+    * FRESH for fresh data — never recycle an id for different rows.
+    * The store cannot tell a replay from a recycled id: a recycled id
+    * either overwrites the original batch's history (same epoch,
+    * pre-fold) or is stood down as an already-folded replay (a
+    * surviving fold manifest names it — see below) and the new rows
+    * are never written. Concretely: after wiping a streaming query's
+    * checkpoint (ids restart at 0) do NOT resume ingest into a store
+    * that has already seen those ids; start a fresh store, or offset
+    * the ids. Structured Streaming's own monotone batch ids satisfy
+    * this for the lifetime of one checkpoint, which is the supported
+    * flow.
     */
   def appendBatch(rows: DataFrame, batchId: Long): Unit =
     appendBatchAt(rows, batchId, activeEpoch(rows.sparkSession))

@@ -38,10 +38,24 @@ import graft.sources.EpochedTable
   */
 class EpochedCrashMatrixSpec extends SparkSuite {
 
-  private def table(root: String) = EpochedTable(root, "t", Seq("id", "v"))
+  /** The matrix runs over BOTH physical layouts the engine ships:
+    * plain (labels/fp/bands/shingles/sketches) and hive-partitioned
+    * generations with plain ingest batches + a normalizeRead cast
+    * (the PQ codes table's shape) — the partitioned read path has its
+    * own reassembly logic (partition discovery, type re-widening,
+    * base∪ingest schema reconciliation) that must survive the same
+    * crashes. */
+  private case class Layout(name: String, table: String => EpochedTable)
 
-  private def rows(root: String): Seq[(Long, Long)] =
-    rowsOf(table(root).read(spark).orderBy(col("id")))
+  private val layouts = Seq(
+    Layout("plain", root => EpochedTable(root, "t", Seq("id", "v"))),
+    Layout("partitioned",
+      root => EpochedTable(root, "t", Seq("id", "v"),
+        partitionCols = Seq("v"),
+        normalizeRead = df => df.withColumn("v", col("v").cast("long")))))
+
+  private def rows(t: EpochedTable): Seq[(Long, Long)] =
+    rowsOf(t.read(spark).orderBy(col("id")))
       .map(r => (r("id").asInstanceOf[Long], r("v").asInstanceOf[Long]))
 
   private def df(pairs: (Long, Long)*) = {
@@ -158,24 +172,24 @@ class EpochedCrashMatrixSpec extends SparkSuite {
       recover = (_, t) => t.compact(spark),
       expectAfterRecover = base12))
 
-  matrix.foreach { c =>
-    test(s"crash matrix: ${c.name}") {
+  for (l <- layouts; c <- matrix) {
+    test(s"crash matrix [${l.name}]: ${c.name}") {
       val root = java.nio.file.Files
         .createTempDirectory("graft-crashmx").toString
       try {
-        val t = table(root)
+        val t = l.table(root)
         t.replaceWith(df(1L -> 1L))
         t.appendBatch(df(2L -> 2L), batchId = 0L)
-        assert(rows(root) == base12, "pre-state broken")
+        assert(rows(t) == base12, "pre-state broken")
         val atCrash = c.inject(root, t)
-        assert(rows(root) == atCrash,
+        assert(rows(t) == atCrash,
           s"read at the crash point lost or doubled rows")
         c.recover(root, t)
-        assert(rows(root) == c.expectAfterRecover,
+        assert(rows(t) == c.expectAfterRecover,
           "recovery lost or doubled rows")
         // convergence: one further fold must change nothing
         t.compact(spark)
-        assert(rows(root) == c.expectAfterRecover,
+        assert(rows(t) == c.expectAfterRecover,
           "a further fold after recovery lost or doubled rows")
       } finally org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(root))

@@ -227,10 +227,13 @@ object Bench {
     }
     // the GC seconds of the pass that SUPPLIED each query's reported
     // min — pairing them keeps "how much of this number was collection
-    // pauses" answerable per artifact entry
+    // pauses" answerable per artifact entry. Crashed passes (-1.0) are
+    // excluded from the pairing: they sort below every real timing, so
+    // a naive minBy would record a failed attempt's GC as if it
+    // belonged to the reported (non-)minimum
     val gcOfMin = ordered.map { case (name, _) =>
-      val times = timesByQuery.getOrElse(name, List((-1.0, 0.0)))
-      name -> times.minBy(_._1)._2
+      val ok = timesByQuery.getOrElse(name, Nil).filter(_._1 >= 0)
+      name -> (if (ok.isEmpty) 0.0 else ok.minBy(_._1)._2)
     }
     // drift sentinel: one fixed trivial query (the warmup's
     // groupBy(event_type).count at the measured SF) timed min-of-5 AFTER

@@ -40,9 +40,22 @@ object StorageHygiene {
     * missing blocks (loudly, not wrongly). Return materialized
     * results (collected rows, counts, a frame written to storage).
     */
-  def scoped[D <: Dataset[_], A](df: D)(f: D => A): A =
+  def scoped[D <: Dataset[_], A](df: D)(f: D => A): A = {
+    var primary: Throwable = null
     try f(df)
-    finally ColumnBridge.unpersistCheckpoint(df, blocking = true)
+    catch { case t: Throwable => primary = t; throw t }
+    finally {
+      // the release must not MASK the body's failure: a blocking
+      // unpersist can itself throw when the body's error was an
+      // executor/session death, and a finally that throws replaces
+      // the root cause — suppress the release failure onto it instead
+      try ColumnBridge.unpersistCheckpoint(df, blocking = true)
+      catch {
+        case t: Throwable =>
+          if (primary ne null) primary.addSuppressed(t) else throw t
+      }
+    }
+  }
 
   def releaseAndSweep(spark: SparkSession, tag: String, ctx: String,
       df: Option[Dataset[_]], cleanRun: Boolean = true): Int = {

@@ -903,25 +903,16 @@ object Dedup {
       dir: String, tbl: String, id: String): Unit = {
     val p = stampPath(dir, tbl)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // tmp + rename, matching the epoch layout's commit discipline: an
+    // atomic commit, matching the epoch layout's discipline: an
     // in-place create/write/close would let a probe racing the rebuild
     // read a TRUNCATED stamp and fail with a spurious torn-store error
-    // even though the rebuild completes. With the rename a racing
-    // reader sees the old stamp, the new stamp, or (on filesystems
-    // whose rename refuses an existing destination, forcing the
-    // delete+rename fallback below) briefly NO stamp — which
-    // readBuildStamp treats like the legacy pre-stamp layout, a
-    // documented pass-unchecked, never a spurious failure.
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$dir/.${tbl}_build.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, p)) {
-      fs.delete(p, false)
-      require(fs.rename(tmp, p),
-        s"build stamp $p could not be committed (rename failed twice)")
-    }
+    // even though the rebuild completes. A racing reader sees the old
+    // stamp, the new stamp, or (only under the helper's delete+retry
+    // fallback) briefly NO stamp — which readBuildStamp treats like
+    // the legacy pre-stamp layout, a documented pass-unchecked, never
+    // a spurious failure.
+    EpochedTable.writeFileAtomic(fs, p,
+      id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   private def readBuildStamp(spark: org.apache.spark.sql.SparkSession,

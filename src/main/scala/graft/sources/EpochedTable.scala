@@ -97,6 +97,30 @@ private[graft] object EpochedTable {
   private val CacheCap = 4096
   private val committedWithData =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Commit `bytes` to `dest` atomically: write a unique dot-prefixed
+    * tmp sibling, then rename — a reader sees the old file, the new
+    * file, or (only on filesystems whose rename refuses an existing
+    * destination, forcing the delete+retry fallback) briefly none;
+    * NEVER a truncated one. The one rename-commit discipline shared by
+    * fold manifests and the dedup store's build stamps, so a fix to
+    * the fallback semantics cannot silently diverge between them.
+    * (Directory promotion keeps its own copy+rename in
+    * [[EpochedTable.promoteBatch]] — its skip-if-present race rules
+    * and lost-race debris handling are directory-specific.) */
+  private[graft] def writeFileAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
+      s".${dest.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes)
+    finally out.close()
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(dest, false)
+      require(fs.rename(tmp, dest),
+        s"atomic commit of $dest failed (rename failed twice)")
+    }
+  }
 }
 
 private[graft] final case class EpochedTable(dir: String, base: String,
@@ -120,26 +144,16 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     new org.apache.hadoop.fs.Path(s"$dir/${base}_folded_v$e")
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, e: Int,
-      names: Seq[String]): Unit = {
-    // tmp + rename: an in-place write torn by a crash leaves a
+      names: Seq[String]): Unit =
+    // atomic commit: an in-place write torn by a crash leaves a
     // TRUNCATED manifest, and a partial last line ("batch-1" torn from
     // "batch-12") would falsely account a batch that was never folded
     // — the appendBatchAt replay stand-down would then skip the only
     // write of that batch's rows. With the rename, a manifest either
     // exists complete or not at all.
-    val p = manifestPath(e)
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$dir/.${base}_folded_v$e.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(names.mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, p)) {
-      fs.delete(p, false)
-      require(fs.rename(tmp, p),
-        s"fold manifest $p could not be committed (rename failed twice)")
-    }
-  }
+    EpochedTable.writeFileAtomic(fs, manifestPath(e),
+      names.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** None = no manifest (pre-manifest layout or a fresh table). */
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
@@ -378,8 +392,12 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     // ingest would double-count them at the next fold, permanently.
     // One root LIST resolves the surviving manifest chain; a table with
     // no compaction history reads zero manifests, so the steady-state
-    // streaming append pays one LIST and nothing else.
-    val accounted = manifestEpochs(fs).sorted.exists(k =>
+    // streaming append pays one LIST and nothing else. The check is
+    // DURABLE: cleanup merges a retiring manifest's names into the
+    // chain head (the ledger invariant in [[cleanupBelow]]), so a
+    // replay delayed across any number of compaction cycles still
+    // stands down.
+    val accounted = manifestEpochs(fs).exists(k =>
       readManifest(fs, k).exists(_.contains(s"batch-$batchId")))
     if (accounted) return
     val path = new org.apache.hadoop.fs.Path(
@@ -448,6 +466,28 @@ private[graft] final case class EpochedTable(dir: String, base: String,
   private def cleanupBelow(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, keep: Int, next: Int): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // LEDGER MERGE — batch-id accounting must never expire. The replay
+    // stand-downs (appendBatchAt pre-write, reconcileBatch post-write)
+    // are only as durable as the manifests they consult; deleting a
+    // retired fold's manifest outright would re-open the double-count
+    // for a replay delayed past its retirement (a writer down across
+    // two compaction cycles is slow, not wrong). So before a manifest
+    // dies, its names are folded into the surviving chain head —
+    // manifest `next` becomes the union of its own snapshot and all
+    // retired history, and the invariant "the union of SURVIVING
+    // manifests names every batch ever folded or discarded" holds
+    // across unbounded compactions. Merge-then-delete order makes a
+    // crash here safe (redundant names are harmless; lost ones are
+    // not). Cost: the ledger grows by one name per ever-folded batch
+    // (~12 bytes each) inside a single file — a year of hourly
+    // streaming folds is ~100 KiB, read once per append.
+    val retired = (0 until keep)
+      .flatMap(old => readManifest(fs, old).getOrElse(Set.empty)).toSet
+    if (retired.nonEmpty) {
+      val head = readManifest(fs, next).getOrElse(Set.empty)
+      if (!retired.subsetOf(head))
+        writeManifest(fs, next, (head ++ retired).toSeq.sorted)
+    }
     (0 until keep).foreach { old =>
       if (fs.exists(new org.apache.hadoop.fs.Path(ingestDir(old)))) {
         val chain = (old + 1 to next).map(k => readManifest(fs, k))

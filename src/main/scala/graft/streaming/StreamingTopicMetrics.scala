@@ -231,10 +231,18 @@ object StreamingTopicMetrics {
     * the stateful operator where user code cannot intercept them, and
     * aborting the query from a metric would turn a data-quality
     * signal into an outage.
+    *
+    * Spark requires observed-metric names to be UNIQUE within one
+    * query: a plan composing this operator twice (two topics unioned,
+    * say) must give each instance its own `guardName`, or analysis
+    * fails loudly at start. (The same rule applies to
+    * [[graft.operators.Similarity.semanticKeepCounted]]'s
+    * `semantic_keep` node.)
     */
   def aliveKeyUpdatesWithTtl(stream: Dataset[KafkaRecord],
       ttl: java.time.Duration,
-      watermarkDelay: String = "10 seconds"): Dataset[KeyUpdate] = {
+      watermarkDelay: String = "10 seconds",
+      guardName: String = "alive_ttl_guard"): Dataset[KeyUpdate] = {
     require(!ttl.isNegative && !ttl.isZero,
       s"ttl must be positive, got $ttl (a zero timeout timestamp aborts " +
         "the streaming query inside the state function)")
@@ -242,7 +250,7 @@ object StreamingTopicMetrics {
     import spark.implicits._
     stream
       .filter((r: KafkaRecord) => r.key != null)
-      .observe("alive_ttl_guard",
+      .observe(guardName,
         count(when(col("timestamp").isNull ||
             col("timestamp") === lit(new java.sql.Timestamp(0L)), 1))
           .as("epoch0_keyed"),

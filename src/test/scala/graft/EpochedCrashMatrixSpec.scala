@@ -158,6 +158,24 @@ class EpochedCrashMatrixSpec extends SparkSuite {
       recover = (_, t) => t.compact(spark), // the would-be double-count
       expectAfterRecover = base12),
     Crash(
+      "a replay delayed PAST the fold manifest's retirement still stands down (ledger)",
+      inject = { (_, t) =>
+        t.compact(spark) // folds batch-0; manifest v1 names it
+        t.compact(spark) // gen 2
+        t.compact(spark) // gen 3 — cleanup retires manifest v1, but
+        // must first merge its names into the surviving chain head:
+        // batch-id accounting never expires
+        assert(!new java.io.File(s"${t.dir}/t_folded_v1").exists,
+          "fixture expects manifest v1 retired after three folds")
+        // a writer down across two full compaction cycles replays now
+        t.appendBatch(df(2L -> 2L), batchId = 0L)
+        assert(!new java.io.File(s"${t.dir}/t_ingest_v3/batch-0").exists,
+          "very-delayed replay rewritten after its manifest retired")
+        base12
+      },
+      recover = (_, t) => t.compact(spark),
+      expectAfterRecover = base12),
+    Crash(
       "a replay named by a CRASHED compact's manifest stands down without loss",
       inject = { (root, t) =>
         // crash state of the first row: manifest committed, fold never

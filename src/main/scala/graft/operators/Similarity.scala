@@ -302,6 +302,17 @@ object Similarity {
     try {
     var cent: Array[Seq[Double]] = cu.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Double](1))
+    if (cent.isEmpty) {
+      // an empty (or entirely hygiene-rejected) corpus trains an EMPTY
+      // book — the probe paths all guard book.isEmpty and return empty
+      // results. Without this, the first iteration's assign expression
+      // builds a zero-arg array() literal (NullType element) and
+      // crashes at ANALYSIS in array_position — a training pipeline
+      // over an aggressively-filtered corpus slice would die instead
+      // of producing the empty index its emptiness implies.
+      import spark.implicits._
+      return Seq.empty[(Long, Seq[Double])].toDF("cid", "cunit")
+    }
     for (_ <- 0 until iters) {
       val scores = array(cent.map(v =>
         dot(col("unit"), typedLit(v))): _*)
@@ -1065,7 +1076,25 @@ object Similarity {
     import spark.implicits._
     val cu = unitIndex(corpus)
     val book = collectCoarseBook(cu, nCentroids, centroids)
-    require(book.nonEmpty, "cannot index an empty corpus")
+    if (book.isEmpty) {
+      // an empty corpus builds an EMPTY index, not an error: a nightly
+      // rebuild over an aggressively-filtered corpus can legitimately
+      // see zero vectors, and killing the pipeline is worse than an
+      // index whose probes return empty ([[knnIvfPqIndexed]] guards
+      // book.isEmpty before touching the codes). APPENDS to an empty
+      // index stay loud ([[pinPqBooks]] refuses a store with no coarse
+      // book): codes encoded against no book are undefined, and the
+      // right fix there is a rebuild over the grown corpus.
+      codesTable(dir).replaceWith(
+        Seq.empty[(Long, Seq[Int], Long)].toDF("vec_id", "codes", "cid"))
+      Seq.empty[(Long, Seq[Double])].toDF("cid", "cunit")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse_book")
+      Seq.empty[(Int, Int, Seq[Double])].toDF("mq", "cell", "sub")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_book")
+      Seq(residual).toDF("residual")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      return
+    }
     val pq = resolvePqBook(cu, book, residual, m, ksub, pqIters, pqBook)
     // epoch-aware rebuild (EpochedTable.replaceWith): a fresh dir gets
     // the plain `codes` layout; a rebuild over a grown/compacted index

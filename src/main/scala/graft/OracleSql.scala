@@ -1342,7 +1342,8 @@ object OracleSql {
        |              WHEN doc_id % 3 = 1 THEN 'audio'
        |              ELSE 'video' END AS kind,
        |         text, length(text) AS n
-       |  FROM documents)
+       |  FROM documents
+       |  WHERE text IS NOT NULL)
        |SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
        |       ${stripeMean("0", "n")} AS byte_mean,
        |       ${stripeMean("0", "n // 4")} AS stripe0,
@@ -1424,7 +1425,8 @@ object OracleSql {
        |         array_to_string(list_transform(
        |           generate_series(1, length(text), $strideK),
        |           i -> substr(text, i, 1)), '') AS strided
-       |  FROM documents)
+       |  FROM documents
+       |  WHERE text IS NOT NULL)
        |ORDER BY media_id""".stripMargin
 
   /** TPC-H-style relational mirrors. Money doubles are 2-dp values, so

@@ -87,7 +87,13 @@ object Multimodal {
   def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // null payloads (a failed fetch upstream — certain to exist in a
+    // real media table) are DROPPED before the decoder, the same
+    // contract the real codecs keep for undecodable blobs; without
+    // the filter the stub NPEs on payload.length and one bad row
+    // kills the task
     media.select(col("media_id"), col("kind"), col("payload"))
+      .filter(col("payload").isNotNull)
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap(batch =>
         batch.map { case (id, kind, payload) => decodeStub(id, kind, payload) }))
@@ -380,7 +386,9 @@ object Multimodal {
       batchSize: Int = 64): Dataset[MediaSample] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // null payloads drop before the sampler — see extractFeatures
     media.select(col("media_id"), col("payload"))
+      .filter(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, p) =>
         sampleStub(id, p, frameBytes, everyK, strideK)

@@ -27,42 +27,87 @@ class EmptyFixtureSpec extends SparkSuite {
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  test("every registered query EXECUTES on an all-empty fixture") {
+  /** Run every registered + bench-only query against `dir`, executing
+    * (not just analyzing) each; returns (name, first error line) per
+    * crash, releasing embedded checkpoint storage either way. */
+  private def executeRegistry(dir: String): Seq[(String, String)] =
+    (SparkEntry.queries ++ SparkEntry.benchQueries)
+      .toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        var df: Option[org.apache.spark.sql.DataFrame] = None
+        try {
+          val d = fn(spark, dir); df = Some(d)
+          d.collect()
+          StorageHygiene.releaseAndSweep(spark, "degenerate", name, df)
+          None
+        } catch {
+          case e: Throwable =>
+            StorageHygiene.releaseAndSweep(spark, "degenerate", name, df,
+              cleanRun = false)
+            Some(name -> Option(e.getMessage).flatMap(
+              _.linesIterator.nextOption()).getOrElse(e.getClass.getName))
+        }
+      }
+
+  private def withNanosConf[A](body: => A): A = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("every registered query EXECUTES on an all-empty fixture") {
     val dst = java.nio.file.Files.createTempDirectory("graft-empty").toString
-    try {
+    try withNanosConf {
       tables.foreach { t =>
         spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
           .limit(0).coalesce(1)
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       }
-      val broken = (SparkEntry.queries ++ SparkEntry.benchQueries)
-        .toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-          var df: Option[org.apache.spark.sql.DataFrame] = None
-          try {
-            val d = fn(spark, dst); df = Some(d)
-            d.collect() // EXECUTE, not just analyze
-            StorageHygiene.releaseAndSweep(spark, "empty", name, df)
-            None
-          } catch {
-            case e: Throwable =>
-              StorageHygiene.releaseAndSweep(spark, "empty", name, df,
-                cleanRun = false)
-              Some(name -> Option(e.getMessage).flatMap(
-                _.linesIterator.nextOption()).getOrElse(e.getClass.getName))
-          }
-        }
+      val broken = executeRegistry(dst)
       assert(broken.isEmpty,
         s"${broken.size} queries crash on an empty corpus:\n" +
           broken.map { case (n, m) => s"  $n: $m" }.mkString("\n"))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dst))
+  }
+
+  test("every registered query EXECUTES when every payload column is null") {
+    // the OTHER guaranteed-at-scale degenerate shape: a shard whose
+    // rows exist but whose payloads are all null (a broken extractor
+    // upstream, a schema-evolved column the old files lack). Keys stay
+    // non-null — a null id is store corruption, which loud failure
+    // serves better than tolerance — but every value-carrying column
+    // of the LLM-pipeline tables is nulled: documents.text/lang/
+    // source/n_chars, embeddings.embedding/label, events.ts/event_type/
+    // value/props. TPC-H tables copy through unchanged (their
+    // non-nullable relational semantics are the reference's contract,
+    // and the DuckDB oracles assume it too).
+    val nulled: Map[String, Set[String]] = Map(
+      "documents" -> Set("text", "lang", "source", "n_chars"),
+      "embeddings" -> Set("embedding", "label"),
+      "events" -> Set("ts", "event_type", "value", "props"))
+    val dst = java.nio.file.Files.createTempDirectory("graft-nulls").toString
+    try withNanosConf {
+      tables.foreach { t =>
+        val src = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        val out = nulled.get(t).fold(src) { cols =>
+          src.select(src.columns.map(c =>
+            if (cols(c))
+              org.apache.spark.sql.functions.lit(null)
+                .cast(src.schema(c).dataType).as(c)
+            else org.apache.spark.sql.functions.col(c)): _*)
+        }
+        out.coalesce(1).write.mode("overwrite").parquet(s"$dst/$t.parquet")
       }
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst))
-    }
+      val broken = executeRegistry(dst)
+      assert(broken.isEmpty,
+        s"${broken.size} queries crash on all-null payloads:\n" +
+          broken.map { case (n, m) => s"  $n: $m" }.mkString("\n"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dst))
   }
 }

@@ -883,7 +883,7 @@ object OracleSql {
 
   val eventWindows: String =
     """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
-      |       CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |       CAST(SUM(TRY_CAST(CASE WHEN isnan("value") THEN NULL ELSE "value" END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   def sessions(gapMinutes: Int = 30): String = {
@@ -903,7 +903,7 @@ object OracleSql {
        |       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
        |       CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us,
        |       COUNT(*) AS n_events,
-       |       CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |       CAST(SUM(TRY_CAST(CASE WHEN isnan("value") THEN NULL ELSE "value" END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        |FROM z GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
@@ -949,7 +949,7 @@ object OracleSql {
 
   def rollingValue(frame: Int = 3): String =
     s"""SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
-       |       CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER w AS DOUBLE)
+       |       CAST(SUM(TRY_CAST(CASE WHEN isnan("value") THEN NULL ELSE "value" END AS DECIMAL(18,2))) OVER w AS DOUBLE)
        |         AS rolling_sum,
        |       COUNT(*) OVER w AS n_in_frame
        |FROM events
@@ -958,7 +958,7 @@ object OracleSql {
 
   def userSpendDeciles(buckets: Int = 10): String =
     s"""WITH t AS (
-       |  SELECT user_id, SUM(CAST("value" AS DECIMAL(18,2))) AS total_dec
+       |  SELECT user_id, SUM(TRY_CAST(CASE WHEN isnan("value") THEN NULL ELSE "value" END AS DECIMAL(18,2))) AS total_dec
        |  FROM events GROUP BY 1)
        |SELECT user_id, CAST(total_dec AS DOUBLE) AS total_value,
        |       CAST(DENSE_RANK() OVER w AS INTEGER) AS spend_rank,
@@ -1026,7 +1026,7 @@ object OracleSql {
     * exists. */
   val saltedUserEnrichment: String =
     """WITH t AS (SELECT user_id,
-      |                  SUM(CAST("value" AS DECIMAL(18,2))) AS ut
+      |                  SUM(TRY_CAST(CASE WHEN isnan("value") THEN NULL ELSE "value" END AS DECIMAL(18,2))) AS ut
       |           FROM events GROUP BY 1)
       |SELECT event_type, COUNT(*) AS n,
       |       CAST(SUM(ut) AS DOUBLE) AS sum_user_totals
@@ -1323,7 +1323,7 @@ object OracleSql {
 
   val eventTypeStats: String =
     """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
-      |       CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |       CAST(SUM(TRY_CAST(CASE WHEN isnan("value") THEN NULL ELSE "value" END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
       |       CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
       |       CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin

@@ -22,7 +22,7 @@ object EventAnalytics {
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        sum(Money.tryDec(col("value"))).cast("double").as("sum_value"))
       .select(to_date(col("w.start")).as("day"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy(col("day"), col("event_type"))
@@ -49,7 +49,7 @@ object EventAnalytics {
         unix_micros(min(col("ts"))).as("session_start_us"),
         unix_micros(max(col("ts"))).as("session_end_us"),
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        sum(Money.tryDec(col("value"))).cast("double").as("sum_value"))
       .orderBy(col("user_id"), col("session_idx"))
   }
 
@@ -456,7 +456,7 @@ object EventAnalytics {
     events.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
       countDistinct(col("user_id")).as("n_users"),
-      sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+      sum(Money.tryDec(col("value"))).cast("double").as("sum_value"),
       unix_micros(min(col("ts"))).as("first_us"),
       unix_micros(max(col("ts"))).as("last_us"))
       .orderBy(col("event_type"))
@@ -498,7 +498,7 @@ object EventAnalytics {
       .rowsBetween(-frame, Window.currentRow)
     events.select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"),
-      sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+      sum(Money.tryDec(col("value"))).over(w).cast("double")
         .as("rolling_sum"),
       count(lit(1)).over(w).as("n_in_frame"))
   }
@@ -515,7 +515,7 @@ object EventAnalytics {
     val w = Window
       .orderBy(col("total_dec").desc, col("user_id"))
     events.groupBy(col("user_id"))
-      .agg(sum(col("value").cast("decimal(18,2)")).as("total_dec"))
+      .agg(sum(Money.tryDec(col("value"))).as("total_dec"))
       .select(col("user_id"),
         col("total_dec").cast("double").as("total_value"),
         dense_rank().over(w).as("spend_rank"),
@@ -608,7 +608,7 @@ object EventAnalytics {
     * both [[planSpendBins]] and the rank join consume. */
   private[graft] def spendTotalsWithKey(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))
-      .agg(sum(col("value").cast("decimal(18,2)")).as("total_dec"))
+      .agg(sum(Money.tryDec(col("value"))).as("total_dec"))
       .withColumn("bkey",
         // EXACT radix key from the decimal's unscaled cents (≤18
         // digits fits a long losslessly — a double key would collide

@@ -42,7 +42,7 @@ object Skew {
     */
   def saltedUserEnrichment(events: DataFrame, salts: Int = 8): DataFrame = {
     val totals = events.groupBy(col("user_id"))
-      .agg(sum(col("value").cast("decimal(18,2)")).as("user_total_dec"))
+      .agg(sum(Money.tryDec(col("value"))).as("user_total_dec"))
     saltedJoin(events, totals, "user_id", "event_id", salts)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

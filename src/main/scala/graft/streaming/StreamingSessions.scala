@@ -33,7 +33,7 @@ object StreamingSessions {
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        sum(graft.operators.Money.tryDec(col("value"))).cast("double").as("sum_value"))
       .select(col("user_id"),
         unix_micros(col("sw.start")).as("session_start_us"),
         col("n_events"), col("sum_value"))

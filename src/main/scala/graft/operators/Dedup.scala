@@ -927,25 +927,32 @@ object Dedup {
     }
   }
 
-  /** Refuse a store whose meta and table build stamps disagree — the
+  /** Refuse a store whose meta and table build stamps DISAGREE — the
     * signature of a rebuild that crashed between table and sidecar
-    * commits. Legacy stores (meta without `build_id`) pass unchecked.
-    * Loud failure is the honest contract a non-transactional
-    * multi-file store can keep: the alternative is probes silently
-    * finding nothing (stale banding constants) or audits mixing
-    * near-dup definitions. Recovery = re-run the rebuild. */
+    * commits. Legacy stores (meta without `build_id`) pass unchecked,
+    * and so does a MISSING stamp: stamps are written before meta, so
+    * meta-with-id + no-stamp only happens in writeFileAtomic's
+    * delete+retry fallback window (filesystems whose rename refuses an
+    * existing destination) or after manual deletion — a probe racing a
+    * clean rebuild there must not fail spuriously, and the real torn
+    * hazard (a table left from a DIFFERENT build) always presents as a
+    * mismatched id, not an absent one. Loud failure on mismatch is the
+    * honest contract a non-transactional multi-file store can keep:
+    * the alternative is probes silently finding nothing (stale banding
+    * constants) or audits mixing near-dup definitions. Recovery =
+    * re-run the rebuild. */
   private def requireConsistentBuild(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       metaDf: DataFrame, tables: Seq[String]): Unit =
     if (metaDf.columns.contains("build_id")) {
       val id = metaDf.select(col("build_id")).head().getString(0)
       tables.foreach { t =>
-        val st = readBuildStamp(spark, dir, t)
-        require(st.contains(id),
-          s"dedup store at $dir is torn: table '$t' carries build stamp " +
-            s"${st.getOrElse("<missing>")} but meta was written by build " +
-            s"$id — a rebuild crashed between table and sidecar commits; " +
-            "re-run the rebuild before probing")
+        readBuildStamp(spark, dir, t).foreach(st =>
+          require(st == id,
+            s"dedup store at $dir is torn: table '$t' carries build stamp " +
+              s"$st but meta was written by build " +
+              s"$id — a rebuild crashed between table and sidecar commits; " +
+              "re-run the rebuild before probing"))
       }
     }
 

@@ -189,6 +189,30 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     }
   }
 
+  /** Epochs with ANY surviving on-disk piece (table dir, ingest dir,
+    * fold manifest) — the same single-root-LIST discipline as
+    * [[manifestEpochs]]. Cleanup iterates THESE instead of every
+    * integer below the active epoch: a long-lived streaming table's
+    * epoch counter grows without bound, and probing each retired
+    * number would pay O(current-epoch) RPCs per compaction against
+    * dirs deleted cycles ago. */
+  private def existingEpochs(
+      fs: org.apache.hadoop.fs.FileSystem): Set[Int] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) Set.empty
+    else {
+      val ingest0 = new org.apache.hadoop.fs.Path(ingestDir(0)).getName
+      fs.listStatus(root).toSeq.map(_.getPath.getName).flatMap { n =>
+        if (n == base || n == ingest0) Some(0)
+        else
+          Seq(s"${base}_v", s"${base}_ingest_v", s"${base}_folded_v")
+            .collectFirst {
+              case p if n.startsWith(p) => n.stripPrefix(p).toIntOption }
+            .flatten
+      }.toSet
+    }
+  }
+
   def activeEpoch(spark: org.apache.spark.sql.SparkSession): Int = {
     val fs = fsOf(spark)
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -447,7 +471,19 @@ private[graft] final case class EpochedTable(dir: String, base: String,
 
   private def writeGeneration(rows: DataFrame, target: Int): Unit = {
     val w = rows.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+    // an EMPTY frame written with partitionBy produces a dir holding
+    // only _SUCCESS — no schema-bearing part file — which Spark cannot
+    // read back (UNABLE_TO_INFER_SCHEMA, verified on 4.1.2): the next
+    // compact/read of the table would crash. Write an empty generation
+    // PLAIN instead: the empty part file then carries the full schema
+    // (partition columns as ordinary columns, which normalizeRead
+    // already reconciles), and directory pruning is moot on zero rows.
+    // The isEmpty probe is one limit-1 job per GENERATION write —
+    // compactions/rebuilds are rare by design, and on non-empty data
+    // the probe stops at the first row.
+    (if (partitionCols.nonEmpty && !rows.isEmpty)
+       w.partitionBy(partitionCols: _*)
+     else w)
       .parquet(tableDir(target))
   }
 
@@ -481,14 +517,18 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     // not). Cost: the ledger grows by one name per ever-folded batch
     // (~12 bytes each) inside a single file — a year of hourly
     // streaming folds is ~100 KiB, read once per append.
-    val retired = (0 until keep)
+    // one root LIST resolves which retired epochs still have pieces on
+    // disk; everything below iterates only those (not every integer
+    // below the active epoch — see existingEpochs)
+    val below = existingEpochs(fs).filter(_ < keep).toSeq.sorted
+    val retired = below
       .flatMap(old => readManifest(fs, old).getOrElse(Set.empty)).toSet
     if (retired.nonEmpty) {
       val head = readManifest(fs, next).getOrElse(Set.empty)
       if (!retired.subsetOf(head))
         writeManifest(fs, next, (head ++ retired).toSeq.sorted)
     }
-    (0 until keep).foreach { old =>
+    below.foreach { old =>
       if (fs.exists(new org.apache.hadoop.fs.Path(ingestDir(old)))) {
         val chain = (old + 1 to next).map(k => readManifest(fs, k))
         if (chain.nonEmpty && chain.forall(_.isDefined)) {

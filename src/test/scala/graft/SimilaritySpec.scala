@@ -571,6 +571,28 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("an empty-corpus index builds, compacts, appends loudly, probes empty") {
+    // a nightly rebuild over a fully-filtered corpus slice must yield
+    // a WORKING empty index: build succeeds, the scheduled
+    // compactPqIndex maintenance pass succeeds (an empty
+    // hive-partitioned generation used to write only _SUCCESS — no
+    // schema-bearing part file — and the compact's read-back died with
+    // UNABLE_TO_INFER_SCHEMA), probes return empty, and appends stay
+    // loud (codes encoded against no book are undefined)
+    val dir = java.nio.file.Files.createTempDirectory("graft-emptyidx").toString
+    try {
+      val none = vecs()
+      val some = vecs(0L -> pad(Seq(1f, 0f)))
+      Similarity.writePqIndex(none, dir)
+      Similarity.compactPqIndex(spark, dir)
+      assert(rowsOf(Similarity.knnIvfPqIndexed(dir, none, some, k = 3)).isEmpty)
+      val e = intercept[IllegalArgumentException](
+        Similarity.appendToPqIndex(some, dir))
+      assert(e.getMessage.contains("no coarse book"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("withSemanticKeep scopes the label checkpoint to the caller's body") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def persisted = spark.sparkContext.getPersistentRDDs.keySet

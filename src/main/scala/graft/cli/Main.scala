@@ -19,9 +19,13 @@ import graft.sources.{EventsAsRecords, KafkaRecordSource}
   *                                  (second-truncated timestamps,
   *                                  `src/metric.rs:210-211`)
   *
-  * Unknown arguments are rejected with exit 1, like the reference's
-  * clap parser (`src/main.rs:32-67`). Exit codes: -2 (=254) on empty
-  * topic (`src/main.rs:98-101`), 1 on bad usage.
+  * Clap-surface fidelity (`src/main.rs:32-67`): long flags accept the
+  * attached `--topic=events` form as well as the detached one;
+  * unknown arguments, value-taking flags without a value, and
+  * REPEATED flags are each rejected with exit 1 and a clap-shaped
+  * message (clap errors on a duplicate rather than last-wins). Exit
+  * codes: -2 (=254) on empty topic (`src/main.rs:98-101`), 1 on bad
+  * usage.
   */
 object Main {
 
@@ -34,6 +38,11 @@ object Main {
     }
     opts.get("missing-value").foreach { f =>
       System.err.println(s"error: The argument '$f' requires a value but none was supplied")
+      sys.exit(1)
+    }
+    opts.get("duplicate").foreach { f =>
+      System.err.println(s"error: The argument '$f' was provided more " +
+        "than once, but cannot be used multiple times")
       sys.exit(1)
     }
     val topic = opts.get("topic")
@@ -107,20 +116,52 @@ object Main {
   /** A token in flag position (clap never accepts `-x` as a value). */
   private def flagLike(v: String): Boolean = v.startsWith("-")
 
-  @annotation.tailrec
+  /** Expand clap's attached long form: `--topic=events` parses like
+    * `--topic events` (scripts written against the reference binary
+    * use both). Only the FIRST '=' splits — `--librdkafka
+    * auto.offset.reset=earliest` values embed their own '='. A
+    * non-value flag given an attached value (`--compat=true`) expands
+    * to flag + stray token and is rejected as unknown — an error, as
+    * clap makes it, if with a different message. */
+  private def expand(args: List[String]): List[String] = args.flatMap {
+    case a if a.startsWith("--") && a.contains('=') =>
+      val i = a.indexOf('=')
+      List(a.substring(0, i), a.substring(i + 1))
+    case a => List(a)
+  }
+
+  /** Record `key -> value`, flagging the FIRST re-occurrence: clap
+    * errors on a repeated argument rather than silently last-wins,
+    * and a script passing `-t a -t b` deserves the same refusal here.
+    */
+  private def put(acc: Map[String, String], key: String, flag: String,
+      value: String): Map[String, String] = {
+    val dup =
+      if (acc.contains(key) && !acc.contains("duplicate"))
+        Map("duplicate" -> flag)
+      else Map.empty[String, String]
+    acc ++ dup + (key -> value)
+  }
+
   private[cli] def parse(args: List[String],
+      acc: Map[String, String]): Map[String, String] =
+    parseLoop(expand(args), acc)
+
+  @annotation.tailrec
+  private def parseLoop(args: List[String],
       acc: Map[String, String]): Map[String, String] = args match {
-    case ("-t" | "--topic") :: v :: rest if !flagLike(v) =>
-      parse(rest, acc + ("topic" -> v))
-    case ("-b" | "--bootstrap-server") :: v :: rest if !flagLike(v) =>
-      parse(rest, acc + ("bootstrap" -> v))
-    case ("-c" | "--count-alive-keys") :: rest =>
-      parse(rest, acc + ("alive" -> "true"))
-    case "--librdkafka" :: v :: rest if !flagLike(v) =>
-      parse(rest, acc + ("librdkafka" -> v))
-    case "--parquet" :: v :: rest if !flagLike(v) =>
-      parse(rest, acc + ("parquet" -> v))
-    case "--compat" :: rest => parse(rest, acc + ("compat" -> "true"))
+    case (f @ ("-t" | "--topic")) :: v :: rest if !flagLike(v) =>
+      parseLoop(rest, put(acc, "topic", f, v))
+    case (f @ ("-b" | "--bootstrap-server")) :: v :: rest if !flagLike(v) =>
+      parseLoop(rest, put(acc, "bootstrap", f, v))
+    case (f @ ("-c" | "--count-alive-keys")) :: rest =>
+      parseLoop(rest, put(acc, "alive", f, "true"))
+    case (f @ "--librdkafka") :: v :: rest if !flagLike(v) =>
+      parseLoop(rest, put(acc, "librdkafka", f, v))
+    case (f @ "--parquet") :: v :: rest if !flagLike(v) =>
+      parseLoop(rest, put(acc, "parquet", f, v))
+    case (f @ "--compat") :: rest =>
+      parseLoop(rest, put(acc, "compat", f, "true"))
     // a value-taking flag with no value — trailing, or followed by
     // another flag (which clap refuses to consume as a value) — is a
     // distinct usage error; misreporting it as "unknown" (or silently
@@ -128,14 +169,14 @@ object Main {
     // flag-looking token stays in the stream for normal parsing.
     case (f @ ("-t" | "--topic" | "-b" | "--bootstrap-server" |
                "--librdkafka" | "--parquet")) :: rest =>
-      parse(rest, if (acc.contains("missing-value")) acc
+      parseLoop(rest, if (acc.contains("missing-value")) acc
         else acc + ("missing-value" -> f))
     case Nil => acc
     // record the FIRST unknown argument; main rejects it (exit 1) the
     // way the reference's clap parser does — parse stays sys.exit-free
     // so specs can exercise it
     case other :: rest =>
-      parse(rest, if (acc.contains("unknown")) acc
+      parseLoop(rest, if (acc.contains("unknown")) acc
         else acc + ("unknown" -> other))
   }
 }

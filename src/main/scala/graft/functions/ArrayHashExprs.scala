@@ -431,6 +431,65 @@ object ArrayHashExprs {
   def shingle_hashes(normText: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(normText), n))
 
+  /** Count of `array<long>` elements that MIGHT be in the serialized
+    * Bloom sketch — the fused, codegen'd form of
+    * `size(filter(xs, g => bloom_might_contain(bytes, g)))`, whose
+    * ArrayFilter lambda evaluates INTERPRETED once per element per row
+    * (the same 10–50% tax the hygiene-gate expressions in this file
+    * were measured paying) on the streaming decontamination gate's
+    * per-micro-batch hot path. Null elements count as misses, matching
+    * the HOF (a null probe is a null predicate, dropped by `filter`);
+    * a null array is a null count. The sketch deserializes ONCE per
+    * task through a codegen reference object, never per row.
+    */
+  case class BloomHitsExpr(child: Expression, bytes: Array[Byte])
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftInputTypes {
+
+    override def graftInputTypes: Seq[org.apache.spark.sql.types.DataType] =
+      Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+
+    @transient private lazy val bloom =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      var i = 0
+      var hits = 0L
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i) && bloom.mightContainLong(arr.getLong(i)))
+          hits += 1L
+        i += 1
+      }
+      hits
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val b = ctx.addReferenceObj("bloom", bloom,
+          "org.apache.spark.util.sketch.BloomFilter")
+        val i = ctx.freshName("i")
+        val hits = ctx.freshName("hits")
+        s"""
+           |long $hits = 0L;
+           |for (int $i = 0; $i < $c.numElements(); $i++) {
+           |  if (!$c.isNullAt($i) && $b.mightContainLong($c.getLong($i))) {
+           |    $hits++;
+           |  }
+           |}
+           |${ev.value} = $hits;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): BloomHitsExpr =
+      copy(child = newChild)
+  }
+
+  def bloom_hits(xs: Column, bytes: Array[Byte]): Column =
+    ColumnBridge.column(BloomHitsExpr(ColumnBridge.expression(xs), bytes))
+
   /** Sequential-fold dot product over two `array<double>` columns:
     * `acc = 0.0; acc += a[i]*b[i]` in index order — the same IEEE
     * operation sequence as the declarative

@@ -88,12 +88,16 @@ object StreamingCuration {
     * not) takes the rate-1 default.
     */
   def mixtureGate(stream: DataFrame, rates: DataFrame): DataFrame =
+    // BOTH rate columns are renamed before the join: a stream that
+    // already carries a ppm column (rated once upstream) would
+    // otherwise make col("ppm") ambiguous and fail at analysis
     stream
-      .join(rates.select(col("source").as("r_source"), col("ppm")),
+      .join(rates.select(col("source").as("r_source"),
+          col("ppm").as("r_ppm")),
         col("source") <=> col("r_source"), "left_outer")
       .filter(CorpusOps.mixtureKeep(col("doc_id"),
-        coalesce(col("ppm"), lit(1000000L))))
-      .drop("ppm", "r_source")
+        coalesce(col("r_ppm"), lit(1000000L))))
+      .drop("r_ppm", "r_source")
 
   /** Streaming decontamination gate — the ingest face of
     * [[CorpusOps.decontaminateBloom]]: each arriving document's
@@ -116,12 +120,19 @@ object StreamingCuration {
     if (bloomBytes == null)
       return docs.withColumn("n_possible_hits", lit(0L))
         .withColumn("quarantined", lit(false))
+    // fused codegen'd probe-count: the previous
+    // size(filter(xs, g => mightContain(...))) shape evaluated its
+    // lambda INTERPRETED per shingle per document every micro-batch
+    // (ArrayFilter is CodegenFallback) — the exact tax the hygiene
+    // gates were rewritten to remove; bloom_hits keeps the identical
+    // count (null elements are misses) inside whole-stage codegen,
+    // deserializing the sketch once per task instead of never leaving
+    // the interpreted path
     docs
       .withColumn("xs", graft.functions.ArrayHashExprs.shingle_hashes(
         TextFunctions.normText(col("text")), shingleN))
       .withColumn("n_possible_hits",
-        size(filter(col("xs"), g =>
-          CorpusOps.shingleMightContain(bloomBytes, g))).cast("long"))
+        graft.functions.ArrayHashExprs.bloom_hits(col("xs"), bloomBytes))
       .drop("xs")
       .withColumn("quarantined", col("n_possible_hits") >= minShared)
   }

@@ -28,10 +28,23 @@ import graft.operators.Dedup
   */
 object StreamingDedup {
 
+  /** Fingerprint once per document: a frame that ALREADY carries a
+    * fingerprint column — the documented curated→dedup chain does,
+    * [[StreamingCuration.curated]] fingerprints the stored text — is
+    * trusted as-is; recomputing would run md5 plus the normalization
+    * regex pass twice per surviving document on the ingest hot path
+    * for an identical value. A caller who hand-built a frame whose
+    * fingerprint is stale relative to its text gets the dedup of the
+    * fingerprints it supplied — the same trust every fingerprint
+    * CONSUMER (dedup indexes, snapshot diffs) already extends. */
+  private def fingerprinted(docs: DataFrame): DataFrame =
+    if (docs.columns.contains("fingerprint")) docs
+    else docs.withColumn("fingerprint",
+      TextFunctions.fingerprintMd5(col("text")))
+
   /** Unbounded-history variant: exact global first-seen dedup. */
   def deduped(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("fingerprint", TextFunctions.fingerprintMd5(col("text")))
+    fingerprinted(docs)
       .dropDuplicates("fingerprint")
 
   /** Bounded-state variant for unbounded streams: `eventTimeCol` must
@@ -41,8 +54,7 @@ object StreamingDedup {
     */
   def dedupedWithinWatermark(docs: DataFrame, eventTimeCol: String,
       delay: String): DataFrame =
-    docs
-      .withColumn("fingerprint", TextFunctions.fingerprintMd5(col("text")))
+    fingerprinted(docs)
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("fingerprint")
 

@@ -17,9 +17,11 @@ import graft.model.KafkaRecord
   *    exact.
   *  - [[aliveKeyUpdates]]: the F2 last-write-wins alive-key op as
   *    `flatMapGroupsWithState` keyed by key bytes, holding
-  *    `(partition, offset, alive)` — emits the key's aliveness whenever
-  *    it changes. Retraction works because state keeps the max
-  *    (partition, offset) seen, not arrival order.
+  *    `(partition, offset, alive)` — emits the key's CURRENT aliveness
+  *    in every micro-batch the key appears in (a re-emission is not a
+  *    transition; consumers needing change-only semantics compare
+  *    against their previous value). Retraction works because state
+  *    keeps the max (partition, offset) seen, not arrival order.
   *
   * State sizing at scale: [[aliveKeyUpdates]] holds O(distinct keys)
   * × ~30 bytes — exact LWW, parity with the reference (whose bitset
@@ -112,8 +114,13 @@ object StreamingTopicMetrics {
     * coalesced range-set of PRESENT-offset runs — O(gap runs), not
     * O(records) — hard-bounded by `maxRuns`: a partition whose shape
     * exceeds it SATURATES, dropping run detail permanently (the flag
-    * stays set) and reporting n_gaps/max_gap as -1 — unmistakably not
-    * a statistic, never a silent wrong number. The headline `missing`
+    * stays set). The SATURATING batch itself still reports exact
+    * statistics — its pre-drop run set is in hand, and discarding it
+    * would let the summary fallback understate `missing` under
+    * redelivery in the very report that announces degradation — with
+    * the flag already set as the from-here-on warning; every LATER
+    * report carries n_gaps/max_gap as -1, unmistakably not a
+    * statistic, never a silent wrong number. The headline `missing`
     * survives saturation (three-long summary arithmetic). A healthy
     * topic has ~0 runs of gaps, so saturation itself is an alert: it
     * means ≥`maxRuns` distinct holes are live right now.
@@ -159,12 +166,19 @@ object StreamingTopicMetrics {
           val runs = if (saturated) Nil else merged
           state.update(GapState(lo, hi, n, runs, saturated))
           val update =
-            if (saturated)
+            if (prev.saturated)
+              // run detail was dropped in an EARLIER batch; only the
+              // summary fallback remains (its at-least-once caveat
+              // with it)
               GapUpdate(p, lo, hi, n, hi - lo + 1 - n, -1L, -1L, saturated)
             else {
+              // `merged` holds the EXACT coverage even on the batch
+              // that saturates — emit the last exact report (which
+              // redelivery cannot understate) before degrading; the
+              // flag already says detail is gone from here on
               var covered = 0L; var nGaps = 0L; var maxGap = 0L
               var prevHi = Long.MinValue
-              runs.foreach { r =>
+              merged.foreach { r =>
                 covered += r.hi - r.lo + 1
                 if (prevHi != Long.MinValue) {
                   val g = r.lo - prevHi - 1

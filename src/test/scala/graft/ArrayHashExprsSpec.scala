@@ -112,6 +112,39 @@ class ArrayHashExprsSpec extends SparkSuite {
       got(5L) == ((null, null)) && got(6L) == ((false, false)), got.toString)
   }
 
+  test("bloom_hits == the size(filter(mightContain)) HOF it replaces") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val d0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // a real sketch over some of the corpus's own shingles
+    val bytes = graft.operators.CorpusOps.evalShingleBloom(
+      d0.filter(col("doc_id") < 50), shingleN = 3)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("xs", ArrayType(LongType))))
+    val probe = d0.select(col("doc_id").as("id"),
+      ArrayHashExprs.shingle_hashes(
+        graft.functions.TextFunctions.normText(col("text")), 3).as("xs"))
+      .unionByName(spark.createDataFrame(Seq(
+        Row(9001L, Seq(1L, null, 2L)), // null element = miss, not crash
+        Row(9002L, Seq.empty[Long]),   // empty = 0 hits
+        Row(9003L, null)               // null array = null count
+      ).asJava, schema))
+    val diff = probe.select(col("id"),
+      ArrayHashExprs.bloom_hits(col("xs"), bytes).as("fused"),
+      size(filter(col("xs"), g =>
+        graft.operators.CorpusOps.shingleMightContain(bytes, g)))
+        .cast("long").as("hof"))
+      .filter(!(col("fused") <=> col("hof")))
+      .collect()
+    assert(diff.isEmpty, s"bloom_hits diverges from the HOF: ${diff.toSeq}")
+    // sanity: the sketch actually fires on the docs it was built from
+    val hits = probe.filter(col("id") < 50)
+      .select(ArrayHashExprs.bloom_hits(col("xs"), bytes).as("h"))
+      .collect().map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+    assert(hits.exists(_ > 0L), "sketch never fired on its own inputs")
+  }
+
   test("minhash of empty array is null; simhash of empty array is 0") {
     val s = spark
     import s.implicits._

@@ -152,4 +152,13 @@ class CodegenNoFallbackSpec extends SparkSuite {
       graft.functions.DoubleBits.orderableBits(
         (col("doc_id") * 0.37 - 90.0).cast("double")).as("u")))
   }
+
+  test("bloom_hits compiles and matches under CODEGEN_ONLY") {
+    val bytes = graft.operators.CorpusOps.evalShingleBloom(
+      docs.filter(col("doc_id") < 50), shingleN = 3)
+    assertCodegenParity(docs.select(col("doc_id"),
+      ArrayHashExprs.bloom_hits(
+        ArrayHashExprs.shingle_hashes(
+          TextFunctions.normText(col("text")), 3), bytes).as("h")))
+  }
 }

@@ -606,19 +606,26 @@ class StreamingSpec extends SparkSuite {
     val r2 = rowsOf(spark.table("gapmon_sat")).last
     assert((r2("missing"), r2("n_gaps"), r2("max_gap"), r2("saturated")) ==
       (2L, 1L, 2L, false))
-    // offset 8 makes a third run: over maxRuns=2 -> saturate; run
-    // detail gone (-1 sentinels), summary missing survives
-    mem.addData(rec(0, 8L, "a", "v"))
+    // offset 8 makes a third run: over maxRuns=2 -> saturate. The
+    // SATURATING batch still reports exact statistics from its
+    // pre-drop run set {0-0, 3-4, 8-8} — the batch also redelivers
+    // offset 0, which would make the summary fallback understate
+    // missing as hi-lo+1-n = 9-5 = 4 when the true count is 5 — with
+    // the flag already set as the from-here-on warning
+    mem.addData(rec(0, 8L, "a", "v"), rec(0, 0L, "a", "v"))
     q.processAllAvailable()
     val r3 = rowsOf(spark.table("gapmon_sat")).last
     assert((r3("n"), r3("missing"), r3("n_gaps"), r3("max_gap"),
-      r3("saturated")) == (4L, 5L, -1L, -1L, true))
-    // sticky: even input that WOULD fit maxRuns stays saturated
+      r3("saturated")) == (5L, 5L, 2L, 3L, true))
+    // sticky, and detail now really is gone (-1 sentinels); the
+    // summary fallback inherits the exactly-once caveat from here on
+    // (the earlier redelivery makes it read 2 where the truth is 3)
     mem.addData(rec(0, 1L, "a", "v"), rec(0, 2L, "a", "v"))
     q.processAllAvailable()
     q.stop()
     val r4 = rowsOf(spark.table("gapmon_sat")).last
-    assert((r4("n"), r4("missing"), r4("saturated")) == (6L, 3L, true))
+    assert((r4("n"), r4("missing"), r4("n_gaps"), r4("saturated")) ==
+      (7L, 2L, -1L, true))
   }
 
   test("streaming approx percentiles bracket the batch exact order statistics") {

@@ -27,6 +27,30 @@ class CliSpec extends AnyFunSuite {
     assert(Main.parse(List("--compat"), Map.empty).contains("compat"))
   }
 
+  test("clap's attached --flag=value form parses; values keep embedded '='") {
+    val opts = Main.parse(List("--topic=events",
+      "--librdkafka=auto.offset.reset=earliest,fetch.min.bytes=1",
+      "--bootstrap-server=k1:9092"), Map.empty)
+    assert(opts("topic") == "events")
+    assert(opts("bootstrap") == "k1:9092")
+    // only the FIRST '=' splits — librdkafka entries carry their own
+    assert(opts("librdkafka") == "auto.offset.reset=earliest,fetch.min.bytes=1")
+    assert(!opts.contains("unknown") && !opts.contains("missing-value"))
+    // a non-value flag given an attached value is an error (clap
+    // refuses it too, with a different message)
+    assert(Main.parse(List("--compat=true"), Map.empty).contains("unknown"))
+  }
+
+  test("a repeated flag is captured for clap-style duplicate rejection") {
+    val opts = Main.parse(List("-t", "a", "--topic", "b"), Map.empty)
+    assert(opts("duplicate") == "--topic") // the re-occurrence's spelling
+    assert(opts("topic") == "b")
+    // boolean flags repeat-error too, like clap's default
+    assert(Main.parse(List("-c", "-c"), Map.empty)("duplicate") == "-c")
+    assert(!Main.parse(List("-t", "a", "-b", "x"), Map.empty)
+      .contains("duplicate"))
+  }
+
   test("a trailing value-taking flag reports missing-value, not unknown") {
     val opts = Main.parse(List("-t"), Map.empty)
     assert(opts("missing-value") == "-t")

@@ -327,12 +327,16 @@ object SparkEntry {
     // Scratch state lives under one FIXED per-JVM dir, overwritten on
     // each invocation — a fresh temp dir per call would leak one final
     // labels parquet per bench warmup/pass, unboundedly. Queries run
-    // serially in Bench/Verify; earlier invocations' frames are
-    // discarded before the next overwrite.
+    // serially within a JVM's Bench/Verify; earlier invocations'
+    // frames are discarded before the next overwrite. The dir is an
+    // ensureBuilt registration (no-op build — the query rewrites the
+    // content per invocation): that PID+token-keys the path, so a
+    // bench and a verify JVM racing in CI never overwrite each other's
+    // bucketed tables mid-round, and the exit reaper + orphan sweep
+    // reclaim it like every other scratch artifact.
     "q_dedup_clusters_bucketed" -> ((s, dir) =>
       Dedup.nearDupClustersBucketed(docs(s, dir),
-        java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft-ndb-q").toString,
+        ensureBuilt("ndbq", dir)(_ => ()),
         buckets = s.conf.get("spark.sql.shuffle.partitions").toInt)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
     // wholesale-copy vs scattered-overlap: longest contiguous shared
@@ -721,7 +725,7 @@ object SparkEntry {
     * anything else, so `graft-*` dirs belonging to other tools or
     * other graft flavors on a shared tmpdir are never ours to delete. */
   private val scratchTags =
-    Set("labels", "dedupidx", "asgnlbl", "pqidx", "distsk")
+    Set("labels", "dedupidx", "asgnlbl", "pqidx", "distsk", "ndbq")
 
   /** This JVM's process start instant (epoch millis, hex) — embedded
     * in scratch dir names so a sweeper can tell the OWNER apart from

@@ -157,35 +157,51 @@ private[graft] final case class EpochedTable(dir: String, base: String,
 
   /** None = no manifest (pre-manifest layout or a fresh table). */
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      e: Int): Option[Set[String]] =
-    if (!fs.exists(manifestPath(e))) None
-    else {
-      val in = fs.open(manifestPath(e))
+      e: Int): Option[Set[String]] = readNamesAt(fs, manifestPath(e))
+
+  /** One accounting file's names; None when it does not exist — or
+    * vanished between a listing and this read (the lister's
+    * merge-then-delete order means a superset survives elsewhere). */
+  private def readNamesAt(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Set[String]] =
+    try {
+      val in = fs.open(p)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toSet)
       finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => None
     }
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The epochs whose fold manifests currently EXIST, from one root
-    * LIST (cleanup deletes retired manifests with their generations,
-    * so the surviving chain is short — per-epoch `exists` probes would
-    * pay O(epochs) RPCs on an object store for a chain that is almost
-    * always one or two files). */
-  private def manifestEpochs(
-      fs: org.apache.hadoop.fs.FileSystem): Seq[Int] = {
+  /** Every surviving accounting file's batch names, from ONE root LIST
+    * (cleanup deletes retired manifests with their generations, so the
+    * surviving set is short — per-epoch `exists` probes would pay
+    * O(epochs) RPCs on an object store for what is almost always one
+    * or two files): the fold manifests PLUS the transient overwrite
+    * shadow [[cleanupBelow]] parks while it atomically replaces the
+    * chain head. The replay stand-downs consult this UNION, so the
+    * accounting invariant — "some surviving file names every batch
+    * ever folded or discarded" — holds at every instant, including
+    * mid-swap on filesystems whose rename refuses an existing
+    * destination. A file deleted between the LIST and its read is
+    * skipped: whoever deleted it had already committed a superset
+    * (merge-then-delete order). */
+  private def accountedNames(
+      fs: org.apache.hadoop.fs.FileSystem): Set[String] = {
     val root = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(root)) Nil
+    if (!fs.exists(root)) Set.empty
     else {
       val prefix = s"${base}_folded_v"
       fs.listStatus(root).toSeq
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith(prefix) =>
-          n.stripPrefix(prefix).toIntOption }
-        .flatten
+        .map(_.getPath)
+        .filter(p => !p.getName.startsWith(".") &&
+          p.getName.startsWith(prefix))
+        .flatMap(p => readNamesAt(fs, p).getOrElse(Set.empty))
+        .toSet
     }
   }
 
@@ -272,12 +288,23 @@ private[graft] final case class EpochedTable(dir: String, base: String,
         // trustworthy change signals on object stores
         val memo = EpochedTable.committedWithData
         memo.contains(p.toString) || {
-          val entries = fs.listStatus(p)
-          val ok = entries.exists(f =>
-              f.isFile && f.getPath.getName == "_SUCCESS") &&
-            entries.exists { f =>
-              val n = f.getPath.getName
-              f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          val ok =
+            try {
+              val entries = fs.listStatus(p)
+              entries.exists(f =>
+                  f.isFile && f.getPath.getName == "_SUCCESS") &&
+                entries.exists { f =>
+                  val n = f.getPath.getName
+                  f.isFile && !n.startsWith("_") && !n.startsWith(".")
+                }
+            } catch {
+              // the dir vanished between the parent listing and this
+              // one — a replay's mode(overwrite) tearing it down for
+              // the rewrite, or another JVM's cleanup deleting a
+              // retired ingest. Either way it is not committed-visible
+              // RIGHT NOW; the documented re-check behavior, not a
+              // crash out of the whole read
+              case _: java.io.FileNotFoundException => false
             }
           if (ok) {
             // crude overflow bound: entries for retired generations
@@ -290,10 +317,6 @@ private[graft] final case class EpochedTable(dir: String, base: String,
       }
       .map(_.getPath.toString)
   }
-
-  /** True when the active generation has ≥1 COMMITTED ingest batch. */
-  def hasIngest(spark: org.apache.spark.sql.SparkSession): Boolean =
-    ingestBatchDirs(spark, activeEpoch(spark)).nonEmpty
 
   /** Normalized read of explicit batch dirs ([[ingestBatchDirs]]). */
   def readBatchDirs(spark: org.apache.spark.sql.SparkSession,
@@ -309,9 +332,23 @@ private[graft] final case class EpochedTable(dir: String, base: String,
   private def assemble(spark: org.apache.spark.sql.SparkSession, epoch: Int,
       batches: Seq[String]): DataFrame = {
     val fs = fsOf(spark)
-    val hasBase =
+    val baseDirExists =
       fs.exists(new org.apache.hadoop.fs.Path(tableDir(epoch)))
+    // generations ≥ 1 are _SUCCESS-gated by activeEpoch, but EPOCH 0 is
+    // resolved unconditionally — a crash mid-way through the INITIAL
+    // build would otherwise hand readers a partial base silently, the
+    // one crash point the generation scheme didn't cover. An
+    // uncommitted epoch-0 base reads as ABSENT (committed batches still
+    // serve, the append-before-init pattern); with no batches either,
+    // fail LOUDLY instead of returning the torn dir's partial rows.
+    val hasBase = baseDirExists && (epoch > 0 || fs.exists(
+      new org.apache.hadoop.fs.Path(s"${tableDir(0)}/_SUCCESS")))
     if (!hasBase && batches.nonEmpty) readBatchDirs(spark, batches)
+    else if (!hasBase && baseDirExists)
+      throw new IllegalStateException(
+        s"${tableDir(epoch)} exists without a _SUCCESS marker and no " +
+          "committed ingest batches exist — the initial build crashed " +
+          "mid-write; re-run it before reading")
     else {
       val baseDf = normalizeRead(
         spark.read.parquet(tableDir(epoch)).select(columns.map(col): _*))
@@ -414,16 +451,14 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     // runs, yet the batch's rows already live in the active base (the
     // fold absorbed them), so rewriting the batch into the active
     // ingest would double-count them at the next fold, permanently.
-    // One root LIST resolves the surviving manifest chain; a table with
-    // no compaction history reads zero manifests, so the steady-state
-    // streaming append pays one LIST and nothing else. The check is
-    // DURABLE: cleanup merges a retiring manifest's names into the
-    // chain head (the ledger invariant in [[cleanupBelow]]), so a
-    // replay delayed across any number of compaction cycles still
-    // stands down.
-    val accounted = manifestEpochs(fs).exists(k =>
-      readManifest(fs, k).exists(_.contains(s"batch-$batchId")))
-    if (accounted) return
+    // One root LIST resolves the surviving accounting files; a table
+    // with no compaction history reads zero of them, so the
+    // steady-state streaming append pays one LIST and nothing else.
+    // The check is DURABLE: cleanup merges a retiring manifest's names
+    // into the chain head before deleting it (the ledger invariant in
+    // [[cleanupBelow]]), so a replay delayed across any number of
+    // compaction cycles still stands down.
+    if (accountedNames(fs).contains(s"batch-$batchId")) return
     val path = new org.apache.hadoop.fs.Path(
       s"${ingestDir(epochHint)}/batch-$batchId")
     // a replay's mode(overwrite) TEARS this dir (delete, rewrite,
@@ -458,9 +493,11 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     var wrote = epochHint
     var now = activeEpoch(spark)
     while (now != wrote) {
-      val accounted = (wrote + 1 to now).exists(k =>
-        readManifest(fs, k).exists(_.contains(s"batch-$batchId")))
-      if (accounted) return
+      // the UNION of surviving accounting files (not just the chain
+      // (wrote, now]): a name in ANY of them means folded or
+      // superseded — recycled ids are out of contract (see
+      // appendBatch), so a wider match can only be this batch
+      if (accountedNames(fs).contains(s"batch-$batchId")) return
       promoteBatch(fs, conf,
         new org.apache.hadoop.fs.Path(s"${ingestDir(wrote)}/batch-$batchId"),
         now)
@@ -525,8 +562,28 @@ private[graft] final case class EpochedTable(dir: String, base: String,
       .flatMap(old => readManifest(fs, old).getOrElse(Set.empty)).toSet
     if (retired.nonEmpty) {
       val head = readManifest(fs, next).getOrElse(Set.empty)
-      if (!retired.subsetOf(head))
+      if (!retired.subsetOf(head)) {
+        // OVERWRITE SHADOW: writeFileAtomic's delete+retry fallback
+        // (filesystems whose rename refuses an existing destination)
+        // has an instant where manifest(next) is ABSENT — and its
+        // fold-snapshot names live nowhere else (the retiring
+        // manifests hold only older history), so a replay probing the
+        // accounting in exactly that instant would rewrite a folded
+        // batch. Park a copy under the shadow name for the swap's
+        // duration: accountedNames scans every `<base>_folded_v*`
+        // file, so the union covers the snapshot throughout, while
+        // the int-keyed chain readers never parse the shadow. A crash
+        // leaves the shadow as a harmless subset; the delete below
+        // (or this epoch's own retirement) clears it.
+        val shadow = new org.apache.hadoop.fs.Path(
+          s"$dir/${base}_folded_v${next}shadow")
+        if (head.nonEmpty)
+          EpochedTable.writeFileAtomic(fs, shadow,
+            head.mkString("", "\n", "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         writeManifest(fs, next, (head ++ retired).toSeq.sorted)
+        fs.delete(shadow, false)
+      }
     }
     below.foreach { old =>
       if (fs.exists(new org.apache.hadoop.fs.Path(ingestDir(old)))) {
@@ -548,6 +605,13 @@ private[graft] final case class EpochedTable(dir: String, base: String,
         new org.apache.hadoop.fs.Path(ingestDir(old))).toString + "/"
       EpochedTable.committedWithData.removeIf(_.startsWith(ingestPrefix))
       fs.delete(new org.apache.hadoop.fs.Path(ingestDir(old)), true)
+      // a crashed merge's stale shadow (subset of its manifest —
+      // harmless while it lives) retires with its epoch, BEFORE the
+      // manifest: the manifest is what keeps the epoch visible to
+      // existingEpochs, so a crash between the two deletes leaves a
+      // retryable state, never an orphaned shadow nothing revisits
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/${base}_folded_v${old}shadow"), false)
       fs.delete(manifestPath(old), false)
     }
     // pre-epoch layouts staged compactions under `<base>_staging`;
@@ -619,6 +683,16 @@ private[graft] final case class EpochedTable(dir: String, base: String,
       writeManifest(fs, target,
         pre.map(d => new org.apache.hadoop.fs.Path(d).getName))
     writeGeneration(rows, target)
+    if (target == 0)
+      // epoch 0 is the one generation readers resolve without a
+      // _SUCCESS check of their own (assemble gates it instead) —
+      // surface a disabled committer marker at BUILD time, like the
+      // target>0 branch below does
+      require(fs.exists(
+          new org.apache.hadoop.fs.Path(s"${tableDir(0)}/_SUCCESS")),
+        s"${tableDir(0)} committed without a _SUCCESS marker " +
+          "(mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?) " +
+          "— readers would treat the fresh build as torn")
     if (target > 0) {
       require(fs.exists(
           new org.apache.hadoop.fs.Path(s"${tableDir(target)}/_SUCCESS")),

@@ -211,6 +211,30 @@ class EpochedTableSpec extends SparkSuite {
       .deleteDirectory(new java.io.File(root))
   }
 
+  test("a torn INITIAL build reads as absent: loud alone, batches-only beside batches") {
+    // epoch 0 is the one generation readers resolve without
+    // activeEpoch's _SUCCESS gate — a crash mid-way through the first
+    // replaceWith used to hand readers the partial base silently
+    val root = java.nio.file.Files.createTempDirectory("graft-ep-torn0").toString
+    try {
+      val t = table(root)
+      t.replaceWith(df(1L -> 1L))
+      assert(new java.io.File(s"$root/t/_SUCCESS").delete())
+      // no committed batches: partial rows must NOT come back silently
+      val e = intercept[IllegalStateException](t.read(spark).collect())
+      assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+      // committed batches still serve (append-before-init semantics)
+      t.appendBatch(df(2L -> 2L), batchId = 0L)
+      assert(rows(root) == Seq(2L -> 2L),
+        "torn base blocked the committed-batches view")
+      // the retried build heals (and, as any rebuild, supersedes the
+      // pre-state batches)
+      t.replaceWith(df(1L -> 1L))
+      assert(rows(root) == Seq(1L -> 1L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
+
   test("a torn batch dir becomes visible once its _SUCCESS lands (negative verdicts uncached)") {
     val root = java.nio.file.Files.createTempDirectory("graft-ep-torn").toString
     try {

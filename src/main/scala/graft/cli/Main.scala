@@ -113,21 +113,29 @@ object Main {
       .map(_.split("=", 2)).collect { case Array(k, v) => s"kafka.$k" -> v }
       .toMap).getOrElse(Map.empty)
 
-  /** A token in flag position (clap never accepts `-x` as a value). */
-  private def flagLike(v: String): Boolean = v.startsWith("-")
+  /** A token in flag position (clap never accepts a detached `-x` as
+    * a value — but DOES accept one that arrived attached: `--topic=-x`
+    * binds `-x` verbatim, so attached tokens bypass this check). */
+  private def flagLike(v: Tok): Boolean = !v.attached && v.text.startsWith("-")
+
+  /** A parse token: `attached` marks a value that arrived glued to its
+    * flag (`--topic=events`), which clap binds literally — even when
+    * it looks like a flag — where a detached one would be refused. */
+  private final case class Tok(text: String, attached: Boolean = false)
 
   /** Expand clap's attached long form: `--topic=events` parses like
-    * `--topic events` (scripts written against the reference binary
-    * use both). Only the FIRST '=' splits — `--librdkafka
+    * `--topic events`, with the value tagged `attached` so a leading
+    * '-' stays a literal value (`--topic=-part` binds `-part`, as
+    * clap does). Only the FIRST '=' splits — `--librdkafka
     * auto.offset.reset=earliest` values embed their own '='. A
     * non-value flag given an attached value (`--compat=true`) expands
     * to flag + stray token and is rejected as unknown — an error, as
     * clap makes it, if with a different message. */
-  private def expand(args: List[String]): List[String] = args.flatMap {
+  private def expand(args: List[String]): List[Tok] = args.flatMap {
     case a if a.startsWith("--") && a.contains('=') =>
       val i = a.indexOf('=')
-      List(a.substring(0, i), a.substring(i + 1))
-    case a => List(a)
+      List(Tok(a.substring(0, i)), Tok(a.substring(i + 1), attached = true))
+    case a => List(Tok(a))
   }
 
   /** Record `key -> value`, flagging the FIRST re-occurrence: clap
@@ -148,27 +156,28 @@ object Main {
     parseLoop(expand(args), acc)
 
   @annotation.tailrec
-  private def parseLoop(args: List[String],
+  private def parseLoop(args: List[Tok],
       acc: Map[String, String]): Map[String, String] = args match {
-    case (f @ ("-t" | "--topic")) :: v :: rest if !flagLike(v) =>
-      parseLoop(rest, put(acc, "topic", f, v))
-    case (f @ ("-b" | "--bootstrap-server")) :: v :: rest if !flagLike(v) =>
-      parseLoop(rest, put(acc, "bootstrap", f, v))
-    case (f @ ("-c" | "--count-alive-keys")) :: rest =>
+    case Tok(f @ ("-t" | "--topic"), false) :: v :: rest if !flagLike(v) =>
+      parseLoop(rest, put(acc, "topic", f, v.text))
+    case Tok(f @ ("-b" | "--bootstrap-server"), false) :: v :: rest
+        if !flagLike(v) =>
+      parseLoop(rest, put(acc, "bootstrap", f, v.text))
+    case Tok(f @ ("-c" | "--count-alive-keys"), false) :: rest =>
       parseLoop(rest, put(acc, "alive", f, "true"))
-    case (f @ "--librdkafka") :: v :: rest if !flagLike(v) =>
-      parseLoop(rest, put(acc, "librdkafka", f, v))
-    case (f @ "--parquet") :: v :: rest if !flagLike(v) =>
-      parseLoop(rest, put(acc, "parquet", f, v))
-    case (f @ "--compat") :: rest =>
+    case Tok(f @ "--librdkafka", false) :: v :: rest if !flagLike(v) =>
+      parseLoop(rest, put(acc, "librdkafka", f, v.text))
+    case Tok(f @ "--parquet", false) :: v :: rest if !flagLike(v) =>
+      parseLoop(rest, put(acc, "parquet", f, v.text))
+    case Tok(f @ "--compat", false) :: rest =>
       parseLoop(rest, put(acc, "compat", f, "true"))
     // a value-taking flag with no value — trailing, or followed by
     // another flag (which clap refuses to consume as a value) — is a
     // distinct usage error; misreporting it as "unknown" (or silently
     // swallowing the next flag as its value) would be wrong. The
     // flag-looking token stays in the stream for normal parsing.
-    case (f @ ("-t" | "--topic" | "-b" | "--bootstrap-server" |
-               "--librdkafka" | "--parquet")) :: rest =>
+    case Tok(f @ ("-t" | "--topic" | "-b" | "--bootstrap-server" |
+               "--librdkafka" | "--parquet"), false) :: rest =>
       parseLoop(rest, if (acc.contains("missing-value")) acc
         else acc + ("missing-value" -> f))
     case Nil => acc
@@ -177,6 +186,6 @@ object Main {
     // so specs can exercise it
     case other :: rest =>
       parseLoop(rest, if (acc.contains("unknown")) acc
-        else acc + ("unknown" -> other))
+        else acc + ("unknown" -> other.text))
   }
 }

@@ -440,9 +440,14 @@ object ArrayHashExprs {
     * per-micro-batch hot path. Null elements count as misses, matching
     * the HOF (a null probe is a null predicate, dropped by `filter`);
     * a null array is a null count. The sketch deserializes ONCE per
-    * task through a codegen reference object, never per row.
+    * task through a codegen reference object, never per row. The
+    * sketch rides as an immutable `ArraySeq[Byte]` — NOT `Array[Byte]`,
+    * whose reference-based equals/hashCode would make two identical
+    * gates never compare equal, defeating expression canonicalization
+    * and common-subexpression elimination.
     */
-  case class BloomHitsExpr(child: Expression, bytes: Array[Byte])
+  case class BloomHitsExpr(child: Expression,
+      bytes: scala.collection.immutable.ArraySeq[Byte])
     extends UnaryExpression
     with org.apache.spark.sql.graftbridge.GraftInputTypes {
 
@@ -452,7 +457,7 @@ object ArrayHashExprs {
 
     @transient private lazy val bloom =
       org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
+        new java.io.ByteArrayInputStream(bytes.toArray))
 
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
@@ -488,7 +493,8 @@ object ArrayHashExprs {
   }
 
   def bloom_hits(xs: Column, bytes: Array[Byte]): Column =
-    ColumnBridge.column(BloomHitsExpr(ColumnBridge.expression(xs), bytes))
+    ColumnBridge.column(BloomHitsExpr(ColumnBridge.expression(xs),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes)))
 
   /** Sequential-fold dot product over two `array<double>` columns:
     * `acc = 0.0; acc += a[i]*b[i]` in index order — the same IEEE

@@ -90,6 +90,9 @@ import org.apache.spark.sql.functions.col
   * column back to long).
   */
 private[graft] object EpochedTable {
+  private[graft] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[EpochedTable])
+
   /** JVM-wide memo of POSITIVE per-batch-dir committed-and-has-data
     * verdicts — see [[EpochedTable.ingestBatchDirs]]. Bounded by a
     * crude clear-on-overflow; a few thousand re-listings after a rare
@@ -107,7 +110,18 @@ private[graft] object EpochedTable {
     * the fallback semantics cannot silently diverge between them.
     * (Directory promotion keeps its own copy+rename in
     * [[EpochedTable.promoteBatch]] — its skip-if-present race rules
-    * and lost-race debris handling are directory-specific.) */
+    * and lost-race debris handling are directory-specific.)
+    *
+    * REQUIRES a single writer per `dest` at a time. Under two
+    * concurrent writers the delete+retry fallback can interleave
+    * (A deletes, B deletes, A renames, B deletes A's just-committed
+    * file and renames its own — or both renames refuse and one
+    * writer dies), so last-write-wins is NOT guaranteed on
+    * rename-refusing filesystems. Every caller satisfies this
+    * structurally: fold manifests and ledger merges are written only
+    * by the single compactor ([[EpochedTable.compact]]'s contract),
+    * and build stamps only by the single rebuild owner. A new caller
+    * must bring the same discipline or serialize externally. */
   private[graft] def writeFileAtomic(fs: org.apache.hadoop.fs.FileSystem,
       dest: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
@@ -458,7 +472,20 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     // into the chain head before deleting it (the ledger invariant in
     // [[cleanupBelow]]), so a replay delayed across any number of
     // compaction cycles still stands down.
-    if (accountedNames(fs).contains(s"batch-$batchId")) return
+    if (accountedNames(fs).contains(s"batch-$batchId")) {
+      // loud, not silent: for an IN-contract replay this is routine
+      // at-least-once dedup, but for an out-of-contract recycled id
+      // (e.g. a wiped streaming checkpoint restarting batch ids at 0
+      // against a surviving store — the documented footgun above)
+      // this is the only signal the new rows were dropped.
+      EpochedTable.log.warn(
+        s"appendBatch stand-down: batch-$batchId of table $dir/$base is " +
+          "already accounted for by a fold manifest; dropping this write. " +
+          "Expected for an at-least-once replay — but if this is a fresh " +
+          "stream whose checkpoint was wiped, its recycled batch ids are " +
+          "out of contract: start a fresh store or offset the ids.")
+      return
+    }
     val path = new org.apache.hadoop.fs.Path(
       s"${ingestDir(epochHint)}/batch-$batchId")
     // a replay's mode(overwrite) TEARS this dir (delete, rewrite,
@@ -507,7 +534,6 @@ private[graft] final case class EpochedTable(dir: String, base: String,
   }
 
   private def writeGeneration(rows: DataFrame, target: Int): Unit = {
-    val w = rows.write.mode("overwrite")
     // an EMPTY frame written with partitionBy produces a dir holding
     // only _SUCCESS — no schema-bearing part file — which Spark cannot
     // read back (UNABLE_TO_INFER_SCHEMA, verified on 4.1.2): the next
@@ -515,13 +541,30 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     // PLAIN instead: the empty part file then carries the full schema
     // (partition columns as ordinary columns, which normalizeRead
     // already reconciles), and directory pruning is moot on zero rows.
-    // The isEmpty probe is one limit-1 job per GENERATION write —
-    // compactions/rebuilds are rare by design, and on non-empty data
-    // the probe stops at the first row.
-    (if (partitionCols.nonEmpty && !rows.isEmpty)
-       w.partitionBy(partitionCols: _*)
-     else w)
-      .parquet(tableDir(target))
+    // Emptiness is detected FROM THE WRITTEN DIR (one LIST), not by a
+    // pre-write isEmpty probe: the probe re-executes the assembled
+    // compaction plan, and an upstream shuffle cannot short-circuit
+    // under limit(1) — a meaningful extra job on every large
+    // compaction to guard a rare case. The rare empty rewrite builds
+    // its frame from rows.schema (no plan re-execution).
+    if (partitionCols.isEmpty) {
+      rows.write.mode("overwrite").parquet(tableDir(target))
+    } else {
+      rows.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(tableDir(target))
+      val fs = fsOf(rows.sparkSession)
+      val dest = new org.apache.hadoop.fs.Path(tableDir(target))
+      // non-empty partitioned writes leave `col=value` child dirs;
+      // only _SUCCESS/dot-tmp names means the frame was empty
+      val hasData = fs.listStatus(dest).exists { st =>
+        val n = st.getPath.getName
+        !(n.startsWith("_") || n.startsWith("."))
+      }
+      if (!hasData)
+        rows.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), rows.schema)
+          .write.mode("overwrite").parquet(tableDir(target))
+    }
   }
 
   /** Delete every generation STRICTLY below `keep` — the one-cycle

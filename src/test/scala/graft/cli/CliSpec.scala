@@ -41,6 +41,19 @@ class CliSpec extends AnyFunSuite {
     assert(Main.parse(List("--compat=true"), Map.empty).contains("unknown"))
   }
 
+  test("an attached value beginning with '-' binds literally, like clap") {
+    // clap v2 accepts `--topic=-part` verbatim (only DETACHED values
+    // may not look like flags); the '=' form must not expand into a
+    // flag + stray token
+    val opts = Main.parse(List("--topic=-part", "--bootstrap-server=-b:9092"),
+      Map.empty)
+    assert(opts("topic") == "-part")
+    assert(opts("bootstrap") == "-b:9092")
+    assert(!opts.contains("unknown") && !opts.contains("missing-value"))
+    // and an attached value that spells a real flag is still a value
+    assert(Main.parse(List("--topic=--compat"), Map.empty)("topic") == "--compat")
+  }
+
   test("a repeated flag is captured for clap-style duplicate rejection") {
     val opts = Main.parse(List("-t", "a", "--topic", "b"), Map.empty)
     assert(opts("duplicate") == "--topic") // the re-occurrence's spelling

@@ -145,6 +145,26 @@ class ArrayHashExprsSpec extends SparkSuite {
     assert(hits.exists(_ > 0L), "sketch never fired on its own inputs")
   }
 
+  test("two bloom_hits gates over equal sketch bytes canonicalize equal") {
+    // the sketch rides as ArraySeq[Byte]: Array's reference-based
+    // equals would make semantically identical gates never compare
+    // equal, defeating canonicalization and common-subexpression
+    // elimination (a gate referenced twice in one projection would
+    // deserialize and probe twice)
+    val bytes = graft.operators.CorpusOps.evalShingleBloom(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") < 10), shingleN = 3)
+    val copy = bytes.clone() // distinct array instance, same contents
+    val child =
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("xs"))
+    import scala.collection.immutable.ArraySeq
+    val a = ArrayHashExprs.BloomHitsExpr(child, ArraySeq.unsafeWrapArray(bytes))
+    val b = ArrayHashExprs.BloomHitsExpr(child, ArraySeq.unsafeWrapArray(copy))
+    assert(a == b, "content-equal gates must be equal")
+    assert(a.semanticEquals(b), "content-equal gates must canonicalize equal")
+    assert(a.hashCode == b.hashCode)
+  }
+
   test("minhash of empty array is null; simhash of empty array is 0") {
     val s = spark
     import s.implicits._

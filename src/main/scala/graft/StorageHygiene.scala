@@ -13,19 +13,6 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 object StorageHygiene {
 
-  /** Release `df`'s embedded checkpoints — BLOCKING, so the next
-    * measurement genuinely starts from a clean block manager rather
-    * than racing asynchronous block removal — then sweep stragglers.
-    *
-    * Returns the number of persistent RDDs the sweep had to absorb.
-    * `cleanRun` says whether the query's action completed normally:
-    * after a clean run + release, any non-zero return is an operator
-    * storage-contract violation (a checkpoint the release handle could
-    * not reach) and is blamed as such; after a crash, leftovers are
-    * expected debris — still released (targeted when the frame was
-    * bound before the failing action) and swept, but not blamed on the
-    * operator. Callers should count only clean-run sweeps as leaks.
-    */
   /** Make a checkpoint-embedding frame's storage contract STRUCTURAL:
     * run `f` over `df`, then release `df`'s embedded checkpoints in
     * `finally` (blocking). The scoped form of the scaladoc plea on
@@ -57,6 +44,19 @@ object StorageHygiene {
     }
   }
 
+  /** Release `df`'s embedded checkpoints — BLOCKING, so the next
+    * measurement genuinely starts from a clean block manager rather
+    * than racing asynchronous block removal — then sweep stragglers.
+    *
+    * Returns the number of persistent RDDs the sweep had to absorb.
+    * `cleanRun` says whether the query's action completed normally:
+    * after a clean run + release, any non-zero return is an operator
+    * storage-contract violation (a checkpoint the release handle could
+    * not reach) and is blamed as such; after a crash, leftovers are
+    * expected debris — still released (targeted when the frame was
+    * bound before the failing action) and swept, but not blamed on the
+    * operator. Callers should count only clean-run sweeps as leaks.
+    */
   def releaseAndSweep(spark: SparkSession, tag: String, ctx: String,
       df: Option[Dataset[_]], cleanRun: Boolean = true): Int = {
     df.foreach(ColumnBridge.unpersistCheckpoint(_, blocking = true))

@@ -546,24 +546,40 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     // compaction plan, and an upstream shuffle cannot short-circuit
     // under limit(1) — a meaningful extra job on every large
     // compaction to guard a rare case. The rare empty rewrite builds
-    // its frame from rows.schema (no plan re-execution).
+    // its frame from rows.schema (no plan re-execution). Because
+    // [[activeEpoch]] keys on _SUCCESS, the partitioned write runs
+    // with the job committer's marker SUPPRESSED and the marker is
+    // created by hand only once the dir is in its final readable form
+    // — otherwise the empty case would briefly expose a COMMITTED,
+    // UNREADABLE generation (only _SUCCESS on disk) to concurrent
+    // readers between the two writes. A crash before the manual
+    // marker leaves an uncommitted dir, exactly like a crash
+    // mid-write today — the retry overwrites it (no new crash state).
     if (partitionCols.isEmpty) {
       rows.write.mode("overwrite").parquet(tableDir(target))
     } else {
       rows.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .parquet(tableDir(target))
       val fs = fsOf(rows.sparkSession)
       val dest = new org.apache.hadoop.fs.Path(tableDir(target))
       // non-empty partitioned writes leave `col=value` child dirs;
-      // only _SUCCESS/dot-tmp names means the frame was empty
-      val hasData = fs.listStatus(dest).exists { st =>
+      // only dot-tmp/underscore names (or no dir at all — committer
+      // behavior on zero tasks is not contractual) means empty
+      val hasData = fs.exists(dest) && fs.listStatus(dest).exists { st =>
         val n = st.getPath.getName
         !(n.startsWith("_") || n.startsWith("."))
       }
       if (!hasData)
+        // the plain rewrite uses the normal committer: its own
+        // _SUCCESS lands after the schema-bearing empty part file,
+        // so the generation commits readable
         rows.sparkSession.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), rows.schema)
           .write.mode("overwrite").parquet(tableDir(target))
+      else
+        fs.create(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"), true)
+          .close()
     }
   }
 

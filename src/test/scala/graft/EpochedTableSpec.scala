@@ -255,4 +255,49 @@ class EpochedTableSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root))
   }
+
+  test("partitioned generations never commit unreadable: marker suppression works, empty and non-empty commit readable") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ep-marker").toString
+    try {
+      val s = spark
+      import s.implicits._
+      // pin the Spark behavior writeGeneration relies on: a per-write
+      // option reaches the job's hadoop conf and suppresses the
+      // committer's _SUCCESS. If this ever stops holding, the empty
+      // partitioned compaction would briefly expose a COMMITTED,
+      // UNREADABLE generation (only _SUCCESS on disk) to concurrent
+      // readers between writeGeneration's two writes.
+      Seq((1L, 1L)).toDF("id", "v").write.mode("overwrite")
+        .partitionBy("v")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .parquet(s"$root/raw")
+      assert(!new java.io.File(s"$root/raw/_SUCCESS").exists(),
+        "write option did not suppress the committer marker — " +
+          "writeGeneration's committed-unreadable window is back")
+      // and the manual-marker path: a partitioned NON-empty generation
+      // still commits with _SUCCESS (activeEpoch keys on it) and data
+      val t = EpochedTable(root, "pt", Seq("id", "v"),
+        partitionCols = Seq("v"),
+        normalizeRead = df => df.withColumn("v", col("v").cast("long")))
+      t.replaceWith(df(1L -> 1L))
+      assert(new java.io.File(s"$root/pt/_SUCCESS").exists(),
+        "partitioned generation committed without its marker")
+      t.appendBatch(df(2L -> 2L), batchId = 0L)
+      t.compact(spark)
+      assert(new java.io.File(s"$root/pt_v1/_SUCCESS").exists())
+      assert(rowsOf(t.read(spark).orderBy(col("id")))
+        .map(r => (r("id").asInstanceOf[Long], r("v").asInstanceOf[Long]))
+        == Seq(1L -> 1L, 2L -> 2L))
+      // EMPTY partitioned generation (replaceWith of zero rows):
+      // commits readable — plain layout, schema-bearing part file
+      t.replaceWith(df())
+      val gen2 = new java.io.File(s"$root/pt_v2")
+      assert(new java.io.File(gen2, "_SUCCESS").exists())
+      assert(gen2.listFiles().exists(f =>
+        !f.getName.startsWith("_") && !f.getName.startsWith(".")),
+        "empty partitioned generation has no schema-bearing part file")
+      assert(t.read(spark).count() == 0L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
 }

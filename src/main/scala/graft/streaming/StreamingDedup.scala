@@ -42,21 +42,38 @@ object StreamingDedup {
     else docs.withColumn("fingerprint",
       TextFunctions.fingerprintMd5(col("text")))
 
-  /** Unbounded-history variant: exact global first-seen dedup. */
-  def deduped(docs: DataFrame): DataFrame =
-    fingerprinted(docs)
+  /** Unbounded-history variant: exact global first-seen dedup.
+    *
+    * Null-fingerprint (missing-text) docs pass through UNDEDUPED: a
+    * null fingerprint asserts nothing about equal content — the rule
+    * every batch surface already follows ([[graft.operators.Dedup
+    * .exact]] excludes them from its groupBy; the incremental probe
+    * never matches them) — but `dropDuplicates` treats null as one
+    * more value and would silently collapse every missing-text doc
+    * ever ingested into the FIRST one seen. The split also keeps the
+    * state store null-free (no state row parks on the null group).
+    */
+  def deduped(docs: DataFrame): DataFrame = {
+    val fp = fingerprinted(docs)
+    fp.filter(col("fingerprint").isNotNull)
       .dropDuplicates("fingerprint")
+      .unionByName(fp.filter(col("fingerprint").isNull))
+  }
 
   /** Bounded-state variant for unbounded streams: `eventTimeCol` must
     * carry a watermark-compatible timestamp; duplicates arriving more
     * than `delay` after the original pass through (and old state is
-    * evicted).
+    * evicted). Null-fingerprint docs pass through undeduped, as in
+    * [[deduped]] — the watermark applies before the split so both
+    * branches share one event-time column.
     */
   def dedupedWithinWatermark(docs: DataFrame, eventTimeCol: String,
-      delay: String): DataFrame =
-    fingerprinted(docs)
-      .withWatermark(eventTimeCol, delay)
+      delay: String): DataFrame = {
+    val fp = fingerprinted(docs).withWatermark(eventTimeCol, delay)
+    fp.filter(col("fingerprint").isNotNull)
       .dropDuplicatesWithinWatermark("fingerprint")
+      .unionByName(fp.filter(col("fingerprint").isNull))
+  }
 
   /** Streaming ingest loop that maintains the LABEL table
     * ([[graft.operators.Dedup.writeDedupLabels]]) instead of emitting

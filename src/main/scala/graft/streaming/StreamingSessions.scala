@@ -29,6 +29,12 @@ object StreamingSessions {
   def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
       delay: String = "1 hour"): DataFrame =
     graft.sources.EventsAsRecords.normalizeTs(events, "ts")
+      // a timestamp-less event (null ts — in-contract dirty payload)
+      // cannot belong to any gap-based session: drop it explicitly
+      // rather than hand session_window a null event time (the same
+      // rule transitionUpdates applies; the batch twin's NULLS-FIRST
+      // window placement is arbitrary, not a contract)
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", delay)
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$gapMinutes minutes").as("sw"))

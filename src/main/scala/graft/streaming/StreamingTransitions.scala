@@ -62,11 +62,23 @@ object StreamingTransitions {
   }
 
   /** The stream of per-user transition pairs (Update mode). Accepts
-    * the raw events frame in any of the fixture's ts encodings. */
+    * the raw events frame in any of the fixture's ts encodings.
+    *
+    * A TIMESTAMP-LESS event (null ts — an in-contract dirty payload,
+    * the degenerate gates null the whole column) is DROPPED: it has no
+    * place on the user's event-time axis, and without the filter the
+    * null would NPE the typed encoder's primitive ts_us field and kill
+    * the WHOLE query on one corrupt row. The batch twin windows such
+    * rows NULLS-FIRST — an arbitrary placement, not a contract worth
+    * replicating; dropping follows the package's discipline for
+    * unusable keys (the hot-key monitor drops null keys the same way).
+    * Null user_id/event_id stay LOUD (ids are store corruption, the
+    * documented policy). */
   def transitionUpdates(events: DataFrame): Dataset[Transition] = {
     val spark = events.sparkSession
     import spark.implicits._
     graft.sources.EventsAsRecords.normalizeTs(events, "ts")
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"))
       .as[EventRow]

@@ -196,6 +196,55 @@ class StreamingSpec extends SparkSuite {
     assert(kept == batch)
   }
 
+  test("streaming dedup passes null-fingerprint docs through undeduped") {
+    // a null fingerprint asserts nothing about equal content — the
+    // batch rule (Dedup.exact excludes null-text docs from its
+    // groupBy); dropDuplicates treats null as one more value, so the
+    // naive plan would collapse every missing-text doc ever ingested
+    // into the FIRST one seen. Three distinct null-text docs across
+    // two batches must ALL survive, while real duplicates still dedup.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamingDedup.deduped(docs)
+      .writeStream.format("memory").queryName("sdedup_null")
+      .outputMode("append").start()
+    mem.addData((1L, null), (2L, "real text"))
+    q.processAllAvailable()
+    mem.addData((3L, null), (4L, "REAL   TEXT"), (5L, null))
+    q.processAllAvailable()
+    q.stop()
+    val kept = rowsOf(spark.table("sdedup_null")).map(_("doc_id")).toSet
+    assert(kept == Set(1L, 2L, 3L, 5L),
+      s"null-text docs were deduped against each other: $kept")
+  }
+
+  test("watermark-bounded dedup passes null-fingerprint docs through too") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "event_ts", "text")
+    val q = graft.streaming.StreamingDedup
+      .dedupedWithinWatermark(docs, "event_ts", "10 minutes")
+      .writeStream.format("memory").queryName("sdedup_wm_null")
+      .outputMode("append").start()
+    val base = 1700000000000L
+    val min = 60L * 1000
+    mem.addData((1L, ts(base + 0 * min), null: String),
+      (2L, ts(base + 0 * min), "same text"))
+    q.processAllAvailable()
+    mem.addData((3L, ts(base + 1 * min), null: String),
+      (4L, ts(base + 1 * min), "same  text"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = rowsOf(spark.table("sdedup_wm_null")).map(_("doc_id")).toSet
+    assert(kept == Set(1L, 2L, 3L),
+      s"expected null-text passthrough + in-horizon dedup, got $kept")
+  }
+
   test("stream-stream attribution join matches batch and honors the horizon") {
     val s = spark
     import s.implicits._
@@ -694,6 +743,59 @@ class StreamingSpec extends SparkSuite {
     val batch = rowsOf(graft.operators.EventAnalytics.typeTransitions(batchDf))
       .map(m => (m("event_type"), m("next_type")) -> m("n_trans")).toMap
     assert(counts == batch && counts.nonEmpty)
+  }
+
+  test("streaming transitions drop timestamp-less events instead of dying") {
+    // null ts is an IN-CONTRACT dirty payload (the degenerate gates
+    // null the whole column; the batch twin survives it) — without the
+    // guard the typed encoder NPEs on its primitive ts_us field and
+    // one corrupt row kills the WHOLE query
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val ev = mem.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    val q = graft.streaming.StreamingTransitions.transitionUpdates(ev)
+      .writeStream.format("memory").queryName("strans_null")
+      .outputMode("update").start()
+    mem.addData((1L, ts(1000), 0L, "a"),
+      (1L, null: java.sql.Timestamp, 1L, "junk"),
+      (1L, ts(2000), 2L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rowsOf(spark.table("strans_null"))
+    // the timestamp-less row neither pairs nor crashes: a -> b only
+    assert(streamed.map(m => (m("event_type"), m("next_type"))) ==
+      Seq(("a", "b")), streamed.toString)
+  }
+
+  test("streaming sessions drop timestamp-less events instead of dying") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val ev = mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = graft.streaming.StreamingSessions.sessionWindows(ev,
+        gapMinutes = 30, delay = "0 seconds")
+      .writeStream.format("memory").queryName("ssess_null")
+      .outputMode("append").start()
+    val base = 1700000000000L
+    mem.addData((1L, ts(base), 0L, "a", 1.0),
+      (1L, null: java.sql.Timestamp, 1L, "junk", 2.0),
+      (1L, ts(base + 1000), 2L, "b", 3.0))
+    q.processAllAvailable()
+    // a much-later event advances the watermark past user 1's session
+    // so append mode emits it closed
+    mem.addData((2L, ts(base + 5L * 3600 * 1000), 3L, "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = rowsOf(spark.table("ssess_null")
+      .filter(col("user_id") === 1L))
+    // one closed session for user 1, two timed events in it; the
+    // timestamp-less row contributed nothing (and did not crash the
+    // query)
+    assert(rows.map(m => (m("user_id"), m("n_events"))) == Seq((1L, 2L)),
+      rows.toString)
   }
 
   test("streaming transitions flag cross-batch stragglers, never miscount") {

@@ -27,8 +27,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State: one (ts_us, event_id, event_type) triple per user — bounded
   * by user cardinality, the same budget the alive-key monitor carries
-  * per key (and the same TTL pattern applies if the user space is
-  * unbounded).
+  * per key; [[transitionUpdatesWithTtl]] is the bounded-state variant
+  * for an unbounded user space (the alive-key TTL pattern, same
+  * eviction semantics).
   */
 object StreamingTransitions {
 
@@ -88,6 +89,73 @@ object StreamingTransitions {
           val (pairs, next) = foldBatch(uid, state.getOption, rows.toSeq)
           next.foreach(state.update)
           pairs.iterator
+      }
+  }
+
+  /** [[EventRow]] plus the raw event-time column: the TTL variant's
+    * watermark attribute must survive into the typed stream (a
+    * projection that drops it would fail the event-time-timeout
+    * analysis check), so the row carries both the fold's `ts_us` and
+    * the watermarked `ts` it was derived from. */
+  case class EventRowT(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String, ts: java.sql.Timestamp)
+
+  /** [[transitionUpdates]] with bounded state for unbounded user
+    * spaces — the alive-key TTL pattern
+    * ([[StreamingTopicMetrics.aliveKeyUpdatesWithTtl]]): a user whose
+    * last event's time falls `ttl` behind the watermark is evicted,
+    * so state is bounded by users ACTIVE within the horizon, not by
+    * all users ever seen. Eviction semantics: the forgotten user's
+    * next event starts a fresh chain — it emits no transition (no
+    * predecessor), exactly as if the user were new.
+    *
+    * CONTRACT — the price of bounded state, same as the alive-key
+    * variant: events later than `watermarkDelay` behind the stream's
+    * max event time are dropped BEFORE the fold, so a straggler past
+    * that horizon neither pairs nor gets the `out_of_order` flag — it
+    * is gone. Use [[transitionUpdates]] (unbounded state, every
+    * arrival folds) when stragglers must be observed rather than
+    * bounded away. Timestamp-less events are dropped in both variants
+    * (no place on the event-time axis).
+    */
+  def transitionUpdatesWithTtl(events: DataFrame, ttl: java.time.Duration,
+      watermarkDelay: String = "10 seconds"): Dataset[Transition] = {
+    require(!ttl.isNegative && !ttl.isZero,
+      s"ttl must be positive, got $ttl (a zero timeout timestamp aborts " +
+        "the streaming query inside the state function)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    graft.sources.EventsAsRecords.normalizeTs(events, "ts")
+      .filter(col("ts").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("ts"))
+      .as[EventRowT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[EventRowT], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows
+              .map(r => EventRow(r.user_id, r.ts_us, r.event_id, r.event_type))
+              .toSeq
+            val (pairs, next) = foldBatch(uid, state.getOption, batch)
+            next.foreach(state.update)
+            // the timeout must sit strictly beyond the current
+            // watermark (and stay positive: saturate instead of
+            // overflowing on effectively-infinite TTLs) — the
+            // alive-key variant's exact arithmetic
+            val maxEventMs =
+              if (batch.isEmpty) 0L else batch.iterator.map(_.ts_us).max / 1000L
+            val base = math.max(state.getCurrentWatermarkMs(), maxEventMs)
+            val at = base + ttl.toMillis
+            state.setTimeoutTimestamp(
+              if (at <= base) Long.MaxValue else math.max(at, 1L))
+            pairs.iterator
+          }
       }
   }
 }

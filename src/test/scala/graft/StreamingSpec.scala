@@ -798,6 +798,42 @@ class StreamingSpec extends SparkSuite {
       rows.toString)
   }
 
+  test("transitions TTL evicts idle users; their next event starts a fresh chain") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val ev = mem.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    val q = graft.streaming.StreamingTransitions
+      .transitionUpdatesWithTtl(ev, java.time.Duration.ofSeconds(5),
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("strans_ttl")
+      .outputMode("update").start()
+    val base = 1700000000000L
+    // user 1 chains a -> b inside one batch
+    mem.addData((1L, ts(base), 0L, "a"), (1L, ts(base + 1000), 1L, "b"))
+    q.processAllAvailable()
+    // an unrelated user far in the future advances the watermark past
+    // user 1's timeout; the next trigger fires the eviction
+    mem.addData((2L, ts(base + 100000), 2L, "x"))
+    q.processAllAvailable()
+    mem.addData((2L, ts(base + 101000), 3L, "y"))
+    q.processAllAvailable()
+    // user 1 returns AFTER eviction: a fresh chain — this event has no
+    // predecessor, so NO b -> c transition is emitted (under NoTimeout
+    // it would have paired with the stored b)
+    mem.addData((1L, ts(base + 102000), 4L, "c"))
+    q.processAllAvailable()
+    // the fresh chain is live: the following event pairs against c
+    mem.addData((1L, ts(base + 103000), 5L, "d"))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = rowsOf(spark.table("strans_ttl").filter(col("user_id") === 1L))
+      .map(m => (m("event_type"), m("next_type")))
+    assert(u1 == Seq(("a", "b"), ("c", "d")),
+      s"expected the pre-eviction pair and the fresh chain's pair, got $u1")
+  }
+
   test("streaming transitions flag cross-batch stragglers, never miscount") {
     val s = spark
     import s.implicits._

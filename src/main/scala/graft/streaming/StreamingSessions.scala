@@ -27,13 +27,19 @@ import org.apache.spark.sql.functions._
 object StreamingSessions {
 
   def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
-      delay: String = "1 hour"): DataFrame =
+      delay: String = "1 hour",
+      guardName: String = "sessions_ts_guard"): DataFrame =
     graft.sources.EventsAsRecords.normalizeTs(events, "ts")
       // a timestamp-less event (null ts — in-contract dirty payload)
       // cannot belong to any gap-based session: drop it explicitly
       // rather than hand session_window a null event time (the same
       // rule transitionUpdates applies; the batch twin's NULLS-FIRST
-      // window placement is arbitrary, not a contract)
+      // window placement is arbitrary, not a contract). The drop is
+      // observable via the guardName observe node, the package's
+      // standard for silent-drop paths
+      .observe(guardName,
+        count(when(col("ts").isNull, 1)).as("null_ts_events"),
+        count(lit(1)).as("events_seen"))
       .filter(col("ts").isNotNull)
       .withWatermark("ts", delay)
       .groupBy(col("user_id"),

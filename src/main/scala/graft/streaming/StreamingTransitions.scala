@@ -74,11 +74,23 @@ object StreamingTransitions {
     * replicating; dropping follows the package's discipline for
     * unusable keys (the hot-key monitor drops null keys the same way).
     * Null user_id/event_id stay LOUD (ids are store corruption, the
-    * documented policy). */
-  def transitionUpdates(events: DataFrame): Dataset[Transition] = {
+    * documented policy).
+    *
+    * The drop is OBSERVABLE, not silent: an `observe` node named
+    * `guardName` counts timestamp-less rows (`null_ts_events`) beside
+    * the total (`events_seen`) — read from
+    * `StreamingQueryProgress.observedMetrics`, the alive-key TTL
+    * guard's pattern. A plan composing this operator twice must give
+    * each instance its own `guardName` (observed-metric names are
+    * query-unique). */
+  def transitionUpdates(events: DataFrame,
+      guardName: String = "transitions_ts_guard"): Dataset[Transition] = {
     val spark = events.sparkSession
     import spark.implicits._
     graft.sources.EventsAsRecords.normalizeTs(events, "ts")
+      .observe(guardName,
+        count(when(col("ts").isNull, 1)).as("null_ts_events"),
+        count(lit(1)).as("events_seen"))
       .filter(col("ts").isNotNull)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"))
@@ -119,13 +131,17 @@ object StreamingTransitions {
     * (no place on the event-time axis).
     */
   def transitionUpdatesWithTtl(events: DataFrame, ttl: java.time.Duration,
-      watermarkDelay: String = "10 seconds"): Dataset[Transition] = {
+      watermarkDelay: String = "10 seconds",
+      guardName: String = "transitions_ttl_ts_guard"): Dataset[Transition] = {
     require(!ttl.isNegative && !ttl.isZero,
       s"ttl must be positive, got $ttl (a zero timeout timestamp aborts " +
         "the streaming query inside the state function)")
     val spark = events.sparkSession
     import spark.implicits._
     graft.sources.EventsAsRecords.normalizeTs(events, "ts")
+      .observe(guardName,
+        count(when(col("ts").isNull, 1)).as("null_ts_events"),
+        count(lit(1)).as("events_seen"))
       .filter(col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),

@@ -762,11 +762,17 @@ class StreamingSpec extends SparkSuite {
       (1L, null: java.sql.Timestamp, 1L, "junk"),
       (1L, ts(2000), 2L, "b"))
     q.processAllAvailable()
+    val flagged = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("transitions_ts_guard")))
+      .map(_.getAs[Long]("null_ts_events")).sum
     q.stop()
     val streamed = rowsOf(spark.table("strans_null"))
     // the timestamp-less row neither pairs nor crashes: a -> b only
     assert(streamed.map(m => (m("event_type"), m("next_type"))) ==
       Seq(("a", "b")), streamed.toString)
+    // ...and the drop was counted, not silent
+    assert(flagged == 1L,
+      s"transitions_ts_guard should count the dropped row, got $flagged")
   }
 
   test("streaming sessions drop timestamp-less events instead of dying") {

@@ -38,18 +38,22 @@ class EpochedConcurrencySpec extends SparkSuite {
     pairs.toDF("id", "v")
   }
 
-  // the partitioned layout exercises writeGeneration's
-  // suppressed-marker path and the partition-discovery reassembly —
-  // the riskier of the two shipped layouts
-  private def table(root: String) =
-    EpochedTable(root, "t", Seq("id", "v"), partitionCols = Seq("v"),
-      normalizeRead = d => d.withColumn("v", col("v").cast("long")))
+  // both shipped layouts: plain, and the partitioned one that
+  // exercises writeGeneration's suppressed-marker path and the
+  // partition-discovery reassembly (the crash matrix's same split)
+  private case class Layout(name: String, table: String => EpochedTable)
+  private val layouts = Seq(
+    Layout("plain", root => EpochedTable(root, "t", Seq("id", "v"))),
+    Layout("partitioned", root =>
+      EpochedTable(root, "t", Seq("id", "v"), partitionCols = Seq("v"),
+        normalizeRead = d => d.withColumn("v", col("v").cast("long")))))
 
-  test("a reader loop never fails or loses rows across live compaction cycles") {
+  for (layout <- layouts)
+  test(s"[${layout.name}] a reader loop never fails or loses rows across live compaction cycles") {
     val root =
       java.nio.file.Files.createTempDirectory("graft-ep-conc").toString
     try {
-      val t = table(root)
+      val t = layout.table(root)
       t.replaceWith(df(0L -> 0L))
       val cycles = 6
       @volatile var committedUpTo = 0L // highest id the writer committed
@@ -114,7 +118,9 @@ class EpochedConcurrencySpec extends SparkSuite {
     val root =
       java.nio.file.Files.createTempDirectory("graft-ep-conc-empty").toString
     try {
-      val t = table(root)
+      // partitioned: every fold takes the suppressed-marker empty
+      // rewrite — the committed-unreadable window this round closed
+      val t = layouts.last.table(root)
       t.replaceWith(df()) // epoch-0 base: ZERO rows, partitioned layout
       @volatile var writerDone = false
       @volatile var writerErr: Throwable = null

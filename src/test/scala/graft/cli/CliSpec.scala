@@ -82,6 +82,55 @@ class CliSpec extends AnyFunSuite {
     assert(o2("missing-value") == "--parquet" && o2.contains("alive"))
   }
 
+  test("randomized round trip: any rendering of an assignment parses back exactly") {
+    // serialize a known assignment into a random legal arg list —
+    // random flag order, random attached/detached form per value flag,
+    // random short/long spelling — and require parse() to recover the
+    // assignment with no unknown/missing-value/duplicate. Dash-leading
+    // and '='-carrying values ride the attached form (the only legal
+    // rendering, as in clap). A round trip, not a mirror model.
+    val rnd = new scala.util.Random(1713)
+    val valueFlags = Seq(
+      ("topic", Seq("-t", "--topic")),
+      ("bootstrap", Seq("-b", "--bootstrap-server")),
+      ("librdkafka", Seq("--librdkafka")),
+      ("parquet", Seq("--parquet")))
+    val boolFlags = Seq(
+      ("alive", Seq("-c", "--count-alive-keys")),
+      ("compat", Seq("--compat")))
+    val plainVals = Seq("events", "k1:9092,k2:9092", "x=1,y=2", "/data/sf")
+    val dashVals = Seq("-part", "--compat", "-x=y")
+    for (_ <- 0 until 300) {
+      val chosenV = valueFlags.filter(_ => rnd.nextBoolean())
+      val chosenB = boolFlags.filter(_ => rnd.nextBoolean())
+      val rendered = new scala.util.Random(rnd.nextLong()).shuffle(
+        chosenV.map { case (key, spellings) =>
+          val dashy = rnd.nextInt(4) == 0
+          val v =
+            if (dashy) dashVals(rnd.nextInt(dashVals.length))
+            else plainVals(rnd.nextInt(plainVals.length))
+          // a dash-leading value's only legal rendering is the
+          // attached long form; otherwise pick spelling + form freely
+          val sp =
+            if (dashy) spellings.find(_.startsWith("--")).get
+            else spellings(rnd.nextInt(spellings.length))
+          val attached = sp.startsWith("--") && (dashy || rnd.nextBoolean())
+          (key, v, if (attached) Seq(s"$sp=$v") else Seq(sp, v))
+        } ++ chosenB.map { case (key, spellings) =>
+          (key, "true", Seq(spellings(rnd.nextInt(spellings.length))))
+        })
+      val args = rendered.flatMap(_._3).toList
+      val opts = Main.parse(args, Map.empty)
+      for (bad <- Seq("unknown", "missing-value", "duplicate"))
+        assert(!opts.contains(bad),
+          s"args=$args flagged $bad=${opts.get(bad)}")
+      rendered.foreach { case (key, v, _) =>
+        assert(opts.get(key).contains(v), s"args=$args key=$key got=$opts")
+      }
+      assert(opts.size == rendered.size, s"extra keys: $opts from $args")
+    }
+  }
+
   test("librdkafka pass-through gets the kafka. option prefix; junk dropped") {
     val m = Main.parseLibrdkafka(Some("fetch.min.bytes=1,junk,isolation.level=read_committed"))
     assert(m == Map("kafka.fetch.min.bytes" -> "1",

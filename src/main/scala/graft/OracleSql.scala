@@ -2738,8 +2738,8 @@ object OracleSql {
        |      FROM p GROUP BY 1),
        |tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_total FROM p)
        |SELECT w1, w2, n_pair, n_left, n_right,
-       |       CAST(n_pair * n_total AS DOUBLE) /
-       |         CAST(n_left * n_right AS DOUBLE) AS lift
+       |       (CAST(n_pair AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+       |         (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)) AS lift
        |FROM p JOIN l USING (w1) JOIN r USING (w2), tot
        |WHERE n_pair >= $minCount
        |ORDER BY lift DESC, w1, w2 LIMIT $k""".stripMargin

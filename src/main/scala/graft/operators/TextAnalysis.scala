@@ -133,6 +133,13 @@ object TextAnalysis {
     * integers on every engine; the [[graft.operators.CorpusOps
     * .sourceMixture]] rule).
     *
+    * Overflow bound: per-doc `sum_ctf = Σ tf·ctf` is bounded by
+    * doc_tokens × corpus_tokens — 10⁵ × 10¹³ ≈ 10¹⁸ at the 100 TB
+    * design point, inside 2⁶³ ≈ 9.2×10¹⁸ with ~9× headroom. A
+    * 10 PB corpus or unchunked 10⁶-token documents would need the
+    * decimal treatment; at that point revisit (the collocations lift
+    * already crossed this line and multiplies in double).
+    *
     * Plan shape: tokenize once; corpus term frequency is
     * RE-AGGREGATED from the per-doc tf aggregate (never a
     * term-partitioned window — Zipfian head terms made that a
@@ -264,8 +271,15 @@ object TextAnalysis {
     * the ONE pair exchange at runtime) rather than re-tokenizing the
     * corpus for unigram counts. `minCount` prunes the noise tail
     * before the joins; the k-cut is a TakeOrderedAndProject. The
-    * lift is one division of two exact BIGINT products (< 2^53 —
-    * exact as doubles), so it hash-matches bit-for-bit.
+    * lift multiplies IN DOUBLE: a BIGINT product n_pair·n_total
+    * silently wraps at the design point (a 100 TB corpus holds ~10¹³
+    * bigrams; a Zipf-head pair count times that total is ~10²³ ≫
+    * 2⁶³ — and DuckDB would promote to HUGEINT where Spark wraps, so
+    * the engines would diverge exactly when it matters). Double
+    * multiplication is correctly rounded from identical integers on
+    * both engines — still hash-exact, and EXACT below 2⁵³ (every
+    * fixture), while degrading to ~1 ulp instead of garbage at
+    * corpus scale.
     */
   def collocations(docs: DataFrame, minCount: Int = 3, k: Int = 50): DataFrame = {
     val pairs = docs
@@ -288,8 +302,8 @@ object TextAnalysis {
       .join(right, Seq("w2"))
       .crossJoin(broadcast(total))
       .withColumn("lift",
-        (col("n_pair") * col("n_total")).cast("double") /
-          (col("n_left") * col("n_right")).cast("double"))
+        (col("n_pair").cast("double") * col("n_total").cast("double")) /
+          (col("n_left").cast("double") * col("n_right").cast("double")))
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(k)
       .select(col("w1"), col("w2"), col("n_pair"), col("n_left"),

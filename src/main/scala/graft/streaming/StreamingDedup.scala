@@ -52,6 +52,13 @@ object StreamingDedup {
     * more value and would silently collapse every missing-text doc
     * ever ingested into the FIRST one seen. The split also keeps the
     * state store null-free (no state row parks on the null group).
+    *
+    * Cost note: the self-union's two branches each evaluate the input
+    * plan, so a frame WITHOUT a fingerprint column pays the md5 +
+    * normalization twice per micro-batch. The documented ingest chain
+    * (curated → dedup) carries the column and pays nothing extra; a
+    * caller hand-building high-volume frames should fingerprint
+    * upstream the same way.
     */
   def deduped(docs: DataFrame): DataFrame = {
     val fp = fingerprinted(docs)

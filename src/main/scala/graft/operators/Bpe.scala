@@ -246,17 +246,13 @@ object Bpe {
       .agg(sum(col("tf")).cast("long").as("n_words"),
         sum(col("tf") * col("n_chars_w")).cast("long").as("n_chars"),
         sum(col("tf") * col("n_seg")).cast("long").as("n_pieces"))
-      // same overflow-safe 10³·10³ split as effectiveTokens' dup_tax
-      // and paddingSweep's pad_ppm: n_pieces·10⁶ overflows long past
-      // ~9.2×10¹² pieces, and a dominant source of a 100 TB corpus
-      // (~10¹³⁻¹⁴ pieces) crosses that; the split raises the ceiling
-      // 1000× (the oracle computes the unsplit HUGEINT form — they
-      // agree wherever longs don't overflow). n_chars > 0 always:
-      // words are non-empty by the tokenizer's "" filter.
-      .withColumn("pieces_per_mchar", expr(
-        """((n_pieces * 1000) div n_chars) * 1000
-          | + (((n_pieces * 1000) % n_chars) * 1000) div n_chars"""
-          .stripMargin))
+      // overflow-safe split ppm ([[graft.functions.ExactMath]]):
+      // n_pieces·10⁶ overflows long past ~9.2×10¹² pieces, and a
+      // dominant source of a 100 TB corpus (~10¹³⁻¹⁴ pieces) crosses
+      // that. n_chars > 0 always: words are non-empty by the
+      // tokenizer's "" filter.
+      .withColumn("pieces_per_mchar",
+        graft.functions.ExactMath.ppmSplitDiv("n_pieces", "n_chars"))
       .orderBy(col("source"))
   }
 }

@@ -575,16 +575,12 @@ object CorpusOps {
           sum(col("padding_tokens")).as("padding_tokens"))
         .select(lit(b).as("bucket_tokens"), col("n_batches"),
           col("n_docs"), col("real_tokens"), col("padding_tokens"))
-        // same overflow-safe 10³·10³ split as effectiveTokens'
-        // dup_tax_ppm (padding_tokens·10⁶ overflows long past
-        // ~9.2×10¹² padding tokens); null when the corpus is empty,
-        // exactly as the unsplit nullif form
-        .withColumn("pad_ppm", expr(
-          """((padding_tokens * 1000)
-            |   div nullif(real_tokens + padding_tokens, 0)) * 1000
-            | + (((padding_tokens * 1000)
-            |      % nullif(real_tokens + padding_tokens, 0)) * 1000)
-            |   div nullif(real_tokens + padding_tokens, 0)""".stripMargin))
+        // overflow-safe split ppm ([[graft.functions.ExactMath]] —
+        // padding_tokens·10⁶ overflows long past ~9.2×10¹² padding
+        // tokens); null when the corpus is empty, exactly as the
+        // unsplit nullif form
+        .withColumn("pad_ppm", graft.functions.ExactMath.ppmSplitDiv(
+          "padding_tokens", "nullif(real_tokens + padding_tokens, 0)"))
     }.reduce(_.unionAll(_)).orderBy(col("bucket_tokens"))
   }
 
@@ -940,20 +936,16 @@ object CorpusOps {
         sum(col("n_toks")).as("raw_tokens"),
         sum(when(col("cluster") === col("doc_id"), col("n_toks"))
           .otherwise(0L)).as("effective_tokens"))
-      // exact ((raw−eff)·10⁶) div raw WITHOUT the 10⁶ multiply
-      // overflowing: split 10⁶ = 10³·10³ and carry the remainder —
-      // ((d·10³) div r)·10³ + ((d·10³ mod r)·10³) div r ≡ (d·10⁶) div r
-      // in exact integer arithmetic (the oracle's HUGEINT computes the
-      // unsplit form; they agree wherever longs don't overflow, and
-      // the split raises the Spark ceiling from ~9.2×10¹² taxed
-      // tokens — BELOW the 100 TB design point of ~10¹³ — to
-      // ~9.2×10¹⁵, 700× above it). Zero/NULL raw → 0 tax: no tokens,
-      // no tax (the unguarded div would throw under ANSI).
+      // exact ((raw−eff)·10⁶) div raw via the overflow-safe split
+      // quotient ([[graft.functions.ExactMath.ppmSplitDiv]] — the
+      // split raises the Spark ceiling from ~9.2×10¹² taxed tokens,
+      // BELOW the 100 TB design point of ~10¹³, to ~9.2×10¹⁵; the
+      // oracle's HUGEINT computes the unsplit form and they agree
+      // wherever longs don't overflow). Zero/NULL raw → 0 tax: no
+      // tokens, no tax (the unguarded div would throw under ANSI).
       .withColumn("dup_tax_ppm",
-        when(col("raw_tokens") > 0, expr(
-          """(((raw_tokens - effective_tokens) * 1000) div raw_tokens) * 1000
-            | + ((((raw_tokens - effective_tokens) * 1000) % raw_tokens)
-            |    * 1000) div raw_tokens""".stripMargin))
+        when(col("raw_tokens") > 0, graft.functions.ExactMath.ppmSplitDiv(
+          "(raw_tokens - effective_tokens)", "raw_tokens"))
           .otherwise(lit(0L)))
       .orderBy(col("source"))
 

@@ -441,13 +441,15 @@ object ArrayHashExprs {
     * the HOF (a null probe is a null predicate, dropped by `filter`);
     * a null array is a null count. The sketch deserializes ONCE per
     * task through a codegen reference object, never per row. The
-    * sketch rides as an immutable `ArraySeq[Byte]` — NOT `Array[Byte]`,
+    * sketch rides inside [[SketchBytes]] — NOT a bare `Array[Byte]`,
     * whose reference-based equals/hashCode would make two identical
     * gates never compare equal, defeating expression canonicalization
-    * and common-subexpression elimination.
+    * and common-subexpression elimination — and the holder caches its
+    * content hash, because Catalyst re-hashes expressions on every
+    * plan transform and a bare `ArraySeq[Byte]` would walk the whole
+    * serialized sketch (MBs at real fpp/capacity) each time.
     */
-  case class BloomHitsExpr(child: Expression,
-      bytes: scala.collection.immutable.ArraySeq[Byte])
+  case class BloomHitsExpr(child: Expression, sketch: SketchBytes)
     extends UnaryExpression
     with org.apache.spark.sql.graftbridge.GraftInputTypes {
 
@@ -457,7 +459,7 @@ object ArrayHashExprs {
 
     @transient private lazy val bloom =
       org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bytes.toArray))
+        new java.io.ByteArrayInputStream(sketch.bytes.toArray))
 
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
@@ -492,9 +494,28 @@ object ArrayHashExprs {
       copy(child = newChild)
   }
 
+  /** Serialized-sketch holder with content equality and a hash
+    * computed ONCE at construction. A case-class expression parameter
+    * is hashed by Catalyst on every analysis/optimization transform;
+    * a bare byte sequence makes each of those O(sketch size). The
+    * cached-hash fast path in equals keeps the common
+    * all-gates-distinct comparison O(1) too; content comparison runs
+    * only on a hash collision, preserving canonicalization exactly. */
+  final class SketchBytes(
+      val bytes: scala.collection.immutable.ArraySeq[Byte])
+    extends Serializable {
+    override val hashCode: Int = bytes.hashCode
+    override def equals(o: Any): Boolean = o match {
+      case s: SketchBytes =>
+        (s eq this) || (s.hashCode == hashCode && s.bytes == bytes)
+      case _ => false
+    }
+  }
+
   def bloom_hits(xs: Column, bytes: Array[Byte]): Column =
     ColumnBridge.column(BloomHitsExpr(ColumnBridge.expression(xs),
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes)))
+      new SketchBytes(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes))))
 
   /** Sequential-fold dot product over two `array<double>` columns:
     * `acc = 0.0; acc += a[i]*b[i]` in index order — the same IEEE

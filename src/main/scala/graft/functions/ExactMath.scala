@@ -25,12 +25,14 @@ object ExactMath {
     * wherever longs don't overflow, which [[graft.ExactMathSpec]]
     * pins at boundary magnitudes against BigInt.
     *
-    * `num`/`den` are COLUMN NAMES or pre-parenthesized code-controlled
-    * expressions (never user input) — the `div` integer-division
-    * operator has no Column-API form, so the one definition is an
-    * expr template.
+    * `num`/`den` are code-controlled SQL expressions (never user
+    * input) — the `div` integer-division operator has no Column-API
+    * form, so the one definition is an expr template. The template
+    * parenthesizes BOTH substitutions itself, so a composite operand
+    * like `a + b` binds as one unit instead of silently re-associating
+    * with the template's own operators (`x div a + b`).
     */
   def ppmSplitDiv(num: String, den: String): Column = expr(
-    s"(($num * 1000) div $den) * 1000" +
-      s" + ((($num * 1000) % $den) * 1000) div $den")
+    s"((($num) * 1000) div ($den)) * 1000" +
+      s" + (((($num) * 1000) % ($den)) * 1000) div ($den)")
 }

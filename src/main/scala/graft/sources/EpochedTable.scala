@@ -558,7 +558,18 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     if (partitionCols.isEmpty) {
       rows.write.mode("overwrite").parquet(tableDir(target))
     } else {
+      // partitionOverwriteMode is pinned STATIC per-write (the
+      // per-write option overrides the session conf): under a
+      // session-level `dynamic`, overwrite replaces only the
+      // partitions present in `rows`, so a crashed prior attempt's
+      // partition dirs would survive the rewrite — hasData below
+      // would misread that debris as data and the manual _SUCCESS
+      // would commit the crashed attempt's stale rows. Static mode
+      // truncates the whole generation dir, which is the semantics
+      // every generation write requires (a generation is a complete
+      // snapshot, never a partition-wise patch).
       rows.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .option("partitionOverwriteMode", "static")
         .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .parquet(tableDir(target))
       val fs = fsOf(rows.sparkSession)

@@ -158,11 +158,28 @@ class ArrayHashExprsSpec extends SparkSuite {
     val child =
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("xs"))
     import scala.collection.immutable.ArraySeq
-    val a = ArrayHashExprs.BloomHitsExpr(child, ArraySeq.unsafeWrapArray(bytes))
-    val b = ArrayHashExprs.BloomHitsExpr(child, ArraySeq.unsafeWrapArray(copy))
+    def holder(bs: Array[Byte]) =
+      new ArrayHashExprs.SketchBytes(ArraySeq.unsafeWrapArray(bs))
+    val a = ArrayHashExprs.BloomHitsExpr(child, holder(bytes))
+    val b = ArrayHashExprs.BloomHitsExpr(child, holder(copy))
     assert(a == b, "content-equal gates must be equal")
     assert(a.semanticEquals(b), "content-equal gates must canonicalize equal")
     assert(a.hashCode == b.hashCode)
+    // the holder's hash is computed ONCE at construction (Catalyst
+    // re-hashes expressions per plan transform; a bare ArraySeq would
+    // walk the serialized sketch each time) — a content mutation after
+    // construction not changing the hash is the observable signature
+    // of the cache. Only the spec mutates; production wraps fresh
+    // serializations.
+    val mutated = bytes.clone()
+    val h = holder(mutated)
+    val before = h.hashCode
+    mutated(0) = (mutated(0) ^ 0x5a).toByte
+    assert(h.hashCode == before,
+      "SketchBytes must cache its hash at construction, not recompute")
+    // content inequality still detected (equality is content-based)
+    assert(holder(bytes) != new ArrayHashExprs.SketchBytes(
+      ArraySeq.unsafeWrapArray(bytes.dropRight(1))))
   }
 
   test("minhash of empty array is null; simhash of empty array is 0") {

@@ -38,6 +38,21 @@ class EpochedConcurrencySpec extends SparkSuite {
     pairs.toDF("id", "v")
   }
 
+  /** Writer-side pacing: block until the reader COMPLETES at least one
+    * read after this call (or fails, or a generous deadline passes).
+    * The contract under test grants a read one concurrent swap of
+    * grace; gating each swap on observed read progress keeps in-flight
+    * reads to at most one swap REGARDLESS of scheduler speed — a fixed
+    * sleep would let a slow CI read straddle two swaps and fail the
+    * suite spuriously while exceeding, not testing, the contract. */
+  private def awaitReaderProgress(reads: () => Int,
+      readerFailed: () => Boolean): Unit = {
+    val mark = reads()
+    val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+    while (reads() == mark && !readerFailed() && System.nanoTime < deadline)
+      Thread.sleep(10)
+  }
+
   // both shipped layouts: plain, and the partitioned one that
   // exercises writeGeneration's suppressed-marker path and the
   // partition-discovery reassembly (the crash matrix's same split)
@@ -59,6 +74,8 @@ class EpochedConcurrencySpec extends SparkSuite {
       @volatile var committedUpTo = 0L // highest id the writer committed
       @volatile var writerDone = false
       @volatile var writerErr: Throwable = null
+      @volatile var reads = 0
+      @volatile var readerErr: Throwable = null
       val writer = new Thread(() => {
         try {
           var id = 1L
@@ -69,18 +86,17 @@ class EpochedConcurrencySpec extends SparkSuite {
             t.compact(spark)
             // the reader grace is ONE cycle: a read whose epoch
             // resolution straddled TWO swaps may legitimately miss its
-            // pinned listing. A short writer pause keeps in-flight
-            // reads to at most one concurrent swap — testing the
-            // contract, not exceeding it
-            Thread.sleep(300)
+            // pinned listing. Gate the next swap on the reader having
+            // COMPLETED a read since this one — in-flight reads stay
+            // within one concurrent swap, testing the contract
+            // without exceeding it at any scheduler speed
+            awaitReaderProgress(() => reads, () => readerErr != null)
           }
         } catch { case e: Throwable => writerErr = e }
         finally writerDone = true
       }, "epoched-writer")
       val seen = scala.collection.mutable.Set.empty[Long]
       var maxSeen = -1L
-      var reads = 0
-      var readerErr: Throwable = null
       writer.start()
       try {
         while (!writerDone && readerErr == null) {
@@ -124,17 +140,21 @@ class EpochedConcurrencySpec extends SparkSuite {
       t.replaceWith(df()) // epoch-0 base: ZERO rows, partitioned layout
       @volatile var writerDone = false
       @volatile var writerErr: Throwable = null
+      @volatile var reads = 0
+      @volatile var readerErr: Throwable = null
       val writer = new Thread(() => {
         // empty folds: every generation takes writeGeneration's
         // empty-rewrite path (suppressed marker → plain rewrite) —
         // the exact window a committed-unreadable generation would
-        // have lived in
-        try for (_ <- 1 to 4) { t.compact(spark); Thread.sleep(300) }
+        // have lived in. Swaps gated on read progress (see
+        // awaitReaderProgress), not wall-clock
+        try for (_ <- 1 to 4) {
+          t.compact(spark)
+          awaitReaderProgress(() => reads, () => readerErr != null)
+        }
         catch { case e: Throwable => writerErr = e }
         finally writerDone = true
       }, "epoched-empty-writer")
-      var reads = 0
-      var readerErr: Throwable = null
       writer.start()
       try {
         while (!writerDone && readerErr == null) {

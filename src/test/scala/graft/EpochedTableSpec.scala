@@ -300,4 +300,51 @@ class EpochedTableSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root))
   }
+
+  test("a session-level dynamic partitionOverwriteMode cannot resurrect a crashed attempt's debris") {
+    // under `dynamic`, a path overwrite replaces ONLY the partitions
+    // present in the written frame — a crashed prior attempt's
+    // partition dirs would survive a generation rewrite, hasData would
+    // misread the debris as data, and the manual _SUCCESS would commit
+    // the crashed attempt's stale rows (worst on an EMPTY rewrite,
+    // which writes no partitions at all). writeGeneration pins the
+    // mode static per-write; this test holds the session conf at
+    // dynamic throughout and asserts the debris never comes back.
+    val root = java.nio.file.Files.createTempDirectory("graft-ep-dyn").toString
+    def plantDebris(gen: String, pair: (Long, Long)): Unit = {
+      df(pair).write.mode("overwrite").partitionBy("v")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .parquet(s"$root/$gen")
+      assert(!new java.io.File(s"$root/$gen/_SUCCESS").exists())
+    }
+    try {
+      val t = EpochedTable(root, "pt", Seq("id", "v"),
+        partitionCols = Seq("v"),
+        normalizeRead = d => d.withColumn("v", col("v").cast("long")))
+      t.replaceWith(df(1L -> 1L)) // epoch 0
+      plantDebris("pt_v1", 99L -> 99L) // crashed attempt at the next target
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try {
+        // EMPTY rebuild over the debris: dynamic semantics would keep
+        // the v=99 dir and commit it as the generation's content
+        t.replaceWith(df())
+        assert(t.activeEpoch(spark) == 1)
+        assert(t.read(spark).count() == 0L,
+          "empty rebuild resurrected crashed-attempt debris")
+        // NON-empty rebuild over fresh debris: replaces, never merges
+        plantDebris("pt_v2", 98L -> 98L)
+        t.replaceWith(df(2L -> 2L))
+        val got = rowsOf(t.read(spark).orderBy(col("id")))
+          .map(r => (r("id").asInstanceOf[Long], r("v").asInstanceOf[Long]))
+        assert(got == Seq(2L -> 2L),
+          s"rebuild merged with crashed-attempt debris: $got")
+      } finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
 }

@@ -44,6 +44,21 @@ class ExactMathSpec extends SparkSuite {
     }
   }
 
+  test("composite operands bind as units (the template parenthesizes both substitutions)") {
+    // the misparse this pins against: an unparenthesized template
+    // would read den = "a + b" as `(x div a) + b` — silently wrong.
+    val s = spark
+    import s.implicits._
+    val r = Seq((10L, 3L, 4L)).toDF("x", "a", "b")
+      .withColumn("ppm", ExactMath.ppmSplitDiv("x", "a + b"))
+      .withColumn("ppm_num", ExactMath.ppmSplitDiv("a + b", "x"))
+      .collect()(0)
+    assert(r.getLong(3) == ((BigInt(10) * 1000000) / BigInt(7)).toLong,
+      s"composite denominator misparsed: ${r.getLong(3)}")
+    assert(r.getLong(4) == ((BigInt(7) * 1000000) / BigInt(10)).toLong,
+      s"composite numerator misparsed: ${r.getLong(4)}")
+  }
+
   test("split ppm propagates a null denominator (the nullif guard idiom)") {
     val s = spark
     import s.implicits._

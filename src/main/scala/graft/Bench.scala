@@ -27,7 +27,10 @@ object Bench {
     * end-of-run min-of-5 sentinel; v4 adds the self-adjudicating
     * suspect pass — "suspect_ratio" (sentinel-normalized in-suite vs
     * baseline) and "isolated_s" (post-suite min-of-5 isolated
-    * re-timings of the worst offenders).
+    * re-timings of the worst offenders). Purely DIAGNOSTIC fields
+    * (gc_s in r17; jit_s / cleaned_n / cleaner_pending and their
+    * isolated_* twins in r18) do not bump the regime: timings and
+    * their methodology are untouched, so baselines stay comparable.
     */
   private[graft] val Regime = "pass-major-rotate-v4"
 
@@ -162,15 +165,19 @@ object Bench {
     // the least-noisy view of the plan's cost
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     val ordered = queries.toSeq.sortBy(_._1)
-    // cumulative stop-the-world GC milliseconds across all collectors —
-    // sampled around each timed window so the artifact records how much
-    // of a query's wall clock was the JVM collecting. GC time is
-    // JVM-global, which is exactly the point: the backlog a heavy
-    // NEIGHBOR leaves (codegen class churn, cleaner queue debris)
-    // surfaces as GC pauses inside the next query's window, and this
-    // field separates that mechanism from plan cost without a re-run.
-    // Diagnostic only — timings and their methodology are unchanged,
-    // so the regime tag stays v4 and baselines remain comparable.
+    // per-window mechanism diagnostics — all JVM-global, which is
+    // exactly the point: the backlog a heavy NEIGHBOR leaves surfaces
+    // INSIDE the next query's window, and these fields separate each
+    // candidate mechanism from plan cost without a re-run. Round 16
+    // disproved leaked checkpoints (block manager provably empty, gap
+    // persisted); round 17's gc_s (≤0.062 s everywhere) disproved
+    // measured GC pause; round 18 adds the remaining unmeasured
+    // candidates: JIT compilation time (code-cache churn from ~143
+    // plans' generated classes), ContextCleaner events drained in the
+    // window (a drain is work a neighbor enqueued but never paid for),
+    // and the cleaner's pending queue depth at window end. Diagnostics
+    // only — timings and their methodology are unchanged, so the
+    // regime tag stays v4 and baselines remain comparable.
     def gcMillis(): Long = {
       val it = java.lang.management.ManagementFactory
         .getGarbageCollectorMXBeans.iterator()
@@ -178,8 +185,24 @@ object Bench {
       while (it.hasNext) total += it.next().getCollectionTime.max(0L)
       total
     }
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMillis(): Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime
+      else -1L
+    val cleanedCounter = org.apache.spark.graftbridge.CleanerBridge
+      .attachCounter(spark.sparkContext)
+    def cleanedNow(): Long = cleanedCounter.map(_.get).getOrElse(-1L)
+    def pendingNow(): Long = org.apache.spark.graftbridge.CleanerBridge
+      .pendingDepth(spark.sparkContext)
+    // sec carries the timing (or the -1 failure sentinel); the rest are
+    // the window's mechanism diagnostics (-1 = unmeasurable, never 0)
+    case class Diag(sec: Double, gc: Double, jit: Double,
+        cleaned: Long, pending: Long)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Diag = {
       val gc0 = gcMillis()
+      val jit0 = jitMillis()
+      val cl0 = cleanedNow()
       val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column
       // (a bare count() lets Catalyst prune projection-only plans away).
@@ -197,6 +220,13 @@ object Bench {
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis() - gc0) / 1e3
+      val jit1 = jitMillis()
+      val jitSec = if (jit0 < 0 || jit1 < 0) -1.0 else (jit1 - jit0) / 1e3
+      val cl1 = cleanedNow()
+      val cleaned = if (cl0 < 0 || cl1 < 0) -1L else cl1 - cl0
+      // depth is sampled AT WINDOW END, inside the window's accounting:
+      // what the cleaner still owes when this query's clock stopped
+      val pending = pendingNow()
       // checkpoint release runs OUTSIDE the timed window: timings
       // measure the plan, and every query starts from the same empty
       // block manager (the "isolated" condition) instead of inheriting
@@ -205,14 +235,14 @@ object Bench {
       // a failed query must be loud IN THE JSON too: -1 is
       // unmistakably not a timing, so consumers cannot mistake a
       // crash for speed
-      (if (ok) elapsed else -1.0, gcSec)
+      Diag(if (ok) elapsed else -1.0, gcSec, jitSec, cleaned, pending)
     }
     // pass-major with a rotated start per pass: any residual boundary
     // overhead a quiesce misses lands on a DIFFERENT query each pass, so
     // the per-query min escapes it (back-to-back passes on the same
     // query cannot — both runs sit inside the same overhead window)
     val timesByQuery =
-      scala.collection.mutable.Map.empty[String, List[(Double, Double)]]
+      scala.collection.mutable.Map.empty[String, List[Diag]]
     for (p <- 0 until passes) {
       val off = if (ordered.isEmpty) 0 else (p * ordered.size / passes) % ordered.size
       val rotated = ordered.drop(off) ++ ordered.take(off)
@@ -222,18 +252,19 @@ object Bench {
       }
     }
     val results = ordered.map { case (name, _) =>
-      val times = timesByQuery.getOrElse(name, List((-1.0, 0.0)))
-      name -> (if (times.exists(_._1 == -1.0)) -1.0 else times.map(_._1).min)
+      val times = timesByQuery.getOrElse(name, List(Diag(-1.0, 0, 0, 0, 0)))
+      name -> (if (times.exists(_.sec == -1.0)) -1.0 else times.map(_.sec).min)
     }
-    // the GC seconds of the pass that SUPPLIED each query's reported
+    // the diagnostics of the pass that SUPPLIED each query's reported
     // min — pairing them keeps "how much of this number was collection
-    // pauses" answerable per artifact entry. Crashed passes (-1.0) are
-    // excluded from the pairing: they sort below every real timing, so
-    // a naive minBy would record a failed attempt's GC as if it
-    // belonged to the reported (non-)minimum
-    val gcOfMin = ordered.map { case (name, _) =>
-      val ok = timesByQuery.getOrElse(name, Nil).filter(_._1 >= 0)
-      name -> (if (ok.isEmpty) 0.0 else ok.minBy(_._1)._2)
+    // pauses / JIT / cleaner drain" answerable per artifact entry.
+    // Crashed passes (-1.0) are excluded from the pairing: they sort
+    // below every real timing, so a naive minBy would record a failed
+    // attempt's diagnostics as if they belonged to the reported
+    // (non-)minimum
+    val diagOfMin = ordered.map { case (name, _) =>
+      val ok = timesByQuery.getOrElse(name, Nil).filter(_.sec >= 0)
+      name -> (if (ok.isEmpty) Diag(-1.0, 0, 0, 0, 0) else ok.minBy(_.sec))
     }
     // drift sentinel: one fixed trivial query (the warmup's
     // groupBy(event_type).count at the measured SF) timed min-of-5 AFTER
@@ -313,26 +344,37 @@ object Bench {
           .take(maxSuspects)
       case _ => Seq.empty
     }
-    val isolated: Seq[(String, Double)] = suspects.map { case (name, _) =>
+    // isolated re-timings carry their OWN min-pass diagnostics: one
+    // artifact then answers the mechanism question per suspect — if
+    // the in-suite window shows a JIT/cleaner/GC load the isolated
+    // window lacks, that load IS the in-suite/isolated gap, measured
+    val isolated: Seq[(String, Diag)] = suspects.map { case (name, _) =>
       quiesce()
       val fn = queries(name)
-      val times = (0 until 5).map(_ => timeOnce(name, fn)._1)
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      val ds = (0 until 5).map(_ => timeOnce(name, fn))
+      name -> (if (ds.exists(_.sec < 0)) Diag(-1.0, 0, 0, 0, 0)
+               else ds.minBy(_.sec))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // millisecond precision keeps the line short; placed BEFORE
-    // "queries" in the artifact so the driver's 2000-char tail
+    def obj[T](xs: Seq[(String, T)])(f: T => String): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+    def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val qs = obj(results)(_.toString)
+    // millisecond precision keeps the line short; diagnostics placed
+    // BEFORE "queries" in the artifact so the driver's 2000-char tail
     // fragment still ends in query timings + the suffix fields, and a
-    // fragment regex for "q_*":number can never pick a gc entry up in
-    // place of a timing (both use the query name as key)
-    val gcJson = gcOfMin
-      .map { case (k, v) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
-      .mkString("{", ",", "}")
-    val isoJson = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val suspectJson = suspects.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // fragment regex for "q_*":number can never pick a diagnostic
+    // entry up in place of a timing (both use the query name as key)
+    val gcJson = obj(diagOfMin)(d => ms(d.gc))
+    val jitJson = obj(diagOfMin)(d => ms(d.jit))
+    val cleanedJson = obj(diagOfMin)(_.cleaned.toString)
+    val pendingJson = obj(diagOfMin)(_.pending.toString)
+    val isoJson = obj(isolated)(_.sec.toString)
+    val isoGcJson = obj(isolated)(d => ms(d.gc))
+    val isoJitJson = obj(isolated)(d => ms(d.jit))
+    val isoCleanedJson = obj(isolated)(_.cleaned.toString)
+    val isoPendingJson = obj(isolated)(_.pending.toString)
+    val suspectJson = obj(suspects)(_.toString)
     // total covers successful queries only — summing the -1 failure
     // sentinels would make a crashed query IMPROVE the headline number
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -346,7 +388,7 @@ object Bench {
     // measurement procedure changes (warmup policy, rotation, quiesce,
     // sentinel) so artifacts from different regimes are never compared
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","gc_s":$gcJson,"queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes,"sweep":true,"leaked":$leaked,"regime":"$Regime","sentinel_s":$sentinel,"baseline":"${esc(baselinePath)}","suspect_ratio":$suspectJson,"isolated_s":$isoJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","gc_s":$gcJson,"jit_s":$jitJson,"cleaned_n":$cleanedJson,"cleaner_pending":$pendingJson,"queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes,"sweep":true,"leaked":$leaked,"regime":"$Regime","sentinel_s":$sentinel,"baseline":"${esc(baselinePath)}","suspect_ratio":$suspectJson,"isolated_s":$isoJson,"isolated_gc_s":$isoGcJson,"isolated_jit_s":$isoJitJson,"isolated_cleaned_n":$isoCleanedJson,"isolated_pending":$isoPendingJson}"""
     println(line)
     // also persist to a file: stdout can get interleaved with stray
     // [error] log lines under sbt, which breaks line-oriented parsers.

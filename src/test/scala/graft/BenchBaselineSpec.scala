@@ -38,6 +38,39 @@ class BenchBaselineSpec extends AnyFunSuite {
     }
   }
 
+  test("parses the r18 artifact shape: diagnostic objects precede queries") {
+    // jit_s/cleaned_n/cleaner_pending (and gc_s) sit BEFORE "queries"
+    // and reuse query names as keys — the flat-object scan must anchor
+    // on the literal `"queries":{` marker, never on a diagnostic
+    // object, or every timing would be misread as its own gc/jit value
+    val line =
+      """{"metric":"total","value":9.9,"unit":"sec","gc_s":{"q_agg":0.5},"jit_s":{"q_agg":7.7},"cleaned_n":{"q_agg":123},"cleaner_pending":{"q_agg":6000},"queries":{"q_agg":1.25},"sf":"/x","passes":2,"regime":"pass-major-rotate-v4","sentinel_s":0.1,"isolated_s":{},"isolated_gc_s":{},"isolated_jit_s":{},"isolated_cleaned_n":{},"isolated_pending":{}}"""
+    withTemp(line) { path =>
+      val Some((qs, sent, _)) = Bench.loadBaseline(path)
+      assert(sent == 0.1)
+      assert(qs == Map("q_agg" -> 1.25),
+        s"timing misread from a diagnostic object: $qs")
+    }
+  }
+
+  test("the tracked baseline carries the bench-only train entries under the live regime") {
+    // the suspect pass adjudicates *_train_bench drift exactly like
+    // registry queries IFF the tracked bench.json carries them under
+    // the current regime tag — a baseline refresh that dropped them
+    // would silently blind the pass to the suite's most expensive
+    // entry's drift, so the precondition is pinned here
+    val Some((qs, sent, regime)) = Bench.loadBaseline("bench.json")
+    assert(regime == Bench.Regime,
+      s"tracked baseline regime '$regime' != live '${Bench.Regime}' — " +
+        "every run would skip the suspect pass until a refresh")
+    assert(sent > 0)
+    assert(SparkEntry.benchQueries.nonEmpty)
+    for (k <- SparkEntry.benchQueries.keys)
+      assert(qs.get(k).exists(_ > 0),
+        s"tracked bench.json lost bench-only entry $k — its drift " +
+          "would be invisible to the suspect pass")
+  }
+
   test("missing file, missing sentinel, empty queries, garbage → None") {
     assert(Bench.loadBaseline("/nonexistent/bench.json").isEmpty)
     withTemp("""{"queries":{"q":1.0}}""") { p =>

@@ -30,6 +30,14 @@ for sf in sf0.001 sf0.1; do
   ok=$(grep -c '^OK' "/tmp/oracle_$sf.log")
   total=$(grep -c '^\(OK\|FAIL\)' "/tmp/oracle_$sf.log")
   echo "$sf: $ok/$total hash-exact"
+  # a zero-coverage compare (empty/truncated oracle_sql.json → the
+  # loop ran zero iterations and exited 0) must not pass the gate —
+  # silent truncation reading as "covered everything" is the exact
+  # failure class this script exists to prevent
+  if [ "$total" -eq 0 ]; then
+    echo "FAIL  $sf: oracle compare ran ZERO queries"
+    overall=1
+  fi
   if [ $rc -ne 0 ]; then
     grep '^FAIL' "/tmp/oracle_$sf.log" | head -20
     overall=1

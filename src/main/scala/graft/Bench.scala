@@ -175,7 +175,9 @@ object Bench {
     // candidates: JIT compilation time (code-cache churn from ~143
     // plans' generated classes), ContextCleaner events drained in the
     // window (a drain is work a neighbor enqueued but never paid for),
-    // and the cleaner's pending queue depth at window end. Diagnostics
+    // and the size of the cleaner's registered-not-yet-cleaned set at
+    // window end (an upper BOUND on backlog — it includes live objects;
+    // see CleanerBridge.pendingDepth). Diagnostics
     // only — timings and their methodology are unchanged, so the
     // regime tag stays v4 and baselines remain comparable.
     def gcMillis(): Long = {
@@ -199,6 +201,10 @@ object Bench {
     // the window's mechanism diagnostics (-1 = unmeasurable, never 0)
     case class Diag(sec: Double, gc: Double, jit: Double,
         cleaned: Long, pending: Long)
+    // the all-passes-crashed fallback: every field carries the -1
+    // unmeasurable sentinel — a 0 here would read as "window measured,
+    // no JIT/cleaner/GC activity" for a window that never ran clean
+    val CrashedDiag = Diag(-1.0, -1.0, -1.0, -1L, -1L)
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Diag = {
       val gc0 = gcMillis()
       val jit0 = jitMillis()
@@ -252,7 +258,7 @@ object Bench {
       }
     }
     val results = ordered.map { case (name, _) =>
-      val times = timesByQuery.getOrElse(name, List(Diag(-1.0, 0, 0, 0, 0)))
+      val times = timesByQuery.getOrElse(name, List(CrashedDiag))
       name -> (if (times.exists(_.sec == -1.0)) -1.0 else times.map(_.sec).min)
     }
     // the diagnostics of the pass that SUPPLIED each query's reported
@@ -264,7 +270,7 @@ object Bench {
     // (non-)minimum
     val diagOfMin = ordered.map { case (name, _) =>
       val ok = timesByQuery.getOrElse(name, Nil).filter(_.sec >= 0)
-      name -> (if (ok.isEmpty) Diag(-1.0, 0, 0, 0, 0) else ok.minBy(_.sec))
+      name -> (if (ok.isEmpty) CrashedDiag else ok.minBy(_.sec))
     }
     // drift sentinel: one fixed trivial query (the warmup's
     // groupBy(event_type).count at the measured SF) timed min-of-5 AFTER
@@ -352,7 +358,7 @@ object Bench {
       quiesce()
       val fn = queries(name)
       val ds = (0 until 5).map(_ => timeOnce(name, fn))
-      name -> (if (ds.exists(_.sec < 0)) Diag(-1.0, 0, 0, 0, 0)
+      name -> (if (ds.exists(_.sec < 0)) CrashedDiag
                else ds.minBy(_.sec))
     }
     def obj[T](xs: Seq[(String, T)])(f: T => String): String =

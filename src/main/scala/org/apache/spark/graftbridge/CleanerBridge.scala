@@ -32,11 +32,16 @@ object CleanerBridge {
   def attachCounter(sc: SparkContext): Option[CleanedCounter] =
     sc.cleaner.map { c => val l = new CleanedCounter; c.attachListener(l); l }
 
-  /** The cleaner's pending reference-buffer depth — how many
-    * not-yet-processed cleanup tasks are queued RIGHT NOW. Read
-    * reflectively (the field is private with no accessor); −1 when the
-    * field shape changes across Spark versions or the cleaner is off,
-    * so a diagnostic can never crash a bench run. */
+  /** Size of the cleaner's reference buffer — every REGISTERED and
+    * not-yet-cleaned object. This is an UPPER BOUND on backlog, not a
+    * queue depth: the set also holds live, strongly-reachable objects
+    * (cached RDDs, live broadcasts), which leave it only after they
+    * are GC'd AND the cleaner processes them. Read it as a bound and
+    * watch deltas — the true owed-work signal is [[CleanedCounter]]'s
+    * per-window drain. Read reflectively (the field is private with
+    * no accessor); −1 when the field shape changes across Spark
+    * versions or the cleaner is off, so a diagnostic can never crash
+    * a bench run. */
   def pendingDepth(sc: SparkContext): Long =
     sc.cleaner.map { c =>
       try {

@@ -82,13 +82,14 @@ class ObserveGuardContractSpec extends SparkSuite {
   }
 
   test("alive_ttl_guard counts epoch-0 keyed records against a keyed-only total") {
-    // the one guard with no behavioral pin elsewhere (the null-ts
-    // guards are exercised in StreamingSpec): epoch-0 timestamps are
-    // Kafka's missing-timestamp encoding normalized, and every such
-    // record is silently late once the watermark moves — the guard is
-    // the only warning. The null-key record is filtered BEFORE the
+    // StreamingSpec's "TTL footgun guard" test already pins the
+    // epoch0_keyed COUNTING (drop + count across watermark movement);
+    // what is new here is the TOTAL's semantics: keyed_records counts
+    // KEYED records only — the null-key record is filtered BEFORE the
     // observe (tombstone-style unkeyed traffic is out of scope for an
-    // alive-KEY operator), so the total counts keyed records only.
+    // alive-KEY operator), so epoch0_keyed/keyed_records reads as a
+    // true misconfiguration RATIO on a dashboard. The epoch-0 assert
+    // stays as the denominator's cross-check on this fixture.
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -117,10 +118,16 @@ class ObserveGuardContractSpec extends SparkSuite {
     // forces registration: a new observe node lands in this table (so
     // its names are pinned) or this count breaks the build
     val dir = java.nio.file.Paths.get("src/main/scala/graft/streaming")
-    val observeSites = java.nio.file.Files.list(dir).iterator()
-    val it = scala.jdk.CollectionConverters.IteratorHasAsScala(observeSites)
-      .asScala.toSeq.sortBy(_.toString)
-    val n = it.map { p =>
+    val stream = java.nio.file.Files.walk(dir)
+    // walk + regular-file filter: a future subpackage under streaming/
+    // must extend the scan, not crash it with an is-a-directory read
+    val files = try scala.jdk.CollectionConverters
+      .IteratorHasAsScala(stream.iterator()).asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.toString.endsWith(".scala"))
+      .toSeq.sortBy(_.toString)
+    finally stream.close()
+    val n = files.map { p =>
       val src = new String(java.nio.file.Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8)
       src.sliding(".observe(".length).count(_ == ".observe(")

@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // ad-hoc JVM flags for the forked run/test JVMs (e.g. the r18
+  // code-cache experiments: -XX:+PrintCodeCache,
+  // -XX:ReservedCodeCacheSize=512m) without editing the build
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVM_OPTS").toSeq
+  .flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)

@@ -8,12 +8,23 @@ import java.nio.file.{Files, Paths}
 object Verify {
 
   /** The session every verify surface uses — results must be
-    * comparable to the driver's gate, so there is exactly one config. */
+    * comparable to the driver's gate, so there is exactly one config.
+    * The two extra env knobs DEFAULT to that one config and exist only
+    * for the config-invariance sweep (`scripts/config_invariance.sh`):
+    * on a real cluster the physical partitioning never matches
+    * local[32], so every oracle-checked result must be IDENTICAL under
+    * a hostile partition count and with AQE's runtime re-planning
+    * disabled — a float fold whose value depends on partition order,
+    * or a limit riding an unpinned sort, would pass the canonical
+    * config forever and differ on the thousand-executor layout. */
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -106,6 +106,58 @@ class WriteFileAtomicFallbackSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("out-of-contract writer swarm: every observable outcome is loud or complete — never torn") {
+    // the deterministic hook test above pins ONE interleaving; this
+    // drives the documented out-of-contract regime (multiple writers,
+    // which every production caller structurally avoids) through
+    // whatever interleavings the scheduler produces and asserts the
+    // failure-mode CEILING the scaladoc promises: a writer either
+    // commits, loses to an identical-guarantee peer, or dies on the
+    // require — and a concurrent reader NEVER sees a torn file, only
+    // complete payloads or (in the fallback window) nothing.
+    val (fs, dir, dest) = fsAndDir()
+    try {
+      def payload(w: Int, i: Int) = s"w$w-i$i-" + ("z" * (50 + 10 * w + i))
+      EpochedTable.writeFileAtomic(fs, dest, utf8("seed"))
+      val complete = (for (w <- 0 until 4; i <- 0 until 12)
+        yield payload(w, i)).toSet + "seed"
+      @volatile var done = false
+      val torn = new java.util.concurrent.atomic.AtomicReference[String]
+      val loud = new java.util.concurrent.atomic.AtomicInteger
+      val reader = new Thread(() => {
+        val p = java.nio.file.Paths.get(dest.toUri.getPath)
+        while (!done && torn.get == null) {
+          try {
+            val got = new String(java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8)
+            if (!complete(got)) torn.set(got)
+          } catch {
+            case _: java.nio.file.NoSuchFileException => ()
+            case _: java.io.FileNotFoundException => ()
+          }
+        }
+      }, "wfa-swarm-reader")
+      val writers = (0 until 4).map { w =>
+        new Thread(() => {
+          for (i <- 0 until 12)
+            try EpochedTable.writeFileAtomic(fs, dest, utf8(payload(w, i)))
+            catch { case _: IllegalArgumentException => loud.incrementAndGet() }
+        }, s"wfa-swarm-$w")
+      }
+      reader.start(); writers.foreach(_.start())
+      writers.foreach(_.join(60000))
+      done = true; reader.join(30000)
+      assert(torn.get == null, s"reader saw a torn file: '${torn.get}'")
+      // the surviving file is SOME writer's complete payload
+      assert(complete(contentOf(dest)),
+        s"final content is no writer's payload: '${contentOf(dest)}'")
+      // losers (if the scheduler produced any) died on the documented
+      // require — counted, not asserted: interleavings are the
+      // scheduler's choice, and zero collisions is a legal outcome
+      assert(loud.get >= 0)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("two writers interleaving in the fallback window: loser dies LOUDLY, winner's file intact") {
     // the scaladoc's hazard, executed: writer A's rename is refused
     // (dest exists), A deletes dest, and IN THAT WINDOW writer B

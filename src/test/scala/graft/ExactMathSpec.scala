@@ -44,6 +44,32 @@ class ExactMathSpec extends SparkSuite {
     }
   }
 
+  test("500 seeded-random pairs inside the split-safe envelope match BigInt (one job)") {
+    // generative sweep of the whole domain the hand-picked boundary
+    // cases bracket — seeded, so a failure reproduces; evaluated as
+    // ONE frame so the property costs one Spark job, not 500
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(18)
+    val cases = Iterator.continually {
+      val num = math.abs(rnd.nextLong()) % 9_000_000_000_000_000L
+      val den = 1L + math.abs(rnd.nextLong()) % 9_000_000_000_000_000L
+      (num, den)
+    }.filter { case (n, d) =>
+      // stay in the callers' domain: the ppm result itself fits a long
+      (BigInt(n) * 1000000 / BigInt(d)).isValidLong
+    }.take(500).toSeq
+    val got = cases.toDF("num", "den")
+      .withColumn("ppm", ExactMath.ppmSplitDiv("num", "den"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((n, d) <- cases) {
+      val expect = ((BigInt(n) * 1000000) / BigInt(d)).toLong
+      assert(got((n, d)) == expect,
+        s"ppmSplitDiv($n, $d) = ${got((n, d))}, BigInt says $expect")
+    }
+  }
+
   test("composite operands bind as units (the template parenthesizes both substitutions)") {
     // the misparse this pins against: an unparenthesized template
     // would read den = "a + b" as `(x div a) + b` — silently wrong.

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.model.KafkaRecord
+
+/** Stop → restart-FROM-CHECKPOINT recovery of the stateful streaming
+  * twins — the one lifecycle event every long-running pipeline hits
+  * (deploys, preemptions, OOM restarts) and the one no other spec
+  * exercised: batch-level replay tests re-feed data into a LIVE query,
+  * which never touches the state-store restore path. Each test puts a
+  * fact into flatMapGroupsWithState state, kills the query, restarts
+  * it from the same checkpoint, and asserts on output only derivable
+  * from the RECOVERED state (a positive signal — not the absence of a
+  * crash). Sinks are foreachBatch: the memory sink refuses checkpoint
+  * recovery by design, and foreachBatch is the recoverable production
+  * pattern anyway.
+  */
+class StreamingRestartSpec extends SparkSuite {
+
+  private def withCkpt(tag: String)(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-restart-$tag")
+    try f(dir.toString)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("alive-key LWW state survives a restart: an older tombstone cannot regress a recovered key") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withCkpt("alive") { ckpt =>
+      val mem = MemoryStream[KafkaRecord]
+      val got = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(String, Boolean)]())
+      def start() = graft.streaming.StreamingTopicMetrics
+        .aliveKeyUpdates(mem.toDS())
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            graft.streaming.StreamingTopicMetrics.KeyUpdate], _: Long) =>
+          batch.collect().foreach(u => got.add((u.key, u.alive)))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      val q1 = start()
+      mem.addData(
+        KafkaRecord(0, 10L, ts(1000), b("a"), b("v1")), // a alive @ off 10
+        KafkaRecord(0, 11L, ts(1000), b("b"), null))    // b tombstoned
+      q1.processAllAvailable(); q1.stop()
+      got.clear() // only post-restart emissions matter below
+      // post-restart input: an OLDER tombstone for a (offset 5 < 10 —
+      // replayed or out-of-order). Recovered LWW state outranks it and
+      // re-emits a's CURRENT alive=true; lost state would seat the
+      // tombstone and emit alive=false. b gets a normal revival.
+      mem.addData(
+        KafkaRecord(0, 5L, ts(900), b("a"), null),
+        KafkaRecord(0, 12L, ts(1100), b("b"), b("v2")))
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      val out = got.toArray(Array.empty[(String, Boolean)]).toMap
+      val ka = java.util.Base64.getEncoder.encodeToString(b("a"))
+      val kb = java.util.Base64.getEncoder.encodeToString(b("b"))
+      assert(out.get(ka).contains(true),
+        s"LWW state lost across restart: the older tombstone won ($out)")
+      assert(out.get(kb).contains(true), s"b should revive: $out")
+    }
+  }
+
+  test("dedup fingerprint state survives a restart: a post-restart duplicate stays suppressed") {
+    // third state-store shape (dropDuplicates' own state, not a
+    // flatMapGroupsWithState fold): a duplicate arriving after the
+    // restart is suppressed ONLY by recovered state — lost state
+    // would pass it through as novel
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withCkpt("dedup") { ckpt =>
+      val mem = MemoryStream[(Long, String)]
+      val got = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[java.lang.Long]())
+      def start() = graft.streaming.StreamingDedup
+        .deduped(mem.toDF().toDF("doc_id", "text"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          batch.collect().foreach(r => got.add(r.getAs[Long]("doc_id")))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      mem.addData((1L, "same text"), (2L, "other text"))
+      q1.processAllAvailable(); q1.stop()
+      got.clear()
+      // post-restart: a near-identical duplicate of doc 1 (whitespace/
+      // case variants share the fingerprint), one genuinely new doc,
+      // and a null-text doc (must pass through per the r17 rule)
+      mem.addData((3L, "SAME   text"), (4L, "brand new"), (5L, null: String))
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      val out = scala.jdk.CollectionConverters.ListHasAsScala(got)
+        .asScala.map(_.longValue).toSet
+      assert(out == Set(4L, 5L),
+        s"dedup state lost across restart (3 should be suppressed, " +
+          s"4 kept, 5 passed through): $out")
+    }
+  }
+
+  test("transition chain state survives a restart: the emitted pair spans the stop/start boundary") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withCkpt("trans") { ckpt =>
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      val got = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, String, String)]())
+      def start() = graft.streaming.StreamingTransitions
+        .transitionUpdates(mem.toDF()
+          .toDF("user_id", "ts", "event_id", "event_type"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            graft.streaming.StreamingTransitions.Transition], _: Long) =>
+          batch.collect().foreach(t =>
+            got.add((t.user_id, t.event_type, t.next_type)))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      val q1 = start()
+      mem.addData((1L, ts(1000), 0L, "a")) // first event: no pair yet
+      q1.processAllAvailable(); q1.stop()
+      assert(got.isEmpty, s"no pair should exist before the successor: $got")
+      // the successor arrives AFTER the restart: the a->b pair can only
+      // be emitted from recovered LastEvent state
+      mem.addData((1L, ts(2000), 1L, "b"))
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      val pairs = got.toArray(Array.empty[(Long, String, String)]).toSeq
+      assert(pairs == Seq((1L, "a", "b")),
+        s"chain state lost across restart: $pairs")
+    }
+  }
+}

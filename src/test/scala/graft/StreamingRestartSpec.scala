@@ -104,6 +104,91 @@ class StreamingRestartSpec extends SparkSuite {
     }
   }
 
+  test("session-window merge state survives a restart: one closed session spans the boundary") {
+    // fourth shape: session_window aggregation state (window-merging
+    // store). Events land on BOTH sides of the restart within one gap;
+    // the closed session counts all of them ONLY if the open-window
+    // state recovered — lost state would emit two fragments (or one
+    // undercounting session)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withCkpt("sess") { ckpt =>
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val got = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, Long, Double)]())
+      def start() = graft.streaming.StreamingSessions
+        .sessionWindows(mem.toDF()
+            .toDF("user_id", "ts", "event_id", "event_type", "value"),
+          gapMinutes = 30, delay = "0 seconds")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          batch.collect().foreach(r => got.add((r.getAs[Long]("user_id"),
+            r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val base = 1700000000000L
+      val min = 60L * 1000
+      val q1 = start()
+      mem.addData((1L, ts(base), 0L, "a", 1.0),
+        (1L, ts(base + 1 * min), 1L, "b", 2.0))
+      q1.processAllAvailable(); q1.stop()
+      assert(got.isEmpty, s"session closed prematurely: $got")
+      // the session CONTINUES after the restart (within the 30-min
+      // gap), then a far-future event closes it via the watermark
+      mem.addData((1L, ts(base + 2 * min), 2L, "c", 4.0))
+      val q2 = start()
+      q2.processAllAvailable()
+      mem.addData((2L, ts(base + 5L * 3600 * 1000), 3L, "a", 1.0))
+      q2.processAllAvailable(); q2.stop()
+      val u1 = got.toArray(Array.empty[(Long, Long, Double)])
+        .toSeq.filter(_._1 == 1L)
+      assert(u1 == Seq((1L, 3L, 7.0)),
+        s"session state lost/fragmented across restart: $u1")
+    }
+  }
+
+  test("TTL transition state (event-time timeout) survives a restart within its horizon") {
+    // fifth shape: flatMapGroupsWithState WITH EventTimeTimeout — the
+    // recovery must restore both the fold state and its timeout
+    // timestamp. The successor lands after the restart but inside the
+    // TTL, so the pair is only emittable from recovered state.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withCkpt("ttl") { ckpt =>
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      val got = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, String, String)]())
+      def start() = graft.streaming.StreamingTransitions
+        .transitionUpdatesWithTtl(mem.toDF()
+            .toDF("user_id", "ts", "event_id", "event_type"),
+          ttl = java.time.Duration.ofHours(1),
+          watermarkDelay = "10 seconds")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            graft.streaming.StreamingTransitions.Transition], _: Long) =>
+          batch.collect().foreach(t =>
+            got.add((t.user_id, t.event_type, t.next_type)))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      val base = 1700000000000L
+      val q1 = start()
+      mem.addData((1L, ts(base), 0L, "a"))
+      q1.processAllAvailable(); q1.stop()
+      assert(got.isEmpty, s"no pair should exist before the successor: $got")
+      mem.addData((1L, ts(base + 60L * 1000), 1L, "b")) // within the TTL
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      val pairs = got.toArray(Array.empty[(Long, String, String)]).toSeq
+      assert(pairs == Seq((1L, "a", "b")),
+        s"TTL chain state lost across restart: $pairs")
+    }
+  }
+
   test("transition chain state survives a restart: the emitted pair spans the stop/start boundary") {
     val s = spark
     import s.implicits._

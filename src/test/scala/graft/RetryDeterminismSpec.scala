@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders}
+
+import graft.operators.{CorpusOps, Dedup, EventAnalytics, Similarity, TopicMetrics}
+
+object RetryDeterminismSpec {
+  /** Count of fired injections — proves each check actually exercised
+    * the retry path instead of silently testing nothing. */
+  val injected = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Task-retry determinism: on a real cluster tasks are re-executed
+  * routinely (spark.task.maxFailures defaults to 4; preemption, OOM
+  * kills and fetch failures make retries a steady-state event at 1000
+  * executors), yet local[N]'s no-retry default means nothing in a
+  * local test ever runs the recovery path. This spec injects a
+  * first-attempt task failure (the suite session's master carries
+  * maxFailures=2 precisely for this) upstream of one operator from
+  * each retry-sensitivity class and asserts the full result is
+  * BYTE-IDENTICAL to the clean run:
+  *
+  *   - iterative label propagation with embedded eager
+  *     localCheckpoints (a retry during checkpoint materialization
+  *     must not seat a partial iteration) — `nearDupLabels`;
+  *   - banded self-join over a reused exchange — `minhashPairs`;
+  *   - order-sensitive-looking packing (row_number over hashed
+  *     streams) — `batchPadding`;
+  *   - float scoring + top-k with tie-broken ranks — `knnBruteForce`;
+  *   - window-rank order statistics — `valuePercentiles`;
+  *   - the fused record-log aggregate — `partitionStats`.
+  *
+  * The config-invariance sweep (scripts/config_invariance.sh) proves
+  * results are independent of the LAYOUT; this proves they are
+  * independent of the EXECUTION HISTORY — no operator output depends
+  * on side effects or per-attempt nondeterminism (rand,
+  * monotonically_increasing_id, accumulator reads) that a re-executed
+  * task would expose. Each check asserts the injection actually FIRED,
+  * so a future plan change that skips the injected stage breaks the
+  * spec loudly instead of leaving it vacuous.
+  */
+class RetryDeterminismSpec extends SparkSuite {
+  import RetryDeterminismSpec.injected
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Pass-through stage whose partition-0 task throws on its first
+    * attempt and succeeds on the retry. Lives in test code only —
+    * main-source discipline (SourceDisciplineSpec) is untouched. */
+  private def failOnce(df: DataFrame): DataFrame =
+    df.mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0) {
+        injected.incrementAndGet()
+        throw new RuntimeException(
+          "injected first-attempt task failure (RetryDeterminismSpec)")
+      }
+      it
+    }(Encoders.row(df.schema))
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val rows = df.collect().map(_.toString).sorted.toSeq
+    StorageHygiene.releaseAndSweep(spark, "retry-spec", "canon", Some(df))
+    rows
+  }
+
+  private def check(name: String, input: DataFrame)(
+      f: DataFrame => DataFrame): Unit = {
+    val clean = canon(f(input))
+    assert(clean.nonEmpty, s"$name: empty clean result — fixture broke")
+    val before = injected.get()
+    val retried = canon(f(failOnce(input)))
+    assert(injected.get() > before,
+      s"$name: injection never fired — the check is vacuous")
+    assert(retried == clean,
+      s"$name: result changed under a retried task — " +
+        s"first diff: ${retried.zipAll(clean, "<missing>", "<missing>")
+          .find(p => p._1 != p._2)}")
+  }
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("minhashPairs is retry-deterministic") {
+    check("minhashPairs", docs)(Dedup.minhashPairs(_))
+  }
+
+  test("nearDupLabels (iterative CC over eager checkpoints) is retry-deterministic") {
+    check("nearDupLabels", docs)(Dedup.nearDupLabels(_))
+  }
+
+  test("batchPadding is retry-deterministic") {
+    check("batchPadding", docs)(CorpusOps.batchPadding(_))
+  }
+
+  test("knnBruteForce is retry-deterministic") {
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 16)
+    check("knnBruteForce", emb)(Similarity.knnBruteForce(_, queries, 5))
+  }
+
+  test("valuePercentiles is retry-deterministic") {
+    val events = graft.sources.EventsAsRecords.readEvents(spark, sfDir)
+    check("valuePercentiles", events)(EventAnalytics.valuePercentiles(_))
+  }
+
+  test("partitionStats is retry-deterministic") {
+    val records = graft.sources.EventsAsRecords.records(spark, sfDir)
+    check("partitionStats", records)(TopicMetrics.partitionStats(_))
+  }
+}

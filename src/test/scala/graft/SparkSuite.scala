@@ -5,10 +5,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.KafkaRecord
 
-/** One shared local session for all suites (sbt forks one test JVM). */
+/** One shared local session for all suites (sbt forks one test JVM).
+  * Master carries maxFailures=2 (the `local[N, F]` form) so a task
+  * failure is retried once — the cluster default is 4, and local[N]'s
+  * no-retry default is the one configuration NO real deployment runs.
+  * This is load-bearing for RetryDeterminismSpec (which injects a
+  * first-attempt task failure and asserts results are unchanged) and
+  * inert elsewhere: a deterministic test bug still fails on attempt 2.
+  */
 object SparkSuite {
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

@@ -189,6 +189,56 @@ class StreamingRestartSpec extends SparkSuite {
     }
   }
 
+  test("restart under a CHANGED shuffle-partition conf still recovers state") {
+    // deploys change configs: a restarted job whose session now sets a
+    // different spark.sql.shuffle.partitions must keep reading the
+    // state store laid out at FIRST start (Spark pins the state
+    // partition count in the checkpoint's offset-log metadata, not the
+    // session conf). This pins that our stateful twins inherit that
+    // contract — a twin that derived its own key partitioning from the
+    // live conf would shard keys away from their recovered state and
+    // silently forget them.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val confKey = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(confKey)
+    withCkpt("confchange") { ckpt =>
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      val got = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, String, String)]())
+      def start() = graft.streaming.StreamingTransitions
+        .transitionUpdates(mem.toDF()
+          .toDF("user_id", "ts", "event_id", "event_type"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            graft.streaming.StreamingTransitions.Transition], _: Long) =>
+          batch.collect().foreach(t =>
+            got.add((t.user_id, t.event_type, t.next_type)))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      try {
+        val q1 = start()
+        // several users so state occupies multiple store partitions —
+        // a conf-derived resharding would misroute at least one
+        mem.addData((1L, ts(1000), 0L, "a"), (2L, ts(1000), 1L, "x"),
+          (3L, ts(1000), 2L, "p"))
+        q1.processAllAvailable(); q1.stop()
+        assert(got.isEmpty, s"no pair should exist before successors: $got")
+        spark.conf.set(confKey, "7") // the deploy "tuned" the conf
+        mem.addData((1L, ts(2000), 3L, "b"), (2L, ts(2000), 4L, "y"),
+          (3L, ts(2000), 5L, "q"))
+        val q2 = start()
+        q2.processAllAvailable(); q2.stop()
+        val pairs = got.toArray(Array.empty[(Long, String, String)])
+          .toSeq.sortBy(_._1)
+        assert(pairs == Seq((1L, "a", "b"), (2L, "x", "y"), (3L, "p", "q")),
+          s"state lost/misrouted after restart under a changed conf: $pairs")
+      } finally spark.conf.set(confKey, orig)
+    }
+  }
+
   test("transition chain state survives a restart: the emitted pair spans the stop/start boundary") {
     val s = spark
     import s.implicits._

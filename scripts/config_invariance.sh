@@ -9,40 +9,17 @@
 # parallelism (7 threads), a mismatched prime shuffle-partition count
 # (13) and AQE DISABLED, then again with a degenerate single shuffle
 # partition. Hash-exact under both = the results are functions of the
-# data, not of the layout.
+# data, not of the layout. The shared gate helper also asserts each
+# knob TOOK EFFECT (via Verify's VERIFY_CONF echo), so a renamed env
+# var cannot silently degrade this to a canonical-config re-run.
 #
 # Usage: scripts/config_invariance.sh  (from the repo root; ~5 min)
 set -u
 cd "$(dirname "$0")/.."
+. scripts/lib_verify_gate.sh
 overall=0
-run_one() {
-  local tag="$1"; shift
-  local out="/tmp/verify_out_cfg_$tag"
-  rm -rf "$out"
-  echo "== config '$tag' ($*): Spark Verify =="
-  env "$@" sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out" \
-    >"/tmp/verify_cfg_$tag.log" 2>&1
-  if [ $? -ne 0 ]; then
-    echo "FAIL  Verify main crashed under config '$tag' (see /tmp/verify_cfg_$tag.log)"
-    overall=1
-    return
-  fi
-  python3 scripts/verify_local.py /root/testdata/sf0.01 "$out" \
-    >"/tmp/oracle_cfg_$tag.log" 2>&1
-  local rc=$?
-  local ok total
-  ok=$(grep -c '^OK' "/tmp/oracle_cfg_$tag.log")
-  total=$(grep -c '^\(OK\|FAIL\)' "/tmp/oracle_cfg_$tag.log")
-  echo "config '$tag': $ok/$total hash-exact"
-  if [ "$total" -eq 0 ]; then
-    echo "FAIL  config '$tag': oracle compare ran ZERO queries"
-    overall=1
-  fi
-  if [ $rc -ne 0 ]; then
-    grep '^FAIL' "/tmp/oracle_cfg_$tag.log" | head -20
-    overall=1
-  fi
-}
-run_one hostile SPARK_GRAFT_CPUS=7 SPARK_GRAFT_SHUFFLE_PARTITIONS=13 SPARK_GRAFT_AQE=false
-run_one onepart SPARK_GRAFT_CPUS=5 SPARK_GRAFT_SHUFFLE_PARTITIONS=1 SPARK_GRAFT_AQE=false
+run_verify_gate cfg_hostile /root/testdata/sf0.01 \
+  SPARK_GRAFT_CPUS=7 SPARK_GRAFT_SHUFFLE_PARTITIONS=13 SPARK_GRAFT_AQE=false
+run_verify_gate cfg_onepart /root/testdata/sf0.01 \
+  SPARK_GRAFT_CPUS=5 SPARK_GRAFT_SHUFFLE_PARTITIONS=1 SPARK_GRAFT_AQE=false
 exit $overall

@@ -12,35 +12,9 @@
 # Exit 0 = every query hash-exact at BOTH extra scale factors.
 set -u
 cd "$(dirname "$0")/.."
+. scripts/lib_verify_gate.sh
 overall=0
 for sf in sf0.001 sf0.1; do
-  out="/tmp/verify_out_$sf"
-  rm -rf "$out"
-  echo "== $sf: Spark Verify =="
-  sbt -batch "runMain graft.Verify /root/testdata/$sf $out" >"/tmp/verify_$sf.log" 2>&1
-  rc=$?
-  if [ $rc -ne 0 ]; then
-    echo "FAIL  Verify main exited $rc at $sf (see /tmp/verify_$sf.log)"
-    overall=1
-    continue
-  fi
-  echo "== $sf: DuckDB oracle compare =="
-  python3 scripts/verify_local.py "/root/testdata/$sf" "$out" >"/tmp/oracle_$sf.log" 2>&1
-  rc=$?
-  ok=$(grep -c '^OK' "/tmp/oracle_$sf.log")
-  total=$(grep -c '^\(OK\|FAIL\)' "/tmp/oracle_$sf.log")
-  echo "$sf: $ok/$total hash-exact"
-  # a zero-coverage compare (empty/truncated oracle_sql.json → the
-  # loop ran zero iterations and exited 0) must not pass the gate —
-  # silent truncation reading as "covered everything" is the exact
-  # failure class this script exists to prevent
-  if [ "$total" -eq 0 ]; then
-    echo "FAIL  $sf: oracle compare ran ZERO queries"
-    overall=1
-  fi
-  if [ $rc -ne 0 ]; then
-    grep '^FAIL' "/tmp/oracle_$sf.log" | head -20
-    overall=1
-  fi
+  run_verify_gate "$sf" "/root/testdata/$sf"
 done
 exit $overall

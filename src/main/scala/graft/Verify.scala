@@ -29,6 +29,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the EFFECTIVE config, read back from the live session — the
+    // config-invariance sweep asserts this line echoes its requested
+    // knobs, so a renamed/typo'd env var degrades to a loud gate
+    // failure instead of a silent canonical-config re-run that
+    // "passes" forever
+    println(s"VERIFY_CONF master=${spark.sparkContext.master}" +
+      s" shuffle=${spark.conf.get("spark.sql.shuffle.partitions")}" +
+      s" aqe=${spark.conf.get("spark.sql.adaptive.enabled")}")
     spark
   }
 

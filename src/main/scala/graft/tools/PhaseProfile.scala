@@ -36,10 +36,17 @@ object PhaseProfile {
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
-        // forces the whole frontend; the later save reuses it
-        df.queryExecution.executedPlan
+        // forces the whole frontend ONCE on this QueryExecution
+        val qe = df.queryExecution
+        qe.executedPlan
         val t2 = System.nanoTime()
-        df.write.mode("overwrite").format("noop").save()
+        // execute the SAME QueryExecution (a write would build a new
+        // one over df.logicalPlan and re-run optimization + physical
+        // planning inside the exec window, smearing frontend cost into
+        // the exec column — the exact misattribution this tool exists
+        // to prevent); draining toRdd is the noop-sink pull without a
+        // second frontend pass
+        qe.toRdd.foreachPartition(_ => ())
         val t3 = System.nanoTime()
         graft.StorageHygiene.releaseAndSweep(spark, "phase", name, Some(df))
         println(f"PHASES $name rep=$rep construct=${(t1 - t0) / 1e9}%.3f " +

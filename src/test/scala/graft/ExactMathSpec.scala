@@ -51,9 +51,12 @@ class ExactMathSpec extends SparkSuite {
     val s = spark
     import s.implicits._
     val rnd = new scala.util.Random(18)
+    // & Long.MaxValue, not math.abs: abs(Long.MinValue) is still
+    // negative, and a different seed/count could draw it — escaping
+    // the num >= 0, den > 0 contract the quotient pins
     val cases = Iterator.continually {
-      val num = math.abs(rnd.nextLong()) % 9_000_000_000_000_000L
-      val den = 1L + math.abs(rnd.nextLong()) % 9_000_000_000_000_000L
+      val num = (rnd.nextLong() & Long.MaxValue) % 9_000_000_000_000_000L
+      val den = 1L + (rnd.nextLong() & Long.MaxValue) % 9_000_000_000_000_000L
       (num, den)
     }.filter { case (n, d) =>
       // stay in the callers' domain: the ppm result itself fits a long

@@ -18,6 +18,14 @@ import graft.model.KafkaRecord
   */
 class StreamingRestartSpec extends SparkSuite {
 
+  /** processAllAvailable + stop with the stop in a FINALLY: a failed
+    * micro-batch would otherwise leave a running query in the SHARED
+    * suite session (whose checkpoint dir withCkpt then deletes out
+    * from under it) — background stack traces poisoning later suites
+    * and masking the original failure. */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try q.processAllAvailable() finally q.stop()
+
   private def withCkpt(tag: String)(f: String => Unit): Unit = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft-restart-$tag")
     try f(dir.toString)
@@ -45,7 +53,7 @@ class StreamingRestartSpec extends SparkSuite {
       mem.addData(
         KafkaRecord(0, 10L, ts(1000), b("a"), b("v1")), // a alive @ off 10
         KafkaRecord(0, 11L, ts(1000), b("b"), null))    // b tombstoned
-      q1.processAllAvailable(); q1.stop()
+      drain(q1)
       got.clear() // only post-restart emissions matter below
       // post-restart input: an OLDER tombstone for a (offset 5 < 10 —
       // replayed or out-of-order). Recovered LWW state outranks it and
@@ -55,7 +63,7 @@ class StreamingRestartSpec extends SparkSuite {
         KafkaRecord(0, 5L, ts(900), b("a"), null),
         KafkaRecord(0, 12L, ts(1100), b("b"), b("v2")))
       val q2 = start()
-      q2.processAllAvailable(); q2.stop()
+      drain(q2)
       val out = got.toArray(Array.empty[(String, Boolean)]).toMap
       val ka = java.util.Base64.getEncoder.encodeToString(b("a"))
       val kb = java.util.Base64.getEncoder.encodeToString(b("b"))
@@ -88,14 +96,14 @@ class StreamingRestartSpec extends SparkSuite {
         .outputMode("append").start()
       val q1 = start()
       mem.addData((1L, "same text"), (2L, "other text"))
-      q1.processAllAvailable(); q1.stop()
+      drain(q1)
       got.clear()
       // post-restart: a near-identical duplicate of doc 1 (whitespace/
       // case variants share the fingerprint), one genuinely new doc,
       // and a null-text doc (must pass through per the r17 rule)
       mem.addData((3L, "SAME   text"), (4L, "brand new"), (5L, null: String))
       val q2 = start()
-      q2.processAllAvailable(); q2.stop()
+      drain(q2)
       val out = scala.jdk.CollectionConverters.ListHasAsScala(got)
         .asScala.map(_.longValue).toSet
       assert(out == Set(4L, 5L),
@@ -134,15 +142,17 @@ class StreamingRestartSpec extends SparkSuite {
       val q1 = start()
       mem.addData((1L, ts(base), 0L, "a", 1.0),
         (1L, ts(base + 1 * min), 1L, "b", 2.0))
-      q1.processAllAvailable(); q1.stop()
+      drain(q1)
       assert(got.isEmpty, s"session closed prematurely: $got")
       // the session CONTINUES after the restart (within the 30-min
       // gap), then a far-future event closes it via the watermark
       mem.addData((1L, ts(base + 2 * min), 2L, "c", 4.0))
       val q2 = start()
-      q2.processAllAvailable()
-      mem.addData((2L, ts(base + 5L * 3600 * 1000), 3L, "a", 1.0))
-      q2.processAllAvailable(); q2.stop()
+      try {
+        q2.processAllAvailable()
+        mem.addData((2L, ts(base + 5L * 3600 * 1000), 3L, "a", 1.0))
+        q2.processAllAvailable()
+      } finally q2.stop()
       val u1 = got.toArray(Array.empty[(Long, Long, Double)])
         .toSeq.filter(_._1 == 1L)
       assert(u1 == Seq((1L, 3L, 7.0)),
@@ -178,11 +188,11 @@ class StreamingRestartSpec extends SparkSuite {
       val base = 1700000000000L
       val q1 = start()
       mem.addData((1L, ts(base), 0L, "a"))
-      q1.processAllAvailable(); q1.stop()
+      drain(q1)
       assert(got.isEmpty, s"no pair should exist before the successor: $got")
       mem.addData((1L, ts(base + 60L * 1000), 1L, "b")) // within the TTL
       val q2 = start()
-      q2.processAllAvailable(); q2.stop()
+      drain(q2)
       val pairs = got.toArray(Array.empty[(Long, String, String)]).toSeq
       assert(pairs == Seq((1L, "a", "b")),
         s"TTL chain state lost across restart: $pairs")
@@ -224,13 +234,13 @@ class StreamingRestartSpec extends SparkSuite {
         // a conf-derived resharding would misroute at least one
         mem.addData((1L, ts(1000), 0L, "a"), (2L, ts(1000), 1L, "x"),
           (3L, ts(1000), 2L, "p"))
-        q1.processAllAvailable(); q1.stop()
+        drain(q1)
         assert(got.isEmpty, s"no pair should exist before successors: $got")
         spark.conf.set(confKey, "7") // the deploy "tuned" the conf
         mem.addData((1L, ts(2000), 3L, "b"), (2L, ts(2000), 4L, "y"),
           (3L, ts(2000), 5L, "q"))
         val q2 = start()
-        q2.processAllAvailable(); q2.stop()
+        drain(q2)
         val pairs = got.toArray(Array.empty[(Long, String, String)])
           .toSeq.sortBy(_._1)
         assert(pairs == Seq((1L, "a", "b"), (2L, "x", "y"), (3L, "p", "q")),
@@ -260,13 +270,13 @@ class StreamingRestartSpec extends SparkSuite {
         .outputMode("update").start()
       val q1 = start()
       mem.addData((1L, ts(1000), 0L, "a")) // first event: no pair yet
-      q1.processAllAvailable(); q1.stop()
+      drain(q1)
       assert(got.isEmpty, s"no pair should exist before the successor: $got")
       // the successor arrives AFTER the restart: the a->b pair can only
       // be emitted from recovered LastEvent state
       mem.addData((1L, ts(2000), 1L, "b"))
       val q2 = start()
-      q2.processAllAvailable(); q2.stop()
+      drain(q2)
       val pairs = got.toArray(Array.empty[(Long, String, String)]).toSeq
       assert(pairs == Seq((1L, "a", "b")),
         s"chain state lost across restart: $pairs")

@@ -137,16 +137,30 @@ class WriteFileAtomicFallbackSpec extends AnyFunSuite {
           }
         }
       }, "wfa-swarm-reader")
+      // any OTHER exception type is an undocumented failure mode, not
+      // a loud loss — collected and asserted empty below, so a future
+      // refactor changing the require (or an IOException under
+      // contention) cannot silently kill a writer thread and leave the
+      // ceiling assertion vacuously reduced to "the file was not torn"
+      val unexpected = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
       val writers = (0 until 4).map { w =>
         new Thread(() => {
           for (i <- 0 until 12)
             try EpochedTable.writeFileAtomic(fs, dest, utf8(payload(w, i)))
-            catch { case _: IllegalArgumentException => loud.incrementAndGet() }
+            catch {
+              case _: IllegalArgumentException => loud.incrementAndGet()
+              case e: Throwable =>
+                unexpected.add(s"w$w i$i: ${e.getClass.getName}: ${e.getMessage}")
+            }
         }, s"wfa-swarm-$w")
       }
       reader.start(); writers.foreach(_.start())
       writers.foreach(_.join(60000))
+      assert(writers.forall(!_.isAlive), "a writer hung past the join timeout")
       done = true; reader.join(30000)
+      assert(unexpected.isEmpty,
+        s"writers died on undocumented exception types: $unexpected")
       assert(torn.get == null, s"reader saw a torn file: '${torn.get}'")
       // the surviving file is SOME writer's complete payload
       assert(complete(contentOf(dest)),

@@ -30,7 +30,8 @@ run_verify_gate() {
       SPARK_GRAFT_AQE=*) want="aqe=${kv#*=}" ;;
       *) continue ;;
     esac
-    if ! grep -q "^VERIFY_CONF .*\b$want\b" "/tmp/verify_$tag.log"; then
+    # no ^ anchor: sbt prefixes forked-run stdout with "[info] "
+    if ! grep -q "VERIFY_CONF .*\b$want\b" "/tmp/verify_$tag.log"; then
       echo "FAIL  $tag: requested $kv but VERIFY_CONF does not show" \
         "'$want' — the knob did not take effect"
       overall=1

@@ -108,4 +108,74 @@ class RetryDeterminismSpec extends SparkSuite {
     val records = graft.sources.EventsAsRecords.records(spark, sfDir)
     check("partitionStats", records)(TopicMetrics.partitionStats(_))
   }
+
+  test("streaming dedup keeps exactly-once semantics under a retried micro-batch task") {
+    // streaming shape: a task failure INSIDE a micro-batch is retried
+    // by the same maxFailures machinery, and the state-store commit
+    // protocol must make the retry invisible — no double-seated
+    // fingerprint (which would suppress a later novel doc) and no
+    // lost one (which would pass a later duplicate)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.lang.Long]())
+    val before = injected.get()
+    val q = graft.streaming.StreamingDedup
+      .deduped(failOnce(mem.toDF().toDF("doc_id", "text")))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => got.add(r.getAs[Long]("doc_id")))
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha text"), (2L, "beta text"))
+      q.processAllAvailable()
+      // doc 3 duplicates doc 1's fingerprint (case/whitespace
+      // variants normalize together); doc 4 is novel
+      mem.addData((3L, "ALPHA   text"), (4L, "gamma text"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(injected.get() > before,
+      "streaming injection never fired — the check is vacuous")
+    val out = scala.jdk.CollectionConverters.ListHasAsScala(got)
+      .asScala.map(_.longValue).toSet
+    assert(out == Set(1L, 2L, 4L),
+      s"retried micro-batch task changed dedup output: $out")
+  }
+
+  test("epoched-store writes commit exactly their rows under a retried task") {
+    // the write path: a retried task during replaceWith/appendBatch
+    // must leave the committed generation byte-equal to its input —
+    // no duplicated rows from the failed attempt's files (Spark's
+    // commit protocol discards them) and no missing ones. The crash
+    // matrix covers DRIVER crash points; this is the task-level
+    // failure mode a 1000-executor cluster hits routinely.
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-retry-ep").toString
+    try {
+      val t = graft.sources.EpochedTable(root, "t", Seq("id", "v"))
+      val before = injected.get()
+      t.replaceWith(failOnce(Seq(1L -> 10L, 2L -> 20L).toDF("id", "v")))
+      t.appendBatch(failOnce(Seq(3L -> 30L).toDF("id", "v")), batchId = 0L)
+      assert(injected.get() > before,
+        "write-path injection never fired — the check is vacuous")
+      def rows() = rowsOf(t.read(spark)
+          .orderBy(org.apache.spark.sql.functions.col("id")))
+        .map(r => (r("id").asInstanceOf[Long], r("v").asInstanceOf[Long]))
+      val expect = Seq(1L -> 10L, 2L -> 20L, 3L -> 30L)
+      assert(rows() == expect,
+        s"retried write task corrupted the committed store: ${rows()}")
+      // a fold carries them forward unchanged
+      t.compact(spark)
+      assert(rows() == expect,
+        s"post-compaction rows diverged: ${rows()}")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
 }

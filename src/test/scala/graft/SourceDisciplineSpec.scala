@@ -86,6 +86,10 @@ class SourceDisciplineSpec extends AnyFunSuite {
     //                    path runs and nothing is collected)
     audit("collect()", raw"\.collect\(\)", Map(
       "src/main/scala/graft/TopicAnalyzer.scala" -> 1,
+      // canonicalHash in the golden-format GATE tooling: collects the
+      // deliberately tiny committed fixture (≤60 rows) to hash it —
+      // never a corpus path
+      "src/main/scala/graft/tools/GoldenStoreGen.scala" -> 1,
       "src/main/scala/graft/operators/AliveKeys.scala" -> 2,
       "src/main/scala/graft/operators/Bpe.scala" -> 1,
       "src/main/scala/graft/operators/CorpusOps.scala" -> 2,

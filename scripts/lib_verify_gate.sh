@@ -30,8 +30,13 @@ run_verify_gate() {
       SPARK_GRAFT_AQE=*) want="aqe=${kv#*=}" ;;
       *) continue ;;
     esac
-    # no ^ anchor: sbt prefixes forked-run stdout with "[info] "
-    if ! grep -q "VERIFY_CONF .*\b$want\b" "/tmp/verify_$tag.log"; then
+    # anchored, allowing sbt's "[info] " prefix on forked-run stdout —
+    # a fully un-anchored match could be satisfied by any later log
+    # line QUOTING the requested value (an error message, a
+    # requested-vs-effective echo), silently re-opening the vacuous
+    # pass this guard exists to prevent
+    if ! grep -q "^\(\[info\] \)*VERIFY_CONF .*\b$want\b" \
+        "/tmp/verify_$tag.log"; then
       echo "FAIL  $tag: requested $kv but VERIFY_CONF does not show" \
         "'$want' — the knob did not take effect"
       overall=1

@@ -1,8 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, hex}
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.functions.col
 
 import graft.operators.{CorpusOps, Dedup, Similarity}
 import graft.sources.EpochedTable
@@ -28,19 +27,17 @@ import graft.sources.EpochedTable
   */
 object GoldenStoreGen {
 
-  /** Content hash independent of row/partition order: binary columns
-    * hex-encoded (Row.toString prints array identity for byte[]),
-    * rows stringified, sorted, SHA-256'd. */
+  /** Content hash independent of row/partition order: rows rendered
+    * as JSON (binary → base64 at ANY nesting depth, field names
+    * included — Row.toString would print JVM array identity for
+    * byte[] and silently drop column renames), sorted, then fed to
+    * SHA-256 with a per-row delimiter (an undelimited concatenation
+    * would let equal-cardinality multisets collide on text containing
+    * the rows' own boundary characters). */
   def canonicalHash(df: DataFrame): (Long, String) = {
-    val cols = df.schema.fields.map { f =>
-      f.dataType match {
-        case BinaryType => hex(col(f.name)).as(f.name)
-        case _ => col(f.name)
-      }
-    }
-    val rows = df.select(cols.toSeq: _*).collect().map(_.toString).sorted
+    val rows = df.toJSON.collect().sorted
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    rows.foreach(r => md.update(r.getBytes("UTF-8")))
+    rows.foreach { r => md.update(r.getBytes("UTF-8")); md.update('\n'.toByte) }
     (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
   }
 
@@ -82,15 +79,7 @@ object GoldenStoreGen {
       CorpusOps.sourceDistinctFromSketches(
         CorpusOps.readDistinctSketches(spark, s"$goldenDir/sketches"))))
 
-  def main(args: Array[String]): Unit = {
-    val out = args(0)
-    // a fresh dir only: re-running over an existing store trips the
-    // stores' own replay/recycled-id protections (batch ids restart)
-    // and silently generates a DIFFERENT, degenerate lifecycle shape
-    require(!new java.io.File(out).exists(),
-      s"golden out dir $out already exists — rm it first (generation " +
-        "must start from scratch)")
-    val fixtureDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+  private def session(): SparkSession = {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -99,6 +88,37 @@ object GoldenStoreGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: GoldenStoreGen <outDir> [fixtureDir] | --hashes <goldenDir> [fixtureDir]")
+    // --hashes: READ-ONLY re-pin over an existing store — for when
+    // the hash definition (not the format) changes, or to print a
+    // committed store's current read-back without touching its bytes
+    if (args(0) == "--hashes") {
+      val goldenDir = args(1)
+      val fixtureDir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
+      val spark = session()
+      readers(spark, goldenDir, fixtureDir).foreach { case (name, rd) =>
+        val df = rd()
+        val (n, h) = canonicalHash(df)
+        graft.StorageHygiene.releaseAndSweep(spark, "golden-hashes", name, Some(df))
+        println(s"""GOLDEN "$name" -> ($n""" + s"""L, "$h"),""")
+      }
+      spark.stop()
+      return
+    }
+    val out = args(0)
+    // a fresh dir only: re-running over an existing store trips the
+    // stores' own replay/recycled-id protections (batch ids restart)
+    // and silently generates a DIFFERENT, degenerate lifecycle shape
+    require(!new java.io.File(out).exists(),
+      s"golden out dir $out already exists — rm it first (generation " +
+        "must start from scratch)")
+    val fixtureDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = session()
     import spark.implicits._
 
     val docs = fixtureDocs(spark, fixtureDir)

@@ -27,12 +27,12 @@ import graft.tools.GoldenStoreGen
 class GoldenFormatSpec extends SparkSuite {
 
   private val pinned: Map[String, (Long, String)] = Map(
-    "epoched" -> (6L, "ccd019ae143e0352f9f72049373fd1cc84b30ec4f06e4d3df617c9af5f140c59"),
-    "labels" -> (60L, "2332b82d089a6579031afd7f197a58cb4e9f9a41c57c053cb1aba5dfef32b06b"),
-    "dedup_incremental" -> (12L, "e6029ab06b9596be64400451579b9652f02073ea269fa8082e7a58c84f75d8ee"),
-    "pq_knn" -> (18L, "159d71bb790b8dc4edab2c4159d419081b8854e92bb3a733221e4e3c23d99978"),
-    "sketches" -> (20L, "a51e8b655485acb23c92758cead5eef416e290be79be9e8dfd73b415e5255b87"),
-    "sketches_dashboard" -> (21L, "f0540268aaf457a2cdb282e12230408b207efa4ef5edc696c9d60bf66b7d704d"))
+    "epoched" -> (6L, "af2d8c2bdd93a5536bdf12ec449c926e5674bc8e454360de452ff074d7345ea6"),
+    "labels" -> (60L, "a458af71f1fd944eb94686dc46521fa7815fd64afff973e1e169783fb2aea8d5"),
+    "dedup_incremental" -> (12L, "602cc644ef8ab06ea388074af58554cb39e4c672d9ac18d64808a3ab31095877"),
+    "pq_knn" -> (18L, "0ffff989548867b719aca2e1ebc6c58ff0d8d0cc706cc4fee32fe1fea2b84f31"),
+    "sketches" -> (20L, "e73937f1798355cbe05e9f44660deafe33bc50bcb9a216d842607583e0596eb5"),
+    "sketches_dashboard" -> (21L, "12ba430b25543d0b7c62c1af56066fed27cb5a22bb86b66f83a4cf9cf0976a73"))
 
   private val fixtureDir = "/root/testdata/sf0.001"
 

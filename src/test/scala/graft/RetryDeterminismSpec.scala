@@ -141,9 +141,12 @@ class RetryDeterminismSpec extends SparkSuite {
     } finally q.stop()
     assert(injected.get() > before,
       "streaming injection never fired — the check is vacuous")
+    // sorted MULTISET, not a Set: an at-least-once re-emission of an
+    // already-emitted row (the exact exactly-once violation under
+    // test) would survive a Set collapse unseen
     val out = scala.jdk.CollectionConverters.ListHasAsScala(got)
-      .asScala.map(_.longValue).toSet
-    assert(out == Set(1L, 2L, 4L),
+      .asScala.map(_.longValue).toSeq.sorted
+    assert(out == Seq(1L, 2L, 4L),
       s"retried micro-batch task changed dedup output: $out")
   }
 
@@ -160,11 +163,18 @@ class RetryDeterminismSpec extends SparkSuite {
       .createTempDirectory("graft-retry-ep").toString
     try {
       val t = graft.sources.EpochedTable(root, "t", Seq("id", "v"))
+      // per-call fired guards: one aggregate delta could not tell
+      // whether BOTH write paths exercised a retry — a future
+      // driver-side fast path on either call would silently drop its
+      // coverage while the other call's injection kept the assert green
       val before = injected.get()
       t.replaceWith(failOnce(Seq(1L -> 10L, 2L -> 20L).toDF("id", "v")))
+      val afterReplace = injected.get()
+      assert(afterReplace > before,
+        "replaceWith injection never fired — the check is vacuous")
       t.appendBatch(failOnce(Seq(3L -> 30L).toDF("id", "v")), batchId = 0L)
-      assert(injected.get() > before,
-        "write-path injection never fired — the check is vacuous")
+      assert(injected.get() > afterReplace,
+        "appendBatch injection never fired — the check is vacuous")
       def rows() = rowsOf(t.read(spark)
           .orderBy(org.apache.spark.sql.functions.col("id")))
         .map(r => (r("id").asInstanceOf[Long], r("v").asInstanceOf[Long]))

@@ -16,7 +16,18 @@ object Verify {
     * a hostile partition count and with AQE's runtime re-planning
     * disabled — a float fold whose value depends on partition order,
     * or a limit riding an unpinned sort, would pass the canonical
-    * config forever and differ on the thousand-executor layout. */
+    * config forever and differ on the thousand-executor layout.
+    *
+    * SPARK_GRAFT_TASK_CHAOS=<n> (default off) arms the chaos listener:
+    * every n-th FIRST-attempt task is killed via
+    * `SparkContext.killTaskAttempt` and rescheduled (TaskKilled does
+    * not count toward spark.task.maxFailures, so the default local
+    * master suffices), which extends the execution-history axis from
+    * RetryDeterminismSpec's curated operators to the WHOLE registry:
+    * the oracle compare must stay 141/141 hash-exact while tasks are
+    * being killed and re-run throughout the dump
+    * (`scripts/retry_chaos_sweep.sh`). Retried attempts are never
+    * killed, so every stage terminates. */
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -29,6 +40,28 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val chaosN = sys.env.get("SPARK_GRAFT_TASK_CHAOS").map(_.toInt)
+      .filter(_ > 0)
+    chaosN.foreach { n =>
+      val seen = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskStart(
+              t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+            // first attempts only — a retried attempt is never killed,
+            // so every stage terminates; the kill races task completion
+            // harmlessly (a finished task's kill no-ops or throws)
+            if (t.taskInfo.attemptNumber == 0 &&
+                seen.incrementAndGet() % n == 0) {
+              try {
+                spark.sparkContext.killTaskAttempt(t.taskInfo.taskId,
+                  interruptThread = false,
+                  reason = "graft chaos sweep: forced reschedule")
+                chaosKilled.incrementAndGet()
+              } catch { case _: Throwable => () }
+            }
+        })
+    }
     // the EFFECTIVE config, read back from the live session — the
     // config-invariance sweep asserts this line echoes its requested
     // knobs, so a renamed/typo'd env var degrades to a loud gate
@@ -36,9 +69,17 @@ object Verify {
     // "passes" forever
     println(s"VERIFY_CONF master=${spark.sparkContext.master}" +
       s" shuffle=${spark.conf.get("spark.sql.shuffle.partitions")}" +
-      s" aqe=${spark.conf.get("spark.sql.adaptive.enabled")}")
+      s" aqe=${spark.conf.get("spark.sql.adaptive.enabled")}" +
+      s" chaos=${chaosN.map(_.toString).getOrElse("off")}")
     spark
   }
+
+  /** Kill count of the chaos listener — printed at the end of a dump
+    * (`VERIFY_CHAOS killed=<n>`) so the chaos sweep can assert the
+    * injection actually FIRED rather than silently running a plain
+    * re-dump (the same vacuousness guard as RetryDeterminismSpec's
+    * fired counter and the sweeps' knob-took-effect check). */
+  private[graft] val chaosKilled = new java.util.concurrent.atomic.AtomicLong
 
   /** Run the named queries (all when `names` is empty), dump each to
     * `outDir/<name>` parquet, release per-query storage. */
@@ -99,6 +140,8 @@ object Verify {
     val spark = session()
     dumpQueries(spark, sfDir, outDir)
     dumpOracleSql(outDir)
+    if (sys.env.contains("SPARK_GRAFT_TASK_CHAOS"))
+      println(s"VERIFY_CHAOS killed=${chaosKilled.get()}")
     spark.stop()
   }
 }

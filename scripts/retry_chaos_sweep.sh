@@ -14,14 +14,16 @@
 # masquerading as a chaos pass, so the sweep fails unless Verify's
 # VERIFY_CHAOS line reports a nonzero kill count.
 #
-# Usage: scripts/retry_chaos_sweep.sh [n]   (default: every 20th task;
-#        from the repo root; ~4 min)
+# Usage: scripts/retry_chaos_sweep.sh [n] [sfdir]
+#        (default: every 20th task at sf0.01, ~4 min; pass a bigger
+#        fixture for longer tasks — more kills land mid-execution)
 set -u
 cd "$(dirname "$0")/.."
 . scripts/lib_verify_gate.sh
 n="${1:-20}"
+sfdir="${2:-/root/testdata/sf0.01}"
 overall=0
-run_verify_gate chaos /root/testdata/sf0.01 "SPARK_GRAFT_TASK_CHAOS=$n"
+run_verify_gate chaos "$sfdir" "SPARK_GRAFT_TASK_CHAOS=$n"
 if ! grep -q "VERIFY_CHAOS killed=[1-9]" /tmp/verify_chaos.log; then
   echo "FAIL  chaos: zero tasks killed — the sweep ran a plain re-dump" \
     "(see /tmp/verify_chaos.log)"

@@ -29,23 +29,44 @@ object Bench {
     * baseline) and "isolated_s" (post-suite min-of-5 isolated
     * re-timings of the worst offenders). Purely DIAGNOSTIC fields
     * (gc_s in r17; jit_s / cleaned_n / cleaner_pending and their
-    * isolated_* twins in r18) do not bump the regime: timings and
-    * their methodology are untouched, so baselines stay comparable.
+    * isolated_* twins in r18; drift_watch / suspect_jit_share in r19)
+    * do not bump the regime: timings and their methodology are
+    * untouched, so baselines stay comparable. Likewise the r19
+    * compounding-drift trigger only ADDS entries to the isolated
+    * re-timing pass (suspect SELECTION, not measurement), so it rides
+    * v4.
     */
   private[graft] val Regime = "pass-major-rotate-v4"
 
+  /** A parsed prior artifact: per-query seconds, the sentinel
+    * yardstick, the regime tag ("" on pre-v2 artifacts), and the
+    * run's drift-watch list (empty when the artifact predates it). */
+  private[graft] case class Baseline(queries: Map[String, Double],
+      sentinel: Double, regime: String, watch: Map[String, Double])
+
+  /** Parse one flat (string→number) object by its literal marker; the
+    * first '}' after the marker closes it. Empty map when absent. */
+  private def flatObj(text: String, marker: String): Map[String, Double] = {
+    val start = text.indexOf(marker)
+    val end = if (start < 0) -1 else text.indexOf('}', start)
+    if (start < 0 || end < 0) Map.empty
+    else """"([^"]+)"\s*:\s*(-?[0-9.eE+\-]+)""".r
+      .findAllMatchIn(text.substring(start + marker.length, end))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   /** Parse a prior one-line bench artifact (the exact shape this main
     * emits at the bottom): per-query seconds from the flat
-    * `"queries":{...}` object, the `"sentinel_s"` yardstick, and the
-    * `"regime"` tag (empty string when absent — pre-v2 artifacts).
+    * `"queries":{...}` object, the `"sentinel_s"` yardstick, the
+    * `"regime"` tag (empty string when absent — pre-v2 artifacts), and
+    * the `"drift_watch"` list (empty when absent — pre-r19 artifacts).
     * Returns None when the file is missing, unparseable, or carries no
     * usable sentinel — the suspect re-timing pass simply doesn't run
     * then. A ~20-line manual parse keeps the binary dependency-free;
     * both numeric shapes the emitter produces (plain and scientific
     * notation) are accepted.
     */
-  private[graft] def loadBaseline(
-      path: String): Option[(Map[String, Double], Double, String)] =
+  private[graft] def loadBaseline(path: String): Option[Baseline] =
     try {
       val p = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.isReadable(p)) None
@@ -56,19 +77,10 @@ object Bench {
           .findFirstMatchIn(text).map(_.group(1).toDouble)
         val regime = """"regime"\s*:\s*"([^"]*)"""".r
           .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
-        val marker = "\"queries\":{"
-        val qStart = text.indexOf(marker)
-        val qEnd = if (qStart < 0) -1 else text.indexOf('}', qStart)
-        if (qStart < 0 || qEnd < 0 || sent.isEmpty) None
-        else {
-          // the queries object is flat (string→number), so the first
-          // '}' after the marker closes it
-          val body = text.substring(qStart + marker.length, qEnd)
-          val qs = """"([^"]+)"\s*:\s*(-?[0-9.eE+\-]+)""".r
-            .findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          if (qs.isEmpty) None else Some((qs, sent.get, regime))
-        }
+        val qs = flatObj(text, "\"queries\":{")
+        if (qs.isEmpty || sent.isEmpty) None
+        else Some(Baseline(qs, sent.get, regime,
+          flatObj(text, "\"drift_watch\":{")))
       }
     } catch { case _: Throwable => None }
 
@@ -329,27 +341,53 @@ object Bench {
     // shifted query would become a phantom suspect burning 5 isolated
     // re-timings. Skipping is loud, and self-heals the next run (this
     // run commits a same-regime artifact).
-    val suspects: Seq[(String, Double)] = loadBaseline(baselinePath) match {
-      case Some((_, _, prevRegime)) if prevRegime != Regime =>
-        System.err.println(
-          s"[bench] baseline $baselinePath is regime '$prevRegime', this " +
-            s"run is '$Regime' — cross-regime timings are not comparable; " +
-            "skipping the suspect re-timing pass")
-        Seq.empty
-      case Some((prevQ, prevSent, _)) if sentinel > 0 && prevSent > 0 =>
-        val drift = sentinel / prevSent
-        results
-          .flatMap { case (name, t) =>
-            prevQ.get(name) match {
-              case Some(p) if t > 0 && p > 0 && (t / p) / drift > suspectThreshold =>
-                Some((name, t / p / drift))
+    // (normalized ratios for every comparable query, baseline's watch
+    // list) — None when no usable same-regime baseline exists
+    val comparison: Option[(Map[String, Double], Map[String, Double])] =
+      loadBaseline(baselinePath) match {
+        case Some(b) if b.regime != Regime =>
+          System.err.println(
+            s"[bench] baseline $baselinePath is regime '${b.regime}', this " +
+              s"run is '$Regime' — cross-regime timings are not comparable; " +
+              "skipping the suspect re-timing pass")
+          None
+        case Some(b) if sentinel > 0 && b.sentinel > 0 =>
+          val drift = sentinel / b.sentinel
+          val norm = results.flatMap { case (name, t) =>
+            b.queries.get(name) match {
+              case Some(p) if t > 0 && p > 0 => Some(name -> (t / p) / drift)
               case _ => None
             }
-          }
-          .sortBy { case (_, norm) => -norm }
-          .take(maxSuspects)
-      case _ => Seq.empty
-    }
+          }.toMap
+          Some((norm, b.watch))
+        case _ => None
+      }
+    // compounding-drift trigger (r19): a sequence of sub-threshold
+    // same-direction moves can reach 2× without ever tripping the 1.5×
+    // radar (the exact shape the r18 IVF-PQ adjudication disproved for
+    // the probe family and the r18 verdict flagged unresolved for
+    // train_bench: ~1.13×/round for three rounds ≈ 1.45× unexamined).
+    // Every query ≥ the watch threshold is recorded in the artifact as
+    // "drift_watch"; a query on the BASELINE's drift_watch that moves
+    // ≥ the watch threshold AGAIN this run is promoted into the
+    // isolated re-timing pass even though below the suspect threshold
+    // — two consecutive compounding moves always get adjudicated.
+    val watchThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_WATCH_RATIO", "1.1").toDouble
+    val watch: Seq[(String, Double)] = comparison
+      .fold(Seq.empty[(String, Double)]) { case (norm, _) =>
+        norm.filter(_._2 >= watchThreshold).toSeq.sortBy(-_._2)
+      }
+    val suspects: Seq[(String, Double)] = comparison
+      .fold(Seq.empty[(String, Double)]) { case (norm, baseWatch) =>
+        val over = norm.filter(_._2 > suspectThreshold)
+          .toSeq.sortBy(-_._2)
+        val compounding = norm.filter { case (name, r) =>
+          r >= watchThreshold && r <= suspectThreshold &&
+            baseWatch.get(name).exists(_ >= watchThreshold)
+        }.toSeq.sortBy(-_._2)
+        (over ++ compounding).take(maxSuspects)
+      }
     // isolated re-timings carry their OWN min-pass diagnostics: one
     // artifact then answers the mechanism question per suspect — if
     // the in-suite window shows a JIT/cleaner/GC load the isolated
@@ -381,6 +419,28 @@ object Bench {
     val isoCleanedJson = obj(isolated)(_.cleaned.toString)
     val isoPendingJson = obj(isolated)(_.pending.toString)
     val suspectJson = obj(suspects)(_.toString)
+    val watchJson = obj(watch)(r => ms(r))
+    // self-explaining degraded runs (r19): for each isolated-re-timed
+    // suspect, the share of its in-suite inflation attributable to JIT
+    // compilation — (jit_in_suite − jit_isolated)/(t_in_suite −
+    // t_isolated). The r18 adjudications all came down to exactly this
+    // arithmetic done by hand (shares ~0.6–0.9 on all six suspects);
+    // carrying it in the artifact closes the common case without any
+    // isolated re-run by a reader. −1 = undefined (a crashed window,
+    // unmeasurable JIT, or an inflation too small to attribute).
+    val diagMap = diagOfMin.toMap
+    val resMap = results.toMap
+    val jitShare: Seq[(String, Double)] = isolated.map { case (name, iso) =>
+      val tIn = resMap.getOrElse(name, -1.0)
+      val dIn = diagMap.getOrElse(name, CrashedDiag)
+      val dt = tIn - iso.sec
+      val share =
+        if (tIn <= 0 || iso.sec <= 0 || dIn.jit < 0 || iso.jit < 0 ||
+            dt <= 0.05) -1.0
+        else ((dIn.jit - iso.jit) / dt).max(0.0)
+      name -> share
+    }
+    val jitShareJson = obj(jitShare)(v => ms(v))
     // total covers successful queries only — summing the -1 failure
     // sentinels would make a crashed query IMPROVE the headline number
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -394,7 +454,7 @@ object Bench {
     // measurement procedure changes (warmup policy, rotation, quiesce,
     // sentinel) so artifacts from different regimes are never compared
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","gc_s":$gcJson,"jit_s":$jitJson,"cleaned_n":$cleanedJson,"cleaner_pending":$pendingJson,"queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes,"sweep":true,"leaked":$leaked,"regime":"$Regime","sentinel_s":$sentinel,"baseline":"${esc(baselinePath)}","suspect_ratio":$suspectJson,"isolated_s":$isoJson,"isolated_gc_s":$isoGcJson,"isolated_jit_s":$isoJitJson,"isolated_cleaned_n":$isoCleanedJson,"isolated_pending":$isoPendingJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","gc_s":$gcJson,"jit_s":$jitJson,"cleaned_n":$cleanedJson,"cleaner_pending":$pendingJson,"queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes,"sweep":true,"leaked":$leaked,"regime":"$Regime","sentinel_s":$sentinel,"baseline":"${esc(baselinePath)}","suspect_ratio":$suspectJson,"drift_watch":$watchJson,"suspect_jit_share":$jitShareJson,"isolated_s":$isoJson,"isolated_gc_s":$isoGcJson,"isolated_jit_s":$isoJitJson,"isolated_cleaned_n":$isoCleanedJson,"isolated_pending":$isoPendingJson}"""
     println(line)
     // also persist to a file: stdout can get interleaved with stray
     // [error] log lines under sbt, which breaks line-oriented parsers.

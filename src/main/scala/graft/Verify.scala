@@ -27,10 +27,49 @@ object Verify {
     * the oracle compare must stay 141/141 hash-exact while tasks are
     * being killed and re-run throughout the dump
     * (`scripts/retry_chaos_sweep.sh`). Retried attempts are never
-    * killed, so every stage terminates. */
+    * killed, so every stage terminates.
+    *
+    * SPARK_GRAFT_SPILL=1 (default off) arms the forced-spill axis
+    * (`scripts/spill_sweep.sh`): sf≤0.1 in a 128 GiB sandbox never
+    * exercises hash-aggregate sort-fallback, external-sort merge, or
+    * shuffle spill, yet at 100 TB spilling is STEADY-STATE and the
+    * spill/merge paths are the classic home of order- and
+    * precision-dependent bugs (a float fold that survives one
+    * in-memory partition order can diverge once partial buffers spill
+    * and merge in sorted-key order). The knobs force every such path
+    * at tiny thresholds, all public Spark confs:
+    *   - `TungstenAggregate.testFallbackStartsAt=2,5` — every hash
+    *     aggregate abandons its map after 5 keys and finishes
+    *     sort-based (spill + sorted merge of partial buffers);
+    *   - `objectHashAggregate.sortBased.fallbackThreshold=2` — the
+    *     ObjectHashAggregate family (our TypedImperativeAggregate
+    *     sketches ride it) falls back to sort-based merge;
+    *   - window / sort-merge-join / session-window / cartesian
+    *     buffers go external at 16 rows and spill at 16 rows;
+    *   - `shuffle.spill.numElementsForceSpillThreshold=262144` — every
+    *     UnsafeExternalSorter (SortExec, shuffle writers, the
+    *     sort-fallback's KV sorter) force-spills each 256k elements,
+    *     so external merges genuinely run many-way on the
+    *     row-explosion queries while the spill-FILE count stays
+    *     bounded. The bound is load-bearing: `getSortedIterator`
+    *     opens a reader per spill file SIMULTANEOUSLY at merge time,
+    *     each holding ≥1 MiB of buffers (the conf floor), and sweep
+    *     attempts at thresholds 2000/16384 OOM'd the JVM from
+    *     q_dup_ngrams' hundreds of per-task spill files — spill
+    *     granularity is a memory knob, not just an IO knob, the same
+    *     arithmetic that sizes a real cluster's
+    *     `maxRemoteBlockSizeFetchToMem`/merge fan-in. Read-ahead is
+    *     disabled (`unsafe.sorter.spill.read.ahead.enabled=false`)
+    *     to halve per-open-file buffering, and
+    *     `diskWriteBufferSize=64k` shrinks writer-side buffers.
+    * The fired-guard is metric-based: the session counts
+    * memory/diskBytesSpilled across all tasks and main() prints
+    * `VERIFY_SPILL mem=<B> disk=<B>`; the sweep FAILS on zero (a
+    * sweep that never spilled is a plain re-dump). */
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spillForced = sys.env.get("SPARK_GRAFT_SPILL").contains("1")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
@@ -38,7 +77,38 @@ object Verify {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (spillForced) {
+      builder
+        .config("spark.sql.TungstenAggregate.testFallbackStartsAt", "2,5")
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
+        .config("spark.sql.windowExec.buffer.in.memory.threshold", "16")
+        .config("spark.sql.windowExec.buffer.spill.threshold", "16")
+        .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "16")
+        .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "16")
+        .config("spark.sql.sessionWindow.buffer.in.memory.threshold", "16")
+        .config("spark.sql.sessionWindow.buffer.spill.threshold", "16")
+        .config("spark.sql.cartesianProductExec.buffer.in.memory.threshold", "16")
+        .config("spark.sql.cartesianProductExec.buffer.spill.threshold", "16")
+        .config("spark.shuffle.spill.numElementsForceSpillThreshold", "262144")
+        .config("spark.shuffle.spill.diskWriteBufferSize", "65536")
+        .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
+    }
+    val spark = builder.getOrCreate()
+    // spill accounting rides on EVERY session (cheap): the spill
+    // sweep's fired-guard reads the totals, and a canonical run
+    // printing mem=0 disk=0 documents that the default regime really
+    // never spills — the gap the sweep exists to close
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            spilledMem.addAndGet(m.memoryBytesSpilled)
+            spilledDisk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     spark.sparkContext.setLogLevel("WARN")
     val chaosN = sys.env.get("SPARK_GRAFT_TASK_CHAOS").map(_.toInt)
       .filter(_ > 0)
@@ -54,10 +124,16 @@ object Verify {
             if (t.taskInfo.attemptNumber == 0 &&
                 seen.incrementAndGet() % n == 0) {
               try {
-                spark.sparkContext.killTaskAttempt(t.taskInfo.taskId,
-                  interruptThread = false,
-                  reason = "graft chaos sweep: forced reschedule")
-                chaosKilled.incrementAndGet()
+                // count only kills the scheduler ACCEPTED (returns
+                // true): the listener bus is async, so this frequently
+                // races tasks that already finished — a no-op kill
+                // (false) incrementing the counter could satisfy the
+                // sweep's killed>=1 fired-guard with zero tasks
+                // actually rescheduled, a vacuous chaos pass
+                if (spark.sparkContext.killTaskAttempt(t.taskInfo.taskId,
+                    interruptThread = false,
+                    reason = "graft chaos sweep: forced reschedule"))
+                  chaosKilled.incrementAndGet()
               } catch { case _: Throwable => () }
             }
         })
@@ -70,9 +146,21 @@ object Verify {
     println(s"VERIFY_CONF master=${spark.sparkContext.master}" +
       s" shuffle=${spark.conf.get("spark.sql.shuffle.partitions")}" +
       s" aqe=${spark.conf.get("spark.sql.adaptive.enabled")}" +
-      s" chaos=${chaosN.map(_.toString).getOrElse("off")}")
+      s" chaos=${chaosN.map(_.toString).getOrElse("off")}" +
+      // read BACK from the live conf, not the env var: the spill
+      // sweep's knob-took-effect check keys on this token, so a
+      // builder refactor dropping the configs degrades loudly
+      s" spill=${if (spark.conf.getOption(
+          "spark.sql.TungstenAggregate.testFallbackStartsAt").isDefined)
+        "forced" else "off"}")
     spark
   }
+
+  /** Bytes spilled across all tasks of the session — the spill
+    * sweep's fired-guard (`VERIFY_SPILL mem=<B> disk=<B>`, printed
+    * after `spark.stop()` so the async listener bus has drained). */
+  private[graft] val spilledMem = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val spilledDisk = new java.util.concurrent.atomic.AtomicLong
 
   /** Kill count of the chaos listener — printed at the end of a dump
     * (`VERIFY_CHAOS killed=<n>`) so the chaos sweep can assert the
@@ -142,6 +230,8 @@ object Verify {
     dumpOracleSql(outDir)
     if (sys.env.contains("SPARK_GRAFT_TASK_CHAOS"))
       println(s"VERIFY_CHAOS killed=${chaosKilled.get()}")
+    // stop() drains the listener bus, so the totals are complete here
     spark.stop()
+    println(s"VERIFY_SPILL mem=${spilledMem.get()} disk=${spilledDisk.get()}")
   }
 }

@@ -92,7 +92,10 @@ object GoldenStoreGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty,
+    // the arity check must cover BOTH forms: a bare `--hashes` would
+    // otherwise reach args(1) and die with ArrayIndexOutOfBounds
+    // instead of this usage message
+    require(args.nonEmpty && (args(0) != "--hashes" || args.length >= 2),
       "usage: GoldenStoreGen <outDir> [fixtureDir] | --hashes <goldenDir> [fixtureDir]")
     // --hashes: READ-ONLY re-pin over an existing store — for when
     // the hash definition (not the format) changes, or to print a

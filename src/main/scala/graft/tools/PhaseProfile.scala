@@ -45,8 +45,15 @@ object PhaseProfile {
         // planning inside the exec window, smearing frontend cost into
         // the exec column — the exact misattribution this tool exists
         // to prevent); draining toRdd is the noop-sink pull without a
-        // second frontend pass
-        qe.toRdd.foreachPartition(_ => ())
+        // second frontend pass. The iterator must actually be PULLED:
+        // foreachPartition(_ => ()) discards it unconsumed, so lazy
+        // final-stage work (whole-stage-codegen pipelines, final
+        // aggregates, result-stage shuffle fetches) never executes and
+        // the exec column under-measures exactly the cost this tool
+        // exists to attribute — only upstream shuffle-map stages run
+        qe.toRdd.foreachPartition { it =>
+          while (it.hasNext) it.next()
+        }
         val t3 = System.nanoTime()
         graft.StorageHygiene.releaseAndSweep(spark, "phase", name, Some(df))
         println(f"PHASES $name rep=$rep construct=${(t1 - t0) / 1e9}%.3f " +

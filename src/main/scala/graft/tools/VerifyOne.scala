@@ -17,5 +17,10 @@ object VerifyOne {
     graft.Verify.dumpQueries(spark, sfDir, outDir, names)
     graft.Verify.dumpOracleSql(outDir, names)
     spark.stop()
+    // same fired-guard surface as Verify.main (after stop(), so the
+    // async listener bus has drained) — lets a single-query spill
+    // iteration confirm its knobs fired without a full sweep
+    println(s"VERIFY_SPILL mem=${graft.Verify.spilledMem.get()}" +
+      s" disk=${graft.Verify.spilledDisk.get()}")
   }
 }

@@ -25,16 +25,18 @@ class BenchBaselineSpec extends AnyFunSuite {
     val line =
       """{"metric":"total","value":93.4,"unit":"sec","queries":{"q_agg":1.25,"q_knn":0.5,"q_neg":-1.0,"q_sci":1.2E-3},"sf":"/x","warmup":"/x","passes":2,"sweep":true,"leaked":0,"regime":"pass-major-rotate-v4","sentinel_s":0.129}"""
     withTemp(line) { path =>
-      val Some((qs, sent, regime)) = Bench.loadBaseline(path)
-      assert(sent == 0.129)
-      assert(regime == "pass-major-rotate-v4")
-      assert(qs == Map("q_agg" -> 1.25, "q_knn" -> 0.5, "q_neg" -> -1.0, "q_sci" -> 1.2e-3))
+      val Some(b) = Bench.loadBaseline(path)
+      assert(b.sentinel == 0.129)
+      assert(b.regime == "pass-major-rotate-v4")
+      assert(b.queries == Map("q_agg" -> 1.25, "q_knn" -> 0.5, "q_neg" -> -1.0, "q_sci" -> 1.2e-3))
+      // a pre-r19 artifact has no drift_watch — parses empty, not None
+      assert(b.watch.isEmpty)
     }
     // a pre-regime artifact parses with an empty tag (never compared
     // raw against a tagged run — the caller's mismatch check handles it)
     withTemp("""{"queries":{"q":1.0},"sentinel_s":0.2}""") { p =>
-      val Some((_, _, regime)) = Bench.loadBaseline(p)
-      assert(regime == "")
+      val Some(b) = Bench.loadBaseline(p)
+      assert(b.regime == "")
     }
   }
 
@@ -46,10 +48,10 @@ class BenchBaselineSpec extends AnyFunSuite {
     val line =
       """{"metric":"total","value":9.9,"unit":"sec","gc_s":{"q_agg":0.5},"jit_s":{"q_agg":7.7},"cleaned_n":{"q_agg":123},"cleaner_pending":{"q_agg":6000},"queries":{"q_agg":1.25},"sf":"/x","passes":2,"regime":"pass-major-rotate-v4","sentinel_s":0.1,"isolated_s":{},"isolated_gc_s":{},"isolated_jit_s":{},"isolated_cleaned_n":{},"isolated_pending":{}}"""
     withTemp(line) { path =>
-      val Some((qs, sent, _)) = Bench.loadBaseline(path)
-      assert(sent == 0.1)
-      assert(qs == Map("q_agg" -> 1.25),
-        s"timing misread from a diagnostic object: $qs")
+      val Some(b) = Bench.loadBaseline(path)
+      assert(b.sentinel == 0.1)
+      assert(b.queries == Map("q_agg" -> 1.25),
+        s"timing misread from a diagnostic object: ${b.queries}")
     }
   }
 
@@ -59,7 +61,8 @@ class BenchBaselineSpec extends AnyFunSuite {
     // the current regime tag — a baseline refresh that dropped them
     // would silently blind the pass to the suite's most expensive
     // entry's drift, so the precondition is pinned here
-    val Some((qs, sent, regime)) = Bench.loadBaseline("bench.json")
+    val Some(base) = Bench.loadBaseline("bench.json")
+    val (qs, sent, regime) = (base.queries, base.sentinel, base.regime)
     assert(regime == Bench.Regime,
       s"tracked baseline regime '$regime' != live '${Bench.Regime}' — " +
         "every run would skip the suspect pass until a refresh")
@@ -69,6 +72,22 @@ class BenchBaselineSpec extends AnyFunSuite {
       assert(qs.get(k).exists(_ > 0),
         s"tracked bench.json lost bench-only entry $k — its drift " +
           "would be invisible to the suspect pass")
+  }
+
+  test("parses the r19 drift_watch object for the compounding trigger") {
+    // drift_watch reuses query names as keys and sits AFTER "queries";
+    // both objects must parse independently — the compounding-drift
+    // trigger reads the BASELINE's watch list, so a parse regression
+    // here silently disables two-consecutive-moves adjudication
+    val line =
+      """{"metric":"total","value":9.9,"unit":"sec","queries":{"q_agg":1.25,"q_train":4.4},"regime":"pass-major-rotate-v4","sentinel_s":0.1,"suspect_ratio":{},"drift_watch":{"q_train":1.13},"suspect_jit_share":{},"isolated_s":{}}"""
+    withTemp(line) { path =>
+      val Some(b) = Bench.loadBaseline(path)
+      assert(b.queries == Map("q_agg" -> 1.25, "q_train" -> 4.4),
+        s"queries contaminated by a later query-keyed object: ${b.queries}")
+      assert(b.watch == Map("q_train" -> 1.13),
+        s"drift_watch misparsed: ${b.watch}")
+    }
   }
 
   test("missing file, missing sentinel, empty queries, garbage → None") {

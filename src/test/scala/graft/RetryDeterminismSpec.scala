@@ -43,6 +43,11 @@ object RetryDeterminismSpec {
 class RetryDeterminismSpec extends SparkSuite {
   import RetryDeterminismSpec.injected
 
+  // this suite EXISTS to fire task retries — declare the window so the
+  // shared session's unexpected-retry guard (SparkSuite) ignores them
+  // here while still arresting silent retries in every other suite
+  override protected def taskRetriesExpected: Boolean = true
+
   private val sfDir = "/root/testdata/sf0.001"
 
   /** Pass-through stage whose partition-0 task throws on its first
@@ -181,10 +186,18 @@ class RetryDeterminismSpec extends SparkSuite {
       val expect = Seq(1L -> 10L, 2L -> 20L, 3L -> 30L)
       assert(rows() == expect,
         s"retried write task corrupted the committed store: ${rows()}")
-      // a fold carries them forward unchanged
-      t.compact(spark)
+      // the COMPACTION rewrite is the third at-rest mutation (the
+      // registry-level chaos sweep covers it statistically; this pins
+      // it with the same injected-retry assertion as the other two):
+      // a retried task inside the generation fold must commit exactly
+      // the folded rows — no duplicates from the failed attempt's
+      // files, no losses
+      val afterAppend = injected.get()
+      t.compact(spark, reshape = failOnce)
+      assert(injected.get() > afterAppend,
+        "compact injection never fired — the check is vacuous")
       assert(rows() == expect,
-        s"post-compaction rows diverged: ${rows()}")
+        s"post-compaction rows diverged under a retried task: ${rows()}")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root))
   }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.KafkaRecord
@@ -10,21 +11,82 @@ import graft.model.KafkaRecord
   * failure is retried once — the cluster default is 4, and local[N]'s
   * no-retry default is the one configuration NO real deployment runs.
   * This is load-bearing for RetryDeterminismSpec (which injects a
-  * first-attempt task failure and asserts results are unchanged) and
-  * inert elsewhere: a deterministic test bug still fails on attempt 2.
+  * first-attempt task failure and asserts results are unchanged).
+  *
+  * The silent-retry hazard that tradeoff opens — a FLAKY (nondeterministic)
+  * bug in any other spec passing on attempt 2 and being masked — is
+  * closed by the unexpected-retry listener below: every task start
+  * with attemptNumber > 0 outside a declared retry window counts as
+  * unexpected, and each suite's afterAll asserts its window added
+  * none. Masked flakiness surfaces loudly instead of vanishing into
+  * the scheduler's second attempt.
   */
 object SparkSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4, 2]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  /** Retried task starts observed OUTSIDE a declared retry window —
+    * suite afterAll hooks assert this never moves on their watch. */
+  val unexpectedRetries = new java.util.concurrent.atomic.AtomicLong
+  /** Last offender, for the failure message. */
+  @volatile var lastUnexpectedRetry: String = ""
+  /** >0 ⇒ retries are expected (RetryDeterminismSpec's injections).
+    * A depth, not a flag, so nested/overlapping windows compose. */
+  val expectedRetryDepth = new java.util.concurrent.atomic.AtomicInteger
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4, 2]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskStart(
+            t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+          if (t.taskInfo.attemptNumber > 0 && expectedRetryDepth.get == 0) {
+            lastUnexpectedRetry = s"stage ${t.stageId} task " +
+              s"${t.taskInfo.taskId} attempt ${t.taskInfo.attemptNumber}"
+            unexpectedRetries.incrementAndGet()
+            System.err.println(
+              s"[SparkSuite] UNEXPECTED task retry: $lastUnexpectedRetry")
+          }
+      })
+    s
+  }
 }
 
-trait SparkSuite extends AnyFunSuite {
+trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSuite.spark
+
+  /** Override to true in a suite that INTENTIONALLY fails tasks
+    * (RetryDeterminismSpec); it must also hold a retry window open
+    * via [[SparkSuite.expectedRetryDepth]] for its duration. */
+  protected def taskRetriesExpected: Boolean = false
+
+  private var retriesAtStart = 0L
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    if (taskRetriesExpected) SparkSuite.expectedRetryDepth.incrementAndGet()
+    retriesAtStart = SparkSuite.unexpectedRetries.get
+  }
+
+  override protected def afterAll(): Unit = {
+    try {
+      if (taskRetriesExpected) {
+        // drain the async listener bus before lowering the window so a
+        // late-delivered injected-retry event cannot leak into the
+        // NEXT suite's watch as a false positive
+        Thread.sleep(500)
+        SparkSuite.expectedRetryDepth.decrementAndGet()
+      } else
+        assert(SparkSuite.unexpectedRetries.get == retriesAtStart,
+          s"a task was silently RETRIED during this suite (last: " +
+            s"${SparkSuite.lastUnexpectedRetry}) — the shared session's " +
+            "maxFailures=2 master may be masking a flaky task-level bug; " +
+            "find the nondeterminism or declare taskRetriesExpected")
+    } finally super.afterAll()
+  }
 
   def ts(ms: Long): java.sql.Timestamp = new java.sql.Timestamp(ms)
 

@@ -15,11 +15,15 @@ import graft.model.KafkaRecord
   *
   * The silent-retry hazard that tradeoff opens — a FLAKY (nondeterministic)
   * bug in any other spec passing on attempt 2 and being masked — is
-  * closed by the unexpected-retry listener below: every task start
-  * with attemptNumber > 0 outside a declared retry window counts as
-  * unexpected, and each suite's afterAll asserts its window added
-  * none. Masked flakiness surfaces loudly instead of vanishing into
-  * the scheduler's second attempt.
+  * closed by the unexpected-retry listener below: every task that
+  * SUCCEEDS on attemptNumber > 0 outside a declared retry window
+  * counts as unexpected, and each suite's afterAll asserts its window
+  * added none. Masked flakiness surfaces loudly instead of vanishing
+  * into the scheduler's second attempt. Only SUCCESSFUL retries
+  * count: specs that deliberately run failing jobs (intercept-style
+  * rejection tests, e.g. HllSketchSpec's mismatched-register union)
+  * make the scheduler retry a task that fails BOTH attempts — that
+  * retry masks nothing, the job still fails as asserted.
   */
 object SparkSuite {
   /** Retried task starts observed OUTSIDE a declared retry window —
@@ -41,14 +45,17 @@ object SparkSuite {
       .getOrCreate()
     s.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
-        override def onTaskStart(
-            t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
-          if (t.taskInfo.attemptNumber > 0 && expectedRetryDepth.get == 0) {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskInfo.attemptNumber > 0 &&
+              t.reason == org.apache.spark.Success &&
+              expectedRetryDepth.get == 0) {
             lastUnexpectedRetry = s"stage ${t.stageId} task " +
               s"${t.taskInfo.taskId} attempt ${t.taskInfo.attemptNumber}"
             unexpectedRetries.incrementAndGet()
             System.err.println(
-              s"[SparkSuite] UNEXPECTED task retry: $lastUnexpectedRetry")
+              s"[SparkSuite] UNEXPECTED successful task retry: " +
+                lastUnexpectedRetry)
           }
       })
     s

@@ -44,6 +44,26 @@ object Bench {
   private[graft] case class Baseline(queries: Map[String, Double],
       sentinel: Double, regime: String, watch: Map[String, Double])
 
+  /** Suspect selection for the isolated re-timing pass, given this
+    * run's sentinel-normalized per-query ratios vs the baseline and
+    * the BASELINE's drift-watch list: everything over the suspect
+    * threshold (worst first), then the compounding sub-threshold
+    * entries — on the baseline's watch AND ≥ the watch threshold
+    * again this run, i.e. two consecutive same-direction moves —
+    * capped at `max`. Pure and spec-pinned (BenchBaselineSpec): a
+    * selection regression here silently blinds the adjudication pass.
+    */
+  private[graft] def selectSuspects(norm: Map[String, Double],
+      baseWatch: Map[String, Double], watchThreshold: Double,
+      suspectThreshold: Double, max: Int): Seq[(String, Double)] = {
+    val over = norm.filter(_._2 > suspectThreshold).toSeq.sortBy(-_._2)
+    val compounding = norm.filter { case (name, r) =>
+      r >= watchThreshold && r <= suspectThreshold &&
+        baseWatch.get(name).exists(_ >= watchThreshold)
+    }.toSeq.sortBy(-_._2)
+    (over ++ compounding).take(max)
+  }
+
   /** Parse one flat (string→number) object by its literal marker; the
     * first '}' after the marker closes it. Empty map when absent. */
   private def flatObj(text: String, marker: String): Map[String, Double] = {
@@ -380,13 +400,8 @@ object Bench {
       }
     val suspects: Seq[(String, Double)] = comparison
       .fold(Seq.empty[(String, Double)]) { case (norm, baseWatch) =>
-        val over = norm.filter(_._2 > suspectThreshold)
-          .toSeq.sortBy(-_._2)
-        val compounding = norm.filter { case (name, r) =>
-          r >= watchThreshold && r <= suspectThreshold &&
-            baseWatch.get(name).exists(_ >= watchThreshold)
-        }.toSeq.sortBy(-_._2)
-        (over ++ compounding).take(maxSuspects)
+        selectSuspects(norm, baseWatch, watchThreshold, suspectThreshold,
+          maxSuspects)
       }
     // isolated re-timings carry their OWN min-pass diagnostics: one
     // artifact then answers the mechanism question per suspect — if

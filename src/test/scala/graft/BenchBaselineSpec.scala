@@ -90,6 +90,28 @@ class BenchBaselineSpec extends AnyFunSuite {
     }
   }
 
+  test("suspect selection: over-threshold first, compounding promoted, capped") {
+    val norm = Map(
+      "q_big" -> 2.0,    // over the 1.5 suspect threshold
+      "q_bigger" -> 3.0, // over, worse — must sort first
+      "q_comp" -> 1.2,   // sub-threshold BUT on the baseline watch → promoted
+      "q_fresh" -> 1.2,  // sub-threshold, NOT on the baseline watch → watch-only
+      "q_flat" -> 1.0,   // no drift
+      "q_faster" -> 0.7) // improvement — never a suspect
+    val baseWatch = Map("q_comp" -> 1.15, "q_gone" -> 1.3)
+    val got = Bench.selectSuspects(norm, baseWatch,
+      watchThreshold = 1.1, suspectThreshold = 1.5, max = 12)
+    assert(got == Seq("q_bigger" -> 3.0, "q_big" -> 2.0, "q_comp" -> 1.2),
+      s"selection wrong: $got")
+    // the cap keeps worst offenders
+    assert(Bench.selectSuspects(norm, baseWatch, 1.1, 1.5, 1) ==
+      Seq("q_bigger" -> 3.0))
+    // a baseline-watch entry that did NOT move again this run is not
+    // promoted (q_gone), and an empty baseline watch promotes nothing
+    assert(Bench.selectSuspects(norm, Map.empty, 1.1, 1.5, 12) ==
+      Seq("q_bigger" -> 3.0, "q_big" -> 2.0))
+  }
+
   test("missing file, missing sentinel, empty queries, garbage → None") {
     assert(Bench.loadBaseline("/nonexistent/bench.json").isEmpty)
     withTemp("""{"queries":{"q":1.0}}""") { p =>

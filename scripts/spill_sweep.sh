@@ -39,7 +39,7 @@ overall=0
 # scaladoc
 run_verify_gate spill "$sfdir" "SPARK_GRAFT_SPILL=1" \
   "SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-32g}" \
-  "SPARK_GRAFT_EXTRA_JVM_OPTS=-XX:MaxDirectMemorySize=16g"
+  "SPARK_GRAFT_EXTRA_JVM_OPTS=-XX:MaxDirectMemorySize=24g"
 # the knobs must have TAKEN EFFECT (conf-level guard)...
 if ! grep -q "^\(\[info\] \)*VERIFY_CONF .*\bspill=forced\b" \
     /tmp/verify_spill.log; then

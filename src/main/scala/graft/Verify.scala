@@ -38,14 +38,30 @@ object Verify {
     * in-memory partition order can diverge once partial buffers spill
     * and merge in sorted-key order). The knobs force every such path
     * at tiny thresholds, all public Spark confs:
-    *   - `TungstenAggregate.testFallbackStartsAt=2,5` — every hash
-    *     aggregate abandons its map after 5 keys and finishes
-    *     sort-based (spill + sorted merge of partial buffers);
+    *   - `TungstenAggregate.testFallbackStartsAt=64,8192` — every
+    *     hash aggregate with >8192 input rows per task abandons its
+    *     map and finishes sort-based (spill + sorted merge of partial
+    *     buffers). The second number is the per-REFILL row budget —
+    *     Spark resets the counter after each map destruct, so a tiny
+    *     value ("2,5" in the first attempts) destructs-and-merges a
+    *     sorter every 5 rows: ~500k chained sorters at sf0.1, whose
+    *     final merge exhausted the 20k fd limit ("too many open
+    *     files") after first blowing the TB-scale spill accounting;
+    *     8192 keeps the fallback firing on every non-trivial
+    *     aggregate with the chained-sorter count bounded in the
+    *     hundreds;
     *   - `objectHashAggregate.sortBased.fallbackThreshold=2` — the
     *     ObjectHashAggregate family (our TypedImperativeAggregate
     *     sketches ride it) falls back to sort-based merge;
     *   - window / sort-merge-join / session-window / cartesian
-    *     buffers go external at 16 rows and spill at 16 rows;
+    *     buffers go EXTERNAL at 16 rows (every non-trivial group
+    *     exercises the ExternalAppendOnlyUnsafeRowArray → sorter
+    *     path) but FILE-spill at the shared 256k-element bound — an
+    *     sf0.1 attempt with file spills at 16 rows exhausted a 16 GiB
+    *     direct-memory budget because per-group spill readers churn
+    *     1 MiB direct buffers faster than an unpressured heap GC
+    *     reclaims them (direct buffers are only freed when their heap
+    *     handles are collected);
     *   - `shuffle.spill.numElementsForceSpillThreshold=262144` — every
     *     UnsafeExternalSorter (SortExec, shuffle writers, the
     *     sort-fallback's KV sorter) force-spills each 256k elements,
@@ -79,16 +95,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
     if (spillForced) {
       builder
-        .config("spark.sql.TungstenAggregate.testFallbackStartsAt", "2,5")
+        .config("spark.sql.TungstenAggregate.testFallbackStartsAt", "64,8192")
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
         .config("spark.sql.windowExec.buffer.in.memory.threshold", "16")
-        .config("spark.sql.windowExec.buffer.spill.threshold", "16")
+        .config("spark.sql.windowExec.buffer.spill.threshold", "262144")
         .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "16")
-        .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "16")
+        .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "262144")
         .config("spark.sql.sessionWindow.buffer.in.memory.threshold", "16")
-        .config("spark.sql.sessionWindow.buffer.spill.threshold", "16")
+        .config("spark.sql.sessionWindow.buffer.spill.threshold", "262144")
         .config("spark.sql.cartesianProductExec.buffer.in.memory.threshold", "16")
-        .config("spark.sql.cartesianProductExec.buffer.spill.threshold", "16")
+        .config("spark.sql.cartesianProductExec.buffer.spill.threshold", "262144")
         .config("spark.shuffle.spill.numElementsForceSpillThreshold", "262144")
         .config("spark.shuffle.spill.diskWriteBufferSize", "65536")
         .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")

@@ -47,18 +47,25 @@ if ! grep -q "^\(\[info\] \)*VERIFY_CONF .*\bspill=forced\b" \
     "did not take effect"
   overall=1
 fi
-# ...and the spills must have FIRED (metric-level guard): zero bytes
-# spilled means no spill path ever executed
+# ...and the spills must have FIRED (metric-level guard): the sweep is
+# vacuous only when BOTH counters are zero — a hypothetical disk-only
+# run (mem=0, disk>0) still exercised the spill/merge paths and passes
 spill_line=$(grep -o "VERIFY_SPILL mem=[0-9]* disk=[0-9]*" \
   /tmp/verify_spill.log | tail -1)
 if [ -z "$spill_line" ]; then
   echo "FAIL  spill: no VERIFY_SPILL line (Verify crashed before stop?)"
   overall=1
-elif ! echo "$spill_line" | grep -q "mem=[1-9]"; then
+elif echo "$spill_line" | grep -q "mem=0 disk=0$"; then
   echo "FAIL  spill: zero bytes spilled — the sweep ran a plain re-dump" \
     "($spill_line)"
   overall=1
 else
   echo "$spill_line"
 fi
+# per-query attribution (round 20): the session-wide total alone can
+# stay green on OTHER queries' bytes after a plan change routes one
+# operator around its spill fallback — the coverage split and top
+# spillers make per-query firing visible in the sweep log
+grep -o "VERIFY_SPILL_COVERAGE.*" /tmp/verify_spill.log | tail -1
+grep -o "VERIFY_SPILL_QUERY.*" /tmp/verify_spill.log | head -10
 exit $overall

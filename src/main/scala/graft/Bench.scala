@@ -55,13 +55,26 @@ object Bench {
     */
   private[graft] def selectSuspects(norm: Map[String, Double],
       baseWatch: Map[String, Double], watchThreshold: Double,
-      suspectThreshold: Double, max: Int): Seq[(String, Double)] = {
+      suspectThreshold: Double, max: Int): Seq[(String, Double)] =
+    qualifyingSuspects(norm, baseWatch, watchThreshold, suspectThreshold)
+      .take(max)
+
+  /** The UNCAPPED qualifying list behind [[selectSuspects]]: suspects
+    * over the threshold (worst first), then the compounding
+    * promotions. Separated so the artifact can report
+    * `watch_overflow` — how many qualifying entries the re-timing cap
+    * dropped. r19 produced 16 watch entries against the 12 cap: a
+    * worst-case next round would silently skip 4 compounding entries'
+    * adjudication with no trace in the artifact without this count. */
+  private[graft] def qualifyingSuspects(norm: Map[String, Double],
+      baseWatch: Map[String, Double], watchThreshold: Double,
+      suspectThreshold: Double): Seq[(String, Double)] = {
     val over = norm.filter(_._2 > suspectThreshold).toSeq.sortBy(-_._2)
     val compounding = norm.filter { case (name, r) =>
       r >= watchThreshold && r <= suspectThreshold &&
         baseWatch.get(name).exists(_ >= watchThreshold)
     }.toSeq.sortBy(-_._2)
-    (over ++ compounding).take(max)
+    over ++ compounding
   }
 
   /** Parse one flat (string→number) object by its literal marker; the
@@ -398,11 +411,15 @@ object Bench {
       .fold(Seq.empty[(String, Double)]) { case (norm, _) =>
         norm.filter(_._2 >= watchThreshold).toSeq.sortBy(-_._2)
       }
-    val suspects: Seq[(String, Double)] = comparison
+    val qualifying: Seq[(String, Double)] = comparison
       .fold(Seq.empty[(String, Double)]) { case (norm, baseWatch) =>
-        selectSuspects(norm, baseWatch, watchThreshold, suspectThreshold,
-          maxSuspects)
+        qualifyingSuspects(norm, baseWatch, watchThreshold, suspectThreshold)
       }
+    val suspects: Seq[(String, Double)] = qualifying.take(maxSuspects)
+    // qualifying entries the cap dropped from the isolated re-timing
+    // pass — nonzero means the artifact's adjudication is INCOMPLETE
+    // this run and the reader should widen SPARK_GRAFT_MAX_SUSPECTS
+    val watchOverflow = (qualifying.size - maxSuspects).max(0)
     // isolated re-timings carry their OWN min-pass diagnostics: one
     // artifact then answers the mechanism question per suspect — if
     // the in-suite window shows a JIT/cleaner/GC load the isolated
@@ -419,11 +436,14 @@ object Bench {
         .mkString("{", ",", "}")
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val qs = obj(results)(_.toString)
-    // millisecond precision keeps the line short; diagnostics placed
-    // BEFORE "queries" in the artifact so the driver's 2000-char tail
-    // fragment still ends in query timings + the suffix fields, and a
-    // fragment regex for "q_*":number can never pick a diagnostic
-    // entry up in place of a timing (both use the query name as key)
+    // millisecond precision keeps the line short. Artifact layout: the
+    // pre-"queries" placement invariant covers gc_s/jit_s/cleaned_n/
+    // cleaner_pending ONLY — suspect_ratio/drift_watch/
+    // suspect_jit_share and the isolated_* family are also
+    // query-name-keyed but sit AFTER "queries", so a tail-fragment
+    // regex for "q_*":number MUST anchor on the literal `"queries":{`
+    // marker (loadBaseline does; BenchBaselineSpec pins both shapes)
+    // rather than scan the whole line
     val gcJson = obj(diagOfMin)(d => ms(d.gc))
     val jitJson = obj(diagOfMin)(d => ms(d.jit))
     val cleanedJson = obj(diagOfMin)(_.cleaned.toString)
@@ -469,7 +489,7 @@ object Bench {
     // measurement procedure changes (warmup policy, rotation, quiesce,
     // sentinel) so artifacts from different regimes are never compared
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","gc_s":$gcJson,"jit_s":$jitJson,"cleaned_n":$cleanedJson,"cleaner_pending":$pendingJson,"queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes,"sweep":true,"leaked":$leaked,"regime":"$Regime","sentinel_s":$sentinel,"baseline":"${esc(baselinePath)}","suspect_ratio":$suspectJson,"drift_watch":$watchJson,"suspect_jit_share":$jitShareJson,"isolated_s":$isoJson,"isolated_gc_s":$isoGcJson,"isolated_jit_s":$isoJitJson,"isolated_cleaned_n":$isoCleanedJson,"isolated_pending":$isoPendingJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","gc_s":$gcJson,"jit_s":$jitJson,"cleaned_n":$cleanedJson,"cleaner_pending":$pendingJson,"queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes,"sweep":true,"leaked":$leaked,"regime":"$Regime","sentinel_s":$sentinel,"baseline":"${esc(baselinePath)}","suspect_ratio":$suspectJson,"drift_watch":$watchJson,"watch_overflow":$watchOverflow,"suspect_jit_share":$jitShareJson,"isolated_s":$isoJson,"isolated_gc_s":$isoGcJson,"isolated_jit_s":$isoJitJson,"isolated_cleaned_n":$isoCleanedJson,"isolated_pending":$isoPendingJson}"""
     println(line)
     // also persist to a file: stdout can get interleaved with stray
     // [error] log lines under sbt, which breaks line-oriented parsers.

@@ -81,12 +81,38 @@ object Verify {
     * The fired-guard is metric-based: the session counts
     * memory/diskBytesSpilled across all tasks and main() prints
     * `VERIFY_SPILL mem=<B> disk=<B>`; the sweep FAILS on zero (a
-    * sweep that never spilled is a plain re-dump). */
+    * sweep that never spilled is a plain re-dump).
+    *
+    * SPARK_GRAFT_MASTER (default `local[$cpus]`) arms the MULTI-JVM
+    * axis (`scripts/multijvm_sweep.sh`) when set to
+    * `local-cluster[n,cores,memMB]`: Spark's standalone-in-miniature
+    * master spawns REAL executor JVMs (in-process Master+Workers fork
+    * CoarseGrainedExecutorBackend processes from the SPARK_HOME dist)
+    * with network shuffle and serialized task dispatch. Every other
+    * axis runs driver and executors in ONE JVM, which structurally
+    * cannot catch the canonical cluster-only bug class: task code
+    * observing driver-JVM state through statics, companion objects,
+    * or broadcast object identity (an accidental analog of
+    * [[Verify.spilledMem]] read inside a task passes every single-JVM
+    * gate and lies on a real cluster); TypedImperativeAggregate
+    * buffers and codegen'd expressions here cross a process boundary
+    * for the first time. Requirements wired below: executor memory =
+    * the worker's offer (parsed from the master string), executor
+    * classpath = this JVM's (sbt-built graft classes + /opt/spark
+    * jars — codegen referencing graft Expression classes compiles ON
+    * executors), the JDK17 --add-opens propagated from this JVM's
+    * runtime args, and all executors registered before the first job
+    * so the probe cannot race a late worker. The fired-guard is a
+    * probe job collecting (executorId, pid) per task:
+    * `VERIFY_EXECUTORS ok=true n=<k>` requires ≥2 distinct executor
+    * PIDs, none equal to the driver's — proving results came from
+    * separate JVMs, not a silently-degraded local run. */
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spillForced = sys.env.get("SPARK_GRAFT_SPILL").contains("1")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.adaptive.enabled",
@@ -109,50 +135,86 @@ object Verify {
         .config("spark.shuffle.spill.diskWriteBufferSize", "65536")
         .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
     }
+    if (master.startsWith("local-cluster")) {
+      // the worker offers exactly memMB; executor memory must fit it
+      // or standalone scheduling grants zero executors (hang)
+      val memMb = master.stripPrefix("local-cluster[").stripSuffix("]")
+        .split(",")(2).trim
+      // this forked JVM's classpath IS the complete one (sbt classes +
+      // /opt/spark/jars); prepending it on executors makes graft's
+      // Expression/aggregate classes resolvable in executor codegen
+      val cp = sys.props("java.class.path")
+      // propagate the JDK17 --add-opens this JVM was launched with —
+      // CoarseGrainedExecutorBackend needs the same module openings
+      // (single-token form so each rides one javaOpt)
+      val args = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val opens = (0 until args.size - 1).collect {
+        case i if args.get(i) == "--add-opens" =>
+          s"--add-opens=${args.get(i + 1)}"
+      }.mkString(" ")
+      builder
+        .config("spark.executor.memory", s"${memMb}m")
+        .config("spark.executor.extraClassPath", cp)
+        .config("spark.executor.extraJavaOptions", opens)
+        // block the first job until EVERY worker's executor is up —
+        // otherwise the ≥2-distinct-PIDs probe races a slow second
+        // worker and fails spuriously
+        .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "120s")
+    }
     val spark = builder.getOrCreate()
-    // spill accounting rides on EVERY session (cheap): the spill
-    // sweep's fired-guard reads the totals, and a canonical run
-    // printing mem=0 disk=0 documents that the default regime really
-    // never spills — the gap the sweep exists to close
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = t.taskMetrics
-          if (m != null) {
-            spilledMem.addAndGet(m.memoryBytesSpilled)
-            spilledDisk.addAndGet(m.diskBytesSpilled)
-          }
-        }
-      })
     spark.sparkContext.setLogLevel("WARN")
     val chaosN = sys.env.get("SPARK_GRAFT_TASK_CHAOS").map(_.toInt)
       .filter(_ > 0)
-    chaosN.foreach { n =>
-      val seen = new java.util.concurrent.atomic.AtomicLong
+    // listeners register ONCE per JVM: getOrCreate() can hand back an
+    // already-live session, and a second registration would stack
+    // listeners — double-counting spilledMem/Disk into the
+    // VERIFY_SPILL fired-guard totals and double-killing under chaos.
+    // (Each main calls session() once per forked JVM today; the guard
+    // keeps the idiom correct, not just currently-unhit.)
+    if (listenersArmed.compareAndSet(false, true)) {
+      // spill accounting rides on EVERY session (cheap): the spill
+      // sweep's fired-guard reads the totals, and a canonical run
+      // printing mem=0 disk=0 documents that the default regime really
+      // never spills — the gap the sweep exists to close
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
-          override def onTaskStart(
-              t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
-            // first attempts only — a retried attempt is never killed,
-            // so every stage terminates; the kill races task completion
-            // harmlessly (a finished task's kill no-ops or throws)
-            if (t.taskInfo.attemptNumber == 0 &&
-                seen.incrementAndGet() % n == 0) {
-              try {
-                // count only kills the scheduler ACCEPTED (returns
-                // true): the listener bus is async, so this frequently
-                // races tasks that already finished — a no-op kill
-                // (false) incrementing the counter could satisfy the
-                // sweep's killed>=1 fired-guard with zero tasks
-                // actually rescheduled, a vacuous chaos pass
-                if (spark.sparkContext.killTaskAttempt(t.taskInfo.taskId,
-                    interruptThread = false,
-                    reason = "graft chaos sweep: forced reschedule"))
-                  chaosKilled.incrementAndGet()
-              } catch { case _: Throwable => () }
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) {
+              spilledMem.addAndGet(m.memoryBytesSpilled)
+              spilledDisk.addAndGet(m.diskBytesSpilled)
             }
+          }
         })
+      chaosN.foreach { n =>
+        val seen = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskStart(
+                t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+              // first attempts only — a retried attempt is never killed,
+              // so every stage terminates; the kill races task completion
+              // harmlessly (a finished task's kill no-ops or throws)
+              if (t.taskInfo.attemptNumber == 0 &&
+                  seen.incrementAndGet() % n == 0) {
+                try {
+                  // count only kills the scheduler ACCEPTED (returns
+                  // true): the listener bus is async, so this frequently
+                  // races tasks that already finished — a no-op kill
+                  // (false) incrementing the counter could satisfy the
+                  // sweep's killed>=1 fired-guard with zero tasks
+                  // actually rescheduled, a vacuous chaos pass
+                  if (spark.sparkContext.killTaskAttempt(t.taskInfo.taskId,
+                      interruptThread = false,
+                      reason = "graft chaos sweep: forced reschedule"))
+                    chaosKilled.incrementAndGet()
+                } catch { case _: Throwable => () }
+              }
+          })
+      }
     }
     // the EFFECTIVE config, read back from the live session — the
     // config-invariance sweep asserts this line echoes its requested
@@ -169,8 +231,31 @@ object Verify {
       s" spill=${if (spark.conf.getOption(
           "spark.sql.TungstenAggregate.testFallbackStartsAt").isDefined)
         "forced" else "off"}")
+    if (master.startsWith("local-cluster")) {
+      // multi-JVM fired-guard: a probe job collects (executorId, pid)
+      // from inside tasks. ok requires ≥2 DISTINCT executor PIDs, none
+      // the driver's — the sweep greps this line, so a local-cluster
+      // that silently degraded to in-process execution (or granted one
+      // executor) fails loudly instead of re-running axis one
+      val probe = spark.sparkContext.parallelize(1 to 256, 64)
+        .map { _ =>
+          (org.apache.spark.SparkEnv.get.executorId,
+            ProcessHandle.current().pid())
+        }.distinct().collect().sortBy(_._1)
+      val driverPid = ProcessHandle.current().pid()
+      val pids = probe.map(_._2).distinct
+      val ok = pids.length >= 2 && !pids.contains(driverPid)
+      println(s"VERIFY_EXECUTORS ok=$ok n=${pids.length}" +
+        s" driver_pid=$driverPid " +
+        probe.map { case (id, p) => s"$id:$p" }.mkString("pids=", ",", ""))
+    }
     spark
   }
+
+  /** One-shot latch for the session listeners (spill accounting,
+    * chaos) — see the registration comment in [[session]]. */
+  private val listenersArmed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Bytes spilled across all tasks of the session — the spill
     * sweep's fired-guard (`VERIFY_SPILL mem=<B> disk=<B>`, printed
@@ -185,6 +270,15 @@ object Verify {
     * fired counter and the sweeps' knob-took-effect check). */
   private[graft] val chaosKilled = new java.util.concurrent.atomic.AtomicLong
 
+  /** Per-query spill deltas (memBytes, diskBytes), recorded by
+    * [[dumpQueries]] with a listener-bus drain between queries so a
+    * query's tail task metrics cannot land on its successor's delta.
+    * Session-wide `VERIFY_SPILL` alone can keep a sweep green on OTHER
+    * queries' bytes after a plan change routes one operator around its
+    * fallback — the per-query map makes spill COVERAGE visible. */
+  private[graft] val perQuerySpill =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
   /** Run the named queries (all when `names` is empty), dump each to
     * `outDir/<name>` parquet, release per-query storage. */
   def dumpQueries(spark: SparkSession, sfDir: String, outDir: String,
@@ -193,6 +287,12 @@ object Verify {
     val selected =
       if (names.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter(kv => names.contains(kv._1))
+    // drain once so pre-dump jobs (the multi-JVM probe) close their
+    // metrics before the first query's spill window opens
+    org.apache.spark.graftbridge.ListenerBusBridge
+      .waitUntilEmpty(spark.sparkContext)
+    var prevMem = spilledMem.get
+    var prevDisk = spilledDisk.get
     selected.foreach { case (name, fn) =>
       // hold the frame so its embedded checkpoint storage (near-dup
       // label family) can be released after the write — the execution
@@ -210,6 +310,16 @@ object Verify {
           false
         }
       StorageHygiene.releaseAndSweep(spark, "verify", name, df, ok)
+      // attribution read: drain the async bus so THIS query's task
+      // metrics are all in the totals before the delta is cut. A
+      // wedged bus propagates the TimeoutException — loud, never a
+      // silently-misattributed map
+      org.apache.spark.graftbridge.ListenerBusBridge
+        .waitUntilEmpty(spark.sparkContext)
+      val (m, d) = (spilledMem.get, spilledDisk.get)
+      perQuerySpill(name) = (m - prevMem, d - prevDisk)
+      prevMem = m
+      prevDisk = d
     }
   }
 
@@ -246,6 +356,20 @@ object Verify {
     dumpOracleSql(outDir)
     if (sys.env.contains("SPARK_GRAFT_TASK_CHAOS"))
       println(s"VERIFY_CHAOS killed=${chaosKilled.get()}")
+    // per-query attribution: the top spillers plus the coverage split
+    // (spilled vs zero-spill query counts). On the canonical config
+    // "spilled=0 zero=141" documents that the default regime really
+    // never spills; under SPARK_GRAFT_SPILL=1 a query that STOPPED
+    // spilling after a plan change is at least visible in the zero
+    // count instead of hiding behind the session-wide total
+    val spillers = perQuerySpill.toSeq
+      .filter { case (_, (m, d)) => m + d > 0 }
+      .sortBy { case (_, (m, d)) => -(m + d) }
+    spillers.take(10).foreach { case (n, (m, d)) =>
+      println(s"VERIFY_SPILL_QUERY $n mem=$m disk=$d")
+    }
+    println(s"VERIFY_SPILL_COVERAGE spilled=${spillers.size}" +
+      s" zero=${perQuerySpill.size - spillers.size}")
     // stop() drains the listener bus, so the totals are complete here
     spark.stop()
     println(s"VERIFY_SPILL mem=${spilledMem.get()} disk=${spilledDisk.get()}")

@@ -1009,8 +1009,13 @@ object CorpusOps {
   }
 
   private def sketchesTable(dir: String): graft.sources.EpochedTable =
+    // zstd since golden v2: sketch registers are high-entropy binary
+    // blobs where zstd beats snappy materially on ratio at similar
+    // scan speed — at 100 TB the ratio is storage + IO cost. Reads
+    // are codec-transparent (parquet self-describes), so v1 snappy
+    // stores stay readable — GoldenFormatSpec pins both versions.
     graft.sources.EpochedTable(dir, "sketches",
-      Seq("source", "sketch", "n_docs"))
+      Seq("source", "sketch", "n_docs"), codec = Some("zstd"))
 
   /** Persist the per-source sketch table `(source, sketch, n_docs)` —
     * the write-once half of sketch-at-rest: ONE corpus scan ever, a

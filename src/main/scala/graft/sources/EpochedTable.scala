@@ -140,7 +140,21 @@ private[graft] object EpochedTable {
 private[graft] final case class EpochedTable(dir: String, base: String,
     columns: Seq[String], legacyIngest: Option[String] = None,
     partitionCols: Seq[String] = Nil,
-    normalizeRead: DataFrame => DataFrame = identity) {
+    normalizeRead: DataFrame => DataFrame = identity,
+    codec: Option[String] = None) {
+
+  /** Apply the table's parquet compression codec, when one is pinned.
+    * Per-TABLE, not per-session: the codec is part of the at-rest
+    * format contract (golden-store v2 re-encoded the sketch family as
+    * zstd — high-entropy register blobs compress materially better
+    * than under snappy, and at 100 TB the ratio is storage + scan IO
+    * cost). Reads are codec-transparent (parquet is self-describing),
+    * so v1 snappy stores stay readable under the same reader —
+    * GoldenFormatSpec proves that every build. */
+  private def withCodec(
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    codec.fold(w)(c => w.option("compression", c))
 
   def tableDir(e: Int): String =
     if (e == 0) s"$dir/$base" else s"$dir/${base}_v$e"
@@ -494,8 +508,8 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     // torn dir — drop the verdict first, so such a reader re-checks
     // and filters the dir out until _SUCCESS lands again
     EpochedTable.committedWithData.remove(fs.makeQualified(path).toString)
-    rows.select(columns.map(col): _*)
-      .write.mode("overwrite").parquet(path.toString)
+    withCodec(rows.select(columns.map(col): _*)
+      .write.mode("overwrite")).parquet(path.toString)
     reconcileBatch(spark, batchId, epochHint)
   }
 
@@ -556,7 +570,7 @@ private[graft] final case class EpochedTable(dir: String, base: String,
     // marker leaves an uncommitted dir, exactly like a crash
     // mid-write today — the retry overwrites it (no new crash state).
     if (partitionCols.isEmpty) {
-      rows.write.mode("overwrite").parquet(tableDir(target))
+      withCodec(rows.write.mode("overwrite")).parquet(tableDir(target))
     } else {
       // partitionOverwriteMode is pinned STATIC per-write (the
       // per-write option overrides the session conf): under a
@@ -568,7 +582,7 @@ private[graft] final case class EpochedTable(dir: String, base: String,
       // truncates the whole generation dir, which is the semantics
       // every generation write requires (a generation is a complete
       // snapshot, never a partition-wise patch).
-      rows.write.mode("overwrite").partitionBy(partitionCols: _*)
+      withCodec(rows.write.mode("overwrite").partitionBy(partitionCols: _*))
         .option("partitionOverwriteMode", "static")
         .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .parquet(tableDir(target))
@@ -585,9 +599,9 @@ private[graft] final case class EpochedTable(dir: String, base: String,
         // the plain rewrite uses the normal committer: its own
         // _SUCCESS lands after the schema-bearing empty part file,
         // so the generation commits readable
-        rows.sparkSession.createDataFrame(
+        withCodec(rows.sparkSession.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), rows.schema)
-          .write.mode("overwrite").parquet(tableDir(target))
+          .write.mode("overwrite")).parquet(tableDir(target))
       else
         fs.create(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"), true)
           .close()

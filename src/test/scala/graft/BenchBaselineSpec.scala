@@ -112,6 +112,28 @@ class BenchBaselineSpec extends AnyFunSuite {
       Seq("q_bigger" -> 3.0, "q_big" -> 2.0))
   }
 
+  test("qualifying beyond the cap is COUNTED (watch_overflow), never silent") {
+    // 14 queries over the suspect threshold + 2 compounding promotions
+    // against a 12 cap: selection keeps the worst 12, and the overflow
+    // arithmetic the artifact's "watch_overflow" field carries must
+    // say 4 — r19 hit exactly this shape (16 qualifying vs cap 12)
+    // with no trace in the artifact
+    val norm = (1 to 14).map(i => f"q_over_$i%02d" -> (1.6 + i * 0.01)).toMap ++
+      Map("q_comp_a" -> 1.2, "q_comp_b" -> 1.15, "q_flat" -> 1.0)
+    val baseWatch = Map("q_comp_a" -> 1.3, "q_comp_b" -> 1.12)
+    val qualifying = Bench.qualifyingSuspects(norm, baseWatch,
+      watchThreshold = 1.1, suspectThreshold = 1.5)
+    assert(qualifying.size == 16, s"expected 16 qualifying: $qualifying")
+    val capped = Bench.selectSuspects(norm, baseWatch, 1.1, 1.5, 12)
+    assert(capped.size == 12)
+    // worst offenders survive the cap; the overflow count is exact
+    assert(capped.head._1 == "q_over_14")
+    assert(qualifying.size - capped.size == 4)
+    // no overflow when everything fits
+    assert(Bench.qualifyingSuspects(Map("q" -> 2.0), Map.empty, 1.1, 1.5)
+      .size == 1)
+  }
+
   test("missing file, missing sentinel, empty queries, garbage → None") {
     assert(Bench.loadBaseline("/nonexistent/bench.json").isEmpty)
     withTemp("""{"queries":{"q":1.0}}""") { p =>

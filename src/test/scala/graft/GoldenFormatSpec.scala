@@ -51,6 +51,19 @@ class GoldenFormatSpec extends SparkSuite {
       "dedup_incremental" -> (12L, "602cc644ef8ab06ea388074af58554cb39e4c672d9ac18d64808a3ab31095877"),
       "pq_knn" -> (18L, "0ffff989548867b719aca2e1ebc6c58ff0d8d0cc706cc4fee32fe1fea2b84f31"),
       "sketches" -> (20L, "e73937f1798355cbe05e9f44660deafe33bc50bcb9a216d842607583e0596eb5"),
+      "sketches_dashboard" -> (21L, "12ba430b25543d0b7c62c1af56066fed27cb5a22bb86b66f83a4cf9cf0976a73")),
+    // v2 (round 20): the sketch family re-encoded zstd (EpochedTable
+    // gained a per-table codec — see sketchesTable's rationale); every
+    // other family unchanged. Content hashes EQUAL v1's by design: a
+    // codec is parquet-transparent, so the roll proves the procedure
+    // (fresh dir, pin, 1:1 completeness) and — the real payload — that
+    // v1's snappy bytes stay green under the v2 writer's code path.
+    "v2" -> Map(
+      "epoched" -> (6L, "af2d8c2bdd93a5536bdf12ec449c926e5674bc8e454360de452ff074d7345ea6"),
+      "labels" -> (60L, "a458af71f1fd944eb94686dc46521fa7815fd64afff973e1e169783fb2aea8d5"),
+      "dedup_incremental" -> (12L, "602cc644ef8ab06ea388074af58554cb39e4c672d9ac18d64808a3ab31095877"),
+      "pq_knn" -> (18L, "0ffff989548867b719aca2e1ebc6c58ff0d8d0cc706cc4fee32fe1fea2b84f31"),
+      "sketches" -> (20L, "e73937f1798355cbe05e9f44660deafe33bc50bcb9a216d842607583e0596eb5"),
       "sketches_dashboard" -> (21L, "12ba430b25543d0b7c62c1af56066fed27cb5a22bb86b66f83a4cf9cf0976a73")))
 
   private val fixtureDir = "/root/testdata/sf0.001"

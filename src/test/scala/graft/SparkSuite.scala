@@ -80,13 +80,18 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
 
   override protected def afterAll(): Unit = {
     try {
-      if (taskRetriesExpected) {
-        // drain the async listener bus before lowering the window so a
-        // late-delivered injected-retry event cannot leak into the
-        // NEXT suite's watch as a false positive
-        Thread.sleep(500)
+      // drain the async listener bus DETERMINISTICALLY before touching
+      // the retry accounting: with a time-based sleep a late-delivered
+      // event either leaks past a closing retry window into the next
+      // suite's watch (false positive) or — in the guarded branch — is
+      // silently absorbed into the next suite's beforeAll baseline
+      // (missed). waitUntilEmpty makes every event of THIS suite's jobs
+      // attributable to this suite's window before it is read/closed.
+      org.apache.spark.graftbridge.ListenerBusBridge
+        .waitUntilEmpty(spark.sparkContext)
+      if (taskRetriesExpected)
         SparkSuite.expectedRetryDepth.decrementAndGet()
-      } else
+      else
         assert(SparkSuite.unexpectedRetries.get == retriesAtStart,
           s"a task was silently RETRIED during this suite (last: " +
             s"${SparkSuite.lastUnexpectedRetry}) — the shared session's " +

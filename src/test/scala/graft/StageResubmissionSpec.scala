@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
-import graft.operators.{Dedup, EventAnalytics, TopicMetrics}
+import graft.operators.{CorpusOps, Dedup, EventAnalytics, Similarity, TopicMetrics}
 
 object StageResubmissionSpec {
   /** Count of fired injections — proves each check exercised the
@@ -27,24 +28,33 @@ object StageResubmissionSpec {
   * (SPARK-23207). Operators must make that impossible by being
   * deterministic functions of their input data.
   *
-  * Mechanics: the clean `collect()` first computes and REGISTERS the
-  * plan's shuffle outputs. The injected job reuses the same plan
-  * (same shuffle ids), so its map stages are initially satisfied by
-  * the registered outputs; partition 0's result task then throws a
-  * real [[org.apache.spark.shuffle.FetchFailedException]] naming the
+  * Mechanics: `df.rdd` builds its OWN QueryExecution
+  * (`rddQueryExecution`), so the injected job plans fresh
+  * ShuffleExchangeExecs with new shuffle ids and first computes its
+  * own map stages; partition 0's result task then throws a real
+  * [[org.apache.spark.shuffle.FetchFailedException]] naming the
   * nearest upstream shuffle (constructing one inside a task marks the
   * task fetch-failed via TaskContext — the supported injection point,
   * used by Spark's own scheduler tests). The scheduler unregisters
-  * map output 0, resubmits the map stage (regenerating it), and
-  * re-runs only the failed partition against the fresh output. The
-  * assertion: the mixed-provenance result is byte-identical to the
-  * clean one. Two vacuousness guards: the injection counter must
-  * move, and a listener must observe a stage attempt > 0 (a real
-  * resubmission reached the scheduler).
+  * map output 0, RESUBMITS the map stage (regenerating that output),
+  * and re-runs only the failed partition against the fresh output —
+  * while the sibling partitions' results came from the original map
+  * attempt. The assertion: that mixed-provenance result is
+  * byte-identical to the clean one. Two vacuousness guards: the
+  * injection counter must move, and a listener must observe a stage
+  * attempt > 0 (a real resubmission reached the scheduler).
   *
-  * One operator per shuffle shape, mirroring RetryDeterminismSpec's
-  * classes: the fused record-log aggregate, the banded LSH self-join
-  * over a reused exchange, and window-rank order statistics.
+  * One operator per DISTINCT shuffle lineage — the mixed-provenance
+  * hazard is plan-shape-specific, so each shape earns its own check:
+  * the fused record-log aggregate, the banded LSH self-join over a
+  * reused exchange, window-rank order statistics, grouping-sets
+  * expansion (rollup AND cube — the Expand node multiplies rows
+  * BEFORE the shuffle, so regenerated map output re-expands),
+  * session-window assignment (batch sessionize: sort-within-group +
+  * gap walk), the IVF probe join (broadcast probe onto a shuffled
+  * window rank), histogram percentiles (two-level bin aggregate +
+  * prefix walk), and the incremental-dedup band join (batch bands
+  * joined against corpus bands, greedy first-wins verdicts).
   * (Operators embedding eager localCheckpoints are exercised by the
   * retry axis instead — a checkpoint deliberately truncates lineage,
   * so upstream regeneration is not a path they can take.)
@@ -64,9 +74,9 @@ class StageResubmissionSpec extends SparkSuite {
   private def check(name: String, df: DataFrame): Unit = {
     val clean = df.collect().map(_.toString).sorted.toSeq
     assert(clean.nonEmpty, s"$name: empty clean result — fixture broke")
-    // same plan instance → same shuffle ids; the clean run registered
-    // their outputs, so only the result stage re-runs until the
-    // injected failure forces the upstream regeneration
+    // df.rdd builds a SEPARATE QueryExecution (rddQueryExecution), so
+    // the injected job plans fresh shuffles and computes its own map
+    // stages; the injected fetch failure then forces their regeneration
     val rows = df.rdd
     val sid = upstreamShuffleId(rows)
       .getOrElse(fail(s"$name: no upstream shuffle in the plan"))
@@ -129,5 +139,40 @@ class StageResubmissionSpec extends SparkSuite {
     check("valuePercentiles",
       EventAnalytics.valuePercentiles(
         graft.sources.EventsAsRecords.readEvents(spark, sfDir)))
+  }
+
+  test("rollupStats (grouping sets) survives upstream-stage regeneration") {
+    check("rollupStats",
+      TopicMetrics.rollupStats(
+        graft.sources.EventsAsRecords.records(spark, sfDir)))
+  }
+
+  test("sourceCube (CUBE margins) survives upstream-stage regeneration") {
+    check("sourceCube", CorpusOps.sourceCube(docs))
+  }
+
+  test("sessionize (session windows, batch) survives upstream-stage regeneration") {
+    check("sessionize",
+      EventAnalytics.sessionize(
+        graft.sources.EventsAsRecords.readEvents(spark, sfDir)))
+  }
+
+  test("knnIvf (IVF probe join) survives upstream-stage regeneration") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    check("knnIvf", Similarity.knnIvf(e, e.filter(col("vec_id") < 16), 5))
+  }
+
+  test("valuePercentilesHistogram (bin aggregate + prefix walk) survives upstream-stage regeneration") {
+    check("valuePercentilesHistogram",
+      EventAnalytics.valuePercentilesHistogram(
+        graft.sources.EventsAsRecords.readEvents(spark, sfDir),
+        domain = Some((0.0, 1024.0))))
+  }
+
+  test("dedupIncremental (band join, greedy verdicts) survives upstream-stage regeneration") {
+    val d = docs
+    check("dedupIncremental",
+      Dedup.dedupIncremental(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0)))
   }
 }

@@ -22,7 +22,10 @@
 # Fired-guards: (conf) VERIFY_CONF must echo master=local-cluster…;
 # (process) VERIFY_EXECUTORS ok=true requires >=2 DISTINCT executor
 # PIDs, none equal to the driver's — a cluster that silently degraded
-# to in-process execution or granted one executor fails loudly.
+# to in-process execution or granted one executor fails loudly — AND
+# static_isolated=true, the positive control: a companion-object
+# field the driver sets to 42 post-classload must read 0 inside
+# tasks, proving the axis can actually SEE driver-state leaks.
 #
 # Usage: scripts/multijvm_sweep.sh [sfdir]   (default sf0.01)
 set -u
@@ -57,7 +60,8 @@ if [ -z "$exec_line" ]; then
   overall=1
 elif ! echo "$exec_line" | grep -q "ok=true"; then
   echo "FAIL  multijvm: executor probe not ok — fewer than 2 distinct" \
-    "executor PIDs, or a task ran in the driver JVM ($exec_line)"
+    "executor PIDs, a task ran in the driver JVM, or the static canary" \
+    "leaked across the process boundary ($exec_line)"
   overall=1
 else
   echo "$exec_line"

@@ -232,22 +232,31 @@ object Verify {
           "spark.sql.TungstenAggregate.testFallbackStartsAt").isDefined)
         "forced" else "off"}")
     if (master.startsWith("local-cluster")) {
-      // multi-JVM fired-guard: a probe job collects (executorId, pid)
-      // from inside tasks. ok requires ≥2 DISTINCT executor PIDs, none
-      // the driver's — the sweep greps this line, so a local-cluster
-      // that silently degraded to in-process execution (or granted one
-      // executor) fails loudly instead of re-running axis one
+      // multi-JVM fired-guard: a probe job collects (executorId, pid,
+      // canary) from inside tasks. ok requires ≥2 DISTINCT executor
+      // PIDs, none the driver's — the sweep greps this line, so a
+      // local-cluster that silently degraded to in-process execution
+      // (or granted one executor) fails loudly instead of re-running
+      // axis one. The canary is the POSITIVE CONTROL for the bug
+      // class this axis exists to catch: a companion-object field set
+      // on the driver AFTER class load (here, to 42) is visible to
+      // tasks under any local[N] master but must read as the fresh
+      // executor JVM's initial 0 here — if tasks ever see 42, the
+      // "cluster" shares the driver's statics and the axis is
+      // structurally blind to driver-state leaks
+      jvmCanary = 42
       val probe = spark.sparkContext.parallelize(1 to 256, 64)
         .map { _ =>
           (org.apache.spark.SparkEnv.get.executorId,
-            ProcessHandle.current().pid())
+            ProcessHandle.current().pid(), jvmCanary)
         }.distinct().collect().sortBy(_._1)
       val driverPid = ProcessHandle.current().pid()
       val pids = probe.map(_._2).distinct
-      val ok = pids.length >= 2 && !pids.contains(driverPid)
+      val isolated = probe.forall(_._3 == 0)
+      val ok = pids.length >= 2 && !pids.contains(driverPid) && isolated
       println(s"VERIFY_EXECUTORS ok=$ok n=${pids.length}" +
-        s" driver_pid=$driverPid " +
-        probe.map { case (id, p) => s"$id:$p" }.mkString("pids=", ",", ""))
+        s" static_isolated=$isolated driver_pid=$driverPid " +
+        probe.map { case (id, p, _) => s"$id:$p" }.mkString("pids=", ",", ""))
     }
     spark
   }
@@ -256,6 +265,15 @@ object Verify {
     * chaos) — see the registration comment in [[session]]. */
   private val listenersArmed =
     new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Multi-JVM positive-control canary: initially 0, set to 42 on the
+    * DRIVER before the executor probe. A task reading this field
+    * compiles to a static module access — nothing is captured in the
+    * closure — so under local-cluster a fresh executor JVM must see 0
+    * while any shared-JVM master would see the driver's 42. This is
+    * the exact mechanism by which a driver-state-dependent operator
+    * would pass every single-JVM gate and lie on a real cluster. */
+  @volatile private[graft] var jvmCanary: Int = 0
 
   /** Bytes spilled across all tasks of the session — the spill
     * sweep's fired-guard (`VERIFY_SPILL mem=<B> disk=<B>`, printed

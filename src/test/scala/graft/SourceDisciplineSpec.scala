@@ -86,6 +86,11 @@ class SourceDisciplineSpec extends AnyFunSuite {
     //                    path runs and nothing is collected)
     audit("collect()", raw"\.collect\(\)", Map(
       "src/main/scala/graft/TopicAnalyzer.scala" -> 1,
+      // the multi-JVM fired-guard probe: collects distinct
+      // (executorId, pid, canary) triples — ≤ #executors rows by
+      // construction (the distinct() runs cluster-side), and only
+      // under a local-cluster master; never a data path
+      "src/main/scala/graft/Verify.scala" -> 1,
       // canonicalHash in the golden-format GATE tooling: collects the
       // deliberately tiny committed fixture (≤60 rows) to hash it —
       // never a corpus path

@@ -32,6 +32,9 @@ set -u
 cd "$(dirname "$0")/.."
 . scripts/lib_verify_gate.sh
 sfdir="${1:-/root/testdata/sf0.01}"
+# worker/executor memory in MB — 4096 suffices at sf0.01; sf0.1 wants
+# 8192 (the single-JVM gates run one 8g heap; two workers split it)
+lcmem="${SPARK_GRAFT_LC_MEM:-4096}"
 shim=$(mktemp -d /tmp/graft-sparkhome.XXXXXX)
 ln -s /opt/spark/jars "$shim/jars"
 mkdir -p "$shim/conf" "$shim/work"
@@ -41,7 +44,7 @@ overall=0
 # AbstractCommandBuilder.getScalaVersion aborts executor launch with
 # "Cannot find any build directories"
 run_verify_gate multijvm "$sfdir" \
-  "SPARK_GRAFT_MASTER=local-cluster[2,2,4096]" \
+  "SPARK_GRAFT_MASTER=local-cluster[2,2,$lcmem]" \
   "SPARK_HOME=$shim" \
   "SPARK_SCALA_VERSION=2.13" \
   "SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-8g}"

@@ -167,6 +167,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     val chaosN = sys.env.get("SPARK_GRAFT_TASK_CHAOS").map(_.toInt)
       .filter(_ > 0)
+    val fetchChaos = sys.env.get("SPARK_GRAFT_FETCH_CHAOS").contains("1")
     // listeners register ONCE per JVM: getOrCreate() can hand back an
     // already-live session, and a second registration would stack
     // listeners — double-counting spilledMem/Disk into the
@@ -215,6 +216,21 @@ object Verify {
               }
           })
       }
+      if (fetchChaos)
+        // fired-guard evidence for the fetch-chaos sweep — see the
+        // counters' scaladoc for why these are listener-side
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (t.reason.isInstanceOf[org.apache.spark.FetchFailed])
+                fetchFailed.incrementAndGet()
+            override def onStageSubmitted(
+                e: org.apache.spark.scheduler
+                  .SparkListenerStageSubmitted): Unit =
+              if (e.stageInfo.attemptNumber() > 0)
+                fetchResubmitted.incrementAndGet()
+          })
     }
     // the EFFECTIVE config, read back from the live session — the
     // config-invariance sweep asserts this line echoes its requested
@@ -225,6 +241,7 @@ object Verify {
       s" shuffle=${spark.conf.get("spark.sql.shuffle.partitions")}" +
       s" aqe=${spark.conf.get("spark.sql.adaptive.enabled")}" +
       s" chaos=${chaosN.map(_.toString).getOrElse("off")}" +
+      s" fetch_chaos=${if (fetchChaos) "on" else "off"}" +
       // read BACK from the live conf, not the env var: the spill
       // sweep's knob-took-effect check keys on this token, so a
       // builder refactor dropping the configs degrades loudly
@@ -288,6 +305,33 @@ object Verify {
     * fired counter and the sweeps' knob-took-effect check). */
   private[graft] val chaosKilled = new java.util.concurrent.atomic.AtomicLong
 
+  /** Fetch-chaos fired-guards, counted LISTENER-side (driver) so they
+    * hold under any master — an in-task static would undercount on a
+    * multi-JVM cluster (the exact blindness the canary demonstrates),
+    * and a Spark accumulator would DROP the update because the
+    * injected task fails by design (failed-task accumulator updates
+    * are discarded). fetchFailed counts TaskEnd reasons of type
+    * FetchFailed (the injection reached the scheduler as a fetch
+    * failure); fetchResubmitted counts stage attempts > 0 (the
+    * scheduler really regenerated upstream output); fetchNoShuffle
+    * counts queries whose plan has no upstream shuffle to fail
+    * (written un-injected — nothing to resubmit). */
+  private[graft] val fetchFailed = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val fetchResubmitted =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val fetchNoShuffle =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Nearest upstream shuffle id in the RDD lineage (the shuffle the
+    * injected FetchFailedException names). Shared shape with
+    * StageResubmissionSpec's curated checks. */
+  private[graft] def upstreamShuffleId(
+      r: org.apache.spark.rdd.RDD[_]): Option[Int] =
+    r.dependencies.collectFirst {
+      case s: org.apache.spark.ShuffleDependency[_, _, _] => s.shuffleId
+    }.orElse(r.dependencies.view
+      .flatMap(d => upstreamShuffleId(d.rdd)).headOption)
+
   /** Per-query spill deltas (memBytes, diskBytes), recorded by
     * [[dumpQueries]] with a listener-bus drain between queries so a
     * query's tail task metrics cannot land on its successor's delta.
@@ -322,7 +366,43 @@ object Verify {
       val ok =
         try {
           val d = fn(spark, sfDir); df = Some(d)
-          d.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name"); true
+          // SPARK_GRAFT_FETCH_CHAOS=1: the registry-wide
+          // stage-resubmission axis. The written frame is routed
+          // through the plan's RDD with a wrapper that throws a REAL
+          // FetchFailedException (naming the nearest upstream shuffle)
+          // from partition 0's first attempt of the first stage
+          // attempt — the scheduler unregisters that map output,
+          // RESUBMITS the upstream stage, and re-runs only the failed
+          // partition against regenerated output while sibling
+          // partitions keep the original. The parquet the oracle
+          // compares is therefore the MIXED-PROVENANCE result, for
+          // every shuffle-bearing query in the registry (no-shuffle
+          // plans have no lineage to regenerate — written plain,
+          // counted in the noshuffle guard). createDataFrame over the
+          // wrapped RDD with the original schema preserves columns
+          // and nullability, so the compare contract is unchanged.
+          val toWrite =
+            if (!sys.env.get("SPARK_GRAFT_FETCH_CHAOS").contains("1"))
+              d.coalesce(1)
+            else {
+              val rows = d.rdd
+              upstreamShuffleId(rows) match {
+                case None =>
+                  fetchNoShuffle.incrementAndGet(); d.coalesce(1)
+                case Some(sid) =>
+                  val injected = rows.mapPartitionsWithIndex { (i, it) =>
+                    val tc = org.apache.spark.TaskContext.get()
+                    if (i == 0 && tc != null &&
+                        tc.stageAttemptNumber() == 0 &&
+                        tc.attemptNumber() == 0)
+                      org.apache.spark.graftbridge.FetchFailureBridge
+                        .inject(sid, s"fetch chaos sweep: $name")
+                    it
+                  }
+                  spark.createDataFrame(injected, d.schema).coalesce(1)
+              }
+            }
+          toWrite.write.mode("overwrite").parquet(s"$outDir/$name"); true
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           false
@@ -374,6 +454,15 @@ object Verify {
     dumpOracleSql(outDir)
     if (sys.env.contains("SPARK_GRAFT_TASK_CHAOS"))
       println(s"VERIFY_CHAOS killed=${chaosKilled.get()}")
+    if (sys.env.get("SPARK_GRAFT_FETCH_CHAOS").contains("1")) {
+      // expected = shuffle-bearing queries; each fires exactly once
+      // (the wrapper guards on stage attempt 0 / task attempt 0).
+      // The sweep asserts fetch_failed == expected and resubmitted >= 1
+      val expected = SparkEntry.queries.size - fetchNoShuffle.get()
+      println(s"VERIFY_FETCH_CHAOS fetch_failed=${fetchFailed.get()}" +
+        s" resubmitted=${fetchResubmitted.get()}" +
+        s" noshuffle=${fetchNoShuffle.get()} expected=$expected")
+    }
     // per-query attribution: the top spillers plus the coverage split
     // (spilled vs zero-spill query counts). On the canonical config
     // "spilled=0 zero=141" documents that the default regime really

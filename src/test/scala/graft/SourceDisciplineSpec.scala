@@ -132,8 +132,15 @@ class SourceDisciplineSpec extends AnyFunSuite {
   test("no Scala UDFs; no raw RDD drops outside the internals bridge") {
     audit("udf()", raw"\budf\(", Map.empty)
     // ColumnBridge: the documented narrow internals bridge (checkpoint
-    // block release needs the RDD id)
+    // block release needs the RDD id). Verify (3 token matches): the
+    // fetch-chaos sweep's injection point — the ONE supported way to
+    // throw a fetch failure is from inside a task of the plan's own
+    // RDD (gated on SPARK_GRAFT_FETCH_CHAOS; the canonical dump never
+    // drops to RDD) — plus the lineage walk's `Dependency.rdd` access
+    // and the `org.apache.spark.rdd.RDD` type name in its signature
+    // (metadata-only, no data ever leaves the Dataset plan)
     audit(".rdd", raw"\.rdd\b", Map(
+      "src/main/scala/graft/Verify.scala" -> 3,
       "src/main/scala/org/apache/spark/sql/graftbridge/ColumnBridge.scala" -> 1))
   }
 }

@@ -110,6 +110,7 @@ object Verify {
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spillForced = sys.env.get("SPARK_GRAFT_SPILL").contains("1")
+    val fetchChaosArmed = sys.env.get("SPARK_GRAFT_FETCH_CHAOS").contains("1")
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
       .master(master)
@@ -163,11 +164,22 @@ object Verify {
         .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
         .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "120s")
     }
+    if (fetchChaosArmed)
+      // indirect task results ride the block manager, and the injected
+      // FetchFailed names the LOCAL master's only executor (== the
+      // driver's own BM), so the scheduler's executor-suspicion
+      // handling purges in-flight result blocks — at sf0.1 broadcast
+      // builds and final collects exceed the 1 MiB direct-result
+      // default and died as TaskResultLost (16 queries, first sf0.1
+      // sweep). A real cluster loses a REMOTE executor's BM, never the
+      // driver's result path, so the harness keeps results direct
+      // (must stay < spark.rpc.message.maxSize, default 128 MiB)
+      builder.config("spark.task.maxDirectResultSize", "100m")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val chaosN = sys.env.get("SPARK_GRAFT_TASK_CHAOS").map(_.toInt)
       .filter(_ > 0)
-    val fetchChaos = sys.env.get("SPARK_GRAFT_FETCH_CHAOS").contains("1")
+    val fetchChaos = fetchChaosArmed
     // listeners register ONCE per JVM: getOrCreate() can hand back an
     // already-live session, and a second registration would stack
     // listeners — double-counting spilledMem/Disk into the

@@ -27,7 +27,14 @@ object Bench {
     * end-of-run min-of-5 sentinel; v4 adds the self-adjudicating
     * suspect pass — "suspect_ratio" (sentinel-normalized in-suite vs
     * baseline) and "isolated_s" (post-suite min-of-5 isolated
-    * re-timings of the worst offenders). Purely DIAGNOSTIC fields
+    * re-timings of the worst offenders); v5 sizes the generated-class
+    * cache to the registry (spark.sql.codegen.cache.maxEntries, r21):
+    * the default 100-entry cache cannot hold ~143 plans' classes, so
+    * the warmup's compiled classes were evicted before the timed pass
+    * re-ran them and every window paid Janino + C2 again — 55.7 s of
+    * in-window JIT on a 78.4 s 30-query subset; 37.0 s / 50.5 s with
+    * the cache sized (matched sentinels). Timings shift broadly
+    * (down), so v4 artifacts are not comparable raw. Purely DIAGNOSTIC fields
     * (gc_s in r17; jit_s / cleaned_n / cleaner_pending and their
     * isolated_* twins in r18; drift_watch / suspect_jit_share in r19)
     * do not bump the regime: timings and their methodology are
@@ -36,7 +43,7 @@ object Bench {
     * re-timing pass (suspect SELECTION, not measurement), so it rides
     * v4.
     */
-  private[graft] val Regime = "pass-major-rotate-v4"
+  private[graft] val Regime = "pass-major-rotate-v5"
 
   /** A parsed prior artifact: per-query seconds, the sentinel
     * yardstick, the regime tag ("" on pre-v2 artifacts), and the
@@ -127,6 +134,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // the driver's events.parquet stores TIMESTAMP(NANOS)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // size the generated-class cache to the registry (static conf;
+      // default 100): ~143 distinct plans compile far more generated
+      // classes than 100, so with the default every timed window paid
+      // Janino + a fresh C2 pass for classes the warmup had already
+      // compiled and then evicted. Scale-independent: any long-lived
+      // app serving a large query registry wants the cache to actually
+      // hold its plans' classes; the entries are class handles, not
+      // data. Env-tunable for A/B against the eviction regime.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -119,6 +119,11 @@ object Verify {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
+      // generated-class cache sized to the registry (the Bench r21
+      // finding): 141 queries' plans thrash the default 100-entry
+      // cache, recompiling classes the run already compiled once
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
     if (spillForced) {
       builder

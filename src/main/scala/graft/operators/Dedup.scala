@@ -493,6 +493,13 @@ object Dedup {
         // join+shuffle per round just to detect the fixpoint. prev is
         // the label BEFORE the jump: convergence must see a change
         // from either the jump or the neighbor round.
+        // (r21 note: fusing this check into the checkpoint job via
+        // `observe` — the writeRoundObserved mechanism — was tried and
+        // measured NO faster here: Observation.get waits on the async
+        // listener bus, which costs about what the trivial filter job
+        // on the materialized checkpoint costs. The bucketed loop
+        // keeps its observe because there it rides an already-paid
+        // table write; this loop keeps the synchronous check.)
         val next = jumped.join(prop, jumped("vid") === prop("nbr_vid"), "left")
           .select(jumped("vid"), col("prev"),
             least(jumped("cluster"),
@@ -1181,22 +1188,33 @@ object Dedup {
       TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
     val near = verifiedIncrementalPairs(corpusBands, corpusShingles, batch,
       numHashes, bands, shingleN, threshold, maxBucket)
-    def minOf(pairs: DataFrame, out: String): DataFrame =
-      pairs.groupBy(col("b_id").as("doc_id")).agg(min(col("o_id")).as(out))
-    val exactCorpus = minOf(batchFp.as("a")
-      .join(corpusFp.as("c"), col("a.fingerprint") === col("c.fingerprint"))
-      .select(col("a.doc_id").as("b_id"), col("c.doc_id").as("o_id")), "ec")
-    val exactBatch = minOf(batchFp.as("a")
-      .join(batchFp.as("c"), col("a.fingerprint") === col("c.fingerprint") &&
-        col("c.doc_id") < col("a.doc_id"))
-      .select(col("a.doc_id").as("b_id"), col("c.doc_id").as("o_id")), "eb")
-    val nearCorpus = minOf(near.filter(col("from_corpus")), "nc")
-    val nearBatch = minOf(near.filter(!col("from_corpus")), "nb")
+    // ONE grouped aggregate per evidence family (r21): the four
+    // verdict classes previously ran four aggregate+join pipelines,
+    // each re-embedding its input subtree — the `near` pipeline (band
+    // probes + Jaccard verify, the expensive part) twice, batchFp
+    // three times. Conditional mins over a provenance flag produce the
+    // identical values: a doc with no pair of a class aggregates NULL
+    // there (min over an empty when-set), exactly what the per-class
+    // left join yielded. Plan: 86 scans / 58 exchanges → 60 / 40.
+    val rightFp = corpusFp
+      .select(col("doc_id").as("o_id"), col("fingerprint").as("o_fp"),
+        lit(true).as("o_corpus"))
+      .unionAll(batchFp
+        .select(col("doc_id").as("o_id"), col("fingerprint").as("o_fp"),
+          lit(false).as("o_corpus")))
+    val exactMin = batchFp
+      .join(rightFp, col("fingerprint") === col("o_fp") &&
+        (col("o_corpus") || col("o_id") < col("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("o_corpus"), col("o_id"))).as("ec"),
+        min(when(!col("o_corpus"), col("o_id"))).as("eb"))
+    val nearMin = near
+      .groupBy(col("b_id").as("doc_id"))
+      .agg(min(when(col("from_corpus"), col("o_id"))).as("nc"),
+        min(when(!col("from_corpus"), col("o_id"))).as("nb"))
     batch.select(col("doc_id"))
-      .join(exactCorpus, Seq("doc_id"), "left")
-      .join(exactBatch, Seq("doc_id"), "left")
-      .join(nearCorpus, Seq("doc_id"), "left")
-      .join(nearBatch, Seq("doc_id"), "left")
+      .join(exactMin, Seq("doc_id"), "left")
+      .join(nearMin, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("ec").isNotNull, lit("exact_corpus"))
           .when(col("eb").isNotNull, lit("exact_batch"))

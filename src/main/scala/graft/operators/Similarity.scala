@@ -295,10 +295,14 @@ object Similarity {
     // Null embeddings (or null elements — possible in real embedding
     // dumps) are excluded up front: a null unit would NPE the collected
     // mean's unboxing and silently skew assignment.
-    val cu = withUnit(corpus).select(col("vec_id"), col("unit"))
+    val base = withUnit(corpus).select(col("vec_id"), col("unit"))
       .filter(col("unit").isNotNull &&
         graft.functions.ArrayHashExprs.array_no_nulls(col("unit")))
-      .localCheckpoint(true)
+    // iters = 0 (q_embed_knn_ivf_trained's seed-book path) reads the
+    // frame once, for the k-row seed collect — skip the whole-corpus
+    // materialization the iterating path amortizes (same seeds: the
+    // TakeOrdered runs off the scan, vec_id order is unique)
+    val cu = if (iters == 0) base else base.localCheckpoint(true)
     try {
     var cent: Array[Seq[Double]] = cu.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Double](1))
@@ -321,18 +325,25 @@ object Similarity {
         // 0-based cell id; first max wins (array_position is 1-based)
         .withColumn("cid",
           (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
+      // ONE aggregate + a k×dims-bounded driver assembly (r21): the
+      // second groupBy existed only to array-ify per-cid means —
+      // k×dims rows (the codebook bound this loop already collects at)
+      // collect directly and regroup on the driver, saving one
+      // exchange + stage per iteration. The avg itself runs in the
+      // same (cid, pos) aggregate as before — identical doubles.
       val means = assigned
         .select(col("cid"), posexplode(col("unit")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("col")).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("mean"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
       cent = cent.indices.map { i =>
-        means.get(i).fold(cent(i)) { m =>
+        // a cid with ≥1 assigned row emits every pos (posexplode is
+        // total per row); an empty cell has no keys and keeps its
+        // previous centroid, as before
+        if (!means.contains((i, 0))) cent(i)
+        else {
+          val m = cent(i).indices.map(p => means((i, p)))
           val nrm = math.sqrt(m.map(x => x * x).sum)
           if (nrm == 0.0) cent(i) else m.map(_ / nrm)
         }
@@ -348,7 +359,7 @@ object Similarity {
       // (a long-lived session would otherwise leak block-manager
       // storage on every call; Dataset.unpersist would be a
       // CacheManager no-op for a local checkpoint)
-      ColumnBridge.unpersistCheckpoint(cu)
+      if (iters > 0) ColumnBridge.unpersistCheckpoint(cu)
   }
 
   /** IVF-style ANN top-k: corpus vectors are assigned to their nearest
@@ -876,7 +887,13 @@ object Similarity {
       iters: Int): Array[Array[Seq[Double]]] = {
     require(m > 0 && ksub > 0 && iters >= 0,
       s"need m > 0 ($m), ksub > 0 ($ksub), iters >= 0 ($iters)")
-    val cu = vecs.localCheckpoint(true)
+    // the eager checkpoint amortizes the frame over iters+1 scans; at
+    // iters = 0 (the seed-book registry paths: q_embed_knn_ivfpq,
+    // writePqIndex with pqIters = 0) the ONLY read is the ksub-row
+    // seed TakeOrdered, so materializing the whole corpus first is
+    // pure overhead — collect straight off the scan instead (same
+    // rows: vec_id order is unique and engine-independent)
+    val cu = if (iters == 0) vecs else vecs.localCheckpoint(true)
     try {
       val seeds = cu.orderBy(col("vec_id")).limit(ksub)
         .collect().map(_.getSeq[Double](1))
@@ -888,6 +905,10 @@ object Similarity {
         seeds.map(v => v.slice(mi * dsub, (mi + 1) * dsub)))
       for (_ <- 0 until iters) {
         val assigned = withPqCodes(cu, book, dsub)
+        // one aggregate + m×ksub×dsub-bounded driver assembly — the
+        // trainCentroids r21 shape: the array-ifying second groupBy
+        // and its exchange are replaced by a driver regroup of the
+        // codebook-sized mean rows; the avg aggregate is unchanged
         val means = assigned
           .select(explode(array(book.indices.map(mi =>
             struct(lit(mi).as("mq"),
@@ -896,18 +917,17 @@ object Similarity {
           .select(col("e.mq"), col("e.cell"), posexplode(col("e.sub")))
           .groupBy(col("mq"), col("cell"), col("pos"))
           .agg(avg(col("col")).as("v"))
-          .groupBy(col("mq"), col("cell"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("v")))),
-            s => s.getField("v")).as("mean"))
           .collect()
-          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+          .toMap
         book = Array.tabulate(m)(mi =>
           book(mi).indices.map(c =>
-            means.getOrElse((mi, c), book(mi)(c))).toArray)
+            if (means.contains((mi, c, 0)))
+              (0 until dsub).map(p => means((mi, c, p))): Seq[Double]
+            else book(mi)(c)).toArray)
       }
       book
-    } finally ColumnBridge.unpersistCheckpoint(cu)
+    } finally if (iters > 0) ColumnBridge.unpersistCheckpoint(cu)
   }
 
   /** The compressed-index build a deployment materializes once:

@@ -446,6 +446,36 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
+    // Bounded-graph fast path (r21): [[assignDedupLabels]]' driver
+    // union-find promoted to the shared core. The pair pipeline just
+    // materialized into the checkpoint above (that cost is the
+    // operator's floor either way); when the SYMMETRIZED edge list
+    // fits [[DriverEdgeCap]] (≤ ~1.6 MB of (Long, Long) rows — the
+    // codebook-collect bound), [[minLabelClosure]] computes the exact
+    // component-min fixpoint in one pass and the result is a broadcast
+    // join of a driver-held literal: every per-round join + checkpoint
+    // + convergence job disappears (measured: 5 rounds ≈ 2.5 s of the
+    // 3.3 s q_semantic_keep window at sf0.1/32 cores). The probe is a
+    // limit(cap+1) read of the already-materialized checkpoint blocks
+    // — no corpus-shaped data can reach the driver, and a graph above
+    // the cap falls through to the iterative path unchanged (the
+    // 100 TB shape; [[nearDupClustersBucketed]] keeps the distributed
+    // iteration exercised regardless). Labels are identical: union-find
+    // attaches larger roots under smaller, so find() IS the min id
+    // reachable — the loop's converged fixpoint, without the loop's
+    // maxIters truncation risk.
+    val sample = edges.limit(driverEdgeCap + 1).collect()
+    if (sample.length <= driverEdgeCap) {
+      ColumnBridge.unpersistCheckpoint(edges)
+      val labelOf = minLabelClosure(
+        sample.map(r => (r.getLong(0), r.getLong(1))))
+      val spark = ids.sparkSession
+      import spark.implicits._
+      val labelDf = labelOf.toSeq.toDF(idCol, "graph_cluster")
+      return (ids.join(broadcast(labelDf), Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("graph_cluster"), col(idCol)).as("cluster")), 0)
+    }
     // iterate over the PAIR GRAPH's vertices only, never the corpus:
     // a doc in no near-dup pair keeps label = self forever, so it has
     // no business inside the propagation loop. The graph is orders of
@@ -1398,9 +1428,9 @@ object Dedup {
       // this bound), and union-find collapses all propagation rounds
       // into one broadcast join. A graph above the cap — a huge batch —
       // falls back to the iterative path unchanged.
-      val sample = edges.limit(DriverEdgeCap + 1).collect()
+      val sample = edges.limit(driverEdgeCap + 1).collect()
       val assigned =
-        if (sample.length <= DriverEdgeCap) {
+        if (sample.length <= driverEdgeCap) {
           val labelOf = minLabelClosure(
             sample.map(r => (r.getLong(0), r.getLong(1))))
           import spark.implicits._
@@ -1421,11 +1451,21 @@ object Dedup {
       ColumnBridge.unpersistCheckpoint(edges)
   }
 
-  /** Edge-count bound for [[assignDedupLabels]]' driver-local closure:
+  /** Edge-count bound for the driver-local closures in
+    * [[assignDedupLabels]] and [[labelPropagateCounted]]'s fast path:
     * ≤ this many (Long, Long) rows ever reach the driver (~1.6 MB) —
     * the codebook-collect pattern, sized far above any sane ingest
     * batch's pair graph but far below anything corpus-shaped. */
   private[graft] val DriverEdgeCap = 100000
+
+  /** The live cap — [[DriverEdgeCap]] unless overridden via the
+    * `graft.driverEdgeCap` system property. A TEST SEAM only: the
+    * storage-contract specs set it to 0 to force the iterative path
+    * (whose checkpoint-release contract they pin) on fixtures whose
+    * graphs would otherwise take the driver closure; production code
+    * never sets it. */
+  private[graft] def driverEdgeCap: Int =
+    sys.props.get("graft.driverEdgeCap").fold(DriverEdgeCap)(_.toInt)
 
   /** Min-label connected components over a driver-held edge list:
     * union-find attaching the LARGER root under the smaller, so every

@@ -334,8 +334,14 @@ class DedupSpec extends SparkSuite {
     // Pin by the checkpoint's OWN rdd ids, not the global persistent-RDD
     // map size: the shared session's ContextCleaner collects other
     // tests' stale entries concurrently.
-    val derived = Dedup.nearDupLabels(d, threshold = 0.3)
-      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    // cap = 0 forces the ITERATIVE path (this fixture's graph would
+    // take the checkpoint-free driver closure) — the release contract
+    // under test only exists on the iterative path
+    System.setProperty("graft.driverEdgeCap", "0")
+    val derived =
+      try Dedup.nearDupLabels(d, threshold = 0.3)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      finally System.clearProperty("graft.driverEdgeCap")
     derived.collect()
     val ids = derived.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
@@ -352,6 +358,11 @@ class DedupSpec extends SparkSuite {
   test("withNearDupLabels releases the checkpoint structurally, even when f throws") {
     val d = docs(1L -> base, 2L -> base, 3L -> "something else entirely here")
     def persisted = spark.sparkContext.getPersistentRDDs.keySet
+    // force the iterative path — the scoped-release contract under
+    // test only materializes a checkpoint there (the bounded-graph
+    // driver closure has nothing to release)
+    System.setProperty("graft.driverEdgeCap", "0")
+    try {
     var ids: Seq[Int] = Nil
     val clusters = Dedup.withNearDupLabels(d, threshold = 0.3) { labels =>
       ids = labels.queryExecution.analyzed.collect {
@@ -377,6 +388,29 @@ class DedupSpec extends SparkSuite {
     }
     assert(ids2.nonEmpty && ids2.forall(id => !persisted.contains(id)),
       "a throwing scope body must still release the checkpoint")
+    } finally System.clearProperty("graft.driverEdgeCap")
+  }
+
+  test("bounded graphs take the driver closure: labels identical, nothing persisted") {
+    // the r21 fast path — labelPropagate's union-find over a
+    // cap-bounded edge sample — must (a) return exactly the iterative
+    // fixpoint and (b) leave NO persisted frame in the returned plan
+    val d = docs(1L -> base, 2L -> base,
+      3L -> (base + " with a small tail difference appended here"),
+      4L -> "completely unrelated content about exchanges and joins",
+      5L -> "another unrelated doc mentioning broadcast strategies")
+    val fastDf = Dedup.nearDupLabels(d, threshold = 0.3)
+    val fast = rowsOf(fastDf).map(r => r("doc_id") -> r("cluster")).toMap
+    assert(fastDf.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.isEmpty, "the driver-closure plan must embed no checkpoint")
+    System.setProperty("graft.driverEdgeCap", "0")
+    val slow =
+      try Dedup.withNearDupLabels(d, threshold = 0.3)(labels =>
+        rowsOf(labels).map(r => r("doc_id") -> r("cluster")).toMap)
+      finally System.clearProperty("graft.driverEdgeCap")
+    assert(fast == slow,
+      s"fast-path labels diverge from the iterative fixpoint:\n$fast\n$slow")
   }
 
   test("corpus filter keeps only canonical, high-quality, target-language docs") {

@@ -596,19 +596,26 @@ class SimilaritySpec extends SparkSuite {
   test("withSemanticKeep scopes the label checkpoint to the caller's body") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def persisted = spark.sparkContext.getPersistentRDDs.keySet
-    var ids: Seq[Int] = Nil
-    val kept = Similarity.withSemanticKeep(e, threshold = 0.4) { verdicts =>
-      ids = verdicts.queryExecution.analyzed.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    // force the iterative propagation path: the scoped-release
+    // contract under test only materializes a label checkpoint there
+    // (this fixture's pair graph takes the checkpoint-free driver
+    // closure otherwise)
+    System.setProperty("graft.driverEdgeCap", "0")
+    try {
+      var ids: Seq[Int] = Nil
+      val kept = Similarity.withSemanticKeep(e, threshold = 0.4) { verdicts =>
+        ids = verdicts.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+        }
+        val rows = rowsOf(verdicts)
+        assert(ids.nonEmpty && ids.forall(persisted.contains),
+          "label checkpoint should be live inside the scope")
+        rows.count(_("kept") == true)
       }
-      val rows = rowsOf(verdicts)
-      assert(ids.nonEmpty && ids.forall(persisted.contains),
-        "label checkpoint should be live inside the scope")
-      rows.count(_("kept") == true)
-    }
-    assert(kept > 0)
-    assert(ids.forall(id => !persisted.contains(id)),
-      "scoped exit must release the embedded label checkpoint")
+      assert(kept > 0)
+      assert(ids.forall(id => !persisted.contains(id)),
+        "scoped exit must release the embedded label checkpoint")
+    } finally System.clearProperty("graft.driverEdgeCap")
   }
 
   test("embeddingOutliers surfaces the lowest-centroid-cosine vectors") {

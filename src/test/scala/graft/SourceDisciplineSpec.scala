@@ -98,7 +98,10 @@ class SourceDisciplineSpec extends AnyFunSuite {
       "src/main/scala/graft/operators/AliveKeys.scala" -> 2,
       "src/main/scala/graft/operators/Bpe.scala" -> 1,
       "src/main/scala/graft/operators/CorpusOps.scala" -> 2,
-      "src/main/scala/graft/operators/Dedup.scala" -> 1,
+      // Dedup: assignDedupLabels' and labelPropagate's bounded-graph
+      // probes — both limit(DriverEdgeCap + 1) reads of an
+      // already-materialized edge checkpoint, never corpus rows
+      "src/main/scala/graft/operators/Dedup.scala" -> 2,
       "src/main/scala/graft/operators/EventAnalytics.scala" -> 4,
       "src/main/scala/graft/operators/Similarity.scala" -> 9,
       "src/main/scala/graft/operators/TopicMetrics.scala" -> 1))

@@ -1405,17 +1405,27 @@ object Dedup {
       bandsTable(indexDir).read(spark, excludeBatchId),
       shinglesTable(indexDir).read(spark, excludeBatchId),
       batch, numHashes, bands, shingleN, thr, maxBucket)
-    val bridge = near.filter(col("from_corpus"))
+    // ONE pass over `near` (r21): the previous bridge ∪ batch-batch
+    // union referenced the verify pipeline twice, so the band probes +
+    // Jaccard verification executed twice into the checkpoint below. A
+    // conditional left join against the label table builds both edge
+    // classes in one reference: corpus pairs project to their matched
+    // doc's persisted cluster (null — an unlabeled index doc — is
+    // filtered, reproducing the old inner join's coverage contract),
+    // batch pairs keep their partner id.
+    val edges = near
       .join(readDedupLabels(spark, labelsDir, excludeBatchId)
-        .select(col("doc_id").as("o_id"), col("cluster")), Seq("o_id"))
-      .select(col("b_id").as("a"), col("cluster").as("b"))
-    val bb = near.filter(!col("from_corpus"))
-      .select(col("b_id").as("a"), col("o_id").as("b"))
-    // the expensive part — band probes + Jaccard verify — executes
-    // exactly ONCE, into this checkpoint; both the bound probe below
-    // and (above the cap) labelPropagate's own edge materialization
-    // read the materialized list instead of re-running the pipeline
-    val edges = bb.union(bridge).localCheckpoint(true)
+          .select(col("doc_id").as("lbl_doc"), col("cluster")),
+        col("o_id") === col("lbl_doc") && col("from_corpus"), "left")
+      .select(col("b_id").as("a"),
+        when(col("from_corpus"), col("cluster"))
+          .otherwise(col("o_id")).as("b"))
+      .filter(col("b").isNotNull)
+      // the expensive part — band probes + Jaccard verify — executes
+      // exactly ONCE, into this checkpoint; both the bound probe below
+      // and (above the cap) labelPropagate's own edge materialization
+      // read the materialized list instead of re-running the pipeline
+      .localCheckpoint(true)
     try {
       // Driver-local min-label closure for BATCH-BOUNDED pair graphs:
       // the edge list is ∝ batch by construction (band probes emit

@@ -182,6 +182,13 @@ object Verify {
       builder.config("spark.task.maxDirectResultSize", "100m")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local-mode liveness stub: the fetch-chaos sweep injects
+    // FetchFailedExceptions across the whole registry; without the
+    // stub each injection arms the 10-minute heartbeat-failure fuse
+    // (block manager re-registration is impossible in local[*] and
+    // the executor exits 56 — see LocalLivenessBridge). With it the
+    // block manager heals on the next heartbeat, the cluster shape.
+    org.apache.spark.graftbridge.LocalLivenessBridge.install(spark.sparkContext)
     val chaosN = sys.env.get("SPARK_GRAFT_TASK_CHAOS").map(_.toInt)
       .filter(_ > 0)
     val fetchChaos = fetchChaosArmed

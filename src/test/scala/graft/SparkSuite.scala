@@ -43,6 +43,13 @@ object SparkSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // local-mode liveness stub: without it, ONE injected fetch failure
+    // (StageResubmissionSpec, the chaos sweeps) arms a 10-minute fuse —
+    // the block manager can never re-register in local[*] and the
+    // executor heartbeater System.exit(56)s after 60 consecutive
+    // failures, killing the fork with every test green (the r21
+    // driver-run "ForkMain exit 56"). See LocalLivenessBridge.
+    org.apache.spark.graftbridge.LocalLivenessBridge.install(s.sparkContext)
     s.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(

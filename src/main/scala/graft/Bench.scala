@@ -84,6 +84,61 @@ object Bench {
     over ++ compounding
   }
 
+  /** Environment-drift estimator for watch/suspect normalization.
+    * The sentinel (one trivial 2-stage query) is a machine yardstick,
+    * but its sensitivity profile differs from the suite's (it carries
+    * no JIT/cleaner load), so normalizing per-query ratios by the
+    * sentinel ratio alone over-corrects — the r21 close artifact's 9
+    * drift-watch entries were ALL sentinel over-correction (sentinel
+    * 0.163→0.127 while real queries moved less). With enough
+    * comparable queries the suite's own MEDIAN raw ratio is the
+    * strictly better environment estimator (robust to the minority of
+    * genuinely-changed queries); below `minN` comparable entries
+    * (filtered SPARK_GRAFT_ONLY runs) the median would be dominated by
+    * the very queries under study, so the sentinel ratio stays the
+    * normalizer there. A uniformly-slowed machine yields median =
+    * slowdown ⇒ every normalized ratio is exactly 1.0 ⇒ zero watch
+    * entries (spec-pinned). Selection-only: timings and their
+    * methodology are untouched, so the regime tag does not bump (the
+    * r19 precedent).
+    */
+  private[graft] def robustDrift(rawRatios: Iterable[Double],
+      sentinelDrift: Double, minN: Int = 16): Double = {
+    val xs = rawRatios.toArray.sorted
+    val n = xs.length
+    if (n < minN) sentinelDrift
+    else if (n % 2 == 1) xs(n / 2)
+    else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+  }
+
+  /** The compact machine-readable run summary printed as the FINAL
+    * stdout line. The full artifact line is ~20 KB (5 query-keyed
+    * diagnostic objects + the isolated_* family) and the queries map
+    * alone is ~3.7 KB — consumers that capture a bounded stdout tail
+    * (the round driver keeps 2000 chars) could never see a complete
+    * JSON object, so two rounds of PERF comparisons ran blind. This
+    * line carries the headline numbers and pointers and is guaranteed
+    * under 1900 chars (suspect/failed lists are capped; sizes are
+    * spec-pinned); the full per-query artifact is unchanged and lives
+    * in bench.json plus the earlier stdout line.
+    */
+  private[graft] def summaryLine(total: Double, sfDir: String, cpus: String,
+      passes: Int, leaked: Long, sentinel: Double, regime: String,
+      nQueries: Int, failed: Seq[String], suspects: Seq[(String, Double)],
+      driftSentinel: Double, driftUsed: Double, watchN: Int,
+      watchOverflow: Int): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val cpusJson =
+      if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus else "\"" + esc(cpus) + "\""
+    val failedJson = failed.take(8).map("\"" + esc(_) + "\"")
+      .mkString("[", ",", "]")
+    val suspectsJson = suspects.take(5)
+      .map { case (k, v) => "\"" + esc(k) + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","sf":"${esc(sfDir)}","cpus":$cpusJson,"passes":$passes,"regime":"${esc(regime)}","sentinel_s":$sentinel,"leaked":$leaked,"n_queries":$nQueries,"n_failed":${failed.size},"failed":$failedJson,"drift_sentinel":${ms(driftSentinel)},"drift_used":${ms(driftUsed)},"watch_n":$watchN,"watch_overflow":$watchOverflow,"suspects":$suspectsJson,"queries_file":"bench.json","summary":true}"""
+  }
+
   /** Parse one flat (string→number) object by its literal marker; the
     * first '}' after the marker closes it. Empty map when absent. */
   private def flatObj(text: String, marker: String): Map[String, Double] = {
@@ -392,8 +447,12 @@ object Bench {
     // re-timings. Skipping is loud, and self-heals the next run (this
     // run commits a same-regime artifact).
     // (normalized ratios for every comparable query, baseline's watch
-    // list) — None when no usable same-regime baseline exists
-    val comparison: Option[(Map[String, Double], Map[String, Double])] =
+    // list, sentinel drift, drift actually used) — None when no usable
+    // same-regime baseline exists. Normalization divides each query's
+    // raw ratio by [[robustDrift]] — the suite-median environment
+    // estimator with the sentinel ratio as the small-N fallback (the
+    // sentinel alone over-corrected; see robustDrift's scaladoc).
+    val comparison: Option[(Map[String, Double], Map[String, Double], Double, Double)] =
       loadBaseline(baselinePath) match {
         case Some(b) if b.regime != Regime =>
           System.err.println(
@@ -402,16 +461,20 @@ object Bench {
               "skipping the suspect re-timing pass")
           None
         case Some(b) if sentinel > 0 && b.sentinel > 0 =>
-          val drift = sentinel / b.sentinel
-          val norm = results.flatMap { case (name, t) =>
+          val driftSentinel = sentinel / b.sentinel
+          val raw = results.flatMap { case (name, t) =>
             b.queries.get(name) match {
-              case Some(p) if t > 0 && p > 0 => Some(name -> (t / p) / drift)
+              case Some(p) if t > 0 && p > 0 => Some(name -> (t / p))
               case _ => None
             }
           }.toMap
-          Some((norm, b.watch))
+          val drift = robustDrift(raw.values, driftSentinel)
+          val norm = raw.map { case (name, r) => name -> r / drift }
+          Some((norm, b.watch, driftSentinel, drift))
         case _ => None
       }
+    val driftSentinel = comparison.fold(-1.0)(_._3)
+    val driftUsed = comparison.fold(-1.0)(_._4)
     // compounding-drift trigger (r19): a sequence of sub-threshold
     // same-direction moves can reach 2× without ever tripping the 1.5×
     // radar (the exact shape the r18 IVF-PQ adjudication disproved for
@@ -425,11 +488,11 @@ object Bench {
     val watchThreshold =
       sys.env.getOrElse("SPARK_GRAFT_WATCH_RATIO", "1.1").toDouble
     val watch: Seq[(String, Double)] = comparison
-      .fold(Seq.empty[(String, Double)]) { case (norm, _) =>
+      .fold(Seq.empty[(String, Double)]) { case (norm, _, _, _) =>
         norm.filter(_._2 >= watchThreshold).toSeq.sortBy(-_._2)
       }
     val qualifying: Seq[(String, Double)] = comparison
-      .fold(Seq.empty[(String, Double)]) { case (norm, baseWatch) =>
+      .fold(Seq.empty[(String, Double)]) { case (norm, baseWatch, _, _) =>
         qualifyingSuspects(norm, baseWatch, watchThreshold, suspectThreshold)
       }
     val suspects: Seq[(String, Double)] = qualifying.take(maxSuspects)
@@ -505,8 +568,10 @@ object Bench {
     // "regime" names the timing methodology; bump it whenever the
     // measurement procedure changes (warmup policy, rotation, quiesce,
     // sentinel) so artifacts from different regimes are never compared
+    val cpusJson =
+      if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus else "\"" + esc(cpus) + "\""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","gc_s":$gcJson,"jit_s":$jitJson,"cleaned_n":$cleanedJson,"cleaner_pending":$pendingJson,"queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","passes":$passes,"sweep":true,"leaked":$leaked,"regime":"$Regime","sentinel_s":$sentinel,"baseline":"${esc(baselinePath)}","suspect_ratio":$suspectJson,"drift_watch":$watchJson,"watch_overflow":$watchOverflow,"suspect_jit_share":$jitShareJson,"isolated_s":$isoJson,"isolated_gc_s":$isoGcJson,"isolated_jit_s":$isoJitJson,"isolated_cleaned_n":$isoCleanedJson,"isolated_pending":$isoPendingJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","gc_s":$gcJson,"jit_s":$jitJson,"cleaned_n":$cleanedJson,"cleaner_pending":$pendingJson,"queries":$qs,"sf":"${esc(sfDir)}","warmup":"${esc(warmDir)}","cpus":$cpusJson,"passes":$passes,"sweep":true,"leaked":$leaked,"regime":"$Regime","sentinel_s":$sentinel,"baseline":"${esc(baselinePath)}","drift_sentinel":${ms(driftSentinel)},"drift_used":${ms(driftUsed)},"suspect_ratio":$suspectJson,"drift_watch":$watchJson,"watch_overflow":$watchOverflow,"suspect_jit_share":$jitShareJson,"isolated_s":$isoJson,"isolated_gc_s":$isoGcJson,"isolated_jit_s":$isoJitJson,"isolated_cleaned_n":$isoCleanedJson,"isolated_pending":$isoPendingJson}"""
     println(line)
     // also persist to a file: stdout can get interleaved with stray
     // [error] log lines under sbt, which breaks line-oriented parsers.
@@ -516,6 +581,22 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // FINAL stdout line: the compact summary (see summaryLine's
+    // scaladoc — the full line above cannot fit a bounded stdout tail,
+    // which left the round driver's PERF view blind for two rounds).
+    // The full artifact is unchanged: it precedes this line on stdout
+    // and is the entire content of bench.json; the summary also lands
+    // in bench_summary.json for file consumers.
+    val failed = results.collect { case (n, v) if v < 0 => n }
+    val summary = summaryLine(total, sfDir, cpus, passes, leaked, sentinel,
+      Regime, results.size, failed, suspects, driftSentinel, driftUsed,
+      watch.size, watchOverflow)
+    println(summary)
+    val summaryFile =
+      if (only.isEmpty) "bench_summary.json" else "bench_summary_partial.json"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(summaryFile),
+      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

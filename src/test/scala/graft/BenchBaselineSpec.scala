@@ -134,6 +134,50 @@ class BenchBaselineSpec extends AnyFunSuite {
       .size == 1)
   }
 
+  test("drift normalization: a uniformly-slowed run yields zero watch entries") {
+    // the r21 close artifact's 9 drift-watch entries were all sentinel
+    // over-correction; the suite-median estimator makes a pure
+    // environment change (every query slowed/sped the same factor)
+    // normalize to exactly 1.0 — no phantom watch entries
+    val raw = (1 to 40).map(i => f"q_$i%02d" -> 1.7).toMap
+    val drift = Bench.robustDrift(raw.values, sentinelDrift = 1.0)
+    assert(drift == 1.7)
+    val norm = raw.map { case (k, v) => k -> v / drift }
+    assert(norm.values.forall(v => math.abs(v - 1.0) < 1e-9))
+    assert(norm.count(_._2 >= 1.1) == 0, "uniform drift produced watch entries")
+    // robust to a minority of genuinely-changed queries: one real
+    // regression and one real improvement do not move the estimator
+    val mixed = raw ++ Map("q_reg" -> 5.0, "q_opt" -> 0.3)
+    assert(Bench.robustDrift(mixed.values, 1.0) == 1.7)
+    // small-N fallback (filtered SPARK_GRAFT_ONLY runs): the median
+    // would be dominated by the queries under study — sentinel stays
+    assert(Bench.robustDrift(Seq(2.0, 2.0, 2.0), 1.3) == 1.3)
+    // even-N median is the midpoint of the two middles
+    assert(Bench.robustDrift((1 to 16).map(_.toDouble), 1.0) == 8.5)
+  }
+
+  test("summary line: bounded under 1900 chars, headline fields present") {
+    // the driver captures a 2000-char stdout tail; the final line must
+    // always fit it WITH sbt's trailing [success] line, whatever the
+    // run produced — worst-case list inputs are capped, spec-pinned
+    val failed = (1 to 30).map(i => s"q_very_long_failed_query_name_$i")
+    val suspects = (1 to 12).map(i =>
+      s"q_very_long_suspect_query_name_$i" -> (2.0 + i))
+    val s = Bench.summaryLine(86.612345, "/root/testdata/sf0.1", "32", 2, 0,
+      0.127, Bench.Regime, 143, failed, suspects, 0.78, 1.01, 9, 0)
+    assert(s.length < 1900, s"summary too long: ${s.length}")
+    for (k <- Seq("\"metric\":\"total\"", "\"value\":86.612345",
+        "\"unit\":\"sec\"", "\"cpus\":32", "\"sentinel_s\":0.127",
+        "\"regime\":", "\"n_queries\":143", "\"n_failed\":30",
+        "\"queries_file\":\"bench.json\"", "\"summary\":true"))
+      assert(s.contains(k), s"missing $k in $s")
+    assert(s.startsWith("{") && s.endsWith("}") && !s.contains("\n"))
+    // non-numeric cpus (a hostile env var) still emits valid JSON
+    val s2 = Bench.summaryLine(1.0, "/x", "8\"x", 1, 0, 0.1, Bench.Regime,
+      1, Nil, Nil, -1.0, -1.0, 0, 0)
+    assert(s2.contains("\"cpus\":\"8\\\"x\""))
+  }
+
   test("missing file, missing sentinel, empty queries, garbage → None") {
     assert(Bench.loadBaseline("/nonexistent/bench.json").isEmpty)
     withTemp("""{"queries":{"q":1.0}}""") { p =>

@@ -735,15 +735,26 @@ object CorpusOps {
         .select((col("doc_id") + lit(idShift)).as("doc_id"), col("text")))
 
   def sourceOverlap(docs: DataFrame): DataFrame = {
+    // r22 (guide §2.4): the old shape joined the (doc_id, source)
+    // projection to the pair list TWICE — two full corpus-projection
+    // scans whose only job was attaching one source string each.
+    // Melt each pair into its two members, attach source with ONE
+    // join (AQE broadcasts the tiny melted side at runtime, so the
+    // corpus projection is scanned once and never shuffled), and fold
+    // the two member rows back with min/max — identical to
+    // least/greatest over the attached pair: both are the binary-
+    // collation extremes of the same two values, with the same
+    // null-skipping. (doc_a, doc_b) rows are unique by construction
+    // (the candidate set is distinct), so the regroup is 1:1.
     val src = docs.select(col("doc_id"), col("source"))
     Dedup.minhashPairsUnsorted(docs)
-      .select(col("doc_a"), col("doc_b"))
-      .join(src.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("source", "source_a"), Seq("doc_a"))
-      .join(src.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("source", "source_b"), Seq("doc_b"))
-      .groupBy(least(col("source_a"), col("source_b")).as("source_lo"),
-        greatest(col("source_a"), col("source_b")).as("source_hi"))
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(src, Seq("doc_id"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("source")).as("source_lo"),
+        max(col("source")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("source_lo"), col("source_hi"))
   }

@@ -194,9 +194,14 @@ object Dedup {
     // candidate pair (semi-join before the shingle projection): the
     // full-corpus hash pass happens once — inside the signature
     // exchange above — not three times. Candidates are the small set by
-    // LSH design, so these probes are broadcast-scale.
-    val candIds = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id")))
+    // LSH design, so these probes are broadcast-scale. One explode over
+    // ONE reference to the candidate subtree (r22): the old
+    // union-of-two-projections referenced `cand` twice — its final
+    // post-shuffle aggregate executed once per reference (exchanges
+    // stage-reuse, the agg above them does not) and every consumer's
+    // plan embedded the candidate pipeline twice. Same id set.
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val shCand = shingleHashFrame(
       docs.join(candIds, Seq("doc_id"), "left_semi"), shingleN)
@@ -418,10 +423,14 @@ object Dedup {
     * preserved in the output) gets the smallest id reachable through
     * `pairs` (columns `a`, `b`); vertices outside the graph label
     * themselves via the final corpus-wide left join, so the iteration
-    * touches only graph vertices. Same storage contract as before the
-    * extraction: the returned plan embeds the final label checkpoint —
-    * release with [[ColumnBridge.unpersistCheckpoint]] after the last
-    * action (Bench/Verify do, at their execution boundary).
+    * touches only graph vertices. Storage contract: on the ITERATIVE
+    * path (symmetrized edge list above [[driverEdgeCap]] rows) the
+    * returned plan embeds the final label checkpoint — release with
+    * [[ColumnBridge.unpersistCheckpoint]] after the last action
+    * (Bench/Verify do, at their execution boundary). On the sub-cap
+    * fast path the labels are a driver-held broadcast literal and the
+    * plan embeds NO checkpoint; the release call is then a harmless
+    * no-op, so callers use one code path either way.
     */
   private[graft] def labelPropagate(pairs: DataFrame, ids: DataFrame,
       maxIters: Int, tag: String): DataFrame =
@@ -1473,9 +1482,28 @@ object Dedup {
     * storage-contract specs set it to 0 to force the iterative path
     * (whose checkpoint-release contract they pin) on fixtures whose
     * graphs would otherwise take the driver closure; production code
-    * never sets it. */
+    * never sets it. The property is process-global and the specs
+    * set/clear it non-atomically — safe under sbt's sequential
+    * per-JVM suite execution, a known flake source if
+    * `testForkedParallel` is ever enabled (don't). A malformed value
+    * fails LOUDLY with the property named, never as a bare
+    * NumberFormatException three frames deep in a query.
+    *
+    * CAP UNITS differ by call site, deliberately: [[assignDedupLabels]]
+    * probes the RAW pair list (1 row per undirected pair) while
+    * [[labelPropagateCounted]] probes the SYMMETRIZED edge list (2 rows
+    * per pair), so the effective fast-path threshold there is cap/2
+    * pairs. Both bound the same thing — rows collected to the driver —
+    * which is what the cap exists to bound; the label core simply
+    * takes its driver closure on graphs up to half the pair count. */
   private[graft] def driverEdgeCap: Int =
-    sys.props.get("graft.driverEdgeCap").fold(DriverEdgeCap)(_.toInt)
+    sys.props.get("graft.driverEdgeCap").fold(DriverEdgeCap) { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"system property graft.driverEdgeCap='$v' is not an int — " +
+          "it is a test-only seam; unset it or pass a number")
+      }
+    }
 
   /** Min-label connected components over a driver-held edge list:
     * union-find attaching the LARGER root under the smaller, so every
@@ -1559,6 +1587,25 @@ object Dedup {
   def sharedSpans(docs: DataFrame, shingleN: Int = 3,
       numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // r22 MEASURED and REJECTED the pair-doc semi-join prune of the
+    // positional-shingle frame (verdict item 4). Two variants, both
+    // slower at sf0.1/32 cores in same-JVM interleaved A/Bs:
+    //   - lazy prune (toksF semi-joined to the exploded pair-id set):
+    //     every reference re-embedded the whole LSH pipeline — the
+    //     dump grew 32 → 88 embedded scans / 62 → 206 exchange
+    //     mentions, and the query read 1.0 → 1.16 s;
+    //   - prune over an eagerly-checkpointed pair list (the label-
+    //     family storage contract): plan shrank to 8 scans, but the
+    //     extra materialization job cost more than the pruned explode
+    //     saved — med 1.19 → 1.64 s, min 1.07 → 1.12 s.
+    // Mechanism: both joins below already stream `ps` through a
+    // broadcast of the (tiny) pair side with NO corpus shuffle, so the
+    // prune only saves the normalize+explode CPU of non-pair docs —
+    // while paying an extra job + block writes (checkpoint variant) or
+    // a 3× plan (lazy variant). At 100 TB the same two broadcast
+    // probes stream the postings without moving them, so the unpruned
+    // shape is scan-bound, not shuffle-bound, and the trade stays
+    // negative. Keeping the r21 shape; numbers in OPTIMIZATION_r22.md.
     val pairs = minhashPairsUnsorted(docs, numHashes, bands, threshold,
         shingleN)
       .select(col("doc_a"), col("doc_b"))

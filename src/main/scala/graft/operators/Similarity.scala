@@ -207,6 +207,15 @@ object Similarity {
     * watches: a threshold at the corpus's noise floor shows up as
     * n_kept collapsing toward 1 while rounds climb with the giant
     * component's diameter.
+    *
+    * ROUNDS SEMANTICS since the r21 bounded-graph fast path: rounds
+    * is the number of DISTRIBUTED propagation rounds, so a graph small
+    * enough for [[Dedup.labelPropagateCounted]]'s driver union-find
+    * reports rounds = 0 regardless of its diameter — at small scale
+    * the diameter signal lives in n_kept only. Above
+    * [[Dedup.DriverEdgeCap]] edges (every 100 TB-shaped corpus, and
+    * the forced-iterative specs) rounds carries the documented
+    * noise-floor meaning unchanged.
     */
   private[graft] def semanticKeepCounted(corpus: DataFrame, tables: Int = 4,
       planes: Int = 4, threshold: Double = 0.35,
@@ -325,25 +334,29 @@ object Similarity {
         // 0-based cell id; first max wins (array_position is 1-based)
         .withColumn("cid",
           (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
-      // ONE aggregate + a k×dims-bounded driver assembly (r21): the
-      // second groupBy existed only to array-ify per-cid means —
-      // k×dims rows (the codebook bound this loop already collects at)
-      // collect directly and regroup on the driver, saving one
-      // exchange + stage per iteration. The avg itself runs in the
-      // same (cid, pos) aggregate as before — identical doubles.
-      val means = assigned
-        .select(col("cid"), posexplode(col("unit")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+      // ONE aggregate + a k×dims-bounded driver assembly (r21) —
+      // [[centroidMeansFrame]], the posexplode + (cid, pos) scalar
+      // aggregate. r22 MEASURED and REJECTED the "no generator"
+      // alternative (dims avg(element_at) columns over plain cid
+      // groups): same-JVM interleaved A/B at sf0.1/32 cores read
+      // old 0.093–0.099 s min / 0.13–0.17 s med per UPDATE job vs
+      // 0.202–0.210 / 0.26–0.35 for the wide-column shape — the
+      // multi-avg wide buffer loses the codegen'd two-level hash-map
+      // fast path, costing ~2× despite dims× fewer aggregate rows.
+      // Scalar posexplode stays. The driver regroup falls back
+      // per-position to the previous centroid on a missing key
+      // (ragged-dimension rows) instead of throwing — the r21 advice
+      // item.
+      val means = centroidMeansFrame(assigned)
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
       cent = cent.indices.map { i =>
-        // a cid with ≥1 assigned row emits every pos (posexplode is
-        // total per row); an empty cell has no keys and keeps its
-        // previous centroid, as before
+        // a cid with ≥1 assigned row emits every present pos
+        // (posexplode is total per row); an empty cell has no keys and
+        // keeps its previous centroid, as before
         if (!means.contains((i, 0))) cent(i)
         else {
-          val m = cent(i).indices.map(p => means((i, p)))
+          val m = cent(i).indices.map(p => means.getOrElse((i, p), cent(i)(p)))
           val nrm = math.sqrt(m.map(x => x * x).sum)
           if (nrm == 0.0) cent(i) else m.map(_ / nrm)
         }
@@ -361,6 +374,19 @@ object Similarity {
       // CacheManager no-op for a local checkpoint)
       if (iters > 0) ColumnBridge.unpersistCheckpoint(cu)
   }
+
+  /** Lloyd's UPDATE-step means for [[trainCentroids]]: posexplode to
+    * (cid, pos, value) scalars, then one (cid, pos) avg — the shape
+    * that keeps the codegen'd two-level hash-map fast path (scalar
+    * key, single avg buffer). Split out so the plan shape and value
+    * semantics are pinnable, and so the r22 negative result (wide
+    * avg(element_at) columns measured ~2× slower; see the trainer
+    * comment above) has a named surface to re-measure against. */
+  private[graft] def centroidMeansFrame(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("unit")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("col")).as("m"))
 
   /** IVF-style ANN top-k: corpus vectors are assigned to their nearest
     * coarse centroid; a query probes its `nProbes` nearest centroids
@@ -905,30 +931,54 @@ object Similarity {
         seeds.map(v => v.slice(mi * dsub, (mi + 1) * dsub)))
       for (_ <- 0 until iters) {
         val assigned = withPqCodes(cu, book, dsub)
-        // one aggregate + m×ksub×dsub-bounded driver assembly — the
-        // trainCentroids r21 shape: the array-ifying second groupBy
-        // and its exchange are replaced by a driver regroup of the
-        // codebook-sized mean rows; the avg aggregate is unchanged
-        val means = assigned
-          .select(explode(array(book.indices.map(mi =>
-            struct(lit(mi).as("mq"),
-              element_at(col("codes"), mi + 1).as("cell"),
-              slice(col("unit"), mi * dsub + 1, dsub).as("sub"))): _*)).as("e"))
-          .select(col("e.mq"), col("e.cell"), posexplode(col("e.sub")))
-          .groupBy(col("mq"), col("cell"), col("pos"))
-          .agg(avg(col("col")).as("v"))
+        // one aggregate + m×ksub×dsub-bounded driver assembly (r21) —
+        // [[pqMeansFrame]], the struct-explode + posexplode scalar
+        // aggregate. r22 MEASURED and REJECTED two alternatives
+        // (same-JVM interleaved A/B, sf0.1/32 cores, per UPDATE job):
+        // dsub avg(element_at) columns over (mq, cell) groups — one
+        // generator, dsub× fewer agg rows — read 0.134–0.138 s min /
+        // 0.15–0.20 med vs 0.121–0.132 / 0.14–0.18 for this shape
+        // (the wide multi-avg buffer loses the codegen'd fast
+        // hash-map, same mechanism as the coarse trainer's 2× hit);
+        // a single posexplode(unit) with arithmetically-derived
+        // (mq, cell, pos) keys measured ≈ equal (0.117/0.182), not
+        // worth the shape change. The scalar aggregate stays. The
+        // driver regroup falls back per-position to the previous
+        // sub-centroid on a missing key (ragged-dimension rows)
+        // instead of throwing — the r21 advice item.
+        val means = pqMeansFrame(assigned, m, dsub)
           .collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
           .toMap
         book = Array.tabulate(m)(mi =>
           book(mi).indices.map(c =>
             if (means.contains((mi, c, 0)))
-              (0 until dsub).map(p => means((mi, c, p))): Seq[Double]
+              (0 until dsub).map(p => means.getOrElse((mi, c, p),
+                book(mi)(c).lift(p).getOrElse(0.0))): Seq[Double]
             else book(mi)(c)).toArray)
       }
       book
     } finally if (iters > 0) ColumnBridge.unpersistCheckpoint(cu)
   }
+
+  /** [[trainPqOn]]'s per-iteration means aggregate: m (mq, cell, sub)
+    * structs per vector, posexploded to scalars, then one
+    * (mq, cell, pos) avg — the shape that keeps the codegen'd scalar
+    * hash aggregate. Split out so the plan shape and value semantics
+    * are pinnable, and so the r22 negative results (wide
+    * avg(element_at) columns and the derived-key single-posexplode
+    * variant; numbers in the trainer comment above) have a named
+    * surface to re-measure against. */
+  private[graft] def pqMeansFrame(assigned: DataFrame, m: Int,
+      dsub: Int): DataFrame =
+    assigned
+      .select(explode(array((0 until m).map(mi =>
+        struct(lit(mi).as("mq"),
+          element_at(col("codes"), mi + 1).as("cell"),
+          slice(col("unit"), mi * dsub + 1, dsub).as("sub"))): _*)).as("e"))
+      .select(col("e.mq"), col("e.cell"), posexplode(col("e.sub")))
+      .groupBy(col("mq"), col("cell"), col("pos"))
+      .agg(avg(col("col")).as("v"))
 
   /** The compressed-index build a deployment materializes once:
     * (vec_id, codes) — `m` small ints per vector. Pure projection

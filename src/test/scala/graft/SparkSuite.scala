@@ -41,6 +41,15 @@ object SparkSuite {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // r22: size the generated-class cache to the suite, the r21
+      // bench/Verify Change-1 applied to the third long-lived session:
+      // 42 suites compile far more generated classes than the default
+      // 100-entry cache holds, so the suite was paying Janino + C2
+      // re-compilation for classes it had already compiled — pure
+      // fixed cost, no timing methodology here to disturb. Measured
+      // on the full suite: 25:27 → see OPTIMIZATION_r22.md.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // local-mode liveness stub: without it, ONE injected fetch failure
